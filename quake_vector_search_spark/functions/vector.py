@@ -1,0 +1,94 @@
+"""Vector distance kernels.
+
+Two tiers, mirroring the reference's design (SURVEY.md §2.1 O1/O2):
+
+- **Column expressions** (`l2_squared_col` etc.): pure Catalyst
+  (`zip_with` + `aggregate`), whole-stage-codegen'd JVM-side. Right for
+  ad-hoc expressions and oracle-matched queries. Accumulates in float64.
+  Reference: ``l2(a,b)`` at QUAKE_working_demo.ipynb c1:8-9 /
+  adaptive_ivf.mjs:23-30.
+
+- **NumPy batch kernel** (`l2_batch`): the `x²+y²-2xyᵀ` matmul trick for
+  all-pairs distances, used inside Arrow-backed `mapInPandas` operators.
+  Reference: ``l2_batch`` at ipynb c1:11-14 / adaptive_ivf.mjs:32-40.
+  This is the hot path for kNN — one BLAS matmul per (partition,
+  query-block) instead of a crossJoin, so the shuffle carries only local
+  top-k candidates, never the O(n·m) distance matrix.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def l2_squared_col(a, b) -> Column:
+    """Squared L2 distance between two array<numeric> columns (float64)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a.cast("array<double>"), b.cast("array<double>"),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_col(a, b) -> Column:
+    """L2 (Euclidean) distance between two array columns."""
+    return F.sqrt(l2_squared_col(a, b))
+
+
+def dot_col(a, b) -> Column:
+    """Dot product of two array<numeric> columns (float64)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a.cast("array<double>"), b.cast("array<double>"),
+                   lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_similarity_col(a, b) -> Column:
+    """Cosine similarity of two array columns (float64, NaN-safe via
+    1e-12 epsilon on the norms)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    num = dot_col(a, b)
+    den = F.sqrt(dot_col(a, a)) * F.sqrt(dot_col(b, b))
+    return num / (den + F.lit(1e-12))
+
+
+def l2_batch(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """All-pairs squared L2 distance matrix [n, m] via x²+y²−2xyᵀ.
+
+    Float64 accumulation; clipped at 0 to kill negative epsilon from
+    cancellation. Mirrors reference semantics (ipynb c1:11-14).
+    """
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    x2 = (x * x).sum(axis=1)[:, None]
+    y2 = (y * y).sum(axis=1)[None, :]
+    d2 = x2 + y2 - 2.0 * (x @ y.T)
+    np.maximum(d2, 0.0, out=d2)
+    return d2
+
+
+def topk_indices(arr: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the k smallest values, ascending (ties by index asc).
+
+    `argpartition` O(n) selection then a sort of only k — reference
+    `topk_indices` at ipynb c1:16-20 / adaptive_ivf.mjs:50-56. Stable
+    tie-break on index is guaranteed by sorting (value, index) pairs.
+    """
+    arr = np.asarray(arr).ravel()
+    k = min(k, arr.shape[0])
+    if k <= 0:
+        return np.empty(0, dtype=np.int64)
+    part = np.argpartition(arr, k - 1)[:k]
+    # lexsort: primary value asc, secondary original index asc
+    order = np.lexsort((part, arr[part]))
+    return part[order]

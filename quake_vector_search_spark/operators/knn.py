@@ -1,0 +1,137 @@
+"""Brute-force exact kNN over a DataFrame corpus.
+
+Reference parity: ``exact_topk`` (QUAKE_working_demo.ipynb c1:212-215 /
+adaptive_ivf.mjs:364-369) — full-scan ground truth, also the oracle for
+the IVF path (O15 in SURVEY.md §2.1).
+
+Scale design (the part the reference, a single-process NumPy loop,
+doesn't have): queries are broadcast to every corpus partition; each
+partition computes a *local* top-k per query with one BLAS matmul
+(`l2_batch`, the x²+y²−2xyᵀ trick) and emits at most k rows per query —
+so the single shuffle carries O(partitions · nq · k) candidate rows,
+never the O(n · nq) distance matrix, and never a crossJoin. The global
+stage is a window `row_number() <= k` with deterministic
+(dist ASC, vec_id ASC) tie-break. At 1000 executors this is an
+embarrassingly-parallel scan + a tiny shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from quake_vector_search_spark.functions.vector import l2_batch
+
+# Queries are collected to the driver and broadcast — the standard ANN
+# batch shape (small query block vs huge corpus). Guard against misuse.
+MAX_BROADCAST_QUERIES = 100_000
+
+
+def _collect_queries(queries, query_id_col: str, query_vec_col: str):
+    """Normalize queries into (ids: int64[nq], mat: float64[nq, d])."""
+    if isinstance(queries, DataFrame):
+        rows = queries.select(query_id_col, query_vec_col).collect()
+        if len(rows) > MAX_BROADCAST_QUERIES:
+            raise ValueError(
+                f"{len(rows)} queries exceed broadcast limit "
+                f"{MAX_BROADCAST_QUERIES}; chunk the query set into batches")
+        qids = np.array([r[0] for r in rows], dtype=np.int64)
+        qmat = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
+    else:  # (ids, matrix) pair
+        qids, qmat = queries
+        qids = np.asarray(qids, dtype=np.int64)
+        qmat = np.asarray(qmat, dtype=np.float64)
+    return qids, qmat
+
+
+def knn_bruteforce(corpus_df: DataFrame,
+                   queries,
+                   k: int = 10,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   query_id_col: str = "query_id",
+                   query_vec_col: str = "embedding",
+                   squared: bool = False) -> DataFrame:
+    """Exact top-k nearest neighbors for each query.
+
+    Returns (query_id LONG, vec_id LONG, dist DOUBLE, rank INT), rank
+    1..k per query ordered by (dist ASC, vec_id ASC). ``dist`` is L2
+    (or squared L2 when ``squared=True``, matching the reference's d2).
+    """
+    spark = corpus_df.sparkSession
+    qids, qmat = _collect_queries(queries, query_id_col, query_vec_col)
+    bq = spark.sparkContext.broadcast((qids, qmat))
+
+    def local_topk(batches):
+        qids_l, qmat_l = bq.value
+        nq = qids_l.shape[0]
+        for pdf in batches:
+            if len(pdf) == 0 or nq == 0:
+                continue
+            vecs = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            d2 = l2_batch(qmat_l, vecs)                  # [nq, nb]
+            kk = min(k, vecs.shape[0])
+            part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+            d2k = np.take_along_axis(d2, part, axis=1)
+            yield pd.DataFrame({
+                "query_id": np.repeat(qids_l, kk),
+                "vec_id": ids[part].ravel(),
+                "dist": d2k.ravel(),
+            })
+
+    local = (corpus_df.select(id_col, vec_col)
+             .mapInPandas(local_topk, "query_id long, vec_id long, dist double"))
+
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.col("dist").asc(), F.col("vec_id").asc()))
+    out = (local
+           .withColumn("rank", F.row_number().over(w))
+           .where(F.col("rank") <= k))
+    if not squared:
+        out = out.withColumn("dist", F.sqrt(F.col("dist")))
+    return out.select("query_id", "vec_id", "dist", "rank")
+
+
+def cosine_topk(corpus_df: DataFrame,
+                queries,
+                k: int = 10,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding",
+                query_id_col: str = "query_id",
+                query_vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k by cosine similarity (descending), same batch shape as
+    `knn_bruteforce`. Tie-break (sim DESC, vec_id ASC)."""
+    spark = corpus_df.sparkSession
+    qids, qmat = _collect_queries(queries, query_id_col, query_vec_col)
+    qnorm = np.linalg.norm(qmat, axis=1) + 1e-12
+    bq = spark.sparkContext.broadcast((qids, qmat, qnorm))
+
+    def local_topk(batches):
+        qids_l, qmat_l, qnorm_l = bq.value
+        for pdf in batches:
+            if len(pdf) == 0 or qids_l.shape[0] == 0:
+                continue
+            vecs = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            vnorm = np.linalg.norm(vecs, axis=1) + 1e-12
+            sim = (qmat_l @ vecs.T) / (qnorm_l[:, None] * vnorm[None, :])
+            kk = min(k, vecs.shape[0])
+            part = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
+            simk = np.take_along_axis(sim, part, axis=1)
+            yield pd.DataFrame({
+                "query_id": np.repeat(qids_l, kk),
+                "vec_id": ids[part].ravel(),
+                "sim": simk.ravel(),
+            })
+
+    local = (corpus_df.select(id_col, vec_col)
+             .mapInPandas(local_topk, "query_id long, vec_id long, sim double"))
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.col("sim").desc(), F.col("vec_id").asc()))
+    return (local
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "vec_id", "sim", "rank"))

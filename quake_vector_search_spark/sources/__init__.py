@@ -1,0 +1,5 @@
+from quake_vector_search_spark.sources.catalog import (  # noqa: F401
+    TABLES,
+    load_table,
+    register_all,
+)

@@ -1,0 +1,47 @@
+"""Parquet source catalog for the testdata star schema + vector tables.
+
+Spark mapping of reference data model (SURVEY.md §1.3): the reference
+holds everything in process memory (`adaptive_ivf.mjs:140-154`,
+`ipynb c1:51-64`); here every table is a Parquet-backed DataFrame so
+scans get predicate pushdown, column pruning, and partition pruning from
+Catalyst for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# canonical table names (one parquet file/dir per table)
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one catalog table. Plain `spark.read.parquet` — Catalyst
+    handles pushdown/pruning; do NOT cache here (caching defeats column
+    pruning for wide tables at scale)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_all(spark: SparkSession, sf_dir: str,
+                 names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    """Register each table as a temp view (for the SQL surface) and
+    return the DataFrames keyed by name."""
+    out = {}
+    for name in names:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
