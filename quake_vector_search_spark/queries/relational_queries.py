@@ -1,1 +1,546 @@
-"""Placeholder — populated in this round."""
+"""Relational surface queries (SURVEY.md §2.3 E1-E10).
+
+All pure Catalyst — built-in functions only, no UDFs — so every one of
+these gets predicate pushdown, column pruning, broadcast joins, and
+whole-stage codegen for free. Each query has a DuckDB oracle; floats
+rounded identically on both sides (4 digits for money aggregates, 6 for
+ratios) and all ranked output carries full deterministic tie-breaks.
+
+Type alignment notes (Spark ↔ DuckDB):
+- DuckDB SUM(BIGINT) returns HUGEINT → cast AS BIGINT in oracle SQL.
+- DuckDB year()/row_number() return BIGINT → cast AS INT to match Spark.
+- Session timezone pinned to UTC (session.py) so timestamps agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from quake_vector_search_spark.queries import register
+from quake_vector_search_spark.sources import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------- E4: TPC-H Q1
+@register("q1_pricing_summary", sql="""
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 4) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 6) AS avg_price,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-12-01'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary (E4): 8 aggregates over 2 group
+    keys; partial aggregation map-side, one shuffle on the tiny key."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.where(F.col("l_shipdate") <= F.lit("1999-12-01").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+                 F.round(F.sum(disc), 4).alias("sum_disc_price"),
+                 F.round(F.sum(disc * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+                 F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                 F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 F.count("*").alias("count_order")))
+
+
+# ------------------------------------------------------- E2: filter/projection
+@register("q_filter_project", sql="""
+SELECT l_orderkey, l_linenumber,
+       ROUND(l_extendedprice * (1 - l_discount), 4) AS net_price,
+       l_returnflag
+FROM lineitem
+WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+  AND l_returnflag IN ('A', 'R')
+  AND l_quantity > 45
+  AND NOT (l_discount = 0.0)
+""")
+def q_filter_project(spark, sf_dir):
+    """Projection + compound predicate (E2): BETWEEN, IN, NOT, > — all
+    pushed to the parquet scan (verify PushedFilters in explain)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.where(F.col("l_shipdate").between("1996-01-01", "1996-12-31")
+                     & F.col("l_returnflag").isin("A", "R")
+                     & (F.col("l_quantity") > 45)
+                     & ~(F.col("l_discount") == 0.0))
+            .select("l_orderkey", "l_linenumber",
+                    F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+                     .alias("net_price"),
+                    "l_returnflag"))
+
+
+# ------------------------------------------------------------- E3: star join
+@register("q_star_join_revenue", sql="""
+SELECT r.r_name AS region, n.n_name AS nation,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderstatus = 'F'
+GROUP BY r.r_name, n.n_name
+""")
+def q_star_join_revenue(spark, sf_dir):
+    """4-way star join (E3): fact-fact shuffle join lineitem⋈orders, then
+    broadcast the small dims (customer/nation/region) — no shuffle for
+    the dimension side at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+                  .alias("revenue"),
+                 F.count("*").alias("n_items")))
+
+
+@register("q_left_join_counts", sql="""
+SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS n_orders,
+       ROUND(COALESCE(SUM(o.o_totalprice), 0.0), 4) AS total_spend
+FROM customer c
+LEFT JOIN orders o
+  ON c.c_custkey = o.o_custkey AND o.o_orderpriority = '1-URGENT'
+GROUP BY c.c_custkey, c.c_name
+""")
+def q_left_join_counts(spark, sf_dir):
+    """Left outer join with ON-clause filter (E3): count preserves
+    customers with zero urgent orders (COUNT of null key = 0)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    cond = (c.c_custkey == o.o_custkey) & (o.o_orderpriority == "1-URGENT")
+    return (c.join(o, cond, "left")
+            .groupBy("c_custkey", "c_name")
+            .agg(F.count("o_orderkey").alias("n_orders"),
+                 F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 4)
+                  .alias("total_spend")))
+
+
+@register("q_semi_join", sql="""
+SELECT c.c_nationkey, COUNT(*) AS n_customers
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+GROUP BY c.c_nationkey
+""")
+def q_semi_join(spark, sf_dir):
+    """Left-semi join = EXISTS (E3): customers having any order above a
+    threshold, counted per nation."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .groupBy("c_nationkey")
+            .agg(F.count("*").alias("n_customers")))
+
+
+@register("q_anti_join", sql="""
+SELECT c.c_mktsegment, COUNT(*) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c.c_mktsegment
+""")
+def q_anti_join(spark, sf_dir):
+    """Left-anti join = NOT EXISTS (E3): customers with no urgent
+    orders, per market segment."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_customers")))
+
+
+# ---------------------------------------------------------------- E5: windows
+@register("q_topn_per_group", sql="""
+SELECT c_nationkey, c_custkey, c_acctbal, CAST(rn AS INT) AS rn
+FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+  FROM customer
+) WHERE rn <= 3
+""")
+def q_topn_per_group(spark, sf_dir):
+    """Top-3 customers by balance per nation (E5): the canonical
+    windowed top-N; tie-break on custkey for determinism."""
+    c = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(),
+                                             F.col("c_custkey").asc())
+    return (c.select("c_nationkey", "c_custkey", "c_acctbal",
+                     F.row_number().over(w).alias("rn"))
+            .where(F.col("rn") <= 3))
+
+
+@register("q_window_running", sql="""
+SELECT o_custkey, o_orderkey,
+       ROUND(SUM(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_spend,
+       ROUND(COALESCE(LAG(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC), 0.0), 4)
+         AS prev_price
+FROM orders
+""")
+def q_window_running(spark, sf_dir):
+    """Running sum + lag per customer order history (E5), ordered by
+    (orderdate, orderkey) so ties are deterministic."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(),
+                                           F.col("o_orderkey").asc())
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0)), 4)
+         .alias("running_spend"),
+        F.round(F.coalesce(F.lag("o_totalprice").over(w), F.lit(0.0)), 4)
+         .alias("prev_price"))
+
+
+@register("q_window_moving_avg", sql="""
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       ROUND(AVG(l_extendedprice) OVER (
+         PARTITION BY l_suppkey
+         ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg3
+FROM lineitem
+""")
+def q_window_moving_avg(spark, sf_dir):
+    """Moving average with an explicit ROWS frame (E5)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = (W.partitionBy("l_suppkey")
+         .orderBy(F.col("l_shipdate").asc(), F.col("l_orderkey").asc(),
+                  F.col("l_linenumber").asc())
+         .rowsBetween(-2, 0))
+    return li.select("l_suppkey", "l_orderkey", "l_linenumber",
+                     F.round(F.avg("l_extendedprice").over(w), 4).alias("mavg3"))
+
+
+@register("q_rank_dense_rank", sql="""
+SELECT p_brand, p_partkey, p_retailprice,
+       CAST(rank() OVER (PARTITION BY p_brand
+                         ORDER BY p_retailprice DESC, p_partkey ASC) AS INT) AS rnk,
+       CAST(dense_rank() OVER (PARTITION BY p_brand
+                               ORDER BY p_retailprice DESC, p_partkey ASC) AS INT)
+         AS drnk
+FROM part
+""")
+def q_rank_dense_rank(spark, sf_dir):
+    """rank + dense_rank (E5) over parts per brand."""
+    p = _t(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(),
+                                         F.col("p_partkey").asc())
+    return p.select("p_brand", "p_partkey", "p_retailprice",
+                    F.rank().over(w).alias("rnk"),
+                    F.dense_rank().over(w).alias("drnk"))
+
+
+# ------------------------------------------------------- E4: rollup/cube/pivot
+@register("q_rollup", sql="""
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 4) AS sum_qty, COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""")
+def q_rollup(spark, sf_dir):
+    """ROLLUP grouping sets (E4): subtotals + grand total."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+                 F.count("*").alias("n")))
+
+
+@register("q_cube", sql="""
+SELECT o_orderstatus, o_orderpriority,
+       ROUND(SUM(o_totalprice), 4) AS sum_price, COUNT(*) AS n
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""")
+def q_cube(spark, sf_dir):
+    """CUBE grouping sets (E4): all 4 grouping combinations."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+                 F.count("*").alias("n")))
+
+
+@register("q_pivot", sql="""
+SELECT l_returnflag,
+       ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS qty_O,
+       ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS qty_F
+FROM lineitem
+GROUP BY l_returnflag
+""")
+def q_pivot(spark, sf_dir):
+    """Pivot on linestatus (E4) with explicit value list (no extra scan
+    for value discovery — required at scale)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = (li.groupBy("l_returnflag")
+           .pivot("l_linestatus", ["O", "F"])
+           .agg(F.round(F.sum("l_quantity"), 4)))
+    return out.withColumnRenamed("O", "qty_O").withColumnRenamed("F", "qty_F")
+
+
+@register("q_having", sql="""
+SELECT l_suppkey, ROUND(SUM(l_extendedprice), 4) AS total
+FROM lineitem
+GROUP BY l_suppkey
+HAVING SUM(l_extendedprice) > 20000000 AND COUNT(*) > 100
+""")
+def q_having(spark, sf_dir):
+    """GROUP BY + HAVING on two aggregate predicates (E4)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_suppkey")
+            .agg(F.round(F.sum("l_extendedprice"), 4).alias("total"),
+                 F.count("*").alias("_n"))
+            .where((F.col("total") > 20000000) & (F.col("_n") > 100))
+            .select("l_suppkey", "total"))
+
+
+@register("q_distinct_agg", sql="""
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       CAST(COUNT(DISTINCT CAST(YEAR(o_orderdate) AS INT)) AS BIGINT) AS n_years,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+""")
+def q_distinct_agg(spark, sf_dir):
+    """Multiple COUNT(DISTINCT) in one aggregation (E4) — Catalyst
+    expands to grouping-set style plan automatically."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority")
+            .agg(F.countDistinct("o_custkey").alias("n_customers"),
+                 F.countDistinct(F.year("o_orderdate")).alias("n_years"),
+                 F.count("*").alias("n_orders")))
+
+
+# ----------------------------------------------------------- E6: order/limit
+@register("q_top20_lineitems", sql="""
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+LIMIT 20
+""")
+def q_top20_lineitems(spark, sf_dir):
+    """Global ORDER BY + LIMIT (E6): Spark plans TakeOrderedAndProject
+    (per-partition partial top-k, no global sort). Full tie-break."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+            .orderBy(F.col("l_extendedprice").desc(), F.col("l_orderkey").asc(),
+                     F.col("l_linenumber").asc())
+            .limit(20))
+
+
+# ----------------------------------------------------------------- E7: setops
+@register("q_set_ops", sql="""
+WITH urgent AS (SELECT DISTINCT o_custkey FROM orders
+                WHERE o_orderpriority = '1-URGENT'),
+     big    AS (SELECT DISTINCT o_custkey FROM orders
+                WHERE o_totalprice > 300000)
+SELECT 'both' AS tag, COUNT(*) AS n FROM (SELECT * FROM urgent INTERSECT SELECT * FROM big)
+UNION ALL
+SELECT 'urgent_only' AS tag, COUNT(*) AS n FROM (SELECT * FROM urgent EXCEPT SELECT * FROM big)
+UNION ALL
+SELECT 'either' AS tag, COUNT(*) AS n FROM (SELECT * FROM urgent UNION SELECT * FROM big)
+""")
+def q_set_ops(spark, sf_dir):
+    """INTERSECT / EXCEPT / UNION-distinct / UNION ALL (E7) in one
+    result, tagged."""
+    o = _t(spark, sf_dir, "orders")
+    urgent = (o.where(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_custkey").distinct())
+    big = o.where(F.col("o_totalprice") > 300000).select("o_custkey").distinct()
+    both = urgent.intersect(big).agg(F.count("*").alias("n")) \
+                 .select(F.lit("both").alias("tag"), "n")
+    only = urgent.exceptAll(big).agg(F.count("*").alias("n")) \
+                 .select(F.lit("urgent_only").alias("tag"), "n")
+    either = urgent.union(big).distinct().agg(F.count("*").alias("n")) \
+                   .select(F.lit("either").alias("tag"), "n")
+    return both.unionAll(only).unionAll(either)
+
+
+# ------------------------------------------------------- E8: scalar functions
+@register("q_string_funcs", sql="""
+SELECT p_partkey,
+       LOWER(p_name) AS lname,
+       UPPER(p_brand) AS ubrand,
+       SUBSTR(p_name, 1, 8) AS prefix8,
+       CONCAT(p_brand, ':', p_type) AS brand_type,
+       CAST(LENGTH(p_name) AS INT) AS name_len,
+       (p_name LIKE '%blue%') AS has_blue,
+       SPLIT_PART(p_type, ' ', 1) AS type_head
+FROM part
+WHERE p_size BETWEEN 10 AND 30
+""")
+def q_string_funcs(spark, sf_dir):
+    """String function battery (E8): lower/upper/substr/concat/length/
+    like/split_part."""
+    p = _t(spark, sf_dir, "part")
+    return (p.where(F.col("p_size").between(10, 30))
+            .select("p_partkey",
+                    F.lower("p_name").alias("lname"),
+                    F.upper("p_brand").alias("ubrand"),
+                    F.substring("p_name", 1, 8).alias("prefix8"),
+                    F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+                    F.length("p_name").alias("name_len"),
+                    F.col("p_name").like("%blue%").alias("has_blue"),
+                    F.split_part(F.col("p_type"), F.lit(" "), F.lit(1))
+                     .alias("type_head")))
+
+
+@register("q_date_funcs", sql="""
+SELECT CAST(YEAR(o_orderdate) AS INT) AS yr,
+       CAST(MONTH(o_orderdate) AS INT) AS mo,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 4) AS revenue,
+       CAST(MAX(DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '2002-01-01'))
+            AS INT) AS max_age_days
+FROM orders
+GROUP BY 1, 2
+""")
+def q_date_funcs(spark, sf_dir):
+    """Date function battery (E8): year/month extraction + datediff,
+    grouped monthly revenue."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy(F.year("o_orderdate").alias("yr"),
+                      F.month("o_orderdate").alias("mo"))
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+                 F.max(F.datediff(F.lit("2002-01-01").cast("date"),
+                                  F.col("o_orderdate").cast("date")))
+                  .alias("max_age_days")))
+
+
+@register("q_math_case", sql="""
+SELECT c_custkey,
+       ROUND(ABS(c_acctbal), 4) AS abs_bal,
+       ROUND(SQRT(ABS(c_acctbal)), 6) AS sqrt_bal,
+       ROUND(LN(ABS(c_acctbal) + 1), 6) AS ln_bal,
+       ROUND(POWER(c_acctbal / 1000, 2), 6) AS pow_bal,
+       CASE WHEN c_acctbal < 0 THEN 'debt'
+            WHEN c_acctbal < 5000 THEN 'mid'
+            ELSE 'rich' END AS bal_bucket,
+       COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg
+FROM customer
+""")
+def q_math_case(spark, sf_dir):
+    """Math + conditional battery (E8): abs/sqrt/ln/power, CASE WHEN,
+    coalesce/nullif."""
+    c = _t(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.round(F.abs(bal), 4).alias("abs_bal"),
+        F.round(F.sqrt(F.abs(bal)), 6).alias("sqrt_bal"),
+        F.round(F.log(F.abs(bal) + 1), 6).alias("ln_bal"),
+        F.round(F.pow(bal / 1000, 2), 6).alias("pow_bal"),
+        F.when(bal < 0, "debt").when(bal < 5000, "mid").otherwise("rich")
+         .alias("bal_bucket"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("MACHINERY")), F.lit("OTHER"))
+         .alias("seg"))
+
+
+# ------------------------------------------------------------ E9: array/JSON
+@register("q_array_ops", sql="""
+SELECT vec_id,
+       CAST(LEN(embedding) AS INT) AS dim,
+       ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
+       ROUND(LIST_SUM(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]),
+                                     x -> x * x)), 6) AS sq_norm,
+       ROUND(LIST_MAX(CAST(embedding AS DOUBLE[])), 6) AS max_elem
+FROM embeddings WHERE vec_id < 100
+""")
+def q_array_ops(spark, sf_dir):
+    """Array expression battery (E9): size, element_at, transform +
+    aggregate (sum of squares), array_max — all Catalyst built-ins."""
+    e = _t(spark, sf_dir, "embeddings")
+    arr = F.col("embedding").cast("array<double>")
+    return (e.where(F.col("vec_id") < 100)
+            .select("vec_id",
+                    F.size("embedding").alias("dim"),
+                    F.round(F.element_at(arr, 1), 6).alias("first_elem"),
+                    F.round(F.aggregate(F.transform(arr, lambda x: x * x),
+                                        F.lit(0.0), lambda a, b: a + b), 6)
+                     .alias("sq_norm"),
+                    F.round(F.array_max(arr), 6).alias("max_elem")))
+
+
+@register("q_json_extract", sql="""
+SELECT CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS INTEGER) / 10) AS INT)
+         AS k_bucket,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY 1
+""")
+def q_json_extract(spark, sf_dir):
+    """JSON extraction from events.props (E9): get_json_object → int
+    bucket, aggregated."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (ev.groupBy(F.floor(k / 10).cast("int").alias("k_bucket"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+
+
+# ---------------------------------------------------------- E10: stats/approx
+@register("q_stats", sql="""
+SELECT l_returnflag,
+       ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       ROUND(STDDEV_SAMP(l_extendedprice), 4) AS sd_price,
+       ROUND(VAR_SAMP(l_discount), 6) AS var_disc,
+       ROUND(QUANTILE_CONT(l_quantity, 0.5), 4) AS median_qty,
+       ROUND(QUANTILE_CONT(l_extendedprice, 0.95), 4) AS p95_price
+FROM lineitem
+GROUP BY l_returnflag
+""")
+def q_stats(spark, sf_dir):
+    """Statistical aggregates (E10): corr, stddev, variance, exact
+    interpolated percentiles (Spark `percentile` ≡ DuckDB
+    `quantile_cont`)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.corr("l_quantity", "l_extendedprice"), 6)
+                  .alias("corr_qty_price"),
+                 F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+                 F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+                 F.round(F.percentile("l_quantity", 0.5), 4).alias("median_qty"),
+                 F.round(F.percentile("l_extendedprice", 0.95), 4)
+                  .alias("p95_price")))
+
+
+@register("q_approx_distinct", sql="""
+SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS approx_within_5pct
+FROM lineitem
+""")
+def q_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (E10), oracle-checked by *tolerance*: the
+    query emits whether the HLL estimate lands within 5% of the exact
+    count; the oracle asserts TRUE. Hash-matches iff the bound holds."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.agg(F.countDistinct("l_partkey").alias("exact_parts"),
+                 F.approx_count_distinct("l_partkey").alias("_approx"))
+    return agg.select(
+        "exact_parts",
+        (F.abs(F.col("_approx") - F.col("exact_parts"))
+         <= 0.05 * F.col("exact_parts")).alias("approx_within_5pct"))

@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # canonical table names (one parquet file/dir per table)
 TABLES = (
@@ -32,7 +33,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pruning for wide tables at scale)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        return _load_events(spark, sf_dir)
     return spark.read.parquet(table_path(sf_dir, name))
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects. Read it as raw long nanos (legacy conf, runtime-
+    settable) and floor to microseconds with integral DIV — `/ 1000`
+    would round-trip through double and lose precision above 2^53.
+    DuckDB oracles must use CAST(ts AS TIMESTAMP) (same µs truncation).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, "events"))
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
 
 
 def register_all(spark: SparkSession, sf_dir: str,
