@@ -1,0 +1,412 @@
+"""Adaptive IVF index on partitioned Parquet (SURVEY.md O5-O12).
+
+Reference parity: class ``AdaptiveIVF`` (QUAKE_working_demo.ipynb
+c1:51-210 / adaptive_ivf.mjs:140-362) — two-level build, Adaptive
+Partition Scanning (APS), adaptive nprobe, online insert/delete, hit
+accounting — re-expressed for Spark's execution model:
+
+- **BasePartition → Parquet partition.** The corpus is written
+  ``partitionBy("partition_id")``; a probe set becomes a
+  ``partition_id IN (...)`` predicate, which Catalyst turns into
+  *directory-level partition pruning* — the scan never opens unprobed
+  partitions. This IS the reference's "only scan nprobe partitions"
+  performance story (ipynb c1:149-155), delegated to the planner.
+- **Centroids/stats → broadcastable driver state.** k·d floats — tiny.
+  APS is pure NumPy on the driver per query batch (the reference does
+  the same math per query, ipynb c1:127-145); the cluster only ever
+  sees the resulting probe predicate.
+- **id2loc → no positional storage.** Delete = tombstone set applied as
+  an anti-filter at read (compacted by maintenance); the reference's
+  swap-remove bookkeeping (ipynb c1:111-125) becomes set semantics.
+- **Mutation → versioned snapshots.** Inserts append files into
+  existing partition directories; maintenance (maintenance.py) publishes
+  a new version directory. Readers pin a version.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from quake_vector_search_spark.functions.vector import l2_batch
+from quake_vector_search_spark.operators.kmeans import (
+    kmeans_fit,
+    local_kmeans,
+)
+
+# Tombstone count below which the read filter uses a literal NOT IN
+# (pushed to parquet); above it, a broadcast anti-join.
+TOMBSTONE_ISIN_LIMIT = 10_000
+
+
+class IVFIndex:
+    """Driver-side handle to a versioned IVF layout on disk."""
+
+    def __init__(self, spark: SparkSession, workdir: str, version: int,
+                 vec_col: str, id_col: str,
+                 part_ids: np.ndarray, centroids: np.ndarray,
+                 sizes: np.ndarray, part_coarse: np.ndarray,
+                 coarse_centroids: np.ndarray,
+                 hits: dict[int, int], last_split_at: dict[int, int],
+                 query_counter: int = 0,
+                 tombstones: set[int] | None = None):
+        self.spark = spark
+        self.workdir = workdir
+        self.version = version
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.part_ids = np.asarray(part_ids, dtype=np.int64)
+        self.centroids = np.asarray(centroids, dtype=np.float64)
+        self.sizes = np.asarray(sizes, dtype=np.int64)
+        self.part_coarse = np.asarray(part_coarse, dtype=np.int64)
+        self.coarse_centroids = np.asarray(coarse_centroids, dtype=np.float64)
+        self.hits = dict(hits)
+        self.last_split_at = dict(last_split_at)
+        self.query_counter = query_counter
+        self.tombstones: set[int] = set(tombstones or ())
+
+    # ------------------------------------------------------------ paths
+    @property
+    def version_dir(self) -> str:
+        return os.path.join(self.workdir, f"v{self.version:04d}")
+
+    @property
+    def corpus_path(self) -> str:
+        return os.path.join(self.version_dir, "corpus")
+
+    # ------------------------------------------------------------ build
+    @classmethod
+    def build(cls, corpus_df: DataFrame, workdir: str,
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              coarse_k: int = 16, base_k: int = 4,
+              coarse_iters: int = 12, base_iters: int = 10,
+              seed: int = 42, base_seed: int = 123,
+              rows_per_centroid: int = 50,
+              cell_train_cap: int = 100_000) -> "IVFIndex":
+        """Two-level build (reference ``build``, ipynb c1:66-90).
+
+        Coarse: distributed seeded k-means (k=coarse_k, seed=seed).
+        Base: per coarse cell c, kb = min(base_k, max(1, n_c //
+        rows_per_centroid)) centroids trained with seed base_seed+c —
+        on a per-cell seeded sample capped at ``cell_train_cap`` rows
+        (the scale concession: at 100 TB a cell exceeds one executor, so
+        training is sampled; assignment is always over the full cell).
+        One final full pass assigns (coarse → base) and writes the
+        partitioned layout.
+        """
+        spark = corpus_df.sparkSession
+
+        # 1. coarse level (distributed)
+        coarse_cents = kmeans_fit(corpus_df, vec_col=vec_col, id_col=id_col,
+                                  k=coarse_k, iters=coarse_iters, seed=seed)
+
+        # 2. per-cell base training on a capped seeded sample
+        bc_coarse = spark.sparkContext.broadcast(coarse_cents)
+
+        def tag_coarse(batches):
+            cents = bc_coarse.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                vecs = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+                pdf = pdf.copy()
+                pdf["coarse_id"] = np.argmin(l2_batch(vecs, cents), axis=1)
+                yield pdf[[id_col, vec_col, "coarse_id"]]
+
+        tagged = corpus_df.select(id_col, vec_col).mapInPandas(
+            tag_coarse, f"{id_col} long, {vec_col} array<float>, coarse_id long")
+
+        cell_sizes = {r["coarse_id"]: r["n"] for r in
+                      tagged.groupBy("coarse_id").agg(F.count("*").alias("n"))
+                      .collect()}
+
+        w = Window.partitionBy("coarse_id").orderBy("_h", id_col)
+        sample = (tagged
+                  .withColumn("_h", F.xxhash64(F.col(id_col), F.lit(base_seed)))
+                  .withColumn("_rn", F.row_number().over(w))
+                  .where(F.col("_rn") <= cell_train_cap)
+                  .drop("_h", "_rn"))
+
+        def train_cell(key, pdf):
+            c = int(key[0])
+            n_cell = cell_sizes.get(c, len(pdf))
+            kb = min(base_k, max(1, n_cell // rows_per_centroid))
+            vecs = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cents, _ = local_kmeans(vecs, kb, base_iters, seed=base_seed + c)
+            return pd.DataFrame({
+                "coarse_id": c,
+                "local_idx": np.arange(len(cents), dtype=np.int64),
+                "centroid": list(cents),
+            })
+
+        base_rows = (sample.groupBy("coarse_id")
+                     .applyInPandas(train_cell,
+                                    "coarse_id long, local_idx long, "
+                                    "centroid array<double>")
+                     .collect())
+        base_rows.sort(key=lambda r: (r["coarse_id"], r["local_idx"]))
+
+        # global partition ids in (coarse_id, local_idx) order
+        part_coarse = np.array([r["coarse_id"] for r in base_rows], dtype=np.int64)
+        train_cents = np.array([r["centroid"] for r in base_rows])
+        part_ids = np.arange(len(base_rows), dtype=np.int64)
+
+        # 3. final assignment pass + partitioned write
+        bc_assign = spark.sparkContext.broadcast(
+            (coarse_cents, train_cents, part_coarse, part_ids))
+
+        def assign_partition(batches):
+            ccents, bcents, pcoarse, pids = bc_assign.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                vecs = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+                cid = np.argmin(l2_batch(vecs, ccents), axis=1)
+                pid = np.empty(len(pdf), dtype=np.int64)
+                for c in np.unique(cid):
+                    mask = cid == c
+                    members = np.where(pcoarse == c)[0]
+                    local = np.argmin(
+                        l2_batch(vecs[mask], bcents[members]), axis=1)
+                    pid[mask] = pids[members[local]]
+                pdf = pdf.copy()
+                pdf["partition_id"] = pid
+                yield pdf[[id_col, vec_col, "partition_id"]]
+
+        assigned = corpus_df.select(id_col, vec_col).mapInPandas(
+            assign_partition,
+            f"{id_col} long, {vec_col} array<float>, partition_id long")
+
+        version = 0
+        corpus_path = os.path.join(workdir, f"v{version:04d}", "corpus")
+        (assigned.repartition("partition_id")
+         .write.mode("overwrite").partitionBy("partition_id")
+         .parquet(corpus_path))
+
+        idx = cls(spark, workdir, version, vec_col, id_col,
+                  part_ids=part_ids,
+                  centroids=train_cents,  # replaced by exact means below
+                  sizes=np.zeros(len(part_ids), dtype=np.int64),
+                  part_coarse=part_coarse,
+                  coarse_centroids=coarse_cents,
+                  hits={int(p): 0 for p in part_ids},
+                  last_split_at={int(p): 0 for p in part_ids})
+        idx.recompute_centroids()
+        idx.save_meta()
+        return idx
+
+    # --------------------------------------------------------- metadata
+    def recompute_centroids(self) -> None:
+        """Exact per-partition mean + size from the live corpus (the
+        reference caches these on the partition object, ipynb c1:42;
+        here they're a small aggregate over the layout). Deterministic
+        driver-side merge of per-batch partial sums."""
+        df = self.read_corpus()
+        vec_col = self.vec_col
+
+        def partials(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                for pid, grp in pdf.groupby("partition_id"):
+                    vecs = np.vstack(grp[vec_col].to_numpy()).astype(np.float64)
+                    yield pd.DataFrame({
+                        "partition_id": [int(pid)],
+                        "cnt": [len(grp)],
+                        "sums": [vecs.sum(axis=0)],
+                    })
+
+        rows = (df.select("partition_id", vec_col)
+                .mapInPandas(partials,
+                             "partition_id long, cnt long, sums array<double>")
+                .collect())
+        d = self.centroids.shape[1]
+        sums: dict[int, np.ndarray] = {}
+        counts: dict[int, int] = {}
+        for r in sorted(rows, key=lambda r: (r["partition_id"], r["cnt"],
+                                             tuple(r["sums"]))):
+            pid = r["partition_id"]
+            sums[pid] = sums.get(pid, np.zeros(d)) + np.asarray(r["sums"])
+            counts[pid] = counts.get(pid, 0) + r["cnt"]
+        keep = [i for i, p in enumerate(self.part_ids) if counts.get(int(p), 0) > 0]
+        self.part_ids = self.part_ids[keep]
+        self.part_coarse = self.part_coarse[keep]
+        self.centroids = np.array(
+            [sums[int(p)] / counts[int(p)] for p in self.part_ids])
+        self.sizes = np.array([counts[int(p)] for p in self.part_ids],
+                              dtype=np.int64)
+
+    def save_meta(self) -> None:
+        meta_dir = self.version_dir
+        os.makedirs(meta_dir, exist_ok=True)
+        pd.DataFrame({
+            "partition_id": self.part_ids,
+            "coarse_id": self.part_coarse,
+            "centroid": list(self.centroids),
+            "size": self.sizes,
+        }).to_parquet(os.path.join(meta_dir, "centroids.parquet"))
+        pd.DataFrame({
+            "coarse_id": np.arange(len(self.coarse_centroids)),
+            "centroid": list(self.coarse_centroids),
+        }).to_parquet(os.path.join(meta_dir, "coarse_centroids.parquet"))
+        with open(os.path.join(meta_dir, "stats.json"), "w") as f:
+            json.dump({
+                "hits": {str(k): v for k, v in self.hits.items()},
+                "last_split_at": {str(k): v for k, v in self.last_split_at.items()},
+                "query_counter": self.query_counter,
+                "tombstones": sorted(self.tombstones),
+                "vec_col": self.vec_col,
+                "id_col": self.id_col,
+            }, f)
+
+    @classmethod
+    def load(cls, spark: SparkSession, workdir: str,
+             version: int | None = None) -> "IVFIndex":
+        if version is None:
+            versions = sorted(int(v[1:]) for v in os.listdir(workdir)
+                              if v.startswith("v"))
+            version = versions[-1]
+        meta_dir = os.path.join(workdir, f"v{version:04d}")
+        cents = pd.read_parquet(os.path.join(meta_dir, "centroids.parquet"))
+        coarse = pd.read_parquet(os.path.join(meta_dir, "coarse_centroids.parquet"))
+        with open(os.path.join(meta_dir, "stats.json")) as f:
+            stats = json.load(f)
+        return cls(spark, workdir, version,
+                   stats["vec_col"], stats["id_col"],
+                   part_ids=cents["partition_id"].to_numpy(),
+                   centroids=np.vstack(cents["centroid"].to_numpy()),
+                   sizes=cents["size"].to_numpy(),
+                   part_coarse=cents["coarse_id"].to_numpy(),
+                   coarse_centroids=np.vstack(coarse["centroid"].to_numpy()),
+                   hits={int(k): v for k, v in stats["hits"].items()},
+                   last_split_at={int(k): v
+                                  for k, v in stats["last_split_at"].items()},
+                   query_counter=stats["query_counter"],
+                   tombstones=set(stats["tombstones"]))
+
+    # ------------------------------------------------------------- read
+    def read_corpus(self, partition_ids=None) -> DataFrame:
+        """Live corpus view: partition-pruned scan + tombstone filter."""
+        df = self.spark.read.parquet(self.corpus_path)
+        if partition_ids is not None:
+            df = df.where(F.col("partition_id")
+                          .isin([int(p) for p in partition_ids]))
+        if self.tombstones:
+            if len(self.tombstones) <= TOMBSTONE_ISIN_LIMIT:
+                df = df.where(~F.col(self.id_col)
+                              .isin([int(t) for t in self.tombstones]))
+            else:
+                dead = self.spark.createDataFrame(
+                    [(int(t),) for t in self.tombstones], [self.id_col])
+                df = df.join(F.broadcast(dead), self.id_col, "left_anti")
+        return df
+
+    # -------------------------------------------------------------- APS
+    def partition_scores(self, qmat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """O8 (ipynb c1:127-137): per-query softmax over partitions of
+        ``-dist/tau + 0.5·ln(size+1)``, tau = median(dist)+1e-6.
+        Vectorized over the whole query batch. Returns (order [nq,P]
+        descending-probability partition indices w/ index tie-break,
+        probs_sorted [nq,P])."""
+        d2 = l2_batch(np.atleast_2d(qmat), self.centroids)
+        dist = np.sqrt(d2)
+        tau = np.median(dist, axis=1, keepdims=True) + 1e-6
+        logits = -dist / tau + 0.5 * np.log(self.sizes[None, :] + 1.0)
+        logits -= logits.max(axis=1, keepdims=True)
+        p = np.exp(logits)
+        p /= p.sum(axis=1, keepdims=True)
+        # sort desc by p, ties by partition index asc (deterministic)
+        nq, P = p.shape
+        idx = np.arange(P)[None, :].repeat(nq, axis=0)
+        order = np.lexsort((idx, -p), axis=1)
+        return order, np.take_along_axis(p, order, axis=1)
+
+    @staticmethod
+    def choose_nprobe(probs_sorted: np.ndarray, target_recall: float,
+                      max_probe: int) -> np.ndarray:
+        """O9 (ipynb c1:139-145): smallest prefix with cumulative
+        probability ≥ target_recall, in [1, max_probe]."""
+        cum = np.cumsum(probs_sorted, axis=1)
+        reached = cum >= target_recall
+        nprobe = np.where(reached.any(axis=1),
+                          reached.argmax(axis=1) + 1,
+                          probs_sorted.shape[1])
+        return np.clip(nprobe, 1, min(max_probe, probs_sorted.shape[1]))
+
+    # ------------------------------------------------------------ search
+    def search(self, queries, k: int = 10, target_recall: float = 0.9,
+               max_probe: int = 64,
+               query_id_col: str = "query_id",
+               query_vec_col: str = "embedding"):
+        """O10 (ipynb c1:147-168): APS → partition-pruned scan → local
+        top-k per (partition, query) → global windowed top-k.
+
+        Returns (DataFrame(query_id, vec_id, dist, rank), meta dict with
+        avg_nprobe / avg_scanned). Increments hit stats (O11).
+        """
+        from quake_vector_search_spark.operators.knn import _collect_queries
+        qids, qmat = _collect_queries(queries, query_id_col, query_vec_col)
+        nq = len(qids)
+        order, probs = self.partition_scores(qmat)
+        nprobe = self.choose_nprobe(probs, target_recall, max_probe)
+
+        # probe sets (positions → stable partition ids)
+        probe_map: dict[int, list[int]] = {}
+        scanned = 0
+        for qi in range(nq):
+            pos = order[qi, :nprobe[qi]]
+            scanned += int(self.sizes[pos].sum())
+            for p in self.part_ids[pos]:
+                probe_map.setdefault(int(p), []).append(qi)
+        # O11 hit accounting
+        for pid, qlist in probe_map.items():
+            self.hits[pid] = self.hits.get(pid, 0) + len(qlist)
+        self.query_counter += nq
+
+        union_parts = sorted(probe_map)
+        corpus = self.read_corpus(partition_ids=union_parts) \
+            .select(self.id_col, self.vec_col, "partition_id")
+        bc = self.spark.sparkContext.broadcast((qids, qmat, probe_map))
+        id_col, vec_col = self.id_col, self.vec_col
+
+        def local_topk(batches):
+            qids_l, qmat_l, pmap = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                for pid, grp in pdf.groupby("partition_id"):
+                    qidx = pmap.get(int(pid))
+                    if not qidx:
+                        continue
+                    vecs = np.vstack(grp[vec_col].to_numpy()).astype(np.float64)
+                    ids = grp[id_col].to_numpy(dtype=np.int64)
+                    d2 = l2_batch(qmat_l[qidx], vecs)
+                    kk = min(k, len(ids))
+                    part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+                    d2k = np.take_along_axis(d2, part, axis=1)
+                    yield pd.DataFrame({
+                        "query_id": np.repeat(qids_l[qidx], kk),
+                        "vec_id": ids[part].ravel(),
+                        "dist": d2k.ravel(),
+                    })
+
+        local = corpus.mapInPandas(
+            local_topk, "query_id long, vec_id long, dist double")
+        w = (Window.partitionBy("query_id")
+             .orderBy(F.col("dist").asc(), F.col("vec_id").asc()))
+        out = (local.withColumn("rank", F.row_number().over(w))
+               .where(F.col("rank") <= k)
+               .withColumn("dist", F.sqrt(F.col("dist")))
+               .select("query_id", "vec_id", "dist", "rank"))
+        meta = {
+            "nprobe": nprobe.tolist(),
+            "avg_nprobe": float(nprobe.mean()) if nq else 0.0,
+            "avg_scanned": scanned / nq if nq else 0.0,
+            "n_partitions": len(self.part_ids),
+        }
+        return out, meta

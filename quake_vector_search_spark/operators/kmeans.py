@@ -1,0 +1,175 @@
+"""Seeded distributed k-means (Lloyd's algorithm).
+
+Reference parity: ``kmeans(x, k, iters, seed)`` at
+QUAKE_working_demo.ipynb c1:22-36 / adaptive_ivf.mjs:70-121 — seeded
+init by sampling k distinct points, fixed iteration count, empty
+clusters reseeded to a (seeded-)random point.
+
+Spark-first design: per Lloyd iteration, centroids are broadcast to the
+executors; each Arrow batch computes assignments with one BLAS matmul
+(`l2_batch`) and emits ONE partial (cluster, count, component-sums) row
+per cluster per batch — classic map-side combine, so the data crossing
+to the driver per iteration is O(partitions · k · d) floats, independent
+of n. The driver merges partials in sorted order for deterministic
+float addition.
+
+Determinism: "random" choices (init points, empty-cluster reseeds) are
+derived from the k smallest values of a seeded hash over the id column —
+a distributed, order-independent analogue of the reference's
+`rng.choice(n, k, replace=False)`, reproducible across partitionings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from quake_vector_search_spark.functions.vector import l2_batch
+
+
+def _seeded_sample(df: DataFrame, vec_col: str, id_col: str, n: int,
+                   seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """The n rows with smallest xxhash64(id, seed) — a deterministic
+    seeded sample computed as a distributed top-n (TakeOrdered), no full
+    sort, no collect of the corpus. Returns (ids, vectors)."""
+    rows = (df.select(id_col, vec_col,
+                      F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"))
+            .orderBy("_h", id_col)
+            .limit(n)
+            .collect())
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    vecs = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
+    return ids, vecs
+
+
+def _assign_partials(df: DataFrame, vec_col: str,
+                     centroids: np.ndarray) -> list:
+    """One Lloyd E+partial-M step: rows → (cluster, count, sums[d]).
+
+    Emits per-batch partials (map-side combine); collects only
+    O(batches · k) small rows to the driver.
+    """
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def partials(batches):
+        cents = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d2 = l2_batch(vecs, cents)
+            assign = np.argmin(d2, axis=1)
+            clusters, inv = np.unique(assign, return_inverse=True)
+            cnt = np.bincount(inv)
+            sums = np.zeros((len(clusters), vecs.shape[1]))
+            np.add.at(sums, inv, vecs)
+            yield pd.DataFrame({
+                "cluster": clusters.astype(np.int64),
+                "cnt": cnt.astype(np.int64),
+                "sums": list(sums),
+            })
+
+    rows = (df.select(vec_col)
+            .mapInPandas(partials, "cluster long, cnt long, sums array<double>")
+            .collect())
+    return rows
+
+
+def _merge_partials(rows, k: int, d: int) -> tuple[np.ndarray, np.ndarray]:
+    """Merge partial sums deterministically: sort by (cluster, then the
+    partial's content) before accumulation so float addition order is
+    stable across shuffles."""
+    counts = np.zeros(k, dtype=np.int64)
+    sums = np.zeros((k, d), dtype=np.float64)
+    for r in sorted(rows, key=lambda r: (r["cluster"], r["cnt"], tuple(r["sums"]))):
+        counts[r["cluster"]] += r["cnt"]
+        sums[r["cluster"]] += np.asarray(r["sums"], dtype=np.float64)
+    return counts, sums
+
+
+def kmeans_fit(df: DataFrame, vec_col: str = "embedding",
+               id_col: str = "vec_id", k: int = 8, iters: int = 10,
+               seed: int = 42) -> np.ndarray:
+    """Fit k-means, returning centroids [k, d] (float64).
+
+    Mirrors reference semantics (init from seeded sample, fixed iters,
+    empty-cluster reseed — ipynb c1:22-36) with distributed execution.
+    """
+    # Reservoir of seeded-sample points: first k are the init centroids,
+    # the rest feed deterministic empty-cluster reseeds.
+    reservoir_n = max(4 * k, 64)
+    _, reservoir = _seeded_sample(df, vec_col, id_col, reservoir_n, seed)
+    if reservoir.shape[0] == 0:
+        raise ValueError("kmeans_fit on empty DataFrame")
+    k_eff = min(k, reservoir.shape[0])
+    cents = reservoir[:k_eff].copy()
+    d = cents.shape[1]
+    reseed_cursor = k_eff
+
+    for _ in range(iters):
+        rows = _assign_partials(df, vec_col, cents)
+        counts, sums = _merge_partials(rows, k_eff, d)
+        for c in range(k_eff):
+            if counts[c] > 0:
+                cents[c] = sums[c] / counts[c]
+            else:
+                # empty cluster → deterministic "random" reservoir point
+                cents[c] = reservoir[reseed_cursor % reservoir.shape[0]]
+                reseed_cursor += 1
+    return cents
+
+
+def local_kmeans(vecs: np.ndarray, k: int, iters: int,
+                 seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """In-memory seeded Lloyd's over one NumPy block — used for per-cell
+    base training (seed 123+cell, ipynb c1:77) and 2-means splits (seed
+    17+partition, ipynb c1:185), where the block fits one executor.
+
+    Returns (centroids [k,d], assignment [n]). Mirrors the reference's
+    scheme: init = k distinct sampled points, empty clusters reseeded to
+    a random point (ipynb c1:25-34).
+    """
+    vecs = np.asarray(vecs, dtype=np.float64)
+    n = vecs.shape[0]
+    rng = np.random.default_rng(seed)
+    k = min(k, n)
+    cents = vecs[rng.choice(n, size=k, replace=False)].copy()
+    assign = np.zeros(n, dtype=np.int64)
+    for _ in range(iters):
+        assign = np.argmin(l2_batch(vecs, cents), axis=1)
+        for c in range(k):
+            members = vecs[assign == c]
+            if len(members) > 0:
+                cents[c] = members.mean(axis=0)
+            else:
+                cents[c] = vecs[rng.integers(0, n)]
+    assign = np.argmin(l2_batch(vecs, cents), axis=1)
+    return cents, assign
+
+
+def assign_clusters(df: DataFrame, centroids: np.ndarray,
+                    vec_col: str = "embedding",
+                    out_col: str = "cluster") -> DataFrame:
+    """Append argmin-distance cluster ids (one matmul per Arrow batch).
+    Keeps all input columns; the assignment is a narrow transform — no
+    shuffle."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
+    cols = df.columns
+
+    def assign(batches):
+        cents = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            pdf = pdf.copy()
+            pdf[out_col] = np.argmin(l2_batch(vecs, cents), axis=1).astype(np.int64)
+            yield pdf
+
+    schema = df.schema.add(out_col, "long", False)
+    out = df.mapInPandas(assign, schema)
+    return out.select(*cols, out_col)

@@ -1,0 +1,97 @@
+"""IVF index tests (SURVEY.md §5.2/§5.3): APS properties, recall floor,
+build invariants, persistence round-trip."""
+
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from quake_vector_search_spark.operators.evaluation import avg_recall
+from quake_vector_search_spark.operators.ivf import IVFIndex
+from quake_vector_search_spark.operators.knn import knn_bruteforce
+from quake_vector_search_spark.sources import load_table
+
+SF = "/root/testdata/sf0.01"
+WORKDIR = "/tmp/qvss_test_ivf"
+
+
+@pytest.fixture(scope="module")
+def index(spark):
+    emb = load_table(spark, SF, "embeddings")
+    shutil.rmtree(WORKDIR, ignore_errors=True)
+    return IVFIndex.build(emb, WORKDIR, coarse_k=16, base_k=4)
+
+
+@pytest.fixture(scope="module")
+def queries(spark):
+    emb = load_table(spark, SF, "embeddings")
+    return (emb.where(F.col("vec_id") < 20)
+            .withColumnRenamed("vec_id", "query_id"))
+
+
+def test_build_partitions_cover_corpus(spark, index):
+    emb = load_table(spark, SF, "embeddings")
+    total = index.sizes.sum()
+    assert total == emb.count()
+    assert (index.sizes > 0).all()
+
+
+def test_ids_partition_exactly_once(spark, index):
+    corpus = index.read_corpus()
+    n = corpus.count()
+    n_distinct = corpus.select("vec_id").distinct().count()
+    assert n == n_distinct == int(index.sizes.sum())
+
+
+def test_recall_floor(spark, index, queries):
+    found, meta = index.search(queries, k=10, target_recall=0.9)
+    exact = knn_bruteforce(load_table(spark, SF, "embeddings"), queries, k=10)
+    r = avg_recall(found, exact, 10)
+    assert r >= 0.9, f"recall {r} below declared floor"
+    assert meta["avg_nprobe"] <= 64
+
+
+def test_full_probe_equals_bruteforce(spark, index, queries):
+    found, meta = index.search(queries, k=10, target_recall=1.0,
+                               max_probe=10**9)
+    exact = knn_bruteforce(load_table(spark, SF, "embeddings"), queries, k=10)
+    assert avg_recall(found, exact, 10) == 1.0
+    assert meta["avg_nprobe"] == len(index.part_ids)
+
+
+def test_nprobe_monotone_in_target_recall(index):
+    rng = np.random.default_rng(0)
+    q = rng.normal(size=(8, index.centroids.shape[1]))
+    order, probs = index.partition_scores(q)
+    n_low = index.choose_nprobe(probs, 0.5, 64)
+    n_high = index.choose_nprobe(probs, 0.95, 64)
+    assert (n_high >= n_low).all()
+    assert (n_low >= 1).all() and (n_high <= 64).all()
+
+
+def test_aps_scores_are_probabilities(index):
+    rng = np.random.default_rng(1)
+    q = rng.normal(size=(4, index.centroids.shape[1]))
+    _, probs = index.partition_scores(q)
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-9)
+    # sorted descending
+    assert (np.diff(probs, axis=1) <= 1e-15).all()
+
+
+def test_persistence_roundtrip(spark, index, queries):
+    index.save_meta()
+    idx2 = IVFIndex.load(spark, WORKDIR)
+    assert np.array_equal(idx2.part_ids, index.part_ids)
+    np.testing.assert_allclose(idx2.centroids, index.centroids)
+    f1, _ = index.search(queries, k=5, target_recall=0.9)
+    f2, _ = idx2.search(queries, k=5, target_recall=0.9)
+    assert sorted(map(tuple, f1.collect())) == sorted(map(tuple, f2.collect()))
+
+
+def test_build_deterministic(spark):
+    emb = load_table(spark, SF, "embeddings")
+    idx_b = IVFIndex.build(emb, WORKDIR + "_b", coarse_k=8, base_k=2)
+    idx_c = IVFIndex.build(emb, WORKDIR + "_c", coarse_k=8, base_k=2)
+    np.testing.assert_allclose(idx_b.centroids, idx_c.centroids)
+    assert np.array_equal(idx_b.sizes, idx_c.sizes)
