@@ -1,0 +1,214 @@
+"""Deduplication operators for LLM-pipeline data curation (E12 + the
+extended training-data surface): exact dedup, n-gram Jaccard, MinHash
+LSH, SimHash, embedding-cosine near-dup.
+
+All hashing is *portable arithmetic* — `md5` hex → bigint → affine
+transforms mod a 31-bit prime — so every operator is reproducible in
+ANSI SQL (the DuckDB oracle runs the identical formula) and stable
+across Spark versions (no reliance on Spark-internal hash functions).
+
+Scale notes (the part that matters at 100 TB):
+- Near-dup candidate generation is always a *key-equality join*
+  (shingle → doc inverted index, or LSH band buckets), never a
+  crossJoin. Shuffles are on shingle/band keys; hot shingles can be
+  frequency-capped (``max_shingle_df``).
+- MinHash-LSH is the scale path: candidate pairs ∝ true near-dups,
+  not n².
+- The brute-force cosine pair scan is the *oracle* for the LSH and
+  kNN variants, only run at verification scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MINHASH_PRIME = 2147483647          # 2^31 - 1; keeps products in int64
+
+# 32 seeded affine perms (a odd, in [1, P); b in [0, P)) — generated once
+# with numpy default_rng(1234) and frozen as literals so the DuckDB
+# oracle can embed the identical constants.
+_rng = np.random.default_rng(1234)
+MINHASH_A = [int(a) | 1 for a in _rng.integers(1, MINHASH_PRIME, size=32)]
+MINHASH_B = [int(b) for b in _rng.integers(0, MINHASH_PRIME, size=32)]
+N_BANDS = 8
+BAND_WIDTH = 4  # 8 bands × 4 rows = 32 signature slots
+
+
+def token_hash_expr(col: str = "sh"):
+    """Portable 31-bit token hash: first 15 hex chars of md5 → bigint
+    mod P. DuckDB equivalent:
+    ``CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT) % 2147483647``.
+    """
+    return (F.conv(F.substring(F.md5(F.col(col)), 1, 15), 16, 10)
+            .cast("long") % MINHASH_PRIME)
+
+
+def shingles_col(text_col: str = "text", n: int = 3):
+    """Distinct word n-gram shingles of a whitespace-tokenized text
+    column (empty array when the doc has < n words)."""
+    w = f"split({text_col}, ' ')"
+    gram = " , ".join(f"element_at({w}, i + {j})" for j in range(n))
+    return F.expr(
+        f"CASE WHEN size({w}) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size({w}) - {n - 1}), "
+        f"i -> concat_ws(' ', {gram}))) "
+        f"ELSE array() END")
+
+
+def doc_shingles(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", n: int = 3,
+                 max_shingle_df: int | None = None) -> DataFrame:
+    """Exploded (id, shingle) inverted-index input. Optionally drops
+    shingles occurring in more than ``max_shingle_df`` docs — the
+    standard hot-key guard for the join at scale."""
+    sh = (docs.select(F.col(id_col), F.explode(shingles_col(text_col, n))
+                      .alias("sh")))
+    if max_shingle_df is not None:
+        hot = (sh.groupBy("sh").agg(F.count("*").alias("df"))
+               .where(F.col("df") > max_shingle_df).select("sh"))
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+    return sh
+
+
+def exact_dup_flags(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Exact dedup (E12): keep-first flag per identical text.
+    One shuffle on the text hash; no compare loops."""
+    w = Window.partitionBy(text_col).orderBy(id_col)
+    return (docs.select(id_col,
+                        F.row_number().over(w).alias("_rn"))
+            .select(id_col, (F.col("_rn") > 1).alias("is_dup")))
+
+
+def jaccard_pairs(docs: DataFrame, threshold: float,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 3,
+                  max_shingle_df: int | None = None) -> DataFrame:
+    """N-gram Jaccard near-dup pairs via the inverted-index join:
+    explode shingles → equi-join on shingle → per-pair intersection
+    count → |A∪B| from per-doc set sizes. Returns
+    (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold.
+    """
+    sh = doc_shingles(docs, id_col, text_col, n, max_shingle_df)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .groupBy(F.col(f"a.{id_col}").alias("doc_a"),
+                      F.col(f"b.{id_col}").alias("doc_b"))
+             .agg(F.count("*").alias("inter")))
+    sa = sizes.select(F.col(id_col).alias("doc_a"),
+                      F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"),
+                      F.col("n_sh").alias("nb"))
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("jaccard",
+                        F.col("inter")
+                        / (F.col("na") + F.col("nb") - F.col("inter")))
+            .where(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 3) -> DataFrame:
+    """32-slot MinHash signature per doc: min over shingles of
+    (a_i·h + b_i) mod P for each frozen perm — one groupBy with 32
+    min-aggregates (single shuffle, map-side combined)."""
+    sh = doc_shingles(docs, id_col, text_col, n)
+    h = sh.withColumn("h", token_hash_expr("sh"))
+    aggs = [F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i]))
+                  % MINHASH_PRIME).alias(f"mh{i}")
+            for i in range(32)]
+    return h.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      n: int = 3) -> DataFrame:
+    """MinHash-LSH near-dup pairs (the 100 TB path): band the signature
+    (8 bands × 4 rows), bucket-join on (band, key) for candidates —
+    candidate volume scales with true duplicate density, not n² — then
+    verify candidates with exact Jaccard ≥ threshold.
+    Returns (doc_a, doc_b, jaccard)."""
+    sig = minhash_signatures(docs, id_col, text_col, n)
+    bands = []
+    for bnd in range(N_BANDS):
+        cols = [f"mh{bnd * BAND_WIDTH + j}" for j in range(BAND_WIDTH)]
+        bands.append(sig.select(
+            F.col(id_col), F.lit(bnd).alias("band"),
+            F.concat_ws("_", *[F.col(c).cast("string") for c in cols])
+             .alias("key")))
+    banded = bands[0]
+    for b_ in bands[1:]:
+        banded = banded.unionAll(b_)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("doc_a"),
+                    F.col(f"b.{id_col}").alias("doc_b"))
+            .distinct())
+    # verify: exact jaccard restricted to candidate pairs
+    verified = jaccard_pairs(docs, threshold, id_col, text_col, n)
+    return cand.join(verified, ["doc_a", "doc_b"], "inner") \
+               .select("doc_a", "doc_b", "jaccard")
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text", bits: int = 32) -> DataFrame:
+    """Per-doc SimHash fingerprint: (id, simhash LONG). One explode +
+    one groupBy with ``bits`` conditional-sum aggregates."""
+    tok = (docs.select(F.col(id_col),
+                       F.explode(F.array_distinct(
+                           F.split(F.col(text_col), " "))).alias("sh"))
+           .where(F.col("sh") != ""))
+    h = tok.withColumn("h", token_hash_expr("sh"))
+    aggs = [F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1,
+                         1).otherwise(-1)).alias(f"s{b}")
+            for b in range(bits)]
+    sums = h.groupBy(id_col).agg(*aggs)
+    fp = sum((F.when(F.col(f"s{b}") > 0, F.lit(2 ** b)).otherwise(0)
+              for b in range(bits)), F.lit(0))
+    return sums.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 6,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """SimHash near-dup pairs: hamming(simhash_a, simhash_b) ≤ max.
+
+    Verification-scale implementation is the n² self-join below; the
+    scale path blocks on simhash bytes first (pigeonhole: hamming ≤ 6
+    over 4 bytes ⇒ at least one byte equal), cutting candidates by the
+    byte-bucket selectivity before the exact hamming check.
+    """
+    s = simhash(docs, id_col, text_col)
+    a, b = s.alias("a"), s.alias("b")
+    pairs = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    ham = F.expr("bit_count(a.simhash ^ b.simhash)")
+    return (pairs.select(F.col(f"a.{id_col}").alias("doc_a"),
+                         F.col(f"b.{id_col}").alias("doc_b"),
+                         ham.cast("int").alias("hamming"))
+            .where(F.col("hamming") <= max_hamming))
+
+
+def cosine_pairs(emb: DataFrame, threshold: float,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-dup pairs ≥ threshold (verification-scale
+    n² scan; the scale path is LSH bucketing / IVF-kNN — see
+    operators.knn.cosine_topk and operators.ivf)."""
+    from quake_vector_search_spark.functions.vector import (
+        cosine_similarity_col,
+    )
+    a = emb.select(F.col(id_col).alias("id_a"),
+                   F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"),
+                   F.col(vec_col).alias("vb"))
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", cosine_similarity_col("va", "vb"))
+            .where(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))

@@ -1,0 +1,112 @@
+"""Text-analysis operators (E13 + training-data pipeline surface):
+token counting, quality scoring, language-ID heuristic, document
+fingerprinting. All pure Catalyst expressions (regexp/string built-ins,
+whole-stage codegen) — no UDFs, so they run JVM-side at full scan speed
+and reproduce exactly in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# shared stopword sets for the language-ID vote (tiny, frozen)
+LANG_STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "es": ("el", "la", "de", "que", "los", "una", "es"),
+    "de": ("der", "die", "und", "das", "ein", "nicht", "ist"),
+    "fr": ("le", "la", "les", "et", "un", "une", "est"),
+}
+
+# a BPE-ish tokenizer regex: word pieces, numbers, or single
+# non-space symbols — the shape GPT-2-style pre-tokenizers use
+BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Whitespace + BPE-ish token counts, distinct-word count, average
+    word length — the basic curation statistics."""
+    words = F.expr(rf"regexp_extract_all({text_col}, '\\S+', 0)")
+    # escape for the SQL string literal (Spark eats single backslashes)
+    bpe_sql_pattern = BPE_ISH_PATTERN.replace("\\", "\\\\")
+    bpe = F.expr(
+        rf"regexp_extract_all({text_col}, '{bpe_sql_pattern}', 0)")
+    return docs.select(
+        id_col,
+        F.size(words).alias("n_tokens"),
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(words)).alias("n_distinct_tokens"),
+        F.round(F.length(F.regexp_replace(text_col, r"\s+", ""))
+                / F.greatest(F.size(words), F.lit(1)), 6)
+         .alias("avg_token_len"),
+        F.length(text_col).alias("n_chars"))
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Heuristic quality scoring: alpha/punct/digit/whitespace ratios +
+    a stopword ratio, combined into [0,1]. The formula is arbitrary but
+    frozen; what matters is that it's deterministic, cheap (one scan,
+    codegen'd), and mirrors what C4/Gopher-style filters measure."""
+    n = F.greatest(F.length(text_col), F.lit(1)).cast("double")
+    alpha = F.length(F.regexp_replace(text_col, "[^a-zA-Z]", "")) / n
+    digit = F.length(F.regexp_replace(text_col, "[^0-9]", "")) / n
+    punct = F.length(F.regexp_replace(text_col, r"[^.,;:!?'\"()-]", "")) / n
+    words = F.expr(rf"regexp_extract_all({text_col}, '\\S+', 0)")
+    n_words = F.greatest(F.size(words), F.lit(1)).cast("double")
+    stop = (F.size(F.filter(
+        words, lambda w: F.lower(w).isin(*LANG_STOPWORDS["en"])))
+        / n_words)
+    score = (F.lit(0.5) * alpha + F.lit(0.3) * (1 - punct)
+             + F.lit(0.1) * (1 - digit) + F.lit(0.1) * stop)
+    return docs.select(
+        id_col,
+        F.round(alpha, 6).alias("alpha_ratio"),
+        F.round(punct, 6).alias("punct_ratio"),
+        F.round(digit, 6).alias("digit_ratio"),
+        F.round(stop, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality"),
+        F.when(score >= 0.55, "high").when(score >= 0.45, "mid")
+         .otherwise("low").alias("quality_bucket"))
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID: count hits from each language's
+    stopword list over the token set; CJK codepoints short-circuit to
+    'zh'; ties break in frozen (en, es, de, fr) order; zero hits →
+    'unknown'. A deliberately simple, fully-SQL heuristic (the fastText
+    class of models would ride in a pandas UDF — see multimodal/)."""
+    words = F.expr(rf"regexp_extract_all(lower({text_col}), '\\S+', 0)")
+    h = {lang: F.size(F.filter(words, lambda w: w.isin(*sw)))
+         for lang, sw in LANG_STOPWORDS.items()}
+    has_cjk = F.length(
+        F.regexp_replace(text_col, r"[^一-鿿]", "")) > 0
+    # cascade: first listed language with the (weakly) max vote wins
+    pred = (
+        F.when(has_cjk, "zh")
+        .when((h["en"] > 0) & (h["en"] >= h["es"]) & (h["en"] >= h["de"])
+              & (h["en"] >= h["fr"]), "en")
+        .when((h["es"] > 0) & (h["es"] >= h["de"]) & (h["es"] >= h["fr"]),
+              "es")
+        .when((h["de"] > 0) & (h["de"] >= h["fr"]), "de")
+        .when(h["fr"] > 0, "fr")
+        .otherwise("unknown"))
+    return docs.select(id_col, pred.alias("pred_lang"))
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Content fingerprint: md5 of casefolded, punctuation-stripped,
+    whitespace-collapsed text — catches formatting-only duplicates that
+    exact dedup misses. Emits the fingerprint and a keep-first dup
+    flag (one shuffle on the fingerprint)."""
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", ""),
+        " +", " "))
+    from pyspark.sql import Window
+    fp = docs.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+    w = Window.partitionBy("fingerprint").orderBy(id_col)
+    return (fp.withColumn("_rn", F.row_number().over(w))
+            .select(id_col, "fingerprint", (F.col("_rn") > 1).alias("is_dup")))

@@ -1,0 +1,70 @@
+"""Time-series / sessionization operators (E11), batch-first.
+
+Batch implementations are the oracle for the streaming mirrors in
+streaming/windows.py — same grouping logic, so a streaming run over the
+same rows must produce the same aggregates once watermarks close.
+
+Scale notes: tumbling/sliding windows shuffle on (window, key) — bounded
+cardinality. Sessionization shuffles on user_id once for the lag window
+and once for the session aggregate; AQE handles hot users (or salt the
+lag stage for pathological skew).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tumbling_agg(events: DataFrame, width: str = "1 hour",
+                 ts_col: str = "ts", key_col: str = "event_type") -> DataFrame:
+    """Tumbling-window aggregate via F.window (streaming-compatible
+    shape). Emits (window_start, key, n, sum_value)."""
+    return (events.groupBy(F.window(ts_col, width).alias("w"),
+                           F.col(key_col))
+            .agg(F.count("*").alias("n"),
+                 F.sum("value").alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    key_col, "n", "sum_value"))
+
+
+def sliding_agg(events: DataFrame, width: str = "1 hour",
+                slide: str = "30 minutes", ts_col: str = "ts",
+                key_col: str = "event_type") -> DataFrame:
+    """Sliding-window aggregate — each event lands in width/slide
+    overlapping windows."""
+    return (events.groupBy(F.window(ts_col, width, slide).alias("w"),
+                           F.col(key_col))
+            .agg(F.count("*").alias("n"),
+                 F.sum("value").alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    key_col, "n", "sum_value"))
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30,
+               ts_col: str = "ts", user_col: str = "user_id",
+               order_tiebreak: str = "event_id") -> DataFrame:
+    """Gap-based sessionization (batch): lag the timestamp per user,
+    mark session boundaries where the gap exceeds ``gap_minutes``, and
+    running-sum the markers into session ids. Emits one row per session:
+    (user_id, session_id, session_start, session_end, n_events,
+    sum_value). Streaming equivalent: session_window(ts, gap).
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(),
+                                             F.col(order_tiebreak).asc())
+    gap_s = gap_minutes * 60
+    marked = (events
+              .withColumn("_prev", F.lag(ts_col).over(w))
+              .withColumn(
+                  "_new_session",
+                  (F.col("_prev").isNull()
+                   | (F.unix_timestamp(ts_col) - F.unix_timestamp("_prev")
+                      > gap_s)).cast("long"))
+              .withColumn("session_id",
+                          F.sum("_new_session").over(
+                              w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (marked.groupBy(user_col, "session_id")
+            .agg(F.min(ts_col).alias("session_start"),
+                 F.max(ts_col).alias("session_end"),
+                 F.count("*").alias("n_events"),
+                 F.sum("value").alias("sum_value")))

@@ -1,1 +1,163 @@
-"""Placeholder — populated in this round."""
+"""Dedup / similarity queries (E12 + training-data pipeline surface).
+
+Every oracle reuses the exact arithmetic of operators/dedup.py: the
+md5-hex→bigint token hash and the frozen MinHash constants, so hashes
+match bit-for-bit across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from quake_vector_search_spark.operators import dedup as D
+from quake_vector_search_spark.queries import register
+from quake_vector_search_spark.sources import load_table
+
+# DuckDB fragments mirroring operators/dedup.py arithmetic ------------
+
+# distinct word-3-gram shingles of documents.text
+SQL_SHINGLES = """
+shingled AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+           list_distinct([string_split(text, ' ')[i] || ' ' ||
+                          string_split(text, ' ')[i+1] || ' ' ||
+                          string_split(text, ' ')[i+2]
+                          for i in range(1, len(string_split(text, ' ')) - 1)])
+         ELSE [] END AS shs
+  FROM documents
+),
+sh AS (SELECT doc_id, unnest(shs) AS sh FROM shingled)
+"""
+
+SQL_TOKEN_HASH = ("(CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT) "
+                  "% 2147483647)")
+
+SQL_JACCARD_PAIRS = SQL_SHINGLES + """,
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT i.doc_a, i.doc_b,
+         CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+)
+"""
+
+
+@register("dedup_exact", sql="""
+SELECT doc_id, (rn > 1) AS is_dup FROM (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM documents)
+""")
+def dedup_exact(spark, sf_dir):
+    """Exact dedup (E12): keep-first duplicate flag on identical text —
+    one shuffle on the text key."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dup_flags(docs)
+
+
+@register("dedup_ngram_jaccard", sql="WITH " + SQL_JACCARD_PAIRS + """
+SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard
+FROM jac WHERE jaccard >= 0.8
+""")
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Word-3-gram Jaccard near-dup pairs ≥ 0.8 via the inverted-index
+    shingle join (never a crossJoin)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = D.jaccard_pairs(docs, threshold=0.8)
+    return out.withColumn("jaccard", F.round("jaccard", 6))
+
+
+def _minhash_sql() -> str:
+    h = SQL_TOKEN_HASH.format(x="sh")
+    mins = ",\n         ".join(
+        f"MIN(({D.MINHASH_A[i]} * h + {D.MINHASH_B[i]}) % 2147483647) AS mh{i}"
+        for i in range(32))
+    band_keys = []
+    for bnd in range(D.N_BANDS):
+        cols = [f"mh{bnd * D.BAND_WIDTH + j}" for j in range(D.BAND_WIDTH)]
+        key = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_keys.append(f"SELECT doc_id, {bnd} AS band, {key} AS key FROM sig")
+    banded = "\nUNION ALL\n".join(band_keys)
+    return ("WITH " + SQL_JACCARD_PAIRS + f""",
+hashed AS (SELECT doc_id, {h} AS h FROM sh),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM hashed GROUP BY doc_id
+),
+banded AS ({banded}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b, ROUND(j.jaccard, 6) AS jaccard
+FROM cand c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+WHERE j.jaccard >= 0.5
+""")
+
+
+@register("dedup_minhash_lsh", sql=_minhash_sql())
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH near-dup pairs (the 100 TB dedup path): 32-perm
+    signatures, 8×4 banding, bucket-join candidates, exact-Jaccard
+    verify at ≥ 0.5. Oracle runs the identical frozen permutations."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = D.minhash_lsh_pairs(docs, threshold=0.5)
+    return out.withColumn("jaccard", F.round("jaccard", 6))
+
+
+def _simhash_sql() -> str:
+    h = SQL_TOKEN_HASH.format(x="sh")
+    sums = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(32))
+    fp = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(32))
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS sh
+  FROM documents
+),
+hashed AS (SELECT doc_id, {h} AS h FROM tok WHERE sh <> ''),
+sums AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id),
+fp AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+"""
+
+
+@register("dedup_simhash", sql=_simhash_sql())
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs at hamming ≤ 2 over 32-bit fingerprints
+    of the distinct-token set (byte-block LSH is the scale path; the
+    n² check here is verification-scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_pairs(docs, max_hamming=2)
+
+
+@register("dedup_embedding_cosine", sql="""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6)
+         AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.45
+""")
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs ≥ 0.45 (brute-force oracle
+    variant; cosine_topk / IVF is the ANN scale path)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = D.cosine_pairs(emb, threshold=0.45)
+    return out.withColumn("cosine", F.round("cosine", 6))

@@ -1,1 +1,112 @@
-"""Placeholder — populated in this round."""
+"""Text-analysis queries (E13): each mirrors operators/text.py
+expression-for-expression in DuckDB SQL."""
+
+from __future__ import annotations
+
+from quake_vector_search_spark.operators import text as T
+from quake_vector_search_spark.queries import register
+from quake_vector_search_spark.sources import load_table
+
+_EN = "', '".join(T.LANG_STOPWORDS["en"])
+
+
+@register("text_token_stats", sql=r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+            AS INT) AS n_bpe_tokens,
+       CAST(len(list_distinct(regexp_extract_all(text, '\S+'))) AS INT)
+         AS n_distinct_tokens,
+       ROUND(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+             / greatest(len(regexp_extract_all(text, '\S+')), 1), 6)
+         AS avg_token_len,
+       CAST(length(text) AS INT) AS n_chars
+FROM documents
+""")
+def text_token_stats(spark, sf_dir):
+    """Token counting (whitespace + BPE-ish regex), distinct tokens,
+    average token length — one codegen'd scan."""
+    return T.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register("text_quality_score", sql=f"""
+WITH m AS (
+  SELECT doc_id,
+    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+      / greatest(length(text), 1) AS alpha,
+    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+      / greatest(length(text), 1) AS digit,
+    CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+      / greatest(length(text), 1) AS punct,
+    CAST(len(list_filter(regexp_extract_all(text, '\\S+'),
+                         w -> lower(w) IN ('{_EN}'))) AS DOUBLE)
+      / greatest(len(regexp_extract_all(text, '\\S+')), 1) AS stop
+  FROM documents
+)
+SELECT doc_id,
+       ROUND(alpha, 6) AS alpha_ratio,
+       ROUND(punct, 6) AS punct_ratio,
+       ROUND(digit, 6) AS digit_ratio,
+       ROUND(stop, 6) AS stopword_ratio,
+       ROUND(0.5 * alpha + 0.3 * (1 - punct) + 0.1 * (1 - digit)
+             + 0.1 * stop, 6) AS quality,
+       CASE WHEN 0.5*alpha + 0.3*(1-punct) + 0.1*(1-digit) + 0.1*stop >= 0.55
+              THEN 'high'
+            WHEN 0.5*alpha + 0.3*(1-punct) + 0.1*(1-digit) + 0.1*stop >= 0.45
+              THEN 'mid'
+            ELSE 'low' END AS quality_bucket
+FROM m
+""")
+def text_quality_score(spark, sf_dir):
+    """Gopher/C4-style quality heuristics: char-class ratios + stopword
+    ratio folded into a frozen score and bucket."""
+    return T.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_sql() -> str:
+    hit = {lang: (f"len(list_filter(regexp_extract_all(lower(text), '\\S+'), "
+                  f"w -> w IN ('" + "', '".join(sw) + "')))")
+           for lang, sw in T.LANG_STOPWORDS.items()}
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+         {hit['en']} AS en, {hit['es']} AS es,
+         {hit['de']} AS de, {hit['fr']} AS fr,
+         length(regexp_replace(text, '[^一-鿿]', '', 'g')) > 0 AS cjk
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN cjk THEN 'zh'
+       WHEN en > 0 AND en >= es AND en >= de AND en >= fr THEN 'en'
+       WHEN es > 0 AND es >= de AND es >= fr THEN 'es'
+       WHEN de > 0 AND de >= fr THEN 'de'
+       WHEN fr > 0 THEN 'fr'
+       ELSE 'unknown' END AS pred_lang
+FROM h
+"""
+
+
+@register("text_language_id", sql=_lang_sql())
+def text_language_id(spark, sf_dir):
+    """Stopword-vote language ID with CJK short-circuit and frozen
+    tie-break order."""
+    return T.language_id(load_table(spark, sf_dir, "documents"))
+
+
+@register("text_fingerprint", sql="""
+WITH fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+             ' +', ' ', 'g'))) AS fingerprint
+  FROM documents
+)
+SELECT doc_id, fingerprint, (rn > 1) AS is_dup FROM (
+  SELECT doc_id, fingerprint,
+         row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+  FROM fp)
+""")
+def text_fingerprint(spark, sf_dir):
+    """Normalized-content md5 fingerprint + keep-first dup flag —
+    catches formatting-only duplicates."""
+    return T.fingerprint(load_table(spark, sf_dir, "documents"))

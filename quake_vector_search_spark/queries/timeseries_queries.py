@@ -1,1 +1,84 @@
-"""Placeholder — populated in this round."""
+"""Time-series / sessionization queries (E11) with DuckDB oracles.
+
+The events table's parquet TIMESTAMP(NANOS) is floored to µs on the
+Spark side (sources/catalog.py); oracles apply CAST(ts AS TIMESTAMP)
+for the same truncation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from quake_vector_search_spark.operators import timeseries as TS
+from quake_vector_search_spark.queries import register
+from quake_vector_search_spark.sources import load_table
+
+
+@register("ts_tumbling_hourly", sql="""
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+""")
+def ts_tumbling_hourly(spark, sf_dir):
+    """Hourly tumbling windows per event type (E11) — the same
+    `F.window` shape Structured Streaming uses."""
+    ev = load_table(spark, sf_dir, "events")
+    out = TS.tumbling_agg(ev, "1 hour")
+    return out.withColumn("sum_value", F.round("sum_value", 4))
+
+
+@register("ts_sliding_1h_30m", sql="""
+WITH e AS (
+  SELECT CAST(ts AS TIMESTAMP) AS tsu, event_type, value FROM events
+), windows AS (
+  SELECT to_timestamp(floor(epoch(tsu) / 1800) * 1800 - k * 1800)
+           AS window_start,
+         event_type, value
+  FROM e, (SELECT unnest([0, 1]) AS k)
+)
+SELECT window_start AT TIME ZONE 'UTC' AS window_start, event_type,
+       COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM windows
+GROUP BY 1, 2
+""")
+def ts_sliding_1h_30m(spark, sf_dir):
+    """Sliding windows 1h wide / 30m slide: every event in exactly two
+    windows. Oracle derives both window starts arithmetically."""
+    ev = load_table(spark, sf_dir, "events")
+    out = TS.sliding_agg(ev, "1 hour", "30 minutes")
+    return out.withColumn("sum_value", F.round("sum_value", 4))
+
+
+@register("ts_sessionization", sql="""
+WITH ordered AS (
+  SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS tsu,
+         lag(CAST(ts AS TIMESTAMP)) OVER
+           (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+           AS prev_ts
+  FROM events
+), marked AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR epoch(tsu) - epoch(prev_ts) > 1800 THEN 1
+             ELSE 0 END AS new_session
+  FROM ordered
+), numbered AS (
+  SELECT *, SUM(new_session) OVER
+    (PARTITION BY user_id ORDER BY tsu, event_id
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id,
+       MIN(tsu) AS session_start, MAX(tsu) AS session_end,
+       COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+FROM numbered
+GROUP BY user_id, session_id
+""")
+def ts_sessionization(spark, sf_dir):
+    """30-minute-gap sessionization per user via lag + running sum —
+    the batch mirror of session_window(ts, '30 minutes')."""
+    ev = load_table(spark, sf_dir, "events")
+    out = TS.sessionize(ev, gap_minutes=30)
+    return out.withColumn("sum_value", F.round("sum_value", 4))

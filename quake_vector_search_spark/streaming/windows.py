@@ -1,0 +1,80 @@
+"""Structured Streaming mirrors of the batch time-series operators
+(E11 streaming surface).
+
+The batch results (operators/timeseries.py) are the oracle: replaying
+the same parquet rows through these streams with
+``processAllAvailable()`` must produce identical aggregates once every
+watermark closes. Tests (tests/test_streaming.py) assert exactly that.
+
+At scale: these are the standard incremental shapes — state keyed by
+(window, key) or session, bounded by the watermark so state size tracks
+the late-data horizon, not the stream length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),        # raw nanos (see catalog.py)
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def read_events_stream(spark: SparkSession, events_dir: str,
+                       max_files_per_trigger: int = 1) -> DataFrame:
+    """Replay an events parquet *directory* as a file stream (N files →
+    N triggers — the local stand-in for a Kafka source). ts arrives as
+    raw nanos and is floored to µs exactly like the batch reader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (spark.readStream.schema(EVENTS_SCHEMA)
+           .option("maxFilesPerTrigger", max_files_per_trigger)
+           .parquet(events_dir))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def tumbling_stream(events: DataFrame, width: str = "1 hour",
+                    watermark: str = "2 hours",
+                    key_col: str = "event_type") -> DataFrame:
+    """Watermarked tumbling aggregate — append-mode compatible: a
+    window emits once the watermark passes its end."""
+    return (events.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", width).alias("w"), F.col(key_col))
+            .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    key_col, "n", "sum_value"))
+
+
+def session_stream(events: DataFrame, gap: str = "30 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    """Watermarked session windows — the streaming-native form of the
+    batch lag-based sessionization (session merging handled by Spark's
+    session_window state)."""
+    return (events.withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap).alias("w"),
+                     F.col("user_id"))
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("value").alias("sum_value"))
+            .select("user_id",
+                    F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "n_events", "sum_value"))
+
+
+def run_to_completion(stream_df: DataFrame, query_name: str,
+                      output_mode: str = "append") -> DataFrame:
+    """Drive a bounded stream to completion into a memory sink and
+    return the collected result as a batch DataFrame."""
+    q = (stream_df.writeStream.outputMode(output_mode)
+         .format("memory").queryName(query_name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")

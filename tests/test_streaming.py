@@ -1,0 +1,112 @@
+"""Streaming-vs-batch differential tests (SURVEY.md §5 / E11): the
+batch operators are the oracle for the streaming mirrors, replayed
+file-by-file with processAllAvailable."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from quake_vector_search_spark.operators import timeseries as TS
+from quake_vector_search_spark.sources import load_table
+from quake_vector_search_spark.streaming import windows as SW
+
+SF = "/root/testdata/sf0.001"
+STREAM_DIR = "/tmp/qvss_stream_events"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark):
+    """Re-write the events table as 4 raw-nanos-preserving files so the
+    stream gets multiple triggers."""
+    shutil.rmtree(STREAM_DIR, ignore_errors=True)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{SF}/events.parquet")  # ts stays long ns
+    # time-ordered files: part-i covers the i-th time range, so the
+    # stream's watermark advances monotonically and nothing is late
+    raw.repartitionByRange(4, F.col("ts")).write.mode("overwrite") \
+       .parquet(STREAM_DIR)
+    # FileStreamSource consumes in modification-time order; parallel
+    # writes get racy mtimes → pin mtime to each file's time range
+    import os
+
+    import pyarrow.parquet as pq
+    parts = []
+    for f in os.listdir(STREAM_DIR):
+        if f.endswith(".parquet") and not f.startswith((".", "_")):
+            p = os.path.join(STREAM_DIR, f)
+            ts_min = pq.read_table(p, columns=["ts"]).column("ts")
+            parts.append((min(ts_min.to_pylist()), p))
+    base = 1_700_000_000
+    for i, (_, p) in enumerate(sorted(parts)):
+        os.utime(p, (base + 100 * i, base + 100 * i))
+    return STREAM_DIR
+
+
+def _canon(df, cols):
+    return sorted(map(tuple, df.select(*cols).collect()))
+
+
+def test_streaming_tumbling_matches_batch(spark, events_dir):
+    stream = SW.read_events_stream(spark, events_dir)
+    out = SW.run_to_completion(SW.tumbling_stream(stream, "1 hour"),
+                               "t_tumble")
+    batch = TS.tumbling_agg(load_table(spark, SF, "events"), "1 hour")
+    got = _canon(out, ["window_start", "event_type", "n"])
+    want = _canon(batch, ["window_start", "event_type", "n"])
+    # append mode: windows at the stream tail may be held open past the
+    # final watermark — every emitted window must match batch, and at
+    # least the watermark-closed prefix must have been emitted
+    assert set(got) <= set(want)
+    assert len(got) >= 0.8 * len(want)
+
+
+def test_streaming_sessions_match_batch(spark, events_dir):
+    stream = SW.read_events_stream(spark, events_dir)
+    out = SW.run_to_completion(SW.session_stream(stream, "30 minutes"),
+                               "t_sess")
+    batch = TS.sessionize(load_table(spark, SF, "events"), 30)
+    got = _canon(out, ["user_id", "session_start", "session_end", "n_events"])
+    # session_window's end = last event + gap; the batch operator
+    # reports the last event itself — shift for comparison
+    batch = batch.withColumn(
+        "session_end",
+        F.col("session_end") + F.expr("INTERVAL 30 MINUTES"))
+    want = _canon(batch, ["user_id", "session_start", "session_end",
+                          "n_events"])
+    assert set(got) <= set(want)
+    assert len(got) >= 0.8 * len(want)
+
+
+def test_streaming_ingest_foreachbatch(spark):
+    import numpy as np
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.streaming.ingest import ingest_stream
+
+    emb = load_table(spark, SF, "embeddings")
+    shutil.rmtree("/tmp/qvss_stream_ivf", ignore_errors=True)
+    idx = IVFIndex.build(emb, "/tmp/qvss_stream_ivf", coarse_k=4, base_k=2)
+    n0 = int(idx.sizes.sum())
+
+    # stream of 20 new vectors, 2 files → 2 micro-batches
+    rng = np.random.default_rng(3)
+    rows = [(int(10_000 + i), rng.normal(size=64).astype(float).tolist())
+            for i in range(20)]
+    vec_dir = "/tmp/qvss_stream_vecs"
+    shutil.rmtree(vec_dir, ignore_errors=True)
+    (spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+     .repartition(2).write.mode("overwrite").parquet(vec_dir))
+
+    vstream = (spark.readStream
+               .schema("vec_id long, embedding array<float>")
+               .option("maxFilesPerTrigger", 1).parquet(vec_dir))
+    q = ingest_stream(idx, vstream, "/tmp/qvss_stream_ckpt")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert int(idx.sizes.sum()) == n0 + 20
+    found, _ = idx.search(([1], [rows[5][1]]), k=1, target_recall=1.0,
+                          max_probe=10**9)
+    assert found.collect()[0]["vec_id"] == rows[5][0]
