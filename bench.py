@@ -1,0 +1,164 @@
+"""Benchmark harness: headline queries + the reference's IVF workload
+replay at $SPARK_GRAFT_SF_DIR (default sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "headline_total", "value": <sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <float>, "ivf": {...}}
+
+The "ivf" block mirrors BASELINE.md's metric set (build time, partition
+count, per-query latency percentiles, avg nprobe, avg vectors scanned,
+avg recall@10) so rounds are directly comparable to the reference's
+captured run. Queries are executed with a no-op sink so the full plan
+runs (a bare count() would let Catalyst prune the work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q_star_join_revenue",
+    "q_window_running",
+    "q_topn_per_group",
+    "q_set_ops",
+    "q_json_extract",
+    "q_stats",
+    "ts_sessionization",
+    "ts_sliding_1h_30m",
+    "text_quality_score",
+    "text_token_stats",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_exact",
+    "knn_brute_l2",
+    "knn_cosine",
+    "mm_extract_features",
+]
+
+N_WORKLOAD_QUERIES = 200
+QUERY_BATCH = 50          # the Spark-idiomatic unit: one job per batch
+K = 10
+
+
+def run_df(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def ivf_workload(spark, sf_dir: str) -> dict:
+    """Reference run_demo replay (ipynb c2:31-98), batched: build,
+    Zipf-skewed query batches with interleaved DML, maintenance, and a
+    final recall evaluation against brute force."""
+    import shutil
+
+    from quake_vector_search_spark.operators.evaluation import avg_recall
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.knn import knn_bruteforce
+    from quake_vector_search_spark.operators.maintenance import maintain
+    from quake_vector_search_spark.operators.workload import zipf_queries
+    from quake_vector_search_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    workdir = "/tmp/qvss_bench_ivf"
+    shutil.rmtree(workdir, ignore_errors=True)
+
+    t0 = time.time()
+    idx = IVFIndex.build(emb, workdir, coarse_k=16, base_k=4)
+    build_s = time.time() - t0
+
+    # query workload skewed over the *actual* partition layout
+    rows = idx.read_corpus().select("vec_id", idx.vec_col,
+                                    "partition_id").collect()
+    ids = np.array([r[0] for r in rows])
+    vecs = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
+    part_of = np.array([r[2] for r in rows])
+    qmat = zipf_queries(ids, vecs, part_of, N_WORKLOAD_QUERIES)
+
+    rng = np.random.default_rng(7)
+    batch_times, nprobes, scanned = [], [], []
+    next_id = 1_000_000
+    all_found = None
+    for b in range(0, N_WORKLOAD_QUERIES, QUERY_BATCH):
+        qids = np.arange(b, b + QUERY_BATCH)
+        t1 = time.time()
+        found, meta = idx.search((qids, qmat[b:b + QUERY_BATCH]), k=K,
+                                 target_recall=0.9)
+        found = found.cache()
+        found.count()
+        batch_times.append(time.time() - t1)
+        nprobes.extend(meta["nprobe"])
+        scanned.append(meta["avg_scanned"])
+        all_found = found if all_found is None else all_found.unionAll(found)
+        # DML cadence (10 inserts + 10 deletes per batch of queries)
+        idx.insert(list(range(next_id, next_id + 10)),
+                   rng.normal(size=(10, vecs.shape[1])))
+        next_id += 10
+        idx.delete([int(x) for x in
+                    rng.choice(ids, size=10, replace=False)])
+        if (b // QUERY_BATCH) % 2 == 1:
+            maintain(idx)
+
+    # recall vs brute force on the final corpus
+    live = idx.read_corpus()
+    exact = knn_bruteforce(live, (np.arange(N_WORKLOAD_QUERIES), qmat), k=K)
+    recall = avg_recall(all_found, exact, K)
+
+    per_query = [bt / QUERY_BATCH for bt in batch_times]
+    return {
+        "build_s": round(build_s, 3),
+        "n_partitions": int(len(idx.part_ids)),
+        "avg_query_ms": round(1000 * float(np.mean(per_query)), 2),
+        "p50_batch_ms": round(1000 * float(np.percentile(batch_times, 50)), 1),
+        "p95_batch_ms": round(1000 * float(np.percentile(batch_times, 95)), 1),
+        "query_batch": QUERY_BATCH,
+        "n_queries": N_WORKLOAD_QUERIES,
+        "avg_nprobe": round(float(np.mean(nprobes)), 2),
+        "avg_scanned": round(float(np.mean(scanned)), 1),
+        "avg_recall_at_10": round(float(recall), 4),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+
+    from quake_vector_search_spark.queries import (
+        REGISTRY,
+        load_all_query_modules,
+    )
+    from quake_vector_search_spark.session import get_spark
+
+    load_all_query_modules()
+    spark = get_spark("bench")
+    spark.range(1).count()    # JVM warm-up outside the timings
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        run_df(REGISTRY[name].fn(spark, sf_dir))
+        times[name] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    ivf = ivf_workload(spark, sf_dir)
+    times["ivf_workload"] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "ivf": ivf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,55 @@
+"""Public API facade (E14): the handful of calls a pipeline author
+uses, hiding operator wiring.
+
+    from quake_vector_search_spark import api
+
+    api.knn(corpus_df, queries_df, k=10)            # exact
+    idx = api.build_index(corpus_df, "/path/ivf")   # IVF build
+    api.knn(corpus_df, queries_df, k=10, index=idx, target_recall=0.9)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from quake_vector_search_spark.operators.ivf import IVFIndex
+from quake_vector_search_spark.operators.knn import (
+    cosine_topk,
+    knn_bruteforce,
+)
+
+
+def build_index(corpus_df: DataFrame, workdir: str, **kwargs) -> IVFIndex:
+    """Build (or rebuild) the adaptive IVF index over a vector corpus.
+    See IVFIndex.build for tuning knobs (coarse_k, base_k, seeds,
+    cell_train_cap)."""
+    return IVFIndex.build(corpus_df, workdir, **kwargs)
+
+
+def knn(corpus_df: DataFrame, queries, k: int = 10,
+        metric: str = "l2", index: IVFIndex | None = None,
+        target_recall: float = 0.9, max_probe: int = 64,
+        **kwargs) -> DataFrame:
+    """Top-k nearest neighbors of each query against the corpus.
+
+    - ``index=None``: exact brute force (the oracle path) — L2 or
+      cosine by ``metric``.
+    - ``index=<IVFIndex>``: Adaptive Partition Scanning at the given
+      ``target_recall`` (L2 only, like the reference).
+
+    Returns (query_id, vec_id, dist|sim, rank), rank 1..k, tie-broken
+    on (dist, vec_id).
+    """
+    if index is not None:
+        if metric != "l2":
+            raise ValueError("IVF index search is L2 (reference parity); "
+                             "use metric='l2' or index=None")
+        out, _meta = index.search(queries, k=k,
+                                  target_recall=target_recall,
+                                  max_probe=max_probe, **kwargs)
+        return out
+    if metric == "l2":
+        return knn_bruteforce(corpus_df, queries, k=k, **kwargs)
+    if metric == "cosine":
+        return cosine_topk(corpus_df, queries, k=k, **kwargs)
+    raise ValueError(f"unknown metric {metric!r} (l2|cosine)")

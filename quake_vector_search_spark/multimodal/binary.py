@@ -1,0 +1,118 @@
+"""Multimodal (image/audio/video) column plumbing for training-data
+pipelines.
+
+Assets are opaque ``binary`` columns plus typed metadata — the layout a
+100 TB multimodal corpus actually uses (bytes inline for small assets;
+at larger sizes the binary column holds a pointer and the fetch happens
+inside the same mapInPandas operator). All Spark-side plumbing here is
+real and tested: schemas, Arrow batch shapes, partitioning, UDF
+signatures. The *codec* step is stubbed (this container ships no
+image/audio libraries): ``decode=`` accepts any bytes→array callable; a
+deterministic fake decoder stands in for Pillow/ffmpeg in tests, and
+``NotImplementedError`` marks the seam where the real library plugs in.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ASSET_SCHEMA = T.StructType([
+    T.StructField("asset_id", T.LongType(), False),
+    T.StructField("content", T.BinaryType(), True),
+    T.StructField("media_type", T.StringType(), True),   # image|audio|video
+    T.StructField("meta", T.StructType([
+        T.StructField("source", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]), True),
+])
+
+
+def synthesize_assets(docs: DataFrame, media_type: str = "image") -> DataFrame:
+    """Deterministic fake asset table derived from documents.text —
+    gives tests real binary payloads without bundling media files."""
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode("text", "utf-8").alias("content"),
+        F.lit(media_type).alias("media_type"),
+        F.struct(F.col("source").alias("source"),
+                 F.length("text").cast("long").alias("n_bytes")).alias("meta"))
+
+
+def real_decode_stub(content: bytes) -> np.ndarray:
+    """The seam for a real decoder (PIL.Image.open / soundfile / ffmpeg
+    frame extraction). Not available in this container."""
+    raise NotImplementedError(
+        "media codecs are not bundled; pass decode= a real decoder "
+        "(e.g. PIL-based) or use fake_decode for plumbing tests")
+
+
+def fake_decode(content: bytes, channels: int = 4) -> np.ndarray:
+    """Deterministic stand-in decoder: md5-seeded pseudo-pixels shaped
+    (len % 17 + 2, channels). Lets every downstream stage (feature
+    extract, resize, batching) run for real."""
+    h = hashlib.md5(content or b"").digest()
+    rng = np.random.default_rng(int.from_bytes(h[:8], "little"))
+    rows = (len(content or b"") % 17) + 2
+    return rng.random((rows, channels), dtype=np.float64)
+
+
+def extract_features(assets: DataFrame, dim: int = 16,
+                     decode=fake_decode) -> DataFrame:
+    """Decode + feature-extract over Arrow batches of binary — the
+    hot-path shape for multimodal featurization: one Python worker per
+    partition, one decode call per asset, a fixed-dim float vector out.
+    Returns (asset_id, media_type, n_bytes, features ARRAY<DOUBLE>).
+    """
+    def feat(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            feats = []
+            for content in pdf["content"]:
+                px = decode(bytes(content) if content is not None else b"")
+                v = px.mean(axis=0)
+                out = np.zeros(dim)
+                out[:min(dim, v.shape[0])] = v[:dim]
+                # fold byte-length in so features differ per asset even
+                # for equal-shaped decodes
+                out[-1] = float(len(content) if content is not None else 0)
+                feats.append(out)
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": [int(m["n_bytes"]) for m in pdf["meta"]],
+                "features": feats,
+            })
+
+    return assets.mapInPandas(
+        feat, "asset_id long, media_type string, n_bytes long, "
+              "features array<double>")
+
+
+def frame_sample(assets: DataFrame, every_n: int = 4,
+                 decode=fake_decode) -> DataFrame:
+    """Video-style frame sampling: explode each decoded asset into every
+    n-th 'frame' row — the one-to-many mapInPandas shape (output rows ≠
+    input rows). Returns (asset_id, frame_idx, frame ARRAY<DOUBLE>)."""
+    def frames(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, idxs, vals = [], [], []
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                px = decode(bytes(content) if content is not None else b"")
+                for i in range(0, px.shape[0], every_n):
+                    ids.append(aid)
+                    idxs.append(i)
+                    vals.append(px[i])
+            yield pd.DataFrame({"asset_id": ids, "frame_idx": idxs,
+                                "frame": vals})
+
+    return assets.mapInPandas(
+        frames, "asset_id long, frame_idx int, frame array<double>")

@@ -41,6 +41,7 @@ def load_all_query_modules() -> None:
     """Import every query-defining module so REGISTRY is populated."""
     from quake_vector_search_spark.queries import (  # noqa: F401
         dedup_queries,
+        multimodal_queries,
         relational_queries,
         text_queries,
         timeseries_queries,

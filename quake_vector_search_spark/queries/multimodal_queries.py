@@ -1,0 +1,25 @@
+"""Multimodal pipeline queries — rows-only driver checks (the fake
+decoder's md5-seeded output is deliberately not SQL-expressible; the
+Spark plumbing is what's under test — see tests/test_multimodal.py)."""
+
+from __future__ import annotations
+
+from quake_vector_search_spark.multimodal import binary as MM
+from quake_vector_search_spark.queries import register
+from quake_vector_search_spark.sources import load_table
+
+
+@register("mm_extract_features")  # rows-only
+def mm_extract_features(spark, sf_dir):
+    """Binary-asset featurization: documents → binary assets → Arrow-
+    batched decode (stubbed codec) → fixed-dim feature vectors."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.extract_features(MM.synthesize_assets(docs), dim=16)
+
+
+@register("mm_frame_sample")  # rows-only
+def mm_frame_sample(spark, sf_dir):
+    """Video-style frame sampling: one-to-many mapInPandas explode of
+    decoded frames (every 4th)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.frame_sample(MM.synthesize_assets(docs, "video"), every_n=4)
