@@ -57,14 +57,48 @@ def shingles_col(text_col: str = "text", n: int = 3):
         f"ELSE array() END")
 
 
+def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition a *narrow* input before a CPU-heavy
+    projection so the work uses every core. Small parquet inputs (and
+    broadcast-sized dims generally) arrive as 1-2 partitions; without
+    this, an explode/hash pipeline runs single-threaded regardless of
+    cluster size. No-op when the input is already wide enough. At 100 TB
+    the scan is naturally wide and this never triggers."""
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
+def _words(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, _w: array<string>) with the whitespace split materialized
+    ONCE — element_at over a concrete column instead of re-splitting
+    the text inside every lambda evaluation."""
+    return spread(docs.select(id_col, text_col)).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_w"))
+
+
+def _grams_expr(n: int):
+    """Distinct n-gram shingle array over a materialized `_w` words
+    column (same semantics as shingles_col, minus the per-element
+    re-split)."""
+    gram = " , ".join(f"element_at(_w, i + {j})" for j in range(n))
+    return F.expr(
+        f"CASE WHEN size(_w) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size(_w) - {n - 1}), "
+        f"i -> concat_ws(' ', {gram}))) "
+        f"ELSE array() END")
+
+
 def doc_shingles(docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", n: int = 3,
                  max_shingle_df: int | None = None) -> DataFrame:
     """Exploded (id, shingle) inverted-index input. Optionally drops
     shingles occurring in more than ``max_shingle_df`` docs — the
     standard hot-key guard for the join at scale."""
-    sh = (docs.select(F.col(id_col), F.explode(shingles_col(text_col, n))
-                      .alias("sh")))
+    w = _words(docs, id_col, text_col)
+    sh = w.select(F.col(id_col), F.explode(_grams_expr(n)).alias("sh"))
     if max_shingle_df is not None:
         hot = (sh.groupBy("sh").agg(F.count("*").alias("df"))
                .where(F.col("df") > max_shingle_df).select("sh"))
@@ -92,7 +126,14 @@ def jaccard_pairs(docs: DataFrame, threshold: float,
     (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold.
     """
     sh = doc_shingles(docs, id_col, text_col, n, max_shingle_df)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    if max_shingle_df is None:
+        # |shingle set| is computable narrowly (no extra shuffle)
+        # straight from the words column; only the hot-key-capped
+        # variant needs the post-filter groupBy.
+        sizes = _words(docs, id_col, text_col).select(
+            F.col(id_col), F.size(_grams_expr(n)).alias("n_sh"))
+    else:
+        sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
@@ -134,16 +175,18 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
     verify candidates with exact Jaccard ≥ threshold.
     Returns (doc_a, doc_b, jaccard)."""
     sig = minhash_signatures(docs, id_col, text_col, n)
-    bands = []
-    for bnd in range(N_BANDS):
-        cols = [f"mh{bnd * BAND_WIDTH + j}" for j in range(BAND_WIDTH)]
-        bands.append(sig.select(
-            F.col(id_col), F.lit(bnd).alias("band"),
-            F.concat_ws("_", *[F.col(c).cast("string") for c in cols])
-             .alias("key")))
-    banded = bands[0]
-    for b_ in bands[1:]:
-        banded = banded.unionAll(b_)
+    # Band via one explode over the signature row (NOT a union of 8
+    # re-aggregations — each union branch would recompute the whole
+    # signature shuffle).
+    band_arr = F.array(*[
+        F.struct(
+            F.lit(bnd).alias("band"),
+            F.concat_ws("_", *[
+                F.col(f"mh{bnd * BAND_WIDTH + j}").cast("string")
+                for j in range(BAND_WIDTH)]).alias("key"))
+        for bnd in range(N_BANDS)])
+    banded = (sig.select(F.col(id_col), F.explode(band_arr).alias("bk"))
+              .select(id_col, "bk.band", "bk.key"))
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -152,19 +195,30 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
             .select(F.col(f"a.{id_col}").alias("doc_a"),
                     F.col(f"b.{id_col}").alias("doc_b"))
             .distinct())
-    # verify: exact jaccard restricted to candidate pairs
-    verified = jaccard_pairs(docs, threshold, id_col, text_col, n)
-    return cand.join(verified, ["doc_a", "doc_b"], "inner") \
-               .select("doc_a", "doc_b", "jaccard")
+    # Verify with exact Jaccard computed ONLY on candidate pairs —
+    # cost ∝ candidates (true-dup density), never the all-pairs join.
+    sets = (doc_shingles(docs, id_col, text_col, n)
+            .groupBy(id_col).agg(F.collect_set("sh").alias("shs"),
+                                 F.count("*").alias("n_sh")))
+    sa = sets.select(F.col(id_col).alias("doc_a"),
+                     F.col("shs").alias("sa"), F.col("n_sh").alias("na"))
+    sb = sets.select(F.col(id_col).alias("doc_b"),
+                     F.col("shs").alias("sb"), F.col("n_sh").alias("nb"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    return (cand.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("jaccard",
+                        inter / (F.col("na") + F.col("nb") - inter))
+            .where(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id",
             text_col: str = "text", bits: int = 32) -> DataFrame:
     """Per-doc SimHash fingerprint: (id, simhash LONG). One explode +
     one groupBy with ``bits`` conditional-sum aggregates."""
-    tok = (docs.select(F.col(id_col),
-                       F.explode(F.array_distinct(
-                           F.split(F.col(text_col), " "))).alias("sh"))
+    tok = (_words(docs, id_col, text_col)
+           .select(F.col(id_col),
+                   F.explode(F.array_distinct(F.col("_w"))).alias("sh"))
            .where(F.col("sh") != ""))
     h = tok.withColumn("h", token_hash_expr("sh"))
     aggs = [F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1,
