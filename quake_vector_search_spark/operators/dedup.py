@@ -57,18 +57,7 @@ def shingles_col(text_col: str = "text", n: int = 3):
         f"ELSE array() END")
 
 
-def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
-    """Round-robin repartition a *narrow* input before a CPU-heavy
-    projection so the work uses every core. Small parquet inputs (and
-    broadcast-sized dims generally) arrive as 1-2 partitions; without
-    this, an explode/hash pipeline runs single-threaded regardless of
-    cluster size. No-op when the input is already wide enough. At 100 TB
-    the scan is naturally wide and this never triggers."""
-    sc = df.sparkSession.sparkContext
-    target = min_parts or sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target)
+from quake_vector_search_spark.sources.catalog import spread  # noqa: F401,E402  (shared read-path helper)
 
 
 def _words(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:

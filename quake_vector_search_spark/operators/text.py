@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from quake_vector_search_spark.sources.catalog import spread
+
 # shared stopword sets for the language-ID vote (tiny, frozen)
 LANG_STOPWORDS = {
     "en": ("the", "a", "of", "and", "to", "in", "is"),
@@ -27,6 +29,7 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Whitespace + BPE-ish token counts, distinct-word count, average
     word length — the basic curation statistics."""
+    docs = spread(docs)
     words = F.expr(rf"regexp_extract_all({text_col}, '\\S+', 0)")
     # escape for the SQL string literal (Spark eats single backslashes)
     bpe_sql_pattern = BPE_ISH_PATTERN.replace("\\", "\\\\")
@@ -49,6 +52,7 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id",
     a stopword ratio, combined into [0,1]. The formula is arbitrary but
     frozen; what matters is that it's deterministic, cheap (one scan,
     codegen'd), and mirrors what C4/Gopher-style filters measure."""
+    docs = spread(docs)
     n = F.greatest(F.length(text_col), F.lit(1)).cast("double")
     alpha = F.length(F.regexp_replace(text_col, "[^a-zA-Z]", "")) / n
     digit = F.length(F.regexp_replace(text_col, "[^0-9]", "")) / n
@@ -78,6 +82,7 @@ def language_id(docs: DataFrame, id_col: str = "doc_id",
     'zh'; ties break in frozen (en, es, de, fr) order; zero hits →
     'unknown'. A deliberately simple, fully-SQL heuristic (the fastText
     class of models would ride in a pandas UDF — see multimodal/)."""
+    docs = spread(docs)
     words = F.expr(rf"regexp_extract_all(lower({text_col}), '\\S+', 0)")
     h = {lang: F.size(F.filter(words, lambda w: w.isin(*sw)))
          for lang, sw in LANG_STOPWORDS.items()}
@@ -102,6 +107,7 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id",
     whitespace-collapsed text — catches formatting-only duplicates that
     exact dedup misses. Emits the fingerprint and a keep-first dup
     flag (one shuffle on the fingerprint)."""
+    docs = spread(docs)
     norm = F.trim(F.regexp_replace(
         F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", ""),
         " +", " "))
@@ -110,3 +116,37 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id",
     w = Window.partitionBy("fingerprint").orderBy(id_col)
     return (fp.withColumn("_rn", F.row_number().over(w))
             .select(id_col, "fingerprint", (F.col("_rn") > 1).alias("is_dup")))
+
+
+def tfidf_top_terms(docs: DataFrame, top_n: int = 3,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Top-N terms per document by tf-idf (E13): term frequency per
+    (doc, term), document frequency per term, idf = ln(N/df). Two
+    shuffles (tf groupBy, df groupBy) + one window for the ranked
+    top-N; the corpus-size scalar rides in via a broadcast cross join
+    so the whole plan stays distributed. Tie-break (tfidf DESC, term
+    ASC) for hash-stable output."""
+    from pyspark.sql import Window
+    tok = (spread(docs.select(id_col, text_col))
+           .select(F.col(id_col),
+                   F.explode(F.split(F.lower(F.col(text_col)), " "))
+                    .alias("term"))
+           .where(F.col("term") != ""))
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_ = tok.groupBy("term").agg(
+        F.countDistinct(id_col).alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (tf.join(df_, "term")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn(
+                  "tfidf",
+                  F.col("tf") * F.log(F.col("n_docs")
+                                      / F.col("df").cast("double"))))
+    w = (Window.partitionBy(id_col)
+         .orderBy(F.desc("tfidf"), F.asc("term")))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= top_n)
+            .select(F.col(id_col), "term",
+                    F.round("tfidf", 6).alias("tfidf"),
+                    F.col("rn").cast("int").alias("rank")))

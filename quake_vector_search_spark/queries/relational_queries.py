@@ -544,3 +544,128 @@ def q_approx_distinct(spark, sf_dir):
         "exact_parts",
         (F.abs(F.col("_approx") - F.col("exact_parts"))
          <= 0.05 * F.col("exact_parts")).alias("approx_within_5pct"))
+
+
+# ------------------------------------------------- E3: full outer / right join
+@register("q_full_outer", sql="""
+WITH a AS (SELECT o_custkey, COUNT(*) AS n_big FROM orders
+           WHERE o_totalprice > 150000 GROUP BY o_custkey),
+     b AS (SELECT o_custkey, COUNT(*) AS n_recent FROM orders
+           WHERE year(o_orderdate) >= 1997 GROUP BY o_custkey)
+SELECT COALESCE(a.o_custkey, b.o_custkey) AS custkey,
+       CAST(COALESCE(a.n_big, 0) AS BIGINT) AS n_big,
+       CAST(COALESCE(b.n_recent, 0) AS BIGINT) AS n_recent
+FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+""")
+def q_full_outer(spark, sf_dir):
+    """FULL OUTER equi-join (E3) of two partial aggregates over orders —
+    genuine null rows on both sides. Both inputs shuffle once on the
+    join key; the upstream groupBys already partition by it, so AQE
+    reuses the exchange."""
+    o = _t(spark, sf_dir, "orders")
+    a = (o.where(F.col("o_totalprice") > 150000)
+         .groupBy("o_custkey").agg(F.count("*").alias("n_big")))
+    b = (o.where(F.year("o_orderdate") >= 1997)
+         .groupBy("o_custkey").agg(F.count("*").alias("n_recent")))
+    return (a.join(b, "o_custkey", "full_outer")
+            .select(F.col("o_custkey").alias("custkey"),
+                    F.coalesce("n_big", F.lit(0)).alias("n_big"),
+                    F.coalesce("n_recent", F.lit(0)).alias("n_recent")))
+
+
+@register("q_right_join", sql="""
+SELECT c.c_custkey, c.c_mktsegment,
+       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_urgent
+FROM orders o
+RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+  AND o.o_orderpriority = '1-URGENT'
+GROUP BY c.c_custkey, c.c_mktsegment
+""")
+def q_right_join(spark, sf_dir):
+    """RIGHT OUTER join (E3) preserving every customer, with a join-side
+    predicate (urgent orders only) so unmatched rows survive rather than
+    being filtered post-join. The preserved (customer) side cannot be
+    the broadcast side, so Spark shuffles both; at scale flip to a left
+    join + broadcast when the dim is the preserved side."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cond = (o.o_custkey == c.c_custkey) & \
+        (o.o_orderpriority == "1-URGENT")
+    return (o.join(c, cond, "right")
+            .groupBy("c_custkey", "c_mktsegment")
+            .agg(F.count("o_orderkey").alias("n_urgent")))
+
+
+# ------------------------------------------------------ E2: null-safe equality
+@register("q_null_safe_eq", sql="""
+SELECT (NULLIF(o_orderstatus, 'F') IS NOT DISTINCT FROM
+        NULLIF(substr(o_orderpriority, 1, 1), '1')) AS null_safe_same,
+       COALESCE(CAST((NULLIF(o_orderstatus, 'F') =
+                      NULLIF(substr(o_orderpriority, 1, 1), '1')) AS VARCHAR),
+                'null') AS plain_eq,
+       COUNT(*) AS n
+FROM orders
+GROUP BY 1, 2
+""")
+def q_null_safe_eq(spark, sf_dir):
+    """Null-safe equality `<=>` vs plain `=` (E2) over derived nullable
+    columns: the both-NULL group is TRUE under <=> and NULL under = —
+    the oracle pins the three-valued-logic difference."""
+    o = _t(spark, sf_dir, "orders")
+    a = F.nullif(F.col("o_orderstatus"), F.lit("F"))
+    b = F.nullif(F.substring("o_orderpriority", 1, 1), F.lit("1"))
+    return (o.select(a.eqNullSafe(b).alias("null_safe_same"),
+                     F.coalesce((a == b).cast("string"), F.lit("null"))
+                      .alias("plain_eq"))
+            .groupBy("null_safe_same", "plain_eq")
+            .agg(F.count("*").alias("n")))
+
+
+# ------------------------------------------------------- E5: lead / order gaps
+@register("q_order_gaps", sql="""
+SELECT o_custkey, o_orderkey,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(next_date AS DATE))
+            AS INT) AS gap_days
+FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+             LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS next_date
+      FROM orders)
+WHERE next_date IS NOT NULL
+""")
+def q_order_gaps(spark, sf_dir):
+    """lead() + datediff (E5/E8): days until each customer's next order.
+    Single shuffle on the window partition key; full (ts, key) ordering
+    for determinism."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (o.select("o_custkey", "o_orderkey", "o_orderdate",
+                     F.lead("o_orderdate").over(w).alias("next_date"))
+            .where(F.col("next_date").isNotNull())
+            .select("o_custkey", "o_orderkey",
+                    F.datediff("next_date", "o_orderdate").alias("gap_days")))
+
+
+# -------------------------------------------------------- E4: GROUPING SETS
+@register("q_grouping_sets", sql="""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+       ROUND(SUM(l_quantity), 4) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""")
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (E4) — disjoint from rollup/cube — with
+    GROUPING() markers disambiguating the NULL group keys. One Expand +
+    one shuffle; partial aggregation still applies."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gsets")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_rf,
+               CAST(grouping(l_linestatus) AS INT) AS g_ls,
+               ROUND(SUM(l_quantity), 4) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem_gsets
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")

@@ -110,3 +110,30 @@ def text_fingerprint(spark, sf_dir):
     """Normalized-content md5 fingerprint + keep-first dup flag —
     catches formatting-only duplicates."""
     return T.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@register("text_tfidf", sql="""
+WITH tok AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+  WHERE t.term <> ''
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, term, ROUND(raw, 6) AS tfidf, CAST(rn AS INT) AS rank
+FROM (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS raw,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+             ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) DESC,
+                      tf.term ASC) AS rn
+  FROM tf JOIN df USING (term) CROSS JOIN n
+) s
+WHERE rn <= 3
+""")
+def text_tfidf(spark, sf_dir):
+    """tf-idf top-3 terms per document (E13): tf/df aggregates + ranked
+    window, corpus size broadcast."""
+    return T.tfidf_top_terms(load_table(spark, sf_dir, "documents"))

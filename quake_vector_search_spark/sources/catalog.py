@@ -52,6 +52,20 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition a *narrow* input before a CPU-heavy
+    projection so the work uses every core. Small parquet inputs (and
+    broadcast-sized dims generally) arrive as 1-2 partitions; without
+    this an explode/regex/hash pipeline runs single-threaded regardless
+    of cluster size. No-op when the input is already wide enough — at
+    100 TB the scan is naturally wide and this never triggers."""
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def register_all(spark: SparkSession, sf_dir: str,
                  names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
     """Register each table as a temp view (for the SQL surface) and
