@@ -551,7 +551,7 @@ def q_approx_distinct(spark, sf_dir):
 WITH a AS (SELECT o_custkey, COUNT(*) AS n_big FROM orders
            WHERE o_totalprice > 150000 GROUP BY o_custkey),
      b AS (SELECT o_custkey, COUNT(*) AS n_recent FROM orders
-           WHERE year(o_orderdate) >= 1997 GROUP BY o_custkey)
+           WHERE o_orderdate >= TIMESTAMP '1997-01-01' GROUP BY o_custkey)
 SELECT COALESCE(a.o_custkey, b.o_custkey) AS custkey,
        CAST(COALESCE(a.n_big, 0) AS BIGINT) AS n_big,
        CAST(COALESCE(b.n_recent, 0) AS BIGINT) AS n_recent
@@ -565,7 +565,7 @@ def q_full_outer(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     a = (o.where(F.col("o_totalprice") > 150000)
          .groupBy("o_custkey").agg(F.count("*").alias("n_big")))
-    b = (o.where(F.year("o_orderdate") >= 1997)
+    b = (o.where(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
          .groupBy("o_custkey").agg(F.count("*").alias("n_recent")))
     return (a.join(b, "o_custkey", "full_outer")
             .select(F.col("o_custkey").alias("custkey"),
