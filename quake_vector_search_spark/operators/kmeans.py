@@ -170,6 +170,11 @@ def assign_clusters(df: DataFrame, centroids: np.ndarray,
             pdf[out_col] = np.argmin(l2_batch(vecs, cents), axis=1).astype(np.int64)
             yield pdf
 
-    schema = df.schema.add(out_col, "long", False)
+    # build a FRESH StructType — StructType.add mutates in place, and
+    # df.schema is cached on the DataFrame, so `df.schema.add(...)`
+    # would corrupt df.columns and break mapInPandas' input resolution
+    from pyspark.sql.types import LongType, StructField, StructType
+    schema = StructType(list(df.schema.fields)
+                        + [StructField(out_col, LongType(), False)])
     out = df.mapInPandas(assign, schema)
     return out.select(*cols, out_col)

@@ -138,3 +138,116 @@ def ivf_search_adaptive(spark, sf_dir):
                  .withColumnRenamed("vec_id", "query_id")
     out, _meta = idx.search(queries, k=K, target_recall=0.9)
     return out.withColumn("dist", F.round("dist", 6))
+
+
+@register("kmeans_clusters")  # iterative algorithm → rows-only check
+def kmeans_clusters(spark, sf_dir):
+    """Seeded distributed k-means (O4, reference kmeans ipynb c1:22-36):
+    cluster the embeddings table with k=8, 8 iterations, seed 42 and
+    return per-cluster size + centroid norm. Deterministic via the
+    reference's seeded-sample init; not SQL-expressible (Lloyd's is
+    iterative), hence rows-only at the driver; determinism and
+    assignment invariants are pinned in tests/test_ivf.py."""
+    import numpy as np
+
+    from quake_vector_search_spark.operators.kmeans import (
+        assign_clusters,
+        kmeans_fit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(emb, k=8, iters=8, seed=42)
+    assigned = assign_clusters(emb, centroids, out_col="cluster_id")
+    norms = [(int(i), float(np.sqrt((c * c).sum())))
+             for i, c in enumerate(centroids)]
+    norms_df = spark.createDataFrame(norms, ["cluster_id", "norm"])
+    return (assigned.groupBy("cluster_id")
+            .agg(F.count("*").alias("size"))
+            .join(F.broadcast(norms_df), "cluster_id")
+            .select("cluster_id", "size",
+                    F.round("norm", 6).alias("centroid_norm"))
+            .orderBy("cluster_id"))
+
+
+@register("aps_partition_scores")  # policy over seeded build → rows-only
+def aps_partition_scores(spark, sf_dir):
+    """APS partition scoring + adaptive nprobe choice (O8/O9, reference
+    _partition_scores / _choose_nprobe ipynb c1:127-145): for the first
+    query vector, emit every partition's softmax probability, rank, and
+    whether it lands inside the chosen probe prefix at target_recall=0.9."""
+    import numpy as np
+    idx = _ivf_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = np.array(
+        emb.where(F.col("vec_id") == 0).select("embedding").head()[0],
+        dtype=np.float64)
+    order, probs_sorted = idx.partition_scores(q[None, :])
+    nprobe = int(idx.choose_nprobe(probs_sorted, target_recall=0.9,
+                                   max_probe=64)[0])
+    rows = [(int(idx.part_ids[order[0, r]]),
+             float(round(probs_sorted[0, r], 6)),
+             int(r + 1), bool(r < nprobe))
+            for r in range(order.shape[1])]
+    return spark.createDataFrame(
+        rows, ["partition_id", "prob", "rank", "probed"])
+
+
+@register("ivf_recall_eval")  # approximate search → rows-only check
+def ivf_recall_eval(spark, sf_dir):
+    """Recall@k evaluation (O12, reference ipynb c1:164-167): adaptive
+    IVF results joined against brute-force ground truth, one row per
+    query with recall@10 — the reference's only self-test, as a query."""
+    from quake_vector_search_spark.operators.evaluation import recall_at_k
+    from quake_vector_search_spark.operators.knn import knn_bruteforce
+
+    idx = _ivf_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES) \
+                 .withColumnRenamed("vec_id", "query_id")
+    found, _ = idx.search(queries, k=K, target_recall=0.9)
+    exact = knn_bruteforce(emb, queries, k=K)
+    return (recall_at_k(found, exact, K)
+            .withColumn("recall", F.round("recall", 6)))
+
+
+@register("ivf_dml_roundtrip")  # stateful DML sequence → rows-only check
+def ivf_dml_roundtrip(spark, sf_dir):
+    """DML + maintenance invariants (O6/O7/O13/O14) as a query: build a
+    scratch index, insert 20 seeded vectors, delete 10 existing ids,
+    run maintenance, and emit the set-invariant checks the reference's
+    id2loc bookkeeping guarantees positionally (ipynb c1:92-125,
+    170-210) — re-expressed as anti-join/count invariants."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.maintenance import maintain
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    workdir = os.path.join("/tmp/qvss_dmlq",
+                           sf_dir.strip("/").replace("/", "_"))
+    shutil.rmtree(workdir, ignore_errors=True)
+    idx = IVFIndex.build(emb, workdir, coarse_k=8, base_k=4)
+    n0 = idx.read_corpus().count()
+    rng = np.random.default_rng(7)
+    d = len(idx.centroids[0])
+    new_ids = list(range(10_000_000, 10_000_020))
+    idx.insert(new_ids, rng.normal(size=(20, d)))
+    dead = [int(x) for x in range(0, 10)]
+    idx.delete(dead)
+    maintain(idx)
+    live = idx.read_corpus()
+    checks = [
+        ("live_count_delta",
+         int(live.count() - n0)),                          # +20 -10 = 10
+        ("inserted_present",
+         int(live.where(F.col(idx.id_col).isin(new_ids)).count())),
+        ("deleted_absent",
+         int(live.where(F.col(idx.id_col).isin(dead)).count())),
+        ("dup_ids",
+         int(live.groupBy(idx.id_col).count()
+             .where(F.col("count") > 1).count())),
+    ]
+    return spark.createDataFrame(checks, ["check", "value"])
