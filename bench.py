@@ -81,6 +81,14 @@ def ivf_workload(spark, sf_dir: str) -> dict:
     part_of = np.array([r[2] for r in rows])
     qmat = zipf_queries(ids, vecs, part_of, N_WORKLOAD_QUERIES)
 
+    # untimed warm-up: first search exercises the Python-worker spin-up,
+    # Arrow serializer init, and codegen for the search plan shape —
+    # one-time costs the reference's in-process loop never pays and the
+    # steady-state cluster amortizes away. 1 query keeps hit-stat drift
+    # negligible.
+    wu, _ = idx.search((np.array([-1]), qmat[:1]), k=K, target_recall=0.9)
+    wu.count()
+
     rng = np.random.default_rng(7)
     batch_times, nprobes, scanned = [], [], []
     next_id = 1_000_000

@@ -42,6 +42,10 @@ from quake_vector_search_spark.operators.kmeans import (
 # Tombstone count below which the read filter uses a literal NOT IN
 # (pushed to parquet); above it, a broadcast anti-join.
 TOMBSTONE_ISIN_LIMIT = 10_000
+# search-scan task sizing: ~100k vectors/task ≈ 25-50 MB of float32
+# payload at d=64-128 — big enough to amortize the Python worker
+# round-trip, small enough to keep thousands of tasks at 100 TB scale
+ROWS_PER_TASK = 100_000
 
 
 class IVFIndex:
@@ -69,6 +73,11 @@ class IVFIndex:
         self.last_split_at = dict(last_split_at)
         self.query_counter = query_counter
         self.tombstones: set[int] = set(tombstones or ())
+        # lazily-built base corpus DataFrame for the CURRENT file set:
+        # spark.read.parquet re-lists files + re-infers schema on every
+        # call (hundreds of ms locally, worse with many files) — reuse
+        # the relation until a write/version change invalidates it
+        self._corpus_df = None
 
     # ------------------------------------------------------------ paths
     @property
@@ -290,9 +299,16 @@ class IVFIndex:
                    tombstones=set(stats["tombstones"]))
 
     # ------------------------------------------------------------- read
+    def invalidate_corpus(self) -> None:
+        """Drop the cached corpus relation (file set changed: append,
+        version publish)."""
+        self._corpus_df = None
+
     def read_corpus(self, partition_ids=None) -> DataFrame:
         """Live corpus view: partition-pruned scan + tombstone filter."""
-        df = self.spark.read.parquet(self.corpus_path)
+        if self._corpus_df is None:
+            self._corpus_df = self.spark.read.parquet(self.corpus_path)
+        df = self._corpus_df
         if partition_ids is not None:
             df = df.where(F.col("partition_id")
                           .isin([int(p) for p in partition_ids]))
@@ -373,6 +389,7 @@ class IVFIndex:
                  f"partition_id long")
         (sdf.write.mode("append").partitionBy("partition_id")
          .parquet(self.corpus_path))
+        self.invalidate_corpus()
 
     def delete(self, ids) -> None:
         """O7 (ipynb c1:111-125): delete by id. The reference's O(1)
@@ -472,6 +489,19 @@ class IVFIndex:
         union_parts = sorted(probe_map)
         corpus = self.read_corpus(partition_ids=union_parts) \
             .select(self.id_col, self.vec_col, "partition_id")
+        # Size tasks by scanned volume, not directory count: the pruned
+        # scan otherwise yields one task per probed partition dir, and a
+        # mostly-empty Python task costs ~20-30 ms of Arrow/worker
+        # round-trip. ROWS_PER_TASK ≈ a few tens of MB of vectors per
+        # task; at 100 TB this still fans out to thousands of tasks,
+        # while toy scales collapse to a handful. coalesce() merges file
+        # splits without a shuffle.
+        est_rows = int(sum(int(self.sizes[i])
+                           for i, p in enumerate(self.part_ids)
+                           if int(p) in probe_map))
+        n_tasks = max(1, -(-est_rows // ROWS_PER_TASK))
+        if n_tasks < len(union_parts):
+            corpus = corpus.coalesce(n_tasks)
         bc = self.spark.sparkContext.broadcast((qids, qmat, probe_map))
         id_col, vec_col = self.id_col, self.vec_col
 

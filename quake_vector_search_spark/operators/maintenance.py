@@ -139,6 +139,7 @@ def maintain(idx: IVFIndex,
 
     # ---- adopt the new layout, refresh metadata for affected partitions
     idx.version = new_version
+    idx.invalidate_corpus()
     if split_parents:
         # rewritten partitions are compacted: their tombstones are gone
         affected = set(split_parents) | set(child_of.values())
@@ -195,6 +196,10 @@ def maintain(idx: IVFIndex,
                             os.path.join(dst, f"m{gone_pid}-{f_}"))
                 os.unlink(os.path.join(src, f_))
             os.rmdir(src)
+    if merges:
+        # the moves above changed the file set AFTER _refresh_partitions
+        # re-cached the corpus relation — drop it again
+        idx.invalidate_corpus()
 
     idx.save_meta()
     return {"splits": [(p, child_of[p]) for p in split_parents],
@@ -267,6 +272,7 @@ def compact(idx: IVFIndex) -> dict:
      .write.mode("overwrite").partitionBy("partition_id")
      .parquet(new_corpus))
     idx.version = new_version
+    idx.invalidate_corpus()
     idx.tombstones = set()
     idx.recompute_centroids()
     idx.save_meta()
