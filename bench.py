@@ -118,6 +118,23 @@ def ivf_workload(spark, sf_dir: str) -> dict:
     exact = knn_bruteforce(live, (np.arange(N_WORKLOAD_QUERIES), qmat), k=K)
     recall = avg_recall(all_found, exact, K)
 
+    # recall-vs-scanned curve (SURVEY.md §6): sweep target_recall to
+    # show APS prunes genuinely — unlike the reference's captured run,
+    # which probed 62.7/64 partitions at target 0.9 (~89% of brute
+    # force). 50 fixed queries per point, same exact ground truth.
+    curve = []
+    curve_q = (np.arange(50), qmat[:50])
+    exact50 = exact.where(exact.query_id < 50)
+    n_corpus = live.count()
+    for tr in (0.5, 0.7, 0.9, 0.99):
+        f, m = idx.search(curve_q, k=K, target_recall=tr)
+        curve.append({
+            "target_recall": tr,
+            "avg_nprobe": round(m["avg_nprobe"], 2),
+            "scanned_frac": round(m["avg_scanned"] / max(n_corpus, 1), 4),
+            "recall_at_10": round(avg_recall(f, exact50, K), 4),
+        })
+
     per_query = [bt / QUERY_BATCH for bt in batch_times]
     return {
         "build_s": round(build_s, 3),
@@ -130,6 +147,7 @@ def ivf_workload(spark, sf_dir: str) -> dict:
         "avg_nprobe": round(float(np.mean(nprobes)), 2),
         "avg_scanned": round(float(np.mean(scanned)), 1),
         "avg_recall_at_10": round(float(recall), 4),
+        "recall_vs_scanned": curve,
     }
 
 

@@ -1,0 +1,91 @@
+"""Plan-shape regression tests: the scale story lives in the physical
+plan, so pin it. If one of these breaks, a correct-but-unscalable plan
+snuck in (full scan instead of pruned, shuffle instead of broadcast,
+filter evaluated post-scan instead of pushed)."""
+
+import io
+import os
+import shutil
+from contextlib import redirect_stdout
+
+import pytest
+
+from quake_vector_search_spark.queries import REGISTRY, load_all_query_modules
+from tests.conftest import SF_SMOKE
+
+load_all_query_modules()
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+        df.explain(True)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def ivf_index(spark):
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.sources import load_table
+
+    workdir = "/tmp/qvss_test_planshape"
+    shutil.rmtree(workdir, ignore_errors=True)
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    yield IVFIndex.build(emb, workdir, coarse_k=4, base_k=2)
+    shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_ivf_probe_set_prunes_partitions(spark, ivf_index):
+    """The APS probe set must reach the scan as directory-level
+    PartitionFilters — the engine's whole performance story."""
+    pids = [int(p) for p in ivf_index.part_ids[:2]]
+    plan = _plan(ivf_index.read_corpus(partition_ids=pids))
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters", 1)[1][:200]
+    assert "IN (" in seg or "isnotnull" not in seg.lower()
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    plan = _plan(REGISTRY["q_filter_project"].fn(spark, SF_SMOKE))
+    seg = plan.split("PushedFilters", 1)[1][:300]
+    assert "GreaterThan(l_quantity" in seg
+
+
+def test_star_join_broadcasts_dims(spark):
+    plan = _plan(REGISTRY["q_star_join_revenue"].fn(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 3
+    # the fact-side scan must not read all columns
+    assert "ReadSchema" in plan
+
+
+def test_knn_has_no_cross_join(spark):
+    """Brute-force kNN broadcasts the query block into mapInPandas —
+    a CartesianProduct/crossJoin in the plan means the distance matrix
+    went through the shuffle."""
+    plan = _plan(REGISTRY["knn_brute_l2"].fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_lsh_has_no_cross_join(spark):
+    plan = _plan(REGISTRY["dedup_minhash_lsh"].fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_spread_noop_on_wide_input(spark):
+    from quake_vector_search_spark.sources.catalog import spread
+    wide = spark.range(0, 1000, 1, 64)
+    assert spread(wide) is wide
+
+
+def test_tombstone_filter_stays_pushable(spark, ivf_index):
+    """Small tombstone sets must reach the scan as a NOT IN data filter
+    (pushable), not a join."""
+    ivf_index.tombstones = {1, 2, 3}
+    try:
+        plan = _plan(ivf_index.read_corpus())
+        assert "Join" not in plan
+    finally:
+        ivf_index.tombstones = set()
