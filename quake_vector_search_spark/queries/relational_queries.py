@@ -669,3 +669,29 @@ def q_grouping_sets(spark, sf_dir):
                COUNT(*) AS n
         FROM lineitem_gsets
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
+
+
+# ----------------------------------------------- E4 at scale: skewed keys
+@register("q_skew_salted_agg", sql="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY event_type
+""")
+def q_skew_salted_agg(spark, sf_dir):
+    """Two-phase salted aggregation (E4 + skew handling): low-cardinality
+    hot keys (event_type) first aggregate on (key, salt) — spreading each
+    hot key over 16 reducers — then combine partials per key. Same result
+    as the direct groupBy (the oracle), shuffle skew bounded by the salt
+    fan-out. Spark's partial aggregation makes the direct plan fine for
+    algebraic aggs; the salted shape is the template for holistic aggs
+    (collect_list / percentile) where map-side combine can't help."""
+    ev = _t(spark, sf_dir, "events")
+    partial = (ev.withColumn("_salt", F.pmod(F.xxhash64("event_id"),
+                                             F.lit(16)))
+               .groupBy("event_type", "_salt")
+               .agg(F.count("*").alias("c"), F.sum("value").alias("s")))
+    return (partial.groupBy("event_type")
+            .agg(F.sum("c").alias("n_events"),
+                 F.round(F.sum("s"), 4).alias("sum_value")))

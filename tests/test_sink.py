@@ -1,0 +1,37 @@
+"""E1 sink path: query results round-trip through a Parquet write."""
+
+import shutil
+
+from quake_vector_search_spark.queries import REGISTRY, load_all_query_modules
+from tests.conftest import SF_SMOKE
+
+load_all_query_modules()
+
+
+def test_parquet_sink_roundtrip(spark, tmp_path):
+    out_dir = str(tmp_path / "q1_out")
+    df = REGISTRY["q1_pricing_summary"].fn(spark, SF_SMOKE)
+    df.write.mode("overwrite").parquet(out_dir)
+    back = spark.read.parquet(out_dir)
+    # nullability flags legitimately widen through a parquet roundtrip;
+    # names + types must survive exactly
+    assert [(f.name, f.dataType) for f in back.schema.fields] \
+        == [(f.name, f.dataType) for f in df.schema.fields]
+    key = lambda r: (r["l_returnflag"], r["l_linestatus"])
+    assert sorted(back.collect(), key=key) == sorted(df.collect(), key=key)
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_partitioned_sink_prunes_on_read(spark, tmp_path):
+    out_dir = str(tmp_path / "part_out")
+    df = REGISTRY["q_filter_project"].fn(spark, SF_SMOKE)
+    df.write.mode("overwrite").partitionBy("l_returnflag").parquet(out_dir)
+    back = spark.read.parquet(out_dir).where("l_returnflag = 'A'")
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        back.explain(True)
+    assert "PartitionFilters" in buf.getvalue()
+    assert back.count() == df.where("l_returnflag = 'A'").count()
+    shutil.rmtree(out_dir, ignore_errors=True)
