@@ -110,8 +110,17 @@ class IVFIndex:
         """
         spark = corpus_df.sparkSession
 
+        # One persisted (id, vec) projection feeds every build pass —
+        # coarse k-means iterations, coarse tagging (x2: cell sizes,
+        # training sample), and the final assignment — instead of five+
+        # source scans. MEMORY_AND_DISK so 100 TB builds spill, not
+        # recompute.
+        from pyspark import StorageLevel
+        proj = corpus_df.select(id_col, vec_col).persist(
+            StorageLevel.MEMORY_AND_DISK)
+
         # 1. coarse level (distributed)
-        coarse_cents = kmeans_fit(corpus_df, vec_col=vec_col, id_col=id_col,
+        coarse_cents = kmeans_fit(proj, vec_col=vec_col, id_col=id_col,
                                   k=coarse_k, iters=coarse_iters, seed=seed)
 
         # 2. per-cell base training on a capped seeded sample
@@ -127,7 +136,7 @@ class IVFIndex:
                 pdf["coarse_id"] = np.argmin(l2_batch(vecs, cents), axis=1)
                 yield pdf[[id_col, vec_col, "coarse_id"]]
 
-        tagged = corpus_df.select(id_col, vec_col).mapInPandas(
+        tagged = proj.mapInPandas(
             tag_coarse, f"{id_col} long, {vec_col} array<float>, coarse_id long")
 
         cell_sizes = {r["coarse_id"]: r["n"] for r in
@@ -187,7 +196,7 @@ class IVFIndex:
                 pdf["partition_id"] = pid
                 yield pdf[[id_col, vec_col, "partition_id"]]
 
-        assigned = corpus_df.select(id_col, vec_col).mapInPandas(
+        assigned = proj.mapInPandas(
             assign_partition,
             f"{id_col} long, {vec_col} array<float>, partition_id long")
 
@@ -196,6 +205,7 @@ class IVFIndex:
         (assigned.repartition("partition_id")
          .write.mode("overwrite").partitionBy("partition_id")
          .parquet(corpus_path))
+        proj.unpersist()
 
         idx = cls(spark, workdir, version, vec_col, id_col,
                   part_ids=part_ids,

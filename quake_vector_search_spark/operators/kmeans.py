@@ -98,28 +98,45 @@ def kmeans_fit(df: DataFrame, vec_col: str = "embedding",
     Mirrors reference semantics (init from seeded sample, fixed iters,
     empty-cluster reseed — ipynb c1:22-36) with distributed execution.
     """
-    # Reservoir of seeded-sample points: first k are the init centroids,
-    # the rest feed deterministic empty-cluster reseeds.
-    reservoir_n = max(4 * k, 64)
-    _, reservoir = _seeded_sample(df, vec_col, id_col, reservoir_n, seed)
-    if reservoir.shape[0] == 0:
-        raise ValueError("kmeans_fit on empty DataFrame")
-    k_eff = min(k, reservoir.shape[0])
-    cents = reservoir[:k_eff].copy()
-    d = cents.shape[1]
-    reseed_cursor = k_eff
+    # Persist the (id, vec) projection across iterations — Lloyd's
+    # re-scans its input `iters` times; without this every iteration
+    # pays the source scan + decode again (Spark ML's KMeans caches the
+    # same way). MEMORY_AND_DISK: spills rather than recomputes at scale.
+    from pyspark import StorageLevel
+    # don't re-project (and re-persist) an input that is already the
+    # bare (id, vec) projection — build() passes a persisted one in
+    proj = (df if set(df.columns) == {id_col, vec_col}
+            else df.select(id_col, vec_col))
+    owned_cache = proj.storageLevel == StorageLevel.NONE
+    if owned_cache:
+        proj = proj.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        # Reservoir of seeded-sample points: first k are the init
+        # centroids, the rest feed deterministic empty-cluster reseeds.
+        reservoir_n = max(4 * k, 64)
+        _, reservoir = _seeded_sample(proj, vec_col, id_col,
+                                      reservoir_n, seed)
+        if reservoir.shape[0] == 0:
+            raise ValueError("kmeans_fit on empty DataFrame")
+        k_eff = min(k, reservoir.shape[0])
+        cents = reservoir[:k_eff].copy()
+        d = cents.shape[1]
+        reseed_cursor = k_eff
 
-    for _ in range(iters):
-        rows = _assign_partials(df, vec_col, cents)
-        counts, sums = _merge_partials(rows, k_eff, d)
-        for c in range(k_eff):
-            if counts[c] > 0:
-                cents[c] = sums[c] / counts[c]
-            else:
-                # empty cluster → deterministic "random" reservoir point
-                cents[c] = reservoir[reseed_cursor % reservoir.shape[0]]
-                reseed_cursor += 1
-    return cents
+        for _ in range(iters):
+            rows = _assign_partials(proj, vec_col, cents)
+            counts, sums = _merge_partials(rows, k_eff, d)
+            for c in range(k_eff):
+                if counts[c] > 0:
+                    cents[c] = sums[c] / counts[c]
+                else:
+                    # empty cluster → deterministic reservoir point
+                    cents[c] = reservoir[reseed_cursor % reservoir.shape[0]]
+                    reseed_cursor += 1
+        return cents
+    finally:
+        if owned_cache:
+            proj.unpersist()
 
 
 def local_kmeans(vecs: np.ndarray, k: int, iters: int,
