@@ -110,3 +110,42 @@ def test_streaming_ingest_foreachbatch(spark):
     found, _ = idx.search(([1], [rows[5][1]]), k=1, target_recall=1.0,
                           max_probe=10**9)
     assert found.collect()[0]["vec_id"] == rows[5][0]
+
+
+def test_stateful_running_totals_match_batch(spark, events_dir):
+    """applyInPandasWithState custom operator: the last emission per
+    user must equal the batch lifetime aggregate."""
+    from quake_vector_search_spark.streaming.stateful import (
+        user_running_totals,
+    )
+
+    stream = SW.read_events_stream(spark, events_dir)
+    out = user_running_totals(stream)
+    q = (out.writeStream.outputMode("update")
+         .format("memory").queryName("running_totals").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    emitted = spark.sql("SELECT * FROM running_totals").collect()
+    # keep the final (= max n_events) emission per user
+    got = {}
+    for r in emitted:
+        if (r["user_id"] not in got
+                or r["n_events"] > got[r["user_id"]]["n_events"]):
+            got[r["user_id"]] = r
+
+    batch = (load_table(spark, SF, "events")
+             .groupBy("user_id")
+             .agg(F.count("*").alias("n_events"),
+                  F.sum("value").alias("sum_value"),
+                  F.max("value").alias("max_value"),
+                  F.max("ts").alias("last_ts")))
+    exp = {r["user_id"]: r for r in batch.collect()}
+    assert set(got) == set(exp)
+    for uid, e in exp.items():
+        g = got[uid]
+        assert g["n_events"] == e["n_events"], uid
+        assert abs(g["sum_value"] - e["sum_value"]) < 1e-6, uid
+        assert abs(g["max_value"] - e["max_value"]) < 1e-12, uid
+        assert g["last_ts"] == e["last_ts"], uid
