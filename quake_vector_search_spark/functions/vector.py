@@ -80,15 +80,37 @@ def l2_batch(x: np.ndarray, y: np.ndarray) -> np.ndarray:
 def topk_indices(arr: np.ndarray, k: int) -> np.ndarray:
     """Indices of the k smallest values, ascending (ties by index asc).
 
-    `argpartition` O(n) selection then a sort of only k — reference
-    `topk_indices` at ipynb c1:16-20 / adaptive_ivf.mjs:50-56. Stable
-    tie-break on index is guaranteed by sorting (value, index) pairs.
+    `argpartition` O(n) selection then a sort of only the candidate set
+    — reference `topk_indices` at ipynb c1:16-20 / adaptive_ivf.mjs:50-56.
+    Plain `argpartition(...)[:k]` picks ARBITRARILY among values tied at
+    the k-boundary, which breaks the (value, index) tie-break contract;
+    include every element tied with the boundary value before sorting.
     """
     arr = np.asarray(arr).ravel()
     k = min(k, arr.shape[0])
     if k <= 0:
         return np.empty(0, dtype=np.int64)
-    part = np.argpartition(arr, k - 1)[:k]
-    # lexsort: primary value asc, secondary original index asc
-    order = np.lexsort((part, arr[part]))
-    return part[order]
+    part = np.argpartition(arr, k - 1)
+    kth_val = arr[part[k - 1]]
+    cand = np.flatnonzero(arr <= kth_val)   # k smallest + boundary ties
+    order = np.lexsort((cand, arr[cand]))   # value asc, index asc
+    return cand[order][:k]
+
+
+def topk_cols_2d(vals: np.ndarray, ids: np.ndarray, kk: int,
+                 descending: bool = False) -> np.ndarray:
+    """Per-row top-kk column positions of ``vals`` [nq, m] under the
+    engine-wide tie-break (value asc — or desc — then id asc).
+
+    Reorders columns id-ascending, then a STABLE row argsort, so equal
+    values resolve to the smallest id — `argpartition` alone picks
+    arbitrarily among values tied at the k-boundary, which breaks
+    deterministic output hashing. The log-factor over argpartition is
+    noise next to the distance matmul that produced ``vals``.
+    """
+    id_order = np.argsort(ids, kind="stable")
+    v = vals[:, id_order]
+    if descending:
+        v = -v
+    sel = np.argsort(v, axis=1, kind="stable")[:, :kk]
+    return id_order[sel]

@@ -33,7 +33,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from quake_vector_search_spark.functions.vector import l2_batch
+from quake_vector_search_spark.functions.vector import (
+    l2_batch,
+    topk_cols_2d,
+)
 from quake_vector_search_spark.operators.kmeans import (
     kmeans_fit,
     local_kmeans,
@@ -528,7 +531,7 @@ class IVFIndex:
                     ids = grp[id_col].to_numpy(dtype=np.int64)
                     d2 = l2_batch(qmat_l[qidx], vecs)
                     kk = min(k, len(ids))
-                    part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+                    part = topk_cols_2d(d2, ids, kk)
                     d2k = np.take_along_axis(d2, part, axis=1)
                     yield pd.DataFrame({
                         "query_id": np.repeat(qids_l[qidx], kk),

@@ -22,7 +22,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from quake_vector_search_spark.functions.vector import l2_batch
+from quake_vector_search_spark.functions.vector import (
+    l2_batch,
+    topk_cols_2d,
+)
 
 # Queries are collected to the driver and broadcast — the standard ANN
 # batch shape (small query block vs huge corpus). Guard against misuse.
@@ -74,7 +77,7 @@ def knn_bruteforce(corpus_df: DataFrame,
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             d2 = l2_batch(qmat_l, vecs)                  # [nq, nb]
             kk = min(k, vecs.shape[0])
-            part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+            part = topk_cols_2d(d2, ids, kk)
             d2k = np.take_along_axis(d2, part, axis=1)
             yield pd.DataFrame({
                 "query_id": np.repeat(qids_l, kk),
@@ -119,7 +122,7 @@ def cosine_topk(corpus_df: DataFrame,
             vnorm = np.linalg.norm(vecs, axis=1) + 1e-12
             sim = (qmat_l @ vecs.T) / (qnorm_l[:, None] * vnorm[None, :])
             kk = min(k, vecs.shape[0])
-            part = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
+            part = topk_cols_2d(sim, ids, kk, descending=True)
             simk = np.take_along_axis(sim, part, axis=1)
             yield pd.DataFrame({
                 "query_id": np.repeat(qids_l, kk),

@@ -33,3 +33,58 @@ def test_topk_k_larger_than_n():
     arr = np.array([2.0, 1.0])
     assert topk_indices(arr, 10).tolist() == [1, 0]
     assert topk_indices(arr, 0).tolist() == []
+
+
+# ------------------------- property tests (hypothesis, SURVEY.md §5.2)
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+_finite = st.floats(min_value=-100, max_value=100,
+                    allow_nan=False, allow_infinity=False, width=64)
+
+
+@settings(max_examples=50, deadline=None)
+@given(x=arrays(np.float64, (5, 8), elements=_finite),
+       y=arrays(np.float64, (9, 8), elements=_finite))
+def test_l2_batch_property_matches_naive(x, y):
+    naive = ((x[:, None, :] - y[None, :, :]) ** 2).sum(axis=2)
+    np.testing.assert_allclose(l2_batch(x, y), naive,
+                               rtol=1e-9, atol=1e-7)
+
+
+@settings(max_examples=50, deadline=None)
+@given(arr=arrays(np.float64, st.integers(1, 40), elements=_finite),
+       k=st.integers(1, 50))
+def test_topk_property_sorted_prefix(arr, k):
+    idx = topk_indices(arr, k)
+    kk = min(k, len(arr))
+    assert len(idx) == kk
+    vals = arr[idx]
+    # ascending values, index-ascending on ties
+    assert all(vals[i] < vals[i + 1]
+               or (vals[i] == vals[i + 1] and idx[i] < idx[i + 1])
+               for i in range(kk - 1))
+    # the selected set IS the k smallest (compare against full argsort)
+    ref = sorted(range(len(arr)), key=lambda i: (arr[i], i))[:kk]
+    assert idx.tolist() == ref
+
+
+@settings(max_examples=50, deadline=None)
+@given(p=arrays(np.float64, st.integers(1, 64),
+                elements=st.floats(min_value=1e-9, max_value=1.0)),
+       cap=st.integers(1, 64))
+def test_choose_nprobe_properties(p, cap):
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    probs = np.sort(p / p.sum())[::-1][None, :]
+    P = probs.shape[1]
+    prev = 0
+    for tr in (0.1, 0.5, 0.9, 0.99, 1.0):
+        n = int(IVFIndex.choose_nprobe(probs, tr, cap)[0])
+        assert 1 <= n <= min(cap, P)          # bounded
+        assert n >= prev                      # monotone in target_recall
+        prev = n
+    # target 1.0 with no cap → the full partition set (cumsum reaches
+    # ~1.0 only at the end; allow early stop from float rounding)
+    n_full = int(IVFIndex.choose_nprobe(probs, 1.0 - 1e-12, P)[0])
+    assert n_full >= P - 1
