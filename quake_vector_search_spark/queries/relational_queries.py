@@ -695,3 +695,55 @@ def q_skew_salted_agg(spark, sf_dir):
     return (partial.groupBy("event_type")
             .agg(F.sum("c").alias("n_events"),
                  F.round(F.sum("s"), 4).alias("sum_value")))
+
+
+@register("q_string_funcs2", sql="""
+SELECT p_partkey,
+       regexp_replace(p_name, '[aeiou]', '', 'g') AS no_vowels,
+       lpad(p_brand, 12, '*') AS brand_padded,
+       CAST(instr(p_type, 'ED') AS INT) AS ed_pos,
+       reverse(p_brand) AS brand_rev,
+       translate(p_brand, 'B#', 'b_') AS brand_tr,
+       repeat(substr(p_brand, 1, 2), 2) AS b2x2,
+       starts_with(p_type, 'STANDARD') AS is_standard,
+       ends_with(p_type, 'STEEL') AS is_steel
+FROM part
+WHERE p_size <= 15
+""")
+def q_string_funcs2(spark, sf_dir):
+    """Second string battery (E8): regexp_replace, lpad, instr,
+    reverse, translate, repeat, startswith/endswith — all codegen'd."""
+    p = _t(spark, sf_dir, "part")
+    return (p.where(F.col("p_size") <= 15)
+            .select("p_partkey",
+                    F.regexp_replace("p_name", "[aeiou]", "")
+                     .alias("no_vowels"),
+                    F.lpad("p_brand", 12, "*").alias("brand_padded"),
+                    F.instr("p_type", "ED").alias("ed_pos"),
+                    F.reverse("p_brand").alias("brand_rev"),
+                    F.translate("p_brand", "B#", "b_").alias("brand_tr"),
+                    F.repeat(F.substring("p_brand", 1, 2), 2).alias("b2x2"),
+                    F.startswith("p_type", F.lit("STANDARD"))
+                     .alias("is_standard"),
+                    F.endswith("p_type", F.lit("STEEL")).alias("is_steel")))
+
+
+@register("q_from_json", sql="""
+SELECT CAST(json_extract(props, '$.k') AS INT) % 2 = 0 AS k_even,
+       COUNT(*) AS n,
+       CAST(MIN(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS min_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS max_k
+FROM events
+GROUP BY 1
+""")
+def q_from_json(spark, sf_dir):
+    """Structured JSON parsing (E9): from_json with an explicit schema
+    (vs q_json_extract's path extraction), aggregated over the parsed
+    struct field."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        F.from_json("props", "k INT").getField("k").alias("k"))
+    return (parsed.groupBy((F.col("k") % 2 == 0).alias("k_even"))
+            .agg(F.count("*").alias("n"),
+                 F.min("k").alias("min_k"),
+                 F.max("k").alias("max_k")))
