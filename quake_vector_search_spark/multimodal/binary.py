@@ -116,3 +116,33 @@ def frame_sample(assets: DataFrame, every_n: int = 4,
 
     return assets.mapInPandas(
         frames, "asset_id long, frame_idx int, frame array<double>")
+
+
+def resize(assets: DataFrame, target_rows: int = 8,
+           decode=fake_decode) -> DataFrame:
+    """Resize/repool each decoded asset to a fixed (target_rows, C)
+    shape — nearest-neighbor row sampling, the standard pre-batching
+    normalization step (a real pipeline swaps in PIL/torchvision here;
+    the Spark-side contract — fixed-shape array column out — is what
+    downstream training batches depend on).
+    Returns (asset_id, height, width, pixels ARRAY<ARRAY<DOUBLE>>)."""
+    def rsz(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, hs, ws, px = [], [], [], []
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                img = decode(bytes(content) if content is not None else b"")
+                sel = np.linspace(0, img.shape[0] - 1,
+                                  target_rows).round().astype(int)
+                out = img[sel]
+                ids.append(aid)
+                hs.append(int(out.shape[0]))
+                ws.append(int(out.shape[1]))
+                px.append([row for row in out])
+            yield pd.DataFrame({"asset_id": ids, "height": hs,
+                                "width": ws, "pixels": px})
+
+    return assets.mapInPandas(
+        rsz, "asset_id long, height int, width int, "
+             "pixels array<array<double>>")

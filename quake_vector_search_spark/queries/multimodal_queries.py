@@ -23,3 +23,11 @@ def mm_frame_sample(spark, sf_dir):
     decoded frames (every 4th)."""
     docs = load_table(spark, sf_dir, "documents")
     return MM.frame_sample(MM.synthesize_assets(docs, "video"), every_n=4)
+
+
+@register("mm_resize")  # rows-only
+def mm_resize(spark, sf_dir):
+    """Fixed-shape resize/repool: every asset normalized to (8, C)
+    pixels before batching — the contract a training data-loader needs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.resize(MM.synthesize_assets(docs), target_rows=8)

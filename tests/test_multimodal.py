@@ -48,3 +48,18 @@ def test_real_decoder_seam_raises(spark, assets):
                             decode=MM.real_decode_stub).collect()
     assert "NotImplementedError" in str(exc_info.value) or \
         "media codecs" in str(exc_info.value)
+
+
+def test_resize_fixed_shape(spark):
+    from quake_vector_search_spark.multimodal.binary import (
+        resize,
+        synthesize_assets,
+    )
+    from quake_vector_search_spark.sources import load_table
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = resize(synthesize_assets(docs), target_rows=8).collect()
+    assert len(out) == docs.count()
+    for r in out:
+        assert r["height"] == 8
+        assert len(r["pixels"]) == 8
+        assert all(len(row) == r["width"] for row in r["pixels"])
