@@ -747,3 +747,79 @@ def q_from_json(spark, sf_dir):
             .agg(F.count("*").alias("n"),
                  F.min("k").alias("min_k"),
                  F.max("k").alias("max_k")))
+
+
+# --------------------------------------------------- TPC-H classics Q3 / Q10
+@register("q3_shipping_priority", sql="""
+SELECT l.l_orderkey,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1996-03-15'
+  AND l.l_shipdate > TIMESTAMP '1996-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10
+""")
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter broadcast into the fact-fact
+    join, aggregate, global top-10 with full tie-break (E3+E4+E6).
+    lineitem⋈orders shuffles on orderkey; customer broadcasts."""
+    c = (_t(spark, sf_dir, "customer")
+         .where(F.col("c_mktsegment") == "BUILDING"))
+    o = (_t(spark, sf_dir, "orders")
+         .where(F.col("o_orderdate") < F.lit("1996-03-15").cast("timestamp")))
+    li = (_t(spark, sf_dir, "lineitem")
+          .where(F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 4)
+                  .alias("revenue"))
+            .select("l_orderkey", "revenue", "o_orderdate",
+                    "o_orderpriority")
+            .orderBy(F.desc("revenue"), F.asc("o_orderdate"),
+                     F.asc("l_orderkey"))
+            .limit(10))
+
+
+@register("q10_returned_items", sql="""
+SELECT c.c_custkey, c.c_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       n.n_name, c.c_mktsegment
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_mktsegment
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""")
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: returned-item revenue per customer over a date
+    window, dims broadcast, top-20 deterministic (E3+E4+E6)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = (_t(spark, sf_dir, "orders")
+         .where((F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))))
+    li = (_t(spark, sf_dir, "lineitem")
+          .where(F.col("l_returnflag") == "R"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("c_custkey", "c_name", "n_name", "c_mktsegment")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 4)
+                  .alias("revenue"))
+            .select("c_custkey", "c_name", "revenue", "n_name",
+                    "c_mktsegment")
+            .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+            .limit(20))
