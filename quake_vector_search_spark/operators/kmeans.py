@@ -92,28 +92,52 @@ def _merge_partials(rows, k: int, d: int) -> tuple[np.ndarray, np.ndarray]:
 
 def kmeans_fit(df: DataFrame, vec_col: str = "embedding",
                id_col: str = "vec_id", k: int = 8, iters: int = 10,
-               seed: int = 42) -> np.ndarray:
+               seed: int = 42,
+               train_cap: int | None = 262_144) -> np.ndarray:
     """Fit k-means, returning centroids [k, d] (float64).
 
     Mirrors reference semantics (init from seeded sample, fixed iters,
-    empty-cluster reseed — ipynb c1:22-36) with distributed execution.
+    empty-cluster reseed — ipynb c1:22-36).
+
+    ``train_cap`` (default 256k rows): train on a deterministic seeded
+    sample pulled to the driver and iterate locally — ONE distributed
+    pass instead of ``iters`` full-corpus passes. This is the 100 TB-
+    sane coarse-training design (what faiss does): k centroids need
+    k·O(1000) training points, not the corpus; a 256k×d float64 block
+    is ≤128 MB at d=64. Assignment downstream is always full-corpus
+    and distributed. ``train_cap=None`` runs classic distributed
+    Lloyd's (broadcast centroids → map-side partial sums per
+    iteration) when sample bias is unacceptable.
     """
     # Persist the (id, vec) projection across iterations — Lloyd's
     # re-scans its input `iters` times; without this every iteration
     # pays the source scan + decode again (Spark ML's KMeans caches the
     # same way). MEMORY_AND_DISK: spills rather than recomputes at scale.
-    from pyspark import StorageLevel
-    # don't re-project (and re-persist) an input that is already the
-    # bare (id, vec) projection — build() passes a persisted one in
+    # don't re-project an input that is already the bare projection —
+    # build() passes a (possibly persisted) one in
     proj = (df if set(df.columns) == {id_col, vec_col}
             else df.select(id_col, vec_col))
+    reservoir_n = max(4 * k, 64)
+
+    if train_cap is not None:
+        # sampled path: one distributed TakeOrdered, then local Lloyd's
+        _, samp = _seeded_sample(proj, vec_col, id_col,
+                                 max(train_cap, reservoir_n), seed)
+        if samp.shape[0] == 0:
+            raise ValueError("kmeans_fit on empty DataFrame")
+        # reservoir = the sample's smallest-hash prefix (identical to
+        # what the distributed path uses)
+        return _lloyds_local(samp, samp[:reservoir_n], k, iters)
+
+    from pyspark import StorageLevel
     owned_cache = proj.storageLevel == StorageLevel.NONE
     if owned_cache:
+        # persist across iterations — Lloyd's re-scans its input every
+        # pass (Spark ML's KMeans caches the same way)
         proj = proj.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         # Reservoir of seeded-sample points: first k are the init
         # centroids, the rest feed deterministic empty-cluster reseeds.
-        reservoir_n = max(4 * k, 64)
         _, reservoir = _seeded_sample(proj, vec_col, id_col,
                                       reservoir_n, seed)
         if reservoir.shape[0] == 0:
@@ -137,6 +161,26 @@ def kmeans_fit(df: DataFrame, vec_col: str = "embedding",
     finally:
         if owned_cache:
             proj.unpersist()
+
+
+def _lloyds_local(train: np.ndarray, reservoir: np.ndarray, k: int,
+                  iters: int) -> np.ndarray:
+    """Seeded Lloyd's over an in-memory training block with the same
+    init/empty-reseed scheme as the distributed path (init = first k
+    reservoir points, empty cluster → next reservoir point)."""
+    k_eff = min(k, train.shape[0])
+    cents = reservoir[:k_eff].copy()
+    reseed_cursor = k_eff
+    for _ in range(iters):
+        assign = np.argmin(l2_batch(train, cents), axis=1)
+        for c in range(k_eff):
+            members = train[assign == c]
+            if len(members) > 0:
+                cents[c] = members.mean(axis=0)
+            else:
+                cents[c] = reservoir[reseed_cursor % reservoir.shape[0]]
+                reseed_cursor += 1
+    return cents
 
 
 def local_kmeans(vecs: np.ndarray, k: int, iters: int,
