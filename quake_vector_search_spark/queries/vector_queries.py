@@ -251,3 +251,39 @@ def ivf_dml_roundtrip(spark, sf_dir):
              .where(F.col("count") > 1).count())),
     ]
     return spark.createDataFrame(checks, ["check", "value"])
+
+
+@register("knn_filtered", sql=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), d AS (
+  SELECT q.query_id, e.vec_id,
+         list_distance(CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.qvec AS DOUBLE[])) AS dist
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label % 2 = 0
+), r AS (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist ASC, vec_id ASC) AS rank
+  FROM d
+)
+SELECT query_id, vec_id, ROUND(dist, 6) AS dist, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {K}
+""")
+def knn_filtered(spark, sf_dir):
+    """Filtered (hybrid) search — a capability the reference lacks
+    (SURVEY.md §2.2): kNN restricted by a relational predicate. In
+    Spark this is just predicate-then-search: the filter reaches the
+    parquet scan (PushedFilters) BEFORE any distance work, so
+    selectivity directly cuts the scan — no post-filtering of an
+    over-fetched candidate list like serving-time vector DBs do."""
+    from quake_vector_search_spark.api import knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES) \
+                 .withColumnRenamed("vec_id", "query_id")
+    filtered = emb.where(F.col("label") % 2 == 0)
+    out = knn(filtered, queries, k=K)
+    return out.withColumn("dist", F.round("dist", 6))
