@@ -41,9 +41,10 @@ def knn(corpus_df: DataFrame, queries, k: int = 10,
     on (dist, vec_id).
     """
     if index is not None:
-        if metric != "l2":
-            raise ValueError("IVF index search is L2 (reference parity); "
-                             "use metric='l2' or index=None")
+        if metric != index.metric:
+            raise ValueError(f"index was built with metric="
+                             f"{index.metric!r}, queried with {metric!r}"
+                             " — build a matching index or use index=None")
         out, _meta = index.search(queries, k=k,
                                   target_recall=target_recall,
                                   max_probe=max_probe, **kwargs)

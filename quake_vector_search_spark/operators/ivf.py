@@ -45,6 +45,15 @@ from quake_vector_search_spark.operators.kmeans import (
 # Tombstone count below which the read filter uses a literal NOT IN
 # (pushed to parquet); above it, a broadcast anti-join.
 TOMBSTONE_ISIN_LIMIT = 10_000
+def _unit_normalize_expr(vec_col: str):
+    """array<float> → unit-length array<float>, pure Catalyst (no UDF)."""
+    norm = F.sqrt(F.aggregate(
+        F.transform(F.col(vec_col), lambda x: x.cast("double") * x),
+        F.lit(0.0), lambda a, x: a + x))
+    return F.transform(F.col(vec_col),
+                       lambda x: (x / (norm + F.lit(1e-12))).cast("float"))
+
+
 # search-scan task sizing: ~100k vectors/task ≈ 25-50 MB of float32
 # payload at d=64-128 — big enough to amortize the Python worker
 # round-trip, small enough to keep thousands of tasks at 100 TB scale
@@ -61,8 +70,10 @@ class IVFIndex:
                  coarse_centroids: np.ndarray,
                  hits: dict[int, int], last_split_at: dict[int, int],
                  query_counter: int = 0,
-                 tombstones: set[int] | None = None):
+                 tombstones: set[int] | None = None,
+                 metric: str = "l2"):
         self.spark = spark
+        self.metric = metric          # "l2" | "cosine" (unit-normalized)
         self.workdir = workdir
         self.version = version
         self.vec_col = vec_col
@@ -99,7 +110,8 @@ class IVFIndex:
               coarse_iters: int = 12, base_iters: int = 10,
               seed: int = 42, base_seed: int = 123,
               rows_per_centroid: int = 50,
-              cell_train_cap: int = 100_000) -> "IVFIndex":
+              cell_train_cap: int = 100_000,
+              metric: str = "l2") -> "IVFIndex":
         """Two-level build (reference ``build``, ipynb c1:66-90).
 
         Coarse: distributed seeded k-means (k=coarse_k, seed=seed).
@@ -112,6 +124,13 @@ class IVFIndex:
         partitioned layout.
         """
         spark = corpus_df.sparkSession
+        if metric == "cosine":
+            # cosine = L2 over unit vectors (monotone: d2 = 2 - 2cos);
+            # normalize ONCE at build so search stays a pure L2 kernel
+            corpus_df = corpus_df.withColumn(
+                vec_col, _unit_normalize_expr(vec_col))
+        elif metric != "l2":
+            raise ValueError(f"unknown metric {metric!r} (l2|cosine)")
 
         # One persisted (id, vec) projection feeds every build pass —
         # coarse k-means iterations, coarse tagging (x2: cell sizes,
@@ -211,6 +230,7 @@ class IVFIndex:
         proj.unpersist()
 
         idx = cls(spark, workdir, version, vec_col, id_col,
+                  metric=metric,
                   part_ids=part_ids,
                   centroids=train_cents,  # replaced by exact means below
                   sizes=np.zeros(len(part_ids), dtype=np.int64),
@@ -284,6 +304,7 @@ class IVFIndex:
                 "tombstones": sorted(self.tombstones),
                 "vec_col": self.vec_col,
                 "id_col": self.id_col,
+                "metric": self.metric,
             }, f)
 
     @classmethod
@@ -300,6 +321,7 @@ class IVFIndex:
             stats = json.load(f)
         return cls(spark, workdir, version,
                    stats["vec_col"], stats["id_col"],
+                   metric=stats.get("metric", "l2"),
                    part_ids=cents["partition_id"].to_numpy(),
                    centroids=np.vstack(cents["centroid"].to_numpy()),
                    sizes=cents["size"].to_numpy(),
@@ -355,6 +377,9 @@ class IVFIndex:
         vecs = np.asarray(vecs, dtype=np.float64)
         if len(ids) == 0:
             return
+        if self.metric == "cosine":
+            vecs = vecs / (np.linalg.norm(vecs, axis=1, keepdims=True)
+                           + 1e-12)
         cid = np.argmin(l2_batch(vecs, self.coarse_centroids), axis=1)
         pid = np.empty(len(ids), dtype=np.int64)
         for c in np.unique(cid):
@@ -482,6 +507,9 @@ class IVFIndex:
         """
         from quake_vector_search_spark.operators.knn import _collect_queries
         qids, qmat = _collect_queries(queries, query_id_col, query_vec_col)
+        if self.metric == "cosine" and len(qids):
+            qmat = qmat / (np.linalg.norm(qmat, axis=1, keepdims=True)
+                           + 1e-12)
         nq = len(qids)
         order, probs = self.partition_scores(qmat)
         nprobe = self.choose_nprobe(probs, target_recall, max_probe)
@@ -543,10 +571,16 @@ class IVFIndex:
             local_topk, "query_id long, vec_id long, dist double")
         w = (Window.partitionBy("query_id")
              .orderBy(F.col("dist").asc(), F.col("vec_id").asc()))
-        out = (local.withColumn("rank", F.row_number().over(w))
-               .where(F.col("rank") <= k)
-               .withColumn("dist", F.sqrt(F.col("dist")))
-               .select("query_id", "vec_id", "dist", "rank"))
+        ranked = (local.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k))
+        if self.metric == "cosine":
+            # unit vectors: d2 = 2 - 2·cos  →  cos = 1 - d2/2; rank by
+            # d2 asc ≡ sim desc, tie-break unchanged
+            out = (ranked.withColumn("sim", 1 - F.col("dist") / 2)
+                   .select("query_id", "vec_id", "sim", "rank"))
+        else:
+            out = (ranked.withColumn("dist", F.sqrt(F.col("dist")))
+                   .select("query_id", "vec_id", "dist", "rank"))
         meta = {
             "nprobe": nprobe.tolist(),
             "avg_nprobe": float(nprobe.mean()) if nq else 0.0,

@@ -95,3 +95,36 @@ def test_build_deterministic(spark):
     idx_c = IVFIndex.build(emb, WORKDIR + "_c", coarse_k=8, base_k=2)
     np.testing.assert_allclose(idx_b.centroids, idx_c.centroids)
     assert np.array_equal(idx_b.sizes, idx_c.sizes)
+
+
+def test_cosine_index_fullprobe_matches_exact(spark):
+    """Cosine-metric IVF (normalize-then-L2): full probe must equal the
+    exact cosine_topk oracle — closes the reference's no-cosine gap."""
+    import shutil
+
+    from quake_vector_search_spark.api import build_index, knn
+    from quake_vector_search_spark.operators.knn import cosine_topk
+    from quake_vector_search_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    shutil.rmtree("/tmp/qvss_cos_idx", ignore_errors=True)
+    idx = build_index(emb, "/tmp/qvss_cos_idx", coarse_k=4, base_k=2,
+                      metric="cosine")
+    queries = emb.where("vec_id < 5").withColumnRenamed("vec_id", "query_id")
+    got = knn(emb, queries, k=10, metric="cosine", index=idx,
+              target_recall=1.0, max_probe=10**9)
+    exact = cosine_topk(emb, queries, k=10)
+    g = {(r["query_id"], r["rank"]): (r["vec_id"], round(r["sim"], 6))
+         for r in got.collect()}
+    e = {(r["query_id"], r["rank"]): (r["vec_id"], round(r["sim"], 6))
+         for r in exact.collect()}
+    assert set(g) == set(e)
+    for key in e:
+        assert g[key][0] == e[key][0], key
+        assert abs(g[key][1] - e[key][1]) < 1e-5, key
+    # metric mismatch is rejected
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        knn(emb, queries, k=10, metric="l2", index=idx)
+    shutil.rmtree("/tmp/qvss_cos_idx", ignore_errors=True)
