@@ -255,3 +255,45 @@ def cosine_pairs(emb: DataFrame, threshold: float,
             .withColumn("cosine", cosine_similarity_col("va", "vb"))
             .where(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
+
+
+def simhash_pairs_blocked(docs: DataFrame, max_hamming: int = 2,
+                          bits: int = 32,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """SimHash near-dup pairs via pigeonhole blocking — the scale path
+    promised by simhash_pairs: split the fingerprint into
+    ``max_hamming + 1`` bit blocks; any pair within ``max_hamming``
+    differing bits must agree on at least one whole block, so an
+    equality join on (block_idx, block_key) finds every qualifying
+    pair with candidates ∝ near-dup density, never n². Exact-hamming
+    verification then filters false candidates. Output is IDENTICAL to
+    simhash_pairs (same oracle)."""
+    s = simhash(docs, id_col, text_col, bits)
+    n_blocks = max_hamming + 1
+    base, extra = divmod(bits, n_blocks)
+    keys, shift = [], 0
+    for i in range(n_blocks):
+        w = base + (1 if i < extra else 0)
+        keys.append(F.struct(
+            F.lit(i).alias("blk"),
+            F.shiftright(F.col("simhash"), shift)
+             .bitwiseAND((1 << w) - 1).alias("key")))
+        shift += w
+    banded = (s.select(F.col(id_col), F.explode(F.array(*keys)).alias("bk"))
+              .select(id_col, "bk.blk", "bk.key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, (F.col("a.blk") == F.col("b.blk"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("doc_a"),
+                    F.col(f"b.{id_col}").alias("doc_b"))
+            .distinct())
+    sa = s.select(F.col(id_col).alias("doc_a"),
+                  F.col("simhash").alias("sh_a"))
+    sb = s.select(F.col(id_col).alias("doc_b"),
+                  F.col("simhash").alias("sh_b"))
+    ham = F.expr("bit_count(sh_a ^ sh_b)")
+    return (cand.join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+            .where(F.col("hamming") <= max_hamming))

@@ -161,3 +161,14 @@ def dedup_embedding_cosine(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     out = D.cosine_pairs(emb, threshold=0.45)
     return out.withColumn("cosine", F.round("cosine", 6))
+
+
+@register("dedup_simhash_blocked", sql=_simhash_sql())
+def dedup_simhash_blocked(spark, sf_dir):
+    """SimHash via pigeonhole blocking (the scale path): hamming ≤ 2
+    ⇒ at least one of 3 fingerprint blocks matches exactly, so an
+    equality join on (block, key) generates candidates ∝ dup density.
+    Must hash-match the n² variant's oracle EXACTLY — blocking is a
+    lossless candidate filter at this threshold."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_pairs_blocked(docs, max_hamming=2)
