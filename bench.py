@@ -40,7 +40,12 @@ HEADLINE = [
     "dedup_exact",
     "knn_brute_l2",
     "knn_cosine",
+    "knn_filtered",
     "mm_extract_features",
+    "q3_shipping_priority",
+    "q10_returned_items",
+    "q_skew_salted_agg",
+    "text_tfidf",
 ]
 
 N_WORKLOAD_QUERIES = 200
