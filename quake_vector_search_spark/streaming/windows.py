@@ -78,3 +78,15 @@ def run_to_completion(stream_df: DataFrame, query_name: str,
     finally:
         q.stop()
     return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+
+
+def dedup_stream(rows: DataFrame, key_cols: list[str],
+                 ts_col: str = "ts",
+                 watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup (E12's streaming form): first occurrence
+    of each key within the watermark horizon passes; later duplicates
+    drop. State = one entry per distinct key inside the horizon —
+    `dropDuplicates` state is evicted as the watermark advances, so
+    memory tracks the dedup window, not the stream length."""
+    return (rows.withWatermark(ts_col, watermark)
+            .dropDuplicates(key_cols))

@@ -149,3 +149,16 @@ def test_stateful_running_totals_match_batch(spark, events_dir):
         assert abs(g["sum_value"] - e["sum_value"]) < 1e-6, uid
         assert abs(g["max_value"] - e["max_value"]) < 1e-12, uid
         assert g["last_ts"] == e["last_ts"], uid
+
+
+def test_streaming_dedup_matches_batch(spark, events_dir):
+    """dropDuplicates on the stream keeps exactly one row per key —
+    same distinct-key set as batch."""
+    stream = SW.read_events_stream(spark, events_dir)
+    deduped = SW.dedup_stream(stream.select("user_id", "event_type", "ts"),
+                              ["user_id", "event_type"])
+    got = SW.run_to_completion(deduped, "dedup_stream_t")
+    batch = (load_table(spark, SF, "events")
+             .select("user_id", "event_type").distinct())
+    assert sorted(map(tuple, got.select("user_id", "event_type").collect())) \
+        == sorted(map(tuple, batch.collect()))
