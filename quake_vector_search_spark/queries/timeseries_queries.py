@@ -82,3 +82,36 @@ def ts_sessionization(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     out = TS.sessionize(ev, gap_minutes=30)
     return out.withColumn("sum_value", F.round("sum_value", 4))
+
+
+@register("ts_trailing_1h_range", sql="""
+SELECT event_id,
+       event_type,
+       CAST(n_1h AS BIGINT) AS n_1h,
+       ROUND(sum_1h, 4) AS sum_1h
+FROM (
+  SELECT event_id, event_type,
+         COUNT(*) OVER w AS n_1h,
+         SUM(value) OVER w AS sum_1h
+  FROM (SELECT event_id, event_type, value,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es
+        FROM events)
+  WINDOW w AS (PARTITION BY event_type ORDER BY es
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+)
+""")
+def ts_trailing_1h_range(spark, sf_dir):
+    """Trailing-1-hour RANGE frame per event (E5/E11): value-based
+    frame bounds over epoch seconds — every event sees the count/sum of
+    the preceding hour of its type. One shuffle on the partition key;
+    the frame is computed in a single sorted pass per partition."""
+    from pyspark.sql import Window as W
+
+    from quake_vector_search_spark.sources import load_table
+    ev = load_table(spark, sf_dir, "events")
+    es = F.unix_timestamp("ts")
+    w = (W.partitionBy("event_type").orderBy(es.alias("es"))
+         .rangeBetween(-3600, 0))
+    return (ev.select("event_id", "event_type",
+                      F.count("*").over(w).alias("n_1h"),
+                      F.round(F.sum("value").over(w), 4).alias("sum_1h")))
