@@ -123,12 +123,22 @@ def jaccard_pairs(docs: DataFrame, threshold: float,
             F.col(id_col), F.size(_grams_expr(n)).alias("n_sh"))
     else:
         sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
-                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-             .groupBy(F.col(f"a.{id_col}").alias("doc_a"),
-                      F.col(f"b.{id_col}").alias("doc_b"))
+    # Intersection counts via posting-list pair explosion: ONE pass over
+    # the shingle pipeline (a self-join would recompute the explode+hash
+    # for both sides), one shuffle to build posting lists, ordered pairs
+    # generated inside each list. Pair volume is Σ df², identical to the
+    # self-join's output; hot shingles are bounded by max_shingle_df.
+    posting = (sh.groupBy("sh")
+               .agg(F.sort_array(F.collect_list(F.col(id_col)))
+                    .alias("ids"))
+               .where(F.size("ids") >= 2))
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "y -> struct(x AS doc_a, y AS doc_b))))")
+    inter = (posting.select(F.explode(pair_expr).alias("p"))
+             .groupBy(F.col("p.doc_a").alias("doc_a"),
+                      F.col("p.doc_b").alias("doc_b"))
              .agg(F.count("*").alias("inter")))
     sa = sizes.select(F.col(id_col).alias("doc_a"),
                       F.col("n_sh").alias("na"))
