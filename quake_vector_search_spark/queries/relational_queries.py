@@ -823,3 +823,30 @@ def q10_returned_items(spark, sf_dir):
                     "c_mktsegment")
             .orderBy(F.desc("revenue"), F.asc("c_custkey"))
             .limit(20))
+
+
+@register("q_unpivot", sql="""
+SELECT l_orderkey, l_linenumber, charge, amount
+FROM (
+  SELECT l_orderkey, l_linenumber,
+         ROUND(l_extendedprice * l_discount, 4) AS discount_amt,
+         ROUND(l_extendedprice * l_tax, 4) AS tax_amt
+  FROM lineitem WHERE l_orderkey < 100
+)
+UNPIVOT (amount FOR charge IN (discount_amt, tax_amt))
+ORDER BY l_orderkey, l_linenumber, charge
+""")
+def q_unpivot(spark, sf_dir):
+    """UNPIVOT / melt (E4 reshape): wide per-line charges to long
+    (charge, amount) rows — narrow transform, no shuffle until the
+    deterministic output ordering."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .where(F.col("l_orderkey") < 100)
+          .select("l_orderkey", "l_linenumber",
+                  F.round(F.col("l_extendedprice") * F.col("l_discount"), 4)
+                   .alias("discount_amt"),
+                  F.round(F.col("l_extendedprice") * F.col("l_tax"), 4)
+                   .alias("tax_amt")))
+    return (li.unpivot(["l_orderkey", "l_linenumber"],
+                       ["discount_amt", "tax_amt"], "charge", "amount")
+            .orderBy("l_orderkey", "l_linenumber", "charge"))
