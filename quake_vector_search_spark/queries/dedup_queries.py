@@ -172,3 +172,39 @@ def dedup_simhash_blocked(spark, sf_dir):
     lossless candidate filter at this threshold."""
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash_pairs_blocked(docs, max_hamming=2)
+
+
+# capped variant: the 100 TB hot-key guard, with its exact semantics
+# mirrored in the oracle (shingles appearing in > 10 docs are dropped
+# from BOTH the intersection join and the per-doc set sizes)
+_CAP = 10
+_SQL_JACCARD_CAPPED = SQL_SHINGLES + f""",
+hot AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) > {_CAP}),
+shf AS (SELECT * FROM sh WHERE sh NOT IN (SELECT sh FROM hot)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shf GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT i.doc_a, i.doc_b,
+         CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+)
+"""
+
+
+@register("dedup_ngram_jaccard_capped", sql="WITH " + _SQL_JACCARD_CAPPED + """
+SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard
+FROM jac WHERE jaccard >= 0.8
+""")
+def dedup_ngram_jaccard_capped(spark, sf_dir):
+    """Jaccard with the hot-shingle frequency cap engaged (df > 10
+    dropped) — the join-skew guard the 100 TB path runs with, here
+    oracle-pinned so the cap's exact effect on scores is verified."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = D.jaccard_pairs(docs, threshold=0.8, max_shingle_df=_CAP)
+    return out.withColumn("jaccard", F.round("jaccard", 6))
