@@ -850,3 +850,26 @@ def q_unpivot(spark, sf_dir):
     return (li.unpivot(["l_orderkey", "l_linenumber"],
                        ["discount_amt", "tax_amt"], "charge", "amount")
             .orderBy("l_orderkey", "l_linenumber", "charge"))
+
+
+@register("q_approx_percentile", sql="""
+SELECT l_returnflag,
+       ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS exact_p50,
+       TRUE AS approx_within_2pct
+FROM lineitem
+GROUP BY l_returnflag
+""")
+def q_approx_percentile(spark, sf_dir):
+    """approx_percentile (E10), oracle-checked by tolerance like
+    q_approx_distinct: emits whether the sketch estimate lands within
+    2% of the exact interpolated median; the oracle asserts TRUE."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = (li.groupBy("l_returnflag")
+           .agg(F.round(F.percentile("l_extendedprice", 0.5), 4)
+                 .alias("exact_p50"),
+                F.approx_percentile("l_extendedprice", 0.5, 10000)
+                 .alias("_approx")))
+    return agg.select(
+        "l_returnflag", "exact_p50",
+        (F.abs(F.col("_approx") - F.col("exact_p50"))
+         <= 0.02 * F.col("exact_p50")).alias("approx_within_2pct"))
