@@ -58,9 +58,32 @@ def run_df(df) -> None:
 
 
 def ivf_workload(spark, sf_dir: str) -> dict:
-    """Reference run_demo replay (ipynb c2:31-98), batched: build,
-    Zipf-skewed query batches with interleaved DML, maintenance, and a
-    final recall evaluation against brute force."""
+    """Reference run_demo replay (ipynb c2:31-98) on the testdata
+    embeddings table at $SPARK_GRAFT_SF_DIR scale."""
+    from quake_vector_search_spark.sources import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _replay(spark, emb, "/tmp/qvss_bench_ivf",
+                   n_queries=N_WORKLOAD_QUERIES, batch=QUERY_BATCH,
+                   n_ins=10, n_del=10, maintain_every=2, curve=True)
+
+
+def ivf_workload_n40k(spark) -> dict:
+    """Apples-to-apples with BASELINE.md: the reference's EXACT demo
+    config — n=40,000, d=64, 60 Gaussian clusters (seed 7), 500
+    Zipf(1.1) queries, k=10, target_recall=0.9, 10 ins + 10 del every
+    20 queries (= 25+25 per 50-batch), maintain() every 50 queries
+    (= every batch). Reference numbers: build 0.54 s, avg query
+    14.20 ms, recall 0.968, 64 partitions (ipynb cell-3)."""
+    from quake_vector_search_spark.operators.workload import make_dataset
+    emb = make_dataset(spark, 40_000, d=64, n_clusters=60, seed=7)
+    return _replay(spark, emb, "/tmp/qvss_bench_ivf40k",
+                   n_queries=500, batch=QUERY_BATCH,
+                   n_ins=25, n_del=25, maintain_every=1, curve=False)
+
+
+def _replay(spark, emb, workdir: str, n_queries: int, batch: int,
+            n_ins: int, n_del: int, maintain_every: int,
+            curve: bool) -> dict:
     import shutil
 
     from quake_vector_search_spark.operators.evaluation import avg_recall
@@ -68,10 +91,7 @@ def ivf_workload(spark, sf_dir: str) -> dict:
     from quake_vector_search_spark.operators.knn import knn_bruteforce
     from quake_vector_search_spark.operators.maintenance import maintain
     from quake_vector_search_spark.operators.workload import zipf_queries
-    from quake_vector_search_spark.sources import load_table
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    workdir = "/tmp/qvss_bench_ivf"
     shutil.rmtree(workdir, ignore_errors=True)
 
     t0 = time.time()
@@ -84,7 +104,7 @@ def ivf_workload(spark, sf_dir: str) -> dict:
     ids = np.array([r[0] for r in rows])
     vecs = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
     part_of = np.array([r[2] for r in rows])
-    qmat = zipf_queries(ids, vecs, part_of, N_WORKLOAD_QUERIES)
+    qmat = zipf_queries(ids, vecs, part_of, n_queries)
 
     # untimed warm-up: first search exercises the Python-worker spin-up,
     # Arrow serializer init, and codegen for the search plan shape —
@@ -98,10 +118,10 @@ def ivf_workload(spark, sf_dir: str) -> dict:
     batch_times, nprobes, scanned = [], [], []
     next_id = 1_000_000
     all_found = None
-    for b in range(0, N_WORKLOAD_QUERIES, QUERY_BATCH):
-        qids = np.arange(b, b + QUERY_BATCH)
+    for b in range(0, n_queries, batch):
+        qids = np.arange(b, b + batch)
         t1 = time.time()
-        found, meta = idx.search((qids, qmat[b:b + QUERY_BATCH]), k=K,
+        found, meta = idx.search((qids, qmat[b:b + batch]), k=K,
                                  target_recall=0.9)
         found = found.cache()
         found.count()
@@ -109,50 +129,51 @@ def ivf_workload(spark, sf_dir: str) -> dict:
         nprobes.extend(meta["nprobe"])
         scanned.append(meta["avg_scanned"])
         all_found = found if all_found is None else all_found.unionAll(found)
-        # DML cadence (10 inserts + 10 deletes per batch of queries)
-        idx.insert(list(range(next_id, next_id + 10)),
-                   rng.normal(size=(10, vecs.shape[1])))
-        next_id += 10
+        # DML cadence (reference: 10+10 per 20 queries; scaled per batch)
+        idx.insert(list(range(next_id, next_id + n_ins)),
+                   rng.normal(size=(n_ins, vecs.shape[1])))
+        next_id += n_ins
         idx.delete([int(x) for x in
-                    rng.choice(ids, size=10, replace=False)])
-        if (b // QUERY_BATCH) % 2 == 1:
+                    rng.choice(ids, size=n_del, replace=False)])
+        if (b // batch) % maintain_every == maintain_every - 1:
             maintain(idx)
 
     # recall vs brute force on the final corpus
     live = idx.read_corpus()
-    exact = knn_bruteforce(live, (np.arange(N_WORKLOAD_QUERIES), qmat), k=K)
+    exact = knn_bruteforce(live, (np.arange(n_queries), qmat), k=K)
     recall = avg_recall(all_found, exact, K)
 
     # recall-vs-scanned curve (SURVEY.md §6): sweep target_recall to
     # show APS prunes genuinely — unlike the reference's captured run,
     # which probed 62.7/64 partitions at target 0.9 (~89% of brute
     # force). 50 fixed queries per point, same exact ground truth.
-    curve = []
-    curve_q = (np.arange(50), qmat[:50])
-    exact50 = exact.where(exact.query_id < 50)
-    n_corpus = live.count()
-    for tr in (0.5, 0.7, 0.9, 0.99):
-        f, m = idx.search(curve_q, k=K, target_recall=tr)
-        curve.append({
-            "target_recall": tr,
-            "avg_nprobe": round(m["avg_nprobe"], 2),
-            "scanned_frac": round(m["avg_scanned"] / max(n_corpus, 1), 4),
-            "recall_at_10": round(avg_recall(f, exact50, K), 4),
-        })
+    curve_pts = []
+    if curve:
+        curve_q = (np.arange(50), qmat[:50])
+        exact50 = exact.where(exact.query_id < 50)
+        n_corpus = live.count()
+        for tr in (0.5, 0.7, 0.9, 0.99):
+            f, m = idx.search(curve_q, k=K, target_recall=tr)
+            curve_pts.append({
+                "target_recall": tr,
+                "avg_nprobe": round(m["avg_nprobe"], 2),
+                "scanned_frac": round(m["avg_scanned"] / max(n_corpus, 1), 4),
+                "recall_at_10": round(avg_recall(f, exact50, K), 4),
+            })
 
-    per_query = [bt / QUERY_BATCH for bt in batch_times]
+    per_query = [bt / batch for bt in batch_times]
     return {
         "build_s": round(build_s, 3),
         "n_partitions": int(len(idx.part_ids)),
         "avg_query_ms": round(1000 * float(np.mean(per_query)), 2),
         "p50_batch_ms": round(1000 * float(np.percentile(batch_times, 50)), 1),
         "p95_batch_ms": round(1000 * float(np.percentile(batch_times, 95)), 1),
-        "query_batch": QUERY_BATCH,
-        "n_queries": N_WORKLOAD_QUERIES,
+        "query_batch": batch,
+        "n_queries": n_queries,
         "avg_nprobe": round(float(np.mean(nprobes)), 2),
         "avg_scanned": round(float(np.mean(scanned)), 1),
         "avg_recall_at_10": round(float(recall), 4),
-        "recall_vs_scanned": curve,
+        **({"recall_vs_scanned": curve_pts} if curve else {}),
     }
 
 
@@ -180,6 +201,10 @@ def main() -> None:
     ivf = ivf_workload(spark, sf_dir)
     times["ivf_workload"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    ivf40k = ivf_workload_n40k(spark)
+    times["ivf_workload_n40k"] = round(time.time() - t0, 3)
+
     total = round(sum(times.values()), 3)
     print(json.dumps({
         "metric": "headline_total",
@@ -188,6 +213,7 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         "ivf": ivf,
+        "ivf_n40k_reference_config": ivf40k,
     }))
 
 

@@ -114,3 +114,15 @@ def topk_cols_2d(vals: np.ndarray, ids: np.ndarray, kk: int,
         v = -v
     sel = np.argsort(v, axis=1, kind="stable")[:, :kk]
     return id_order[sel]
+
+
+def arrow_vectors_to_matrix(col) -> np.ndarray:
+    """Arrow list<float> column → [n, d] float64 matrix via the flat
+    values buffer — no per-row Python objects (np.vstack over an
+    object column is 10-50× slower and dominates mapInPandas kernels).
+    Assumes fixed-length vectors (enforced by the corpus schema)."""
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(col)
+    if n == 0:
+        return flat.reshape(0, 0)
+    return flat.reshape(n, len(flat) // n)

@@ -428,6 +428,9 @@ class IVFIndex:
         (sdf.write.mode("append").partitionBy("partition_id")
          .parquet(self.corpus_path))
         self.invalidate_corpus()
+        # eager metadata refresh: pay the file re-listing here, inside
+        # the write path, not inside the next query's latency
+        self.read_corpus()
 
     def delete(self, ids) -> None:
         """O7 (ipynb c1:111-125): delete by id. The reference's O(1)
@@ -547,27 +550,42 @@ class IVFIndex:
         id_col, vec_col = self.id_col, self.vec_col
 
         def local_topk(batches):
+            import pyarrow as pa
+
+            from quake_vector_search_spark.functions.vector import (
+                arrow_vectors_to_matrix,
+            )
             qids_l, qmat_l, pmap = bc.value
-            for pdf in batches:
-                if len(pdf) == 0:
+            for rb in batches:
+                if rb.num_rows == 0:
                     continue
-                for pid, grp in pdf.groupby("partition_id"):
+                all_vecs = arrow_vectors_to_matrix(rb.column(vec_col))
+                all_ids = rb.column(id_col).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                pids = rb.column("partition_id").to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                out_q, out_i, out_d = [], [], []
+                for pid in np.unique(pids):
                     qidx = pmap.get(int(pid))
                     if not qidx:
                         continue
-                    vecs = np.vstack(grp[vec_col].to_numpy()).astype(np.float64)
-                    ids = grp[id_col].to_numpy(dtype=np.int64)
+                    mask = pids == pid
+                    vecs, ids = all_vecs[mask], all_ids[mask]
                     d2 = l2_batch(qmat_l[qidx], vecs)
                     kk = min(k, len(ids))
                     part = topk_cols_2d(d2, ids, kk)
-                    d2k = np.take_along_axis(d2, part, axis=1)
-                    yield pd.DataFrame({
-                        "query_id": np.repeat(qids_l[qidx], kk),
-                        "vec_id": ids[part].ravel(),
-                        "dist": d2k.ravel(),
-                    })
+                    out_q.append(np.repeat(qids_l[qidx], kk))
+                    out_i.append(ids[part].ravel())
+                    out_d.append(np.take_along_axis(d2, part, axis=1)
+                                 .ravel())
+                if out_q:
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array(np.concatenate(out_q)),
+                         pa.array(np.concatenate(out_i)),
+                         pa.array(np.concatenate(out_d))],
+                        ["query_id", "vec_id", "dist"])
 
-        local = corpus.mapInPandas(
+        local = corpus.mapInArrow(
             local_topk, "query_id long, vec_id long, dist double")
         w = (Window.partitionBy("query_id")
              .orderBy(F.col("dist").asc(), F.col("vec_id").asc()))

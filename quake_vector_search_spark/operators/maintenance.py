@@ -44,6 +44,7 @@ from quake_vector_search_spark.operators.kmeans import local_kmeans
 
 SPLIT_SIZE = 3000          # ipynb c1:61
 MERGE_SIZE = 300           # ipynb c1:62
+COMPACT_FILE_THRESHOLD = 4  # rewrite a partition dir past this many files
 HOT_SPLIT_MULTIPLIER = 1.5  # ipynb c1:63
 HOT_WINDOW = 2000          # ipynb c1:170 (hot_qps_window)
 MIN_SPLIT_ROWS = 16        # ipynb c1:176
@@ -97,15 +98,32 @@ def maintain(idx: IVFIndex,
             child_of[pid] = next_pid
             next_pid += 1
 
-    # ---- copy-on-write: link every non-split partition dir
+    # ---- copy-on-write: link every non-split partition dir; dirs that
+    # accumulated too many small append files are rewritten instead
+    # (the small-file problem: every extra footer costs an open+read on
+    # every future scan AND inflates file-index re-listing after DML)
+    compact_pids: list[int] = []
     for pid in idx.part_ids:
         pid = int(pid)
         if pid in split_parents:
             continue
         src = os.path.join(old_corpus, f"partition_id={pid}")
         if os.path.isdir(src):
-            _link_partition_dir(
-                src, os.path.join(new_corpus, f"partition_id={pid}"))
+            n_files = sum(1 for f in os.listdir(src)
+                          if f.endswith(".parquet"))
+            if n_files > COMPACT_FILE_THRESHOLD:
+                compact_pids.append(pid)
+            else:
+                _link_partition_dir(
+                    src, os.path.join(new_corpus, f"partition_id={pid}"))
+    if compact_pids:
+        # ONE job for all compacted partitions: pruned read of the old
+        # layout (tombstones drop out physically — sizes/centroids were
+        # already downdated at delete time), one file per partition out
+        (idx.read_corpus(partition_ids=compact_pids)
+         .repartition("partition_id")
+         .write.mode("append").partitionBy("partition_id")
+         .parquet(new_corpus))
 
     # ---- rewrite split partitions (2-means per partition, executor-side)
     if split_parents:
@@ -202,6 +220,9 @@ def maintain(idx: IVFIndex,
         idx.invalidate_corpus()
 
     idx.save_meta()
+    # eager metadata refresh for the new version (listing cost belongs
+    # to maintenance, not the next query)
+    idx.read_corpus()
     return {"splits": [(p, child_of[p]) for p in split_parents],
             "merges": merges, "version": new_version}
 
@@ -276,4 +297,5 @@ def compact(idx: IVFIndex) -> dict:
     idx.tombstones = set()
     idx.recompute_centroids()
     idx.save_meta()
+    idx.read_corpus()
     return {"version": new_version}
