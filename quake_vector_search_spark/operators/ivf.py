@@ -340,17 +340,25 @@ class IVFIndex:
         self._corpus_df = None
 
     def read_corpus(self, partition_ids=None) -> DataFrame:
-        """Live corpus view: partition-pruned scan + tombstone filter."""
+        """Live corpus view: partition-pruned scan + tombstone filter.
+
+        IN/NOT-IN lists are built as single SQL expression strings —
+        ``Column.isin(list)`` costs one py4j round-trip PER literal
+        (~250 ms of socket chatter for a few hundred tombstones),
+        ``F.expr`` is one call parsed JVM-side into the same plan."""
         if self._corpus_df is None:
             self._corpus_df = self.spark.read.parquet(self.corpus_path)
         df = self._corpus_df
         if partition_ids is not None:
-            df = df.where(F.col("partition_id")
-                          .isin([int(p) for p in partition_ids]))
+            ids_sql = ",".join(str(int(p)) for p in partition_ids)
+            df = (df.where(F.expr(f"partition_id IN ({ids_sql})"))
+                  if ids_sql else df.where(F.lit(False)))
         if self.tombstones:
             if len(self.tombstones) <= TOMBSTONE_ISIN_LIMIT:
-                df = df.where(~F.col(self.id_col)
-                              .isin([int(t) for t in self.tombstones]))
+                dead_sql = ",".join(str(int(t))
+                                    for t in sorted(self.tombstones))
+                df = df.where(
+                    F.expr(f"{self.id_col} NOT IN ({dead_sql})"))
             else:
                 dead = self.spark.createDataFrame(
                     [(int(t),) for t in self.tombstones], [self.id_col])
