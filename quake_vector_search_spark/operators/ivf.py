@@ -522,6 +522,14 @@ class IVFIndex:
             qmat = qmat / (np.linalg.norm(qmat, axis=1, keepdims=True)
                            + 1e-12)
         nq = len(qids)
+        if nq == 0:
+            score_col = "sim" if self.metric == "cosine" else "dist"
+            empty = self.spark.createDataFrame(
+                [], f"query_id long, vec_id long, {score_col} double, "
+                    "rank int")
+            return empty, {"nprobe": [], "avg_nprobe": 0.0,
+                           "avg_scanned": 0.0,
+                           "n_partitions": len(self.part_ids)}
         order, probs = self.partition_scores(qmat)
         nprobe = self.choose_nprobe(probs, target_recall, max_probe)
 

@@ -128,3 +128,21 @@ def test_cosine_index_fullprobe_matches_exact(spark):
     with _pytest.raises(ValueError):
         knn(emb, queries, k=10, metric="l2", index=idx)
     shutil.rmtree("/tmp/qvss_cos_idx", ignore_errors=True)
+
+
+def test_search_empty_query_batch(spark, index):
+    """Zero queries (array or DataFrame form) → empty result with the
+    right schema, no job crash."""
+    import numpy as np
+
+    from quake_vector_search_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    out, meta = index.search((np.array([], dtype=np.int64),
+                              np.zeros((0, 64))), k=10)
+    assert out.count() == 0 and meta["avg_nprobe"] == 0.0
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.where("vec_id < 0").withColumnRenamed("vec_id", "query_id")
+    out2, _ = index.search(q, k=10)
+    assert out2.count() == 0
+    assert out2.columns == ["query_id", "vec_id", "dist", "rank"]
