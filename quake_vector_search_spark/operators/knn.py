@@ -46,7 +46,14 @@ def _collect_queries(queries, query_id_col: str, query_vec_col: str):
         qids, qmat = queries
         qids = np.asarray(qids, dtype=np.int64)
         qmat = np.asarray(qmat, dtype=np.float64)
+    if len(qids) == 0:
+        qmat = qmat.reshape(0, qmat.shape[1] if qmat.ndim == 2 else 0)
     return qids, qmat
+
+
+def _empty_result(spark, score_col: str) -> DataFrame:
+    return spark.createDataFrame(
+        [], f"query_id long, vec_id long, {score_col} double, rank int")
 
 
 def knn_bruteforce(corpus_df: DataFrame,
@@ -65,6 +72,8 @@ def knn_bruteforce(corpus_df: DataFrame,
     """
     spark = corpus_df.sparkSession
     qids, qmat = _collect_queries(queries, query_id_col, query_vec_col)
+    if len(qids) == 0:
+        return _empty_result(spark, "dist")
     bq = spark.sparkContext.broadcast((qids, qmat))
 
     def local_topk(batches):
@@ -109,6 +118,8 @@ def cosine_topk(corpus_df: DataFrame,
     `knn_bruteforce`. Tie-break (sim DESC, vec_id ASC)."""
     spark = corpus_df.sparkSession
     qids, qmat = _collect_queries(queries, query_id_col, query_vec_col)
+    if len(qids) == 0:
+        return _empty_result(spark, "sim")
     qnorm = np.linalg.norm(qmat, axis=1) + 1e-12
     bq = spark.sparkContext.broadcast((qids, qmat, qnorm))
 

@@ -1,0 +1,39 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+Reproducible splits are a pipeline contract: the same row must land in
+the same split on every engine, every partitioning, every rerun — so
+the assignment is pure arithmetic on the row id (portable md5 → bigint,
+same formula the dedup hashing uses), never `rand()`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SPLIT_BUCKETS = 10_000
+
+
+def split_hash_expr(id_col: str, seed: int):
+    """Portable per-row bucket in [0, 10000): first 15 hex chars of
+    md5(seed:id) → bigint mod 10000. DuckDB equivalent:
+    ``CAST(concat('0x', substr(md5(concat(seed, ':', CAST(id AS
+    VARCHAR))), 1, 15)) AS BIGINT) % 10000``."""
+    tag = F.concat_ws(":", F.lit(str(seed)),
+                      F.col(id_col).cast("string"))
+    return (F.conv(F.substring(F.md5(tag), 1, 15), 16, 10)
+            .cast("long") % SPLIT_BUCKETS)
+
+
+def train_test_split(df: DataFrame, id_col: str = "doc_id",
+                     train_frac: float = 0.8,
+                     seed: int = 42) -> DataFrame:
+    """Append a deterministic `split` column ('train' | 'test').
+
+    Narrow transform — no shuffle, no state; the split survives
+    repartitioning, engine changes, and incremental reruns (new rows
+    hash independently). Expected fraction accuracy is ±1/10000."""
+    bucket = split_hash_expr(id_col, seed)
+    cut = int(round(train_frac * SPLIT_BUCKETS))
+    return df.withColumn(
+        "split", F.when(bucket < cut, "train").otherwise("test"))

@@ -3,6 +3,8 @@ expression-for-expression in DuckDB SQL."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from quake_vector_search_spark.operators import text as T
 from quake_vector_search_spark.queries import register
 from quake_vector_search_spark.sources import load_table
@@ -137,3 +139,29 @@ def text_tfidf(spark, sf_dir):
     """tf-idf top-3 terms per document (E13): tf/df aggregates + ranked
     window, corpus size broadcast."""
     return T.tfidf_top_terms(load_table(spark, sf_dir, "documents"))
+
+
+@register("q_train_test_split", sql="""
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN CAST(concat('0x', substr(md5(concat('42', ':',
+                    CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 10000
+                   < 8000
+              THEN 'train' ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM s GROUP BY split
+""")
+def q_train_test_split(spark, sf_dir):
+    """Deterministic 80/20 train/test split (training-pipeline staple):
+    portable md5 bucket per id — same assignment on any engine or
+    partitioning; the id_checksum pins the exact membership."""
+    from quake_vector_search_spark.operators.sampling import (
+        train_test_split,
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return (train_test_split(docs, train_frac=0.8, seed=42)
+            .groupBy("split")
+            .agg(F.count("*").alias("n"),
+                 F.sum("doc_id").alias("id_checksum")))
