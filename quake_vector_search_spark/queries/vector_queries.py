@@ -287,3 +287,42 @@ def knn_filtered(spark, sf_dir):
     filtered = emb.where(F.col("label") % 2 == 0)
     out = knn(filtered, queries, k=K)
     return out.withColumn("dist", F.round("dist", 6))
+
+
+@register("knn_with_payload", sql=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), d AS (
+  SELECT q.query_id, e.vec_id,
+         list_distance(CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.qvec AS DOUBLE[])) AS dist
+  FROM embeddings e CROSS JOIN q
+), r AS (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist ASC, vec_id ASC) AS rank
+  FROM d
+)
+SELECT r.query_id, r.vec_id, ROUND(r.dist, 6) AS dist,
+       CAST(r.rank AS INT) AS rank, doc.lang, doc.source,
+       CAST(doc.n_chars AS BIGINT) AS n_chars
+FROM r JOIN documents doc ON doc.doc_id = r.vec_id
+WHERE r.rank <= {K}
+""")
+def knn_with_payload(spark, sf_dir):
+    """Retrieve-then-fetch (the RAG serving shape): kNN over the
+    embedding index, then a broadcast join fetches each hit's document
+    payload. The payload join touches only nq·k rows — never the
+    corpus — so payload width is free at any scale."""
+    from quake_vector_search_spark.api import knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "lang", "source", "n_chars")
+    queries = emb.where(F.col("vec_id") < N_QUERIES) \
+                 .withColumnRenamed("vec_id", "query_id")
+    hits = knn(emb, queries, k=K).withColumn("dist", F.round("dist", 6))
+    return hits.join(docs, hits.vec_id == docs.doc_id) \
+               .select("query_id", "vec_id", "dist", "rank",
+                       "lang", "source", "n_chars")
