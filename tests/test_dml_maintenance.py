@@ -129,3 +129,30 @@ def test_split_threshold_clamps():
     assert split_threshold(10**9) == 2000        # hot → split_size/1.5 floor
     assert split_threshold(1000) == 3000         # sub-window hotness: max(1,·)
     assert split_threshold(3000) == 2000         # 1.5× window → 3000/1.5
+
+
+def test_cosine_index_insert_normalizes(spark):
+    """Inserts into a cosine index must unit-normalize like the build
+    did: an inserted vector is found by its own direction at any
+    magnitude, with sim ≈ 1."""
+    import shutil
+
+    import numpy as np
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    shutil.rmtree("/tmp/qvss_cos_dml", ignore_errors=True)
+    idx = IVFIndex.build(emb, "/tmp/qvss_cos_dml", coarse_k=4, base_k=2,
+                         metric="cosine")
+    rng = np.random.default_rng(11)
+    v = rng.normal(size=64)
+    idx.insert([777_000], [v * 50.0])         # way off unit length
+    found, _ = idx.search((np.array([0]), (v * 0.02)[None, :]), k=1,
+                          target_recall=1.0, max_probe=10**9)
+    row = found.collect()[0]
+    assert row["vec_id"] == 777_000
+    assert abs(row["sim"] - 1.0) < 1e-9
+    shutil.rmtree("/tmp/qvss_cos_dml", ignore_errors=True)
