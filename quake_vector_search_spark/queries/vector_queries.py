@@ -326,3 +326,35 @@ def knn_with_payload(spark, sf_dir):
     return hits.join(docs, hits.vec_id == docs.doc_id) \
                .select("query_id", "vec_id", "dist", "rank",
                        "lang", "source", "n_chars")
+
+
+@register("knn_sq8_rerank", sql=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), d AS (
+  SELECT q.query_id, e.vec_id,
+         list_distance(CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.qvec AS DOUBLE[])) AS dist
+  FROM embeddings e CROSS JOIN q
+), r AS (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist ASC, vec_id ASC) AS rank
+  FROM d
+)
+SELECT query_id, vec_id, ROUND(dist, 6) AS dist, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {K}
+""")
+def knn_sq8_rerank(spark, sf_dir):
+    """SQ8-quantized kNN with exact rerank (beyond-reference: §2.2
+    lists quantization as absent). Scan happens on uint8 codes (4×
+    less bandwidth at scale); 4× candidate oversampling + full-precision
+    rerank recovers the exact answer — oracle IS brute force."""
+    from quake_vector_search_spark.operators.quantization import knn_sq8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES) \
+                 .withColumnRenamed("vec_id", "query_id")
+    out = knn_sq8(emb, queries, k=K, oversample=4)
+    return out.withColumn("dist", F.round("dist", 6))

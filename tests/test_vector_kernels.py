@@ -88,3 +88,39 @@ def test_choose_nprobe_properties(p, cap):
     # ~1.0 only at the end; allow early stop from float rounding)
     n_full = int(IVFIndex.choose_nprobe(probs, 1.0 - 1e-12, P)[0])
     assert n_full >= P - 1
+
+
+def test_sq8_roundtrip_and_recall(spark):
+    """SQ8 encode/decode error ≤ span/255/2 per dim; quantized+rerank
+    search recovers exact top-10 on the smoke corpus."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from quake_vector_search_spark.operators.evaluation import avg_recall
+    from quake_vector_search_spark.operators.knn import knn_bruteforce
+    from quake_vector_search_spark.operators.quantization import (
+        dim_ranges,
+        knn_sq8,
+        sq8_decode_expr,
+        sq8_encode,
+    )
+    from quake_vector_search_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    mins, maxs = dim_ranges(emb)
+    enc = sq8_encode(emb.select("vec_id", "embedding"), mins, maxs)
+    dec = enc.select(
+        "vec_id", "embedding",
+        sq8_decode_expr("codes", mins, maxs).alias("approx"))
+    row = dec.orderBy("vec_id").head()
+    orig = np.array(row["embedding"], dtype=np.float64)
+    approx = np.array(row["approx"])
+    spans = np.array(maxs) - np.array(mins)
+    assert (np.abs(orig - approx) <= spans / 255 / 2 + 1e-9).all()
+
+    q = emb.where(F.col("vec_id") < 5) \
+           .withColumnRenamed("vec_id", "query_id")
+    got = knn_sq8(emb, q, k=10)
+    exact = knn_bruteforce(emb, q, k=10)
+    assert avg_recall(got, exact, 10) >= 0.95
