@@ -873,3 +873,137 @@ def q_approx_percentile(spark, sf_dir):
         "l_returnflag", "exact_p50",
         (F.abs(F.col("_approx") - F.col("exact_p50"))
          <= 0.02 * F.col("exact_p50")).alias("approx_within_2pct"))
+
+
+@register("q4_order_priority", sql="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""")
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: correlated EXISTS (E3 semi join with a non-equi
+    conjunct). Catalyst plans the EXISTS as a left-semi hash join on
+    l_orderkey with the l_shipdate > o_orderdate residual — one shuffle
+    on the join key, then a tiny 5-group aggregate."""
+    o = (_t(spark, sf_dir, "orders")
+         .where((F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))))
+    li = _t(spark, sf_dir, "lineitem")
+    return (o.join(li, (li.l_orderkey == o.o_orderkey)
+                   & (li.l_shipdate > o.o_orderdate), "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+@register("q5_local_supplier_volume", sql="""
+SELECT n.n_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n_name ASC
+""")
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way join with region filter and the
+    customer-nation = supplier-nation locality predicate (E3). Only
+    lineitem⋈orders is a shuffle join; supplier, customer, nation,
+    region all broadcast (dims), so the fact table is read once and
+    never re-shuffled for the dim lookups."""
+    r = (_t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"))
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = (_t(spark, sf_dir, "orders")
+         .where((F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))))
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey)
+                  & (c.c_nationkey == s.s_nationkey))
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 4)
+                  .alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("n_name")))
+
+
+@register("q18_large_volume_customer", sql="""
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice,
+       ROUND(big.sum_qty, 4) AS sum_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 250) big
+  ON o.o_orderkey = big.l_orderkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+LIMIT 20
+""")
+def q18_large_volume_customer(spark, sf_dir):
+    """TPC-H Q18 shape: aggregate subquery as a join input (E3+E4).
+    The HAVING filter shrinks the aggregated lineitem to ~1% before it
+    joins orders — the selective side of a shuffle join — then customer
+    broadcasts into the survivors."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    big = (_t(spark, sf_dir, "lineitem")
+           .groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("sum_qty"))
+           .where(F.col("sum_qty") > 250))
+    return (o.join(big, o.o_orderkey == big.l_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .select("c_custkey", "c_name", "o_orderkey", "o_totalprice",
+                    F.round("sum_qty", 4).alias("sum_qty"))
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .limit(20))
+
+
+@register("q_window_extras", sql="""
+SELECT c_custkey, c_mktsegment,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist() OVER w, 6) AS cume,
+       first_value(c_custkey) OVER w AS richest_custkey,
+       last_value(c_custkey) OVER (
+         PARTITION BY c_mktsegment
+         ORDER BY c_acctbal DESC, c_custkey ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS poorest_custkey
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment
+             ORDER BY c_acctbal DESC, c_custkey ASC)
+""")
+def q_window_extras(spark, sf_dir):
+    """Remaining E5 window functions: ntile, percent_rank, cume_dist,
+    first_value, and last_value with an explicit unbounded frame (the
+    default frame would stop at CURRENT ROW). One shuffle on the
+    partition key serves all five functions — same window spec reused."""
+    c = _t(spark, sf_dir, "customer")
+    w = (W.partitionBy("c_mktsegment")
+          .orderBy(F.desc("c_acctbal"), F.asc("c_custkey")))
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return c.select(
+        "c_custkey", "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("c_custkey").over(w).alias("richest_custkey"),
+        F.last("c_custkey").over(w_full).alias("poorest_custkey"))
