@@ -68,3 +68,50 @@ def sessionize(events: DataFrame, gap_minutes: int = 30,
                  F.max(ts_col).alias("session_end"),
                  F.count("*").alias("n_events"),
                  F.sum("value").alias("sum_value")))
+
+
+def asof_join(left: DataFrame, right: DataFrame, key: str,
+              left_ts: str, right_ts: str,
+              right_tiebreak: str) -> DataFrame:
+    """As-of join: for every left row, attach the latest right row with
+    ``right_ts <= left_ts`` for the same ``key`` (LEFT semantics — left
+    rows with no prior right row keep nulls). Ties on ``right_ts`` break
+    to the greatest ``right_tiebreak``.
+
+    The reference engine has no temporal operators (SURVEY.md §2.2);
+    this is part of the declared training-pipeline surface. Spark has
+    no ASOF JOIN builtin, and a range-condition join would explode to a
+    per-key cross product. Instead: tag both inputs, union them, and
+    run ``last(<right payload>, ignorenulls=True)`` over a window
+    ordered by (ts, is_right DESC, tiebreak) — right rows sort before
+    left rows at equal ts, so ``<=`` matches. One shuffle on ``key``,
+    linear work per key, no materialized candidate pairs: the plan
+    survives arbitrarily many rows per key at cluster scale (sort is
+    the only per-key cost; pathological single-key skew falls back to
+    disk sort, same as any window).
+    """
+    rpay = [c for c in right.columns if c != key]
+    r = (right.select(
+            F.col(key),
+            F.col(right_ts).alias("_ts"),
+            F.lit(1).alias("_is_right"),
+            F.col(right_tiebreak).cast("long").alias("_tb"),
+            F.struct(*[F.col(c) for c in rpay]).alias("_rpay"))
+         .withColumns({c: F.lit(None) for c in left.columns if c != key}))
+    l = (left.select(
+            F.col(key),
+            F.col(left_ts).alias("_ts"),
+            F.lit(0).alias("_is_right"),
+            F.lit(None).cast("long").alias("_tb"),
+            F.lit(None).cast(r.schema["_rpay"].dataType).alias("_rpay"),
+            *[F.col(c) for c in left.columns if c != key]))
+    w = (Window.partitionBy(key)
+         .orderBy(F.col("_ts").asc(), F.col("_is_right").desc(),
+                  F.col("_tb").asc_nulls_last())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    matched = (l.unionByName(r.select(*l.columns))
+               .withColumn("_match", F.last("_rpay", ignorenulls=True).over(w))
+               .where(F.col("_is_right") == 0))
+    out_left = [F.col(c) for c in left.columns if c != key]
+    out_right = [F.col(f"_match.{c}").alias(f"asof_{c}") for c in rpay]
+    return matched.select(F.col(key), *out_left, *out_right)

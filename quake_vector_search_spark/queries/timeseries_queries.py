@@ -115,3 +115,43 @@ def ts_trailing_1h_range(spark, sf_dir):
     return (ev.select("event_id", "event_type",
                       F.count("*").over(w).alias("n_1h"),
                       F.round(F.sum("value").over(w), 4).alias("sum_1h")))
+
+
+@register("ts_asof_join", sql="""
+WITH p AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS tsu, value
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS tsu, value
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id, p.tsu AS purchase_ts,
+       c.event_id AS asof_event_id,
+       ROUND(epoch(c.tsu), 6) AS asof_epoch_s,
+       ROUND(c.value, 6) AS asof_value
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.tsu >= c.tsu
+""")
+def ts_asof_join(spark, sf_dir):
+    """As-of join (E11 / training-pipeline surface): each purchase event
+    picks up the user's most recent click at-or-before it. Spark lacks
+    ASOF JOIN; operators/timeseries.py::asof_join does it with one
+    shuffle (union + last-ignorenulls window) instead of a range join.
+    Oracle is DuckDB's native ASOF LEFT JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    p = (ev.where(F.col("event_type") == "purchase")
+         .select("event_id", "user_id", F.col("ts").alias("purchase_ts")))
+    c = (ev.where(F.col("event_type") == "click")
+         .select("event_id", "user_id", F.col("ts").alias("click_ts"),
+                 "value"))
+    out = TS.asof_join(p, c, key="user_id",
+                       left_ts="purchase_ts", right_ts="click_ts",
+                       right_tiebreak="event_id")
+    # nullable timestamp → epoch-seconds double so null rows stay
+    # hash-stable in the driver's order-insensitive comparator
+    return out.select(
+        "event_id", "user_id", "purchase_ts",
+        F.col("asof_event_id").alias("asof_event_id"),
+        F.round(F.unix_micros("asof_click_ts") / 1_000_000.0, 6)
+         .alias("asof_epoch_s"),
+        F.round("asof_value", 6).alias("asof_value"))

@@ -51,6 +51,9 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
             ov64 = ov.astype(np.float64)
             bad = ~(np.isclose(sv64, ov64, rtol=0, atol=5e-7)
                     | (np.isnan(sv64) & np.isnan(ov64)))
+        elif np.issubdtype(s[c].dtype, np.datetime64) and \
+                np.issubdtype(o[c].dtype, np.datetime64):
+            bad = (sv != ov) & ~(pd.isna(sv) & pd.isna(ov))
         else:
             bad = sv != ov
         if bad.any():
