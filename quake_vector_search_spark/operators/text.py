@@ -150,3 +150,36 @@ def tfidf_top_terms(docs: DataFrame, top_n: int = 3,
             .select(F.col(id_col), "term",
                     F.round("tfidf", 6).alias("tfidf"),
                     F.col("rn").cast("int").alias("rank")))
+
+
+def chunk_fixed(docs: DataFrame, size: int = 200, overlap: int = 50,
+                id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Fixed-size character chunking with overlap — the training-data
+    pipeline's document splitter. Chunk i covers
+    ``[i*stride, i*stride + size)`` with ``stride = size - overlap``;
+    every character position is covered and consecutive chunks share
+    ``overlap`` characters. Emits (id, chunk_id, chunk_text, chunk_len).
+
+    Pure Catalyst: sequence + posexplode + substring, so chunking is a
+    narrow per-row transform (no shuffle, whole-stage codegen) — at
+    100 TB it streams through the scan, and the output inherits the
+    input partitioning for downstream tokenize/dedup stages.
+    """
+    if overlap >= size:
+        raise ValueError("overlap must be < size")
+    stride = size - overlap
+    # last start index: smallest i with i*stride + size >= len, so the
+    # final chunk reaches the end and is never fully contained in its
+    # predecessor (its length is provably > overlap, or == size)
+    n_last = F.greatest(F.ceil((F.length(text_col) - size) / stride),
+                        F.lit(0))
+    return (docs
+            .select(F.col(id_col),
+                    F.posexplode(F.sequence(F.lit(0), n_last))
+                     .alias("chunk_id", "_start"),
+                    F.col(text_col))
+            .select(id_col, "chunk_id",
+                    F.substring(F.col(text_col),
+                                (F.col("_start") * stride + 1).cast("int"),
+                                size).alias("chunk_text"))
+            .withColumn("chunk_len", F.length("chunk_text")))

@@ -165,3 +165,25 @@ def q_train_test_split(spark, sf_dir):
             .groupBy("split")
             .agg(F.count("*").alias("n"),
                  F.sum("doc_id").alias("id_checksum")))
+
+
+@register("text_chunking", sql="""
+WITH starts AS (
+  SELECT doc_id, text,
+         CAST(unnest(generate_series(
+           0, greatest(CAST(ceil((length(text) - 200) / 150.0) AS BIGINT),
+                       0))) AS INT)
+           AS chunk_id
+  FROM documents
+)
+SELECT doc_id, chunk_id,
+       substring(text, chunk_id * 150 + 1, 200) AS chunk_text,
+       length(substring(text, chunk_id * 150 + 1, 200)) AS chunk_len
+FROM starts
+""")
+def text_chunking(spark, sf_dir):
+    """Fixed-size overlapping chunking (training-pipeline splitter):
+    200-char chunks, 50-char overlap. Narrow transform — sequence +
+    posexplode + substring, zero shuffles (E13)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.chunk_fixed(docs, size=200, overlap=50)
