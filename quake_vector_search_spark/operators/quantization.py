@@ -14,6 +14,8 @@ exact top-k, deterministic tie-breaks throughout.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -100,11 +102,21 @@ def knn_sq8(corpus_df: DataFrame, queries, k: int = 10,
         sq8_decode_expr("codes", mins, maxs).alias(vec_col))
     cand = knn_bruteforce(approx_corpus, queries, k=k * oversample,
                           id_col=id_col, vec_col=vec_col)
-    # exact rerank on the true vectors of the candidate set only
-    full = corpus_df.select(F.col(id_col),
-                            F.col(vec_col).alias("_fv"))
+    return exact_rerank(cand, corpus_df, queries, k,
+                        id_col=id_col, vec_col=vec_col)
+
+
+def exact_rerank(cand: DataFrame, corpus_df: DataFrame, queries,
+                 k: int, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k over a candidate set: join candidates back to the
+    full-precision vectors, recompute true L2 against the broadcast
+    queries, window-rank with the (dist, id) tie-break. The candidate
+    set is tiny (queries × k × oversample) so both joins broadcast —
+    the full corpus is touched only via the id equi-join."""
     from quake_vector_search_spark.functions.vector import l2_col
 
+    full = corpus_df.select(F.col(id_col), F.col(vec_col).alias("_fv"))
     qdf = (queries if isinstance(queries, DataFrame) else None)
     if qdf is None:
         import pandas as pd
@@ -126,3 +138,146 @@ def knn_sq8(corpus_df: DataFrame, queries, k: int = 10,
     return (rer.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", id_col, "dist", "rank"))
+
+
+# ---------------------------------------------------------------- PQ
+
+def pq_train(corpus_df: DataFrame, m: int = 8, ksub: int = 256,
+             iters: int = 10, seed: int = 99, sample_n: int = 100_000,
+             vec_col: str = "embedding") -> np.ndarray:
+    """Train product-quantization codebooks: split the d dimensions
+    into ``m`` contiguous subspaces and run seeded Lloyd's per subspace
+    on a bounded deterministic sample (same xxhash64 TakeOrdered scheme
+    as coarse k-means — one distributed top-n, never a full collect).
+    Returns codebooks ``[m, ksub', dsub]`` (ksub' = min(ksub, sample)).
+
+    Codebook size is m·ksub·dsub floats (d·ksub total) — broadcast
+    scale regardless of corpus size.
+    """
+    from quake_vector_search_spark.operators.kmeans import (
+        _seeded_sample, local_kmeans)
+
+    id_col = _infer_id_col(corpus_df)
+    _, samp = _seeded_sample(corpus_df, vec_col, id_col, sample_n, seed)
+    d = samp.shape[1]
+    if d % m != 0:
+        raise ValueError(f"d={d} not divisible by m={m}")
+    dsub = d // m
+    ksub_eff = min(ksub, samp.shape[0])
+    books = np.empty((m, ksub_eff, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = samp[:, j * dsub:(j + 1) * dsub]
+        books[j], _ = local_kmeans(sub, ksub_eff, iters, seed + 1 + j)
+    return books
+
+
+def _infer_id_col(df: DataFrame, default: str = "vec_id") -> str:
+    return default if default in df.columns else df.columns[0]
+
+
+def pq_encode(corpus_df: DataFrame, codebooks: np.ndarray,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              code_col: str = "pq_codes") -> DataFrame:
+    """Vector → m uint8 codes (nearest sub-centroid per subspace).
+    Arrow-batched mapInPandas: per batch one l2_batch argmin per
+    subspace. Output is (id, array<int> codes) — d/dsub·1 byte of
+    payload per vector at scale vs 4·d for the floats (32× smaller at
+    m=8, d=64)."""
+    from quake_vector_search_spark.functions.vector import l2_batch
+
+    spark = corpus_df.sparkSession
+    bc = spark.sparkContext.broadcast(codebooks)
+    m, _, dsub = codebooks.shape
+
+    def encode(batches):
+        books = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = np.empty((vecs.shape[0], m), dtype=np.int64)
+            for j in range(m):
+                sub = vecs[:, j * dsub:(j + 1) * dsub]
+                codes[:, j] = np.argmin(l2_batch(sub, books[j]), axis=1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                code_col: list(codes),
+            })
+
+    return (corpus_df.select(id_col, vec_col)
+            .mapInPandas(encode, f"{id_col} long, {code_col} array<int>"))
+
+
+def knn_pq(corpus_df: DataFrame, queries, k: int = 10,
+           m: int = 8, ksub: int = 256, oversample: int = 4,
+           seed: int = 99, id_col: str = "vec_id",
+           vec_col: str = "embedding") -> DataFrame:
+    """Approximate kNN via product quantization with ADC scan + exact
+    rerank:
+
+    1. train codebooks on a bounded seeded sample (broadcast-scale),
+    2. encode the corpus to m-byte codes (one pass, Arrow-batched),
+    3. ADC: per query build the [m, ksub] lookup table of subspace
+       distances once, score every code row with m table gathers —
+       no float vector is read during the scan,
+    4. exact rerank of the top-(k·oversample) candidates on the true
+       vectors (deterministic (dist, id) tie-break).
+
+    The scan moves ~m bytes/vector instead of 4·d (32× at d=64, m=8);
+    like SQ8, oversample + rerank recovers the exact answer on the
+    testdata — the brute-force query is the oracle.
+    """
+    import pandas as pd
+
+    from quake_vector_search_spark.functions.vector import (
+        l2_batch, topk_cols_2d)
+    from quake_vector_search_spark.operators.knn import (
+        _collect_queries, _empty_result)
+
+    spark = corpus_df.sparkSession
+    qids, qmat = _collect_queries(queries, "query_id", vec_col)
+    if len(qids) == 0:
+        return _empty_result(spark, "dist")
+
+    books = pq_train(corpus_df, m=m, ksub=ksub, seed=seed,
+                     vec_col=vec_col)
+    enc = pq_encode(corpus_df, books, id_col=id_col, vec_col=vec_col)
+
+    mm, ksub_eff, dsub = books.shape
+    # per-query subspace LUTs, computed once: [m, nq, ksub]
+    luts = np.stack([
+        l2_batch(qmat[:, j * dsub:(j + 1) * dsub], books[j])
+        for j in range(mm)])
+    bc = spark.sparkContext.broadcast((qids, luts))
+    kk_cand = k * oversample
+
+    def adc_topk(batches):
+        qids_l, luts_l = bc.value
+        nq = qids_l.shape[0]
+        for pdf in batches:
+            if len(pdf) == 0 or nq == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            codes = np.vstack(pdf["pq_codes"].to_numpy())     # [n, m]
+            approx = np.zeros((nq, codes.shape[0]))
+            for j in range(luts_l.shape[0]):
+                approx += luts_l[j][:, codes[:, j]]           # [nq, n]
+            kk = min(kk_cand, codes.shape[0])
+            part = topk_cols_2d(approx, ids, kk)
+            d2k = np.take_along_axis(approx, part, axis=1)
+            yield pd.DataFrame({
+                "query_id": np.repeat(qids_l, kk),
+                id_col: ids[part].ravel(),
+                "dist": d2k.ravel(),
+            })
+
+    local = enc.mapInPandas(adc_topk,
+                            f"query_id long, {id_col} long, dist double")
+    from pyspark.sql import Window
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.col("dist").asc(), F.col(id_col).asc()))
+    cand = (local.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= kk_cand)
+            .select("query_id", id_col))
+    return exact_rerank(cand, corpus_df, (qids, qmat), k,
+                        id_col=id_col, vec_col=vec_col)

