@@ -37,3 +37,28 @@ def train_test_split(df: DataFrame, id_col: str = "doc_id",
     cut = int(round(train_frac * SPLIT_BUCKETS))
     return df.withColumn(
         "split", F.when(bucket < cut, "train").otherwise("test"))
+
+
+def balanced_downsample(df: DataFrame, class_col: str,
+                        id_col: str = "vec_id",
+                        seed: int = 43) -> DataFrame:
+    """Downsample every class to the minority-class count — the
+    class-rebalancing step of a training-data pipeline, deterministic
+    across engines and partitionings.
+
+    Rows are ranked inside each class by the portable md5 hash (ties by
+    id), and the first ``min_count`` per class survive, so the kept set
+    is a pure function of (ids, seed) — re-runs and engine swaps keep
+    identical rows. Plan: one tiny count aggregate (broadcast back),
+    one window rank per class — a single shuffle on the class key.
+    """
+    counts = df.groupBy(class_col).agg(F.count("*").alias("_n"))
+    min_count = counts.agg(F.min("_n").alias("_m"))
+    from pyspark.sql import Window
+    w = (Window.partitionBy(class_col)
+         .orderBy(split_hash_expr(id_col, seed).asc(),
+                  F.col(id_col).asc()))
+    return (df.withColumn("_rk", F.row_number().over(w))
+            .crossJoin(F.broadcast(min_count))
+            .where(F.col("_rk") <= F.col("_m"))
+            .drop("_rk", "_m"))

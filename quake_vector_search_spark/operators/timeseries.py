@@ -115,3 +115,42 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     out_left = [F.col(c) for c in left.columns if c != key]
     out_right = [F.col(f"_match.{c}").alias(f"asof_{c}") for c in rpay]
     return matched.select(F.col(key), *out_left, *out_right)
+
+
+def resample_ffill(events: DataFrame, every_seconds: int = 900,
+                   ts_col: str = "ts", key_col: str = "event_type",
+                   val_col: str = "value") -> DataFrame:
+    """Resample to a fixed grid with forward fill: bucket events to
+    ``every_seconds``, build the complete (key × bucket) spine over the
+    data's time range, and carry the last observed aggregate forward
+    into empty buckets (n = 0 marks filled rows).
+
+    All DataFrame-side: the spine is sequence+explode off a 1-row
+    bounds aggregate crossed with the distinct keys (both tiny), the
+    fill is one last-ignorenulls window per key. Scale: the spine's
+    cardinality is (range/step)·|keys| — independent of event count —
+    and the only big-data pass is the bucket aggregate's single
+    shuffle.
+    """
+    bucket = F.to_timestamp(
+        F.floor(F.unix_timestamp(ts_col) / every_seconds) * every_seconds)
+    agg = (events.groupBy(F.col(key_col), bucket.alias("bucket"))
+           .agg(F.sum(val_col).alias("_s"), F.count("*").alias("n")))
+    bounds = (events.agg(
+        F.min(F.unix_timestamp(ts_col)).alias("_lo"),
+        F.max(F.unix_timestamp(ts_col)).alias("_hi")))
+    spine = (bounds.select(F.explode(F.sequence(
+                F.floor(F.col("_lo") / every_seconds).cast("long"),
+                F.floor(F.col("_hi") / every_seconds).cast("long")))
+             .alias("_b"))
+             .select(F.to_timestamp(F.col("_b") * every_seconds)
+                     .alias("bucket"))
+             .crossJoin(events.select(key_col).distinct()))
+    joined = spine.join(agg, ["bucket", key_col], "left")
+    w = (Window.partitionBy(key_col).orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (joined
+            .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+            .withColumn("sum_value_ffill",
+                        F.last("_s", ignorenulls=True).over(w))
+            .select(key_col, "bucket", "n", "sum_value_ffill"))

@@ -1007,3 +1007,55 @@ def q_window_extras(spark, sf_dir):
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.first("c_custkey").over(w).alias("richest_custkey"),
         F.last("c_custkey").over(w_full).alias("poorest_custkey"))
+
+
+@register("q_profile_orders", sql="""
+SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       COUNT(DISTINCT o_orderkey) AS n_distinct,
+       CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+       CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*),
+       CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT),
+       COUNT(DISTINCT o_orderstatus),
+       CAST(MIN(o_orderstatus) AS VARCHAR),
+       CAST(MAX(o_orderstatus) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', COUNT(*),
+       CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT),
+       COUNT(DISTINCT o_totalprice),
+       CAST(MIN(o_totalprice) AS VARCHAR),
+       CAST(MAX(o_totalprice) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderdate', COUNT(*),
+       CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT),
+       COUNT(DISTINCT o_orderdate),
+       CAST(MIN(o_orderdate) AS VARCHAR),
+       CAST(MAX(o_orderdate) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*),
+       CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT),
+       COUNT(DISTINCT o_orderpriority),
+       CAST(MIN(o_orderpriority) AS VARCHAR),
+       CAST(MAX(o_orderpriority) AS VARCHAR)
+FROM orders
+""")
+def q_profile_orders(spark, sf_dir):
+    """Dataset profiling (training-data QA): one aggregate pass emits
+    per-column count/null/distinct/min/max for the orders table —
+    operators/profiling.py::profile."""
+    from quake_vector_search_spark.operators.profiling import profile
+
+    o = _t(spark, sf_dir, "orders")
+    return profile(o, ["o_orderkey", "o_orderstatus", "o_totalprice",
+                       "o_orderdate", "o_orderpriority"])

@@ -155,3 +155,45 @@ def ts_asof_join(spark, sf_dir):
         F.round(F.unix_micros("asof_click_ts") / 1_000_000.0, 6)
          .alias("asof_epoch_s"),
         F.round("asof_value", 6).alias("asof_value"))
+
+
+@register("ts_gapfill_ffill", sql="""
+WITH e AS (
+  SELECT event_type, CAST(ts AS TIMESTAMP) AS tsu, value FROM events
+), b AS (
+  SELECT event_type,
+         to_timestamp(floor(epoch(tsu) / 900) * 900) AS bucket,
+         SUM(value) AS s, COUNT(*) AS n
+  FROM e GROUP BY 1, 2
+), bounds AS (
+  SELECT floor(epoch(MIN(tsu)) / 900) AS lo,
+         floor(epoch(MAX(tsu)) / 900) AS hi
+  FROM e
+), spine AS (
+  SELECT to_timestamp(unnest(generate_series(
+           CAST(lo AS BIGINT), CAST(hi AS BIGINT))) * 900) AS bucket
+  FROM bounds
+), grid AS (
+  SELECT et.event_type, spine.bucket
+  FROM spine, (SELECT DISTINCT event_type FROM e) et
+)
+SELECT g.event_type,
+       g.bucket AT TIME ZONE 'UTC' AS bucket,
+       CAST(COALESCE(b.n, 0) AS BIGINT) AS n,
+       ROUND(last_value(b.s IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+         AS sum_value_ffill
+FROM grid g LEFT JOIN b
+  ON g.event_type = b.event_type AND g.bucket = b.bucket
+""")
+def ts_gapfill_ffill(spark, sf_dir):
+    """Gap-fill resample (E11 / training-pipeline): 15-minute grid per
+    event type over the data's full range, empty buckets forward-filled
+    from the last observed value — operators/timeseries.py::
+    resample_ffill (spine = sequence off a bounds aggregate, fill =
+    last-ignorenulls window)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = TS.resample_ffill(ev, every_seconds=900)
+    return out.withColumn("sum_value_ffill",
+                          F.round("sum_value_ffill", 4))

@@ -391,3 +391,36 @@ def knn_pq_rerank(spark, sf_dir):
                  .withColumnRenamed("vec_id", "query_id")
     out = knn_pq(emb, queries, k=K, m=8, ksub=256, oversample=16)
     return out.withColumn("dist", F.round("dist", 6))
+
+
+@register("q_balanced_sample", sql="""
+WITH counts AS (
+  SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label
+), m AS (
+  SELECT MIN(n) AS min_n FROM counts
+), ranked AS (
+  SELECT vec_id, label,
+         row_number() OVER (
+           PARTITION BY label
+           ORDER BY CAST(concat('0x', substr(md5(concat('43', ':',
+                    CAST(vec_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                    % 10000 ASC,
+                    vec_id ASC) AS rk
+  FROM embeddings
+)
+SELECT r.vec_id, r.label
+FROM ranked r, m WHERE r.rk <= m.min_n
+""")
+def q_balanced_sample(spark, sf_dir):
+    """Balanced class downsampling (training-pipeline): every label
+    reduced to the minority-class count by portable-hash ranking —
+    operators/sampling.py::balanced_downsample. Deterministic across
+    engines/partitionings; one shuffle on the class key."""
+    from quake_vector_search_spark.operators.sampling import (
+        balanced_downsample,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = balanced_downsample(emb, class_col="label", id_col="vec_id",
+                              seed=43)
+    return out.select("vec_id", "label")
