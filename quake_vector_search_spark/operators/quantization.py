@@ -177,7 +177,8 @@ def _infer_id_col(df: DataFrame, default: str = "vec_id") -> str:
 
 def pq_encode(corpus_df: DataFrame, codebooks: np.ndarray,
               id_col: str = "vec_id", vec_col: str = "embedding",
-              code_col: str = "pq_codes") -> DataFrame:
+              code_col: str = "pq_codes",
+              keep_cols: tuple = ()) -> DataFrame:
     """Vector → m uint8 codes (nearest sub-centroid per subspace).
     Arrow-batched mapInPandas: per batch one l2_batch argmin per
     subspace. Output is (id, array<int> codes) — d/dsub·1 byte of
@@ -199,13 +200,16 @@ def pq_encode(corpus_df: DataFrame, codebooks: np.ndarray,
             for j in range(m):
                 sub = vecs[:, j * dsub:(j + 1) * dsub]
                 codes[:, j] = np.argmin(l2_batch(sub, books[j]), axis=1)
-            yield pd.DataFrame({
-                id_col: pdf[id_col].to_numpy(dtype=np.int64),
-                code_col: list(codes),
-            })
+            out = {id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                   code_col: list(codes)}
+            for c in keep_cols:
+                out[c] = pdf[c].to_numpy(dtype=np.int64)
+            yield pd.DataFrame(out)
 
-    return (corpus_df.select(id_col, vec_col)
-            .mapInPandas(encode, f"{id_col} long, {code_col} array<int>"))
+    keep_schema = "".join(f", {c} long" for c in keep_cols)
+    return (corpus_df.select(id_col, vec_col, *keep_cols)
+            .mapInPandas(encode, f"{id_col} long, {code_col} array<int>"
+                                 f"{keep_schema}"))
 
 
 def knn_pq(corpus_df: DataFrame, queries, k: int = 10,
@@ -281,3 +285,139 @@ def knn_pq(corpus_df: DataFrame, queries, k: int = 10,
             .select("query_id", id_col))
     return exact_rerank(cand, corpus_df, (qids, qmat), k,
                         id_col=id_col, vec_col=vec_col)
+
+
+# ------------------------------------------------------- IVF + PQ hybrid
+
+def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
+                     seed: int = 99, sample_n: int = 100_000) -> np.ndarray:
+    """Build a PQ codes *sidecar* for a published IVF index version:
+    train codebooks on a bounded sample of the live corpus, encode every
+    vector, and write the codes Parquet partitioned exactly like the
+    corpus (same partition_id layout → same pruning applies). The
+    codebooks land next to it as .npy (m·ksub·dsub floats).
+
+    The sidecar belongs to ONE index version: maintenance (split/merge)
+    publishes a new version dir, so its sidecar must be rebuilt — the
+    same compaction contract any secondary structure has.
+    """
+    import os
+
+    corpus = index.read_corpus()
+    books = pq_train(corpus, m=m, ksub=ksub, seed=seed,
+                     sample_n=sample_n, vec_col=index.vec_col)
+    enc = pq_encode(corpus, books, id_col=index.id_col,
+                    vec_col=index.vec_col, keep_cols=("partition_id",))
+    path = os.path.join(index.version_dir, "pq")
+    (enc.write.mode("overwrite").partitionBy("partition_id")
+        .parquet(path))
+    np.save(os.path.join(index.version_dir, "pq_codebooks.npy"), books)
+    return books
+
+
+def knn_ivf_pq(index, queries, k: int = 10, target_recall: float = 0.9,
+               max_probe: int = 64, oversample: int = 16,
+               books: np.ndarray | None = None):
+    """ANN search combining BOTH pruning axes: IVF/APS chooses which
+    partitions to read (row pruning), PQ codes shrink what each read
+    moves (byte pruning — m bytes/vector vs 4·d). At 100 TB the scan
+    cost drops multiplicatively: (probed fraction) × (m / 4d).
+
+    Probe selection mirrors IVFIndex.search (APS softmax + adaptive
+    nprobe); the scan reads the codes sidecar with the same
+    partition_id pruning; ADC scores per (partition, query); the global
+    top-(k·oversample) candidates rerank at full precision against the
+    live corpus (tombstoned ids drop out at the rerank join). Returns
+    (DataFrame(query_id, vec_id, dist, rank), meta) like IVFIndex.search.
+    """
+    import os
+
+    from quake_vector_search_spark.functions.vector import (
+        l2_batch, topk_cols_2d)
+    from quake_vector_search_spark.operators.knn import (
+        _collect_queries, _empty_result)
+    from pyspark.sql import Window
+
+    if index.metric != "l2":
+        raise NotImplementedError("PQ sidecar supports the l2 metric")
+    spark = index.spark
+    if books is None:
+        books = np.load(os.path.join(index.version_dir,
+                                     "pq_codebooks.npy"))
+    qids, qmat = _collect_queries(queries, "query_id", index.vec_col)
+    nq = len(qids)
+    if nq == 0:
+        return (_empty_result(spark, "dist"),
+                {"nprobe": [], "avg_nprobe": 0.0, "avg_scanned": 0.0,
+                 "n_partitions": len(index.part_ids)})
+
+    order, probs = index.partition_scores(qmat)
+    nprobe = index.choose_nprobe(probs, target_recall, max_probe)
+    probe_map: dict[int, list[int]] = {}
+    scanned = 0
+    for qi in range(nq):
+        pos = order[qi, :nprobe[qi]]
+        scanned += int(index.sizes[pos].sum())
+        for p in index.part_ids[pos]:
+            probe_map.setdefault(int(p), []).append(qi)
+    for pid, qlist in probe_map.items():
+        index.hits[pid] = index.hits.get(pid, 0) + len(qlist)
+    index.query_counter += nq
+
+    mm, ksub_eff, dsub = books.shape
+    luts = np.stack([
+        l2_batch(qmat[:, j * dsub:(j + 1) * dsub], books[j])
+        for j in range(mm)])
+    bc = spark.sparkContext.broadcast((qids, luts, probe_map))
+    kk_cand = k * oversample
+    id_col = index.id_col
+
+    ids_sql = ",".join(str(p) for p in sorted(probe_map))
+    codes = (spark.read.parquet(os.path.join(index.version_dir, "pq"))
+             .where(F.expr(f"partition_id IN ({ids_sql})")))
+
+    def adc_topk(batches):
+        qids_l, luts_l, pmap = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pids = pdf["partition_id"].to_numpy()
+            all_codes = np.vstack(pdf["pq_codes"].to_numpy())
+            all_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            out = []
+            for pid in np.unique(pids):
+                qidx = pmap.get(int(pid))
+                if not qidx:
+                    continue
+                mask = pids == pid
+                cds, ids = all_codes[mask], all_ids[mask]
+                approx = np.zeros((len(qidx), cds.shape[0]))
+                for j in range(luts_l.shape[0]):
+                    approx += luts_l[j][np.ix_(qidx, cds[:, j])]
+                kk = min(kk_cand, len(ids))
+                part = topk_cols_2d(approx, ids, kk)
+                out.append(pd.DataFrame({
+                    "query_id": np.repeat(qids_l[qidx], kk),
+                    id_col: ids[part].ravel(),
+                    "dist": np.take_along_axis(approx, part, axis=1)
+                              .ravel(),
+                }))
+            if out:
+                yield pd.concat(out)
+
+    local = codes.mapInPandas(
+        adc_topk, f"query_id long, {id_col} long, dist double")
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.col("dist").asc(), F.col(id_col).asc()))
+    cand = (local.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= kk_cand)
+            .select("query_id", id_col))
+    out = exact_rerank(cand, index.read_corpus(), (qids, qmat), k,
+                       id_col=id_col, vec_col=index.vec_col)
+    meta = {
+        "nprobe": nprobe.tolist(),
+        "avg_nprobe": float(nprobe.mean()),
+        "avg_scanned": scanned / nq,
+        "n_partitions": len(index.part_ids),
+    }
+    return out, meta

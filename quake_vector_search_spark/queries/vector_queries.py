@@ -424,3 +424,49 @@ def q_balanced_sample(spark, sf_dir):
     out = balanced_downsample(emb, class_col="label", id_col="vec_id",
                               seed=43)
     return out.select("vec_id", "label")
+
+
+_PQ_SIDECAR_CACHE: dict = {}
+
+
+@register("ivf_pq_search_fullprobe", sql=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), d AS (
+  SELECT q.query_id, e.vec_id,
+         list_distance(CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.qvec AS DOUBLE[])) AS dist
+  FROM embeddings e CROSS JOIN q
+), r AS (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist ASC, vec_id ASC) AS rank
+  FROM d
+)
+SELECT query_id, vec_id, ROUND(dist, 6) AS dist, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {K}
+""")
+def ivf_pq_search_fullprobe(spark, sf_dir):
+    """IVF + PQ hybrid at target_recall=1.0: both pruning axes (APS
+    row pruning × PQ byte pruning) composed — the codes sidecar is
+    partition-pruned by the probe set, scanned via ADC lookup tables,
+    and the oversampled candidates rerank at full precision. Full probe
+    + rerank must equal brute force (the oracle)."""
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+        knn_ivf_pq,
+    )
+
+    idx = _ivf_index(spark, sf_dir)
+    key = (sf_dir, idx.version)
+    if key not in _PQ_SIDECAR_CACHE:
+        _PQ_SIDECAR_CACHE[key] = build_pq_sidecar(idx, m=8, ksub=256,
+                                                  seed=99)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES) \
+                 .withColumnRenamed("vec_id", "query_id")
+    out, _meta = knn_ivf_pq(idx, queries, k=K, target_recall=1.0,
+                            max_probe=1_000_000_000, oversample=16,
+                            books=_PQ_SIDECAR_CACHE[key])
+    return out.withColumn("dist", F.round("dist", 6))

@@ -160,3 +160,42 @@ def test_pq_encode_and_recall(spark):
     exact = knn_bruteforce(emb, q, k=10)
     got = knn_pq(emb, q, k=10, m=8, ksub=64, oversample=4, seed=99)
     assert avg_recall(got, exact, 10) >= 0.8
+
+
+def test_ivf_pq_sidecar_recall(spark, tmp_path):
+    """IVF+PQ hybrid: sidecar encodes the corpus partition-aligned;
+    adaptive search composes APS pruning with ADC and clears the recall
+    floor; full probe + rerank equals brute force exactly."""
+    from pyspark.sql import functions as F
+
+    from quake_vector_search_spark.operators.evaluation import avg_recall
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.knn import knn_bruteforce
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+        knn_ivf_pq,
+    )
+    from quake_vector_search_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = IVFIndex.build(emb, str(tmp_path / "ivfpq"),
+                         coarse_k=8, base_k=4)
+    books = build_pq_sidecar(idx, m=8, ksub=64, seed=99)
+
+    q = emb.where(F.col("vec_id") < 5) \
+           .withColumnRenamed("vec_id", "query_id")
+    exact = knn_bruteforce(emb, q, k=10)
+
+    got, meta = knn_ivf_pq(idx, q, k=10, target_recall=0.9,
+                           oversample=8, books=books)
+    assert avg_recall(got, exact, 10) >= 0.9
+    assert meta["avg_nprobe"] <= meta["n_partitions"]
+
+    full, _ = knn_ivf_pq(idx, q, k=10, target_recall=1.0,
+                         max_probe=10**9, oversample=16, books=books)
+    a = sorted(map(tuple, full.select("query_id", "vec_id", "rank")
+                   .collect()))
+    b = sorted(map(tuple, exact.select("query_id", "vec_id", "rank")
+                   .collect()))
+    assert a == b
