@@ -1059,3 +1059,80 @@ def q_profile_orders(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return profile(o, ["o_orderkey", "o_orderstatus", "o_totalprice",
                        "o_orderdate", "o_orderpriority"])
+
+
+@register("q17_small_quantity_revenue", sql="""
+WITH pa AS (
+  SELECT l_partkey, 0.2 * AVG(l_quantity) AS cut
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 4) AS avg_yearly,
+       COUNT(*) AS n_small
+FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+WHERE l.l_quantity < pa.cut
+""")
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    threshold) decorrelated into an aggregate + self-join — the form
+    Catalyst itself rewrites scalar subqueries into. The aggregate
+    shrinks lineitem to one row per part before the join, so the
+    shuffle moves |parts| rows, not |lineitem|."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = (li.groupBy("l_partkey")
+          .agg((F.avg("l_quantity") * 0.2).alias("cut")))
+    return (li.join(pa, "l_partkey")
+            .where(F.col("l_quantity") < F.col("cut"))
+            .agg(F.round(F.sum("l_extendedprice") / 7.0, 4)
+                  .alias("avg_yearly"),
+                 F.count("*").alias("n_small")))
+
+
+@register("q_regex_funcs", sql="""
+SELECT p_partkey,
+       regexp_extract(p_name, '([a-z]+) ([a-z]+)', 1) AS color,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+       CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INT)
+         AS n_vowels,
+       CASE WHEN regexp_matches(p_name, '^(red|blue|green)')
+            THEN TRUE ELSE FALSE END AS primary_color
+FROM part
+WHERE p_partkey < 500
+""")
+def q_regex_funcs(spark, sf_dir):
+    """Regexp battery (E8): extract with group, global replace,
+    match-count via extract_all, anchored rlike — all JVM-side codegen
+    expressions, no UDFs."""
+    p = (_t(spark, sf_dir, "part")
+         .where(F.col("p_partkey") < 500))
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"([a-z]+) ([a-z]+)", 1)
+         .alias("color"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.size(F.regexp_extract_all("p_name", F.lit("[aeiou]"), 0))
+         .alias("n_vowels"),
+        F.col("p_name").rlike("^(red|blue|green)")
+         .alias("primary_color"))
+
+
+@register("q_map_ops", sql="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INT) AS k_typed,
+       CAST(len(json_keys(props)) AS INT) AS n_keys,
+       CASE WHEN json_extract(props, '$.missing') IS NULL
+            THEN TRUE ELSE FALSE END AS missing_is_null
+FROM events
+WHERE event_id < 2000
+""")
+def q_map_ops(spark, sf_dir):
+    """Map-typed JSON handling (E9): parse props into MAP<STRING,INT>,
+    read through the map, count keys, prove absent keys are null —
+    from_json to a map type instead of a fixed struct schema."""
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("event_id") < 2000))
+    m = F.from_json("props", "map<string,int>")
+    return ev.select(
+        "event_id",
+        m.getItem("k").alias("k_typed"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+        m.getItem("missing").isNull().alias("missing_is_null"))

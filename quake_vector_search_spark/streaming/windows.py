@@ -90,3 +90,16 @@ def dedup_stream(rows: DataFrame, key_cols: list[str],
     memory tracks the dedup window, not the stream length."""
     return (rows.withWatermark(ts_col, watermark)
             .dropDuplicates(key_cols))
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame,
+                  stream_key: str = "user_id",
+                  dim_key: str = "c_custkey") -> DataFrame:
+    """Stream-static enrichment join: every event picks up its
+    dimension attributes. Stateless (no watermark, no state store) —
+    the static side is planned as a broadcast per micro-batch, so the
+    stream never shuffles; at scale this is the standard dimension
+    lookup in an ingest pipeline. Left join: events without a dimension
+    row flow through with nulls rather than being dropped."""
+    d = dim.withColumnRenamed(dim_key, stream_key)
+    return events.join(F.broadcast(d), stream_key, "left")

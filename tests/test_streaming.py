@@ -162,3 +162,20 @@ def test_streaming_dedup_matches_batch(spark, events_dir):
              .select("user_id", "event_type").distinct())
     assert sorted(map(tuple, got.select("user_id", "event_type").collect())) \
         == sorted(map(tuple, batch.collect()))
+
+
+def test_stream_static_enrichment_matches_batch(spark, events_dir):
+    """Stateless stream-static join: every event enriched with customer
+    attributes; exact equality with the batch join (no watermark, so no
+    held-back tail)."""
+    cust = load_table(spark, SF, "customer") \
+        .select("c_custkey", "c_mktsegment")
+    stream = SW.read_events_stream(spark, events_dir)
+    out = SW.run_to_completion(
+        SW.enrich_stream(stream, cust), "t_enrich")
+    batch = (load_table(spark, SF, "events")
+             .join(cust.withColumnRenamed("c_custkey", "user_id"),
+                   "user_id", "left"))
+    got = _canon(out, ["event_id", "user_id", "c_mktsegment"])
+    want = _canon(batch, ["event_id", "user_id", "c_mktsegment"])
+    assert got == want
