@@ -307,3 +307,56 @@ def simhash_pairs_blocked(docs: DataFrame, max_hamming: int = 2,
     return (cand.join(sa, "doc_a").join(sb, "doc_b")
             .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
             .where(F.col("hamming") <= max_hamming))
+
+
+def connected_components(nodes: DataFrame, pairs: DataFrame,
+                         id_col: str = "doc_id",
+                         a_col: str = "doc_a", b_col: str = "doc_b",
+                         max_iters: int = 25) -> DataFrame:
+    """Connected components over near-dup pairs: label every node with
+    the minimum node id reachable through the pair graph — the cluster
+    key for keep-one-representative dedup. Returns (id, cluster_id).
+
+    Min-label propagation: each round every node takes the min of its
+    own label and its neighbors' labels (one join + one groupBy per
+    round), stopping when a round changes nothing. Rounds needed =
+    graph diameter — tiny for dup clusters (near-cliques). Each round
+    localCheckpoints the labels so lineage (and thus plan size) stays
+    constant. At 100 TB scale the same loop runs with the pairs table
+    bucketed by node; the large-star/small-star variant halves rounds
+    if diameters grow.
+
+    Raises if max_iters rounds don't converge (un-converged labels
+    would be nondeterministic).
+    """
+    edges = (pairs.select(F.col(a_col).alias("src"),
+                          F.col(b_col).alias("dst"))
+             .unionAll(pairs.select(F.col(b_col).alias("src"),
+                                    F.col(a_col).alias("dst"))))
+    labels = (nodes.select(F.col(id_col).alias("node"))
+              .distinct()
+              .withColumn("label", F.col("node"))
+              .localCheckpoint())
+    for _ in range(max_iters):
+        neighbor_min = (edges.join(labels,
+                                   edges.src == labels.node)
+                        .groupBy("dst")
+                        .agg(F.min("label").alias("nmin")))
+        new_labels = (labels.join(neighbor_min,
+                                  labels.node == neighbor_min.dst,
+                                  "left")
+                      .select(F.col("node"),
+                              F.least(F.col("label"),
+                                      F.coalesce("nmin", "label"))
+                               .alias("label"))
+                      .localCheckpoint())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .where(F.col("n.label") != F.col("o.label"))
+                   .count())
+        labels = new_labels
+        if changed == 0:
+            return labels.select(F.col("node").alias(id_col),
+                                 F.col("label").alias("cluster_id"))
+    raise RuntimeError(f"components did not converge in {max_iters} "
+                       "rounds")

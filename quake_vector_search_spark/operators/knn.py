@@ -149,3 +149,48 @@ def cosine_topk(corpus_df: DataFrame,
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "vec_id", "sim", "rank"))
+
+
+def dot_topk(corpus_df: DataFrame,
+             queries,
+             k: int = 10,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             query_id_col: str = "query_id",
+             query_vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k by maximum inner product (descending) — the scoring
+    used by unnormalized-embedding retrieval. Same batch shape as
+    `knn_bruteforce`: one matmul per (query block, corpus batch), local
+    top-k, global windowed top-k. Tie-break (score DESC, vec_id ASC)."""
+    spark = corpus_df.sparkSession
+    qids, qmat = _collect_queries(queries, query_id_col, query_vec_col)
+    if len(qids) == 0:
+        return _empty_result(spark, "score")
+    bq = spark.sparkContext.broadcast((qids, qmat))
+
+    def local_topk(batches):
+        qids_l, qmat_l = bq.value
+        for pdf in batches:
+            if len(pdf) == 0 or qids_l.shape[0] == 0:
+                continue
+            vecs = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            score = qmat_l @ vecs.T
+            kk = min(k, vecs.shape[0])
+            part = topk_cols_2d(score, ids, kk, descending=True)
+            sk = np.take_along_axis(score, part, axis=1)
+            yield pd.DataFrame({
+                "query_id": np.repeat(qids_l, kk),
+                "vec_id": ids[part].ravel(),
+                "score": sk.ravel(),
+            })
+
+    local = (corpus_df.select(id_col, vec_col)
+             .mapInPandas(local_topk,
+                          "query_id long, vec_id long, score double"))
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.col("score").desc(), F.col("vec_id").asc()))
+    return (local
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "vec_id", "score", "rank"))

@@ -208,3 +208,32 @@ def dedup_ngram_jaccard_capped(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     out = D.jaccard_pairs(docs, threshold=0.8, max_shingle_df=_CAP)
     return out.withColumn("jaccard", F.round("jaccard", 6))
+
+
+@register("dedup_clusters", sql="WITH RECURSIVE " + SQL_JACCARD_PAIRS + """,
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= 0.8
+  UNION ALL
+  SELECT doc_b, doc_a FROM jac WHERE jaccard >= 0.8
+), reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, MIN(dst) AS cluster_id,
+       (MIN(dst) = src) AS is_canonical
+FROM reach GROUP BY src
+""")
+def dedup_clusters(spark, sf_dir):
+    """Near-dup clustering (E12 / training-pipeline): connected
+    components over the ≥0.8 Jaccard pair graph; every document gets
+    its component's minimum doc_id as cluster key and the canonical
+    (keep-this-one) flag. Spark side is iterative min-label propagation
+    (operators/dedup.py::connected_components); the oracle computes the
+    same fixpoint as a recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, threshold=0.8)
+    comp = D.connected_components(docs, pairs)
+    return comp.select(
+        "doc_id", "cluster_id",
+        (F.col("cluster_id") == F.col("doc_id")).alias("is_canonical"))

@@ -470,3 +470,34 @@ def ivf_pq_search_fullprobe(spark, sf_dir):
                             max_probe=1_000_000_000, oversample=16,
                             books=_PQ_SIDECAR_CACHE[key])
     return out.withColumn("dist", F.round("dist", 6))
+
+
+@register("knn_dot", sql=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), d AS (
+  SELECT q.query_id, e.vec_id,
+         list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                            CAST(q.qvec AS DOUBLE[])) AS score
+  FROM embeddings e CROSS JOIN q
+), r AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id ASC) AS rank
+  FROM d
+)
+SELECT query_id, vec_id, ROUND(score, 6) AS score,
+       CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {K}
+""")
+def knn_dot(spark, sf_dir):
+    """Exact maximum-inner-product top-{K} (E14): the third retrieval
+    metric next to L2 and cosine — unnormalized-embedding scoring."""
+    from quake_vector_search_spark.operators.knn import dot_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES) \
+                 .withColumnRenamed("vec_id", "query_id")
+    out = dot_topk(emb, queries, k=K)
+    return out.withColumn("score", F.round("score", 6))

@@ -57,3 +57,27 @@ def test_balanced_downsample_equalizes_classes(spark):
                   balanced_downsample(df, class_col="label",
                                       id_col="vec_id").collect())
     assert ids1 == ids2
+
+
+def test_connected_components_chain_and_singletons(spark):
+    from quake_vector_search_spark.operators.dedup import (
+        connected_components,
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(7)], ["doc_id"])
+    # chain 4-3, 3-2, 2-1 (diameter 3, needs multiple rounds); pair 5-6
+    pairs = spark.createDataFrame(
+        [(4, 3), (3, 2), (2, 1), (5, 6)], ["doc_a", "doc_b"])
+    got = {r.doc_id: r.cluster_id
+           for r in connected_components(nodes, pairs).collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5}
+
+
+def test_connected_components_empty_pairs(spark):
+    from quake_vector_search_spark.operators.dedup import (
+        connected_components,
+    )
+    nodes = spark.createDataFrame([(1,), (2,)], ["doc_id"])
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    got = {r.doc_id: r.cluster_id
+           for r in connected_components(nodes, pairs).collect()}
+    assert got == {1: 1, 2: 2}
