@@ -89,3 +89,39 @@ def test_tombstone_filter_stays_pushable(spark, ivf_index):
         assert "Join" not in plan
     finally:
         ivf_index.tombstones = set()
+
+
+def test_asof_join_single_shuffle(spark):
+    """The as-of join must be ONE exchange on the key (union + window),
+    never a range/cross join whose pair count explodes per key."""
+    plan = _plan(REGISTRY["ts_asof_join"].fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # union feeds one hashpartitioning(user_id) exchange for the window
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_chunking_is_narrow(spark):
+    """Chunking is a per-row generate — any shuffle here would be a
+    scale bug (it runs inside ingest scans at 100 TB)."""
+    plan = _plan(REGISTRY["text_chunking"].fn(spark, SF_SMOKE))
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan or "Generate posexplode" in plan
+
+
+def test_q5_broadcasts_all_dims(spark):
+    """TPC-H Q5 shape: exactly one shuffle join (lineitem⋈orders);
+    supplier/customer/nation/region all broadcast."""
+    plan = _plan(REGISTRY["q5_local_supplier_volume"].fn(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_profile_is_single_pass(spark):
+    """Profiling must scan the table once — one aggregate over all
+    columns, not one scan per column."""
+    import re
+    plan = _plan(REGISTRY["q_profile_orders"].fn(spark, SF_SMOKE))
+    # formatted explain lists each physical node once as "(N) Scan
+    # parquet" in the detail section — count nodes, not mentions
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
