@@ -154,3 +154,24 @@ def resample_ffill(events: DataFrame, every_seconds: int = 900,
             .withColumn("sum_value_ffill",
                         F.last("_s", ignorenulls=True).over(w))
             .select(key_col, "bucket", "n", "sum_value_ffill"))
+
+
+def interval_join(left: DataFrame, right: DataFrame, key: str,
+                  left_ts: str, right_ts: str,
+                  lower_s: int = 0, upper_s: int = 3600) -> DataFrame:
+    """Event-time interval join: pair left and right rows with the same
+    ``key`` where ``right_ts ∈ [left_ts + lower_s, left_ts + upper_s]``
+    (attribution windows, feature joins). Inner join.
+
+    Plans as an equi-join on ``key`` with the time window as a residual
+    predicate — one shuffle per side, never a cross product. Pair
+    volume per key is bounded by the window width; this same shape runs
+    as a watermarked stream-stream join (streaming/windows.py::
+    interval_join_stream)."""
+    l, r = left.alias("l"), right.alias("r")
+    lo = F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {lower_s} SECONDS")
+    hi = F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper_s} SECONDS")
+    cond = ((F.col(f"l.{key}") == F.col(f"r.{key}"))
+            & (F.col(f"r.{right_ts}") >= lo)
+            & (F.col(f"r.{right_ts}") <= hi))
+    return l.join(r, cond, "inner")

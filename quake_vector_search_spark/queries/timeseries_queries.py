@@ -197,3 +197,43 @@ def ts_gapfill_ffill(spark, sf_dir):
     out = TS.resample_ffill(ev, every_seconds=900)
     return out.withColumn("sum_value_ffill",
                           F.round("sum_value_ffill", 4))
+
+
+@register("ts_interval_join", sql="""
+WITH p AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS tsu FROM events
+  WHERE event_type = 'purchase'
+), c AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS tsu FROM events
+  WHERE event_type = 'click'
+)
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+       ROUND(epoch(p.tsu) - epoch(c.tsu), 6) AS gap_s
+FROM c JOIN p
+  ON p.user_id = c.user_id
+ AND p.tsu >= c.tsu
+ AND p.tsu <= c.tsu + INTERVAL 1 HOUR
+""")
+def ts_interval_join(spark, sf_dir):
+    """Attribution interval join (E11): every (click → purchase within
+    1h, same user) pair. Equi-join on user_id with the time window as a
+    residual — one shuffle per side, pair volume bounded by the window;
+    same shape runs streaming as the watermarked stream-stream join."""
+    ev = load_table(spark, sf_dir, "events")
+    c = (ev.where(F.col("event_type") == "click")
+         .select(F.col("event_id").alias("click_id"), "user_id",
+                 F.col("ts").alias("click_ts")))
+    p = (ev.where(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("purchase_id"),
+                 F.col("user_id").alias("p_user"),
+                 F.col("ts").alias("purchase_ts")))
+    cond = ((F.col("user_id") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts")
+               <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")))
+    out = c.join(p, cond, "inner")
+    return out.select(
+        "purchase_id", "click_id", "user_id",
+        F.round((F.unix_micros("purchase_ts")
+                 - F.unix_micros("click_ts")) / 1_000_000.0, 6)
+         .alias("gap_s"))

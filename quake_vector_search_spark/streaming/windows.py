@@ -103,3 +103,22 @@ def enrich_stream(events: DataFrame, dim: DataFrame,
     row flow through with nulls rather than being dropped."""
     d = dim.withColumnRenamed(dim_key, stream_key)
     return events.join(F.broadcast(d), stream_key, "left")
+
+
+def interval_join_stream(left: DataFrame, right: DataFrame, key: str,
+                         left_ts: str, right_ts: str,
+                         upper_s: int = 3600,
+                         watermark: str = "2 hours") -> DataFrame:
+    """Watermarked stream-stream interval join — the streaming form of
+    operators/timeseries.py::interval_join. Both sides carry event-time
+    watermarks so each side's state store evicts rows once they can no
+    longer match (state size tracks watermark horizon × rate, not
+    stream length)."""
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = ((F.col(f"l.{key}") == F.col(f"r.{key}"))
+            & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+            & (F.col(f"r.{right_ts}")
+               <= F.col(f"l.{left_ts}")
+               + F.expr(f"INTERVAL {upper_s} SECONDS")))
+    return l.join(r, cond, "inner").drop(F.col(f"r.{key}"))

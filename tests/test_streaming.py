@@ -179,3 +179,41 @@ def test_stream_static_enrichment_matches_batch(spark, events_dir):
     got = _canon(out, ["event_id", "user_id", "c_mktsegment"])
     want = _canon(batch, ["event_id", "user_id", "c_mktsegment"])
     assert got == want
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_dir):
+    """Watermarked stream-stream interval join: inner joins emit on
+    match, so with bounded input the emitted pairs equal the batch
+    interval join exactly."""
+    from quake_vector_search_spark.operators.timeseries import (
+        interval_join,
+    )
+
+    def split(df):
+        c = (df.where(F.col("event_type") == "click")
+             .select(F.col("event_id").alias("click_id"),
+                     "user_id", F.col("ts").alias("click_ts")))
+        p = (df.where(F.col("event_type") == "purchase")
+             .select(F.col("event_id").alias("purchase_id"),
+                     F.col("user_id").alias("p_user"),
+                     F.col("ts").alias("purchase_ts")))
+        return c, p
+
+    stream = SW.read_events_stream(spark, events_dir)
+    sc, sp = split(stream)
+    joined = SW.interval_join_stream(
+        sc, sp.withColumnRenamed("p_user", "user_id"),
+        key="user_id", left_ts="click_ts", right_ts="purchase_ts",
+        upper_s=3600)
+    out = SW.run_to_completion(joined, "t_ssjoin")
+
+    bc, bp = split(spark.read.parquet(events_dir)
+                   .withColumn("ts", F.timestamp_micros(
+                       F.expr("ts DIV 1000"))))
+    want_df = (bc.join(bp, (F.col("user_id") == F.col("p_user"))
+                       & (F.col("purchase_ts") >= F.col("click_ts"))
+                       & (F.col("purchase_ts") <= F.col("click_ts")
+                          + F.expr("INTERVAL 3600 SECONDS"))))
+    got = _canon(out, ["click_id", "purchase_id"])
+    want = _canon(want_df, ["click_id", "purchase_id"])
+    assert got == want
