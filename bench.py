@@ -161,6 +161,34 @@ def _replay(spark, emb, workdir: str, n_queries: int, batch: int,
                 "recall_at_10": round(avg_recall(f, exact50, K), 4),
             })
 
+    # IVF+PQ hybrid on the final index: sidecar build (one encode pass)
+    # + the same 50 fixed queries — shows the byte-pruning axis next to
+    # the row-pruning curve above
+    pq_block = None
+    if curve:
+        from quake_vector_search_spark.operators.quantization import (
+            build_pq_sidecar,
+            knn_ivf_pq,
+        )
+        t2 = time.time()
+        books = build_pq_sidecar(idx, m=8, ksub=256, seed=99)
+        pq_build_s = time.time() - t2
+        t2 = time.time()
+        fpq, mpq = knn_ivf_pq(idx, (np.arange(50), qmat[:50]), k=K,
+                              target_recall=0.9, oversample=8,
+                              books=books)
+        fpq = fpq.cache()
+        fpq.count()
+        pq_search_s = time.time() - t2
+        pq_block = {
+            "sidecar_build_s": round(pq_build_s, 3),
+            "batch50_ms": round(1000 * pq_search_s, 1),
+            "avg_query_ms": round(1000 * pq_search_s / 50, 2),
+            "recall_at_10": round(
+                avg_recall(fpq, exact.where(exact.query_id < 50), K), 4),
+            "bytes_per_vector_scanned": 8,   # m=8 codes vs 256 (4·d=64)
+        }
+
     per_query = [bt / batch for bt in batch_times]
     return {
         "build_s": round(build_s, 3),
@@ -174,6 +202,7 @@ def _replay(spark, emb, workdir: str, n_queries: int, batch: int,
         "avg_scanned": round(float(np.mean(scanned)), 1),
         "avg_recall_at_10": round(float(recall), 4),
         **({"recall_vs_scanned": curve_pts} if curve else {}),
+        **({"ivf_pq": pq_block} if pq_block else {}),
     }
 
 

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame
 from quake_vector_search_spark.operators.ivf import IVFIndex
 from quake_vector_search_spark.operators.knn import (
     cosine_topk,
+    dot_topk,
     knn_bruteforce,
 )
 
@@ -53,4 +54,6 @@ def knn(corpus_df: DataFrame, queries, k: int = 10,
         return knn_bruteforce(corpus_df, queries, k=k, **kwargs)
     if metric == "cosine":
         return cosine_topk(corpus_df, queries, k=k, **kwargs)
-    raise ValueError(f"unknown metric {metric!r} (l2|cosine)")
+    if metric == "dot":
+        return dot_topk(corpus_df, queries, k=k, **kwargs)
+    raise ValueError(f"unknown metric {metric!r} (l2|cosine|dot)")

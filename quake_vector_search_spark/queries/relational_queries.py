@@ -1136,3 +1136,38 @@ def q_map_ops(spark, sf_dir):
         m.getItem("k").alias("k_typed"),
         F.size(F.map_keys(m)).alias("n_keys"),
         m.getItem("missing").isNull().alias("missing_is_null"))
+
+
+@register("q22_global_sales_opportunity", sql="""
+WITH avg_bal AS (
+  SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_mktsegment, COUNT(*) AS numcust,
+       ROUND(SUM(c_acctbal), 4) AS totacctbal
+FROM customer c, avg_bal
+WHERE c.c_acctbal > avg_bal.a
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""")
+def q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape: uncorrelated scalar subquery (global average
+    broadcast as a 1-row cross join) + NOT EXISTS anti join on a
+    filtered order window (E3+E4).
+    The anti join shuffles on custkey; the scalar is a literal by the
+    time the filter runs."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = (c.where(F.col("c_acctbal") > 0.0)
+               .agg(F.avg("c_acctbal").alias("a")))
+    return (c.crossJoin(F.broadcast(avg_bal))
+            .where(F.col("c_acctbal") > F.col("a"))
+            .join(o.where(F.col("o_orderdate")
+                          >= F.lit("2000-01-01").cast("timestamp")),
+                  c.c_custkey == o.o_custkey, "left_anti")
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("numcust"),
+                 F.round(F.sum("c_acctbal"), 4).alias("totacctbal"))
+            .orderBy("c_mktsegment"))
