@@ -76,3 +76,37 @@ def register_all(spark: SparkSession, sf_dir: str,
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def write_sink(df: DataFrame, path: str, fmt: str = "parquet",
+               mode: str = "overwrite", partition_by=None,
+               **options) -> None:
+    """Uniform sink: parquet (columnar, the default), csv (header +
+    ISO timestamps), or json lines. Formats beyond parquet exist for
+    interchange — pipelines should land parquet."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if fmt == "csv":
+        options = {"header": "true", **options}
+    if fmt in ("csv", "json"):
+        # default formats drop sub-millisecond precision — pin µs
+        options = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+                   **options}
+    w.format(fmt).options(**options).save(path)
+
+
+def read_source(spark: SparkSession, path: str, fmt: str = "parquet",
+                schema=None, **options) -> DataFrame:
+    """Uniform source: schema-on-read for parquet; csv/json take an
+    explicit schema (inference double-scans and guesses types — never
+    at 100 TB)."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    if fmt == "csv":
+        options = {"header": "true", **options}
+    if fmt in ("csv", "json"):
+        options = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+                   **options}
+    return r.format(fmt).options(**options).load(path)

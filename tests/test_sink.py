@@ -35,3 +35,41 @@ def test_partitioned_sink_prunes_on_read(spark, tmp_path):
     assert "PartitionFilters" in buf.getvalue()
     assert back.count() == df.where("l_returnflag = 'A'").count()
     shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_csv_roundtrip_preserves_values(spark, tmp_path):
+    """CSV interchange: write orders with pinned timestamp format, read
+    back with explicit schema → identical rows (no inference)."""
+    from quake_vector_search_spark.sources import load_table
+    from quake_vector_search_spark.sources.catalog import (
+        read_source,
+        write_sink,
+    )
+    from tests.conftest import SF_SMOKE
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    p = str(tmp_path / "orders_csv")
+    write_sink(o, p, fmt="csv")
+    back = read_source(spark, p, fmt="csv", schema=o.schema)
+    a = sorted(map(tuple, o.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+
+
+def test_json_roundtrip_preserves_values(spark, tmp_path):
+    """JSON-lines interchange for the events table (string props stay
+    strings, not re-parsed)."""
+    from quake_vector_search_spark.sources import load_table
+    from quake_vector_search_spark.sources.catalog import (
+        read_source,
+        write_sink,
+    )
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    p = str(tmp_path / "events_json")
+    write_sink(ev, p, fmt="json")
+    back = read_source(spark, p, fmt="json", schema=ev.schema)
+    a = sorted(map(tuple, ev.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
