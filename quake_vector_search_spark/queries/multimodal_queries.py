@@ -4,6 +4,8 @@ Spark plumbing is what's under test — see tests/test_multimodal.py)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from quake_vector_search_spark.multimodal import binary as MM
 from quake_vector_search_spark.queries import register
 from quake_vector_search_spark.sources import load_table
@@ -31,3 +33,26 @@ def mm_resize(spark, sf_dir):
     pixels before batching — the contract a training data-loader needs."""
     docs = load_table(spark, sf_dir, "documents")
     return MM.resize(MM.synthesize_assets(docs), target_rows=8)
+
+
+@register("mm_dedup_by_features")  # rows-only (fake decode isn't SQL)
+def mm_dedup_by_features(spark, sf_dir):
+    """End-to-end multimodal dedup: binary assets → decoded feature
+    vectors → exact-duplicate grouping on the feature fingerprint
+    (md5 of the rounded vector) with keep-first canonical flag — the
+    composition an image-dedup pipeline runs, with the decode seam
+    stubbed. Plumbing (schema, batching, shuffle on the fingerprint) is
+    the real thing; swap real_decode_stub for a codec and nothing else
+    changes."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = MM.extract_features(MM.synthesize_assets(docs), dim=16)
+    fp = F.md5(F.to_json(F.transform(
+        "features", lambda x: F.round(x, 6))))
+    w = (Window.partitionBy("fingerprint")
+         .orderBy(F.col("asset_id").asc()))
+    return (feats.withColumn("fingerprint", fp)
+            .withColumn("rn", F.row_number().over(w))
+            .select("asset_id", "fingerprint",
+                    (F.col("rn") == 1).alias("is_canonical")))
