@@ -62,3 +62,28 @@ def balanced_downsample(df: DataFrame, class_col: str,
             .crossJoin(F.broadcast(min_count))
             .where(F.col("_rk") <= F.col("_m"))
             .drop("_rk", "_m"))
+
+
+def salted_join(left: DataFrame, right: DataFrame, key: str,
+                n_salt: int = 8, how: str = "inner") -> DataFrame:
+    """Skew-resilient equi-join: spread each hot ``key`` across
+    ``n_salt`` reducers by salting the big (left) side with a
+    deterministic per-row salt and replicating the small-per-key
+    (right) side once per salt value. Output is row-identical to the
+    plain join — only the shuffle distribution changes: a key holding
+    p% of the rows caps any one task at p/n_salt%.
+
+    Complements AQE's skew-join splitting (which salts only after a
+    stage materializes skewed partitions); explicit salting keeps the
+    first shuffle itself balanced. Salt = positive_mod(xxhash64(all
+    left columns), n_salt) — deterministic, no rand().
+    """
+    lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]),
+                   F.lit(n_salt))
+    l = left.withColumn("_salt", lsalt)
+    r = (right.withColumn(
+            "_salt",
+            F.explode(F.sequence(F.lit(0).cast("long"),
+                                 F.lit(n_salt - 1).cast("long")))))
+    return (l.join(r, [key, "_salt"], how)
+            .drop("_salt"))

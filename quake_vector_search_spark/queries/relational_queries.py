@@ -1171,3 +1171,55 @@ def q22_global_sales_opportunity(spark, sf_dir):
             .agg(F.count("*").alias("numcust"),
                  F.round(F.sum("c_acctbal"), 4).alias("totacctbal"))
             .orderBy("c_mktsegment"))
+
+
+@register("q_salted_join", sql="""
+SELECT o.o_orderkey, o.o_orderpriority, l.l_linenumber,
+       ROUND(l.l_extendedprice, 4) AS price
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey < 1000
+""")
+def q_salted_join(spark, sf_dir):
+    """Salted skew join (scale pattern next to q_skew_salted_agg): the
+    fact side carries a deterministic per-row salt, the other side is
+    replicated per salt value, and the join key becomes (key, salt) —
+    row-identical to the plain join (the oracle IS the plain join) with
+    a hot key spread over n_salt reducers."""
+    from quake_vector_search_spark.operators.sampling import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = (_t(spark, sf_dir, "orders")
+         .where(F.col("o_orderkey") < 1000)
+         .withColumnRenamed("o_orderkey", "l_orderkey"))
+    out = salted_join(li, o.select("l_orderkey", "o_orderpriority"),
+                      key="l_orderkey", n_salt=8)
+    return out.select(F.col("l_orderkey").alias("o_orderkey"),
+                      "o_orderpriority", "l_linenumber",
+                      F.round("l_extendedprice", 4).alias("price"))
+
+
+@register("q_date_funcs2", sql="""
+SELECT o_orderkey,
+       CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+       CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS plus_3mo,
+       CAST(dayofweek(o_orderdate) AS INT) AS dow,
+       CAST(dayofyear(o_orderdate) AS INT) AS doy,
+       CAST(weekofyear(o_orderdate) AS INT) AS woy,
+       CAST(quarter(o_orderdate) AS INT) AS qtr
+FROM orders
+WHERE o_orderkey < 2000
+""")
+def q_date_funcs2(spark, sf_dir):
+    """Second datetime battery (E8): last_day, add_months, day-of-week/
+    year, ISO week, quarter — all codegen expressions. (DuckDB
+    dayofweek is 0-based Sunday; Spark's is 1-based → align with -1.)"""
+    o = (_t(spark, sf_dir, "orders")
+         .where(F.col("o_orderkey") < 2000))
+    return o.select(
+        "o_orderkey",
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        F.add_months("o_orderdate", 3).cast("timestamp").alias("plus_3mo"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.weekofyear("o_orderdate").alias("woy"),
+        F.quarter("o_orderdate").alias("qtr"))
