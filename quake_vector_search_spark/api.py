@@ -57,3 +57,42 @@ def knn(corpus_df: DataFrame, queries, k: int = 10,
     if metric == "dot":
         return dot_topk(corpus_df, queries, k=k, **kwargs)
     raise ValueError(f"unknown metric {metric!r} (l2|cosine|dot)")
+
+
+# ---------------------------------------------------------------- pipeline
+# Convenience re-exports: the training-data pipeline surface under one
+# import, so a user of the engine composes everything from `api`.
+
+def chunk(docs: DataFrame, size: int = 200, overlap: int = 50,
+          **kwargs) -> DataFrame:
+    """Fixed-size overlapping document chunking (operators/text.py)."""
+    from quake_vector_search_spark.operators.text import chunk_fixed
+    return chunk_fixed(docs, size=size, overlap=overlap, **kwargs)
+
+
+def dedup_clusters(docs: DataFrame, threshold: float = 0.8,
+                   **kwargs) -> DataFrame:
+    """Near-dup clustering: ≥threshold n-gram Jaccard pairs →
+    connected components → (doc_id, cluster_id)."""
+    from quake_vector_search_spark.operators.dedup import (
+        connected_components,
+        jaccard_pairs,
+    )
+    pairs = jaccard_pairs(docs, threshold=threshold, **kwargs)
+    return connected_components(docs, pairs)
+
+
+def profile(df: DataFrame, columns=None) -> DataFrame:
+    """Per-column QA stats (operators/profiling.py)."""
+    from quake_vector_search_spark.operators.profiling import (
+        profile as _profile,
+    )
+    return _profile(df, columns)
+
+
+def train_test_split(df: DataFrame, **kwargs) -> DataFrame:
+    """Deterministic portable-hash split (operators/sampling.py)."""
+    from quake_vector_search_spark.operators.sampling import (
+        train_test_split as _split,
+    )
+    return _split(df, **kwargs)

@@ -183,3 +183,30 @@ def chunk_fixed(docs: DataFrame, size: int = 200, overlap: int = 50,
                                 (F.col("_start") * stride + 1).cast("int"),
                                 size).alias("chunk_text"))
             .withColumn("chunk_len", F.length("chunk_text")))
+
+
+def ngram_frequencies(docs: DataFrame, n: int = 2, top: int = 20,
+                      text_col: str = "text") -> DataFrame:
+    """Corpus-level n-gram frequency table (training-data analysis:
+    boilerplate detection, contamination probes). Whitespace words →
+    per-doc n-gram list (with duplicates — corpus frequency counts
+    every occurrence) → explode → count → deterministic top-``top``
+    by (count DESC, ngram ASC).
+
+    One narrow explode + one count shuffle + TakeOrdered; at corpus
+    scale the count aggregate partial-combines map-side, so the shuffle
+    moves distinct n-grams, not occurrences.
+    """
+    w = F.split(F.col(text_col), " ")
+    gram = " , ".join(f"element_at(_w, i + {j})" for j in range(n))
+    grams = F.expr(
+        f"CASE WHEN size(_w) >= {n} THEN "
+        f"transform(sequence(1, size(_w) - {n - 1}), "
+        f"i -> concat_ws(' ', {gram})) "
+        f"ELSE array() END")
+    return (docs.select(w.alias("_w"))
+            .select(F.explode(grams).alias("ngram"))
+            .groupBy("ngram")
+            .agg(F.count("*").alias("n_occurrences"))
+            .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+            .limit(top))

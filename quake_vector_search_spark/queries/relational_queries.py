@@ -1223,3 +1223,30 @@ def q_date_funcs2(spark, sf_dir):
         F.dayofyear("o_orderdate").alias("doy"),
         F.weekofyear("o_orderdate").alias("woy"),
         F.quarter("o_orderdate").alias("qtr"))
+
+
+@register("q_min_by_max_by", sql="""
+SELECT o_orderpriority,
+       arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+       arg_max(o_orderkey, o_totalprice) AS priciest_order,
+       ROUND(MIN(o_totalprice), 4) AS min_price,
+       ROUND(MAX(o_totalprice), 4) AS max_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""")
+def q_min_by_max_by(spark, sf_dir):
+    """min_by/max_by (E4): argmin/argmax aggregates — fetch the key of
+    the extreme row without a self-join or window. (o_totalprice values
+    are distinct per group at this scale, so the result is
+    deterministic; a production query would tie-break via struct
+    ordering.)"""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority")
+            .agg(F.min_by("o_orderkey", "o_totalprice")
+                  .alias("cheapest_order"),
+                 F.max_by("o_orderkey", "o_totalprice")
+                  .alias("priciest_order"),
+                 F.round(F.min("o_totalprice"), 4).alias("min_price"),
+                 F.round(F.max("o_totalprice"), 4).alias("max_price"))
+            .orderBy("o_orderpriority"))

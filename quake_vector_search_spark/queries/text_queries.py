@@ -187,3 +187,26 @@ def text_chunking(spark, sf_dir):
     posexplode + substring, zero shuffles (E13)."""
     docs = load_table(spark, sf_dir, "documents")
     return T.chunk_fixed(docs, size=200, overlap=50)
+
+
+@register("text_bigram_freq", sql="""
+WITH words AS (
+  SELECT string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT unnest(CASE WHEN len(w) >= 2
+                THEN list_transform(range(1, len(w)),
+                                    i -> w[i] || ' ' || w[i + 1])
+                ELSE [] END) AS ngram
+  FROM words
+)
+SELECT ngram, COUNT(*) AS n_occurrences
+FROM grams GROUP BY ngram
+ORDER BY n_occurrences DESC, ngram ASC
+LIMIT 20
+""")
+def text_bigram_freq(spark, sf_dir):
+    """Corpus bigram frequency top-20 (E13 / training-data analysis):
+    occurrence counts with map-side partial aggregation, deterministic
+    (count DESC, ngram ASC) tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.ngram_frequencies(docs, n=2, top=20)
