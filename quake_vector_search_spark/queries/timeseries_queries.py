@@ -237,3 +237,44 @@ def ts_interval_join(spark, sf_dir):
         F.round((F.unix_micros("purchase_ts")
                  - F.unix_micros("click_ts")) / 1_000_000.0, 6)
          .alias("gap_s"))
+
+
+@register("ts_session_window_native", sql="""
+WITH ordered AS (
+  SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS tsu,
+         lag(CAST(ts AS TIMESTAMP)) OVER
+           (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+           AS prev_ts
+  FROM events
+), marked AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR epoch(tsu) - epoch(prev_ts) > 1800 THEN 1
+             ELSE 0 END AS new_session
+  FROM ordered
+), numbered AS (
+  SELECT *, SUM(new_session) OVER
+    (PARTITION BY user_id ORDER BY tsu, event_id
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+)
+SELECT user_id,
+       MIN(tsu) AS session_start,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM numbered
+GROUP BY user_id, sid
+""")
+def ts_session_window_native(spark, sf_dir):
+    """Native F.session_window in BATCH mode (E11): Spark's built-in
+    gap-merging sessionizer must produce exactly the sessions the
+    lag-based formulation (and the DuckDB oracle) derives — same 30-min
+    gap, keyed by session start. This is the identical expression the
+    streaming path runs with a watermark."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                       "user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .select("user_id",
+                    F.col("w.start").alias("session_start"),
+                    "n_events", "sum_value"))
