@@ -1250,3 +1250,60 @@ def q_min_by_max_by(spark, sf_dir):
                  F.round(F.min("o_totalprice"), 4).alias("min_price"),
                  F.round(F.max("o_totalprice"), 4).alias("max_price"))
             .orderBy("o_orderpriority"))
+
+
+@register("q_histogram", sql="""
+WITH b AS (
+  SELECT LEAST(CAST(floor((l_extendedprice - 900.0) / 10500.0)
+               AS INT), 9) AS bucket
+  FROM lineitem
+)
+SELECT bucket,
+       ROUND(900.0 + bucket * 10500.0, 4) AS bucket_lo,
+       ROUND(900.0 + (bucket + 1) * 10500.0, 4) AS bucket_hi,
+       COUNT(*) AS n
+FROM b GROUP BY bucket ORDER BY bucket
+""")
+def q_histogram(spark, sf_dir):
+    """Equal-width histogram (profiling/E10): 10 fixed buckets over
+    l_extendedprice — one scan, one tiny aggregate; the data-QA
+    companion to q_profile_orders. Fixed bounds keep it deterministic
+    (a data-driven min/max would add one cheap bounds pass, as
+    ts_gapfill_ffill does)."""
+    li = _t(spark, sf_dir, "lineitem")
+    bucket = F.least(
+        F.floor((F.col("l_extendedprice") - 900.0) / 10500.0)
+         .cast("int"),
+        F.lit(9))
+    return (li.select(bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n"))
+            .select("bucket",
+                    F.round(900.0 + F.col("bucket") * 10500.0, 4)
+                     .alias("bucket_lo"),
+                    F.round(900.0 + (F.col("bucket") + 1) * 10500.0, 4)
+                     .alias("bucket_hi"),
+                    "n")
+            .orderBy("bucket"))
+
+
+@register("q_redact_ids", sql="""
+SELECT c_custkey,
+       regexp_replace(c_name, '[0-9]', 'X', 'g') AS redacted_name,
+       CAST(len(regexp_extract_all(c_name, '[0-9]')) AS INT)
+         AS n_digits_masked
+FROM customer
+WHERE c_custkey < 500
+""")
+def q_redact_ids(spark, sf_dir):
+    """Identifier redaction (training-data pipeline: PII-style masking
+    as a pure codegen transform): digits in customer names masked with
+    a count of masked characters — the same regexp_replace shape an
+    email/phone scrubber uses, applied pre-export."""
+    c = (_t(spark, sf_dir, "customer")
+         .where(F.col("c_custkey") < 500))
+    return c.select(
+        "c_custkey",
+        F.regexp_replace("c_name", "[0-9]", "X").alias("redacted_name"),
+        F.size(F.regexp_extract_all("c_name", F.lit("[0-9]"), 0))
+         .alias("n_digits_masked"))
