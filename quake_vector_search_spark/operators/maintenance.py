@@ -223,8 +223,16 @@ def maintain(idx: IVFIndex,
     # eager metadata refresh for the new version (listing cost belongs
     # to maintenance, not the next query)
     idx.read_corpus()
+    # secondary structures follow the version: if the previous version
+    # carried a PQ codes sidecar, re-encode it against the new layout
+    # (codebooks unchanged — they model the data, not the partitioning)
+    from quake_vector_search_spark.operators.quantization import (
+        refresh_pq_sidecar,
+    )
+    pq_refreshed = refresh_pq_sidecar(idx)
     return {"splits": [(p, child_of[p]) for p in split_parents],
-            "merges": merges, "version": new_version}
+            "merges": merges, "version": new_version,
+            "pq_refreshed": pq_refreshed}
 
 
 def _refresh_partitions(idx: IVFIndex, pids: set[int],
@@ -298,4 +306,8 @@ def compact(idx: IVFIndex) -> dict:
     idx.recompute_centroids()
     idx.save_meta()
     idx.read_corpus()
-    return {"version": new_version}
+    from quake_vector_search_spark.operators.quantization import (
+        refresh_pq_sidecar,
+    )
+    pq_refreshed = refresh_pq_sidecar(idx)
+    return {"version": new_version, "pq_refreshed": pq_refreshed}

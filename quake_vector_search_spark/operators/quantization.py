@@ -421,3 +421,30 @@ def knn_ivf_pq(index, queries, k: int = 10, target_recall: float = 0.9,
         "n_partitions": len(index.part_ids),
     }
     return out, meta
+
+
+def refresh_pq_sidecar(index, books: np.ndarray | None = None) -> bool:
+    """Re-encode the PQ sidecar for the index's CURRENT version using
+    already-trained codebooks (maintenance moved rows between
+    partitions; the codebooks — a property of the data distribution,
+    not the layout — stay valid). Returns False if this index never had
+    a sidecar. Called by maintenance.maintain() so the hybrid search
+    path survives split/merge without manual rebuilds."""
+    import os
+
+    npy = os.path.join(index.version_dir, "pq_codebooks.npy")
+    if books is None:
+        # look in the previous version dir (maintain() already bumped)
+        prev = os.path.join(index.workdir,
+                            f"v{index.version - 1:04d}",
+                            "pq_codebooks.npy")
+        if not os.path.exists(prev):
+            return False
+        books = np.load(prev)
+    enc = pq_encode(index.read_corpus(), books, id_col=index.id_col,
+                    vec_col=index.vec_col, keep_cols=("partition_id",))
+    path = os.path.join(index.version_dir, "pq")
+    (enc.write.mode("overwrite").partitionBy("partition_id")
+        .parquet(path))
+    np.save(npy, books)
+    return True

@@ -199,3 +199,39 @@ def test_ivf_pq_sidecar_recall(spark, tmp_path):
     b = sorted(map(tuple, exact.select("query_id", "vec_id", "rank")
                    .collect()))
     assert a == b
+
+
+def test_pq_sidecar_survives_maintenance(spark, tmp_path):
+    """maintain() publishes a new version; a PQ sidecar built on the
+    old version must be re-encoded automatically so hybrid search keeps
+    working (and stays exact at full probe)."""
+    from pyspark.sql import functions as F
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.knn import knn_bruteforce
+    from quake_vector_search_spark.operators.maintenance import maintain
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+        knn_ivf_pq,
+    )
+    from quake_vector_search_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = IVFIndex.build(emb, str(tmp_path / "ivfpq_m"),
+                         coarse_k=4, base_k=2)
+    build_pq_sidecar(idx, m=8, ksub=64, seed=99)
+    v0 = idx.version
+
+    summary = maintain(idx)
+    assert summary["version"] == v0 + 1
+    assert summary["pq_refreshed"] is True
+
+    q = emb.where(F.col("vec_id") < 3) \
+           .withColumnRenamed("vec_id", "query_id")
+    got, _ = knn_ivf_pq(idx, q, k=10, target_recall=1.0,
+                        max_probe=10**9, oversample=16)
+    exact = knn_bruteforce(idx.read_corpus(), q, k=10)
+    a = sorted(map(tuple, got.select("query_id", "vec_id").collect()))
+    b = sorted(map(tuple, exact.select("query_id", "vec_id").collect()))
+    assert a == b
