@@ -180,6 +180,12 @@ def _replay(spark, emb, workdir: str, n_queries: int, batch: int,
         fpq = fpq.cache()
         fpq.count()
         pq_search_s = time.time() - t2
+        # second point at target 0.5: row pruning × byte pruning —
+        # scanned fraction × (8/256) bytes is the multiplicative win
+        fpq5, mpq5 = knn_ivf_pq(idx, (np.arange(50), qmat[:50]), k=K,
+                                target_recall=0.5, oversample=8,
+                                books=books)
+        n_corpus_pq = idx.read_corpus().count()
         pq_block = {
             "sidecar_build_s": round(pq_build_s, 3),
             "batch50_ms": round(1000 * pq_search_s, 1),
@@ -187,6 +193,16 @@ def _replay(spark, emb, workdir: str, n_queries: int, batch: int,
             "recall_at_10": round(
                 avg_recall(fpq, exact.where(exact.query_id < 50), K), 4),
             "bytes_per_vector_scanned": 8,   # m=8 codes vs 256 (4·d=64)
+            "at_target_0.5": {
+                "scanned_frac": round(
+                    mpq5["avg_scanned"] / max(n_corpus_pq, 1), 4),
+                "recall_at_10": round(
+                    avg_recall(fpq5, exact.where(exact.query_id < 50),
+                               K), 4),
+                "effective_bytes_frac": round(
+                    (mpq5["avg_scanned"] / max(n_corpus_pq, 1))
+                    * 8 / 256, 4),
+            },
         }
 
     per_query = [bt / batch for bt in batch_times]
