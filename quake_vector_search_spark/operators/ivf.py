@@ -370,7 +370,7 @@ class IVFIndex:
     def next_part_id(self) -> int:
         return int(self.part_ids.max()) + 1 if len(self.part_ids) else 0
 
-    def insert(self, ids, vecs) -> None:
+    def insert(self, ids, vecs) -> np.ndarray:
         """O6 (ipynb c1:92-109): route each new vector to the nearest
         coarse cell, then the nearest base partition within it (creating
         a fresh partition when the cell has none); append; keep the
@@ -380,11 +380,13 @@ class IVFIndex:
         Micro-batch shape: routing is driver-side NumPy over the
         broadcast-scale centroid tables; the append is one partitioned
         parquet write. Streaming ingest wires this into foreachBatch.
+        Returns the assigned partition id per input row so secondary
+        structures (the PQ codes sidecar) can append partition-aligned.
         """
         ids = np.asarray(ids, dtype=np.int64)
         vecs = np.asarray(vecs, dtype=np.float64)
         if len(ids) == 0:
-            return
+            return np.empty(0, dtype=np.int64)
         if self.metric == "cosine":
             vecs = vecs / (np.linalg.norm(vecs, axis=1, keepdims=True)
                            + 1e-12)
@@ -439,6 +441,7 @@ class IVFIndex:
         # eager metadata refresh: pay the file re-listing here, inside
         # the write path, not inside the next query's latency
         self.read_corpus()
+        return pid
 
     def delete(self, ids) -> None:
         """O7 (ipynb c1:111-125): delete by id. The reference's O(1)

@@ -175,6 +175,22 @@ def _infer_id_col(df: DataFrame, default: str = "vec_id") -> str:
     return default if default in df.columns else df.columns[0]
 
 
+def pq_encode_local(vecs: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """NumPy PQ encode of one vector block: [n, d] → [n, m] int codes
+    (nearest sub-centroid per subspace). The kernel shared by the
+    distributed ``pq_encode`` pass and micro-batch streaming appends,
+    where a driver-side encode of a few hundred rows beats a Spark job."""
+    from quake_vector_search_spark.functions.vector import l2_batch
+
+    m, _, dsub = codebooks.shape
+    vecs = np.asarray(vecs, dtype=np.float64)
+    codes = np.empty((vecs.shape[0], m), dtype=np.int64)
+    for j in range(m):
+        sub = vecs[:, j * dsub:(j + 1) * dsub]
+        codes[:, j] = np.argmin(l2_batch(sub, codebooks[j]), axis=1)
+    return codes
+
+
 def pq_encode(corpus_df: DataFrame, codebooks: np.ndarray,
               id_col: str = "vec_id", vec_col: str = "embedding",
               code_col: str = "pq_codes",
@@ -184,11 +200,8 @@ def pq_encode(corpus_df: DataFrame, codebooks: np.ndarray,
     subspace. Output is (id, array<int> codes) — d/dsub·1 byte of
     payload per vector at scale vs 4·d for the floats (32× smaller at
     m=8, d=64)."""
-    from quake_vector_search_spark.functions.vector import l2_batch
-
     spark = corpus_df.sparkSession
     bc = spark.sparkContext.broadcast(codebooks)
-    m, _, dsub = codebooks.shape
 
     def encode(batches):
         books = bc.value
@@ -196,10 +209,7 @@ def pq_encode(corpus_df: DataFrame, codebooks: np.ndarray,
             if len(pdf) == 0:
                 continue
             vecs = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            codes = np.empty((vecs.shape[0], m), dtype=np.int64)
-            for j in range(m):
-                sub = vecs[:, j * dsub:(j + 1) * dsub]
-                codes[:, j] = np.argmin(l2_batch(sub, books[j]), axis=1)
+            codes = pq_encode_local(vecs, books)
             out = {id_col: pdf[id_col].to_numpy(dtype=np.int64),
                    code_col: list(codes)}
             for c in keep_cols:

@@ -7,29 +7,77 @@ through ``foreachBatch``, each batch routed with the same nearest-
 coarse→nearest-base policy via IVFIndex.insert — exactly-once per epoch
 because foreachBatch sees each micro-batch exactly once under the
 default checkpointing contract.
+
+When the index version carries a PQ codes sidecar (built by
+``quantization.build_pq_sidecar``), each micro-batch's vectors are also
+encoded with the version's codebooks and appended to the sidecar with
+the same partition_id alignment — so the IVF+PQ hybrid search path
+(``knn_ivf_pq``) sees streamed-in vectors without a full re-encode.
+The encode is driver-side NumPy: a micro-batch is a few hundred rows,
+for which one in-process kernel call beats a Spark job; the bulk path
+(initial sidecar build, maintenance re-encode) stays distributed.
 """
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 
 from quake_vector_search_spark.operators.ivf import IVFIndex
 
 
+def _append_pq_codes(index: IVFIndex, ids: np.ndarray,
+                     vecs: np.ndarray, pids: np.ndarray,
+                     books_cache: dict) -> bool:
+    """Append PQ codes for freshly-inserted vectors to the sidecar of
+    the index's CURRENT version (no-op → False when the version has no
+    sidecar). Codebooks are cached per version dir: maintenance bumps
+    the version (and re-encodes the sidecar itself), after which the
+    next batch picks up the new version's codebooks."""
+    npy = os.path.join(index.version_dir, "pq_codebooks.npy")
+    if not os.path.exists(npy):
+        return False
+    if books_cache.get("path") != npy:
+        books_cache["path"] = npy
+        books_cache["books"] = np.load(npy)
+    from quake_vector_search_spark.operators.quantization import (
+        pq_encode_local,
+    )
+    codes = pq_encode_local(vecs, books_cache["books"])
+    pdf = pd.DataFrame({
+        index.id_col: ids.astype(np.int64),
+        "pq_codes": [c.astype(np.int32) for c in codes],
+        "partition_id": pids.astype(np.int64),
+    })
+    sdf = index.spark.createDataFrame(
+        pdf, f"{index.id_col} long, pq_codes array<int>, "
+             "partition_id long")
+    (sdf.write.mode("append").partitionBy("partition_id")
+     .parquet(os.path.join(index.version_dir, "pq")))
+    return True
+
+
 def ingest_stream(index: IVFIndex, vectors_stream: DataFrame,
-                  checkpoint_dir: str):
+                  checkpoint_dir: str, encode_pq: bool = True):
     """Attach a vector stream to the index. Returns the StreamingQuery;
-    caller owns lifecycle (processAllAvailable/stop)."""
+    caller owns lifecycle (processAllAvailable/stop). With
+    ``encode_pq`` (default), micro-batches also keep the version's PQ
+    sidecar current — see module docstring."""
     id_col, vec_col = index.id_col, index.vec_col
+    books_cache: dict = {}
 
     def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
         rows = batch_df.select(id_col, vec_col).collect()
         if not rows:
             return
-        ids = [r[0] for r in rows]
+        ids = np.array([r[0] for r in rows], dtype=np.int64)
         vecs = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
-        index.insert(ids, vecs)
+        pids = index.insert(ids, vecs)
+        if encode_pq and index.metric == "l2":
+            _append_pq_codes(index, ids, vecs, pids, books_cache)
 
     return (vectors_stream.writeStream
             .option("checkpointLocation", checkpoint_dir)

@@ -112,6 +112,50 @@ def test_streaming_ingest_foreachbatch(spark):
     assert found.collect()[0]["vec_id"] == rows[5][0]
 
 
+def test_streaming_ingest_keeps_pq_sidecar_current(spark):
+    import numpy as np
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+        knn_ivf_pq,
+    )
+    from quake_vector_search_spark.streaming.ingest import ingest_stream
+
+    emb = load_table(spark, SF, "embeddings")
+    shutil.rmtree("/tmp/qvss_stream_ivf_pq", ignore_errors=True)
+    idx = IVFIndex.build(emb, "/tmp/qvss_stream_ivf_pq",
+                         coarse_k=4, base_k=2)
+    books = build_pq_sidecar(idx, m=8, ksub=16, seed=99)
+    n_codes0 = spark.read.parquet(f"{idx.version_dir}/pq").count()
+
+    rng = np.random.default_rng(11)
+    rows = [(int(20_000 + i), rng.normal(size=64).astype(float).tolist())
+            for i in range(12)]
+    vec_dir = "/tmp/qvss_stream_vecs_pq"
+    shutil.rmtree(vec_dir, ignore_errors=True)
+    shutil.rmtree("/tmp/qvss_stream_ckpt_pq", ignore_errors=True)
+    (spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+     .repartition(2).write.mode("overwrite").parquet(vec_dir))
+    vstream = (spark.readStream
+               .schema("vec_id long, embedding array<float>")
+               .option("maxFilesPerTrigger", 1).parquet(vec_dir))
+    q = ingest_stream(idx, vstream, "/tmp/qvss_stream_ckpt_pq")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # one code row per streamed vector, partition-aligned
+    assert (spark.read.parquet(f"{idx.version_dir}/pq").count()
+            == n_codes0 + len(rows))
+    # hybrid search finds a streamed vector without any sidecar rebuild
+    found, _ = knn_ivf_pq(idx, ([1], np.array([rows[7][1]])), k=1,
+                          target_recall=1.0, max_probe=10**9,
+                          books=books)
+    assert found.collect()[0]["vec_id"] == rows[7][0]
+
+
 def test_stateful_running_totals_match_batch(spark, events_dir):
     """applyInPandasWithState custom operator: the last emission per
     user must equal the batch lifetime aggregate."""
