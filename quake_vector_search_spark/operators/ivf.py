@@ -477,13 +477,33 @@ class IVFIndex:
         self.tombstones |= found
 
     # -------------------------------------------------------------- APS
-    def partition_scores(self, qmat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    def partition_scores(self, qmat: np.ndarray,
+                         route_cells: int | None = None,
+                         ) -> tuple[np.ndarray, np.ndarray]:
         """O8 (ipynb c1:127-137): per-query softmax over partitions of
         ``-dist/tau + 0.5·ln(size+1)``, tau = median(dist)+1e-6.
         Vectorized over the whole query batch. Returns (order [nq,P]
         descending-probability partition indices w/ index tie-break,
-        probs_sorted [nq,P])."""
-        d2 = l2_batch(np.atleast_2d(qmat), self.centroids)
+        probs_sorted [nq,P]).
+
+        ``route_cells`` is the large-P scale path: score the (tiny)
+        coarse level first and restrict base scoring to each query's
+        ``route_cells`` nearest coarse cells — the per-query score
+        matrix shrinks from P columns to the routed cells' members.
+        Driver NumPy over all P centroids is fine to ~10⁵ partitions;
+        past that the full matrix + sort dominates batch latency, and
+        the reference keeps exactly this two-level routing for its
+        insert path (ipynb c1:93-97). Documented divergence: tau and
+        the softmax normalize over the routed subset, so probabilities
+        (hence adaptive nprobe) differ from the full scoring — a
+        restriction, never an expansion, of the probe candidates.
+        ``route_cells >= n_cells`` reduces exactly to full scoring
+        (asserted by tests)."""
+        qmat = np.atleast_2d(qmat)
+        if (route_cells is not None
+                and route_cells < len(self.coarse_centroids)):
+            return self._partition_scores_routed(qmat, route_cells)
+        d2 = l2_batch(qmat, self.centroids)
         dist = np.sqrt(d2)
         tau = np.median(dist, axis=1, keepdims=True) + 1e-6
         logits = -dist / tau + 0.5 * np.log(self.sizes[None, :] + 1.0)
@@ -495,6 +515,49 @@ class IVFIndex:
         idx = np.arange(P)[None, :].repeat(nq, axis=0)
         order = np.lexsort((idx, -p), axis=1)
         return order, np.take_along_axis(p, order, axis=1)
+
+    def _partition_scores_routed(self, qmat: np.ndarray, route_cells: int
+                                 ) -> tuple[np.ndarray, np.ndarray]:
+        """Two-level APS: coarse top-``route_cells`` per query, then the
+        softmax/tau computed over only those cells' member partitions.
+        Columns of the score matrix are the batch-union of routed
+        members (queries in one batch cluster, so the union stays far
+        below P); a query's non-routed members score probability 0 and
+        sort last. Returned positions are GLOBAL partition positions,
+        so callers index sizes/part_ids unchanged."""
+        nq = qmat.shape[0]
+        # only cells that actually have member partitions are routable
+        # (insert can empty a cell's partition list via maintenance)
+        has_members = np.isin(np.arange(len(self.coarse_centroids)),
+                              self.part_coarse)
+        cell_ids = np.where(has_members)[0]
+        dc = np.sqrt(l2_batch(qmat, self.coarse_centroids[cell_ids]))
+        r = min(route_cells, len(cell_ids))
+        cidx = np.arange(len(cell_ids))[None, :].repeat(nq, axis=0)
+        ordc = np.lexsort((cidx, dc), axis=1)[:, :r]
+        chosen_cells = cell_ids[ordc]                       # [nq, r]
+        # membership mask over global partition positions: one boolean
+        # gather (no per-query loop) — [nq, C] cell mask → [nq, P]
+        chosen_mask = np.zeros((nq, len(self.coarse_centroids)),
+                               dtype=bool)
+        chosen_mask[np.arange(nq)[:, None], chosen_cells] = True
+        valid = chosen_mask[:, self.part_coarse]
+        cols = np.where(valid.any(axis=0))[0]               # batch union
+        d2 = l2_batch(qmat, self.centroids[cols])
+        dist = np.sqrt(d2)
+        v = valid[:, cols]
+        dist_masked = np.where(v, dist, np.nan)
+        tau = np.nanmedian(dist_masked, axis=1, keepdims=True) + 1e-6
+        logits = np.where(
+            v, -dist / tau + 0.5 * np.log(self.sizes[None, cols] + 1.0),
+            -np.inf)
+        logits -= logits.max(axis=1, keepdims=True)
+        p = np.exp(logits)
+        p /= p.sum(axis=1, keepdims=True)
+        idx = cols[None, :].repeat(nq, axis=0)
+        order_local = np.lexsort((idx, -p), axis=1)
+        return (np.take_along_axis(idx, order_local, axis=1),
+                np.take_along_axis(p, order_local, axis=1))
 
     @staticmethod
     def choose_nprobe(probs_sorted: np.ndarray, target_recall: float,
@@ -512,9 +575,14 @@ class IVFIndex:
     def search(self, queries, k: int = 10, target_recall: float = 0.9,
                max_probe: int = 64,
                query_id_col: str = "query_id",
-               query_vec_col: str = "embedding"):
+               query_vec_col: str = "embedding",
+               route_cells: int | None = None):
         """O10 (ipynb c1:147-168): APS → partition-pruned scan → local
         top-k per (partition, query) → global windowed top-k.
+
+        ``route_cells``: optional two-level APS for large partition
+        counts (see partition_scores) — restricts scoring AND probing
+        to each query's nearest coarse cells.
 
         Returns (DataFrame(query_id, vec_id, dist, rank), meta dict with
         avg_nprobe / avg_scanned). Increments hit stats (O11).
@@ -533,7 +601,7 @@ class IVFIndex:
             return empty, {"nprobe": [], "avg_nprobe": 0.0,
                            "avg_scanned": 0.0,
                            "n_partitions": len(self.part_ids)}
-        order, probs = self.partition_scores(qmat)
+        order, probs = self.partition_scores(qmat, route_cells=route_cells)
         nprobe = self.choose_nprobe(probs, target_recall, max_probe)
 
         # probe sets (positions → stable partition ids)
