@@ -64,6 +64,33 @@ def balanced_downsample(df: DataFrame, class_col: str,
             .drop("_rk", "_m"))
 
 
+def weighted_sample(df: DataFrame, weight_col: str, n: int,
+                    id_col: str, seed: int = 44) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-Res): each row draws u ∈ (0,1] from the
+    portable md5 hash of (seed, id) and scores key = ln(u)/w — the
+    monotone log of the classic u^(1/w) — and the n LARGEST keys win.
+    Inclusion probability is proportional to weight, and the selection
+    is a pure function of (ids, weights, seed): same rows on every
+    engine, partitioning, and rerun, unlike ``rand()``-based sampling.
+
+    Plan: one narrow projection + global TakeOrdered(n) — partial
+    top-n per partition, no full sort, no shuffle of losers. Rows with
+    weight ≤ 0 never qualify (key = -inf analog via NULL filter).
+    """
+    h = (F.conv(F.substring(F.md5(
+            F.concat_ws(":", F.lit(str(seed)),
+                        F.col(id_col).cast("string"))), 1, 15), 16, 10)
+         .cast("long"))
+    # u in (0, 1]: (h+1) / 2^60  (15 hex chars = 60 bits)
+    u = (h + F.lit(1)).cast("double") / F.lit(float(2 ** 60))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (df.where(F.col(weight_col) > 0)
+            .withColumn("sample_key", key)
+            .orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
+            .limit(n))
+
+
 def salted_join(left: DataFrame, right: DataFrame, key: str,
                 n_salt: int = 8, how: str = "inner") -> DataFrame:
     """Skew-resilient equi-join: spread each hot ``key`` across

@@ -1,0 +1,76 @@
+"""Sketch operators for training-data analysis at scale.
+
+A 100 TB corpus can't afford exact per-item state for high-cardinality
+frequency questions (vocabulary counts, URL hit tallies). The count-min
+sketch bounds memory at depth×width counters with a one-sided error
+guarantee: est ≥ true, est ≤ true + εN with probability 1−δ (ε = e/width,
+δ = e^−depth).
+
+The sketch here is DETERMINISTIC — hash j of an item is the same
+portable md5 → bigint construction the sampling/dedup operators use
+(sampling.py::split_hash_expr), so the full sketch, and any estimate
+read from it, is reproducible cross-engine and cross-partitioning and
+can be DuckDB-oracle-checked exactly (no tolerance needed: both engines
+build the identical sketch).
+
+Plan shape: building the sketch is one groupBy over (depth × width)
+keys — the shuffle moves at most depth·width rows after map-side
+partial aggregation, regardless of corpus size. Estimates join
+candidates against the broadcast-scale sketch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def _bucket_expr(j_col, item_col, width: int):
+    """Row j's bucket for an item: first 15 hex chars of
+    md5('<j>:<item>') → bigint mod width. DuckDB twin:
+    ``CAST(concat('0x', substr(md5(concat(j, ':', item)), 1, 15))
+    AS BIGINT) % width``."""
+    tag = F.concat_ws(":", j_col.cast("string"), item_col.cast("string"))
+    return (F.conv(F.substring(F.md5(tag), 1, 15), 16, 10)
+            .cast("long") % width)
+
+
+def cms_sketch(items: DataFrame, item_col: str,
+               depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> DataFrame:
+    """Build the sketch: (j, bucket, c) counters, one per touched cell.
+    The explode multiplies rows ×depth BEFORE the aggregate, but the
+    groupBy partial-combines map-side down to ≤ depth·width rows per
+    task — the shuffle is constant-size."""
+    expanded = (items
+                .select(F.col(item_col).alias("item"),
+                        F.explode(F.sequence(
+                            F.lit(0), F.lit(depth - 1))).alias("j")))
+    return (expanded
+            .withColumn("bucket",
+                        _bucket_expr(F.col("j"), F.col("item"), width))
+            .groupBy("j", "bucket")
+            .agg(F.count("*").alias("c")))
+
+
+def cms_estimate(sketch: DataFrame, candidates: DataFrame,
+                 item_col: str, depth: int = CMS_DEPTH,
+                 width: int = CMS_WIDTH) -> DataFrame:
+    """Point-query the sketch for every candidate item: min over the
+    depth rows of each row's bucket counter. The sketch is ≤
+    depth·width rows → broadcast; the candidates never shuffle."""
+    expanded = (candidates
+                .select(F.col(item_col).alias("item"))
+                .distinct()
+                .select("item",
+                        F.explode(F.sequence(
+                            F.lit(0), F.lit(depth - 1))).alias("j"))
+                .withColumn("bucket",
+                            _bucket_expr(F.col("j"), F.col("item"),
+                                         width)))
+    return (expanded.join(F.broadcast(sketch), ["j", "bucket"])
+            .groupBy("item")
+            .agg(F.min("c").alias("est_count"))
+            .select(F.col("item").alias(item_col), "est_count"))

@@ -1307,3 +1307,37 @@ def q_redact_ids(spark, sf_dir):
         F.regexp_replace("c_name", "[0-9]", "X").alias("redacted_name"),
         F.size(F.regexp_extract_all("c_name", F.lit("[0-9]"), 0))
          .alias("n_digits_masked"))
+
+
+@register("q_weighted_sample", sql="""
+WITH keyed AS (
+  SELECT o_orderkey, o_totalprice,
+         ln((CAST(concat('0x', substr(md5(concat('44', ':',
+               CAST(o_orderkey AS VARCHAR))), 1, 15)) AS BIGINT) + 1)
+            / 1152921504606846976.0) / o_totalprice AS sample_key
+  FROM orders WHERE o_totalprice > 0
+)
+SELECT o_orderkey, o_totalprice
+FROM keyed
+ORDER BY sample_key DESC, o_orderkey ASC
+LIMIT 100
+""")
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (training-pipeline: importance-weighted corpus subsetting).
+    Efraimidis-Spirakis A-Res keys from the portable md5 hash —
+    operators/sampling.py::weighted_sample — so the winning 100 orders
+    (weight = o_totalprice) are a pure function of (ids, weights,
+    seed): identical on every engine and partitioning. Plan is a
+    narrow projection + TakeOrdered(100), no full sort."""
+    from quake_vector_search_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    out = weighted_sample(orders, weight_col="o_totalprice", n=100,
+                          id_col="o_orderkey", seed=44)
+    # the keys are ~1e-10 magnitude: rounding them for display would
+    # collapse to ±0.0 (whose sign hashes differently across engines),
+    # so the output is the selected rows — the semantic result
+    return out.select("o_orderkey", "o_totalprice")

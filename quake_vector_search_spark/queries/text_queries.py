@@ -210,3 +210,56 @@ def text_bigram_freq(spark, sf_dir):
     (count DESC, ngram ASC) tie-break."""
     docs = load_table(spark, sf_dir, "documents")
     return T.ngram_frequencies(docs, n=2, top=20)
+
+
+@register("text_cms_wordcount", sql="""
+WITH words0 AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
+), words AS (
+  SELECT word FROM words0 WHERE word <> ''
+), js AS (
+  SELECT unnest(generate_series(0, 3)) AS j
+), sk AS (
+  SELECT js.j,
+         CAST(concat('0x', substr(md5(concat(js.j, ':', word)), 1, 15))
+              AS BIGINT) % 256 AS bucket,
+         COUNT(*) AS c
+  FROM words CROSS JOIN js
+  GROUP BY 1, 2
+), cand AS (
+  SELECT DISTINCT word FROM words
+), cb AS (
+  SELECT cand.word, js.j,
+         CAST(concat('0x', substr(md5(concat(js.j, ':', cand.word)),
+              1, 15)) AS BIGINT) % 256 AS bucket
+  FROM cand CROSS JOIN js
+), est AS (
+  SELECT cb.word, MIN(sk.c) AS est_count
+  FROM cb JOIN sk ON sk.j = cb.j AND sk.bucket = cb.bucket
+  GROUP BY cb.word
+)
+SELECT word, est_count FROM est
+ORDER BY est_count DESC, word ASC
+LIMIT 20
+""")
+def text_cms_wordcount(spark, sf_dir):
+    """Count-min-sketch word frequencies (training-data analysis at
+    scale): the sketch bounds state at depth×width counters however
+    large the vocabulary — the shuffle moves ≤ 4·256 rows after
+    map-side combine. The portable-md5 hashing makes the whole sketch
+    deterministic, so the DuckDB oracle builds the IDENTICAL sketch and
+    the estimates hash-match exactly (est ≥ true by construction;
+    tests pin the guarantee against exact counts)."""
+    from quake_vector_search_spark.operators.sketch import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (docs.select(F.explode(F.split(F.lower(F.col("text")), " "))
+                         .alias("word"))
+             .where(F.col("word") != ""))
+    sk = cms_sketch(words, "word")
+    est = cms_estimate(sk, words, "word")
+    return (est.orderBy(F.desc("est_count"), F.asc("word"))
+            .limit(20))

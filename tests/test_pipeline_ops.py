@@ -81,3 +81,94 @@ def test_connected_components_empty_pairs(spark):
     got = {r.doc_id: r.cluster_id
            for r in connected_components(nodes, pairs).collect()}
     assert got == {1: 1, 2: 2}
+
+
+def test_star_components_match_label_propagation(spark):
+    """large-star/small-star must reach the same fixpoint as min-label
+    propagation on a graph with a long chain (diameter stress — the
+    case the star variant exists for), a triangle, and singletons."""
+    import random
+
+    from quake_vector_search_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+    rng = random.Random(5)
+    chain = [(i, i + 1) for i in range(10, 30)]          # diameter 20
+    tri = [(100, 101), (101, 102), (102, 100)]
+    rand = [(rng.randrange(200, 240), rng.randrange(200, 240))
+            for _ in range(30)]
+    pairs = spark.createDataFrame(chain + tri + rand,
+                                  ["doc_a", "doc_b"])
+    node_ids = sorted({x for p in chain + tri + rand for x in p}
+                      | {0, 1})                           # singletons
+    nodes = spark.createDataFrame([(i,) for i in node_ids], ["doc_id"])
+    ref = {r.doc_id: r.cluster_id
+           for r in connected_components(nodes, pairs).collect()}
+    got = {r.doc_id: r.cluster_id
+           for r in connected_components_star(nodes, pairs).collect()}
+    assert got == ref
+    assert got[29] == 10 and got[0] == 0
+
+
+def test_star_components_empty_pairs(spark):
+    from quake_vector_search_spark.operators.dedup import (
+        connected_components_star,
+    )
+    nodes = spark.createDataFrame([(1,), (2,)], ["doc_id"])
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    got = {r.doc_id: r.cluster_id
+           for r in connected_components_star(nodes, pairs).collect()}
+    assert got == {1: 1, 2: 2}
+
+
+def test_cms_estimates_dominate_true_counts(spark):
+    """Count-min guarantee: est ≥ true count for EVERY item, with
+    equality when an item's row has no collisions; estimates are
+    deterministic across reruns."""
+    from quake_vector_search_spark.operators.sketch import (
+        cms_estimate,
+        cms_sketch,
+    )
+    rows = [(f"w{i % 50}",) for i in range(1000)] + [("rare",)]
+    items = spark.createDataFrame(rows, ["item"])
+    sk = cms_sketch(items, "item", depth=4, width=64)
+    est = {r["item"]: r["est_count"]
+           for r in cms_estimate(sk, items, "item",
+                                 depth=4, width=64).collect()}
+    true = {r["item"]: r["n"]
+            for r in items.groupBy("item")
+            .agg(F.count("*").alias("n")).collect()}
+    assert set(est) == set(true)
+    assert all(est[w] >= true[w] for w in true)
+    # total sketch mass per row equals the stream length
+    per_row = (sk.groupBy("j").agg(F.sum("c").alias("s")).collect())
+    assert all(r["s"] == len(rows) for r in per_row)
+    est2 = {r["item"]: r["est_count"]
+            for r in cms_estimate(sk, items, "item",
+                                  depth=4, width=64).collect()}
+    assert est2 == est
+
+
+def test_weighted_sample_deterministic_and_weight_biased(spark):
+    from quake_vector_search_spark.operators.sampling import (
+        weighted_sample,
+    )
+    rows = ([(i, 1e-6) for i in range(100)]
+            + [(1000 + i, 1e6) for i in range(5)])
+    df = spark.createDataFrame(rows, ["id", "w"])
+    got = weighted_sample(df, "w", n=5, id_col="id", seed=9)
+    ids = sorted(r["id"] for r in got.collect())
+    # the 5 heavy rows dominate: P(light row wins) ~ 1e-12 per draw
+    assert ids == [1000, 1001, 1002, 1003, 1004]
+    again = sorted(r["id"]
+                   for r in weighted_sample(df, "w", n=5, id_col="id",
+                                            seed=9).collect())
+    assert again == ids
+    # without-replacement: n distinct rows even when weights tie
+    uni = spark.createDataFrame([(i, 1.0) for i in range(50)],
+                                ["id", "w"])
+    samp = [r["id"] for r in
+            weighted_sample(uni, "w", n=10, id_col="id",
+                            seed=3).collect()]
+    assert len(samp) == len(set(samp)) == 10
