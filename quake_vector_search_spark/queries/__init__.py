@@ -44,6 +44,7 @@ def load_all_query_modules() -> None:
         multimodal_queries,
         relational_queries,
         text_queries,
+        tpch_queries,
         timeseries_queries,
         vector_queries,
     )

@@ -125,3 +125,42 @@ def test_profile_is_single_pass(spark):
     # formatted explain lists each physical node once as "(N) Scan
     # parquet" in the detail section — count nodes, not mentions
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_q6_all_predicates_pushed(spark):
+    """Q6 is the pushdown showcase: all three predicates must reach
+    the parquet scan as PushedFilters — at 100 TB this is the
+    difference between reading row-group stats and reading the table."""
+    plan = _plan(REGISTRY["q6_forecast_revenue"].fn(spark, SF_SMOKE))
+    seg = plan.split("PushedFilters", 1)[1][:500]
+    assert "l_shipdate" in seg
+    assert "l_discount" in seg
+    assert "LessThan(l_quantity" in seg
+
+
+def test_q19_disjunction_derives_single_side_filters(spark):
+    """Q19's OR-of-conjuncts mixes part and lineitem columns; Catalyst
+    must still derive the implied single-side filters (CNF extraction)
+    and push the quantity range into the lineitem scan."""
+    plan = _plan(REGISTRY["q19_disjunctive_revenue"].fn(spark, SF_SMOKE))
+    seg = plan.split("PushedFilters", 1)[1]
+    assert "l_quantity" in seg[:800] or "p_brand" in seg[:800]
+    assert "CartesianProduct" not in plan
+
+
+def test_q8_broadcasts_every_dimension(spark):
+    """Q8's 7-table join: part/supplier/nation×2/region all broadcast;
+    at most the two fact joins (orders, customer) shuffle."""
+    plan = _plan(REGISTRY["q8_market_share"].fn(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert plan.count("SortMergeJoin") <= 2
+
+
+def test_q21_exists_become_semi_anti_joins(spark):
+    """Q21's EXISTS / NOT EXISTS must plan as hash semi/anti joins —
+    a nested-loop or per-row subquery shape would be quadratic."""
+    plan = _plan(REGISTRY["q21_waiting_supplier"].fn(spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
