@@ -515,3 +515,79 @@ def q21_waiting_supplier(spark, sf_dir):
                       F.col("s_suppkey") == F.col("sk"))
             .groupBy("s_name")
             .agg(F.count("*").alias("numwait")))
+
+
+# --------------------------------------------------------------------- Q2
+@register("q2_min_balance_supplier", sql="""
+SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name,
+       ROUND(s.s_acctbal, 4) AS s_acctbal
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part p     ON p.p_partkey = ps.l_partkey
+JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+WHERE p.p_size = 25 AND p.p_type = 'STANDARD'
+  AND s.s_acctbal = (
+    SELECT MIN(s2.s_acctbal)
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps2
+    JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+    WHERE ps2.l_partkey = p.p_partkey)
+""")
+def q2_min_balance_supplier(spark, sf_dir):
+    """TPC-H Q2 (adapted: lineitem's distinct (part, supplier) pairs
+    stand in for partsupp, min account balance for min supplycost):
+    for each size-25 STANDARD part, the cheapest supplier(s) that ship
+    it. The correlated MIN decorrelates into a per-part window minimum
+    — one shuffle on partkey, no re-executed subquery."""
+    from pyspark.sql import Window as W
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    sup = _t(spark, sf_dir, "supplier")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    pf = part.where((F.col("p_size") == 25)
+                    & (F.col("p_type") == "STANDARD"))
+    w = W.partitionBy("l_partkey")
+    return (ps.join(F.broadcast(sup),
+                    F.col("s_suppkey") == F.col("l_suppkey"))
+            .withColumn("_mn", F.min("s_acctbal").over(w))
+            .where(F.col("s_acctbal") == F.col("_mn"))
+            .join(F.broadcast(pf), F.col("p_partkey") == F.col("l_partkey"))
+            .select("p_partkey", "p_name", "s_suppkey", "s_name",
+                    F.round("s_acctbal", 4).alias("s_acctbal")))
+
+
+# --------------------------------------------------------------------- Q11
+@register("q11_important_parts", sql="""
+WITH nat_lines AS (
+  SELECT l.l_partkey, l.l_extendedprice
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n   ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = 'NATION_3'
+)
+SELECT l_partkey, ROUND(SUM(l_extendedprice), 4) AS value
+FROM nat_lines
+GROUP BY l_partkey
+HAVING SUM(l_extendedprice) > (
+  SELECT SUM(l_extendedprice) * 0.0008 FROM nat_lines)
+""")
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 (adapted: shipped extendedprice stands in for
+    partsupp stock value): parts representing a significant fraction
+    of one nation's shipped value. The HAVING threshold is a scalar
+    subquery over the same filtered join — Spark reuses the per-part
+    aggregate (one more 1-row reduction) and broadcasts the scalar
+    instead of rescanning lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    nat_sup = (sup.join(F.broadcast(
+        nation.where(F.col("n_name") == "NATION_3")),
+        F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_suppkey"))
+    per_part = (li.join(F.broadcast(nat_sup),
+                        F.col("s_suppkey") == F.col("l_suppkey"))
+                .groupBy("l_partkey")
+                .agg(F.sum("l_extendedprice").alias("_v")))
+    thresh = per_part.agg((F.sum("_v") * 0.0008).alias("_t"))
+    return (per_part.join(F.broadcast(thresh), F.col("_v") > F.col("_t"))
+            .select("l_partkey", F.round("_v", 4).alias("value")))
