@@ -1,0 +1,55 @@
+"""Streaming query serving: an online ANN query stream over the index.
+
+The reference's workload IS an online stream — 500 queries arriving one
+at a time, interleaved with DML (run_demo loop, ipynb c2:57-84). The
+Structured-Streaming re-expression: queries arrive as a micro-batch
+stream of (query_id, embedding) rows; each micro-batch runs the normal
+APS → pruned-scan → top-k search (ipynb c1:147-168 semantics,
+operators/ivf.py) and appends its results to a parquet sink,
+exactly-once per epoch under foreachBatch's checkpointing contract.
+
+Because APS scoring is a pure function of the query and the index's
+centroid/size state (hit counters feed maintenance, not scoring), the
+streamed answer for a query is IDENTICAL to the batch answer against
+the same index version — pinned by test_streaming.py. Combined with
+ingest_stream, this is the full online loop of the reference: queries
+and inserts as two concurrent streams over one index, maintenance
+rewriting versions between epochs.
+
+Scale: each micro-batch is one driver-side APS (NumPy over the
+broadcast-sized centroids table) plus one distributed pruned scan; at
+1000 executors the scan parallelism is the per-batch probe-set size,
+so throughput scales with batch size, not stream length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from quake_vector_search_spark.operators.ivf import IVFIndex
+
+
+def search_stream(index: IVFIndex, queries_stream: DataFrame,
+                  results_dir: str, checkpoint_dir: str,
+                  k: int = 10, target_recall: float = 0.9,
+                  max_probe: int = 64,
+                  query_id_col: str = "query_id",
+                  query_vec_col: str = "embedding"):
+    """Attach a query stream to the index; each micro-batch's top-k
+    results land in ``results_dir`` as parquet rows
+    (query_id, vec_id, dist|sim, rank, epoch_id). Returns the
+    StreamingQuery; caller owns lifecycle (processAllAvailable/stop).
+    """
+    def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        out, _meta = index.search(
+            batch_df, k=k, target_recall=target_recall,
+            max_probe=max_probe, query_id_col=query_id_col,
+            query_vec_col=query_vec_col)
+        (out.withColumn("epoch_id", F.lit(int(epoch_id)))
+         .write.mode("append").parquet(results_dir))
+
+    return (queries_stream.writeStream
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(handle_batch)
+            .start())

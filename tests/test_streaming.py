@@ -261,3 +261,53 @@ def test_stream_stream_interval_join_matches_batch(spark, events_dir):
     got = _canon(out, ["click_id", "purchase_id"])
     want = _canon(want_df, ["click_id", "purchase_id"])
     assert got == want
+
+
+def test_streaming_search_matches_batch(spark):
+    """Online query serving: results streamed through search_stream
+    must equal the batch search answer for the same queries against
+    the same index version (APS is hit-counter-independent)."""
+    import numpy as np
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.streaming.serving import search_stream
+
+    emb = load_table(spark, SF, "embeddings")
+    shutil.rmtree("/tmp/qvss_serve_ivf", ignore_errors=True)
+    idx = IVFIndex.build(emb, "/tmp/qvss_serve_ivf", coarse_k=4, base_k=2)
+
+    rng = np.random.default_rng(11)
+    qrows = [(int(i), rng.normal(size=64).astype(float).tolist())
+             for i in range(12)]
+    q_dir = "/tmp/qvss_serve_queries"
+    res_dir = "/tmp/qvss_serve_results"
+    ckpt = "/tmp/qvss_serve_ckpt"
+    for d in (q_dir, res_dir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    (spark.createDataFrame(qrows, "query_id long, embedding array<float>")
+     .repartition(3).write.mode("overwrite").parquet(q_dir))
+
+    qstream = (spark.readStream
+               .schema("query_id long, embedding array<float>")
+               .option("maxFilesPerTrigger", 1).parquet(q_dir))
+    q = search_stream(idx, qstream, res_dir, ckpt, k=5,
+                      target_recall=0.9)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = {(r["query_id"], r["rank"]): r["vec_id"]
+                for r in spark.read.parquet(res_dir).collect()}
+    batch_df, _ = idx.search(
+        spark.createDataFrame(qrows,
+                              "query_id long, embedding array<float>"),
+        k=5, target_recall=0.9)
+    batch = {(r["query_id"], r["rank"]): r["vec_id"]
+             for r in batch_df.collect()}
+    assert streamed == batch
+    assert len(streamed) == 12 * 5
+    # multiple epochs actually ran (3 files → 3 micro-batches)
+    epochs = {r["epoch_id"]
+              for r in spark.read.parquet(res_dir).collect()}
+    assert len(epochs) >= 2
