@@ -1341,3 +1341,36 @@ def q_weighted_sample(spark, sf_dir):
     # collapse to ±0.0 (whose sign hashes differently across engines),
     # so the output is the selected rows — the semantic result
     return out.select("o_orderkey", "o_totalprice")
+
+
+# ------------------------------------------------------- layout: z-order curve
+from quake_vector_search_spark.operators.layout import (  # noqa: E402
+    interleave_bits,
+    interleave_sql,
+)
+
+_Z_SQL = interleave_sql("(user_id % 65536)", "(event_id % 65536)")
+
+
+@register("q_zorder_values", sql=f"""
+SELECT event_id, user_id,
+       {_Z_SQL} AS zval
+FROM events
+ORDER BY zval ASC, event_id ASC
+LIMIT 100
+""")
+def q_zorder_values(spark, sf_dir):
+    """Morton/z-order curve position for (user_id, event_id) — the
+    clustering key operators/layout.py::zorder_write sorts by. Pure
+    integer shift/mask arithmetic expanded into one codegen expression;
+    the DuckDB oracle is built from the SAME interleave_sql text, so
+    the engines compute bit-identical curve positions. (The min-max
+    scaling used for float columns is pinned by unit tests instead —
+    float division parity across engines is not hash-stable.)"""
+    ev = _t(spark, sf_dir, "events")
+    a = F.col("user_id") % 65536
+    b = F.col("event_id") % 65536
+    return (ev.select("event_id", "user_id",
+                      interleave_bits(a, b).alias("zval"))
+            .orderBy(F.asc("zval"), F.asc("event_id"))
+            .limit(100))

@@ -278,3 +278,47 @@ def ts_session_window_native(spark, sf_dir):
             .select("user_id",
                     F.col("w.start").alias("session_start"),
                     "n_events", "sum_value"))
+
+
+@register("ts_multi_rollup", sql="""
+WITH e AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS g_hour,
+         date_trunc('day', CAST(ts AS TIMESTAMP)) AS g_day,
+         date_trunc('month', CAST(ts AS TIMESTAMP)) AS g_month,
+         value
+  FROM events
+)
+SELECT CASE WHEN g_hour IS NOT NULL THEN 'hour'
+            WHEN g_day IS NOT NULL THEN 'day'
+            ELSE 'month' END AS granularity,
+       COALESCE(g_hour, g_day, g_month) AS bucket_start,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 4) AS sum_value
+FROM e
+GROUP BY GROUPING SETS ((g_hour), (g_day), (g_month))
+""")
+def ts_multi_rollup(spark, sf_dir):
+    """Multi-resolution time rollup (hypertable continuous-aggregate
+    shape): hour, day, AND month buckets from ONE scan of the fact
+    table via GROUPING SETS — Spark's Expand operator replicates each
+    row once per granularity before the aggregate, so at 100 TB this
+    replaces three full scans with one scan + one 3x-expanded shuffle
+    whose partial aggregation collapses map-side. Events ts is
+    non-null, so the NULL-group sentinel can't collide with data."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.date_trunc("hour", "ts").alias("g_hour"),
+        F.date_trunc("day", "ts").alias("g_day"),
+        F.date_trunc("month", "ts").alias("g_month"),
+        "value")
+    e.createOrReplaceTempView("events_rollup_src")
+    return spark.sql("""
+        SELECT CASE WHEN g_hour IS NOT NULL THEN 'hour'
+                    WHEN g_day IS NOT NULL THEN 'day'
+                    ELSE 'month' END AS granularity,
+               COALESCE(g_hour, g_day, g_month) AS bucket_start,
+               COUNT(*) AS n,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM events_rollup_src
+        GROUP BY GROUPING SETS ((g_hour), (g_day), (g_month))
+    """)
