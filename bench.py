@@ -44,6 +44,11 @@ HEADLINE = [
     "mm_extract_features",
     "q3_shipping_priority",
     "q10_returned_items",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q13_customer_order_distribution",
+    "q21_waiting_supplier",
+    "ts_multi_rollup",
     "q_skew_salted_agg",
     "text_tfidf",
 ]
