@@ -265,3 +265,37 @@ def dedup_clusters_star(spark, sf_dir):
     return comp.select(
         "doc_id", "cluster_id",
         (F.col("cluster_id") == F.col("doc_id")).alias("is_canonical"))
+
+
+@register("dedup_cleaned_corpus", sql="WITH RECURSIVE " + SQL_JACCARD_PAIRS + """,
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= 0.8
+  UNION ALL
+  SELECT doc_b, doc_a FROM jac WHERE jaccard >= 0.8
+), reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), clusters AS (
+  SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+JOIN clusters c ON c.doc_id = d.doc_id
+WHERE c.cluster_id = d.doc_id
+""")
+def dedup_cleaned_corpus(spark, sf_dir):
+    """The end-to-end dedup DELIVERABLE: the corpus with near-dup
+    groups collapsed to one canonical document each (cluster minimum
+    doc_id — the deterministic keep-first rule). Composes
+    jaccard_pairs → connected_components → semi-join back to the
+    corpus; at 100 TB the output is what actually ships to training,
+    so it's pinned here as its own oracle-checked query rather than
+    leaving composition to the caller."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, threshold=0.8)
+    comp = D.connected_components(docs, pairs)
+    keep = (comp.where(F.col("cluster_id") == F.col("doc_id"))
+            .select("doc_id"))
+    return (docs.join(keep, "doc_id", "left_semi")
+            .select("doc_id", "lang", "source", "n_chars"))

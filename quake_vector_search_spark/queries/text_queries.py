@@ -263,3 +263,36 @@ def text_cms_wordcount(spark, sf_dir):
     est = cms_estimate(sk, words, "word")
     return (est.orderBy(F.desc("est_count"), F.asc("word"))
             .limit(20))
+
+
+@register("text_pack_sequences", sql="""
+WITH toks AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+         CAST(concat('0x', substr(md5(concat('pack', ':',
+              CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 8 AS shard
+  FROM documents
+), pre AS (
+  SELECT doc_id, n_tokens, shard,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+  FROM toks
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, shard,
+       CAST(floor(p / 512) AS BIGINT) AS bin,
+       CAST(p % 512 AS BIGINT) AS bin_start_offset
+FROM pre
+""")
+def text_pack_sequences(spark, sf_dir):
+    """Sequence packing for training batches (operators/packing.py):
+    prefix-sum binning at capacity 512 tokens over 8 portable-hash
+    shards — one window per shard, no sequential state, identical on
+    every engine/partitioning (the oracle computes the same cumsum
+    formula). Fill error is bounded by the largest document."""
+    from quake_vector_search_spark.operators.packing import pack_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = pack_documents(docs, capacity=512, n_shards=8)
+    return out.select("doc_id",
+                      F.col("n_tokens").cast("long").alias("n_tokens"),
+                      "shard", "bin", "bin_start_offset")

@@ -172,3 +172,40 @@ def test_weighted_sample_deterministic_and_weight_biased(spark):
             weighted_sample(uni, "w", n=10, id_col="id",
                             seed=3).collect()]
     assert len(samp) == len(set(samp)) == 10
+
+
+def test_packing_invariants(spark):
+    """Prefix-sum packing: offsets are consistent (offset = pre-cumsum
+    mod capacity), every non-tail bin's token mass deviates from
+    capacity by less than the largest document, and assignment is a
+    pure function of the input."""
+    from quake_vector_search_spark.operators.packing import (
+        pack_documents,
+        packing_stats,
+    )
+    rows = [(i, "tok " * (5 + (i * 7) % 40)) for i in range(200)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    cap = 100
+    packed = pack_documents(docs, capacity=cap, n_shards=4)
+    rs = packed.collect()
+    assert len(rs) == 200
+    max_doc = max(r["n_tokens"] for r in rs)
+    # per (shard, bin): recompute tape positions and check offsets
+    by_shard = {}
+    for r in sorted(rs, key=lambda r: (r["shard"], r["doc_id"])):
+        pre = by_shard.get(r["shard"], 0)
+        assert r["bin"] == pre // cap, r
+        assert r["bin_start_offset"] == pre % cap, r
+        by_shard[r["shard"]] = pre + r["n_tokens"]
+    stats = packing_stats(packed, cap).collect()
+    last_bin = {r["shard"]: max(s["bin"] for s in stats
+                                if s["shard"] == r["shard"])
+                for r in stats}
+    for s in stats:
+        if s["bin"] != last_bin[s["shard"]]:
+            assert abs(s["tokens"] - cap) < max_doc, s
+    again = sorted((r["doc_id"], r["shard"], r["bin"])
+                   for r in pack_documents(docs, capacity=cap,
+                                           n_shards=4).collect())
+    assert again == sorted((r["doc_id"], r["shard"], r["bin"])
+                           for r in rs)

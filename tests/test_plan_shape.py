@@ -164,3 +164,27 @@ def test_q21_exists_become_semi_anti_joins(spark):
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark):
+    """Partitioned fact ⋈ filtered dim must plan a dynamic-pruning
+    subquery on the fact scan: at 100 TB the dim filter's surviving
+    keys — unknowable at compile time — decide which fact directories
+    are read at all."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from quake_vector_search_spark.sources import load_table
+    with tempfile.TemporaryDirectory() as d:
+        orders = load_table(spark, SF_SMOKE, "orders")
+        fact = d + "/orders_by_priority"
+        (orders.write.partitionBy("o_orderpriority")
+         .mode("overwrite").parquet(fact))
+        dim = (orders.select("o_orderpriority").distinct()
+               .where(F.col("o_orderpriority").startswith("1")))
+        big = spark.read.parquet(fact)
+        joined = (big.join(dim, "o_orderpriority")
+                  .groupBy("o_orderpriority").count())
+        plan = _plan(joined)
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
