@@ -501,3 +501,84 @@ def knn_dot(spark, sf_dir):
                  .withColumnRenamed("vec_id", "query_id")
     out = dot_topk(emb, queries, k=K)
     return out.withColumn("score", F.round("score", 6))
+
+
+@register("emb_label_centroids", sql="""
+SELECT e.label, g.i AS dim_pos,
+       ROUND(AVG(CAST(e.embedding[g.i + 1] AS DOUBLE)), 6) AS centroid_val,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM embeddings e
+CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) g
+GROUP BY e.label, g.i
+""")
+def emb_label_centroids(spark, sf_dir):
+    """Per-class embedding centroids (training-data analysis: class
+    prototypes, drift monitoring, seeding clustering): posexplode the
+    vector column and aggregate per (label, dimension). One shuffle on
+    the (label, dim) key with map-side partial averages — at 100 TB
+    the shuffle carries labels x 64 partial sums per task, not
+    vectors. DuckDB oracle indexes each dimension via a generated
+    series (1-based list indexing)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (emb.select("label",
+                       F.posexplode("embedding").alias("dim_pos", "v"))
+            .groupBy("label", "dim_pos")
+            .agg(F.round(F.avg(F.col("v").cast("double")), 6)
+                  .alias("centroid_val"),
+                 F.count("*").alias("n_vectors")))
+
+
+@register("emb_nearest_centroid", sql="""
+WITH cent AS (
+  SELECT e.label, g.i AS dim_pos,
+         AVG(CAST(e.embedding[g.i + 1] AS DOUBLE)) AS c
+  FROM embeddings e
+  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) g
+  GROUP BY e.label, g.i
+), dims AS (
+  SELECT e.vec_id, e.label AS true_label, g.i AS dim_pos,
+         CAST(e.embedding[g.i + 1] AS DOUBLE) AS v
+  FROM embeddings e
+  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) g
+), dists AS (
+  SELECT d.vec_id, d.true_label, cent.label AS cand_label,
+         SUM((d.v - cent.c) * (d.v - cent.c)) AS d2
+  FROM dims d JOIN cent ON cent.dim_pos = d.dim_pos
+  GROUP BY d.vec_id, d.true_label, cent.label
+), ranked AS (
+  SELECT vec_id, true_label, cand_label AS pred_label,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY d2 ASC, cand_label ASC) AS rn
+  FROM dists
+), best AS (
+  SELECT vec_id, true_label, pred_label FROM ranked WHERE rn = 1
+)
+SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n
+FROM best GROUP BY true_label, pred_label
+""")
+def emb_nearest_centroid(spark, sf_dir):
+    """Nearest-centroid classification confusion matrix — the Rocchio
+    inference shape, fully relational: centroids from one aggregate,
+    per-(vector, candidate-label) distances from a dimension-position
+    join, argmin via min_by with a (d2, label) tie-break, then the
+    confusion rollup. No UDF, no driver loop; every stage is a keyed
+    shuffle with map-side partials, so it scales to any corpus whose
+    label x dim centroid table stays broadcastable (it always does).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id", F.col("label").alias("true_label"),
+        F.posexplode("embedding").alias("dim_pos", "v0")) \
+        .withColumn("v", F.col("v0").cast("double")).drop("v0")
+    cent = (dims.groupBy(F.col("true_label").alias("cand_label"),
+                         "dim_pos")
+            .agg(F.avg("v").alias("c")))
+    diff = F.col("v") - F.col("c")
+    dists = (dims.join(F.broadcast(cent), "dim_pos")
+             .groupBy("vec_id", "true_label", "cand_label")
+             .agg(F.sum(diff * diff).alias("d2")))
+    best = (dists.groupBy("vec_id", "true_label")
+            .agg(F.min_by("cand_label",
+                          F.struct("d2", "cand_label")).alias("pred_label")))
+    return (best.groupBy("true_label", "pred_label")
+            .agg(F.count("*").alias("n")))
