@@ -74,3 +74,39 @@ def cms_estimate(sketch: DataFrame, candidates: DataFrame,
             .groupBy("item")
             .agg(F.min("c").alias("est_count"))
             .select(F.col("item").alias(item_col), "est_count"))
+
+
+def kmv_distinct(df: DataFrame, item_col: str, k: int = 256) -> DataFrame:
+    """K-minimum-values distinct-count sketch: hash every item to
+    (0, 1], keep the k smallest distinct hashes, estimate
+    n_distinct ≈ (k − 1) / kth_min. The sketch is k doubles —
+    MERGEABLE (union two sketches = merge-sort + truncate to k), which
+    is the property that matters at 100 TB: every partition ships k
+    values, the combine is associative, and Spark's TakeOrdered does
+    exactly that partial top-k per partition with no full shuffle.
+
+    Same portable md5 → bigint hash as the CMS above, so the estimate
+    is a pure function of the distinct item set: identical on every
+    engine and partitioning, DuckDB-oracle-checkable exactly (no
+    tolerance). Exact error bound: relative error ~ 1/sqrt(k−2).
+
+    Returns a single row (kth_min_hash, est_distinct)."""
+    h = (F.conv(F.substring(F.md5(
+            F.concat_ws(":", F.lit("kmv"),
+                        F.col(item_col).cast("string"))), 1, 15), 16, 10)
+         .cast("long"))
+    u = (h + F.lit(1)).cast("double") / F.lit(float(2 ** 60))
+    mins = (df.select(u.alias("u")).where(F.col("u").isNotNull())
+            .distinct()
+            .orderBy(F.col("u").asc())
+            .limit(k))
+    return (mins.agg(F.max("u").alias("kth_min_hash"),
+                     F.count("*").alias("n_kept"))
+            .select(F.round("kth_min_hash", 10).alias("kth_min_hash"),
+                    F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
+                     .otherwise((F.lit(k - 1)) / F.col("kth_min_hash"))
+                     .cast("double").alias("est_distinct_raw"),
+                    F.col("n_kept"))
+            .select("kth_min_hash",
+                    F.round("est_distinct_raw", 4).alias("est_distinct"),
+                    "n_kept"))

@@ -1374,3 +1374,35 @@ def q_zorder_values(spark, sf_dir):
                       interleave_bits(a, b).alias("zval"))
             .orderBy(F.asc("zval"), F.asc("event_id"))
             .limit(100))
+
+
+@register("q_kmv_distinct", sql="""
+WITH hashes AS (
+  SELECT DISTINCT
+    (CAST(concat('0x', substr(md5(concat('kmv', ':',
+         CAST(o_custkey AS VARCHAR))), 1, 15)) AS BIGINT) + 1)
+      / 1152921504606846976.0 AS u
+  FROM orders
+), mins AS (
+  SELECT u FROM hashes ORDER BY u ASC LIMIT 256
+), agg AS (
+  SELECT MAX(u) AS kth, CAST(COUNT(*) AS BIGINT) AS n_kept FROM mins
+)
+SELECT ROUND(kth, 10) AS kth_min_hash,
+       ROUND(CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
+                  ELSE 255.0 / kth END, 4) AS est_distinct,
+       n_kept
+FROM agg
+""")
+def q_kmv_distinct(spark, sf_dir):
+    """KMV distinct-count sketch over orders.o_custkey
+    (operators/sketch.py::kmv_distinct): k=256 minimum portable
+    hashes → estimate (k−1)/kth_min, exact below k. Constant-size
+    mergeable state (the at-scale alternative to exact
+    count_distinct's full shuffle); deterministic, so the DuckDB
+    oracle builds the identical sketch and the estimate hash-matches
+    with NO tolerance — unlike approx_count_distinct's HLL."""
+    from quake_vector_search_spark.operators.sketch import kmv_distinct
+
+    orders = _t(spark, sf_dir, "orders")
+    return kmv_distinct(orders, "o_custkey", k=256)

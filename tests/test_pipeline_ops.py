@@ -209,3 +209,21 @@ def test_packing_invariants(spark):
                                            n_shards=4).collect())
     assert again == sorted((r["doc_id"], r["shard"], r["bin"])
                            for r in rs)
+
+
+def test_kmv_estimate_accuracy_and_determinism(spark):
+    """KMV: exact when distinct < k; within ~3/sqrt(k) relative error
+    when distinct >> k; deterministic across partitionings."""
+    from quake_vector_search_spark.operators.sketch import kmv_distinct
+
+    small = spark.createDataFrame([(i % 100,) for i in range(5000)],
+                                  ["x"])
+    r = kmv_distinct(small, "x", k=256).collect()[0]
+    assert r["est_distinct"] == 100.0 and r["n_kept"] == 100
+
+    big = spark.createDataFrame([(i,) for i in range(20000)], ["x"])
+    r1 = kmv_distinct(big, "x", k=256).collect()[0]
+    assert abs(r1["est_distinct"] - 20000) / 20000 < 3 / (256 ** 0.5)
+    r2 = kmv_distinct(big.repartition(13), "x", k=256).collect()[0]
+    assert (r2["est_distinct"], r2["kth_min_hash"]) == \
+        (r1["est_distinct"], r1["kth_min_hash"])
