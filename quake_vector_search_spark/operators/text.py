@@ -210,3 +210,49 @@ def ngram_frequencies(docs: DataFrame, n: int = 2, top: int = 20,
             .agg(F.count("*").alias("n_occurrences"))
             .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
             .limit(top))
+
+
+def kgram_fingerprints(docs: DataFrame, k: int = 8, w: int = 4,
+                       method: str = "winnow",
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """K-gram fingerprinting (MOSS-style local fingerprints): hash
+    every k-character window of the normalized text, then thin the
+    hash stream to ~1/w density with a deterministic selection rule:
+
+    - ``winnow``: keep position i iff its hash is the minimum of the
+      forward window [i, i+w-1] — a winnowing-style density-1/w
+      sampler (the classic algorithm's any-containing-window argmin
+      differs on ties/middle-window cases; this variant trades its
+      max-gap bound for a one-frame window expression). Plan: one
+      window function partitioned by doc — a single shuffle on doc_id.
+    - ``modp``: keep positions where hash % w == 0 (Broder 0-mod-p
+      selection) — a NARROW transform, zero shuffles, for when the
+      fingerprint step must ride inside an ingest scan at 100 TB.
+
+    Each k-gram is hashed independently with the portable md5 → bigint
+    construction (a columnar engine gains nothing from an O(1) rolling
+    update — every substring hash is one vectorized expression), so
+    fingerprints are deterministic cross-engine and the DuckDB oracle
+    computes the identical selection.
+
+    Returns (id, pos, fp_hash) for selected positions; docs shorter
+    than k yield no rows.
+    """
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    d = docs.select(F.col(id_col), norm.alias("_t")).where(
+        F.length("_t") >= k)
+    pos = F.explode(F.sequence(
+        F.lit(0), F.length("_t") - k)).alias("pos")
+    d = d.select(id_col, "_t", pos)
+    gram = F.expr(f"substr(_t, pos + 1, {k})")
+    h = (F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long"))
+    d = d.select(id_col, "pos", h.alias("fp_hash"))
+    if method == "modp":
+        return d.where(F.col("fp_hash") % w == 0)
+    from pyspark.sql import Window as W
+    fwd = (W.partitionBy(id_col).orderBy(F.col("pos").asc())
+           .rowsBetween(0, w - 1))
+    return (d.withColumn("_mn", F.min("fp_hash").over(fwd))
+            .where(F.col("fp_hash") == F.col("_mn"))
+            .drop("_mn"))

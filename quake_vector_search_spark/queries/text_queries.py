@@ -296,3 +296,46 @@ def text_pack_sequences(spark, sf_dir):
     return out.select("doc_id",
                       F.col("n_tokens").cast("long").alias("n_tokens"),
                       "shard", "bin", "bin_start_offset")
+
+
+@register("text_kgram_fingerprints", sql="""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, g.pos,
+         CAST(concat('0x', substr(md5(substr(t, g.pos + 1, 8)), 1, 15))
+              AS BIGINT) AS fp_hash
+  FROM norm
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, len(t) - 8)) AS pos) g
+  WHERE len(t) >= 8
+), sel AS (
+  SELECT doc_id, pos, fp_hash,
+         MIN(fp_hash) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn
+  FROM grams
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_fp,
+       CAST(COUNT(DISTINCT fp_hash) AS BIGINT) AS n_distinct_fp,
+       bit_xor(fp_hash) AS fp_set_sig
+FROM sel WHERE fp_hash = mn
+GROUP BY doc_id
+""")
+def text_kgram_fingerprints(spark, sf_dir):
+    """Per-document k-gram fingerprint summary (operators/text.py::
+    kgram_fingerprints, winnow rule, k=8 w=4): count, distinct count,
+    and an order-insensitive XOR signature of the selected fingerprint
+    set — the compact form a plagiarism/near-dup index would store.
+    The DuckDB oracle recomputes the identical selection (same md5
+    k-gram hashes, same forward-window minimum)."""
+    from quake_vector_search_spark.operators.text import (
+        kgram_fingerprints,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = kgram_fingerprints(docs, k=8, w=4, method="winnow")
+    return (fp.groupBy("doc_id")
+            .agg(F.count("*").alias("n_fp"),
+                 F.count_distinct("fp_hash").alias("n_distinct_fp"),
+                 F.expr("bit_xor(fp_hash)").alias("fp_set_sig")))

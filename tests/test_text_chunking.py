@@ -40,3 +40,39 @@ def test_chunk_overlap_validation(spark):
     docs = spark.createDataFrame([Row(doc_id=1, text="abc")])
     with pytest.raises(ValueError):
         chunk_fixed(docs, size=10, overlap=10)
+
+
+def test_kgram_fingerprints_rules(spark):
+    """Winnow rule keeps exactly the forward-window minima; modp is a
+    narrow transform keeping hash%w==0; short docs yield nothing;
+    both deterministic."""
+    from quake_vector_search_spark.operators.text import (
+        kgram_fingerprints,
+    )
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "aaaaaaaaaaaaaaa"), (3, "tiny")],
+        ["doc_id", "text"])
+    fp = kgram_fingerprints(docs, k=8, w=4, method="winnow").collect()
+    assert not [r for r in fp if r["doc_id"] == 3]
+    # doc 2: all k-grams identical -> every forward-window min ties
+    # with itself -> all positions selected
+    n2 = len("aaaaaaaaaaaaaaa") - 8 + 1
+    assert len([r for r in fp if r["doc_id"] == 2]) == n2
+    # density: winnow keeps ~1/w of doc-1 positions (exact count is
+    # data-dependent but must be strictly between 0 and all)
+    d1 = [r for r in fp if r["doc_id"] == 1]
+    norm_len = len("thequickbrownfoxjumpsoverthelazydog")
+    assert 0 < len(d1) < norm_len - 8 + 1
+    again = kgram_fingerprints(docs, k=8, w=4).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, fp))
+
+    modp = kgram_fingerprints(docs, k=8, w=4, method="modp")
+    assert all(r["fp_hash"] % 4 == 0 for r in modp.collect())
+    # modp plans narrow: no exchange
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        modp.explain("formatted")
+    assert "Exchange" not in buf.getvalue()
