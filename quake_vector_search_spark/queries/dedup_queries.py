@@ -299,3 +299,61 @@ def dedup_cleaned_corpus(spark, sf_dir):
             .select("doc_id"))
     return (docs.join(keep, "doc_id", "left_semi")
             .select("doc_id", "lang", "source", "n_chars"))
+
+
+@register("dedup_fingerprint_overlap", sql="""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, g.pos,
+         CAST(concat('0x', substr(md5(substr(t, g.pos + 1, 8)), 1, 15))
+              AS BIGINT) AS fp_hash
+  FROM norm
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, len(t) - 8)) AS pos) g
+  WHERE len(t) >= 8
+), sel AS (
+  SELECT doc_id, pos, fp_hash,
+         MIN(fp_hash) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn
+  FROM grams
+), fps AS (
+  SELECT DISTINCT doc_id, fp_hash FROM sel WHERE fp_hash = mn
+), rare AS (
+  SELECT fp_hash FROM fps GROUP BY fp_hash
+  HAVING COUNT(*) <= 50
+), pruned AS (
+  SELECT f.doc_id, f.fp_hash FROM fps f JOIN rare r USING (fp_hash)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM pruned a JOIN pruned b
+  ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= 10
+""")
+def dedup_fingerprint_overlap(spark, sf_dir):
+    """Near-dup pairs by shared k-gram fingerprints (the MOSS overlap
+    detector): winnowed fingerprint sets, inverted-index self-join on
+    fp_hash — a key-equality join, never a crossJoin — with a
+    hot-hash cap (df ≤ 50, pinned identically in the oracle) so no
+    boilerplate substring can explode a posting list at scale; pairs
+    sharing ≥ 10 fingerprints survive. Complements jaccard/minhash/
+    simhash: fingerprint overlap localizes WHICH passages match."""
+    from quake_vector_search_spark.operators.text import (
+        kgram_fingerprints,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = (kgram_fingerprints(docs, k=8, w=4, method="winnow")
+           .select("doc_id", "fp_hash").distinct())
+    rare = (fps.groupBy("fp_hash").agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= 50).select("fp_hash"))
+    pruned = fps.join(rare, "fp_hash", "left_semi")
+    a = pruned.select(F.col("doc_id").alias("doc_a"), "fp_hash")
+    b = pruned.select(F.col("doc_id").alias("doc_b"), "fp_hash")
+    return (a.join(b, "fp_hash")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_shared"))
+            .where(F.col("n_shared") >= 10))
