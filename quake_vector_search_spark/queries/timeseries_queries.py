@@ -322,3 +322,136 @@ def ts_multi_rollup(spark, sf_dir):
         FROM events_rollup_src
         GROUP BY GROUPING SETS ((g_hour), (g_day), (g_month))
     """)
+
+
+@register("ts_funnel", sql="""
+WITH s AS (
+  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t1
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), v AS (
+  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t2
+  FROM events e JOIN s ON s.user_id = e.user_id
+  WHERE e.event_type = 'view' AND CAST(e.ts AS TIMESTAMP) > s.t1
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t3
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > v.t2
+  GROUP BY e.user_id
+)
+SELECT stage, n_users FROM (
+  SELECT 'stage1_signup' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users, 1 AS o FROM s
+  UNION ALL
+  SELECT 'stage2_view', CAST(COUNT(*) AS BIGINT), 2 FROM v
+  UNION ALL
+  SELECT 'stage3_purchase', CAST(COUNT(*) AS BIGINT), 3 FROM p
+) ORDER BY o
+""")
+def ts_funnel(spark, sf_dir):
+    """Ordered funnel: signup → later view → later purchase, counting
+    users surviving each stage. Sequential conditional joins, each an
+    equi-join on user_id with a time residual — per-stage state is one
+    timestamp per user (the min), so each stage is one keyed shuffle
+    carrying one row per user however many events they have."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (ev.where(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    v = (ev.where(F.col("event_type") == "view")
+         .join(s, "user_id").where(F.col("ts") > F.col("t1"))
+         .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    p = (ev.where(F.col("event_type") == "purchase")
+         .join(v, "user_id").where(F.col("ts") > F.col("t2"))
+         .groupBy("user_id").agg(F.min("ts").alias("t3")))
+    rows = [
+        s.agg(F.count("*").alias("n_users"))
+         .select(F.lit("stage1_signup").alias("stage"), "n_users"),
+        v.agg(F.count("*").alias("n_users"))
+         .select(F.lit("stage2_view").alias("stage"), "n_users"),
+        p.agg(F.count("*").alias("n_users"))
+         .select(F.lit("stage3_purchase").alias("stage"), "n_users"),
+    ]
+    out = rows[0].unionAll(rows[1]).unionAll(rows[2])
+    return out
+
+
+@register("ts_cohort_retention", sql="""
+WITH first_seen AS (
+  SELECT user_id,
+         date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS cohort_week
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT e.user_id,
+         CAST(datediff('week', f.cohort_week,
+              date_trunc('week', CAST(e.ts AS TIMESTAMP))) AS INT)
+           AS week_offset,
+         f.cohort_week
+  FROM events e JOIN first_seen f ON f.user_id = e.user_id
+)
+SELECT cohort_week, week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_active
+FROM activity
+GROUP BY cohort_week, week_offset
+""")
+def ts_cohort_retention(spark, sf_dir):
+    """Cohort retention triangle: users grouped by first-seen week,
+    activity counted per week offset. Two keyed shuffles (first-seen
+    per user, then the cohort rollup whose key space is
+    weeks × offsets — tiny); the events → first_seen join is on
+    user_id, broadcastable when the user dimension is small and
+    AQE-planned otherwise."""
+    ev = load_table(spark, sf_dir, "events")
+    first = (ev.groupBy("user_id")
+             .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week")))
+    act = (ev.join(first, "user_id")
+           .select("user_id", "cohort_week",
+                   ((F.unix_timestamp(F.date_trunc("week", "ts"))
+                     - F.unix_timestamp("cohort_week"))
+                    / (7 * 86400)).cast("int").alias("week_offset"))
+           .distinct())
+    return (act.groupBy("cohort_week", "week_offset")
+            .agg(F.count("*").alias("n_active")))
+
+
+@register("ts_anomaly_hours", sql="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), scored AS (
+  SELECT event_type, h, n,
+         AVG(n) OVER w AS mu,
+         STDDEV_SAMP(n) OVER w AS sigma
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, h, n,
+       ROUND(mu, 6) AS trailing_mean,
+       ROUND((n - mu) / sigma, 6) AS zscore
+FROM scored
+WHERE sigma > 0 AND abs((n - mu) / sigma) >= 2
+""")
+def ts_anomaly_hours(spark, sf_dir):
+    """Volume anomaly detection (pipeline monitoring): hourly counts
+    per event type z-scored against the trailing 24-hour window
+    (excluding the current hour). The hourly rollup collapses the
+    fact table to types × hours rows BEFORE the window, so the
+    window state is trivial at any scale; flagged hours are
+    |z| ≥ 2 with a positive sample stddev."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("h"))
+              .agg(F.count("*").alias("n")))
+    w = (W.partitionBy("event_type").orderBy(F.col("h").asc())
+         .rowsBetween(-24, -1))
+    scored = (hourly
+              .withColumn("mu", F.avg("n").over(w))
+              .withColumn("sigma", F.stddev_samp(F.col("n").cast("double"))
+                          .over(w)))
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (scored.where((F.col("sigma") > 0) & (F.abs(z) >= 2))
+            .select("event_type", "h", "n",
+                    F.round("mu", 6).alias("trailing_mean"),
+                    F.round(z, 6).alias("zscore")))
