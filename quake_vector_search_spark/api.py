@@ -96,3 +96,48 @@ def train_test_split(df: DataFrame, **kwargs) -> DataFrame:
         train_test_split as _split,
     )
     return _split(df, **kwargs)
+
+
+def weighted_sample(df: DataFrame, weight_col: str, n: int,
+                    id_col: str, seed: int = 44) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (operators/sampling.py, Efraimidis-Spirakis A-Res)."""
+    from quake_vector_search_spark.operators.sampling import (
+        weighted_sample as _ws,
+    )
+    return _ws(df, weight_col, n, id_col, seed)
+
+
+def pack(docs: DataFrame, capacity: int, **kwargs) -> DataFrame:
+    """Sequence packing into fixed-token-budget training bins
+    (operators/packing.py)."""
+    from quake_vector_search_spark.operators.packing import pack_documents
+    return pack_documents(docs, capacity, **kwargs)
+
+
+def fingerprints(docs: DataFrame, **kwargs) -> DataFrame:
+    """K-gram winnowed document fingerprints (operators/text.py)."""
+    from quake_vector_search_spark.operators.text import kgram_fingerprints
+    return kgram_fingerprints(docs, **kwargs)
+
+
+def zorder_write(df: DataFrame, path: str, col_a: str, col_b: str,
+                 **kwargs) -> None:
+    """Z-order-clustered parquet rewrite for multi-column data
+    skipping (operators/layout.py)."""
+    from quake_vector_search_spark.operators.layout import (
+        zorder_write as _zw,
+    )
+    _zw(df, path, col_a, col_b, **kwargs)
+
+
+def distinct_sketch(df: DataFrame, item_col: str, k: int = 256) -> DataFrame:
+    """Mergeable KMV distinct-count estimate (operators/sketch.py)."""
+    from quake_vector_search_spark.operators.sketch import kmv_distinct
+    return kmv_distinct(df, item_col, k)
+
+
+def frequency_sketch(items: DataFrame, item_col: str, **kwargs) -> DataFrame:
+    """Count-min frequency sketch (operators/sketch.py)."""
+    from quake_vector_search_spark.operators.sketch import cms_sketch
+    return cms_sketch(items, item_col, **kwargs)

@@ -73,3 +73,24 @@ def test_json_roundtrip_preserves_values(spark, tmp_path):
     a = sorted(map(tuple, ev.collect()))
     b = sorted(map(tuple, back.collect()))
     assert a == b
+
+
+def test_orc_roundtrip_preserves_values(spark, tmp_path):
+    """ORC sink/source parity: same rows and schema back, timestamps
+    intact (ORC stores native timestamps — no format pinning needed,
+    unlike csv/json)."""
+    from quake_vector_search_spark.sources.catalog import (
+        read_source,
+        write_sink,
+    )
+    from quake_vector_search_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events").limit(200)
+    path = str(tmp_path / "events_orc")
+    write_sink(ev, path, fmt="orc")
+    back = read_source(spark, path, fmt="orc")
+    assert back.schema == ev.schema
+    a = sorted(map(tuple, ev.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
