@@ -1406,3 +1406,29 @@ def q_kmv_distinct(spark, sf_dir):
 
     orders = _t(spark, sf_dir, "orders")
     return kmv_distinct(orders, "o_custkey", k=256)
+
+
+_SHARED_SQL = """
+SELECT l_returnflag,
+       COUNT(*) AS n_lines,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       ROUND(AVG(l_quantity), 6) AS avg_qty
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag
+"""
+
+
+@register("q_shared_sql_text", sql=_SHARED_SQL)
+def q_shared_sql_text(spark, sf_dir):
+    """The SQL-surface proof: this query's oracle string IS its
+    implementation — one dialect-shared ANSI text executed verbatim by
+    Spark SQL (over the register_all temp views) and by DuckDB, and
+    the results hash-match. Demonstrates that a SQL-string user gets
+    the same engine semantics as the DataFrame API (same Catalyst
+    plan: pushdown + partial agg)."""
+    from quake_vector_search_spark.sources.catalog import register_all
+
+    register_all(spark, sf_dir, names=("lineitem",))
+    return spark.sql(_SHARED_SQL)
