@@ -122,3 +122,26 @@ def interval_join_stream(left: DataFrame, right: DataFrame, key: str,
                <= F.col(f"l.{left_ts}")
                + F.expr(f"INTERVAL {upper_s} SECONDS")))
     return l.join(r, cond, "inner").drop(F.col(f"r.{key}"))
+
+
+def cms_stream(rows: DataFrame, item_col: str,
+               depth: int = 4, width: int = 256) -> DataFrame:
+    """Streaming count-min sketch: because the CMS is just a groupBy
+    over (row, bucket) cells, it rides Structured Streaming's
+    incremental aggregation unchanged — state is the ≤ depth×width
+    live counters, independent of stream length or item cardinality
+    (the property that makes the sketch THE streaming frequency
+    answer). Same portable hashing as the batch operator
+    (operators/sketch.py), so a drained stream's sketch equals the
+    batch sketch over the same rows — pinned by test_streaming.py."""
+    from quake_vector_search_spark.operators.sketch import _bucket_expr
+
+    expanded = (rows
+                .select(F.col(item_col).alias("item"),
+                        F.explode(F.sequence(
+                            F.lit(0), F.lit(depth - 1))).alias("j"))
+                .withColumn("bucket",
+                            _bucket_expr(F.col("j"), F.col("item"),
+                                         width)))
+    return expanded.groupBy("j", "bucket").count().withColumnRenamed(
+        "count", "c")

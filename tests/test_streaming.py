@@ -311,3 +311,32 @@ def test_streaming_search_matches_batch(spark):
     epochs = {r["epoch_id"]
               for r in spark.read.parquet(res_dir).collect()}
     assert len(epochs) >= 2
+
+
+def test_streaming_cms_matches_batch(spark, events_dir):
+    """A drained streaming CMS equals the batch sketch over the same
+    rows — the sketch is pure incremental aggregation state."""
+    import os
+
+    from quake_vector_search_spark.operators.sketch import cms_sketch
+    from quake_vector_search_spark.streaming.windows import cms_stream
+
+    stream = SW.read_events_stream(spark, events_dir)
+    sketch_stream = cms_stream(stream, "event_type")
+    ckpt = "/tmp/qvss_cms_ckpt_" + str(os.getpid())
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (sketch_stream.writeStream.format("memory")
+         .queryName("cms_mem").outputMode("complete")
+         .option("checkpointLocation", ckpt)
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r["j"], r["bucket"]): r["c"]
+           for r in spark.sql("SELECT * FROM cms_mem").collect()}
+    batch = load_table(spark, SF, "events")
+    want = {(r["j"], r["bucket"]): r["c"]
+            for r in cms_sketch(batch.select("event_type"),
+                                "event_type").collect()}
+    assert got == want and got
