@@ -56,3 +56,25 @@ def mm_dedup_by_features(spark, sf_dir):
             .withColumn("rn", F.row_number().over(w))
             .select("asset_id", "fingerprint",
                     (F.col("rn") == 1).alias("is_canonical")))
+
+
+@register("mm_training_pairs")  # rows-only (fake decode isn't SQL)
+def mm_training_pairs(spark, sf_dir):
+    """Cross-modal training-pair assembly: the (text, image-features)
+    table a multimodal trainer consumes. Documents flow down two
+    branches — the text side keeps (lang, n_chars, token count), the
+    asset side decodes to fixed-dim features — and re-join on doc_id.
+    At scale both branches are narrow until the single equi-join;
+    features stay an array column end-to-end (Arrow all the way into
+    the data loader)."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = (MM.extract_features(MM.synthesize_assets(docs), dim=16)
+             .select(F.col("asset_id").alias("doc_id"), "features"))
+    text_side = docs.select(
+        "doc_id", "lang", "n_chars",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"))
+    return (text_side.join(feats, "doc_id")
+            .select("doc_id", "lang", "n_chars", "n_tokens",
+                    F.round(F.aggregate(
+                        "features", F.lit(0.0),
+                        lambda s, x: s + x * x), 6).alias("feat_sq_norm")))
