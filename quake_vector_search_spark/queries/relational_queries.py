@@ -1432,3 +1432,35 @@ def q_shared_sql_text(spark, sf_dir):
 
     register_all(spark, sf_dir, names=("lineitem",))
     return spark.sql(_SHARED_SQL)
+
+
+@register("q_histogram_equidepth", sql="""
+WITH t AS (
+  SELECT o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC)
+           AS bucket
+  FROM orders
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(o_totalprice), 4) AS lo,
+       ROUND(MAX(o_totalprice), 4) AS hi
+FROM t GROUP BY bucket
+""")
+def q_histogram_equidepth(spark, sf_dir):
+    """Equi-depth histogram (the optimizer-statistics shape, next to
+    q_histogram's equal-width): ntile(10) over a fully tie-broken
+    global order. The single ORDER BY window is the honest cost — at
+    100 TB you'd swap in approx_percentile boundaries (sketch,
+    one pass, no global sort) and the oracle-checked exact version
+    here is the reference the sketch is judged against."""
+    from pyspark.sql import Window as W
+
+    orders = _t(spark, sf_dir, "orders")
+    w = W.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return (orders
+            .withColumn("bucket", F.ntile(10).over(w))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.min("o_totalprice"), 4).alias("lo"),
+                 F.round(F.max("o_totalprice"), 4).alias("hi")))

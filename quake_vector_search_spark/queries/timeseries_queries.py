@@ -455,3 +455,83 @@ def ts_anomaly_hours(spark, sf_dir):
             .select("event_type", "h", "n",
                     F.round("mu", 6).alias("trailing_mean"),
                     F.round(z, 6).alias("zscore")))
+
+
+@register("ts_scd2_intervals", sql="""
+SELECT user_id, CAST(ts AS TIMESTAMP) AS valid_from,
+       ROUND(epoch(LEAD(CAST(ts AS TIMESTAMP)) OVER
+         (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)), 6)
+         AS valid_to_epoch_s,
+       event_type AS state,
+       ROUND(value, 4) AS state_value
+FROM events
+WHERE event_type IN ('signup', 'purchase')
+""")
+def ts_scd2_intervals(spark, sf_dir):
+    """SCD2 (slowly-changing-dimension) interval construction: each
+    state-changing event opens a validity interval closed by the
+    user's next one (open-ended tail = current state). One window
+    shuffle on user_id; the classic warehouse versioning shape.
+    valid_to is emitted as a nullable epoch-seconds DOUBLE (not a raw
+    timestamp): nullable timestamps hash as pandas NaT in the driver
+    gate, doubles keep NULL as NULL on both engines."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id")
+         .orderBy(F.col("ts").asc(), F.col("event_id").asc()))
+    return (ev.where(F.col("event_type").isin("signup", "purchase"))
+            .select("user_id",
+                    F.col("ts").alias("valid_from"),
+                    F.round(F.lead("ts").over(w).cast("double"), 6)
+                     .alias("valid_to_epoch_s"),
+                    F.col("event_type").alias("state"),
+                    F.round("value", 4).alias("state_value")))
+
+
+@register("ts_top_paths", sql="""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM events
+), paths AS (
+  SELECT user_id,
+         string_agg(event_type, '>' ORDER BY ts ASC, event_id ASC)
+           FILTER (rn <= 3) AS path3
+  FROM (
+    SELECT user_id, event_type, ts, event_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts ASC, event_id ASC) AS rn
+    FROM ordered
+  ) GROUP BY user_id
+)
+SELECT path3, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM paths WHERE path3 IS NOT NULL
+GROUP BY path3
+ORDER BY n_users DESC, path3 ASC
+LIMIT 20
+""")
+def ts_top_paths(spark, sf_dir):
+    """Top user journey prefixes: each user's first three events (full
+    (ts, event_id) tie-break) joined into a path string, ranked by
+    frequency. Ordered aggregation done scalably: row_number window
+    prunes to ≤3 rows per user BEFORE the collect, so the per-user
+    state is constant and the path build is a tiny sort_array over
+    structs, not an unbounded collect_list."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id")
+         .orderBy(F.col("ts").asc(), F.col("event_id").asc()))
+    first3 = (ev.select("user_id", "event_type", "ts", "event_id",
+                        F.row_number().over(w).alias("rn"))
+              .where(F.col("rn") <= 3))
+    paths = (first3.groupBy("user_id")
+             .agg(F.array_join(
+                 F.transform(
+                     F.sort_array(F.collect_list(
+                         F.struct("rn", "event_type"))),
+                     lambda s: s["event_type"]), ">").alias("path3")))
+    return (paths.groupBy("path3")
+            .agg(F.count("*").alias("n_users"))
+            .orderBy(F.desc("n_users"), F.asc("path3"))
+            .limit(20))
