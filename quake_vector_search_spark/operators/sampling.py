@@ -114,3 +114,18 @@ def salted_join(left: DataFrame, right: DataFrame, key: str,
                                  F.lit(n_salt - 1).cast("long")))))
     return (l.join(r, [key, "_salt"], how)
             .drop("_salt"))
+
+
+def stratified_sample(df: DataFrame, strata_col: str, frac: float,
+                      id_col: str, seed: int = 45) -> DataFrame:
+    """Deterministic stratified sampling: keep ~``frac`` of every
+    stratum by portable-hash bucket — the engine-stable analog of
+    ``df.sampleBy``. A NARROW transform (no shuffle, no per-stratum
+    counts): each row's fate is a pure function of (id, seed), so the
+    sample is identical across engines/partitionings/reruns and
+    composes with incremental ingest (new rows sample themselves).
+    Per-stratum accuracy is ±1/10000 of frac like train_test_split;
+    use balanced_downsample when exact per-class counts matter.
+    """
+    cut = int(round(frac * SPLIT_BUCKETS))
+    return df.where(split_hash_expr(id_col, seed) < cut)

@@ -1464,3 +1464,27 @@ def q_histogram_equidepth(spark, sf_dir):
             .agg(F.count("*").alias("n"),
                  F.round(F.min("o_totalprice"), 4).alias("lo"),
                  F.round(F.max("o_totalprice"), 4).alias("hi")))
+
+
+@register("q_stratified_sample", sql="""
+SELECT o_orderpriority, o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice
+FROM orders
+WHERE CAST(concat('0x', substr(md5(concat('45', ':',
+       CAST(o_orderkey AS VARCHAR))), 1, 15)) AS BIGINT) % 10000 < 1000
+""")
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic 10% stratified sample of orders
+    (operators/sampling.py::stratified_sample): portable-hash bucket
+    < frac — a narrow transform with no shuffle and no stratum
+    counting, stable under reruns and incremental ingest. The strata
+    column rides along untouched; every stratum is sampled at the
+    same rate by hash independence."""
+    from quake_vector_search_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    samp = stratified_sample(orders, "o_orderpriority", 0.10,
+                             id_col="o_orderkey", seed=45)
+    return samp.select("o_orderpriority", "o_orderkey",
+                       F.round("o_totalprice", 4).alias("o_totalprice"))

@@ -227,3 +227,27 @@ def test_kmv_estimate_accuracy_and_determinism(spark):
     r2 = kmv_distinct(big.repartition(13), "x", k=256).collect()[0]
     assert (r2["est_distinct"], r2["kth_min_hash"]) == \
         (r1["est_distinct"], r1["kth_min_hash"])
+
+
+def test_stratified_sample_rate_and_determinism(spark):
+    from quake_vector_search_spark.operators.sampling import (
+        stratified_sample,
+    )
+    rows = [(i, "A" if i % 3 else "B") for i in range(9000)]
+    df = spark.createDataFrame(rows, ["id", "cls"])
+    s = stratified_sample(df, "cls", 0.2, id_col="id", seed=5)
+    got = s.groupBy("cls").count().collect()
+    by = {r["cls"]: r["count"] for r in got}
+    # each stratum sampled near 20% (hash-uniform, +-3% slack)
+    assert abs(by["A"] / 6000 - 0.2) < 0.03
+    assert abs(by["B"] / 3000 - 0.2) < 0.03
+    again = {tuple(r) for r in stratified_sample(
+        df.repartition(7), "cls", 0.2, id_col="id", seed=5).collect()}
+    assert again == {tuple(r) for r in s.collect()}
+    # narrow: no exchange in the plan
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        stratified_sample(df, "cls", 0.2, id_col="id").explain("formatted")
+    assert "Exchange" not in buf.getvalue()
