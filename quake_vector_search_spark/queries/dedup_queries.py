@@ -357,3 +357,43 @@ def dedup_fingerprint_overlap(spark, sf_dir):
             .groupBy("doc_a", "doc_b")
             .agg(F.count("*").alias("n_shared"))
             .where(F.col("n_shared") >= 10))
+
+
+@register("dedup_keep_longest", sql="WITH RECURSIVE " + SQL_JACCARD_PAIRS + """,
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= 0.8
+  UNION ALL
+  SELECT doc_b, doc_a FROM jac WHERE jaccard >= 0.8
+), reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), clusters AS (
+  SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+), ranked AS (
+  SELECT d.doc_id, c.cluster_id, d.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+  FROM documents d JOIN clusters c ON c.doc_id = d.doc_id
+)
+SELECT doc_id, cluster_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM ranked WHERE rn = 1
+""")
+def dedup_keep_longest(spark, sf_dir):
+    """Keep-BEST canonical selection (vs dedup_cleaned_corpus's
+    keep-first): within each near-dup cluster the longest document
+    wins (n_chars DESC, doc_id ASC tie) — the 'most complete variant'
+    rule real corpus dedup uses. One extra window over the tiny
+    cluster assignment; the heavy work (pairs, components) is shared
+    with the other dedup queries."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, threshold=0.8)
+    comp = D.connected_components(docs, pairs)
+    w = (W.partitionBy("cluster_id")
+         .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc()))
+    return (docs.join(comp.select("doc_id", "cluster_id"), "doc_id")
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("doc_id", "cluster_id", "n_chars"))
