@@ -535,3 +535,41 @@ def ts_top_paths(spark, sf_dir):
             .agg(F.count("*").alias("n_users"))
             .orderBy(F.desc("n_users"), F.asc("path3"))
             .limit(20))
+
+
+@register("ts_scd2_merge", sql="""
+SELECT user_id, CAST(ts AS TIMESTAMP) AS valid_from,
+       ROUND(epoch(LEAD(CAST(ts AS TIMESTAMP)) OVER
+         (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)), 6)
+         AS valid_to_epoch_s,
+       event_type AS state,
+       event_id
+FROM events
+WHERE event_type IN ('signup', 'purchase')
+""")
+def ts_scd2_merge(spark, sf_dir):
+    """Incremental SCD2 merge (operators/scd.py): history is built
+    from the FIRST half of the change stream, then the second half is
+    applied as a CDC batch — closing only touched keys' open
+    intervals, never re-shuffling history. The oracle is simply the
+    full-range SCD2 build: the merge invariant
+    apply(build(old), new) == build(old ∪ new) is the correctness
+    statement itself."""
+    from quake_vector_search_spark.operators.scd import (
+        scd2_apply,
+        scd2_build,
+    )
+
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("event_type").isin("signup", "purchase"))
+          .select("user_id", "ts",
+                  F.col("event_type").alias("state"), "event_id"))
+    mid = ev.agg(F.expr("percentile(cast(ts as double), 0.5)")
+                 .alias("m")).collect()[0]["m"]
+    old = ev.where(F.col("ts").cast("double") <= mid)
+    new = ev.where(F.col("ts").cast("double") > mid)
+    dim = scd2_build(old, "user_id", "ts",
+                     order_cols=("event_id",), state_cols=("state",))
+    merged = scd2_apply(dim, new, "user_id", "ts",
+                        order_cols=("event_id",), state_cols=("state",))
+    return merged

@@ -46,3 +46,42 @@ def test_asof_join_empty_right(spark):
                     right_tiebreak="rid")
     rows = out.collect()
     assert len(rows) == 1 and rows[0].asof_rid is None
+
+
+def test_scd2_apply_matches_full_rebuild(spark):
+    """Merge invariant: apply(build(old), new) == build(old ∪ new);
+    untouched keys pass through unchanged."""
+    from pyspark.sql import functions as F
+
+    from quake_vector_search_spark.operators.scd import (
+        scd2_apply,
+        scd2_build,
+    )
+
+    rows = [  # (user, ts_sec, state, event_id)
+        (1, 10.0, "a", 1), (1, 20.0, "b", 2), (1, 30.0, "c", 3),
+        (2, 15.0, "a", 4),                     # untouched by new batch
+        (3, 25.0, "a", 5),                     # open, then closed by new
+    ]
+    new_rows = [(1, 40.0, "d", 6), (3, 35.0, "b", 7), (4, 50.0, "a", 8)]
+
+    def mk(rs):
+        df = spark.createDataFrame(rs, ["user_id", "sec", "state",
+                                        "event_id"])
+        return df.select("user_id",
+                         F.timestamp_seconds("sec").alias("ts"),
+                         "state", "event_id")
+
+    old, new = mk(rows), mk(new_rows)
+    merged = scd2_apply(
+        scd2_build(old, "user_id", "ts", ("event_id",), ("state",)),
+        new, "user_id", "ts", ("event_id",), ("state",))
+    full = scd2_build(old.unionByName(new), "user_id", "ts",
+                      ("event_id",), ("state",))
+    canon = lambda df: sorted(map(tuple, df.collect()))
+    assert canon(merged) == canon(full)
+    got = {(r["user_id"], r["event_id"]): r["valid_to_epoch_s"]
+           for r in merged.collect()}
+    assert got[(2, 4)] is None          # untouched key stays open
+    assert got[(3, 5)] == 35.0          # closed by the new batch
+    assert got[(4, 8)] is None          # brand-new key opens
