@@ -49,6 +49,9 @@ HEADLINE = [
     "q13_customer_order_distribution",
     "q21_waiting_supplier",
     "ts_multi_rollup",
+    "text_kgram_fingerprints",
+    "emb_label_centroids",
+    "ts_funnel",
     "q_skew_salted_agg",
     "text_tfidf",
 ]
