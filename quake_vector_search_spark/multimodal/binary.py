@@ -52,14 +52,31 @@ def real_decode_stub(content: bytes) -> np.ndarray:
         "(e.g. PIL-based) or use fake_decode for plumbing tests")
 
 
+PIX_DENOM = 1048576  # 2^20. Power-of-two denominator: every pixel k/2^20
+# is EXACT in float64, so sums/means computed Spark-side match a DuckDB
+# oracle doing the same integer arithmetic bit-for-bit.
+
+
 def fake_decode(content: bytes, channels: int = 4) -> np.ndarray:
-    """Deterministic stand-in decoder: md5-seeded pseudo-pixels shaped
-    (len % 17 + 2, channels). Lets every downstream stage (feature
-    extract, resize, batching) run for real."""
-    h = hashlib.md5(content or b"").digest()
-    rng = np.random.default_rng(int.from_bytes(h[:8], "little"))
-    rows = (len(content or b"") % 17) + 2
-    return rng.random((rows, channels), dtype=np.float64)
+    """Deterministic *and SQL-expressible* stand-in decoder: pixel
+    (i, j) = (int(md5(content || ':i:j')[:15 hex], 16) % 2^20) / 2^20,
+    shaped ((byte_len % 17) + 2, channels). DuckDB mirror of one pixel::
+
+        CAST(concat('0x', substr(md5(text || ':' || i || ':' || j),
+                                 1, 15)) AS BIGINT) % 1048576
+            / 1048576.0
+
+    which lets the driver hash-match every downstream mm_* query against
+    a pure-SQL oracle while the Spark side still runs the real
+    mapInPandas decode path."""
+    b = content or b""
+    rows = (len(b) % 17) + 2
+    px = np.empty((rows, channels), dtype=np.float64)
+    for i in range(rows):
+        for j in range(channels):
+            h = hashlib.md5(b + f":{i}:{j}".encode()).hexdigest()
+            px[i, j] = (int(h[:15], 16) % PIX_DENOM) / PIX_DENOM
+    return px
 
 
 def extract_features(assets: DataFrame, dim: int = 16,
