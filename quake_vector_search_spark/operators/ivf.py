@@ -571,6 +571,29 @@ class IVFIndex:
                           probs_sorted.shape[1])
         return np.clip(nprobe, 1, min(max_probe, probs_sorted.shape[1]))
 
+    def partition_scores_distributed(self, queries_df: DataFrame,
+                                     target_recall: float = 0.9,
+                                     max_probe: int = 64,
+                                     query_id_col: str = "query_id",
+                                     query_vec_col: str = "embedding",
+                                     ) -> DataFrame:
+        """Distributed APS over this index's centroid state — the
+        ≥10⁶-partition scale path (see aps_scores_table). The centroid
+        table here is materialized from index meta (at real scale it is
+        the persisted centroids parquet); `pos` carries the same
+        array-position tie-break as the driver NumPy path so the two
+        orderings agree exactly."""
+        rows = [(int(p), int(i), [float(x) for x in self.centroids[i]],
+                 int(self.sizes[i]))
+                for i, p in enumerate(self.part_ids)]
+        cdf = self.spark.createDataFrame(
+            rows, "partition_id long, pos long, centroid array<double>, "
+                  "size long")
+        return aps_scores_table(
+            queries_df, cdf, target_recall=target_recall,
+            max_probe=max_probe, query_id_col=query_id_col,
+            query_vec_col=query_vec_col)
+
     # ------------------------------------------------------------ search
     def search(self, queries, k: int = 10, target_recall: float = 0.9,
                max_probe: int = 64,
@@ -693,3 +716,63 @@ class IVFIndex:
             "n_partitions": len(self.part_ids),
         }
         return out, meta
+
+
+# ------------------------------------------------------------------ APS
+# at ≥10⁶ partitions: score the centroid TABLE instead of driver NumPy.
+def aps_scores_table(queries_df: DataFrame, centroids_df: DataFrame,
+                     target_recall: float = 0.9, max_probe: int = 64,
+                     query_id_col: str = "query_id",
+                     query_vec_col: str = "embedding") -> DataFrame:
+    """Distributed APS (O8/O9 at extreme partition counts): the exact
+    softmax-over-``-dist/tau + 0.5·ln(size+1)`` scoring of
+    ``IVFIndex.partition_scores`` (ipynb c1:127-145), but computed as a
+    Spark plan over a *centroids table* so it scales past the ~10⁵-10⁶
+    partitions where a driver-side [nq, P] NumPy matrix stops fitting.
+
+    ``centroids_df``: (partition_id long, pos long, centroid
+    array<double>, size long) — ``pos`` is the deterministic tie-break
+    position (the driver path breaks probability ties by centroid-array
+    position; pass partition_id as pos when no positional order exists).
+
+    Plan shape: broadcast the (small) query block against the centroid
+    table → per-(query, partition) distance via a codegen'd zip_with/
+    aggregate kernel → per-query exact median (tau), max-logit, softmax
+    normalizer and cumulative-probability nprobe cutoff, all as window
+    aggregates partitioned by query — ONE shuffle of [nq · P] scalar
+    rows, no vectors, no driver materialization. Equality with the
+    NumPy path is pinned in tests/test_ivf.py.
+
+    Returns (query_id, partition_id, prob, rank, probed).
+    """
+    q = queries_df.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).cast("array<double>").alias("_qvec"))
+    dist = F.sqrt(F.aggregate(
+        F.zip_with(F.col("centroid").cast("array<double>"), F.col("_qvec"),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda a, v: a + v))
+    scored = (centroids_df.join(F.broadcast(q))
+              .select("query_id", "partition_id", "pos", "size",
+                      dist.alias("dist")))
+    wq = Window.partitionBy("query_id")
+    # exact median ≡ np.median (linear interpolation at even counts)
+    tau = F.expr("percentile(dist, 0.5)").over(wq) + F.lit(1e-6)
+    logit = -F.col("dist") / tau + 0.5 * F.log(F.col("size") + F.lit(1.0))
+    scored = scored.withColumn("_logit", logit)
+    p_un = F.exp(F.col("_logit") - F.max("_logit").over(wq))
+    scored = scored.withColumn("_p", p_un)
+    prob = F.col("_p") / F.sum("_p").over(wq)
+    worder = wq.orderBy(F.col("prob").desc(), F.col("pos").asc())
+    ranked = (scored.withColumn("prob", prob)
+              .withColumn("rank", F.row_number().over(worder))
+              .withColumn("_cum", F.sum("prob").over(
+                  worder.rowsBetween(Window.unboundedPreceding, 0))))
+    # choose_nprobe: smallest rank with cum ≥ target, clipped [1, max_probe]
+    reached = F.min(F.when(F.col("_cum") >= target_recall,
+                           F.col("rank"))).over(wq)
+    nprobe = F.least(F.greatest(F.coalesce(reached, F.count("*").over(wq)),
+                                F.lit(1)),
+                     F.least(F.lit(max_probe), F.count("*").over(wq)))
+    return (ranked.withColumn("probed", F.col("rank") <= nprobe)
+            .select("query_id", "partition_id", "prob", "rank", "probed"))

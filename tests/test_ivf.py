@@ -190,3 +190,28 @@ def test_search_empty_query_batch(spark, index):
     out2, _ = index.search(q, k=10)
     assert out2.count() == 0
     assert out2.columns == ["query_id", "vec_id", "dist", "rank"]
+
+
+def test_distributed_aps_matches_numpy(spark, index, queries):
+    """aps_scores_table ≡ driver NumPy partition_scores + choose_nprobe:
+    same ranks, same probe set, probabilities equal to float tolerance."""
+    qrows = queries.orderBy("query_id").limit(4) \
+        .select("query_id", "embedding").collect()
+    qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    order, probs = index.partition_scores(qmat)
+    nprobe = index.choose_nprobe(probs, target_recall=0.9, max_probe=64)
+
+    out = index.partition_scores_distributed(
+        queries.orderBy("query_id").limit(4),
+        target_recall=0.9, max_probe=64).collect()
+    got = {(int(r["query_id"]), int(r["rank"])):
+           (int(r["partition_id"]), float(r["prob"]), bool(r["probed"]))
+           for r in out}
+    assert len(got) == qmat.shape[0] * len(index.part_ids)
+    for qi, r in enumerate(qrows):
+        qid = int(r["query_id"])
+        for rk in range(order.shape[1]):
+            pid, p, probed = got[(qid, rk + 1)]
+            assert pid == int(index.part_ids[order[qi, rk]])
+            assert abs(p - float(probs[qi, rk])) < 1e-9
+            assert probed == (rk < int(nprobe[qi]))
