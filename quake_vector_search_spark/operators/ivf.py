@@ -276,12 +276,20 @@ class IVFIndex:
             sums[pid] = sums.get(pid, np.zeros(d)) + np.asarray(r["sums"])
             counts[pid] = counts.get(pid, 0) + r["cnt"]
         keep = [i for i, p in enumerate(self.part_ids) if counts.get(int(p), 0) > 0]
+        dropped = (set(int(p) for p in self.part_ids)
+                   - set(int(self.part_ids[i]) for i in keep))
         self.part_ids = self.part_ids[keep]
         self.part_coarse = self.part_coarse[keep]
         self.centroids = np.array(
             [sums[int(p)] / counts[int(p)] for p in self.part_ids])
         self.sizes = np.array([counts[int(p)] for p in self.part_ids],
                               dtype=np.int64)
+        # prune per-partition stats for dropped partitions — save_meta
+        # would otherwise persist the stale keys forever (unbounded
+        # metadata growth + misleading hotness stats)
+        for p in dropped:
+            self.hits.pop(p, None)
+            self.last_split_at.pop(p, None)
 
     def save_meta(self) -> None:
         meta_dir = self.version_dir
@@ -424,7 +432,17 @@ class IVFIndex:
                     self.centroids[pos] * n_old + add.sum(axis=0)
                 ) / (n_old + len(add))
                 self.sizes[pos] += len(add)
-        # re-inserted ids stop being tombstones
+        # Re-inserted ids stop being tombstones — but their OLD parquet
+        # rows are still on disk (delete() only tombstones). Clearing the
+        # tombstone alone would resurrect the stale row (two live rows
+        # per id, bookkeeping out of sync with the visible corpus); the
+        # reference physically removes the vector at delete (ipynb
+        # c1:111-125), so physically purge the old rows first. Only the
+        # affected partition directories are rewritten; plain inserts
+        # (no re-used id) never pay this.
+        reinserted = self.tombstones & set(int(i) for i in ids)
+        if reinserted:
+            self._purge_rows(reinserted)
         self.tombstones -= set(int(i) for i in ids)
 
         pdf = pd.DataFrame({
@@ -442,6 +460,38 @@ class IVFIndex:
         # the write path, not inside the next query's latency
         self.read_corpus()
         return pid
+
+    def _purge_rows(self, dead_ids: set[int]) -> None:
+        """Physically remove the given ids' rows from the corpus by
+        rewriting ONLY the partition directories that contain them
+        (staged to a temp dir, then swapped in — Spark can't overwrite a
+        path it is reading). Bounded by the touched partitions' size; at
+        real scale the directory swap is a filesystem rename, the same
+        publish primitive maintenance versioning uses."""
+        import shutil
+
+        ids_sql = ",".join(str(int(i)) for i in sorted(dead_ids))
+        raw = self.spark.read.parquet(self.corpus_path)
+        parts = sorted(int(r["partition_id"]) for r in
+                       raw.where(F.expr(f"{self.id_col} IN ({ids_sql})"))
+                          .select("partition_id").distinct().collect())
+        if not parts:
+            return
+        part_sql = ",".join(str(p) for p in parts)
+        keep = (raw.where(F.expr(f"partition_id IN ({part_sql})"))
+                .where(F.expr(f"{self.id_col} NOT IN ({ids_sql})")))
+        tmp = os.path.join(self.workdir, "_purge_tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        keep.write.mode("overwrite").partitionBy("partition_id") \
+            .parquet(tmp)
+        for p in parts:
+            src = os.path.join(tmp, f"partition_id={p}")
+            dst = os.path.join(self.corpus_path, f"partition_id={p}")
+            shutil.rmtree(dst, ignore_errors=True)
+            if os.path.exists(src):          # absent → partition emptied
+                shutil.move(src, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        self.invalidate_corpus()
 
     def delete(self, ids) -> None:
         """O7 (ipynb c1:111-125): delete by id. The reference's O(1)

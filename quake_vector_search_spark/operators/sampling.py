@@ -104,7 +104,16 @@ def salted_join(left: DataFrame, right: DataFrame, key: str,
     stage materializes skewed partitions); explicit salting keeps the
     first shuffle itself balanced. Salt = positive_mod(xxhash64(all
     left columns), n_salt) — deterministic, no rand().
+
+    Only ``inner`` and ``left`` are supported: under ``right``/``full``
+    an unmatched right row survives once per salt replica (n_salt
+    copies), so those modes cannot be row-identical to the plain join.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: "
+            "right/full would emit unmatched right rows once per salt "
+            "replica")
     lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]),
                    F.lit(n_salt))
     l = left.withColumn("_salt", lsalt)

@@ -70,9 +70,15 @@ def cms_estimate(sketch: DataFrame, candidates: DataFrame,
                 .withColumn("bucket",
                             _bucket_expr(F.col("j"), F.col("item"),
                                          width)))
-    return (expanded.join(F.broadcast(sketch), ["j", "bucket"])
+    # LEFT join + coalesce(c, 0): a candidate whose (j, bucket) cell was
+    # never touched must count that cell as ZERO (standard CMS returns 0
+    # for an empty cell) — an inner join would silently drop the
+    # candidate (all cells empty) or overestimate (min over only the
+    # non-empty cells).
+    return (expanded.join(F.broadcast(sketch), ["j", "bucket"], "left")
             .groupBy("item")
-            .agg(F.min("c").alias("est_count"))
+            .agg(F.min(F.coalesce(F.col("c"), F.lit(0)))
+                 .alias("est_count"))
             .select(F.col("item").alias(item_col), "est_count"))
 
 

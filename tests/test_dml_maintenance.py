@@ -156,3 +156,46 @@ def test_cosine_index_insert_normalizes(spark):
     assert row["vec_id"] == 777_000
     assert abs(row["sim"] - 1.0) < 1e-9
     shutil.rmtree("/tmp/qvss_cos_dml", ignore_errors=True)
+
+
+def test_delete_then_reinsert_no_resurrection(spark, index):
+    """delete(id) then insert(id, new_vec) must leave exactly ONE live
+    row for the id — the new vector — and bookkeeping consistent with
+    the visible corpus (the old parquet row is physically purged, not
+    resurrected by the tombstone clear)."""
+    vid = 42
+    old_vec = np.asarray(
+        index.read_corpus().where(F.col("vec_id") == vid)
+        .select(index.vec_col).head()[0], dtype=np.float64)
+    n0 = index.read_corpus().count()
+    index.delete([vid])
+    new_vec = old_vec + 5.0
+    index.insert([vid], [new_vec])
+    live = index.read_corpus().where(F.col("vec_id") == vid).collect()
+    assert len(live) == 1, "stale row resurrected on re-insert"
+    got = np.asarray(live[0][index.vec_col], dtype=np.float64)
+    np.testing.assert_allclose(got, new_vec, rtol=1e-6)
+    assert index.read_corpus().count() == n0
+    assert int(index.sizes.sum()) == n0
+    # searching near the new vector returns the id exactly once
+    qdf = spark.createDataFrame(
+        [(0, [float(x) for x in new_vec])], "query_id long, embedding array<float>")
+    out, _ = index.search(qdf, k=5, target_recall=1.0,
+                          max_probe=1_000_000_000)
+    hits = [r for r in out.collect() if r["vec_id"] == vid]
+    assert len(hits) == 1 and hits[0]["rank"] == 1
+
+
+def test_recompute_prunes_stats_of_dropped_partitions(spark, index):
+    """Emptying a partition then recomputing centroids must also drop
+    its hits/last_split_at entries (no unbounded stale metadata)."""
+    # empty the smallest partition by deleting all its members
+    pos = int(np.argmin(index.sizes))
+    pid = int(index.part_ids[pos])
+    dead = [int(r["vec_id"]) for r in
+            index.read_corpus([pid]).select("vec_id").collect()]
+    index.delete(dead)
+    compact(index)
+    assert pid not in set(int(p) for p in index.part_ids)
+    assert pid not in index.hits
+    assert pid not in index.last_split_at

@@ -1,6 +1,7 @@
 """Invariants for the training-pipeline QA operators: profiling,
 gap-fill resample, balanced downsampling."""
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -251,3 +252,33 @@ def test_stratified_sample_rate_and_determinism(spark):
     with redirect_stdout(buf):
         stratified_sample(df, "cls", 0.2, id_col="id").explain("formatted")
     assert "Exchange" not in buf.getvalue()
+
+
+def test_cms_estimate_zero_for_untouched_candidate(spark):
+    """A candidate absent from the sketched stream must estimate 0 when
+    all its cells are empty (standard CMS semantics) — the left-join +
+    coalesce path; an inner join would drop or overestimate it."""
+    from quake_vector_search_spark.operators.sketch import (
+        cms_estimate,
+        cms_sketch,
+    )
+    items = spark.createDataFrame([("a",), ("a",), ("b",)], ["item"])
+    sk = cms_sketch(items, "item", depth=4, width=4096)
+    cands = spark.createDataFrame(
+        [("a",), ("zz_never_seen",)], ["item"])
+    est = {r["item"]: r["est_count"]
+           for r in cms_estimate(sk, cands, "item",
+                                 depth=4, width=4096).collect()}
+    assert set(est) == {"a", "zz_never_seen"}     # nothing dropped
+    assert est["a"] >= 2
+    assert est["zz_never_seen"] == 0              # width 4096, 2 keys: no collision
+
+
+def test_salted_join_rejects_right_full(spark):
+    from quake_vector_search_spark.operators.sampling import salted_join
+    l = spark.createDataFrame([(1, "x")], ["k", "v"])
+    r = spark.createDataFrame([(1, "y")], ["k", "w"])
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError):
+            salted_join(l, r, "k", n_salt=4, how=how)
+    assert salted_join(l, r, "k", n_salt=4, how="inner").count() == 1
