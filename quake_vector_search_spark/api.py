@@ -82,6 +82,29 @@ def dedup_clusters(docs: DataFrame, threshold: float = 0.8,
     return connected_components(docs, pairs)
 
 
+def near_dup_pairs(df: DataFrame, method: str = "minhash_lsh",
+                   **kwargs) -> DataFrame:
+    """Near-duplicate pair detection — every default is a bucketed /
+    blocked scale path (candidates ∝ dup density, never an n²
+    self-join; the exhaustive forms are *_exhaustive, oracle-only):
+
+    - ``minhash_lsh`` (default): word-shingle MinHash + banded LSH over
+      a text column → (doc_a, doc_b, jaccard).
+    - ``simhash``: pigeonhole-blocked SimHash → (doc_a, doc_b, hamming).
+    - ``embedding``: sign-LSH over an embedding column →
+      (id_a, id_b, cosine); kwargs: threshold (required).
+    """
+    from quake_vector_search_spark.operators import dedup as D
+    if method == "minhash_lsh":
+        return D.minhash_lsh_pairs(df, **kwargs)
+    if method == "simhash":
+        return D.simhash_pairs_blocked(df, **kwargs)
+    if method == "embedding":
+        return D.cosine_pairs_lsh(df, **kwargs)
+    raise ValueError(
+        f"unknown method {method!r} (minhash_lsh|simhash|embedding)")
+
+
 def profile(df: DataFrame, columns=None) -> DataFrame:
     """Per-column QA stats (operators/profiling.py)."""
     from quake_vector_search_spark.operators.profiling import (

@@ -229,14 +229,14 @@ def simhash(docs: DataFrame, id_col: str = "doc_id",
     return sums.select(F.col(id_col), fp.cast("long").alias("simhash"))
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 6,
-                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """SimHash near-dup pairs: hamming(simhash_a, simhash_b) ≤ max.
-
-    Verification-scale implementation is the n² self-join below; the
-    scale path blocks on simhash bytes first (pigeonhole: hamming ≤ 6
-    over 4 bytes ⇒ at least one byte equal), cutting candidates by the
-    byte-bucket selectivity before the exact hamming check.
+def simhash_pairs_exhaustive(docs: DataFrame, max_hamming: int = 6,
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """ORACLE-ONLY n² SimHash pair scan — do NOT use as a pipeline
+    default (all-pairs self-join: a scale-killer past verification
+    size). The production path is ``simhash_pairs_blocked`` (pigeonhole
+    blocking, identical output); this form exists to differential-test
+    it and to serve as the registry oracle.
     """
     s = simhash(docs, id_col, text_col)
     a, b = s.alias("a"), s.alias("b")
@@ -248,12 +248,13 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 6,
             .where(F.col("hamming") <= max_hamming))
 
 
-def cosine_pairs(emb: DataFrame, threshold: float,
-                 id_col: str = "vec_id",
-                 vec_col: str = "embedding") -> DataFrame:
-    """Embedding-cosine near-dup pairs ≥ threshold (verification-scale
-    n² scan; the scale path is LSH bucketing / IVF-kNN — see
-    operators.knn.cosine_topk and operators.ivf)."""
+def cosine_pairs_exhaustive(emb: DataFrame, threshold: float,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """ORACLE-ONLY n² embedding-cosine pair scan — do NOT use as a
+    pipeline default (all-pairs self-join). Production paths:
+    ``cosine_pairs_lsh`` (sign-LSH bucketing, candidates ∝ collision
+    density) or IVF-kNN (operators.ivf) when top-k semantics fit."""
     from quake_vector_search_spark.functions.vector import (
         cosine_similarity_col,
     )
@@ -262,6 +263,81 @@ def cosine_pairs(emb: DataFrame, threshold: float,
     b = emb.select(F.col(id_col).alias("id_b"),
                    F.col(vec_col).alias("vb"))
     return (a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", cosine_similarity_col("va", "vb"))
+            .where(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))
+
+
+def _lsh_hyperplanes(n_bits: int, dim: int, seed: str) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 integer
+    arithmetic — the same trick as token_hash_expr, so a DuckDB oracle
+    regenerates IDENTICAL float64 components:
+    ``(md5int(seed:b:i) % 2001 - 1000) / 1000.0`` ∈ [-1, 1]."""
+    import hashlib
+    out = []
+    for b in range(n_bits):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"{seed}:{b}:{i}".encode()).hexdigest()
+            row.append((int(h[:15], 16) % 2001 - 1000) / 1000.0)
+        out.append(row)
+    return out
+
+
+def cosine_pairs_lsh(emb: DataFrame, threshold: float,
+                     n_bits: int = 16, n_bands: int = 4,
+                     dim: int = 64,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     seed: str = "lsh1") -> DataFrame:
+    """Embedding-cosine near-dup pairs via sign-LSH bucketing — the
+    scale path (the n² sibling is ``cosine_pairs_exhaustive``):
+
+    1. signature: ``n_bits`` random-hyperplane sign bits per vector
+       (narrow, no shuffle);
+    2. banding: split the signature into ``n_bands`` bands; vectors
+       agreeing on ANY whole band become candidates via an equality
+       join on (band, key) — candidates ∝ collision density, never n²;
+    3. exact verify: cosine ≥ threshold on candidates only.
+
+    Standard LSH recall semantics: a qualifying pair is emitted iff it
+    collides in ≥1 band (P ≈ 1-(1-p^r)^b, p = 1-θ/π). Deterministic:
+    hyperplanes are md5-derived from ``seed`` (SQL-expressible, see
+    _lsh_hyperplanes), so the output is a pure function of the input
+    — differential-testable on any engine."""
+    planes = _lsh_hyperplanes(n_bits, dim, seed)
+    v = F.col(vec_col).cast("array<double>")
+    bits = []
+    for b in range(n_bits):
+        lit = F.array(*[F.lit(x) for x in planes[b]])
+        dot = F.aggregate(F.zip_with(v, lit, lambda x, h: x * h),
+                          F.lit(0.0), lambda a, x: a + x)
+        bits.append((dot >= 0).cast("long").alias(f"bit{b}"))
+    sig = emb.select(F.col(id_col), F.col(vec_col), *bits)
+    per_band = n_bits // n_bands
+    keys = []
+    for band in range(n_bands):
+        key = sum((F.col(f"bit{band * per_band + j}") * (2 ** j)
+                   for j in range(per_band)), F.lit(0))
+        keys.append(F.struct(F.lit(band).alias("band"),
+                             key.cast("long").alias("key")))
+    banded = sig.select(
+        F.col(id_col), F.explode(F.array(*keys)).alias("bk")) \
+        .select(id_col, "bk.band", "bk.key")
+    a, b2 = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b2, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct())
+    from quake_vector_search_spark.functions.vector import (
+        cosine_similarity_col,
+    )
+    ea = emb.select(F.col(id_col).alias("id_a"),
+                    F.col(vec_col).alias("va"))
+    eb = emb.select(F.col(id_col).alias("id_b"),
+                    F.col(vec_col).alias("vb"))
+    return (cand.join(ea, "id_a").join(eb, "id_b")
             .withColumn("cosine", cosine_similarity_col("va", "vb"))
             .where(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))

@@ -137,16 +137,17 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
 """
 
 
-@register("dedup_simhash", sql=_simhash_sql())
-def dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs at hamming ≤ 2 over 32-bit fingerprints
-    of the distinct-token set (byte-block LSH is the scale path; the
-    n² check here is verification-scale)."""
+@register("dedup_simhash_oracle", sql=_simhash_sql())
+def dedup_simhash_oracle(spark, sf_dir):
+    """ORACLE-ONLY n² SimHash pair scan (hamming ≤ 2, 32-bit
+    fingerprints) — kept to differential-test the production
+    ``dedup_simhash_blocked`` path, which must hash-match it exactly.
+    Never the pipeline default (demoted per round-1 audit)."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.simhash_pairs(docs, max_hamming=2)
+    return D.simhash_pairs_exhaustive(docs, max_hamming=2)
 
 
-@register("dedup_embedding_cosine", sql="""
+@register("dedup_embedding_cosine_oracle", sql="""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                     CAST(b.embedding AS DOUBLE[])), 6)
@@ -155,11 +156,13 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.45
 """)
-def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup pairs ≥ 0.45 (brute-force oracle
-    variant; cosine_topk / IVF is the ANN scale path)."""
+def dedup_embedding_cosine_oracle(spark, sf_dir):
+    """ORACLE-ONLY n² embedding-cosine pair scan (≥ 0.45) — kept for
+    differential testing; the production defaults are
+    ``dedup_embedding_lsh`` (sign-LSH bucketing, see extra_queries) and
+    IVF-kNN. Never the pipeline default (demoted per round-1 audit)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    out = D.cosine_pairs(emb, threshold=0.45)
+    out = D.cosine_pairs_exhaustive(emb, threshold=0.45)
     return out.withColumn("cosine", F.round("cosine", 6))
 
 

@@ -188,3 +188,41 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark):
                   .groupBy("o_orderpriority").count())
         plan = _plan(joined)
         assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_no_default_dedup_path_is_quadratic(spark):
+    """Round-1 audit item #3: every DEFAULT near-dup path must be a
+    bucketed/blocked plan — no all-pairs self-join (CartesianProduct /
+    BroadcastNestedLoopJoin) anywhere. The n² forms survive only under
+    *_exhaustive / *_oracle names."""
+    from quake_vector_search_spark import api
+    from quake_vector_search_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    defaults = {
+        "minhash_lsh": api.near_dup_pairs(docs, "minhash_lsh",
+                                          threshold=0.5),
+        "simhash": api.near_dup_pairs(docs, "simhash", max_hamming=2),
+        "embedding": api.near_dup_pairs(emb, "embedding", threshold=0.45),
+        "jaccard_clusters_pairs": api.dedup_clusters(docs, threshold=0.8),
+    }
+    for name, df in defaults.items():
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_exhaustive_forms_are_renamed():
+    """The n² scans must not be reachable under their old default
+    names (api or operator module)."""
+    from quake_vector_search_spark import api
+    from quake_vector_search_spark.operators import dedup as D
+    assert not hasattr(D, "simhash_pairs")
+    assert not hasattr(D, "cosine_pairs")
+    assert hasattr(D, "simhash_pairs_exhaustive")
+    assert hasattr(D, "cosine_pairs_exhaustive")
+    assert not hasattr(api, "simhash_pairs")
+    assert "dedup_simhash_oracle" in REGISTRY
+    assert "dedup_embedding_cosine_oracle" in REGISTRY
+    assert "dedup_embedding_lsh" in REGISTRY
