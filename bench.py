@@ -94,11 +94,15 @@ def _replay(spark, emb, workdir: str, n_queries: int, batch: int,
             curve: bool) -> dict:
     import shutil
 
+    from pyspark.sql import functions as F
+
     from quake_vector_search_spark.operators.evaluation import avg_recall
     from quake_vector_search_spark.operators.ivf import IVFIndex
     from quake_vector_search_spark.operators.knn import knn_bruteforce
     from quake_vector_search_spark.operators.maintenance import maintain
-    from quake_vector_search_spark.operators.workload import zipf_queries
+    from quake_vector_search_spark.operators.workload import (
+        zipf_queries_distributed,
+    )
 
     shutil.rmtree(workdir, ignore_errors=True)
 
@@ -106,13 +110,25 @@ def _replay(spark, emb, workdir: str, n_queries: int, batch: int,
     idx = IVFIndex.build(emb, workdir, coarse_k=16, base_k=4)
     build_s = time.time() - t0
 
-    # query workload skewed over the *actual* partition layout
-    rows = idx.read_corpus().select("vec_id", idx.vec_col,
-                                    "partition_id").collect()
-    ids = np.array([r[0] for r in rows])
-    vecs = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
-    part_of = np.array([r[2] for r in rows])
-    qmat = zipf_queries(ids, vecs, part_of, n_queries)
+    # query workload skewed over the *actual* partition layout — fully
+    # distributed: the driver only ever receives the n_queries picked
+    # vectors (never the corpus), so the bench itself runs at any scale
+    part_sizes = {int(p): int(s) for p, s in zip(idx.part_ids, idx.sizes)}
+    qmat = zipf_queries_distributed(
+        idx.read_corpus(), part_sizes, n_queries,
+        id_col=idx.id_col, vec_col=idx.vec_col)
+    d = int(idx.centroids.shape[1])
+
+    # delete-id pool: deterministic-hash order, partial top-k per
+    # partition (TakeOrdered) — collects exactly the ids the DML cadence
+    # will consume; each id deleted at most once across the run
+    n_batches = -(-n_queries // batch)
+    del_pool = [int(r[0]) for r in
+                idx.read_corpus().select(idx.id_col)
+                .orderBy(F.md5(F.concat_ws(
+                    ":", F.lit("del7"),
+                    F.col(idx.id_col).cast("string"))))
+                .limit(n_del * n_batches).collect()]
 
     # untimed warm-up: first search exercises the Python-worker spin-up,
     # Arrow serializer init, and codegen for the search plan shape —
@@ -139,10 +155,10 @@ def _replay(spark, emb, workdir: str, n_queries: int, batch: int,
         all_found = found if all_found is None else all_found.unionAll(found)
         # DML cadence (reference: 10+10 per 20 queries; scaled per batch)
         idx.insert(list(range(next_id, next_id + n_ins)),
-                   rng.normal(size=(n_ins, vecs.shape[1])))
+                   rng.normal(size=(n_ins, d)))
         next_id += n_ins
-        idx.delete([int(x) for x in
-                    rng.choice(ids, size=n_del, replace=False)])
+        bi = b // batch
+        idx.delete(del_pool[bi * n_del:(bi + 1) * n_del])
         if (b // batch) % maintain_every == maintain_every - 1:
             maintain(idx)
 

@@ -81,3 +81,45 @@ def zipf_queries(corpus_ids: np.ndarray, corpus_vecs: np.ndarray,
         out[qi] = corpus_vecs[pick] + rng.normal(0.0, noise,
                                                  size=corpus_vecs.shape[1])
     return out
+
+
+def zipf_queries_distributed(corpus_df: DataFrame,
+                             part_sizes: dict[int, int], n_queries: int,
+                             alpha: float = 1.1, noise: float = 0.1,
+                             seed: int = 7, id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> np.ndarray:
+    """Skewed query workload WITHOUT collecting the corpus (the scale
+    path for ``zipf_queries``, whose signature needs every vector on
+    the driver): Zipf-rank a partition per query (driver-side over the
+    P-sized partition table), pick a uniform member *by position*, and
+    fetch exactly the picked rows via a broadcast join against a
+    per-partition row_number — the driver ever holds n_queries vectors,
+    never the corpus. Deterministic given (seed, corpus id order).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    parts = np.array(sorted(part_sizes))
+    ranks = zipf_ranks(len(parts), n_queries, alpha, seed + 1)
+    rng = np.random.default_rng(seed)
+    picks = []
+    for qi, r in enumerate(ranks):
+        pid = int(parts[r])
+        picks.append((qi, pid, int(rng.integers(0, part_sizes[pid]))))
+    spark = corpus_df.sparkSession
+    pdf = spark.createDataFrame(
+        picks, "qi long, partition_id long, rn long")
+    pids_sql = ",".join(str(p) for p in sorted({p for _, p, _ in picks}))
+    w = Window.partitionBy("partition_id").orderBy(id_col)
+    numbered = (corpus_df
+                .where(F.expr(f"partition_id IN ({pids_sql})"))
+                .select(id_col, vec_col, "partition_id")
+                .withColumn("rn", F.row_number().over(w) - 1))
+    sel = (numbered.join(F.broadcast(pdf), ["partition_id", "rn"])
+           .select("qi", vec_col).collect())
+    assert len(sel) == n_queries
+    d = len(sel[0][vec_col])
+    base = np.empty((n_queries, d), dtype=np.float64)
+    for row in sel:
+        base[int(row["qi"])] = np.asarray(row[vec_col], dtype=np.float64)
+    return base + rng.normal(0.0, noise, size=base.shape)

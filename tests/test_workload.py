@@ -39,3 +39,26 @@ def test_zipf_queries_deterministic_and_skewed():
     ranks = WL.zipf_ranks(8, 1000)
     counts = np.bincount(ranks, minlength=8)
     assert counts[0] > counts[-1]
+
+
+def test_zipf_distributed_shape_and_determinism(spark):
+    import numpy as np
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.workload import (
+        zipf_queries_distributed,
+    )
+    from quake_vector_search_spark.sources import load_table
+    import shutil
+    wd = "/tmp/qvss_test_zipfdist"
+    shutil.rmtree(wd, ignore_errors=True)
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = IVFIndex.build(emb, wd, coarse_k=4, base_k=2)
+    sizes = {int(p): int(s) for p, s in zip(idx.part_ids, idx.sizes)}
+    q1 = zipf_queries_distributed(idx.read_corpus(), sizes, 32)
+    q2 = zipf_queries_distributed(idx.read_corpus(), sizes, 32)
+    assert q1.shape == (32, 64)
+    np.testing.assert_array_equal(q1, q2)          # deterministic
+    # queries sit near stored vectors (noise 0.1 over unit-ish vecs)
+    assert np.isfinite(q1).all()
+    shutil.rmtree(wd, ignore_errors=True)
