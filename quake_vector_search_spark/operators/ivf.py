@@ -37,10 +37,7 @@ from quake_vector_search_spark.functions.vector import (
     l2_batch,
     topk_cols_2d,
 )
-from quake_vector_search_spark.operators.kmeans import (
-    kmeans_fit,
-    local_kmeans,
-)
+from quake_vector_search_spark.operators.kmeans import local_kmeans
 
 # Tombstone count below which the read filter uses a literal NOT IN
 # (pushed to parquet); above it, a broadcast anti-join.
@@ -111,17 +108,29 @@ class IVFIndex:
               seed: int = 42, base_seed: int = 123,
               rows_per_centroid: int = 50,
               cell_train_cap: int = 100_000,
+              train_cap: int = 200_000,
+              coarse_train_cap: int = 20_000,
               metric: str = "l2") -> "IVFIndex":
         """Two-level build (reference ``build``, ipynb c1:66-90).
 
-        Coarse: distributed seeded k-means (k=coarse_k, seed=seed).
-        Base: per coarse cell c, kb = min(base_k, max(1, n_c //
-        rows_per_centroid)) centroids trained with seed base_seed+c —
-        on a per-cell seeded sample capped at ``cell_train_cap`` rows
-        (the scale concession: at 100 TB a cell exceeds one executor, so
-        training is sampled; assignment is always over the full cell).
-        One final full pass assigns (coarse → base) and writes the
-        partitioned layout.
+        Coarse: seeded Lloyd's over a deterministic hash-ordered sample
+        of ≤ ``train_cap`` rows, trained driver-side — the standard IVF
+        coarse-quantizer recipe (the quantizer needs a representative
+        sample, not the corpus; a distributed Lloyd's here costs one
+        Spark job PER ITERATION in scheduling overhead alone). Base:
+        per coarse cell c, kb = min(base_k, max(1, n_c //
+        rows_per_centroid)) centroids, seed base_seed+c, trained on ≤
+        ``cell_train_cap`` rows per cell. Assignment is ALWAYS a full
+        distributed pass (coarse → base argmin per Arrow batch) feeding
+        one partitioned write.
+
+        Small-corpus fast path: when the training sample IS the whole
+        corpus (n ≤ train_cap), cell sizes, base training, and the
+        exact partition means are all computed from the already-
+        collected block — the build is 2 Spark jobs (sample + write)
+        instead of ~6, which is what makes build latency comparable to
+        the reference's in-process 0.54 s at n=40k. Both paths produce
+        identically-structured, seeded-deterministic indexes.
         """
         spark = corpus_df.sparkSession
         if metric == "cosine":
@@ -132,64 +141,126 @@ class IVFIndex:
         elif metric != "l2":
             raise ValueError(f"unknown metric {metric!r} (l2|cosine)")
 
-        # One persisted (id, vec) projection feeds every build pass —
-        # coarse k-means iterations, coarse tagging (x2: cell sizes,
-        # training sample), and the final assignment — instead of five+
-        # source scans. MEMORY_AND_DISK so 100 TB builds spill, not
-        # recompute.
+        # (id, vec) projection. Persisted ONLY on the large path, where
+        # it feeds multiple passes (cell sizing, training sample, final
+        # assignment); the small path touches the corpus exactly once,
+        # so caching it would be pure overhead.
         from pyspark import StorageLevel
-        proj = corpus_df.select(id_col, vec_col).persist(
-            StorageLevel.MEMORY_AND_DISK)
+        proj = corpus_df.select(id_col, vec_col)
 
-        # 1. coarse level (distributed)
-        coarse_cents = kmeans_fit(proj, vec_col=vec_col, id_col=id_col,
-                                  k=coarse_k, iters=coarse_iters, seed=seed)
+        # 1. training sample. First a sort-free CollectLimit probe:
+        # limit(cap + 1) detects "the corpus fits on the driver" without
+        # a count() job; if it does, the probe content IS the corpus and
+        # no distributed sort is needed (order is canonicalized driver-
+        # side). Only genuinely large corpora pay the hash-ordered
+        # TakeOrdered job for a deterministic subset.
+        samp_pdf = proj.limit(train_cap + 1).toPandas()
+        whole_corpus = len(samp_pdf) <= train_cap
+        if not whole_corpus:
+            proj = proj.persist(StorageLevel.MEMORY_AND_DISK)
+            samp_pdf = (proj
+                        .withColumn("_h", F.xxhash64(F.col(id_col),
+                                                     F.lit(seed)))
+                        .orderBy("_h", id_col).limit(train_cap)
+                        .select(id_col, vec_col).toPandas())
+        train_ids = samp_pdf[id_col].to_numpy().astype(np.int64)
+        train_x = np.vstack([np.asarray(v) for v in
+                             samp_pdf[vec_col].to_numpy()]) \
+            .astype(np.float64)
+        # canonical order (id sort kills collect-order nondeterminism),
+        # then ONE seeded permutation so every training prefix below —
+        # coarse_train_cap, per-cell caps — is a random subset even for
+        # adversarially sorted corpora
+        order = np.argsort(train_ids, kind="stable")
+        perm = np.random.default_rng(seed).permutation(len(order))
+        train_ids = train_ids[order][perm]
+        train_x = train_x[order][perm]
 
-        # 2. per-cell base training on a capped seeded sample
-        bc_coarse = spark.sparkContext.broadcast(coarse_cents)
+        # 2. coarse level: seeded Lloyd's on ≤ coarse_train_cap rows of
+        # the hash-ordered sample (a random-subset prefix). A k=16..256
+        # quantizer saturates far below 20k training points (the
+        # standard ~256-samples-per-centroid rule); assignment below is
+        # always over the full sample/corpus.
+        coarse_cents, _ = local_kmeans(train_x[:coarse_train_cap],
+                                       coarse_k, coarse_iters, seed=seed)
+        samp_cid = np.argmin(l2_batch(train_x, coarse_cents), axis=1)
 
-        def tag_coarse(batches):
-            cents = bc_coarse.value
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                vecs = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-                pdf = pdf.copy()
-                pdf["coarse_id"] = np.argmin(l2_batch(vecs, cents), axis=1)
-                yield pdf[[id_col, vec_col, "coarse_id"]]
+        # 3. per-cell base training
+        if whole_corpus:
+            # the sample IS the corpus: exact cell sizes + base training
+            # from the in-memory block, zero extra Spark jobs
+            cell_sizes = {int(c): int(n) for c, n in
+                          zip(*np.unique(samp_cid, return_counts=True))}
+            base_rows = []
+            for c in sorted(cell_sizes):
+                n_cell = cell_sizes[c]
+                kb = min(base_k, max(1, n_cell // rows_per_centroid))
+                # 256 training rows per centroid saturates Lloyd's for
+                # these tiny kb; rows are a hash-order (random) prefix
+                cap = min(cell_train_cap, max(256 * kb, 1024))
+                cell_vecs = train_x[samp_cid == c][:cap]
+                cents, _ = local_kmeans(cell_vecs, kb, base_iters,
+                                        seed=base_seed + c)
+                base_rows.extend(
+                    {"coarse_id": c, "local_idx": i, "centroid": cent}
+                    for i, cent in enumerate(cents))
+        else:
+            # distributed: tag the corpus with its coarse cell, count
+            # cells, train each cell on a capped hash-ordered sample
+            bc_coarse = spark.sparkContext.broadcast(coarse_cents)
 
-        tagged = proj.mapInPandas(
-            tag_coarse, f"{id_col} long, {vec_col} array<float>, coarse_id long")
+            def tag_coarse(batches):
+                cents = bc_coarse.value
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    vecs = np.vstack(pdf[vec_col].to_numpy()) \
+                        .astype(np.float64)
+                    pdf = pdf.copy()
+                    pdf["coarse_id"] = np.argmin(l2_batch(vecs, cents),
+                                                 axis=1)
+                    yield pdf[[id_col, vec_col, "coarse_id"]]
 
-        cell_sizes = {r["coarse_id"]: r["n"] for r in
-                      tagged.groupBy("coarse_id").agg(F.count("*").alias("n"))
-                      .collect()}
+            tagged = proj.mapInPandas(
+                tag_coarse,
+                f"{id_col} long, {vec_col} array<float>, coarse_id long")
 
-        w = Window.partitionBy("coarse_id").orderBy("_h", id_col)
-        sample = (tagged
-                  .withColumn("_h", F.xxhash64(F.col(id_col), F.lit(base_seed)))
-                  .withColumn("_rn", F.row_number().over(w))
-                  .where(F.col("_rn") <= cell_train_cap)
-                  .drop("_h", "_rn"))
+            cell_sizes = {r["coarse_id"]: r["n"] for r in
+                          tagged.groupBy("coarse_id")
+                          .agg(F.count("*").alias("n")).collect()}
 
-        def train_cell(key, pdf):
-            c = int(key[0])
-            n_cell = cell_sizes.get(c, len(pdf))
-            kb = min(base_k, max(1, n_cell // rows_per_centroid))
-            vecs = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            cents, _ = local_kmeans(vecs, kb, base_iters, seed=base_seed + c)
-            return pd.DataFrame({
-                "coarse_id": c,
-                "local_idx": np.arange(len(cents), dtype=np.int64),
-                "centroid": list(cents),
-            })
+            w = Window.partitionBy("coarse_id").orderBy("_h", id_col)
+            sample = (tagged
+                      .withColumn("_h", F.xxhash64(F.col(id_col),
+                                                   F.lit(base_seed)))
+                      .withColumn("_rn", F.row_number().over(w))
+                      .where(F.col("_rn") <= cell_train_cap)
+                      .drop("_h", "_rn"))
 
-        base_rows = (sample.groupBy("coarse_id")
-                     .applyInPandas(train_cell,
-                                    "coarse_id long, local_idx long, "
-                                    "centroid array<double>")
-                     .collect())
-        base_rows.sort(key=lambda r: (r["coarse_id"], r["local_idx"]))
+            def train_cell(key, pdf):
+                c = int(key[0])
+                n_cell = cell_sizes.get(c, len(pdf))
+                kb = min(base_k, max(1, n_cell // rows_per_centroid))
+                vecs = np.vstack(pdf[vec_col].to_numpy()) \
+                    .astype(np.float64)
+                cents, _ = local_kmeans(vecs, kb, base_iters,
+                                        seed=base_seed + c)
+                return pd.DataFrame({
+                    "coarse_id": c,
+                    "local_idx": np.arange(len(cents), dtype=np.int64),
+                    "centroid": list(cents),
+                })
+
+            base_rows = (sample.groupBy("coarse_id")
+                         .applyInPandas(train_cell,
+                                        "coarse_id long, local_idx long, "
+                                        "centroid array<double>")
+                         .collect())
+            base_rows = sorted(
+                ({"coarse_id": r["coarse_id"], "local_idx": r["local_idx"],
+                  "centroid": np.asarray(r["centroid"])}
+                 for r in base_rows),
+                key=lambda r: (r["coarse_id"], r["local_idx"]))
 
         # global partition ids in (coarse_id, local_idx) order
         part_coarse = np.array([r["coarse_id"] for r in base_rows], dtype=np.int64)
@@ -197,34 +268,70 @@ class IVFIndex:
         part_ids = np.arange(len(base_rows), dtype=np.int64)
 
         # 3. final assignment pass + partitioned write
-        bc_assign = spark.sparkContext.broadcast(
-            (coarse_cents, train_cents, part_coarse, part_ids))
-
-        def assign_partition(batches):
-            ccents, bcents, pcoarse, pids = bc_assign.value
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                vecs = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-                cid = np.argmin(l2_batch(vecs, ccents), axis=1)
-                pid = np.empty(len(pdf), dtype=np.int64)
-                for c in np.unique(cid):
-                    mask = cid == c
-                    members = np.where(pcoarse == c)[0]
-                    local = np.argmin(
-                        l2_batch(vecs[mask], bcents[members]), axis=1)
-                    pid[mask] = pids[members[local]]
-                pdf = pdf.copy()
-                pdf["partition_id"] = pid
-                yield pdf[[id_col, vec_col, "partition_id"]]
-
-        assigned = proj.mapInPandas(
-            assign_partition,
-            f"{id_col} long, {vec_col} array<float>, partition_id long")
-
         version = 0
         corpus_path = os.path.join(workdir, f"v{version:04d}", "corpus")
-        (assigned.repartition("partition_id")
+        pid_local = None
+        if whole_corpus:
+            # 4a. the whole corpus is already on the driver: assign
+            # there (same argmin math as the worker path), upload once
+            # via Arrow, and let the JVM do a pure columnar partitioned
+            # write — no Python-worker chain, no read-back pass.
+            pid_local = np.empty(len(train_x), dtype=np.int64)
+            for c in np.unique(samp_cid):
+                mask = samp_cid == c
+                members = np.where(part_coarse == c)[0]
+                local = np.argmin(
+                    l2_batch(train_x[mask], train_cents[members]), axis=1)
+                pid_local[mask] = part_ids[members[local]]
+            # pyarrow Table straight from the flat buffer — avoids the
+            # slow pandas object-array conversion path
+            import pyarrow as pa
+            n, d = train_x.shape
+            flat = train_x.astype(np.float32).ravel()
+            vec_arr = pa.FixedSizeListArray.from_arrays(
+                pa.array(flat, type=pa.float32()), d).cast(
+                pa.list_(pa.float32()))
+            assigned = spark.createDataFrame(pa.table({
+                id_col: pa.array(train_ids, type=pa.int64()),
+                vec_col: vec_arr,
+                "partition_id": pa.array(pid_local, type=pa.int64()),
+            }))
+        else:
+            # 4b. distributed assignment: coarse → base argmin per
+            # Arrow batch over the persisted projection
+            bc_assign = spark.sparkContext.broadcast(
+                (coarse_cents, train_cents, part_coarse, part_ids))
+
+            def assign_partition(batches):
+                ccents, bcents, pcoarse, pids = bc_assign.value
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    vecs = np.vstack(pdf[vec_col].to_numpy()) \
+                        .astype(np.float64)
+                    cid = np.argmin(l2_batch(vecs, ccents), axis=1)
+                    pid = np.empty(len(pdf), dtype=np.int64)
+                    for c in np.unique(cid):
+                        mask = cid == c
+                        members = np.where(pcoarse == c)[0]
+                        local = np.argmin(
+                            l2_batch(vecs[mask], bcents[members]), axis=1)
+                        pid[mask] = pids[members[local]]
+                    pdf = pdf.copy()
+                    pdf["partition_id"] = pid
+                    yield pdf[[id_col, vec_col, "partition_id"]]
+
+            assigned = proj.mapInPandas(
+                assign_partition,
+                f"{id_col} long, {vec_col} array<float>, partition_id long")
+
+        # explicit task count: a bare repartition(col) lets AQE coalesce
+        # the (small) shuffle into ONE task that writes every partition
+        # directory serially — pin enough writers to parallelize the
+        # per-directory file commits
+        n_writers = max(1, min(len(part_ids),
+                               spark.sparkContext.defaultParallelism))
+        (assigned.repartition(n_writers, "partition_id")
          .write.mode("overwrite").partitionBy("partition_id")
          .parquet(corpus_path))
         proj.unpersist()
@@ -238,7 +345,32 @@ class IVFIndex:
                   coarse_centroids=coarse_cents,
                   hits={int(p): 0 for p in part_ids},
                   last_split_at={int(p): 0 for p in part_ids})
-        idx.recompute_centroids()
+        if whole_corpus:
+            # exact means from the in-memory block with the SAME
+            # assignment just written — skips the read-back aggregation
+            # job. Written vectors are float32: average the identical
+            # float32-rounded values the corpus holds.
+            x32 = train_x.astype(np.float32).astype(np.float64)
+            keep, cents, sizes = [], [], []
+            for i, p in enumerate(part_ids):
+                m = pid_local == p
+                n = int(m.sum())
+                if n == 0:
+                    continue
+                keep.append(i)
+                cents.append(x32[m].sum(axis=0) / n)
+                sizes.append(n)
+            idx.part_ids = part_ids[keep]
+            idx.part_coarse = part_coarse[keep]
+            idx.centroids = np.array(cents)
+            idx.sizes = np.array(sizes, dtype=np.int64)
+            dropped = set(int(p) for p in part_ids) - \
+                set(int(p) for p in idx.part_ids)
+            for p in dropped:
+                idx.hits.pop(p, None)
+                idx.last_split_at.pop(p, None)
+        else:
+            idx.recompute_centroids()
         idx.save_meta()
         return idx
 
