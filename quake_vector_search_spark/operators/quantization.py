@@ -348,13 +348,21 @@ def knn_ivf_pq(index, queries, k: int = 10, target_recall: float = 0.9,
         _collect_queries, _empty_result)
     from pyspark.sql import Window
 
-    if index.metric != "l2":
-        raise NotImplementedError("PQ sidecar supports the l2 metric")
+    if index.metric not in ("l2", "cosine"):
+        raise NotImplementedError(
+            f"PQ sidecar supports l2|cosine, got {index.metric!r}")
     spark = index.spark
     if books is None:
         books = np.load(os.path.join(index.version_dir,
                                      "pq_codebooks.npy"))
     qids, qmat = _collect_queries(queries, "query_id", index.vec_col)
+    if index.metric == "cosine" and len(qids):
+        # cosine = L2 on unit vectors: the corpus (hence the codebooks
+        # and codes) is already normalized at build; normalizing the
+        # query makes the whole ADC + rerank pipeline a pure L2 kernel,
+        # converted back to similarity at the end
+        qmat = qmat / (np.linalg.norm(qmat, axis=1, keepdims=True)
+                       + 1e-12)
     nq = len(qids)
     if nq == 0:
         return (_empty_result(spark, "dist"),
@@ -424,6 +432,12 @@ def knn_ivf_pq(index, queries, k: int = 10, target_recall: float = 0.9,
             .select("query_id", id_col))
     out = exact_rerank(cand, index.read_corpus(), (qids, qmat), k,
                        id_col=id_col, vec_col=index.vec_col)
+    if index.metric == "cosine":
+        # unit vectors: dist² = 2 - 2·cos → cos = 1 - dist²/2; rank by
+        # dist asc ≡ sim desc, tie-break unchanged
+        out = (out.withColumn(
+            "sim", 1 - (F.col("dist") * F.col("dist")) / 2)
+            .select("query_id", id_col, "sim", "rank"))
     meta = {
         "nprobe": nprobe.tolist(),
         "avg_nprobe": float(nprobe.mean()),

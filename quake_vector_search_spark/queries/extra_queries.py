@@ -59,3 +59,76 @@ def dedup_embedding_lsh(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     out = cosine_pairs_lsh(emb, threshold=0.45, n_bits=16, n_bands=4)
     return out.withColumn("cosine", F.round("cosine", 6))
+
+
+_COSINE_IVF_CACHE: dict = {}
+
+
+@register("ivf_pq_cosine_fullprobe", sql="""
+-- mirrors the engine's cosine-index storage exactly: corpus vectors are
+-- unit-normalized then stored as float32 (REAL cast), the query is
+-- unit-normalized in float64, and sim = 1 - d2/2 on those values — so
+-- the hash matches bit-for-bit instead of drifting in the 6th decimal
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qd
+  FROM embeddings WHERE vec_id < 5
+), qn AS (
+  SELECT query_id,
+         list_transform(qd, x -> x /
+           (sqrt(list_inner_product(qd, qd)) + 1e-12)) AS qv
+  FROM q
+), c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cd FROM embeddings
+), cn AS (
+  SELECT vec_id,
+         list_transform(cd, x -> CAST(CAST(x /
+           (sqrt(list_inner_product(cd, cd)) + 1e-12) AS REAL)
+           AS DOUBLE)) AS cv
+  FROM c
+), d AS (
+  SELECT qn.query_id, cn.vec_id, list_distance(cn.cv, qn.qv) AS dist
+  FROM cn CROSS JOIN qn
+), r AS (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist ASC, vec_id ASC) AS rank
+  FROM d
+)
+SELECT query_id, vec_id, ROUND(1 - dist * dist / 2, 6) AS sim,
+       CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 10
+""")
+def ivf_pq_cosine_fullprobe(spark, sf_dir):
+    """PQ on a COSINE index (round-1 audit item #7: normalize-then-
+    encode — cosine = L2 on unit vectors, so codebooks/codes/ADC run
+    unchanged on the normalized corpus). Full probe + exact rerank must
+    equal brute-force cosine (the oracle), composing both pruning axes
+    on the similarity metric near-dup pipelines use."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as FF
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+        knn_ivf_pq,
+    )
+
+    if sf_dir not in _COSINE_IVF_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        wd = os.path.join("/tmp/qvss_ivф_cos".replace("ф", "f"),
+                          sf_dir.strip("/").replace("/", "_"))
+        shutil.rmtree(wd, ignore_errors=True)
+        idx = IVFIndex.build(emb, wd, coarse_k=16, base_k=4,
+                             metric="cosine")
+        books = build_pq_sidecar(idx, m=8, ksub=256, seed=99)
+        _COSINE_IVF_CACHE[sf_dir] = (idx, books)
+    idx, books = _COSINE_IVF_CACHE[sf_dir]
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5) \
+                 .withColumnRenamed("vec_id", "query_id")
+    out, _meta = knn_ivf_pq(idx, queries, k=10, target_recall=1.0,
+                            max_probe=1_000_000_000, oversample=16,
+                            books=books)
+    return out.withColumn("sim", FF.round("sim", 6))

@@ -235,3 +235,44 @@ def test_pq_sidecar_survives_maintenance(spark, tmp_path):
     a = sorted(map(tuple, got.select("query_id", "vec_id").collect()))
     b = sorted(map(tuple, exact.select("query_id", "vec_id").collect()))
     assert a == b
+
+
+def test_ivf_pq_cosine_fullprobe_matches_exact(spark):
+    """PQ over a cosine index (normalize-then-encode): full probe +
+    rerank must equal exact cosine top-k, including tie-breaks."""
+    import shutil
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.knn import cosine_topk
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+        knn_ivf_pq,
+    )
+    from quake_vector_search_spark.sources import load_table
+
+    wd = "/tmp/qvss_test_pqcos"
+    shutil.rmtree(wd, ignore_errors=True)
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = IVFIndex.build(emb, wd, coarse_k=4, base_k=2, metric="cosine")
+    books = build_pq_sidecar(idx, m=8, ksub=64, seed=99)
+    from pyspark.sql import functions as F
+    q = emb.where(F.col("vec_id") < 3).withColumnRenamed("vec_id", "query_id")
+    # oversample=64 → 320 ADC candidates of 500: with ksub=64 codebooks
+    # trained on 500 rows the ADC error is coarse enough that 80
+    # candidates can miss a true top-5 neighbor
+    got, _ = knn_ivf_pq(idx, q, k=5, target_recall=1.0,
+                        max_probe=1_000_000_000, oversample=64, books=books)
+    # ground truth = full-probe IVF search over the SAME stored
+    # (float32-normalized) corpus — raw-vector cosine_topk can swap
+    # near-ties that differ only through the float32 normalization
+    want, _ = idx.search(q, k=5, target_recall=1.0,
+                         max_probe=1_000_000_000)
+    g = {(r["query_id"], r["rank"]): (r["vec_id"], round(r["sim"], 9))
+         for r in got.collect()}
+    w = {(r["query_id"], r["rank"]): (r["vec_id"], round(r["sim"], 9))
+         for r in want.collect()}
+    assert set(g) == set(w)
+    for key in w:
+        assert g[key][0] == w[key][0]
+        assert abs(g[key][1] - w[key][1]) < 1e-6
+    shutil.rmtree(wd, ignore_errors=True)
