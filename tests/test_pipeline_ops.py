@@ -282,3 +282,27 @@ def test_salted_join_rejects_right_full(spark):
         with pytest.raises(ValueError):
             salted_join(l, r, "k", n_salt=4, how=how)
     assert salted_join(l, r, "k", n_salt=4, how="inner").count() == 1
+
+
+def test_fuzzy_hamming_join_matches_bruteforce(spark):
+    """Pigeonhole blocking must be lossless: blocked output == n²
+    definition on a corpus with engineered near-matches."""
+    from quake_vector_search_spark.operators.fuzzy import fuzzy_hamming_join
+    rows = [(1, "red small widget"), (2, "red large widget"),
+            (3, "blue small widget"), (4, "red small widget"),
+            (5, "red small bolt ex"), (6, "green tiny ring"),
+            (7, "red tiny widget")]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    got = {(r["id_a"], r["id_b"]): r["n_diff"]
+           for r in fuzzy_hamming_join(df, "id", "name").collect()}
+    want = {}
+    for i, (ia, na) in enumerate(rows):
+        for ib, nb in rows[i + 1:]:
+            wa, wb = na.split(" "), nb.split(" ")
+            if len(wa) != len(wb):
+                continue
+            d = sum(1 for x, y in zip(wa, wb) if x != y)
+            if d <= 1:
+                want[(ia, ib)] = d
+    assert got == want
+    assert (1, 2) in got and got[(1, 4)] == 0 and (1, 3) in got

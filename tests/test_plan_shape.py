@@ -226,3 +226,12 @@ def test_exhaustive_forms_are_renamed():
     assert "dedup_simhash_oracle" in REGISTRY
     assert "dedup_embedding_cosine_oracle" in REGISTRY
     assert "dedup_embedding_lsh" in REGISTRY
+
+
+def test_fuzzy_join_is_blocked_not_quadratic(spark):
+    from quake_vector_search_spark.operators.fuzzy import fuzzy_hamming_join
+    from quake_vector_search_spark.sources import load_table
+    part = load_table(spark, SF_SMOKE, "part").select("p_partkey", "p_name")
+    plan = _plan(fuzzy_hamming_join(part, "p_partkey", "p_name"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
