@@ -577,14 +577,21 @@ class IVFIndex:
             self._purge_rows(reinserted)
         self.tombstones -= set(int(i) for i in ids)
 
-        pdf = pd.DataFrame({
-            self.id_col: ids,
-            self.vec_col: [v.astype(np.float32) for v in vecs],
-            "partition_id": pid,
-        })
-        sdf = self.spark.createDataFrame(
-            pdf, f"{self.id_col} long, {self.vec_col} array<float>, "
-                 f"partition_id long")
+        # pyarrow Table straight from the flat buffer: type-exact floats
+        # regardless of the session's Arrow config (the pandas fallback
+        # path rejects numpy.float32 elements in its row verifier)
+        import pyarrow as pa
+
+        n, d = vecs.shape
+        flat = vecs.astype(np.float32).ravel()
+        vec_arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(flat, type=pa.float32()), d).cast(
+            pa.list_(pa.float32()))
+        sdf = self.spark.createDataFrame(pa.table({
+            self.id_col: pa.array(ids, type=pa.int64()),
+            self.vec_col: vec_arr,
+            "partition_id": pa.array(pid, type=pa.int64()),
+        }))
         (sdf.write.mode("append").partitionBy("partition_id")
          .parquet(self.corpus_path))
         self.invalidate_corpus()

@@ -57,8 +57,12 @@ def sessionize(events: DataFrame, gap_minutes: int = 30,
               .withColumn("_prev", F.lag(ts_col).over(w))
               .withColumn(
                   "_new_session",
+                  # cast-to-double keeps sub-second precision in the gap
+                  # (unix_timestamp() truncates, which can disagree with
+                  # a fractional-epoch oracle on boundary gaps)
                   (F.col("_prev").isNull()
-                   | (F.unix_timestamp(ts_col) - F.unix_timestamp("_prev")
+                   | (F.col(ts_col).cast("double")
+                      - F.col("_prev").cast("double")
                       > gap_s)).cast("long"))
               .withColumn("session_id",
                           F.sum("_new_session").over(

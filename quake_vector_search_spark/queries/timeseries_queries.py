@@ -70,7 +70,7 @@ WITH ordered AS (
      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM marked
 )
-SELECT user_id, session_id,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        MIN(tsu) AS session_start, MAX(tsu) AS session_end,
        COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
 FROM numbered

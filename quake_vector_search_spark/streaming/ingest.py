@@ -47,14 +47,21 @@ def _append_pq_codes(index: IVFIndex, ids: np.ndarray,
         pq_encode_local,
     )
     codes = pq_encode_local(vecs, books_cache["books"])
-    pdf = pd.DataFrame({
-        index.id_col: ids.astype(np.int64),
-        "pq_codes": [c.astype(np.int32) for c in codes],
-        "partition_id": pids.astype(np.int64),
-    })
-    sdf = index.spark.createDataFrame(
-        pdf, f"{index.id_col} long, pq_codes array<int>, "
-             "partition_id long")
+    # pyarrow Table from the flat code buffer: exact types independent
+    # of the session's Arrow config (pandas object columns of numpy
+    # arrays fail the non-Arrow row verifier)
+    import pyarrow as pa
+
+    n, m = codes.shape
+    codes_arr = pa.FixedSizeListArray.from_arrays(
+        pa.array(codes.astype(np.int32).ravel(), type=pa.int32()),
+        m).cast(pa.list_(pa.int32()))
+    sdf = index.spark.createDataFrame(pa.table({
+        index.id_col: pa.array(ids.astype(np.int64), type=pa.int64()),
+        "pq_codes": codes_arr,
+        "partition_id": pa.array(pids.astype(np.int64),
+                                 type=pa.int64()),
+    }))
     (sdf.write.mode("append").partitionBy("partition_id")
      .parquet(os.path.join(index.version_dir, "pq")))
     return True
