@@ -1,5 +1,6 @@
 from quake_vector_search_spark.sources.catalog import (  # noqa: F401
     TABLES,
     load_table,
+    normalize_events_ts,
     register_all,
 )

@@ -38,18 +38,38 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
-def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects. Read it as raw long nanos (legacy conf, runtime-
-    settable) and floor to microseconds with integral DIV — `/ 1000`
-    would round-trip through double and lose precision above 2^53.
-    DuckDB oracles must use CAST(ts AS TIMESTAMP) (same µs truncation).
+def normalize_events_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an events timestamp column to session-tz TIMESTAMP
+    regardless of how the parquet writer encoded it. Two historical
+    encodings in the driver testdata:
+
+    - TIMESTAMP(NANOS): Spark's vectorized reader rejects it, so it is
+      read as raw long nanos (legacy conf) and floored to microseconds
+      with integral DIV — `/ 1000` would round-trip through double and
+      lose precision above 2^53.
+    - timestamp[us] with no timezone → Spark 4 reads TIMESTAMP_NTZ,
+      which cannot feed cast(double) / unix_micros / percentile. The
+      session tz is pinned UTC (session.py), so NTZ→TIMESTAMP is the
+      identity on values and stays consistent with DuckDB's naive
+      timestamps.
+
+    DuckDB oracles use CAST(ts AS TIMESTAMP) (same µs truncation).
     """
+    ts_type = dict(df.dtypes).get(col)
+    if ts_type == "bigint":
+        df = df.withColumn(
+            col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts encoding varies across testdata generations — see
+    normalize_events_ts for the cases."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, "events"))
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return df
+    return normalize_events_ts(df)
 
 
 def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
@@ -90,8 +110,10 @@ def write_sink(df: DataFrame, path: str, fmt: str = "parquet",
     if fmt == "csv":
         options = {"header": "true", **options}
     if fmt in ("csv", "json"):
-        # default formats drop sub-millisecond precision — pin µs
+        # default formats drop sub-millisecond precision — pin µs for
+        # both TIMESTAMP and TIMESTAMP_NTZ columns (each has its own opt)
         options = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+                   "timestampNTZFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
                    **options}
     w.format(fmt).options(**options).save(path)
 
@@ -108,5 +130,6 @@ def read_source(spark: SparkSession, path: str, fmt: str = "parquet",
         options = {"header": "true", **options}
     if fmt in ("csv", "json"):
         options = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+                   "timestampNTZFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
                    **options}
     return r.format(fmt).options(**options).load(path)

@@ -15,28 +15,29 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
-
-EVENTS_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),        # raw nanos (see catalog.py)
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
-
 
 def read_events_stream(spark: SparkSession, events_dir: str,
                        max_files_per_trigger: int = 1) -> DataFrame:
     """Replay an events parquet *directory* as a file stream (N files →
-    N triggers — the local stand-in for a Kafka source). ts arrives as
-    raw nanos and is floored to µs exactly like the batch reader."""
+    N triggers — the local stand-in for a Kafka source). The writer's
+    ts encoding has varied across testdata generations (raw NANOS read
+    as long, timestamp[us] read as TIMESTAMP_NTZ), so sniff the real
+    file schema from the parquet footers (one cheap batch read — no
+    data scan) instead of hardcoding it, then normalize ts to session-tz
+    TIMESTAMP exactly like the batch reader (catalog._load_events).
+    A wrong hardcoded schema doesn't error here: it yields null event
+    times, the watermark never advances, and the stream silently emits
+    nothing."""
+    from quake_vector_search_spark.sources.catalog import (
+        normalize_events_ts,
+    )
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (spark.readStream.schema(EVENTS_SCHEMA)
+    file_schema = spark.read.parquet(events_dir).schema
+    raw = (spark.readStream.schema(file_schema)
            .option("maxFilesPerTrigger", max_files_per_trigger)
            .parquet(events_dir))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return normalize_events_ts(raw)
 
 
 def tumbling_stream(events: DataFrame, width: str = "1 hour",

@@ -251,9 +251,11 @@ def test_stream_stream_interval_join_matches_batch(spark, events_dir):
         upper_s=3600)
     out = SW.run_to_completion(joined, "t_ssjoin")
 
-    bc, bp = split(spark.read.parquet(events_dir)
-                   .withColumn("ts", F.timestamp_micros(
-                       F.expr("ts DIV 1000"))))
+    from quake_vector_search_spark.sources.catalog import (
+        normalize_events_ts,
+    )
+
+    bc, bp = split(normalize_events_ts(spark.read.parquet(events_dir)))
     want_df = (bc.join(bp, (F.col("user_id") == F.col("p_user"))
                        & (F.col("purchase_ts") >= F.col("click_ts"))
                        & (F.col("purchase_ts") <= F.col("click_ts")
