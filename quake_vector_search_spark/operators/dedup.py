@@ -286,7 +286,7 @@ def _lsh_hyperplanes(n_bits: int, dim: int, seed: str) -> list[list[float]]:
 
 def cosine_pairs_lsh(emb: DataFrame, threshold: float,
                      n_bits: int = 16, n_bands: int = 4,
-                     dim: int = 64,
+                     dim: int | None = None,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      seed: str = "lsh1") -> DataFrame:
     """Embedding-cosine near-dup pairs via sign-LSH bucketing — the
@@ -303,9 +303,28 @@ def cosine_pairs_lsh(emb: DataFrame, threshold: float,
     collides in ≥1 band (P ≈ 1-(1-p^r)^b, p = 1-θ/π). Deterministic:
     hyperplanes are md5-derived from ``seed`` (SQL-expressible, see
     _lsh_hyperplanes), so the output is a pure function of the input
-    — differential-testable on any engine."""
+    — differential-testable on any engine.
+
+    ``dim`` defaults to the width of the first vector (one limit-1
+    scan). A vector whose width disagrees with ``dim`` raises at run
+    time instead of the old failure mode — zip_with null-padding every
+    band key so the join silently returned ZERO pairs."""
+    if dim is None:
+        first = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:        # empty input: no pairs, trivially
+            return emb.select(
+                F.col(id_col).alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.lit(0.0).alias("cosine")).limit(0)
+        dim = int(first["d"])
     planes = _lsh_hyperplanes(n_bits, dim, seed)
-    v = F.col(vec_col).cast("array<double>")
+    # fail fast on width mismatch — NullType from raise_error coerces
+    # into the array<double> branch type
+    v = F.when(F.size(F.col(vec_col)) == F.lit(dim),
+               F.col(vec_col).cast("array<double>")) \
+         .otherwise(F.raise_error(F.format_string(
+             "cosine_pairs_lsh: vector width %s != expected dim "
+             + str(dim), F.size(F.col(vec_col)))))
     bits = []
     for b in range(n_bits):
         lit = F.array(*[F.lit(x) for x in planes[b]])

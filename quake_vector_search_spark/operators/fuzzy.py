@@ -45,10 +45,17 @@ def fuzzy_hamming_join(df: DataFrame, id_col: str, text_col: str,
             F.lit(i).alias("blk"),
             F.expr(f"concat_ws('\\u0001', slice(_w, {lo} + 1, "
                    f"{hi} - {lo}))").alias("key")))
+    # Empty chunks exist only when _n < n_chunks (string shorter than
+    # the chunk count). For those short strings EVERY equal-length pair
+    # is within budget (distance ≤ _n ≤ max_hamming), so the empty
+    # chunk must stay joinable or such pairs are silently dropped —
+    # recall hole fixed here. For longer strings no chunk is empty and
+    # the filter is a no-op kept for defense against degenerate keys.
     blocked = (words.select("_id", "_n",
                             F.explode(F.array(*chunks)).alias("bk"))
                .select("_id", "_n", "bk.blk", "bk.key")
-               .where(F.col("key") != ""))
+               .where((F.col("key") != "")
+                      | (F.col("_n") < F.lit(n_chunks))))
     a, b = blocked.alias("a"), blocked.alias("b")
     cand = (a.join(b, (F.col("a.blk") == F.col("b.blk"))
                    & (F.col("a.key") == F.col("b.key"))

@@ -573,9 +573,12 @@ class IVFIndex:
         # affected partition directories are rewritten; plain inserts
         # (no re-used id) never pay this.
         reinserted = self.tombstones & set(int(i) for i in ids)
+        self.tombstones -= set(int(i) for i in ids)
+        # clear BEFORE purging: _purge_rows publishes a new version dir
+        # with a meta snapshot, which must not persist tombstones for
+        # ids that are live again after this insert
         if reinserted:
             self._purge_rows(reinserted)
-        self.tombstones -= set(int(i) for i in ids)
 
         # pyarrow Table straight from the flat buffer: type-exact floats
         # regardless of the session's Arrow config (the pandas fallback
@@ -601,36 +604,46 @@ class IVFIndex:
         return pid
 
     def _purge_rows(self, dead_ids: set[int]) -> None:
-        """Physically remove the given ids' rows from the corpus by
-        rewriting ONLY the partition directories that contain them
-        (staged to a temp dir, then swapped in — Spark can't overwrite a
-        path it is reading). Bounded by the touched partitions' size; at
-        real scale the directory swap is a filesystem rename, the same
-        publish primitive maintenance versioning uses."""
-        import shutil
+        """Physically remove the given ids' rows by publishing a NEW
+        version directory — the same copy-on-write publish primitive
+        maintenance versioning uses. Unaffected partition dirs are
+        hardlinked (object-store analogue: manifest pointing at old
+        files — zero rewrite either way); only the partitions that
+        contain a dead id are rewritten. The old version stays intact
+        until the new one is complete, so a crash mid-publish loses
+        nothing — readers keep the old version; the flip is a driver
+        metadata update at the end."""
+        from quake_vector_search_spark.operators.maintenance import (
+            _link_partition_dir,
+        )
 
         ids_sql = ",".join(str(int(i)) for i in sorted(dead_ids))
         raw = self.spark.read.parquet(self.corpus_path)
-        parts = sorted(int(r["partition_id"]) for r in
-                       raw.where(F.expr(f"{self.id_col} IN ({ids_sql})"))
-                          .select("partition_id").distinct().collect())
+        parts = set(int(r["partition_id"]) for r in
+                    raw.where(F.expr(f"{self.id_col} IN ({ids_sql})"))
+                       .select("partition_id").distinct().collect())
         if not parts:
             return
-        part_sql = ",".join(str(p) for p in parts)
+        old_corpus = self.corpus_path
+        new_version = self.version + 1
+        new_corpus = os.path.join(
+            self.workdir, f"v{new_version:04d}", "corpus")
+        os.makedirs(new_corpus, exist_ok=True)
+        for entry in os.listdir(old_corpus):
+            if not entry.startswith("partition_id="):
+                continue
+            pid = int(entry.split("=", 1)[1])
+            if pid not in parts:
+                _link_partition_dir(os.path.join(old_corpus, entry),
+                                    os.path.join(new_corpus, entry))
+        part_sql = ",".join(str(p) for p in sorted(parts))
         keep = (raw.where(F.expr(f"partition_id IN ({part_sql})"))
                 .where(F.expr(f"{self.id_col} NOT IN ({ids_sql})")))
-        tmp = os.path.join(self.workdir, "_purge_tmp")
-        shutil.rmtree(tmp, ignore_errors=True)
-        keep.write.mode("overwrite").partitionBy("partition_id") \
-            .parquet(tmp)
-        for p in parts:
-            src = os.path.join(tmp, f"partition_id={p}")
-            dst = os.path.join(self.corpus_path, f"partition_id={p}")
-            shutil.rmtree(dst, ignore_errors=True)
-            if os.path.exists(src):          # absent → partition emptied
-                shutil.move(src, dst)
-        shutil.rmtree(tmp, ignore_errors=True)
+        keep.write.mode("append").partitionBy("partition_id") \
+            .parquet(new_corpus)
+        self.version = new_version
         self.invalidate_corpus()
+        self.save_meta()
 
     def delete(self, ids) -> None:
         """O7 (ipynb c1:111-125): delete by id. The reference's O(1)

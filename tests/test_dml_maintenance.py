@@ -186,6 +186,37 @@ def test_delete_then_reinsert_no_resurrection(spark, index):
     assert len(hits) == 1 and hits[0]["rank"] == 1
 
 
+def test_purge_publishes_new_version_old_intact(spark, index):
+    """Re-insert purge must publish a NEW version directory (the
+    crash-safe copy-on-write primitive maintenance uses) — the prior
+    version's corpus stays byte-complete on disk, so a crash mid-purge
+    can never lose surviving rows, and IVFIndex.load picks up the
+    published version with consistent meta."""
+    import os
+
+    v0 = index.version
+    v0_corpus = index.corpus_path
+    v0_files = sorted(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(v0_corpus)
+        for f in fs if f.endswith(".parquet"))
+    n0 = index.read_corpus().count()
+    vid = 7
+    index.delete([vid])
+    index.insert([vid], [np.zeros(64)])
+    assert index.version == v0 + 1, "purge must bump the version"
+    # old version untouched: every pre-purge file still present
+    for f in v0_files:
+        assert os.path.exists(f), f"old-version file lost: {f}"
+    # new version is complete and consistent
+    assert index.read_corpus().count() == n0
+    reloaded = IVFIndex.load(spark, WORKDIR)
+    assert reloaded.version == index.version
+    assert vid not in reloaded.tombstones
+    assert reloaded.read_corpus().where(
+        F.col("vec_id") == vid).count() == 1
+
+
 def test_recompute_prunes_stats_of_dropped_partitions(spark, index):
     """Emptying a partition then recomputing centroids must also drop
     its hits/last_split_at entries (no unbounded stale metadata)."""

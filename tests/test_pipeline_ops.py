@@ -1,6 +1,7 @@
 """Invariants for the training-pipeline QA operators: profiling,
 gap-fill resample, balanced downsampling."""
 
+import numpy as np
 import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
@@ -306,3 +307,53 @@ def test_fuzzy_hamming_join_matches_bruteforce(spark):
                 want[(ia, ib)] = d
     assert got == want
     assert (1, 2) in got and got[(1, 4)] == 0 and (1, 3) in got
+
+
+def test_fuzzy_hamming_join_short_strings(spark):
+    """Strings with n_tokens <= max_hamming have empty chunks; their
+    only agreeing chunk may be the empty one, which must stay joinable
+    (regression: the empty-key filter silently dropped these pairs)."""
+    from quake_vector_search_spark.operators.fuzzy import fuzzy_hamming_join
+    rows = [(1, "alpha"), (2, "beta"), (3, "alpha"),
+            (4, "two words"), (5, "two wards")]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    got = {(r["id_a"], r["id_b"]): r["n_diff"]
+           for r in fuzzy_hamming_join(df, "id", "name",
+                                       max_hamming=1).collect()}
+    # every single-token pair is within distance 1; (4,5) differs in 1
+    want = {(1, 2): 1, (1, 3): 0, (2, 3): 1, (4, 5): 1}
+    assert got == want
+
+
+def test_cosine_pairs_lsh_derives_dim(spark):
+    """dim is derived from the data (no 64 hardcode): a 5-dim corpus
+    must produce real pairs, and an explicit wrong dim must raise
+    instead of silently returning zero pairs."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from quake_vector_search_spark.operators.dedup import (
+        cosine_pairs_exhaustive,
+        cosine_pairs_lsh,
+    )
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(6, 5))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, [float(x) for x in v]))
+        rows.append((2 * i + 1,
+                     [float(x) for x in v + rng.normal(scale=1e-3,
+                                                       size=5)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r["id_a"], r["id_b"])
+           for r in cosine_pairs_lsh(emb, threshold=0.999).collect()}
+    want = {(r["id_a"], r["id_b"])
+            for r in cosine_pairs_exhaustive(emb, threshold=0.999).collect()}
+    # LSH recall: every emitted pair is a true pair; the engineered
+    # near-identical twins collide in every band, so all are found
+    assert got == want
+    assert {(2 * i, 2 * i + 1) for i in range(6)} <= got
+    with pytest.raises(Exception) as ei:
+        cosine_pairs_lsh(emb, threshold=0.9, dim=64).collect()
+    assert "vector width" in str(ei.value) or isinstance(
+        ei.value, Py4JJavaError)
