@@ -105,14 +105,28 @@ def exact_dup_flags(docs: DataFrame, id_col: str = "doc_id",
             .select(id_col, (F.col("_rn") > 1).alias("is_dup")))
 
 
+# Default hot-shingle frequency cap for jaccard_pairs. The posting-list
+# pair volume is Σ df² over shingles; one boilerplate shingle shared by
+# 10⁶ docs is a 10¹²-pair bomb, so the DEFAULT path must be bounded —
+# pairs per shingle ≤ cap². Shingles hotter than this carry ~no Jaccard
+# signal for high-threshold pairs anyway. Pass max_shingle_df=None to
+# get the exact uncapped semantics (oracle/differential use only).
+DEFAULT_MAX_SHINGLE_DF = 1000
+
+
 def jaccard_pairs(docs: DataFrame, threshold: float,
                   id_col: str = "doc_id", text_col: str = "text",
                   n: int = 3,
-                  max_shingle_df: int | None = None) -> DataFrame:
+                  max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+                  ) -> DataFrame:
     """N-gram Jaccard near-dup pairs via the inverted-index join:
     explode shingles → equi-join on shingle → per-pair intersection
     count → |A∪B| from per-doc set sizes. Returns
     (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold.
+
+    ``max_shingle_df`` defaults to DEFAULT_MAX_SHINGLE_DF (scale-safe);
+    shingles above the cap are dropped from BOTH the intersection and
+    the per-doc set sizes, so scores stay internally consistent.
     """
     sh = doc_shingles(docs, id_col, text_col, n, max_shingle_df)
     if max_shingle_df is None:

@@ -63,15 +63,56 @@ def dedup_exact(spark, sf_dir):
     return D.exact_dup_flags(docs)
 
 
-@register("dedup_ngram_jaccard", sql="WITH " + SQL_JACCARD_PAIRS + """
+def _sql_jaccard_capped(cap: int) -> str:
+    """Jaccard CTE chain with the hot-shingle df cap mirrored exactly:
+    shingles in > cap docs are dropped from BOTH the intersection join
+    and the per-doc set sizes (same consistency as the Spark side)."""
+    return SQL_SHINGLES + f""",
+hot AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) > {cap}),
+shf AS (SELECT * FROM sh WHERE sh NOT IN (SELECT sh FROM hot)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shf GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT i.doc_a, i.doc_b,
+         CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+)
+"""
+
+
+@register("dedup_ngram_jaccard",
+          sql="WITH " + _sql_jaccard_capped(D.DEFAULT_MAX_SHINGLE_DF) + """
 SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard
 FROM jac WHERE jaccard >= 0.8
 """)
 def dedup_ngram_jaccard(spark, sf_dir):
     """Word-3-gram Jaccard near-dup pairs ≥ 0.8 via the inverted-index
-    shingle join (never a crossJoin)."""
+    shingle join (never a crossJoin). Runs the operator DEFAULT — the
+    scale-safe hot-shingle cap (DEFAULT_MAX_SHINGLE_DF) — with the cap
+    mirrored in the oracle."""
     docs = load_table(spark, sf_dir, "documents")
     out = D.jaccard_pairs(docs, threshold=0.8)
+    return out.withColumn("jaccard", F.round("jaccard", 6))
+
+
+@register("dedup_ngram_jaccard_uncapped_oracle",
+          sql="WITH " + SQL_JACCARD_PAIRS + """
+SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard
+FROM jac WHERE jaccard >= 0.8
+""")
+def dedup_ngram_jaccard_uncapped_oracle(spark, sf_dir):
+    """Exact UNCAPPED Jaccard — Σdf² posting-list volume is unbounded,
+    so this form is differential/oracle-only (the *_oracle naming
+    convention for non-scale-safe exact forms); the default path is
+    dedup_ngram_jaccard."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = D.jaccard_pairs(docs, threshold=0.8, max_shingle_df=None)
     return out.withColumn("jaccard", F.round("jaccard", 6))
 
 
@@ -177,30 +218,14 @@ def dedup_simhash_blocked(spark, sf_dir):
     return D.simhash_pairs_blocked(docs, max_hamming=2)
 
 
-# capped variant: the 100 TB hot-key guard, with its exact semantics
-# mirrored in the oracle (shingles appearing in > 10 docs are dropped
-# from BOTH the intersection join and the per-doc set sizes)
+# tight-cap variant: cap low enough (10) to actually bite at sf0.01,
+# so the cap's exact effect on scores is driver-verifiable (the default
+# cap of 1000 is a no-op below 1000 docs)
 _CAP = 10
-_SQL_JACCARD_CAPPED = SQL_SHINGLES + f""",
-hot AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) > {_CAP}),
-shf AS (SELECT * FROM sh WHERE sh NOT IN (SELECT sh FROM hot)),
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shf GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-jac AS (
-  SELECT i.doc_a, i.doc_b,
-         CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter) AS jaccard
-  FROM inter i
-  JOIN sizes sa ON sa.doc_id = i.doc_a
-  JOIN sizes sb ON sb.doc_id = i.doc_b
-)
-"""
 
 
-@register("dedup_ngram_jaccard_capped", sql="WITH " + _SQL_JACCARD_CAPPED + """
+@register("dedup_ngram_jaccard_capped",
+          sql="WITH " + _sql_jaccard_capped(_CAP) + """
 SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard
 FROM jac WHERE jaccard >= 0.8
 """)
@@ -213,7 +238,8 @@ def dedup_ngram_jaccard_capped(spark, sf_dir):
     return out.withColumn("jaccard", F.round("jaccard", 6))
 
 
-@register("dedup_clusters", sql="WITH RECURSIVE " + SQL_JACCARD_PAIRS + """,
+@register("dedup_clusters", sql="WITH RECURSIVE "
+          + _sql_jaccard_capped(D.DEFAULT_MAX_SHINGLE_DF) + """,
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= 0.8
   UNION ALL
@@ -242,7 +268,8 @@ def dedup_clusters(spark, sf_dir):
         (F.col("cluster_id") == F.col("doc_id")).alias("is_canonical"))
 
 
-@register("dedup_clusters_star", sql="WITH RECURSIVE " + SQL_JACCARD_PAIRS + """,
+@register("dedup_clusters_star", sql="WITH RECURSIVE "
+          + _sql_jaccard_capped(D.DEFAULT_MAX_SHINGLE_DF) + """,
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= 0.8
   UNION ALL
@@ -270,7 +297,8 @@ def dedup_clusters_star(spark, sf_dir):
         (F.col("cluster_id") == F.col("doc_id")).alias("is_canonical"))
 
 
-@register("dedup_cleaned_corpus", sql="WITH RECURSIVE " + SQL_JACCARD_PAIRS + """,
+@register("dedup_cleaned_corpus", sql="WITH RECURSIVE "
+          + _sql_jaccard_capped(D.DEFAULT_MAX_SHINGLE_DF) + """,
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= 0.8
   UNION ALL
@@ -362,7 +390,8 @@ def dedup_fingerprint_overlap(spark, sf_dir):
             .where(F.col("n_shared") >= 10))
 
 
-@register("dedup_keep_longest", sql="WITH RECURSIVE " + SQL_JACCARD_PAIRS + """,
+@register("dedup_keep_longest", sql="WITH RECURSIVE "
+          + _sql_jaccard_capped(D.DEFAULT_MAX_SHINGLE_DF) + """,
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= 0.8
   UNION ALL

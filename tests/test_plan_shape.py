@@ -213,6 +213,30 @@ def test_no_default_dedup_path_is_quadratic(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_default_jaccard_is_df_capped(spark):
+    """The DEFAULT jaccard path must bound the Σdf² posting-list
+    explosion: a finite default max_shingle_df, and the hot-shingle
+    anti-join guard present in the physical plan. The uncapped exact
+    form survives only under *_oracle naming."""
+    import inspect
+
+    from quake_vector_search_spark.operators import dedup as D
+    from quake_vector_search_spark.queries import (
+        REGISTRY,
+        load_all_query_modules,
+    )
+    from quake_vector_search_spark.sources import load_table
+
+    default = inspect.signature(D.jaccard_pairs) \
+        .parameters["max_shingle_df"].default
+    assert default is not None and default == D.DEFAULT_MAX_SHINGLE_DF
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = _plan(D.jaccard_pairs(docs, threshold=0.8))
+    assert "LeftAnti" in plan, "hot-shingle guard missing from plan"
+    load_all_query_modules()
+    assert "dedup_ngram_jaccard_uncapped_oracle" in REGISTRY
+
+
 def test_exhaustive_forms_are_renamed():
     """The n² scans must not be reachable under their old default
     names (api or operator module)."""
