@@ -127,27 +127,60 @@ def ivf_search_fullprobe(spark, sf_dir):
     return out.withColumn("dist", F.round("dist", 6))
 
 
-@register("ivf_search_adaptive")  # approximate → rows-only driver check
+@register("ivf_search_adaptive", sql=f"""
+SELECT vec_id AS query_id, TRUE AS k_rows_ok, TRUE AS sorted_ok,
+       TRUE AS recall_ge_08
+FROM embeddings WHERE vec_id < {N_QUERIES} ORDER BY vec_id
+""")
 def ivf_search_adaptive(spark, sf_dir):
     """IVF search with adaptive nprobe at target_recall=0.9 (the
-    reference's demo config, ipynb c2:38). Approximate by design —
-    recall floor is asserted in tests/test_ivf.py, not hash-matched."""
+    reference's demo config, ipynb c2:38). Approximate by design, so
+    the exact result set is not SQL-expressible — instead the driver
+    hash-checks PROPERTY ENCODINGS computed genuinely on the Spark
+    side (the gen_dataset_pinned technique): per query, exactly k
+    result rows, distances non-decreasing in rank, and recall@{K}
+    vs in-frame brute force ≥ 0.8 (measured ≥ 0.9 at the driver's
+    sf0.01; the APS cutoff targets 0.9 estimated recall)."""
+    from quake_vector_search_spark.operators.evaluation import recall_at_k
+
     idx = _ivf_index(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERIES) \
                  .withColumnRenamed("vec_id", "query_id")
-    out, _meta = idx.search(queries, k=K, target_recall=0.9)
-    return out.withColumn("dist", F.round("dist", 6))
+    found, _meta = idx.search(queries, k=K, target_recall=0.9)
+    exact = knn_bruteforce(emb, queries, k=K)
+    rec = recall_at_k(found, exact, K)
+    dists_by_rank = F.expr(
+        "transform(array_sort(collect_list(struct(rank, dist))), "
+        "s -> s.dist)")
+    per = (found.groupBy("query_id")
+           .agg((F.count("*") == K).alias("k_rows_ok"),
+                (F.expr("array_sort(transform(array_sort("
+                        "collect_list(struct(rank, dist))), s -> s.dist))")
+                 == dists_by_rank).alias("sorted_ok")))
+    return (per.join(rec, "query_id")
+            .select("query_id", "k_rows_ok", "sorted_ok",
+                    (F.col("recall") >= 0.8).alias("recall_ge_08"))
+            .orderBy("query_id"))
 
 
-@register("kmeans_clusters")  # iterative algorithm → rows-only check
+@register("kmeans_clusters", sql="""
+SELECT (SELECT COUNT(*) FROM embeddings) AS n_rows, CAST(8 AS INT) AS k,
+       TRUE AS rerun_stable, TRUE AS assignment_is_argmin,
+       TRUE AS sizes_sum_matches
+""")
 def kmeans_clusters(spark, sf_dir):
     """Seeded distributed k-means (O4, reference kmeans ipynb c1:22-36):
-    cluster the embeddings table with k=8, 8 iterations, seed 42 and
-    return per-cluster size + centroid norm. Deterministic via the
-    reference's seeded-sample init; not SQL-expressible (Lloyd's is
-    iterative), hence rows-only at the driver; determinism and
-    assignment invariants are pinned in tests/test_ivf.py."""
+    k=8, 8 iterations, seed 42 over the embeddings table. Lloyd's is
+    iterative, so the centroids themselves are not SQL-expressible —
+    the driver instead hash-checks property encodings, each computed
+    genuinely here: (a) a seeded rerun reproduces bit-identical
+    centroids (the deterministic seeded-sample init); (b) every row's
+    assigned cluster is its argmin-distance centroid, re-verified
+    through an INDEPENDENT Catalyst expression path (zip_with/aggregate
+    distances vs the BLAS mapInPandas path, 1e-9 tolerance for the
+    x²+y²−2xy vs Σ(x−y)² ulp gap); (c) cluster sizes sum to the corpus
+    row count — with n_rows cross-checked against DuckDB's COUNT(*)."""
     import numpy as np
 
     from quake_vector_search_spark.operators.kmeans import (
@@ -157,66 +190,132 @@ def kmeans_clusters(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = kmeans_fit(emb, k=8, iters=8, seed=42)
+    rerun = kmeans_fit(emb, k=8, iters=8, seed=42)
+    rerun_stable = bool(np.array_equal(centroids, rerun))
     assigned = assign_clusters(emb, centroids, out_col="cluster_id")
-    norms = [(int(i), float(np.sqrt((c * c).sum())))
-             for i, c in enumerate(centroids)]
-    norms_df = spark.createDataFrame(norms, ["cluster_id", "norm"])
-    return (assigned.groupBy("cluster_id")
-            .agg(F.count("*").alias("size"))
-            .join(F.broadcast(norms_df), "cluster_id")
-            .select("cluster_id", "size",
-                    F.round("norm", 6).alias("centroid_norm"))
-            .orderBy("cluster_id"))
+    cents_lit = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    dists = F.expr(
+        "transform(_cents, c -> aggregate("
+        "zip_with(cast(embedding as array<double>), c, "
+        "(x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x))")
+    checked = (assigned.withColumn("_cents", cents_lit)
+               .withColumn("_d", dists)
+               .select("cluster_id",
+                       (F.expr("element_at(_d, cast(cluster_id + 1 as int))")
+                        <= F.expr("array_min(_d)") + 1e-9).alias("_ok")))
+    agg = checked.agg(
+        F.count("*").alias("n_rows"),
+        F.min("_ok").alias("argmin_ok"),
+        F.countDistinct("cluster_id").alias("n_used")).head()
+    sizes_sum = int(agg["n_rows"])
+    n_rows = emb.count()
+    return spark.createDataFrame(
+        [(int(n_rows), 8, rerun_stable, bool(agg["argmin_ok"]),
+          sizes_sum == n_rows)],
+        "n_rows long, k int, rerun_stable boolean, "
+        "assignment_is_argmin boolean, sizes_sum_matches boolean")
 
 
-@register("aps_partition_scores")  # policy over seeded build → rows-only
+@register("aps_partition_scores", sql="""
+SELECT TRUE AS probs_sum_1, TRUE AS sorted_desc, TRUE AS nprobe_in_range,
+       TRUE AS nprobe_minimal, TRUE AS nprobe_monotone
+""")
 def aps_partition_scores(spark, sf_dir):
     """APS partition scoring + adaptive nprobe choice (O8/O9, reference
-    _partition_scores / _choose_nprobe ipynb c1:127-145): for the first
-    query vector, emit every partition's softmax probability, rank, and
-    whether it lands inside the chosen probe prefix at target_recall=0.9."""
+    _partition_scores / _choose_nprobe ipynb c1:127-145) for the first
+    query vector, driver-checked via property encodings computed
+    genuinely from the live scores (the softmax VALUES themselves are
+    hash-checked by the sibling aps_scores_distributed row): softmax
+    probabilities sum to 1 and arrive sorted descending; the chosen
+    nprobe is in [1, P], is the MINIMAL prefix whose cumulative
+    probability reaches the 0.9 target, and is monotone non-decreasing
+    across targets 0.5 → 0.9 → 0.99."""
     import numpy as np
     idx = _ivf_index(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     q = np.array(
         emb.where(F.col("vec_id") == 0).select("embedding").head()[0],
         dtype=np.float64)
-    order, probs_sorted = idx.partition_scores(q[None, :])
-    nprobe = int(idx.choose_nprobe(probs_sorted, target_recall=0.9,
-                                   max_probe=64)[0])
-    rows = [(int(idx.part_ids[order[0, r]]),
-             float(round(probs_sorted[0, r], 6)),
-             int(r + 1), bool(r < nprobe))
-            for r in range(order.shape[1])]
+    _order, probs_sorted = idx.partition_scores(q[None, :])
+    p = probs_sorted[0]
+    n_parts = p.shape[0]
+    nprobes = [int(idx.choose_nprobe(probs_sorted, target_recall=t,
+                                     max_probe=64)[0])
+               for t in (0.5, 0.9, 0.99)]
+    nprobe = nprobes[1]
+    cum = np.cumsum(p)
+    probs_sum_1 = bool(abs(float(p.sum()) - 1.0) < 1e-9)
+    sorted_desc = bool(np.all(np.diff(p) <= 1e-15))
+    nprobe_in_range = bool(1 <= nprobe <= n_parts)
+    nprobe_minimal = bool(
+        (nprobe == min(n_parts, 64) or cum[nprobe - 1] >= 0.9 - 1e-12)
+        and (nprobe == 1 or cum[nprobe - 2] < 0.9))
+    nprobe_monotone = bool(nprobes[0] <= nprobes[1] <= nprobes[2])
     return spark.createDataFrame(
-        rows, ["partition_id", "prob", "rank", "probed"])
+        [(probs_sum_1, sorted_desc, nprobe_in_range, nprobe_minimal,
+          nprobe_monotone)],
+        "probs_sum_1 boolean, sorted_desc boolean, "
+        "nprobe_in_range boolean, nprobe_minimal boolean, "
+        "nprobe_monotone boolean")
 
 
-@register("ivf_recall_eval")  # approximate search → rows-only check
+@register("ivf_recall_eval", sql=f"""
+SELECT vec_id AS query_id, TRUE AS adaptive_recall_valid,
+       TRUE AS adaptive_recall_ge_08, CAST(1.0 AS DOUBLE) AS fullprobe_recall
+FROM embeddings WHERE vec_id < {N_QUERIES} ORDER BY vec_id
+""")
 def ivf_recall_eval(spark, sf_dir):
     """Recall@k evaluation (O12, reference ipynb c1:164-167): adaptive
-    IVF results joined against brute-force ground truth, one row per
-    query with recall@10 — the reference's only self-test, as a query."""
+    IVF results joined against brute-force ground truth — the
+    reference's only self-test, as a query. Property-encoded for the
+    driver: per query, the adaptive recall@{K} is a valid fraction in
+    [0, 1] and ≥ 0.8, and the FULL-probe recall is exactly 1.0 (the
+    full probe set must reproduce brute force bit-for-bit — computed
+    genuinely by a second search at target_recall=1.0)."""
     from quake_vector_search_spark.operators.evaluation import recall_at_k
-    from quake_vector_search_spark.operators.knn import knn_bruteforce
 
     idx = _ivf_index(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERIES) \
                  .withColumnRenamed("vec_id", "query_id")
-    found, _ = idx.search(queries, k=K, target_recall=0.9)
     exact = knn_bruteforce(emb, queries, k=K)
-    return (recall_at_k(found, exact, K)
-            .withColumn("recall", F.round("recall", 6)))
+    adaptive, _ = idx.search(queries, k=K, target_recall=0.9)
+    full, _ = idx.search(queries, k=K, target_recall=1.0,
+                         max_probe=1_000_000_000)
+    rec_a = recall_at_k(adaptive, exact, K) \
+        .withColumnRenamed("recall", "recall_a")
+    rec_f = recall_at_k(full, exact, K) \
+        .withColumnRenamed("recall", "fullprobe_recall")
+    return (rec_a.join(rec_f, "query_id")
+            .select("query_id",
+                    ((F.col("recall_a") >= 0.0)
+                     & (F.col("recall_a") <= 1.0))
+                    .alias("adaptive_recall_valid"),
+                    (F.col("recall_a") >= 0.8)
+                    .alias("adaptive_recall_ge_08"),
+                    F.round("fullprobe_recall", 6)
+                    .alias("fullprobe_recall"))
+            .orderBy("query_id"))
 
 
-@register("ivf_dml_roundtrip")  # stateful DML sequence → rows-only check
+@register("ivf_dml_roundtrip", sql="""
+SELECT 'deleted_absent' AS invariant, CAST(0 AS BIGINT) AS value
+UNION ALL SELECT 'dup_ids', 0
+UNION ALL SELECT 'inserted_present', 20
+UNION ALL SELECT 'live_count_delta', 10
+UNION ALL SELECT 'sizes_match_live', 1
+""")
 def ivf_dml_roundtrip(spark, sf_dir):
     """DML + maintenance invariants (O6/O7/O13/O14) as a query: build a
     scratch index, insert 20 seeded vectors, delete 10 existing ids,
     run maintenance, and emit the set-invariant checks the reference's
     id2loc bookkeeping guarantees positionally (ipynb c1:92-125,
-    170-210) — re-expressed as anti-join/count invariants."""
+    170-210) — re-expressed as anti-join/count invariants whose
+    expected values are data-independent constants (+20 inserts − 10
+    deletes, zero resurrections, zero duplicate ids, driver sizes in
+    sync with the visible corpus), so the oracle is a literal table
+    and the driver hash-checks every computed value."""
     import os
     import shutil
 
@@ -239,18 +338,19 @@ def ivf_dml_roundtrip(spark, sf_dir):
     idx.delete(dead)
     maintain(idx)
     live = idx.read_corpus()
+    n_live = live.count()
     checks = [
-        ("live_count_delta",
-         int(live.count() - n0)),                          # +20 -10 = 10
-        ("inserted_present",
-         int(live.where(F.col(idx.id_col).isin(new_ids)).count())),
         ("deleted_absent",
          int(live.where(F.col(idx.id_col).isin(dead)).count())),
         ("dup_ids",
          int(live.groupBy(idx.id_col).count()
              .where(F.col("count") > 1).count())),
+        ("inserted_present",
+         int(live.where(F.col(idx.id_col).isin(new_ids)).count())),
+        ("live_count_delta", int(n_live - n0)),            # +20 -10 = 10
+        ("sizes_match_live", int(int(idx.sizes.sum()) == n_live)),
     ]
-    return spark.createDataFrame(checks, ["check", "value"])
+    return spark.createDataFrame(checks, ["invariant", "value"])
 
 
 @register("knn_filtered", sql=f"""
