@@ -61,6 +61,33 @@ def test_streaming_tumbling_matches_batch(spark, events_dir):
     assert len(got) >= 0.8 * len(want)
 
 
+def test_streaming_emits_on_real_driver_schema(spark):
+    """Regression (round-3 root cause): stream DIRECTLY off the
+    driver-generated events.parquet — whatever ts encoding the current
+    testdata generation uses — and require non-empty windowed output.
+    A schema-handling bug here doesn't error; it nulls event times, the
+    watermark never advances, and append mode emits nothing."""
+    import os
+
+    # FileStreamSource needs a directory — stream the driver file
+    # byte-for-byte from a scratch dir (no rewrite, real encoding)
+    raw_dir = "/tmp/qvss_stream_real_schema"
+    shutil.rmtree(raw_dir, ignore_errors=True)
+    os.makedirs(raw_dir)
+    shutil.copy(f"{SF}/events.parquet",
+                os.path.join(raw_dir, "events.parquet"))
+    stream = SW.read_events_stream(spark, raw_dir,
+                                   max_files_per_trigger=10)
+    out = SW.run_to_completion(SW.tumbling_stream(stream, "1 hour"),
+                               "t_real_schema")
+    n = out.count()
+    assert n > 0, "streaming on the real events schema emitted nothing"
+    batch = TS.tumbling_agg(load_table(spark, SF, "events"), "1 hour")
+    got = _canon(out, ["window_start", "event_type", "n"])
+    want = _canon(batch, ["window_start", "event_type", "n"])
+    assert set(got) <= set(want)
+
+
 def test_streaming_sessions_match_batch(spark, events_dir):
     stream = SW.read_events_stream(spark, events_dir)
     out = SW.run_to_completion(SW.session_stream(stream, "30 minutes"),
