@@ -93,6 +93,9 @@ def near_dup_pairs(df: DataFrame, method: str = "minhash_lsh",
     - ``simhash``: pigeonhole-blocked SimHash → (doc_a, doc_b, hamming).
     - ``embedding``: sign-LSH over an embedding column →
       (id_a, id_b, cosine); kwargs: threshold (required).
+    - ``semantic``: SemDeDup-style cluster-blocked cosine — exhaustive
+      only within a caller-supplied cluster column; kwargs: threshold
+      and cluster_col (both required).
     """
     from quake_vector_search_spark.operators import dedup as D
     if method == "minhash_lsh":
@@ -101,8 +104,11 @@ def near_dup_pairs(df: DataFrame, method: str = "minhash_lsh",
         return D.simhash_pairs_blocked(df, **kwargs)
     if method == "embedding":
         return D.cosine_pairs_lsh(df, **kwargs)
+    if method == "semantic":
+        return D.cluster_blocked_cosine_pairs(df, **kwargs)
     raise ValueError(
-        f"unknown method {method!r} (minhash_lsh|simhash|embedding)")
+        f"unknown method {method!r} "
+        "(minhash_lsh|simhash|embedding|semantic)")
 
 
 def profile(df: DataFrame, columns=None) -> DataFrame:

@@ -552,3 +552,37 @@ def connected_components_star(nodes: DataFrame, pairs: DataFrame,
             .select(id_col,
                     F.coalesce("cluster_id", F.col(id_col))
                      .alias("cluster_id")))
+
+
+def cluster_blocked_cosine_pairs(emb: DataFrame, threshold: float,
+                                 cluster_col: str,
+                                 id_col: str = "vec_id",
+                                 vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: exhaustive cosine only
+    WITHIN a cluster (the caller supplies any assignment column —
+    k-means cells, nearest-centroid labels, IVF partitions).
+
+    The published semantic-dedup recipe for web-scale corpora: cluster
+    the embedding space, then compare only within clusters. The join is
+    a plain equi-join on the cluster key, so candidate volume is
+    Σ |cluster|² — bounded by the clustering granularity (k ≈ n/1000
+    keeps it ~1000·n), never global n²; pairs straddling two clusters
+    are out of scope by design (that's the recall tradeoff the recipe
+    accepts; cosine_pairs_lsh covers the unblocked case).
+
+    Returns (id_a, id_b, cluster_id, cosine), id_a < id_b.
+    """
+    from quake_vector_search_spark.functions.vector import (
+        cosine_similarity_col,
+    )
+    a = emb.select(F.col(cluster_col).alias("cluster_id"),
+                   F.col(id_col).alias("id_a"),
+                   F.col(vec_col).alias("va"))
+    b = emb.select(F.col(cluster_col).alias("cluster_id"),
+                   F.col(id_col).alias("id_b"),
+                   F.col(vec_col).alias("vb"))
+    return (a.join(b, ["cluster_id"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", cosine_similarity_col("va", "vb"))
+            .where(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cluster_id", "cosine"))

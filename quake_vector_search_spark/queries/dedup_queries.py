@@ -429,3 +429,72 @@ def dedup_keep_longest(spark, sf_dir):
             .withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
             .select("doc_id", "cluster_id", "n_chars"))
+
+
+@register("dedup_semantic_clustered", sql="""
+WITH cent AS (
+  SELECT e.label, g.i AS dim_pos,
+         AVG(CAST(e.embedding[g.i + 1] AS DOUBLE)) AS c
+  FROM embeddings e
+  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) g
+  GROUP BY e.label, g.i
+), dims AS (
+  SELECT e.vec_id, g.i AS dim_pos,
+         CAST(e.embedding[g.i + 1] AS DOUBLE) AS v
+  FROM embeddings e
+  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) g
+), dists AS (
+  SELECT d.vec_id, cent.label AS cand_label,
+         SUM((d.v - cent.c) * (d.v - cent.c)) AS d2
+  FROM dims d JOIN cent ON cent.dim_pos = d.dim_pos
+  GROUP BY d.vec_id, cent.label
+), assigned AS (
+  SELECT vec_id, cand_label AS cluster_id
+  FROM (SELECT vec_id, cand_label,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2 ASC, cand_label ASC) AS rn
+        FROM dists)
+  WHERE rn = 1
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster_id,
+       ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                    CAST(eb.embedding AS DOUBLE[])), 6)
+         AS cosine
+FROM assigned a
+JOIN assigned b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+JOIN embeddings ea ON ea.vec_id = a.vec_id
+JOIN embeddings eb ON eb.vec_id = b.vec_id
+WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                             CAST(eb.embedding AS DOUBLE[])) >= 0.45
+""")
+def dedup_semantic_clustered(spark, sf_dir):
+    """SemDeDup-style semantic near-dup (training-pipeline surface):
+    cluster the embedding space, compare exhaustively only WITHIN each
+    cluster (operators/dedup.py::cluster_blocked_cosine_pairs). Here
+    the clustering is nearest-label-centroid assignment — the same
+    fully-relational Rocchio shape as emb_nearest_centroid, so the
+    whole pipeline (centroids → assignment → blocked pairs → cosine
+    verify) is value-hash-checked against DuckDB end to end. With
+    k-means cells instead (tests), the operator is the published
+    SemDeDup recipe; candidate volume is Σ|cluster|², never global n²."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("dim_pos", "v0")) \
+        .withColumn("v", F.col("v0").cast("double")).drop("v0")
+    cent = (emb.select(F.col("label").alias("cand_label"),
+                       F.posexplode("embedding").alias("dim_pos", "c0"))
+            .withColumn("c", F.col("c0").cast("double"))
+            .groupBy("cand_label", "dim_pos")
+            .agg(F.avg("c").alias("c")))
+    diff = F.col("v") - F.col("c")
+    d2 = (dims.join(F.broadcast(cent), "dim_pos")
+          .groupBy("vec_id", "cand_label")
+          .agg(F.sum(diff * diff).alias("d2")))
+    assigned = (d2.groupBy("vec_id")
+                .agg(F.min_by("cand_label", F.struct("d2", "cand_label"))
+                     .alias("cluster_id")))
+    clustered = emb.select("vec_id", "embedding").join(assigned, "vec_id")
+    out = D.cluster_blocked_cosine_pairs(
+        clustered, threshold=0.45, cluster_col="cluster_id")
+    return out.withColumn("cosine", F.round("cosine", 6))

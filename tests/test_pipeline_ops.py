@@ -325,6 +325,38 @@ def test_fuzzy_hamming_join_short_strings(spark):
     assert got == want
 
 
+def test_cluster_blocked_cosine_pairs_kmeans(spark):
+    """SemDeDup recipe with real k-means cells: blocked pairs must
+    equal the exhaustive pairs restricted to same-cluster, and the
+    plan must be an equi-join on the cluster key (no cartesian)."""
+    from quake_vector_search_spark.operators.dedup import (
+        cluster_blocked_cosine_pairs,
+        cosine_pairs_exhaustive,
+    )
+    from quake_vector_search_spark.operators.kmeans import (
+        assign_clusters,
+        kmeans_fit,
+    )
+    from quake_vector_search_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = kmeans_fit(emb, k=4, iters=4, seed=5)
+    clustered = assign_clusters(emb, cents, out_col="cell")
+    got = cluster_blocked_cosine_pairs(clustered, threshold=0.3,
+                                       cluster_col="cell")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    cell_of = {r["vec_id"]: r["cell"]
+               for r in clustered.select("vec_id", "cell").collect()}
+    want = {(r["id_a"], r["id_b"]): round(r["cosine"], 6)
+            for r in cosine_pairs_exhaustive(emb, threshold=0.3).collect()
+            if cell_of[r["id_a"]] == cell_of[r["id_b"]]}
+    gotd = {(r["id_a"], r["id_b"]): round(r["cosine"], 6)
+            for r in got.collect()}
+    assert gotd == want and len(gotd) > 0
+
+
 def test_cosine_pairs_lsh_derives_dim(spark):
     """dim is derived from the data (no 64 hardcode): a 5-dim corpus
     must produce real pairs, and an explicit wrong dim must raise
