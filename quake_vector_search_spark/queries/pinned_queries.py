@@ -152,3 +152,56 @@ def gen_dataset_pinned(spark, sf_dir):
           bool(stats["dims_ok"]), bool(da == db), int(da))],
         "n_rows long, labels_in_range boolean, dims_ok boolean, "
         "partitioning_stable boolean, digest long")
+
+
+ZIPF_NQ = 64
+
+
+def _query_matrix_digest(q) -> int:
+    """Frozen digest of a driver-side query matrix: md5 over the
+    round-4-decimals float64 buffer (deterministic bytes), folded to
+    48 bits so it stays comfortably inside BIGINT."""
+    import hashlib
+
+    import numpy as np
+    return int(hashlib.md5(
+        np.round(np.asarray(q, dtype=np.float64), 4).tobytes())
+        .hexdigest()[:12], 16)
+
+
+@register("zipf_workload_pinned", sql=f"""
+SELECT CAST({ZIPF_NQ} AS BIGINT) AS n_queries,
+       CAST({GEN_D} AS BIGINT) AS d,
+       TRUE AS partitioning_stable,
+       CAST(240696585184616 AS BIGINT) AS digest
+""")
+def zipf_workload_pinned(spark, sf_dir):
+    """O17 (reference zipf_partition_sampler, ipynb c2:22-29) pinned:
+    the DISTRIBUTED Zipf query sampler (corpus never collected) over
+    the pinned generator corpus, with labels standing in as the
+    partition layout. Emits the workload shape, a partitioning-
+    independence boolean (same query matrix off a 4-partition and a
+    13-partition corpus — the row_number-by-id positional pick is
+    layout-independent by construction), and the frozen content digest
+    of the query matrix, literal-matched by the oracle: any behavior
+    drift of the sampler flips the driver gate red."""
+    from quake_vector_search_spark.operators.workload import (
+        make_dataset,
+        zipf_queries_distributed,
+    )
+
+    def corpus(parts):
+        return (make_dataset(spark, GEN_N, d=GEN_D, n_clusters=GEN_K,
+                             seed=GEN_SEED, partitions=parts)
+                .withColumnRenamed("label", "partition_id"))
+
+    ca = corpus(4)
+    sizes = {int(r["partition_id"]): int(r["n"]) for r in
+             ca.groupBy("partition_id").agg(F.count("*").alias("n"))
+             .collect()}
+    qa = zipf_queries_distributed(ca, sizes, ZIPF_NQ)
+    qb = zipf_queries_distributed(corpus(13), sizes, ZIPF_NQ)
+    da, db = _query_matrix_digest(qa), _query_matrix_digest(qb)
+    return spark.createDataFrame(
+        [(int(qa.shape[0]), int(qa.shape[1]), bool(da == db), int(da))],
+        "n_queries long, d long, partitioning_stable boolean, digest long")
