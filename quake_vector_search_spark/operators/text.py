@@ -46,32 +46,63 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id",
         F.length(text_col).alias("n_chars"))
 
 
+def _r6(p, q):
+    """Exact HALF_UP decimal rounding of the non-negative rational p/q
+    to 6 places via integer arithmetic:
+    floor((2·p·10⁶ + q) / (2·q)) / 10⁶. Engine-agnostic — float
+    ROUND(x, 6) flips between engines when the double for p/q sits on
+    a .xxxxxx5 boundary (observed: quality 0.8178125 rounding to
+    ...12 on Spark and ...13 on DuckDB at sf0.1).
+
+    Integer division is (a − a mod b) / b: the subtraction makes the
+    dividend an exact multiple, so the double division returns the
+    exact integer quotient while a = 2·p·10⁶ + q stays below 2⁵³ —
+    p ≤ q and q ≤ 10·n_chars·n_tokens means documents up to
+    ~100k chars × 450 tokens are exact, far past any real row."""
+    a = F.lit(2) * p * F.lit(1_000_000) + q
+    b = F.lit(2) * q
+    return (((a - F.pmod(a, b)) / b).cast("long")
+            .cast("double") / 1e6)
+
+
 def quality_score(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """Heuristic quality scoring: alpha/punct/digit/whitespace ratios +
     a stopword ratio, combined into [0,1]. The formula is arbitrary but
     frozen; what matters is that it's deterministic, cheap (one scan,
-    codegen'd), and mirrors what C4/Gopher-style filters measure."""
+    codegen'd), and mirrors what C4/Gopher-style filters measure.
+
+    Every emitted ratio is a rational with integer numerator and
+    denominator, so rounding happens in exact integer arithmetic
+    (_r6) and the bucket thresholds compare cross-multiplied integers
+    — bit-identical across engines at any scale, immune to
+    double-rounding flips."""
     docs = spread(docs)
-    n = F.greatest(F.length(text_col), F.lit(1)).cast("double")
-    alpha = F.length(F.regexp_replace(text_col, "[^a-zA-Z]", "")) / n
-    digit = F.length(F.regexp_replace(text_col, "[^0-9]", "")) / n
-    punct = F.length(F.regexp_replace(text_col, r"[^.,;:!?'\"()-]", "")) / n
+    L = F.greatest(F.length(text_col), F.lit(1)).cast("long")
+    na = F.length(F.regexp_replace(text_col, "[^a-zA-Z]", "")).cast("long")
+    nd = F.length(F.regexp_replace(text_col, "[^0-9]", "")).cast("long")
+    np_ = F.length(
+        F.regexp_replace(text_col, r"[^.,;:!?'\"()-]", "")).cast("long")
     words = F.expr(rf"regexp_extract_all({text_col}, '\\S+', 0)")
-    n_words = F.greatest(F.size(words), F.lit(1)).cast("double")
-    stop = (F.size(F.filter(
-        words, lambda w: F.lower(w).isin(*LANG_STOPWORDS["en"])))
-        / n_words)
-    score = (F.lit(0.5) * alpha + F.lit(0.3) * (1 - punct)
-             + F.lit(0.1) * (1 - digit) + F.lit(0.1) * stop)
+    T = F.greatest(F.size(words), F.lit(1)).cast("long")
+    ns = F.size(F.filter(
+        words, lambda w: F.lower(w).isin(*LANG_STOPWORDS["en"]))) \
+        .cast("long")
+    # quality = 0.5·na/L + 0.3·(1−np/L) + 0.1·(1−nd/L) + 0.1·ns/T
+    #         = [T·(5·na + 3·(L−np) + (L−nd)) + L·ns] / (10·L·T)
+    P = (T * (F.lit(5) * na + F.lit(3) * (L - np_) + (L - nd))
+         + L * ns)
+    Q = F.lit(10) * L * T
     return docs.select(
         id_col,
-        F.round(alpha, 6).alias("alpha_ratio"),
-        F.round(punct, 6).alias("punct_ratio"),
-        F.round(digit, 6).alias("digit_ratio"),
-        F.round(stop, 6).alias("stopword_ratio"),
-        F.round(score, 6).alias("quality"),
-        F.when(score >= 0.55, "high").when(score >= 0.45, "mid")
+        _r6(na, L).alias("alpha_ratio"),
+        _r6(np_, L).alias("punct_ratio"),
+        _r6(nd, L).alias("digit_ratio"),
+        _r6(ns, T).alias("stopword_ratio"),
+        _r6(P, Q).alias("quality"),
+        # P/Q >= t  ⇔  100·P >= 100·t·Q, exact in integers
+        F.when(F.lit(100) * P >= F.lit(55) * Q, "high")
+         .when(F.lit(100) * P >= F.lit(45) * Q, "mid")
          .otherwise("low").alias("quality_bucket"))
 
 

@@ -128,8 +128,12 @@ def ivf_pq_cosine_fullprobe(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5) \
                  .withColumnRenamed("vec_id", "query_id")
+    # corpus-scaled oversample: the exact-rerank contract must hold at
+    # any sf (see vector_queries.knn_pq_rerank)
+    n = emb.count()
     out, _meta = knn_ivf_pq(idx, queries, k=10, target_recall=1.0,
-                            max_probe=1_000_000_000, oversample=16,
+                            max_probe=1_000_000_000,
+                            oversample=max(16, -(-n // 20)),
                             books=books)
     return out.withColumn("sim", FF.round("sim", 6))
 

@@ -219,16 +219,26 @@ def q_window_running(spark, sf_dir):
 SELECT l_suppkey, l_orderkey, l_linenumber,
        ROUND(AVG(l_extendedprice) OVER (
          PARTITION BY l_suppkey
-         ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+         ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC,
+                  l_extendedprice ASC
          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg3
 FROM lineitem
 """)
 def q_window_moving_avg(spark, sf_dir):
-    """Moving average with an explicit ROWS frame (E5)."""
+    """Moving average with an explicit ROWS frame (E5).
+
+    The synthetic lineitem has NO unique key — (l_orderkey,
+    l_linenumber) duplicates exist — so the ROWS frame's order must
+    tie-break all the way down to l_extendedprice: rows still tied
+    after that are identical in every frame-relevant column, making
+    the output a deterministic multiset on any engine. Without it,
+    full-tie peers order engine-arbitrarily and the averages around
+    them are nondeterministic (observed at sf0.1)."""
     li = _t(spark, sf_dir, "lineitem")
     w = (W.partitionBy("l_suppkey")
          .orderBy(F.col("l_shipdate").asc(), F.col("l_orderkey").asc(),
-                  F.col("l_linenumber").asc())
+                  F.col("l_linenumber").asc(),
+                  F.col("l_extendedprice").asc())
          .rowsBetween(-2, 0))
     return li.select("l_suppkey", "l_orderkey", "l_linenumber",
                      F.round(F.avg("l_extendedprice").over(w), 4).alias("mavg3"))

@@ -34,34 +34,42 @@ def text_token_stats(spark, sf_dir):
 @register("text_quality_score", sql=f"""
 WITH m AS (
   SELECT doc_id,
-    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-      / greatest(length(text), 1) AS alpha,
-    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
-      / greatest(length(text), 1) AS digit,
-    CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)
-      / greatest(length(text), 1) AS punct,
+    CAST(greatest(length(text), 1) AS BIGINT) AS L,
+    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)
+      AS na,
+    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+      AS nd,
+    CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+      AS BIGINT) AS np,
+    CAST(greatest(len(regexp_extract_all(text, '\\S+')), 1) AS BIGINT)
+      AS T,
     CAST(len(list_filter(regexp_extract_all(text, '\\S+'),
-                         w -> lower(w) IN ('{_EN}'))) AS DOUBLE)
-      / greatest(len(regexp_extract_all(text, '\\S+')), 1) AS stop
+                         w -> lower(w) IN ('{_EN}'))) AS BIGINT) AS ns
   FROM documents
+), r AS (
+  SELECT doc_id, L, na, nd, np, T, ns,
+         T * (5 * na + 3 * (L - np) + (L - nd)) + L * ns AS P,
+         10 * L * T AS Q
+  FROM m
 )
 SELECT doc_id,
-       ROUND(alpha, 6) AS alpha_ratio,
-       ROUND(punct, 6) AS punct_ratio,
-       ROUND(digit, 6) AS digit_ratio,
-       ROUND(stop, 6) AS stopword_ratio,
-       ROUND(0.5 * alpha + 0.3 * (1 - punct) + 0.1 * (1 - digit)
-             + 0.1 * stop, 6) AS quality,
-       CASE WHEN 0.5*alpha + 0.3*(1-punct) + 0.1*(1-digit) + 0.1*stop >= 0.55
-              THEN 'high'
-            WHEN 0.5*alpha + 0.3*(1-punct) + 0.1*(1-digit) + 0.1*stop >= 0.45
-              THEN 'mid'
-            ELSE 'low' END AS quality_bucket
-FROM m
+  CAST((2*na*1000000 + L) // (2*L) AS DOUBLE) / 1e6 AS alpha_ratio,
+  CAST((2*np*1000000 + L) // (2*L) AS DOUBLE) / 1e6 AS punct_ratio,
+  CAST((2*nd*1000000 + L) // (2*L) AS DOUBLE) / 1e6 AS digit_ratio,
+  CAST((2*ns*1000000 + T) // (2*T) AS DOUBLE) / 1e6 AS stopword_ratio,
+  CAST((2*P*1000000 + Q) // (2*Q) AS DOUBLE) / 1e6 AS quality,
+  CASE WHEN 100 * P >= 55 * Q THEN 'high'
+       WHEN 100 * P >= 45 * Q THEN 'mid'
+       ELSE 'low' END AS quality_bucket
+FROM r
 """)
 def text_quality_score(spark, sf_dir):
     """Gopher/C4-style quality heuristics: char-class ratios + stopword
-    ratio folded into a frozen score and bucket."""
+    ratio folded into a frozen score and bucket. All ratios round via
+    exact integer HALF_UP arithmetic on both engines (operators/
+    text.py::_r6) — float ROUND(x, 6) flips on .xxxxxx5 boundaries
+    between Spark and DuckDB, which a 6-figure hash gate cannot
+    tolerate."""
     return T.quality_score(load_table(spark, sf_dir, "documents"))
 
 

@@ -489,7 +489,15 @@ def knn_pq_rerank(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERIES) \
                  .withColumnRenamed("vec_id", "query_id")
-    out = knn_pq(emb, queries, k=K, m=8, ksub=256, oversample=16)
+    # Oversample scales with corpus size so the exact-rerank contract
+    # holds at ANY sf (the claimed oracle IS brute force): m=8 codes
+    # over d=64 are coarse, and a fixed candidate count that is exact
+    # at 500 vectors drops true neighbors at 2000+. k·oversample ≈ n/2
+    # keeps the gate robust; the bandwidth economics are measured in
+    # bench.py, not here.
+    n = emb.count()
+    out = knn_pq(emb, queries, k=K, m=8, ksub=256,
+                 oversample=max(16, -(-n // (2 * K))))
     return out.withColumn("dist", F.round("dist", 6))
 
 
@@ -566,8 +574,12 @@ def ivf_pq_search_fullprobe(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERIES) \
                  .withColumnRenamed("vec_id", "query_id")
+    # corpus-scaled oversample: see knn_pq_rerank — the exact-rerank
+    # contract must hold at any sf, not just the driver's
+    n = emb.count()
     out, _meta = knn_ivf_pq(idx, queries, k=K, target_recall=1.0,
-                            max_probe=1_000_000_000, oversample=16,
+                            max_probe=1_000_000_000,
+                            oversample=max(16, -(-n // (2 * K))),
                             books=_PQ_SIDECAR_CACHE[key])
     return out.withColumn("dist", F.round("dist", 6))
 
