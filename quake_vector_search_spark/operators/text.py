@@ -28,21 +28,24 @@ BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 def token_stats(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Whitespace + BPE-ish token counts, distinct-word count, average
-    word length — the basic curation statistics."""
+    word length — the basic curation statistics. avg_token_len is an
+    integer ratio, so it rounds via the exact integer path (_r6), not
+    float ROUND — see quality_score."""
     docs = spread(docs)
     words = F.expr(rf"regexp_extract_all({text_col}, '\\S+', 0)")
     # escape for the SQL string literal (Spark eats single backslashes)
     bpe_sql_pattern = BPE_ISH_PATTERN.replace("\\", "\\\\")
     bpe = F.expr(
         rf"regexp_extract_all({text_col}, '{bpe_sql_pattern}', 0)")
+    nz_chars = F.length(
+        F.regexp_replace(text_col, r"\s+", "")).cast("long")
+    n_words = F.greatest(F.size(words), F.lit(1)).cast("long")
     return docs.select(
         id_col,
         F.size(words).alias("n_tokens"),
         F.size(bpe).alias("n_bpe_tokens"),
         F.size(F.array_distinct(words)).alias("n_distinct_tokens"),
-        F.round(F.length(F.regexp_replace(text_col, r"\s+", ""))
-                / F.greatest(F.size(words), F.lit(1)), 6)
-         .alias("avg_token_len"),
+        _r6(nz_chars, n_words).alias("avg_token_len"),
         F.length(text_col).alias("n_chars"))
 
 

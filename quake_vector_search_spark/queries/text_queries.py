@@ -19,9 +19,12 @@ SELECT doc_id,
             AS INT) AS n_bpe_tokens,
        CAST(len(list_distinct(regexp_extract_all(text, '\S+'))) AS INT)
          AS n_distinct_tokens,
-       ROUND(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
-             / greatest(len(regexp_extract_all(text, '\S+')), 1), 6)
-         AS avg_token_len,
+       CAST((2 * CAST(length(regexp_replace(text, '\s+', '', 'g'))
+                      AS BIGINT) * 1000000
+             + greatest(len(regexp_extract_all(text, '\S+')), 1))
+            // (2 * CAST(greatest(len(regexp_extract_all(text, '\S+')), 1)
+                         AS BIGINT))
+            AS DOUBLE) / 1e6 AS avg_token_len,
        CAST(length(text) AS INT) AS n_chars
 FROM documents
 """)
