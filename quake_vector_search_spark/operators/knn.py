@@ -194,3 +194,39 @@ def dot_topk(corpus_df: DataFrame,
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "vec_id", "score", "rank"))
+
+
+def hard_negatives(corpus_df: DataFrame, queries_df: DataFrame,
+                   k: int = 10,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label",
+                   query_id_col: str = "query_id") -> DataFrame:
+    """Contrastive hard-negative mining (training-pipeline op, beyond
+    the reference): for each query, its exact k nearest corpus vectors
+    whose label DIFFERS from the query's — the negatives that sit
+    closest to the decision boundary, the standard pick for
+    contrastive / triplet training.
+
+    Shape: one `knn_bruteforce` branch per DISTINCT query label over
+    the corpus filtered to `label != L` — the per-query predicate
+    becomes a per-branch static filter, so each branch keeps the
+    broadcast-queries + per-partition local-top-k + single tiny
+    shuffle plan, and the label filter pushes into the corpus scan.
+    Branch count is the query-label cardinality (bounded by the label
+    vocabulary, not the query count); the union is plan-level, not a
+    materialization barrier.
+    """
+    labels = [r[0] for r in
+              queries_df.select(label_col).distinct().collect()]
+    out = None
+    for lab in sorted(labels):
+        qs = queries_df.where(F.col(label_col) == lab)
+        neg = corpus_df.where(F.col(label_col) != lab)
+        hits = knn_bruteforce(neg, qs, k=k, id_col=id_col,
+                              vec_col=vec_col,
+                              query_id_col=query_id_col,
+                              query_vec_col=vec_col)
+        out = hits if out is None else out.unionAll(hits)
+    if out is None:
+        return _empty_result(corpus_df.sparkSession, "dist")
+    return out

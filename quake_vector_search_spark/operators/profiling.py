@@ -12,7 +12,7 @@ isn't needed (the oracle pins the exact variant).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -41,3 +41,56 @@ def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     ) for c in cols]
     return (wide.select(F.explode(F.array(*per_col)).alias("p"))
             .select("p.*"))
+
+
+def psi_drift(ref: DataFrame, cur: DataFrame, value_col: str,
+              n_buckets: int = 10,
+              lo: float | None = None,
+              hi: float | None = None) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    snapshot of a numeric column — the standard training-data drift
+    monitor (PSI < 0.1 stable, 0.1–0.25 moderate, > 0.25 major drift).
+
+    Fixed-width buckets over [lo, hi] (taken from the REFERENCE
+    snapshot's min/max when not given — the production pattern: bucket
+    edges freeze with the training run, new data lands in the edge
+    buckets when it drifts out of range). Each side is one scan + one
+    tiny groupBy on the bucket id; the PSI sum is over n_buckets rows.
+    Laplace-style smoothing (+1 per bucket) keeps empty buckets from
+    producing infinities while staying engine-portable (integer
+    counts, no float accumulation order dependence).
+
+    Returns one row per bucket (bucket, n_ref, n_cur, psi_term) —
+    aggregate SUM(psi_term) for the headline PSI.
+    """
+    if lo is None or hi is None:
+        b = ref.agg(F.min(value_col).cast("double").alias("lo"),
+                    F.max(value_col).cast("double").alias("hi")).head()
+        lo = float(b["lo"]) if lo is None else lo
+        hi = float(b["hi"]) if hi is None else hi
+    width = (hi - lo) / n_buckets or 1.0
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.greatest(F.lit(0), F.floor(
+            (F.col(value_col).cast("double") - F.lit(lo)) / F.lit(width))
+            .cast("int"))).alias("bucket")
+
+    def side(df, name):
+        return (df.select(bucket)
+                .groupBy("bucket").agg(F.count("*").alias(name)))
+
+    grid = ref.sparkSession.range(n_buckets) \
+        .select(F.col("id").cast("int").alias("bucket"))
+    r = side(ref, "n_ref")
+    c = side(cur, "n_cur")
+    tot_r = F.sum("n_ref").over(Window.partitionBy())
+    tot_c = F.sum("n_cur").over(Window.partitionBy())
+    joined = (grid.join(r, "bucket", "left").join(c, "bucket", "left")
+              .select("bucket",
+                      F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+                      F.coalesce("n_cur", F.lit(0)).alias("n_cur")))
+    pa = (F.col("n_ref") + 1).cast("double") / (tot_r + n_buckets)
+    pb = (F.col("n_cur") + 1).cast("double") / (tot_c + n_buckets)
+    return joined.select(
+        "bucket", "n_ref", "n_cur",
+        ((pa - pb) * F.log(pa / pb)).alias("psi_term"))

