@@ -138,3 +138,46 @@ def stratified_sample(df: DataFrame, strata_col: str, frac: float,
     """
     cut = int(round(frac * SPLIT_BUCKETS))
     return df.where(split_hash_expr(id_col, seed) < cut)
+
+
+def mixture_sample(df: DataFrame, weights: dict[str, float], n_total: int,
+                   id_col: str = "doc_id", source_col: str = "source",
+                   seed: int = 47) -> DataFrame:
+    """Deterministic source-mixture sampling — the data-MIXING step of
+    a training pipeline (sample each corpus source at a target
+    proportion, e.g. 40% web / 30% code / 30% books).
+
+    Per-source quotas come from largest-remainder apportionment of
+    ``n_total`` over ``weights`` (computed on the driver — the weight
+    table is metadata-scale); rows are ranked inside each source by
+    the portable md5 hash (ties by id) and the first quota_i survive.
+    Like balanced_downsample, the kept set is a pure function of
+    (ids, weights, seed): re-runs, engine swaps, and repartitioning
+    keep identical rows. Sources absent from ``weights`` are dropped;
+    a source with fewer rows than its quota contributes all of them
+    (the shortfall is NOT redistributed — at 100 TB redistribution
+    would need a second pass; callers wanting exact n_total should
+    oversize weights). One shuffle on the source key.
+    """
+    from pyspark.sql import Window
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("mixture weights must sum to a positive value")
+    exact = {s: n_total * w / total_w for s, w in weights.items()}
+    quota = {s: int(exact[s]) for s in weights}
+    leftover = n_total - sum(quota.values())
+    # largest remainder, ties by source name for determinism
+    for s in sorted(weights, key=lambda s: (-(exact[s] - quota[s]), s)):
+        if leftover <= 0:
+            break
+        quota[s] += 1
+        leftover -= 1
+    qdf = df.sparkSession.createDataFrame(
+        sorted(quota.items()), f"{source_col} string, _quota long")
+    w = (Window.partitionBy(source_col)
+         .orderBy(split_hash_expr(id_col, seed).asc(),
+                  F.col(id_col).asc()))
+    return (df.join(F.broadcast(qdf), source_col)
+            .withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= F.col("_quota"))
+            .drop("_rk", "_quota"))

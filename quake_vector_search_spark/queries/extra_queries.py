@@ -283,3 +283,39 @@ def q_drift_psi(spark, sf_dir):
     cur = orders.where(F.col("o_orderdate") >= "1998-01-01")
     out = psi_drift(ref, cur, "o_totalprice", n_buckets=10)
     return out.withColumn("psi_term", F.round("psi_term", 6))
+
+
+@register("q_mixture_sample", sql="""
+WITH quota AS (
+  SELECT * FROM (VALUES ('src0', 24), ('src1', 18), ('src2', 12),
+                        ('src3', 6)) AS t(source, q)
+), ranked AS (
+  SELECT d.doc_id, d.source,
+         ROW_NUMBER() OVER (
+           PARTITION BY d.source
+           ORDER BY CAST(concat('0x', substr(md5(concat('47', ':',
+                    CAST(d.doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                    % 10000 ASC,
+                    d.doc_id ASC) AS rk
+  FROM documents d JOIN quota qt ON qt.source = d.source
+)
+SELECT r.doc_id, r.source
+FROM ranked r JOIN quota qt ON qt.source = r.source
+WHERE r.rk <= qt.q
+""")
+def q_mixture_sample(spark, sf_dir):
+    """Deterministic source-mixture sampling (the data-MIXING step of
+    training pipelines): 60 documents apportioned 4:3:2:1 over
+    src0..src3 by largest remainder (24/18/12/6), rows picked by
+    portable-hash rank within each source
+    (operators/sampling.py::mixture_sample). The quota table is a pure
+    function of the weights, so the oracle embeds it literally and
+    mirrors the ranking arithmetic bit-for-bit."""
+    from quake_vector_search_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = mixture_sample(docs, {"src0": 4, "src1": 3, "src2": 2,
+                                "src3": 1}, n_total=60, seed=47)
+    return out.select("doc_id", "source")

@@ -357,6 +357,34 @@ def test_cluster_blocked_cosine_pairs_kmeans(spark):
     assert gotd == want and len(gotd) > 0
 
 
+def test_mixture_sample_quotas_and_determinism(spark):
+    """Largest-remainder quotas, shortfall sources contribute all
+    rows, unlisted sources drop, and the kept set is rerun-stable."""
+    from quake_vector_search_spark.operators.sampling import (
+        mixture_sample,
+    )
+    rows = ([(i, "a") for i in range(100)]
+            + [(100 + i, "b") for i in range(100)]
+            + [(200 + i, "tiny") for i in range(3)]
+            + [(300 + i, "unlisted") for i in range(50)])
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = mixture_sample(df, {"a": 2.0, "b": 1.0, "tiny": 1.0},
+                         n_total=41, id_col="doc_id",
+                         source_col="source")
+    got = out.groupBy("source").count().collect()
+    counts = {r["source"]: r["count"] for r in got}
+    # exact shares: a=20.5, b=10.25, tiny=10.25 -> floors 20/10/10,
+    # leftover 1 goes to the largest remainder (a)
+    assert counts["a"] == 21 and counts["b"] == 10
+    assert counts["tiny"] == 3          # only 3 rows exist (shortfall)
+    assert "unlisted" not in counts
+    again = mixture_sample(df, {"a": 2.0, "b": 1.0, "tiny": 1.0},
+                           n_total=41, id_col="doc_id",
+                           source_col="source")
+    assert (sorted(r["doc_id"] for r in out.collect())
+            == sorted(r["doc_id"] for r in again.collect()))
+
+
 def test_hard_negatives_excludes_same_label(spark):
     """Every mined negative must carry a label different from its
     query's, ranks must be exactly 1..k, and the result must equal the
