@@ -259,3 +259,40 @@ def test_fuzzy_join_is_blocked_not_quadratic(spark):
     plan = _plan(fuzzy_hamming_join(part, "p_partkey", "p_name"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_round4_ops_plan_shapes(spark):
+    """Round-4 operators keep their scale claims in the physical plan:
+    no cartesian anywhere; mixture sampling's quota table broadcasts;
+    hard negatives' per-branch label filter pushes into the scan."""
+    from pyspark.sql import functions as F
+
+    from quake_vector_search_spark.operators.knn import hard_negatives
+    from quake_vector_search_spark.operators.profiling import psi_drift
+    from quake_vector_search_spark.operators.sampling import (
+        mixture_sample,
+    )
+    from quake_vector_search_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    mix = mixture_sample(docs, {"src0": 1, "src1": 1}, n_total=10)
+    p = _plan(mix)
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p          # quota table broadcasts
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    drift = psi_drift(orders.where("o_orderdate < '1998-01-01'"),
+                      orders.where("o_orderdate >= '1998-01-01'"),
+                      "o_totalprice")
+    p = _plan(drift)
+    assert "CartesianProduct" not in p
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    qs = (emb.where(F.col("vec_id") < 2)
+          .withColumnRenamed("vec_id", "query_id"))
+    hn = hard_negatives(emb, qs, k=3)
+    p = _plan(hn)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # the label != L branch filter reaches the parquet scan
+    assert "PushedFilters" in p and "label" in p
