@@ -164,41 +164,6 @@ def q_fuzzy_name_join(spark, sf_dir):
     return fuzzy_hamming_join(part, "p_partkey", "p_name", max_hamming=1)
 
 
-@register("q_histogram_equidepth_sketch", sql="""
-WITH n AS (SELECT COUNT(*) AS total FROM orders)
-SELECT b.bucket, TRUE AS within_tol, n.total AS n_total
-FROM (SELECT unnest(range(1, 11)) AS bucket) b, n
-""")
-def q_histogram_equidepth_sketch(spark, sf_dir):
-    """Equi-depth histogram, SCALE path (q_histogram_equidepth's
-    documented swap-in): approx_percentile boundary sketch (one pass,
-    mergeable, no global sort) + a narrow bucket-assignment scan. The
-    oracle checks the properties a sketch can promise: all 10 buckets
-    exist, every bucket holds its fair share ±5%, and no row is lost
-    (n_total exact) — the exact ntile sibling remains the
-    hash-matched reference."""
-    orders = load_table(spark, sf_dir, "orders")
-    qs = [i / 10.0 for i in range(1, 10)]
-    bounds = orders.agg(F.percentile_approx(
-        "o_totalprice", qs, 100_000).alias("b")).head()["b"]
-    # CASE ladder over the 9 sketched cuts, lowest upward → buckets 1..10
-    cases = F.when(F.col("o_totalprice") <= float(bounds[0]), F.lit(1))
-    for i in range(1, 9):
-        cases = cases.when(F.col("o_totalprice") <= float(bounds[i]),
-                           F.lit(i + 1))
-    cases = cases.otherwise(F.lit(10))
-    per = (orders.withColumn("bucket", cases)
-           .groupBy("bucket").agg(F.count("*").alias("n")))
-    total = orders.count()
-    fair = total / 10.0
-    return (per.select(
-        F.col("bucket").cast("long").alias("bucket"),
-        (F.abs(F.col("n") - F.lit(fair)) / F.lit(fair) < 0.05)
-        .alias("within_tol"))
-        .join(per.agg(F.sum("n").alias("n_total")))
-        .select("bucket", "within_tol", "n_total"))
-
-
 @register("emb_hard_negatives", sql="""
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qvec, label AS qlabel

@@ -1445,6 +1445,48 @@ def q_shared_sql_text(spark, sf_dir):
 
 
 @register("q_histogram_equidepth", sql="""
+WITH n AS (SELECT COUNT(*) AS total FROM orders)
+SELECT b.bucket, TRUE AS within_tol, n.total AS n_total
+FROM (SELECT unnest(range(1, 11)) AS bucket) b, n
+""")
+def q_histogram_equidepth(spark, sf_dir):
+    """Equi-depth histogram, DEFAULT scale path: approx_percentile
+    boundary sketch (one pass, mergeable, no global sort) + a narrow
+    bucket-assignment scan + a 10-row spine join (all buckets present
+    even if a sketched cut collapses one empty). The oracle checks the
+    properties a sketch can promise: all 10 buckets exist, every
+    bucket holds its fair share ±5%, and no row is lost — n_total is
+    the SUM of per-bucket counts, so it equals DuckDB's COUNT(*) only
+    if the CASE ladder assigned every row. The exact global-ntile form
+    is demoted to q_histogram_equidepth_oracle (its ORDER BY-only
+    window funnels the whole table through one task at scale)."""
+    orders = _t(spark, sf_dir, "orders")
+    qs = [i / 10.0 for i in range(1, 10)]
+    head = orders.agg(
+        F.percentile_approx("o_totalprice", qs, 100_000).alias("b"),
+        F.count("*").alias("total")).head()
+    bounds, total = list(head["b"]), int(head["total"])
+    # CASE ladder over the 9 sketched cuts, lowest upward → buckets 1..10
+    cases = F.when(F.col("o_totalprice") <= float(bounds[0]), F.lit(1))
+    for i in range(1, 9):
+        cases = cases.when(F.col("o_totalprice") <= float(bounds[i]),
+                           F.lit(i + 1))
+    cases = cases.otherwise(F.lit(10))
+    per = (orders.withColumn("bucket", cases)
+           .groupBy("bucket").agg(F.count("*").alias("n")))
+    spine = spark.range(1, 11).withColumnRenamed("id", "bucket")
+    fair = total / 10.0
+    return (spine
+            .join(per.withColumn("bucket", F.col("bucket").cast("long")),
+                  "bucket", "left")
+            .join(per.agg(F.sum("n").alias("n_total")))
+            .select("bucket",
+                    (F.abs(F.coalesce(F.col("n"), F.lit(0)) - F.lit(fair))
+                     / F.lit(fair) < 0.05).alias("within_tol"),
+                    "n_total"))
+
+
+@register("q_histogram_equidepth_oracle", sql="""
 WITH t AS (
   SELECT o_totalprice,
          ntile(10) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC)
@@ -1457,13 +1499,13 @@ SELECT bucket,
        ROUND(MAX(o_totalprice), 4) AS hi
 FROM t GROUP BY bucket
 """)
-def q_histogram_equidepth(spark, sf_dir):
-    """Equi-depth histogram (the optimizer-statistics shape, next to
-    q_histogram's equal-width): ntile(10) over a fully tie-broken
-    global order. The single ORDER BY window is the honest cost — at
-    100 TB you'd swap in approx_percentile boundaries (sketch,
-    one pass, no global sort) and the oracle-checked exact version
-    here is the reference the sketch is judged against."""
+def q_histogram_equidepth_oracle(spark, sf_dir):
+    """Equi-depth histogram, EXACT oracle form (deliberately NOT the
+    default — *_oracle naming, same convention as the dedup family):
+    ntile(10) over a fully tie-broken global order. The ORDER BY-only
+    window moves every row through a single task, which is the honest
+    cost of exact equi-depth; it exists as the hash-matched reference
+    the sketch default is judged against, never as the scale path."""
     from pyspark.sql import Window as W
 
     orders = _t(spark, sf_dir, "orders")

@@ -261,6 +261,51 @@ def test_fuzzy_join_is_blocked_not_quadratic(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def _unpartitioned_window_hits(plan: str) -> list[str]:
+    """Physical-plan lines where a Window/WindowGroupLimit node's
+    required sort is satisfied by an Exchange SinglePartition — the
+    'No Partition Defined for Window operation' shape that funnels the
+    whole input through one task."""
+    import re
+    lines = plan.split("== Physical Plan ==", 1)[-1].splitlines()
+    hits = []
+    for i, ln in enumerate(lines):
+        if re.search(r"\bWindow\b|\bWindowGroupLimit\b", ln):
+            for j in range(i + 1, min(i + 4, len(lines))):
+                if "Exchange SinglePartition" in lines[j]:
+                    hits.append(ln.strip()[:120])
+                    break
+                if ("Exchange hashpartitioning" in lines[j]
+                        or "Exchange rangepartitioning" in lines[j]):
+                    break
+    return hits
+
+
+# Queries allowed to run a single-partition window, each with the reason
+# its input is bounded (NOT data-sized):
+#   *_oracle      — exact reference forms, deliberately demoted from the
+#                   default path (dedup family, equi-depth histogram);
+#                   they exist to hash-check the scale-safe default.
+#   q_drift_psi   — the window runs over the 10-row PSI bucket table
+#                   (post-aggregation), never over raw rows.
+_GLOBAL_WINDOW_ALLOWLIST = {"q_drift_psi"}
+
+
+def test_no_registry_query_has_unpartitioned_window(spark):
+    """Permanent gate (round-5 VERDICT #2): no registry query may plan
+    a global-window sort over an unbounded input. Catches the
+    q_histogram_equidepth class of scale-killer — correct at sf0.1,
+    single-task at 100 TB — at plan-build time."""
+    offenders = {}
+    for name, q in REGISTRY.items():
+        if name in _GLOBAL_WINDOW_ALLOWLIST or name.endswith("_oracle"):
+            continue
+        hits = _unpartitioned_window_hits(_plan(q.fn(spark, SF_SMOKE)))
+        if hits:
+            offenders[name] = hits[0]
+    assert not offenders, offenders
+
+
 def test_round4_ops_plan_shapes(spark):
     """Round-4 operators keep their scale claims in the physical plan:
     no cartesian anywhere; mixture sampling's quota table broadcasts;
