@@ -324,13 +324,27 @@ def cosine_pairs_lsh(emb: DataFrame, threshold: float,
     time instead of the old failure mode — zip_with null-padding every
     band key so the join silently returned ZERO pairs."""
     if dim is None:
-        first = emb.select(F.size(F.col(vec_col)).alias("d")).first()
-        if first is None:        # empty input: no pairs, trivially
-            return emb.select(
-                F.col(id_col).alias("id_a"),
-                F.col(id_col).alias("id_b"),
-                F.lit(0.0).alias("cosine")).limit(0)
-        dim = int(first["d"])
+        # infer from a NON-NULL vector: F.size(NULL) is -1, and a -1
+        # dim would send every row into the width-mismatch raise_error
+        # branch with a nonsense message (round-5 ADVICE)
+        nn = (emb.where(F.col(vec_col).isNotNull())
+              .select(F.size(F.col(vec_col)).alias("d")).first())
+        if nn is None:
+            if emb.select(id_col).first() is None:
+                # empty input: no pairs, trivially
+                return emb.select(
+                    F.col(id_col).alias("id_a"),
+                    F.col(id_col).alias("id_b"),
+                    F.lit(0.0).alias("cosine")).limit(0)
+            raise ValueError(
+                f"cosine_pairs_lsh: every {vec_col!r} value is NULL — "
+                f"cannot infer dim; pass dim= explicitly or clean the "
+                f"input")
+        dim = int(nn["d"])
+    # NULL vectors are missing data, not a width mismatch: they can't
+    # participate in any pair, and NULL falls into the raise_error
+    # branch of the width check below — drop them up front
+    emb = emb.where(F.col(vec_col).isNotNull())
     planes = _lsh_hyperplanes(n_bits, dim, seed)
     # fail fast on width mismatch — NullType from raise_error coerces
     # into the array<double> branch type

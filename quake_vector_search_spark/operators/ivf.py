@@ -451,8 +451,13 @@ class IVFIndex:
     def load(cls, spark: SparkSession, workdir: str,
              version: int | None = None) -> "IVFIndex":
         if version is None:
-            versions = sorted(int(v[1:]) for v in os.listdir(workdir)
-                              if v.startswith("v"))
+            # only COMPLETE publishes count: stats.json is written last
+            # (after corpus append), so a dir without it is a crashed
+            # half-publish — readers keep the previous version
+            versions = sorted(
+                int(v[1:]) for v in os.listdir(workdir)
+                if v.startswith("v")
+                and os.path.exists(os.path.join(workdir, v, "stats.json")))
             version = versions[-1]
         meta_dir = os.path.join(workdir, f"v{version:04d}")
         cents = pd.read_parquet(os.path.join(meta_dir, "centroids.parquet"))
@@ -574,11 +579,13 @@ class IVFIndex:
         # (no re-used id) never pay this.
         reinserted = self.tombstones & set(int(i) for i in ids)
         self.tombstones -= set(int(i) for i in ids)
-        # clear BEFORE purging: _purge_rows publishes a new version dir
-        # with a meta snapshot, which must not persist tombstones for
-        # ids that are live again after this insert
+        # STAGE (don't publish) the purge of re-used ids' old rows: the
+        # new rows must land in the staged corpus BEFORE the version
+        # flip + save_meta, or a crash in between leaves the latest
+        # loadable version's meta counting rows its corpus doesn't hold
+        staged_version = None
         if reinserted:
-            self._purge_rows(reinserted)
+            staged_version = self._purge_rows(reinserted, publish=False)
 
         # pyarrow Table straight from the flat buffer: type-exact floats
         # regardless of the session's Arrow config (the pandas fallback
@@ -595,24 +602,41 @@ class IVFIndex:
             self.vec_col: vec_arr,
             "partition_id": pa.array(pid, type=pa.int64()),
         }))
+        target_corpus = (self.corpus_path if staged_version is None
+                         else os.path.join(self.workdir,
+                                           f"v{staged_version:04d}",
+                                           "corpus"))
         (sdf.write.mode("append").partitionBy("partition_id")
-         .parquet(self.corpus_path))
+         .parquet(target_corpus))
+        if staged_version is not None:
+            # single publish point, after the corpus is complete;
+            # save_meta writes stats.json last = the publish marker
+            self.version = staged_version
+            self.save_meta()
         self.invalidate_corpus()
         # eager metadata refresh: pay the file re-listing here, inside
         # the write path, not inside the next query's latency
         self.read_corpus()
         return pid
 
-    def _purge_rows(self, dead_ids: set[int]) -> None:
-        """Physically remove the given ids' rows by publishing a NEW
+    def _purge_rows(self, dead_ids: set[int],
+                    publish: bool = True) -> int | None:
+        """Physically remove the given ids' rows by staging a NEW
         version directory — the same copy-on-write publish primitive
         maintenance versioning uses. Unaffected partition dirs are
         hardlinked (object-store analogue: manifest pointing at old
         files — zero rewrite either way); only the partitions that
         contain a dead id are rewritten. The old version stays intact
         until the new one is complete, so a crash mid-publish loses
-        nothing — readers keep the old version; the flip is a driver
-        metadata update at the end."""
+        nothing — stats.json is written LAST (load() ignores dirs
+        without it), so readers keep the old version until the flip.
+
+        With ``publish=False`` the new dir is staged but self.version /
+        meta are untouched — insert() uses this to append the re-used
+        ids' NEW rows into the staged corpus before the single publish
+        point, closing the crash window where meta counted rows the
+        corpus didn't yet hold. Returns the staged version number, or
+        None if no partition held a dead id."""
         from quake_vector_search_spark.operators.maintenance import (
             _link_partition_dir,
         )
@@ -623,7 +647,7 @@ class IVFIndex:
                     raw.where(F.expr(f"{self.id_col} IN ({ids_sql})"))
                        .select("partition_id").distinct().collect())
         if not parts:
-            return
+            return None
         old_corpus = self.corpus_path
         new_version = self.version + 1
         new_corpus = os.path.join(
@@ -641,9 +665,11 @@ class IVFIndex:
                 .where(F.expr(f"{self.id_col} NOT IN ({ids_sql})")))
         keep.write.mode("append").partitionBy("partition_id") \
             .parquet(new_corpus)
-        self.version = new_version
-        self.invalidate_corpus()
-        self.save_meta()
+        if publish:
+            self.version = new_version
+            self.invalidate_corpus()
+            self.save_meta()
+        return new_version
 
     def delete(self, ids) -> None:
         """O7 (ipynb c1:111-125): delete by id. The reference's O(1)

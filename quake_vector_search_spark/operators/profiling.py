@@ -66,8 +66,16 @@ def psi_drift(ref: DataFrame, cur: DataFrame, value_col: str,
     if lo is None or hi is None:
         b = ref.agg(F.min(value_col).cast("double").alias("lo"),
                     F.max(value_col).cast("double").alias("hi")).head()
+        if b["lo"] is None or b["hi"] is None:
+            raise ValueError(
+                f"psi_drift: reference snapshot has no non-null "
+                f"{value_col!r} rows to derive bucket edges from — "
+                f"pass lo/hi explicitly or supply a non-empty reference")
         lo = float(b["lo"]) if lo is None else lo
         hi = float(b["hi"]) if hi is None else hi
+    # hi == lo (single-valued reference) degenerates to width 1.0:
+    # every row lands in bucket 0 and drift out of the point shows up
+    # in the edge buckets — intended freeze-the-edges behavior
     width = (hi - lo) / n_buckets or 1.0
     bucket = F.least(
         F.lit(n_buckets - 1),

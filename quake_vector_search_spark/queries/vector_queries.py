@@ -489,12 +489,14 @@ def knn_pq_rerank(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERIES) \
                  .withColumnRenamed("vec_id", "query_id")
-    # Oversample scales with corpus size so the exact-rerank contract
-    # holds at ANY sf (the claimed oracle IS brute force): m=8 codes
-    # over d=64 are coarse, and a fixed candidate count that is exact
-    # at 500 vectors drops true neighbors at 2000+. k·oversample ≈ n/2
-    # keeps the gate robust; the bandwidth economics are measured in
-    # bench.py, not here.
+    # Oversample scales with corpus size (k·oversample ≈ n/2): a true
+    # neighbor only needs to ADC-rank in the top HALF to survive into
+    # the exact rerank, which has held at every sf tested — but PQ
+    # gives no hard bound for any fixed candidate fraction, so this is
+    # empirical robustness, not a guarantee. If a future sf ever
+    # flakes the hash gate, knn_pq_recall_guard (extra_queries)
+    # reports the per-query recall that makes the miss attributable.
+    # The bandwidth economics are measured in bench.py, not here.
     n = emb.count()
     out = knn_pq(emb, queries, k=K, m=8, ksub=256,
                  oversample=max(16, -(-n // (2 * K))))
@@ -574,8 +576,9 @@ def ivf_pq_search_fullprobe(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERIES) \
                  .withColumnRenamed("vec_id", "query_id")
-    # corpus-scaled oversample: see knn_pq_rerank — the exact-rerank
-    # contract must hold at any sf, not just the driver's
+    # corpus-scaled oversample: see knn_pq_rerank — empirically robust
+    # at every sf tested (no hard PQ bound; misses are attributable
+    # via knn_pq_recall_guard's per-query recall)
     n = emb.count()
     out, _meta = knn_ivf_pq(idx, queries, k=K, target_recall=1.0,
                             max_probe=1_000_000_000,

@@ -217,6 +217,42 @@ def test_purge_publishes_new_version_old_intact(spark, index):
         F.col("vec_id") == vid).count() == 1
 
 
+def test_load_skips_half_published_version(spark, index):
+    """A version directory without stats.json is a crashed
+    half-publish (meta is written LAST); load(version=None) must ignore
+    it and return the newest COMPLETE version."""
+    import os
+
+    v0 = index.version
+    bogus = os.path.join(WORKDIR, f"v{v0 + 7:04d}")
+    os.makedirs(os.path.join(bogus, "corpus"), exist_ok=True)
+    try:
+        reloaded = IVFIndex.load(spark, WORKDIR)
+        assert reloaded.version == v0
+    finally:
+        shutil.rmtree(bogus, ignore_errors=True)
+
+
+def test_staged_purge_invisible_until_publish(spark, index):
+    """The reinsert purge stages its new version WITHOUT publishing
+    (no version flip, no meta): a crash between staging and the
+    post-append publish must leave loaders on the old version with the
+    purged id still live — 'crash mid-publish loses nothing' for the
+    whole insert+purge sequence, not just the copy step."""
+    import os
+
+    v0 = index.version
+    staged = index._purge_rows({3}, publish=False)
+    assert staged == v0 + 1
+    assert index.version == v0, "staging must not flip the version"
+    assert not os.path.exists(
+        os.path.join(WORKDIR, f"v{staged:04d}", "stats.json"))
+    reloaded = IVFIndex.load(spark, WORKDIR)
+    assert reloaded.version == v0
+    assert reloaded.read_corpus().where(
+        F.col("vec_id") == 3).count() == 1
+
+
 def test_recompute_prunes_stats_of_dropped_partitions(spark, index):
     """Emptying a partition then recomputing centroids must also drop
     its hits/last_split_at entries (no unbounded stale metadata)."""

@@ -458,3 +458,43 @@ def test_cosine_pairs_lsh_derives_dim(spark):
         cosine_pairs_lsh(emb, threshold=0.9, dim=64).collect()
     assert "vector width" in str(ei.value) or isinstance(
         ei.value, Py4JJavaError)
+
+
+def test_cosine_pairs_lsh_null_vector_handling(spark):
+    """dim inference must skip NULL vectors (F.size(NULL) = -1 would
+    poison the width check); an all-NULL column raises a clear error
+    instead of a confusing per-row width mismatch (round-5 ADVICE)."""
+    import pytest
+
+    from quake_vector_search_spark.operators.dedup import cosine_pairs_lsh
+
+    schema = "vec_id long, embedding array<float>"
+    # NULL-first input: dim must come from the later non-null rows
+    mixed = spark.createDataFrame(
+        [(0, None), (1, [1.0, 0.0, 0.0]), (2, [1.0, 1e-4, 0.0])], schema)
+    pairs = cosine_pairs_lsh(mixed, threshold=0.999).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+    # all-NULL input: clear driver-side error, not raise_error noise
+    allnull = spark.createDataFrame([(0, None), (1, None)], schema)
+    with pytest.raises(ValueError, match="NULL"):
+        cosine_pairs_lsh(allnull, threshold=0.9)
+    # empty input stays trivially empty
+    empty = spark.createDataFrame([], schema)
+    assert cosine_pairs_lsh(empty, threshold=0.9).count() == 0
+
+
+def test_psi_drift_empty_reference_raises(spark):
+    """An empty (or all-NULL) reference snapshot cannot supply bucket
+    edges: psi_drift must raise a clear ValueError, not crash with
+    float(None) (round-5 ADVICE)."""
+    import pytest
+
+    from quake_vector_search_spark.operators.profiling import psi_drift
+
+    cur = spark.range(10).select(F.col("id").cast("double").alias("v"))
+    empty = cur.where("v < 0")
+    with pytest.raises(ValueError, match="reference"):
+        psi_drift(empty, cur, "v")
+    # explicit edges still work with an empty reference
+    rows = psi_drift(empty, cur, "v", lo=0.0, hi=10.0).collect()
+    assert sum(r["n_cur"] for r in rows) == 10
