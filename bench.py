@@ -152,6 +152,9 @@ def _replay(spark, emb, workdir: str, n_queries: int, batch: int,
 
     rng = np.random.default_rng(7)
     batch_times, nprobes, scanned = [], [], []
+    # per-phase wall-clock (round-5 VERDICT #4: make the workload total
+    # attributable — search vs insert vs delete vs maintain)
+    phase = {"insert_s": 0.0, "delete_s": 0.0, "maintain_s": 0.0}
     next_id = 1_000_000
     all_found = None
     for b in range(0, n_queries, batch):
@@ -166,18 +169,26 @@ def _replay(spark, emb, workdir: str, n_queries: int, batch: int,
         scanned.append(meta["avg_scanned"])
         all_found = found if all_found is None else all_found.unionAll(found)
         # DML cadence (reference: 10+10 per 20 queries; scaled per batch)
+        t1 = time.time()
         idx.insert(list(range(next_id, next_id + n_ins)),
                    rng.normal(size=(n_ins, d)))
+        phase["insert_s"] += time.time() - t1
         next_id += n_ins
         bi = b // batch
+        t1 = time.time()
         idx.delete(del_pool[bi * n_del:(bi + 1) * n_del])
+        phase["delete_s"] += time.time() - t1
         if (b // batch) % maintain_every == maintain_every - 1:
+            t1 = time.time()
             maintain(idx)
+            phase["maintain_s"] += time.time() - t1
 
     # recall vs brute force on the final corpus
+    t1 = time.time()
     live = idx.read_corpus()
     exact = knn_bruteforce(live, (np.arange(n_queries), qmat), k=K)
     recall = avg_recall(all_found, exact, K)
+    phase["recall_eval_s"] = time.time() - t1
 
     # recall-vs-scanned curve (SURVEY.md §6): sweep target_recall to
     # show APS prunes genuinely — unlike the reference's captured run,
@@ -185,6 +196,7 @@ def _replay(spark, emb, workdir: str, n_queries: int, batch: int,
     # force). 50 fixed queries per point, same exact ground truth.
     curve_pts = []
     if curve:
+        t1 = time.time()
         curve_q = (np.arange(50), qmat[:50])
         exact50 = exact.where(exact.query_id < 50)
         n_corpus = live.count()
@@ -196,12 +208,14 @@ def _replay(spark, emb, workdir: str, n_queries: int, batch: int,
                 "scanned_frac": round(m["avg_scanned"] / max(n_corpus, 1), 4),
                 "recall_at_10": round(avg_recall(f, exact50, K), 4),
             })
+        phase["curve_s"] = time.time() - t1
 
     # IVF+PQ hybrid on the final index: sidecar build (one encode pass)
     # + the same 50 fixed queries — shows the byte-pruning axis next to
     # the row-pruning curve above
     pq_block = None
     if curve:
+        t_pq = time.time()
         from quake_vector_search_spark.operators.quantization import (
             build_pq_sidecar,
             knn_ivf_pq,
@@ -240,10 +254,13 @@ def _replay(spark, emb, workdir: str, n_queries: int, batch: int,
                     * 8 / 256, 4),
             },
         }
+        phase["pq_s"] = time.time() - t_pq
 
     per_query = [bt / batch for bt in batch_times]
+    phase["search_s"] = float(sum(batch_times))
     return {
         "build_s": round(build_s, 3),
+        "phases": {k: round(v, 3) for k, v in sorted(phase.items())},
         "n_partitions": int(len(idx.part_ids)),
         "avg_query_ms": round(1000 * float(np.mean(per_query)), 2),
         "p50_batch_ms": round(1000 * float(np.percentile(batch_times, 50)), 1),

@@ -60,4 +60,5 @@ def load_all_query_modules() -> None:
         relational_queries,
         dedup_queries,
         extra_queries,        # round-2+ additions land here
+        streaming_queries,    # round-5: streaming paths under the oracle
     )

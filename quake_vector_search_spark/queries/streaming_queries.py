@@ -1,0 +1,264 @@
+"""Streaming paths under the driver's oracle (round-5 VERDICT #5).
+
+Until now the Structured Streaming surface was verified only by
+tests/test_streaming.py's streaming-vs-batch differentials. These
+registry entries put each streaming path under the same external gate
+as everything else: each query replays the sf_dir events table through
+the real file-stream path (footer-sniffed schema, watermarks, memory
+sink, processAllAvailable), compares the drained output against the
+batch operator IN the query, and emits one row of
+  (exact anchor computable by DuckDB, property booleans).
+The anchor (window/session/key/cell count straight off the events
+table) keeps the oracle non-vacuous — a drift in either engine's view
+of the data flips the hash gate — while the booleans carry the
+stream-equals-batch contract (the gen_dataset_pinned pattern).
+
+Loaded AFTER the driver's 50-entry window (see __init__); covered by
+the local sweep at all three sfs and by the driver when the window
+rotates.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from quake_vector_search_spark.queries import register
+from quake_vector_search_spark.sources import load_table
+
+_SINK_SEQ = itertools.count()
+
+
+def _sink_name(tag: str) -> str:
+    """Unique memory-sink name per invocation (the sweep may run a
+    query several times in one session)."""
+    return f"strq_{tag}_{os.getpid()}_{next(_SINK_SEQ)}"
+
+
+def _events_stream_dir(spark, sf_dir: str) -> str:
+    """Materialize sf_dir's events table as a 4-file time-ranged stream
+    directory with pinned mtimes (FileStreamSource consumes in mtime
+    order; unpinned parallel-write mtimes are racy and can present
+    later time ranges first, making the watermark drop earlier files
+    as late). Idempotent per sf_dir via a _READY marker."""
+    # key in the source file's identity (mtime+size): a regenerated
+    # testdata file must invalidate the replay dir, or the stream
+    # would silently replay the previous generation
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    key = hashlib.md5(
+        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:8]
+    out = f"/tmp/qvss_stream_reg_{key}"
+    marker = os.path.join(out, "_READY")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw.repartitionByRange(4, F.col("ts")).write.mode("overwrite") \
+       .parquet(out)
+    import pyarrow.parquet as pq
+    parts = []
+    for f in os.listdir(out):
+        if f.endswith(".parquet") and not f.startswith((".", "_")):
+            p = os.path.join(out, f)
+            ts_min = min(pq.read_table(p, columns=["ts"])
+                         .column("ts").to_pylist())
+            parts.append((ts_min, p))
+    base = 1_700_000_000
+    for i, (_, p) in enumerate(sorted(parts)):
+        os.utime(p, (base + 100 * i, base + 100 * i))
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return out
+
+
+def _drain(spark, sf_dir: str, build, tag: str, output_mode="append"):
+    """Replay events through a streaming transform and return the
+    drained memory-sink contents as a batch DataFrame."""
+    from quake_vector_search_spark.streaming import windows as SW
+
+    stream = SW.read_events_stream(spark, _events_stream_dir(spark, sf_dir))
+    return SW.run_to_completion(build(stream), _sink_name(tag),
+                                output_mode=output_mode)
+
+
+@register("stream_tumbling_equals_batch", sql="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_batch_windows,
+       TRUE AS emitted_subset_of_batch,
+       TRUE AS emitted_ge_80pct
+FROM (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)), event_type
+      FROM events GROUP BY 1, 2)
+""")
+def stream_tumbling_equals_batch(spark, sf_dir):
+    """Streaming tumbling-window path under the oracle: drain the
+    watermarked hourly aggregate over the file-replayed events and
+    require every emitted (window, type, n) row to equal its batch
+    twin (tumbling_agg), with at least the watermark-closed 80% of
+    windows emitted (append mode holds the stream-tail windows open).
+    n_batch_windows anchors the row to DuckDB's own group count."""
+    from quake_vector_search_spark.operators import timeseries as TS
+    from quake_vector_search_spark.streaming import windows as SW
+
+    out = _drain(spark, sf_dir,
+                 lambda s: SW.tumbling_stream(s, "1 hour"), "tumble")
+    batch = TS.tumbling_agg(load_table(spark, sf_dir, "events"), "1 hour")
+    cols = ["window_start", "event_type", "n"]
+    got = {tuple(r) for r in out.select(*cols).collect()}
+    want = {tuple(r) for r in batch.select(*cols).collect()}
+    return spark.createDataFrame(
+        [(len(want), got <= want, len(got) >= 0.8 * len(want))],
+        "n_batch_windows long, emitted_subset_of_batch boolean, "
+        "emitted_ge_80pct boolean")
+
+
+@register("stream_session_equals_batch", sql="""
+WITH ordered AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu,
+         lag(CAST(ts AS TIMESTAMP)) OVER
+           (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+           AS prev_ts
+  FROM events
+)
+SELECT CAST(SUM(CASE WHEN prev_ts IS NULL
+                       OR epoch(tsu) - epoch(prev_ts) > 1800 THEN 1
+                ELSE 0 END) AS BIGINT) AS n_batch_sessions,
+       TRUE AS emitted_subset_of_batch,
+       TRUE AS emitted_ge_80pct
+FROM ordered
+""")
+def stream_session_equals_batch(spark, sf_dir):
+    """Streaming session-window path under the oracle: drained
+    session_window(30 min) sessions must each equal a batch sessionize
+    twin on (user, start, end, n_events) — session_window's end is
+    last-event + gap, so the batch end is shifted by the gap for the
+    comparison, exactly like tests/test_streaming.py. The anchor is
+    DuckDB's independent lag-gap session count."""
+    from quake_vector_search_spark.operators import timeseries as TS
+    from quake_vector_search_spark.streaming import windows as SW
+
+    out = _drain(spark, sf_dir,
+                 lambda s: SW.session_stream(s, "30 minutes"), "sess")
+    batch = (TS.sessionize(load_table(spark, sf_dir, "events"),
+                           gap_minutes=30)
+             .withColumn("session_end",
+                         F.col("session_end")
+                         + F.expr("INTERVAL 30 MINUTES")))
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    got = {tuple(r) for r in out.select(*cols).collect()}
+    want = {tuple(r) for r in batch.select(*cols).collect()}
+    return spark.createDataFrame(
+        [(len(want), got <= want, len(got) >= 0.8 * len(want))],
+        "n_batch_sessions long, emitted_subset_of_batch boolean, "
+        "emitted_ge_80pct boolean")
+
+
+@register("stream_dedup_equals_batch", sql="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct_keys,
+       TRUE AS keys_equal_batch
+FROM (SELECT DISTINCT user_id, event_type FROM events)
+""")
+def stream_dedup_equals_batch(spark, sf_dir):
+    """Streaming exact-dedup path under the oracle: dropDuplicates
+    with a watermark emits each (user_id, event_type) key exactly once
+    (first occurrence passes immediately; dedup state never holds
+    emissions back), so the drained key set must EQUAL the batch
+    distinct key set — set equality, not subset. Anchored to DuckDB's
+    COUNT(DISTINCT)."""
+    from quake_vector_search_spark.streaming import windows as SW
+
+    keys = ["user_id", "event_type"]
+    out = _drain(spark, sf_dir,
+                 lambda s: SW.dedup_stream(s, keys), "dedup")
+    got = {tuple(r) for r in out.select(*keys).collect()}
+    want = {tuple(r) for r in
+            load_table(spark, sf_dir, "events")
+            .select(*keys).distinct().collect()}
+    return spark.createDataFrame(
+        [(len(want), got == want)],
+        "n_distinct_keys long, keys_equal_batch boolean")
+
+
+@register("stream_kmv_equals_batch", sql="""
+WITH hashes AS (
+  SELECT DISTINCT
+    (CAST(concat('0x', substr(md5(concat('kmv', ':',
+         CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) + 1)
+      / 1152921504606846976.0 AS u
+  FROM events
+), mins AS (
+  SELECT u FROM hashes ORDER BY u ASC LIMIT 64
+), agg AS (
+  SELECT MAX(u) AS kth, CAST(COUNT(*) AS BIGINT) AS n_kept FROM mins
+)
+SELECT ROUND(kth, 10) AS kth_min_hash,
+       ROUND(CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+                  ELSE 63.0 / kth END, 4) AS est_distinct,
+       n_kept,
+       TRUE AS sketch_equals_batch
+FROM agg
+""")
+def stream_kmv_equals_batch(spark, sf_dir):
+    """Streaming KMV path under the oracle: drain the sharded
+    stateful sketch (streaming/stateful.py::kmv_stream) over the
+    replayed events' user_id, merge the shards' minima, and emit the
+    merged (kth_min_hash, est_distinct, n_kept) row itself — DuckDB
+    rebuilds the IDENTICAL sketch from the same portable hash, so the
+    values hash-match exactly (the strongest form: not a boolean, the
+    sketch content). sketch_equals_batch additionally pins
+    stream-then-merge == batch kmv_distinct inside Spark."""
+    from quake_vector_search_spark.operators.sketch import kmv_distinct
+    from quake_vector_search_spark.streaming.stateful import (
+        kmv_merge_rows,
+        kmv_stream,
+    )
+
+    k = 64
+    out = _drain(spark, sf_dir,
+                 lambda s: kmv_stream(s, "user_id", k=k), "kmv",
+                 output_mode="update")
+    merged = kmv_merge_rows(out, k=k)
+    batch = kmv_distinct(
+        load_table(spark, sf_dir, "events").select("user_id"),
+        "user_id", k=k)
+    mrow, brow = merged.head(), batch.head()
+    same = bool(mrow == brow)
+    return spark.createDataFrame(
+        [(float(mrow["kth_min_hash"]), float(mrow["est_distinct"]),
+          int(mrow["n_kept"]), same)],
+        "kth_min_hash double, est_distinct double, n_kept long, "
+        "sketch_equals_batch boolean")
+
+
+@register("stream_cms_equals_batch", sql="""
+WITH js AS (SELECT unnest(generate_series(0, 3)) AS j)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       TRUE AS cells_equal_batch
+FROM (SELECT DISTINCT js.j,
+             CAST(concat('0x', substr(md5(concat(js.j, ':', event_type)),
+                  1, 15)) AS BIGINT) % 256 AS bucket
+      FROM events CROSS JOIN js)
+""")
+def stream_cms_equals_batch(spark, sf_dir):
+    """Streaming count-min-sketch path under the oracle: the CMS is an
+    incremental aggregation, so the fully-drained stream sketch must
+    equal the batch sketch CELL FOR CELL — (j, bucket, c) set equality
+    over the same portable-md5 hashing. Anchored to DuckDB building
+    the identical cell set independently (n_cells)."""
+    from quake_vector_search_spark.operators.sketch import cms_sketch
+    from quake_vector_search_spark.streaming import windows as SW
+
+    out = _drain(spark, sf_dir,
+                 lambda s: SW.cms_stream(s, "event_type"), "cms",
+                 output_mode="complete")
+    batch = cms_sketch(
+        load_table(spark, sf_dir, "events").select("event_type"),
+        "event_type")
+    got = {tuple(r) for r in out.select("j", "bucket", "c").collect()}
+    want = {tuple(r) for r in batch.select("j", "bucket", "c").collect()}
+    return spark.createDataFrame(
+        [(len(want), got == want)],
+        "n_cells long, cells_equal_batch boolean")

@@ -81,7 +81,14 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     100 TB the scan is naturally wide and this never triggers."""
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        # partition count straight off the physical plan's RDD (no
+        # job, no Python-side Row serializer the `df.rdd` wrapper
+        # builds); private API, so fall back to the public path
+        n = df._jdf.queryExecution().toRdd().getNumPartitions()
+    except Exception:
+        n = df.rdd.getNumPartitions()
+    if n >= target:
         return df
     return df.repartition(target)
 

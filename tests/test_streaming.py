@@ -222,6 +222,38 @@ def test_stateful_running_totals_match_batch(spark, events_dir):
         assert g["last_ts"] == e["last_ts"], uid
 
 
+def test_streaming_kmv_matches_batch(spark, events_dir):
+    """Sharded stateful KMV: drain, merge the shards' minima, and the
+    result must equal the batch kmv_distinct sketch EXACTLY (same
+    portable hash, disjoint shard hash ranges ⇒ union of per-shard
+    minima ⊇ global k smallest). k=8 < n_distinct exercises the
+    kth-min estimation path, not the exact-count fallback
+    (sf0.001 events has 15 distinct users)."""
+    from quake_vector_search_spark.operators.sketch import kmv_distinct
+    from quake_vector_search_spark.streaming.stateful import (
+        kmv_merge_rows,
+        kmv_stream,
+    )
+
+    stream = SW.read_events_stream(spark, events_dir)
+    out = kmv_stream(stream, "user_id", k=8, n_shards=4)
+    q = (out.writeStream.outputMode("update")
+         .format("memory").queryName("kmv_sink").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    drained = spark.sql("SELECT * FROM kmv_sink")
+    merged = kmv_merge_rows(drained, k=8).head()
+    batch = kmv_distinct(load_table(spark, SF, "events")
+                         .select("user_id"), "user_id", k=8).head()
+    assert merged == batch
+    assert merged["n_kept"] == 8           # estimation path, not exact
+    # state boundedness: no shard ever emitted more than k minima
+    assert drained.select(F.size("mins").alias("s")) \
+        .agg(F.max("s")).head()[0] <= 8
+
+
 def test_streaming_dedup_matches_batch(spark, events_dir):
     """dropDuplicates on the stream keeps exactly one row per key —
     same distinct-key set as batch."""
