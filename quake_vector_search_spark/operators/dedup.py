@@ -600,3 +600,50 @@ def cluster_blocked_cosine_pairs(emb: DataFrame, threshold: float,
             .withColumn("cosine", cosine_similarity_col("va", "vb"))
             .where(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cluster_id", "cosine"))
+
+
+def semantic_dedup_pairs(emb: DataFrame, threshold: float,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         label_col: str = "label") -> DataFrame:
+    """Operator-level semantic dedup, BLAS assignment path — the fast
+    twin of the registered ``dedup_semantic_clustered`` query (which
+    keeps the fully-relational posexplode→join→min_by assignment so
+    DuckDB can hash-match the whole pipeline; ~7 s at sf0.01 there vs
+    one matmul per Arrow batch here).
+
+    Same SemDeDup shape: label centroids → nearest-centroid
+    assignment → exhaustive cosine only within clusters. The centroid
+    table is labels × d doubles (broadcast-scale by construction — one
+    row per class, not per vector), so collecting it driver-side is
+    the same bounded pattern the IVF search path uses for its
+    centroids. argmin ties break toward the lowest label on both
+    paths (np.argmin lowest index over label-sorted centroids ≡ the
+    relational (d2, cand_label) struct-min); measured label-centroid
+    gaps on the generated embeddings are ≥3.2e-6 — far above kernel
+    float noise (see dedup_semantic_clustered's docstring)."""
+    import numpy as np
+
+    from quake_vector_search_spark.operators.kmeans import assign_clusters
+
+    cent_rows = (emb.select(F.col(label_col),
+                            F.posexplode(vec_col).alias("dim_pos", "v"))
+                 .groupBy(label_col, "dim_pos")
+                 .agg(F.avg(F.col("v").cast("double")).alias("c"))
+                 .collect())
+    labels = sorted({r[label_col] for r in cent_rows})
+    lab_ix = {lab: i for i, lab in enumerate(labels)}
+    d = max(r["dim_pos"] for r in cent_rows) + 1
+    cents = np.zeros((len(labels), d), dtype=np.float64)
+    for r in cent_rows:
+        cents[lab_ix[r[label_col]], r["dim_pos"]] = float(r["c"])
+    assigned = assign_clusters(emb.select(id_col, vec_col), cents,
+                               vec_col=vec_col, out_col="_cix")
+    ix_to_label = F.create_map(
+        *[x for i, lab in enumerate(labels)
+          for x in (F.lit(i), F.lit(lab))])
+    clustered = (assigned
+                 .withColumn("cluster_id", ix_to_label[F.col("_cix")])
+                 .drop("_cix"))
+    return cluster_blocked_cosine_pairs(clustered, threshold,
+                                        "cluster_id", id_col, vec_col)

@@ -483,6 +483,33 @@ def test_cosine_pairs_lsh_null_vector_handling(spark):
     assert cosine_pairs_lsh(empty, threshold=0.9).count() == 0
 
 
+def test_semantic_dedup_blas_twin_matches_relational(spark):
+    """The BLAS assignment twin (operators/dedup.py::
+    semantic_dedup_pairs) must produce the exact pair set of the
+    registered relational pipeline (dedup_semantic_clustered) — same
+    centroids, same argmin tie-break, measured margins far above
+    kernel float noise."""
+    from quake_vector_search_spark.operators.dedup import (
+        semantic_dedup_pairs,
+    )
+    from quake_vector_search_spark.queries import (
+        REGISTRY,
+        load_all_query_modules,
+    )
+    from quake_vector_search_spark.sources import load_table
+
+    load_all_query_modules()
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    blas = {(r["id_a"], r["id_b"], r["cluster_id"])
+            for r in semantic_dedup_pairs(emb, threshold=0.45).collect()}
+    rel = {(r["id_a"], r["id_b"], r["cluster_id"])
+           for r in REGISTRY["dedup_semantic_clustered"]
+           .fn(spark, sf).collect()}
+    assert blas == rel
+    assert len(blas) > 0
+
+
 def test_psi_drift_empty_reference_raises(spark):
     """An empty (or all-NULL) reference snapshot cannot supply bucket
     edges: psi_drift must raise a clear ValueError, not crash with
