@@ -602,6 +602,38 @@ def cluster_blocked_cosine_pairs(emb: DataFrame, threshold: float,
             .select("id_a", "id_b", "cluster_id", "cosine"))
 
 
+def decontaminate_flags(train: DataFrame, eval_docs: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n: int = 5) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/PaLM training-data rule:
+    drop or flag training documents that share any long word n-gram
+    with an evaluation set — exact-substring leakage detection at the
+    n-gram granularity).
+
+    Plan shape for 100 TB of train vs a benchmark-sized eval set: the
+    eval side reduces to its DISTINCT n-gram set (benchmarks are
+    thousands of documents — broadcast-scale by nature), the train
+    side's shingles semi-join against that broadcast, and the flag is
+    a groupBy on the train id. The train table is scanned once,
+    narrow, and never shuffles its text — only (id, gram-hit) rows
+    after the broadcast join. If the eval set ever outgrew broadcast,
+    drop the hint and the same plan runs as a shuffle join.
+
+    Returns (id, n_shared_grams, contaminated) for EVERY train doc.
+    """
+    tg = doc_shingles(train, id_col, text_col, n=n)
+    eg = (doc_shingles(eval_docs, id_col, text_col, n=n)
+          .select("sh").distinct())
+    hits = (tg.join(F.broadcast(eg), "sh")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_shared_grams")))
+    return (train.select(id_col).join(hits, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_shared_grams", F.lit(0))
+                     .alias("n_shared_grams"))
+            .withColumn("contaminated", F.col("n_shared_grams") > 0))
+
+
 def semantic_dedup_pairs(emb: DataFrame, threshold: float,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding",

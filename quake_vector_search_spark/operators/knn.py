@@ -230,3 +230,44 @@ def hard_negatives(corpus_df: DataFrame, queries_df: DataFrame,
     if out is None:
         return _empty_result(corpus_df.sparkSession, "dist")
     return out
+
+
+def knn_graph_blocked(emb: DataFrame, k: int = 5,
+                      block_col: str = "label",
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """kNN-graph construction (training-pipeline op): the exact k
+    nearest neighbors of EVERY vector, blocked by a clustering column
+    — the all-pairs sibling of the query-block search above, and the
+    input shape for graph-based curation (diversity sampling,
+    SemDeDup-style pruning, label propagation, connected-component
+    dedup over embedding space).
+
+    A global exact kNN graph is n² by definition; the practical recipe
+    blocks by a coarse clustering (k-means cells, IVF partitions — any
+    assignment column) and computes exactly within blocks, the same
+    Σ|block|² bound the semantic-dedup operator rides. Plan: one
+    equi-join on the block key (shuffle moves each block once), the
+    distance as a codegen column expression, and a per-source window
+    for the top-k — no crossJoin, no broadcast of the corpus, no UDF.
+
+    Returns (src, dst, block, dist, rank), rank 1..k by
+    (dist ASC, dst ASC) per src; blocks smaller than k+1 yield fewer
+    rows for their members (no padding).
+    """
+    from quake_vector_search_spark.functions.vector import l2_col
+
+    a = emb.select(F.col(block_col).alias("block"),
+                   F.col(id_col).alias("src"),
+                   F.col(vec_col).alias("_va"))
+    b = emb.select(F.col(block_col).alias("block"),
+                   F.col(id_col).alias("dst"),
+                   F.col(vec_col).alias("_vb"))
+    w = (Window.partitionBy("src")
+         .orderBy(F.col("dist").asc(), F.col("dst").asc()))
+    return (a.join(b, ["block"])
+            .where(F.col("src") != F.col("dst"))
+            .withColumn("dist", l2_col("_va", "_vb"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("src", "dst", "block", "dist", "rank"))

@@ -116,3 +116,60 @@ def kmv_distinct(df: DataFrame, item_col: str, k: int = 256) -> DataFrame:
             .select("kth_min_hash",
                     F.round("est_distinct_raw", 4).alias("est_distinct"),
                     "n_kept"))
+
+
+BLOOM_M = 4096   # bits
+BLOOM_K = 4      # hash functions
+
+
+def bloom_bits(df: DataFrame, item_col: str,
+               m: int = BLOOM_M, k: int = BLOOM_K) -> DataFrame:
+    """Bloom filter as a relation: the DISTINCT set bit positions of
+    every item under k portable md5 hashes — ≤ m rows total however
+    many items went in, MERGEABLE by plain union (the same property
+    that makes the CMS/KMV relations the distributed sketch forms).
+    One narrow explode + one distinct shuffle bounded by m.
+
+    The third sketch in the family: CMS answers "how often", KMV
+    answers "how many distinct", Bloom answers "have I seen this" —
+    the membership gate of dedup-at-ingest and join pre-filtering.
+    Hashing is the same portable md5 → bigint scheme, so any engine
+    builds the identical bit set (the DuckDB oracle does).
+
+    Returns (bit) rows, bit ∈ [0, m).
+    """
+    j = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j")
+    d = df.select(F.col(item_col).alias("item")) \
+          .where(F.col("item").isNotNull()).select("item", j)
+    tag = F.concat(F.lit("bloom"), F.col("j").cast("string"),
+                   F.lit(":"), F.col("item").cast("string"))
+    bit = (F.conv(F.substring(F.md5(tag), 1, 15), 16, 10)
+           .cast("long") % m)
+    return d.select(bit.alias("bit")).distinct()
+
+
+def bloom_membership(bits: DataFrame, candidates: DataFrame,
+                     item_col: str,
+                     m: int = BLOOM_M, k: int = BLOOM_K) -> DataFrame:
+    """Probe the sketch: a candidate is maybe-present iff ALL k of its
+    bits are set (no false negatives ever; false-positive rate
+    ≈ (1 − e^{−kn/m})^k). The bit relation broadcasts (≤ m rows);
+    candidates stay distributed and never shuffle.
+
+    Returns (item_col, maybe_present).
+    """
+    j = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j")
+    cand = (candidates.select(F.col(item_col))
+            .where(F.col(item_col).isNotNull())
+            .distinct().select(item_col, j))
+    tag = F.concat(F.lit("bloom"), F.col("j").cast("string"),
+                   F.lit(":"), F.col(item_col).cast("string"))
+    bit = (F.conv(F.substring(F.md5(tag), 1, 15), 16, 10)
+           .cast("long") % m)
+    probe = cand.select(item_col, bit.alias("_pbit"))
+    setbits = bits.select(F.col("bit").alias("_setbit"))
+    hit = F.when(F.col("_setbit").isNotNull(), 1).otherwise(0)
+    return (probe.join(F.broadcast(setbits),
+                       probe["_pbit"] == setbits["_setbit"], "left")
+            .groupBy(item_col)
+            .agg((F.sum(hit) == F.lit(k)).alias("maybe_present")))

@@ -290,3 +290,84 @@ def kgram_fingerprints(docs: DataFrame, k: int = 8, w: int = 4,
     return (d.withColumn("_mn", F.min("fp_hash").over(fwd))
             .where(F.col("fp_hash") == F.col("_mn"))
             .drop("_mn"))
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", n: int = 3) -> DataFrame:
+    """Within-document repetition signal (the Gopher/MassiveText
+    quality-rule family: high duplicate-n-gram fraction marks
+    boilerplate, keyword stuffing, and degenerate generations):
+    per document, the fraction of n-gram OCCURRENCES that repeat an
+    earlier n-gram in the same document — dup_frac = (T − D)/T with
+    T = total occurrences, D = distinct.
+
+    Purely narrow (per-row array arithmetic, no shuffle at all), so it
+    composes into an ingest scan at any scale. dup_frac is a rational
+    of two in-row integers, rounded with the exact integer HALF_UP
+    arithmetic (_r6) — engine-portable, no float boundary flips.
+
+    Returns (id, n_grams, n_distinct, dup_frac); docs shorter than n
+    words report T = 0, dup_frac = 0.
+    """
+    w = F.split(F.col(text_col), " ")
+    gram = " , ".join(f"element_at(_w, i + {j})" for j in range(n))
+    grams = F.expr(
+        f"CASE WHEN size(_w) >= {n} THEN "
+        f"transform(sequence(1, size(_w) - {n - 1}), "
+        f"i -> concat_ws(' ', {gram})) "
+        f"ELSE array() END")
+    d = (docs.select(F.col(id_col), w.alias("_w"))
+         .select(id_col, grams.alias("_g"))
+         .select(id_col,
+                 F.size("_g").cast("long").alias("n_grams"),
+                 F.size(F.array_distinct("_g")).cast("long")
+                  .alias("n_distinct")))
+    dup = F.when(F.col("n_grams") > 0,
+                 _r6(F.col("n_grams") - F.col("n_distinct"),
+                     F.col("n_grams"))).otherwise(F.lit(0.0))
+    return d.select(id_col, "n_grams", "n_distinct",
+                    dup.alias("dup_frac"))
+
+
+def bigram_lm_scores(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Corpus-LM fluency score (the perplexity-filter shape of LLM
+    data pipelines, with the corpus itself as the language model):
+    train an MLE bigram model on the whole corpus in one aggregation,
+    then score every document by its mean bigram log-probability
+    avg ln P(w2|w1), P(w2|w1) = c(w1 w2) / c(w1 ·). Low scores mark
+    text whose transitions are rare in the corpus — gibberish,
+    boilerplate with unusual joins, wrong-language fragments.
+
+    Plan: one narrow explode to (doc, w1, w2) occurrences; bigram and
+    context counts are two partial-combining aggregates over distinct
+    grams (shuffle moves the vocabulary, not the occurrences); the
+    scoring join is occurrences ⋈ bigram-counts on (w1, w2) — a plain
+    equi-join that AQE handles at any scale. Every document bigram
+    exists in the model by construction (the corpus trained on it), so
+    MLE needs no smoothing and no log(0) guard.
+
+    Returns (id, n_bigrams, avg_logp) for documents with ≥ 1 bigram;
+    avg_logp rounded to 4 (an irrational log sum — float rounding,
+    same class as the revenue aggregates, not a .5-boundary rational).
+    """
+    w = F.split(F.col(text_col), " ")
+    pairs = F.expr(
+        "CASE WHEN size(_w) >= 2 THEN "
+        "transform(sequence(1, size(_w) - 1), "
+        "i -> struct(element_at(_w, i) AS w1, "
+        "element_at(_w, i + 1) AS w2)) "
+        "ELSE array() END")
+    occ = (docs.select(F.col(id_col), w.alias("_w"))
+           .select(id_col, F.explode(pairs).alias("p"))
+           .select(id_col, "p.w1", "p.w2"))
+    bg = occ.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ctx = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    model = bg.join(ctx, "w1")
+    scored = (occ.join(model, ["w1", "w2"])
+              .groupBy(id_col)
+              .agg(F.count("*").alias("n_bigrams"),
+                   F.avg(F.log(F.col("c12").cast("double")
+                               / F.col("c1"))).alias("_alp")))
+    return scored.select(id_col, "n_bigrams",
+                         F.round("_alp", 4).alias("avg_logp"))

@@ -314,3 +314,189 @@ def q_mixture_sample(spark, sf_dir):
     out = mixture_sample(docs, {"src0": 4, "src1": 3, "src2": 2,
                                 "src3": 1}, n_total=60, seed=47)
     return out.select("doc_id", "source")
+
+
+# ---------------------------------------------------------------- round 5
+
+
+@register("text_repetition", sql="""
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+           [string_split(text, ' ')[i] || ' ' ||
+            string_split(text, ' ')[i+1] || ' ' ||
+            string_split(text, ' ')[i+2]
+            for i in range(1, len(string_split(text, ' ')) - 1)]
+         ELSE [] END AS gs
+  FROM documents
+), m AS (
+  SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams,
+         CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct
+  FROM g
+)
+SELECT doc_id, n_grams, n_distinct,
+       CASE WHEN n_grams > 0 THEN
+         CAST((2*(n_grams - n_distinct)*1000000 + n_grams)
+              // (2*n_grams) AS DOUBLE) / 1e6
+       ELSE 0.0 END AS dup_frac
+FROM m
+""")
+def text_repetition(spark, sf_dir):
+    """Gopher-style duplicate-3-gram fraction per document
+    (operators/text.py::repetition_stats): the boilerplate /
+    keyword-stuffing / degenerate-generation quality rule. Fully
+    narrow (no shuffle); dup_frac is an exact integer-rounded rational
+    so the hash gate is float-boundary-proof."""
+    from quake_vector_search_spark.operators.text import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs, n=3)
+
+
+@register("text_bigram_lm", sql="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), occ0 AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 2 THEN
+           [{'w1': ws[i], 'w2': ws[i+1]} for i in range(1, len(ws))]
+         ELSE [] END AS ps
+  FROM w
+), occ AS (
+  SELECT doc_id, p.w1 AS w1, p.w2 AS w2
+  FROM (SELECT doc_id, unnest(ps) AS p FROM occ0)
+), bg AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM occ GROUP BY 1, 2
+), ctx AS (
+  SELECT w1, SUM(c12) AS c1 FROM bg GROUP BY 1
+)
+SELECT o.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(ln(CAST(b.c12 AS DOUBLE) / c.c1)), 4) AS avg_logp
+FROM occ o
+JOIN bg b ON b.w1 = o.w1 AND b.w2 = o.w2
+JOIN ctx c ON c.w1 = o.w1
+GROUP BY o.doc_id
+""")
+def text_bigram_lm(spark, sf_dir):
+    """Corpus-bigram-LM fluency score per document (operators/
+    text.py::bigram_lm_scores) — the perplexity-filter shape of LLM
+    data pipelines with the corpus as its own model: avg ln P(w2|w1),
+    MLE, no smoothing needed (every scored bigram trained the model).
+    Low scores mark rare-transition text."""
+    from quake_vector_search_spark.operators.text import bigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs)
+
+
+@register("text_decontaminate", sql="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 5 THEN
+           list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                          || ' ' || ws[i+3] || ' ' || ws[i+4]
+                          for i in range(1, len(ws) - 3)])
+         ELSE [] END AS gs
+  FROM w
+), sh AS (
+  SELECT doc_id, unnest(gs) AS sh FROM g
+), ev AS (
+  SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0
+), hits AS (
+  SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+  FROM sh s JOIN ev USING (sh)
+  WHERE s.doc_id % 50 <> 0
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.n_shared_grams, 0) AS n_shared_grams,
+       COALESCE(h.n_shared_grams, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+LEFT JOIN hits h USING (doc_id)
+""")
+def text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/dedup.py::
+    decontaminate_flags): the GPT-3/PaLM training-data rule — flag
+    train documents sharing any 5-word-gram with the eval set (here a
+    deterministic 2% doc_id slice standing in for a benchmark). Eval
+    grams broadcast; the train scan stays narrow."""
+    from quake_vector_search_spark.operators.dedup import (
+        decontaminate_flags,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 50 == 0)
+    train = docs.where(F.col("doc_id") % 50 != 0)
+    return decontaminate_flags(train, ev, n=5)
+
+
+@register("q_bloom_membership", sql="""
+WITH js AS (SELECT unnest(generate_series(0, 3)) AS j),
+items AS (SELECT DISTINCT o_custkey FROM orders),
+bits AS (
+  SELECT DISTINCT
+    CAST(concat('0x', substr(md5(concat('bloom', js.j, ':',
+         CAST(items.o_custkey AS VARCHAR))), 1, 15)) AS BIGINT) % 4096
+      AS bit
+  FROM items CROSS JOIN js
+), cand AS (
+  SELECT c_custkey, js.j,
+    CAST(concat('0x', substr(md5(concat('bloom', js.j, ':',
+         CAST(c_custkey AS VARCHAR))), 1, 15)) AS BIGINT) % 4096 AS bit
+  FROM (SELECT DISTINCT c_custkey FROM customer) CROSS JOIN js
+)
+SELECT c.c_custkey,
+       (SUM(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) = 4)
+         AS maybe_present
+FROM cand c LEFT JOIN bits b ON b.bit = c.bit
+GROUP BY c.c_custkey
+""")
+def q_bloom_membership(spark, sf_dir):
+    """Bloom-filter membership (operators/sketch.py::bloom_bits /
+    bloom_membership) — the third sketch next to CMS (frequency) and
+    KMV (cardinality): build the bit set over customers WITH orders,
+    probe every customer. Deterministic portable hashing means DuckDB
+    builds the identical filter, so the per-candidate flags hash-match
+    exactly — including which non-members false-positive."""
+    from quake_vector_search_spark.operators.sketch import (
+        bloom_bits,
+        bloom_membership,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    bits = bloom_bits(orders.select("o_custkey").distinct(), "o_custkey")
+    return bloom_membership(bits, customer, "c_custkey")
+
+
+@register("emb_knn_graph", sql="""
+WITH d AS (
+  SELECT a.label AS block, a.vec_id AS src, b.vec_id AS dst,
+         list_distance(CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])) AS dist
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id <> b.vec_id
+), r AS (
+  SELECT src, dst, block, dist,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY dist ASC, dst ASC) AS rank
+  FROM d
+)
+SELECT src, dst, block, ROUND(dist, 6) AS dist, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 5
+""")
+def emb_knn_graph(spark, sf_dir):
+    """kNN-graph construction (operators/knn.py::knn_graph_blocked):
+    exact 5 nearest neighbors of EVERY vector within its cluster block
+    — the input shape for graph-based curation (diversity sampling,
+    label propagation, embedding-space dedup). Blocked equi-join +
+    codegen distance + per-source window; Σ|block|², never global n².
+    The DuckDB oracle is the in-block n² definition, so the hash match
+    proves the plan computes it exactly."""
+    from quake_vector_search_spark.operators.knn import knn_graph_blocked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = knn_graph_blocked(emb, k=5, block_col="label")
+    return out.withColumn("dist", F.round("dist", 6))

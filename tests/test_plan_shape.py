@@ -261,6 +261,48 @@ def test_fuzzy_join_is_blocked_not_quadratic(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_round5_ops_plan_shapes(spark):
+    """Round-5 operators keep their scale claims in the plan:
+    repetition scoring is fully narrow (composes into ingest scans);
+    decontamination broadcasts the eval gram set and never
+    cross-joins; bloom probes broadcast the ≤m-row bit relation; the
+    kNN graph is a blocked equi-join, never a cartesian."""
+    from quake_vector_search_spark.operators.dedup import (
+        decontaminate_flags,
+    )
+    from quake_vector_search_spark.operators.knn import knn_graph_blocked
+    from quake_vector_search_spark.operators.sketch import (
+        bloom_bits,
+        bloom_membership,
+    )
+    from quake_vector_search_spark.operators.text import repetition_stats
+    from quake_vector_search_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    rep = _plan(repetition_stats(docs))
+    assert "Exchange" not in rep          # narrow end to end
+
+    from pyspark.sql import functions as F
+    ev = docs.where(F.col("doc_id") % 50 == 0)
+    tr = docs.where(F.col("doc_id") % 50 != 0)
+    dec = _plan(decontaminate_flags(tr, ev))
+    assert "CartesianProduct" not in dec
+    assert "BroadcastExchange" in dec     # eval grams broadcast
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    customer = load_table(spark, SF_SMOKE, "customer")
+    bloom = _plan(bloom_membership(
+        bloom_bits(orders.select("o_custkey"), "o_custkey"),
+        customer, "c_custkey"))
+    assert "CartesianProduct" not in bloom
+    assert "BroadcastExchange" in bloom   # bit relation broadcasts
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    graph = _plan(knn_graph_blocked(emb, k=3))
+    assert "CartesianProduct" not in graph
+    assert "BroadcastNestedLoopJoin" not in graph
+
+
 def _unpartitioned_window_hits(plan: str) -> list[str]:
     """Physical-plan lines where a Window/WindowGroupLimit node's
     required sort is satisfied by an Exchange SinglePartition — the
