@@ -500,3 +500,113 @@ def emb_knn_graph(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     out = knn_graph_blocked(emb, k=5, block_col="label")
     return out.withColumn("dist", F.round("dist", 6))
+
+
+@register("knn_bq_rerank", sql="""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec
+  FROM embeddings WHERE vec_id < 5
+), d AS (
+  SELECT q.query_id, e.vec_id,
+         list_distance(CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.qvec AS DOUBLE[])) AS dist
+  FROM embeddings e CROSS JOIN q
+), r AS (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist ASC, vec_id ASC) AS rank
+  FROM d
+)
+SELECT query_id, vec_id, ROUND(dist, 6) AS dist, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 10
+""")
+def knn_bq_rerank(spark, sf_dir):
+    """Binary-quantized kNN (operators/quantization.py::knn_bq):
+    sign-bit codes (1 bit/dim — nothing to train), xor+popcount
+    hamming prerank fully inside whole-stage codegen, exact rerank of
+    the corpus-scaled candidate set; brute force is the oracle.
+    Completes the quantization ladder BQ < PQ < SQ8 < float. Same
+    empirical-robustness caveat as the PQ family (no hard prerank
+    survival bound; knn_pq_recall_guard's pattern applies)."""
+    from quake_vector_search_spark.operators.quantization import knn_bq
+
+    K = 10
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5) \
+                 .withColumnRenamed("vec_id", "query_id")
+    n = emb.count()
+    out = knn_bq(emb, queries, k=K,
+                 oversample=max(16, -(-n // (2 * K))))
+    return out.withColumn("dist", F.round("dist", 6))
+
+
+@register("q_training_corpus_pipeline", sql="""
+WITH en AS (
+  SELECT doc_id, text, source, n_chars FROM documents WHERE lang = 'en'
+), alpha AS (
+  SELECT * FROM en
+  WHERE 5 * CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+               AS BIGINT)
+        >= 4 * CAST(greatest(length(text), 1) AS BIGINT)
+), rep AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+             [string_split(text, ' ')[i] || ' ' ||
+              string_split(text, ' ')[i+1] || ' ' ||
+              string_split(text, ' ')[i+2]
+              for i in range(1, len(string_split(text, ' ')) - 1)]
+           ELSE [] END AS gs
+    FROM alpha)
+  WHERE len(gs) = 0
+     OR 100 * (len(gs) - len(list_distinct(gs))) <= len(gs)
+), keepfirst AS (
+  SELECT a.doc_id, a.source, a.n_chars FROM (
+    SELECT doc_id, source, n_chars,
+           row_number() OVER (
+             PARTITION BY md5(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+               ' +', ' ', 'g')))
+             ORDER BY doc_id) AS rn
+    FROM alpha WHERE doc_id IN (SELECT doc_id FROM rep)) a
+  WHERE a.rn = 1
+)
+SELECT doc_id, source, n_chars FROM keepfirst
+WHERE CAST(concat('0x', substr(md5(concat('51', ':',
+       CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 10000 < 5000
+""")
+def q_training_corpus_pipeline(spark, sf_dir):
+    """End-to-end corpus curation — the deliverable an LLM data
+    pipeline actually ships, composed from the repo's own stages and
+    hash-checked as ONE query: language filter (metadata, pushed to
+    the scan) → alphabetic-ratio quality gate (integer comparison, no
+    float) → repetition gate (duplicate-3-gram ≤ 1%, integer) →
+    exact dedup keep-first on the normalized fingerprint → 50%
+    deterministic stratified sample by source. Every stage is a
+    narrow filter, a broadcast semi-join, or one keyed shuffle —
+    the composition inherits each stage's scale story."""
+    from quake_vector_search_spark.operators import text as T
+    from quake_vector_search_spark.operators.sampling import (
+        stratified_sample,
+    )
+    from quake_vector_search_spark.operators.text import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    en = docs.where(F.col("lang") == "en") \
+             .select("doc_id", "text", "source", "n_chars")
+    L = F.greatest(F.length("text"), F.lit(1)).cast("long")
+    na = F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("long")
+    alpha = en.where(F.lit(5) * na >= F.lit(4) * L)
+    rep_ok = (repetition_stats(alpha, n=3)
+              .where((F.col("n_grams") == 0)
+                     | (F.lit(100) * (F.col("n_grams")
+                                      - F.col("n_distinct"))
+                        <= F.col("n_grams")))
+              .select("doc_id"))
+    filt = alpha.join(rep_ok, "doc_id", "left_semi")
+    keep = (T.fingerprint(filt).where(~F.col("is_dup"))
+            .select("doc_id"))
+    kept = filt.join(keep, "doc_id", "left_semi")
+    samp = stratified_sample(kept, "source", 0.5,
+                             id_col="doc_id", seed=51)
+    return samp.select("doc_id", "source", "n_chars")

@@ -510,6 +510,47 @@ def test_semantic_dedup_blas_twin_matches_relational(spark):
     assert len(blas) > 0
 
 
+def test_bq_encode_packs_sign_bits(spark):
+    """Binary quantization: code words must be the exact sign
+    bit-pattern (bit i of word w = vec[64w+i] >= 0), including the
+    signed-long wrap when bit 63 is set, and dims beyond 64 spill into
+    the next word."""
+    from quake_vector_search_spark.operators.quantization import (
+        bq_encode,
+        knn_bq,
+    )
+
+    # 64-dim: all non-negative → all 64 bits set → -1 as signed long
+    v_all = [1.0] * 64
+    # bit 0 and bit 63 only
+    v_ends = [1.0] + [-1.0] * 62 + [0.0]   # >= 0 rule: 0.0 sets the bit
+    # 70-dim: second word holds bits 64..69
+    v_spill = [-1.0] * 64 + [1.0] * 6
+    df64 = spark.createDataFrame(
+        [(0, v_all), (1, v_ends)], "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: list(r["bq_code"])
+           for r in bq_encode(df64).collect()}
+    assert got[0] == [-1]
+    assert got[1] == [1 + (1 << 63) - (1 << 64)]   # bit0 + bit63, signed
+    df70 = spark.createDataFrame(
+        [(0, v_spill)], "vec_id long, embedding array<float>")
+    [r] = bq_encode(df70).collect()
+    assert list(r["bq_code"]) == [0, 0b111111]
+
+    # end-to-end: BQ + corpus-scaled rerank equals brute force
+    from quake_vector_search_spark.operators.knn import knn_bruteforce
+    from quake_vector_search_spark.sources import load_table
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qs = (emb.where(F.col("vec_id") < 3)
+          .withColumnRenamed("vec_id", "query_id"))
+    n = emb.count()
+    bq = knn_bq(emb, qs, k=5, oversample=max(16, -(-n // 10)))
+    bf = knn_bruteforce(emb, qs, k=5)
+    key = ["query_id", "vec_id", "rank"]
+    assert sorted(map(tuple, bq.select(*key).collect())) == \
+           sorted(map(tuple, bf.select(*key).collect()))
+
+
 def test_psi_drift_empty_reference_raises(spark):
     """An empty (or all-NULL) reference snapshot cannot supply bucket
     edges: psi_drift must raise a clear ValueError, not crash with
