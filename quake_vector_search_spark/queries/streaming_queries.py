@@ -262,3 +262,84 @@ def stream_cms_equals_batch(spark, sf_dir):
     return spark.createDataFrame(
         [(len(want), got == want)],
         "n_cells long, cells_equal_batch boolean")
+
+
+@register("stream_stateful_totals_equals_batch", sql="""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value,
+       ROUND(MAX(value), 6) AS max_value
+FROM events
+GROUP BY user_id
+""")
+def stream_stateful_totals_equals_batch(spark, sf_dir):
+    """The applyInPandasWithState custom-operator path under the
+    oracle, value-hashed DIRECTLY (no booleans): drain the per-user
+    running-totals stream and emit each user's FINAL state row —
+    DuckDB computes the batch lifetime aggregates over the same
+    events, so every count and sum must match cell for cell. This is
+    the strongest form for a stateful operator: the state machine's
+    end state IS the batch aggregate."""
+    from pyspark.sql import Window
+    from quake_vector_search_spark.streaming.stateful import (
+        user_running_totals,
+    )
+
+    out = _drain(spark, sf_dir, user_running_totals, "totals",
+                 output_mode="update")
+    latest = (out.withColumn(
+        "_rn", F.row_number().over(
+            Window.partitionBy("user_id")
+            .orderBy(F.col("n_events").desc())))
+        .where(F.col("_rn") == 1))
+    return latest.select(
+        "user_id", "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+        F.round("max_value", 6).alias("max_value"))
+
+
+@register("stream_interval_join_equals_batch", sql="""
+WITH p AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS tsu FROM events
+  WHERE event_type = 'purchase'
+), c AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS tsu FROM events
+  WHERE event_type = 'click'
+)
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+       ROUND(epoch(p.tsu) - epoch(c.tsu), 6) AS gap_s
+FROM c JOIN p
+  ON p.user_id = c.user_id
+ AND p.tsu >= c.tsu
+ AND p.tsu <= c.tsu + INTERVAL 1 HOUR
+""")
+def stream_interval_join_equals_batch(spark, sf_dir):
+    """The watermarked stream-stream join path under the oracle,
+    value-hashed directly: replay clicks and purchases as two streams,
+    inner interval join (1h attribution window, 2h watermarks), drain,
+    and the emitted pair set must equal the batch join — DuckDB
+    computes the definition. Inner stream-stream pairs emit as soon
+    as both sides arrive; the 2h watermark > 1h window guarantees no
+    state needed for a possible match is evicted early, so the drained
+    output is COMPLETE, not a subset."""
+    from quake_vector_search_spark.streaming import windows as SW
+
+    sdir = _events_stream_dir(spark, sf_dir)
+    clicks = (SW.read_events_stream(spark, sdir)
+              .where(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"), "user_id",
+                      F.col("ts").alias("click_ts")))
+    purchases = (SW.read_events_stream(spark, sdir)
+                 .where(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_id"),
+                         "user_id",
+                         F.col("ts").alias("purchase_ts")))
+    joined = SW.interval_join_stream(
+        clicks, purchases, "user_id", "click_ts", "purchase_ts",
+        upper_s=3600)
+    out = SW.run_to_completion(joined, _sink_name("ivj"))
+    return out.select(
+        "purchase_id", "click_id", "user_id",
+        F.round((F.unix_micros("purchase_ts")
+                 - F.unix_micros("click_ts")) / 1_000_000.0, 6)
+         .alias("gap_s"))
