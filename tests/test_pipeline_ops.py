@@ -510,6 +510,55 @@ def test_semantic_dedup_blas_twin_matches_relational(spark):
     assert len(blas) > 0
 
 
+def test_bloom_never_false_negative(spark):
+    """Bloom property (hypothesis, SURVEY §5.2 style): for ANY member
+    set, every member probes maybe_present=True — false negatives are
+    structurally impossible; non-members may false-positive (that's
+    the m/k trade, not a bug)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from quake_vector_search_spark.operators.sketch import (
+        bloom_bits,
+        bloom_membership,
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(members=st.sets(st.integers(0, 10_000), min_size=1,
+                           max_size=50),
+           probes=st.sets(st.integers(0, 10_000), max_size=50))
+    def check(members, probes):
+        mdf = spark.createDataFrame([(int(x),) for x in members],
+                                    "item long")
+        pdf = spark.createDataFrame(
+            [(int(x),) for x in members | probes], "item long")
+        bits = bloom_bits(mdf, "item", m=512, k=3)
+        flags = {r["item"]: r["maybe_present"] for r in
+                 bloom_membership(bits, pdf, "item", m=512, k=3)
+                 .collect()}
+        for x in members:
+            assert flags[int(x)], f"false negative for member {x}"
+
+    check()
+
+
+def test_repetition_stats_exact_cases(spark):
+    """Deterministic repetition cases: an all-identical-words doc has
+    1 distinct 3-gram (dup_frac = (T-1)/T); an all-unique-words doc
+    has zero repeats; docs shorter than n report T=0, dup_frac=0."""
+    from quake_vector_search_spark.operators.text import repetition_stats
+
+    rows = [(0, " ".join(["spam"] * 10)),          # 8 grams, 1 distinct
+            (1, " ".join(f"w{i}" for i in range(10))),  # unique
+            (2, "too short")]                       # < 3 words
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert got[0]["n_grams"] == 8 and got[0]["n_distinct"] == 1
+    assert abs(got[0]["dup_frac"] - round(7 / 8, 6)) < 1e-9
+    assert got[1]["n_grams"] == 8 and got[1]["dup_frac"] == 0.0
+    assert got[2]["n_grams"] == 0 and got[2]["dup_frac"] == 0.0
+
+
 def test_bq_encode_packs_sign_bits(spark):
     """Binary quantization: code words must be the exact sign
     bit-pattern (bit i of word w = vec[64w+i] >= 0), including the

@@ -303,6 +303,18 @@ def test_round5_ops_plan_shapes(spark):
     assert "BroadcastNestedLoopJoin" not in graph
 
 
+def test_pipeline_query_pushes_lang_filter(spark):
+    """q_training_corpus_pipeline: the metadata language filter must
+    reach EVERY parquet scan in the composition as a pushed filter —
+    at 100 TB each branch then reads only lang='en' row groups."""
+    import re
+    plan = _plan(REGISTRY["q_training_corpus_pipeline"].fn(spark, SF_SMOKE))
+    segs = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
+    assert segs, "no pushed-filter segments found"
+    assert all("EqualTo(lang,en)" in s for s in segs), segs
+    assert "CartesianProduct" not in plan
+
+
 def _unpartitioned_window_hits(plan: str) -> list[str]:
     """Physical-plan lines where a Window/WindowGroupLimit node's
     required sort is satisfied by an Exchange SinglePartition — the
