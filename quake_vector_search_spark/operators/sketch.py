@@ -173,3 +173,49 @@ def bloom_membership(bits: DataFrame, candidates: DataFrame,
                        probe["_pbit"] == setbits["_setbit"], "left")
             .groupBy(item_col)
             .agg((F.sum(hit) == F.lit(k)).alias("maybe_present")))
+
+
+def bloom_mask(bits: DataFrame, m: int = BLOOM_M) -> list[int]:
+    """Collapse the bit relation to a packed bitmask: ⌈m/64⌉ signed
+    longs, bit b set in word b>>6 at position b&63. The collect is
+    bounded by m (the filter's size by construction — 4096 bits =
+    64 longs), the same bounded-metadata pattern as IVF centroids.
+    This is the shippable form of the filter: a literal the executors
+    evaluate with two integer ops per probe, no join at all."""
+    words = [0] * ((m + 63) // 64)
+    for r in bits.select("bit").collect():
+        b = int(r["bit"])
+        words[b >> 6] |= 1 << (b & 63)
+    # wrap to signed 64-bit so the literals are valid Spark longs
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_prefilter(df: DataFrame, item_col: str, mask: list[int],
+                    m: int = BLOOM_M, k: int = BLOOM_K) -> DataFrame:
+    """Pre-filter a (huge) table by bloom membership of ``item_col`` —
+    the runtime-filter shape: rows whose k hash bits are not ALL set
+    in the mask cannot match the build side and are dropped at the
+    scan, BEFORE any shuffle. Pure narrow Catalyst (k md5s + two
+    integer ops per row against the broadcast-literal mask); no false
+    negatives, so a subsequent exact join returns exactly the unfiltered
+    join's rows — the surviving false positives are removed there.
+
+    At 100 TB this is what saves the shuffle: the big side sheds
+    non-matching rows at (say) ~1% FPR for 4096 bits/4 hashes over a
+    small key set, so the exchange moves matches + ε instead of the
+    whole table. Spark's own AQE runtime bloom does this adaptively;
+    this operator is the explicit, engine-portable, oracle-checkable
+    form of the same idea."""
+    mask_arr = F.array(*[F.lit(int(w)) for w in mask])
+    conds = []
+    for j in range(k):
+        tag = F.concat(F.lit("bloom"), F.lit(str(j)), F.lit(":"),
+                       F.col(item_col).cast("string"))
+        bit = (F.conv(F.substring(F.md5(tag), 1, 15), 16, 10)
+               .cast("long") % m)
+        word = F.element_at(mask_arr, (bit / 64).cast("int") + 1)
+        conds.append(F.getbit(word, (bit % 64).cast("int")) == 1)
+    pred = conds[0]
+    for c in conds[1:]:
+        pred = pred & c
+    return df.where(pred)

@@ -610,3 +610,47 @@ def q_training_corpus_pipeline(spark, sf_dir):
     samp = stratified_sample(kept, "source", 0.5,
                              id_col="doc_id", seed=51)
     return samp.select("doc_id", "source", "n_chars")
+
+
+@register("q_bloom_prefilter_join", sql="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_returnflag
+""")
+def q_bloom_prefilter_join(spark, sf_dir):
+    """Bloom runtime-filter join (operators/sketch.py::bloom_mask /
+    bloom_prefilter): build a 65536-bit filter over the urgent orders'
+    keys, collapse it to a 1024-long literal mask, and shed
+    non-matching lineitem rows AT THE SCAN with two integer ops per
+    row — before any shuffle. No false negatives, and the exact join
+    afterwards removes the ~0.1% false positives, so the result is
+    IDENTICAL to the plain join — which is exactly what the oracle
+    computes (the strongest possible check of the filter's
+    losslessness). At 100 TB the exchange moves matches + epsilon
+    instead of the whole fact table; this is the explicit,
+    engine-portable form of AQE's adaptive runtime bloom."""
+    from quake_vector_search_spark.operators.sketch import (
+        bloom_bits,
+        bloom_mask,
+        bloom_prefilter,
+    )
+
+    M, K = 65536, 4
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT") \
+                   .select("o_orderkey")
+    mask = bloom_mask(bloom_bits(urgent, "o_orderkey", m=M, k=K), m=M)
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_returnflag", "l_extendedprice",
+                "l_discount")
+    filtered = bloom_prefilter(li, "l_orderkey", mask, m=M, k=K)
+    return (filtered
+            .join(urgent, filtered["l_orderkey"] == urgent["o_orderkey"])
+            .groupBy("l_returnflag")
+            .agg(F.count("*").alias("n_lines"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 4)
+                  .alias("revenue")))

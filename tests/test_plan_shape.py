@@ -303,6 +303,49 @@ def test_round5_ops_plan_shapes(spark):
     assert "BroadcastNestedLoopJoin" not in graph
 
 
+def test_bloom_prefilter_is_scan_side_and_single_join(spark):
+    """q_bloom_prefilter_join: the bloom mask must evaluate as a
+    narrow Filter (getbit over the literal mask) with exactly ONE join
+    in the plan — the filter itself must never become a join, or the
+    shuffle it exists to shrink comes back."""
+    import re
+    plan = _plan(REGISTRY["q_bloom_prefilter_join"].fn(spark, SF_SMOKE))
+    phys = plan.split("== Physical Plan ==", 1)[-1]
+    assert "getbit" in phys
+    joins = len(re.findall(
+        r"\(\d+\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)",
+        phys))
+    assert joins == 1, f"expected 1 join, found {joins}"
+    assert "CartesianProduct" not in phys
+
+
+def test_bloom_prefilter_sheds_nonmatching_rows(spark):
+    """The prefilter must keep every matching row (no false negatives
+    — pinned by the oracle too) while shedding most non-matching ones
+    (the point of the filter): survivors ≤ matches + 5% of the rest."""
+    from pyspark.sql import functions as F
+
+    from quake_vector_search_spark.operators.sketch import (
+        bloom_bits,
+        bloom_mask,
+        bloom_prefilter,
+    )
+    from quake_vector_search_spark.sources import load_table
+
+    M, K = 65536, 4
+    orders = load_table(spark, SF_SMOKE, "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT") \
+                   .select("o_orderkey")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    mask = bloom_mask(bloom_bits(urgent, "o_orderkey", m=M, k=K), m=M)
+    n_total = li.count()
+    n_match = li.join(urgent,
+                      li["l_orderkey"] == urgent["o_orderkey"]).count()
+    n_kept = bloom_prefilter(li, "l_orderkey", mask, m=M, k=K).count()
+    assert n_kept >= n_match                    # no false negatives
+    assert n_kept <= n_match + 0.05 * (n_total - n_match)
+
+
 def test_pipeline_query_pushes_lang_filter(spark):
     """q_training_corpus_pipeline: the metadata language filter must
     reach EVERY parquet scan in the composition as a pushed filter —
