@@ -14,8 +14,9 @@ from quake_vector_search_spark.queries import register  # noqa: E402
 from quake_vector_search_spark.sources import load_table  # noqa: E402
 
 
-@register("dedup_embedding_lsh", sql="""
-WITH hyper AS (
+# sign-LSH candidate generation, shared between the pair query and the
+# clustering query so the two oracles can never drift apart
+_LSH_CAND_SQL = """hyper AS (
   SELECT bs.b, isx.i,
          (CAST(concat('0x', substr(md5('lsh1:' || bs.b || ':' || isx.i),
                       1, 15)) AS BIGINT) % 2001 - 1000) / 1000.0 AS h
@@ -35,7 +36,10 @@ WITH hyper AS (
   SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
   FROM keys a JOIN keys b2
     ON a.band = b2.band AND a.key = b2.key AND a.vec_id < b2.vec_id
-)
+)"""
+
+
+@register("dedup_embedding_lsh", sql="WITH " + _LSH_CAND_SQL + """
 SELECT c.id_a, c.id_b,
        ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
                                     CAST(eb.embedding AS DOUBLE[])), 6)
@@ -654,3 +658,47 @@ def q_bloom_prefilter_join(spark, sf_dir):
                  F.round(F.sum(F.col("l_extendedprice")
                                * (1 - F.col("l_discount"))), 4)
                   .alias("revenue")))
+
+
+@register("dedup_embedding_clusters", sql="WITH RECURSIVE "
+          + _LSH_CAND_SQL + """,
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.id_a
+  JOIN embeddings eb ON eb.vec_id = c.id_b
+  WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                               CAST(eb.embedding AS DOUBLE[])) >= 0.45
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+), reach(src, dst) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS vec_id, MIN(dst) AS cluster_id,
+       (MIN(dst) = src) AS is_canonical
+FROM reach GROUP BY src
+""")
+def dedup_embedding_clusters(spark, sf_dir):
+    """Embedding-space dedup clustering — the full SemDeDup-adjacent
+    deliverable: sign-LSH near-dup pairs (the scale path, candidates ∝
+    collision density) → connected components → every vector labeled
+    with its component's minimum id + canonical flag. The same
+    composition the jaccard family ships for text (dedup_clusters),
+    now over the embedding column; the oracle mirrors the LSH banding
+    AND the component fixpoint as one recursive CTE."""
+    from quake_vector_search_spark.operators.dedup import (
+        connected_components,
+        cosine_pairs_lsh,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs_lsh(emb, threshold=0.45, n_bits=16, n_bands=4)
+    comp = connected_components(emb, pairs, id_col="vec_id",
+                                a_col="id_a", b_col="id_b")
+    return comp.select(
+        "vec_id", "cluster_id",
+        (F.col("cluster_id") == F.col("vec_id")).alias("is_canonical"))
