@@ -54,6 +54,16 @@ HEADLINE = [
     "ts_funnel",
     "q_skew_salted_agg",
     "text_tfidf",
+    # round-5 additions (headline_total therefore not comparable to r4;
+    # compare per-query times across rounds, per BENCH_NOTES)
+    "text_repetition",
+    "text_bigram_lm",
+    "text_decontaminate",
+    "q_bloom_prefilter_join",
+    "emb_knn_graph",
+    "knn_bq_rerank",
+    "dedup_embedding_clusters",
+    "q_training_corpus_pipeline",
 ]
 
 N_WORKLOAD_QUERIES = 200

@@ -581,39 +581,61 @@ WHERE CAST(concat('0x', substr(md5(concat('51', ':',
 """)
 def q_training_corpus_pipeline(spark, sf_dir):
     """End-to-end corpus curation — the deliverable an LLM data
-    pipeline actually ships, composed from the repo's own stages and
-    hash-checked as ONE query: language filter (metadata, pushed to
-    the scan) → alphabetic-ratio quality gate (integer comparison, no
-    float) → repetition gate (duplicate-3-gram ≤ 1%, integer) →
-    exact dedup keep-first on the normalized fingerprint → 50%
-    deterministic stratified sample by source. Every stage is a
-    narrow filter, a broadcast semi-join, or one keyed shuffle —
-    the composition inherits each stage's scale story."""
-    from quake_vector_search_spark.operators import text as T
-    from quake_vector_search_spark.operators.sampling import (
-        stratified_sample,
-    )
-    from quake_vector_search_spark.operators.text import repetition_stats
+    pipeline actually ships, hash-checked as ONE query: language
+    filter (metadata, pushed to the scan) → alphabetic-ratio quality
+    gate (integer comparison, no float) → repetition gate
+    (duplicate-3-gram ≤ 1%, integer; same gram expression as
+    operators/text.py::repetition_stats) → exact dedup keep-first on
+    the normalized fingerprint (operators/text.py::fingerprint's
+    normalization) → 50% deterministic stratified sample
+    (operators/sampling.py::stratified_sample's portable hash).
+
+    Deliberately fused into ONE scan: every per-document stat (alpha
+    counts, gram counts, fingerprint) is a narrow expression over the
+    same row, so the whole pipeline is one lang-pruned parquet scan +
+    one fingerprint-keyed window shuffle — at 100 TB that is the
+    difference between reading the corpus once and reading it four
+    times (the operator-composition form, which the differential tests
+    keep honest, costs one scan per stage)."""
+    from quake_vector_search_spark.sources.catalog import spread
 
     docs = load_table(spark, sf_dir, "documents")
-    en = docs.where(F.col("lang") == "en") \
-             .select("doc_id", "text", "source", "n_chars")
+    # spread(): the toy files arrive as 1-2 partitions and the regex/
+    # gram work below is CPU-bound — widen before it (no-op on a
+    # naturally-wide scan at scale), same as the text operators do
+    en = spread(docs.where(F.col("lang") == "en")
+                .select("doc_id", "text", "source", "n_chars"))
     L = F.greatest(F.length("text"), F.lit(1)).cast("long")
     na = F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("long")
-    alpha = en.where(F.lit(5) * na >= F.lit(4) * L)
-    rep_ok = (repetition_stats(alpha, n=3)
-              .where((F.col("n_grams") == 0)
-                     | (F.lit(100) * (F.col("n_grams")
-                                      - F.col("n_distinct"))
-                        <= F.col("n_grams")))
-              .select("doc_id"))
-    filt = alpha.join(rep_ok, "doc_id", "left_semi")
-    keep = (T.fingerprint(filt).where(~F.col("is_dup"))
-            .select("doc_id"))
-    kept = filt.join(keep, "doc_id", "left_semi")
-    samp = stratified_sample(kept, "source", 0.5,
-                             id_col="doc_id", seed=51)
-    return samp.select("doc_id", "source", "n_chars")
+    gram = " , ".join(f"element_at(_w, i + {j})" for j in range(3))
+    grams = F.expr(
+        "CASE WHEN size(_w) >= 3 THEN "
+        "transform(sequence(1, size(_w) - 2), "
+        f"i -> concat_ws(' ', {gram})) ELSE array() END")
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+        " +", " "))
+    stats = (en.withColumn("_w", F.split("text", " "))
+             .select("doc_id", "source", "n_chars",
+                     (F.lit(5) * na >= F.lit(4) * L).alias("_alpha_ok"),
+                     F.size(grams).cast("long").alias("_t"),
+                     F.size(F.array_distinct(grams)).cast("long")
+                      .alias("_d"),
+                     F.md5(norm).alias("_fp")))
+    filt = stats.where(F.col("_alpha_ok")
+                       & ((F.col("_t") == 0)
+                          | (F.lit(100) * (F.col("_t") - F.col("_d"))
+                             <= F.col("_t"))))
+    from pyspark.sql import Window
+    w = Window.partitionBy("_fp").orderBy("doc_id")
+    kept = (filt.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1))
+    # stratified_sample's portable hash inline (seed 51, 50%)
+    bucket = (F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.lit("51"), F.col("doc_id").cast("string"))), 1, 15),
+        16, 10).cast("long") % 10000)
+    return (kept.where(bucket < 5000)
+            .select("doc_id", "source", "n_chars"))
 
 
 @register("q_bloom_prefilter_join", sql="""
