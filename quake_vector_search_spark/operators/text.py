@@ -371,3 +371,36 @@ def bigram_lm_scores(docs: DataFrame, id_col: str = "doc_id",
                                / F.col("c1"))).alias("_alp")))
     return scored.select(id_col, "n_bigrams",
                          F.round("_alp", 4).alias("avg_logp"))
+
+
+def chunk_dedup_stats(docs: DataFrame, size: int = 200,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Sub-document (paragraph-level) dedup signal — the MassiveText
+    pass that document-level dedup misses: split every document into
+    non-overlapping fixed chunks, keep-first-flag every identical
+    chunk ACROSS the corpus, and report per document how much of it is
+    repeated content from elsewhere.
+
+    Plan: the narrow chunker (chunk_fixed, overlap 0) feeds ONE
+    shuffle keyed on the chunk hash — the honest global-dedup exchange,
+    moving (hash, doc, chunk) triples, never the corpus — then a tiny
+    per-doc aggregate. dup_chunk_frac is an exact integer-rounded
+    rational (_r6), float-boundary-proof cross-engine.
+
+    Returns (id, n_chunks, n_dup_chunks, dup_chunk_frac).
+    """
+    from pyspark.sql import Window
+
+    ch = chunk_fixed(docs, size=size, overlap=0,
+                     id_col=id_col, text_col=text_col)
+    w = (Window.partitionBy(F.md5("chunk_text"))
+         .orderBy(F.col(id_col).asc(), F.col("chunk_id").asc()))
+    flagged = ch.withColumn("_rn", F.row_number().over(w))
+    agg = (flagged.groupBy(id_col)
+           .agg(F.count("*").alias("n_chunks"),
+                F.sum(F.when(F.col("_rn") > 1, 1).otherwise(0))
+                 .cast("long").alias("n_dup_chunks")))
+    return agg.select(id_col, "n_chunks", "n_dup_chunks",
+                      _r6(F.col("n_dup_chunks"),
+                          F.col("n_chunks")).alias("dup_chunk_frac"))

@@ -724,3 +724,42 @@ def dedup_embedding_clusters(spark, sf_dir):
     return comp.select(
         "vec_id", "cluster_id",
         (F.col("cluster_id") == F.col("vec_id")).alias("is_canonical"))
+
+
+@register("text_chunk_dedup", sql="""
+WITH ch AS (
+  SELECT doc_id, chunk_id,
+         substring(text, chunk_id * 200 + 1, 200) AS ct
+  FROM (SELECT doc_id, text,
+               CAST(unnest(generate_series(
+                 0, greatest(CAST(ceil((length(text) - 200) / 200.0)
+                                  AS BIGINT), 0))) AS INT) AS chunk_id
+        FROM documents)
+), flags AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY md5(ct)
+                            ORDER BY doc_id, chunk_id) AS rn
+  FROM ch
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_chunks,
+       CAST((2 * SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) * 1000000
+             + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 1e6
+         AS dup_chunk_frac
+FROM flags GROUP BY doc_id
+""")
+def text_chunk_dedup(spark, sf_dir):
+    """Paragraph-level dedup stats (operators/text.py::
+    chunk_dedup_stats): non-overlapping 200-char chunks keep-first
+    flagged across the whole corpus, per-doc repeated-content
+    fraction — the sub-document pass (MassiveText) that document-level
+    dedup misses. One chunk-hash shuffle; exact integer-rounded
+    fraction."""
+    from quake_vector_search_spark.operators.text import (
+        chunk_dedup_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_dedup_stats(docs, size=200)
