@@ -253,6 +253,32 @@ def test_staged_purge_invisible_until_publish(spark, index):
         F.col("vec_id") == 3).count() == 1
 
 
+def test_versioned_read_time_travel(spark, index):
+    """Snapshot reads: after a DML sequence publishes a newer version,
+    load(version=v0) must still serve the EXACT pre-DML corpus — the
+    old version's partition dirs are hardlinked/immutable and its meta
+    was written at publish time. This is the lakehouse time-travel
+    contract the copy-on-write versioning exists for: readers pin a
+    version and concurrent writers can never change what they see."""
+    v0 = index.version
+    ids0 = _all_live_ids(index)
+    n0 = index.read_corpus().count()
+    vid = 5
+    index.delete([vid])
+    index.insert([vid], [np.ones(64)])       # re-insert → publishes v0+1
+    index.insert([900_001], [np.zeros(64)])  # plain append to v0+1
+    assert index.version == v0 + 1
+    old = IVFIndex.load(spark, WORKDIR, version=v0)
+    assert old.version == v0
+    assert _all_live_ids(old) == ids0, "old snapshot changed under DML"
+    assert old.read_corpus().count() == n0
+    assert int(old.sizes.sum()) == n0
+    # and the live version sees the new world
+    live = IVFIndex.load(spark, WORKDIR)
+    assert live.version == v0 + 1
+    assert 900_001 in _all_live_ids(live)
+
+
 def test_recompute_prunes_stats_of_dropped_partitions(spark, index):
     """Emptying a partition then recomputing centroids must also drop
     its hits/last_split_at entries (no unbounded stale metadata)."""

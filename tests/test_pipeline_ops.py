@@ -510,6 +510,31 @@ def test_semantic_dedup_blas_twin_matches_relational(spark):
     assert len(blas) > 0
 
 
+def test_knn_graph_blas_twin_matches_relational(spark):
+    """knn_graph_blocked_blas (grouped-map BLAS) must produce the
+    exact edge set of the relational window form — same tie-break,
+    same blocks; dist compared after round(6) (x²+y²−2xyᵀ vs
+    Σ(x−y)² differ only in float noise)."""
+    from quake_vector_search_spark.operators.knn import (
+        knn_graph_blocked,
+        knn_graph_blocked_blas,
+    )
+    from quake_vector_search_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    key = ["src", "dst", "block", "rank"]
+    rel = knn_graph_blocked(emb, k=5)
+    blas = knn_graph_blocked_blas(emb, k=5)
+    rset = {tuple(r) for r in rel.select(*key).collect()}
+    bset = {tuple(r) for r in blas.select(*key).collect()}
+    assert rset == bset
+    rd = {(r["src"], r["dst"]): round(r["dist"], 6)
+          for r in rel.collect()}
+    bd = {(r["src"], r["dst"]): round(r["dist"], 6)
+          for r in blas.collect()}
+    assert rd == bd
+
+
 def test_bloom_never_false_negative(spark):
     """Bloom property (hypothesis, SURVEY §5.2 style): for ANY member
     set, every member probes maybe_present=True — false negatives are
