@@ -170,3 +170,80 @@ def frequency_sketch(items: DataFrame, item_col: str, **kwargs) -> DataFrame:
     """Count-min frequency sketch (operators/sketch.py)."""
     from quake_vector_search_spark.operators.sketch import cms_sketch
     return cms_sketch(items, item_col, **kwargs)
+
+
+def sparse_search(corpus_or_index: DataFrame, queries: DataFrame,
+                  k: int = 10, method: str = "bm25",
+                  **kwargs) -> DataFrame:
+    """Sparse (lexical) retrieval — hybrid retrieval's other half next
+    to `knn`. ``method='bm25'`` scores raw documents (pass the docs
+    DataFrame); ``method='tfidf'`` expects a prebuilt (id, term,
+    weight) index relation (operators/sparse.py::tfidf_vectors).
+    Queries are (query_id, term[, weight]) bags."""
+    from quake_vector_search_spark.operators.sparse import (
+        bm25_topk,
+        sparse_dot_topk,
+    )
+    if method == "bm25":
+        return bm25_topk(corpus_or_index, queries, k=k, **kwargs)
+    if method == "tfidf":
+        return sparse_dot_topk(corpus_or_index, queries, k=k, **kwargs)
+    raise ValueError(f"unknown sparse method {method!r} (bm25|tfidf)")
+
+
+def knn_graph(emb: DataFrame, k: int = 5, block_col: str = "label",
+              strategy: str = "blas", **kwargs) -> DataFrame:
+    """Blocked exact kNN graph of every vector (graph-based curation
+    input). ``strategy='blas'`` (default, grouped-map matmul) or
+    ``'relational'`` (the oracle-shaped join+window twin)."""
+    from quake_vector_search_spark.operators.knn import (
+        knn_graph_blocked,
+        knn_graph_blocked_blas,
+    )
+    fn = (knn_graph_blocked_blas if strategy == "blas"
+          else knn_graph_blocked)
+    return fn(emb, k=k, block_col=block_col, **kwargs)
+
+
+def decontaminate(train: DataFrame, eval_docs: DataFrame,
+                  **kwargs) -> DataFrame:
+    """GPT-3-style n-gram benchmark decontamination flags
+    (operators/dedup.py::decontaminate_flags)."""
+    from quake_vector_search_spark.operators.dedup import (
+        decontaminate_flags,
+    )
+    return decontaminate_flags(train, eval_docs, **kwargs)
+
+
+def quality_signals(docs: DataFrame) -> DataFrame:
+    """One-stop per-document quality table: token stats ⋈ quality
+    ratios ⋈ repetition ⋈ language — the filter-stage input of a
+    curation pipeline, each component oracle-checked individually."""
+    from quake_vector_search_spark.operators.text import (
+        language_id,
+        quality_score,
+        repetition_stats,
+        token_stats,
+    )
+    out = token_stats(docs)
+    for part in (quality_score(docs), repetition_stats(docs),
+                 language_id(docs)):
+        out = out.join(part, "doc_id")
+    return out
+
+
+def membership_filter(df: DataFrame, item_col: str,
+                      members: DataFrame, member_col: str,
+                      m: int = 65536, k: int = 4) -> DataFrame:
+    """Bloom runtime pre-filter: shed df rows whose item cannot be in
+    ``members`` before any shuffle (no false negatives; follow with an
+    exact join to drop the ~FPR false positives)."""
+    from quake_vector_search_spark.operators.sketch import (
+        bloom_bits,
+        bloom_mask,
+        bloom_prefilter,
+    )
+    mask = bloom_mask(
+        bloom_bits(members.select(member_col), member_col, m=m, k=k),
+        m=m)
+    return bloom_prefilter(df, item_col, mask, m=m, k=k)

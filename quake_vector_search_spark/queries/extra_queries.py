@@ -763,3 +763,110 @@ def text_chunk_dedup(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return chunk_dedup_stats(docs, size=200)
+
+
+@register("sparse_tfidf_topk", sql="""
+WITH tt AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+  WHERE t.term <> ''
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tt GROUP BY 1, 2
+), dfq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT COUNT(DISTINCT doc_id) AS nd FROM documents
+), idx AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * (ln((n.nd + 1) / (dfq.df + 1.0)) + 1) AS weight
+  FROM tf JOIN dfq USING (term), n
+), q AS (
+  SELECT DISTINCT doc_id AS query_id, term FROM tt WHERE doc_id < 5
+), s AS (
+  SELECT q.query_id, idx.doc_id, ROUND(SUM(idx.weight), 6) AS score
+  FROM idx JOIN q USING (term) GROUP BY 1, 2
+), r AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM s
+)
+SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 10
+""")
+def sparse_tfidf_topk(spark, sf_dir):
+    """Sparse TF-IDF retrieval (operators/sparse.py) — the
+    inverted-index complement to the dense ANN surface (the reference
+    has NO sparse-vector support, SURVEY §2.2): the (doc, term,
+    weight) relation IS the index, retrieval is a posting-list
+    equi-join + per-(query, doc) sum + windowed top-k, all Catalyst.
+    Queries are the first 5 documents' term bags. Scores round BEFORE
+    ranking so exact-dup documents can't flip rank on float
+    reassociation."""
+    from quake_vector_search_spark.operators.sparse import (
+        _terms,
+        sparse_dot_topk,
+        tfidf_vectors,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = tfidf_vectors(docs)
+    queries = (_terms(docs.where(F.col("doc_id") < 5), "doc_id", "text")
+               .distinct()
+               .select(F.col("doc_id").alias("query_id"), "term"))
+    return sparse_dot_topk(idx, queries, k=10)
+
+
+@register("sparse_bm25_topk", sql="""
+WITH tt AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+  WHERE t.term <> ''
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tt GROUP BY 1, 2
+), dfq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), dlen AS (
+  SELECT doc_id, COUNT(*) AS len FROM tt GROUP BY 1
+), stats AS (
+  SELECT COUNT(DISTINCT doc_id) AS nd FROM documents
+), avgl AS (
+  SELECT AVG(len) AS avg_len FROM dlen
+), post AS (
+  SELECT tf.doc_id, tf.term,
+         ln((stats.nd - dfq.df + 0.5) / (dfq.df + 0.5) + 1)
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dlen.len / avgl.avg_len))
+           AS weight
+  FROM tf JOIN dfq USING (term) JOIN dlen USING (doc_id), stats, avgl
+), q AS (
+  SELECT DISTINCT doc_id AS query_id, term FROM tt WHERE doc_id < 5
+), s AS (
+  SELECT q.query_id, post.doc_id, ROUND(SUM(post.weight), 6) AS score
+  FROM post JOIN q USING (term) GROUP BY 1, 2
+), r AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM s
+)
+SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 10
+""")
+def sparse_bm25_topk(spark, sf_dir):
+    """BM25 lexical ranking (operators/sparse.py::bm25_topk, k1=1.2
+    b=0.75, Robertson idf): every statistic from two aggregates over
+    the term relation, avg length a 1-row broadcast, retrieval the
+    same posting-join + window plan as TF-IDF. The classic sparse
+    ranking next to the dense kNN family — hybrid retrieval's other
+    half."""
+    from quake_vector_search_spark.operators.sparse import (
+        _terms,
+        bm25_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = (_terms(docs.where(F.col("doc_id") < 5), "doc_id", "text")
+               .distinct()
+               .select(F.col("doc_id").alias("query_id"), "term"))
+    return bm25_topk(docs, queries, k=10)

@@ -510,6 +510,67 @@ def test_semantic_dedup_blas_twin_matches_relational(spark):
     assert len(blas) > 0
 
 
+def test_api_round5_facade(spark):
+    """Round-5 api surface: sparse_search (bm25 + tfidf), knn_graph
+    strategies agree, quality_signals one-row-per-doc with all
+    component columns, membership_filter keeps every true member."""
+    from quake_vector_search_spark import api
+    from quake_vector_search_spark.operators.sparse import (
+        _terms,
+        tfidf_vectors,
+    )
+    from quake_vector_search_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    queries = (_terms(docs.where(F.col("doc_id") < 2), "doc_id", "text")
+               .distinct()
+               .select(F.col("doc_id").alias("query_id"), "term"))
+    bm = api.sparse_search(docs, queries, k=5, method="bm25")
+    assert bm.columns == ["query_id", "doc_id", "score", "rank"]
+    assert bm.where("rank = 1").count() == 2
+    # a document retrieves itself highly (not necessarily rank 1:
+    # BM25 length normalization can put a shorter doc containing the
+    # same terms above the source doc), and scores are non-increasing
+    rows = sorted(map(tuple, bm.collect()))
+    by_q = {}
+    for qid, did, score, rank in rows:
+        by_q.setdefault(qid, []).append((rank, did, score))
+    for qid, hits in by_q.items():
+        hits.sort()
+        assert qid in [d for _, d, _ in hits], f"doc {qid} not in own top-5"
+        scores = [s for _, _, s in hits]
+        assert scores == sorted(scores, reverse=True)
+    tf = api.sparse_search(tfidf_vectors(docs), queries, k=5,
+                           method="tfidf")
+    assert tf.where("rank = 1").count() == 2
+
+    emb = load_table(spark, sf, "embeddings")
+    key = ["src", "dst", "rank"]
+    g1 = {tuple(r) for r in
+          api.knn_graph(emb, k=3).select(*key).collect()}
+    g2 = {tuple(r) for r in
+          api.knn_graph(emb, k=3, strategy="relational")
+          .select(*key).collect()}
+    assert g1 == g2 and len(g1) > 0
+
+    qs = api.quality_signals(docs)
+    assert qs.count() == docs.count()
+    for c in ("n_tokens", "alpha_ratio", "dup_frac", "pred_lang"):
+        assert c in qs.columns, c
+
+    orders = load_table(spark, sf, "orders")
+    customer = load_table(spark, sf, "customer")
+    kept = api.membership_filter(customer, "c_custkey",
+                                 orders, "o_custkey")
+    with_orders = customer.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+        "c_custkey", "left_semi")
+    assert kept.count() >= with_orders.count()
+    assert with_orders.join(kept.select("c_custkey"), "c_custkey",
+                            "left_anti").count() == 0
+
+
 def test_knn_graph_blas_twin_matches_relational(spark):
     """knn_graph_blocked_blas (grouped-map BLAS) must produce the
     exact edge set of the relational window form — same tie-break,
