@@ -135,3 +135,41 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
     return (hits.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select(query_id_col, id_col, "score", "rank"))
+
+
+def rrf_fuse(ranked_a: DataFrame, ranked_b: DataFrame, k: int = 10,
+             c: int = 60,
+             id_cols: tuple[str, str] = ("doc_id", "doc_id"),
+             query_id_col: str = "query_id") -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval lists — the standard
+    hybrid-retrieval combiner (dense ANN ⊕ sparse lexical):
+
+        rrf(q, d) = Σ_lists 1 / (c + rank_list(q, d))
+
+    RRF consumes only the integer RANKS, never the incomparable
+    scores, which also makes it hash-exact: each fused score is a sum
+    of exactly two floats (commutativity is exact in IEEE — only ≥3
+    term reassociation drifts), so every engine computes the
+    identical value. Full-outer join on (query, id), absent list
+    contributes 0; ties break (fused DESC, id ASC).
+
+    Returns (query_id, id, rrf_score, rank) with id named after
+    ``id_cols[0]``.
+    """
+    ida, idb = id_cols
+    a = ranked_a.select(query_id_col, F.col(ida).alias("_id"),
+                        F.col("rank").alias("_ra"))
+    b = ranked_b.select(query_id_col, F.col(idb).alias("_id"),
+                        F.col("rank").alias("_rb"))
+    fused = (a.join(b, [query_id_col, "_id"], "full_outer")
+             .select(query_id_col, "_id",
+                     (F.coalesce(1.0 / (F.lit(c) + F.col("_ra")),
+                                 F.lit(0.0))
+                      + F.coalesce(1.0 / (F.lit(c) + F.col("_rb")),
+                                   F.lit(0.0))).alias("_rrf")))
+    w = (Window.partitionBy(query_id_col)
+         .orderBy(F.col("_rrf").desc(), F.col("_id").asc()))
+    return (fused.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(query_id_col, F.col("_id").alias(ida),
+                    F.round("_rrf", 6).alias("rrf_score"), "rank"))

@@ -870,3 +870,95 @@ def sparse_bm25_topk(spark, sf_dir):
                .distinct()
                .select(F.col("doc_id").alias("query_id"), "term"))
     return bm25_topk(docs, queries, k=10)
+
+
+@register("hybrid_rrf_topk", sql="""
+WITH tt AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+  WHERE t.term <> ''
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tt GROUP BY 1, 2
+), dfq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), dlen AS (
+  SELECT doc_id, COUNT(*) AS len FROM tt GROUP BY 1
+), stats AS (
+  SELECT COUNT(DISTINCT doc_id) AS nd FROM documents
+), avgl AS (
+  SELECT AVG(len) AS avg_len FROM dlen
+), post AS (
+  SELECT tf.doc_id, tf.term,
+         ln((stats.nd - dfq.df + 0.5) / (dfq.df + 0.5) + 1)
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dlen.len / avgl.avg_len))
+           AS weight
+  FROM tf JOIN dfq USING (term) JOIN dlen USING (doc_id), stats, avgl
+), qterms AS (
+  SELECT DISTINCT doc_id AS query_id, term FROM tt WHERE doc_id < 5
+), s AS (
+  SELECT qterms.query_id, post.doc_id,
+         ROUND(SUM(post.weight), 6) AS score
+  FROM post JOIN qterms USING (term) GROUP BY 1, 2
+), stop AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM s QUALIFY rank <= 20
+), dq AS (
+  SELECT vec_id AS query_id, embedding AS qvec
+  FROM embeddings WHERE vec_id < 5
+), dd AS (
+  SELECT dq.query_id, e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                CAST(dq.qvec AS DOUBLE[])) AS sim
+  FROM embeddings e CROSS JOIN dq
+), dtop AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM dd QUALIFY rank <= 20
+), fused AS (
+  SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+         COALESCE(a.doc_id, b.vec_id) AS doc_id,
+         COALESCE(1.0 / (60 + a.rank), 0)
+           + COALESCE(1.0 / (60 + b.rank), 0) AS rrf
+  FROM stop a FULL OUTER JOIN dtop b
+    ON a.query_id = b.query_id AND a.doc_id = b.vec_id
+), rr AS (
+  SELECT query_id, doc_id, rrf,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf DESC, doc_id ASC) AS rank
+  FROM fused
+)
+SELECT query_id, doc_id, ROUND(rrf, 6) AS rrf_score,
+       CAST(rank AS INT) AS rank
+FROM rr WHERE rank <= 10
+""")
+def hybrid_rrf_topk(spark, sf_dir):
+    """Hybrid retrieval — the modern RAG stack as one oracle-checked
+    query: dense exact-cosine top-20 (embeddings) ⊕ BM25 top-20
+    (documents, same ids) fused by reciprocal rank
+    (operators/sparse.py::rrf_fuse, c=60). RRF consumes only integer
+    ranks, and each fused score is a two-term float sum (commutative,
+    hence bit-exact cross-engine), so the whole hybrid pipeline
+    value-hashes against DuckDB computing both retrievals and the
+    fusion independently."""
+    from quake_vector_search_spark.operators.knn import cosine_topk
+    from quake_vector_search_spark.operators.sparse import (
+        _terms,
+        bm25_topk,
+        rrf_fuse,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qterms = (_terms(docs.where(F.col("doc_id") < 5), "doc_id", "text")
+              .distinct()
+              .select(F.col("doc_id").alias("query_id"), "term"))
+    sparse = bm25_topk(docs, qterms, k=20)
+    dense = cosine_topk(
+        emb, emb.where(F.col("vec_id") < 5)
+                .withColumnRenamed("vec_id", "query_id"), k=20)
+    return rrf_fuse(sparse, dense, k=10,
+                    id_cols=("doc_id", "vec_id"))
