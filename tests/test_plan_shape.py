@@ -346,6 +346,18 @@ def test_bloom_prefilter_sheds_nonmatching_rows(spark):
     assert n_kept <= n_match + 0.05 * (n_total - n_match)
 
 
+def test_sparse_retrieval_plan_shapes(spark):
+    """Sparse/hybrid retrieval: posting-list equi-joins only — no
+    cartesian anywhere in TF-IDF, BM25, or the RRF fusion; BM25's
+    avg-length single row broadcasts."""
+    for name in ("sparse_tfidf_topk", "sparse_bm25_topk",
+                 "hybrid_rrf_topk"):
+        plan = _plan(REGISTRY[name].fn(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, name
+    bm = _plan(REGISTRY["sparse_bm25_topk"].fn(spark, SF_SMOKE))
+    assert "BroadcastExchange" in bm
+
+
 def test_pipeline_query_pushes_lang_filter(spark):
     """q_training_corpus_pipeline: the metadata language filter must
     reach EVERY parquet scan in the composition as a pushed filter —
