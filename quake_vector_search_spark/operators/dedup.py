@@ -449,17 +449,39 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
     bucketed by node; the large-star/small-star variant halves rounds
     if diameters grow.
 
+    The iteration runs over EDGE-TOUCHED nodes only (round-5): a dup
+    graph is sparse — almost every node is a singleton whose label
+    can neither change nor influence anyone, so hauling the full node
+    table through every round's join + checkpoint is pure waste. The
+    working set is the (tiny) connected subgraph; singletons join
+    back once at the end with cluster_id = own id. Same fixpoint,
+    identical output.
+
     Raises if max_iters rounds don't converge (un-converged labels
     would be nondeterministic).
     """
+    # materialize the edge set ONCE: pairs is usually the tail of a
+    # whole candidate-generation pipeline (LSH banding, shingle joins)
+    # and every propagation round joins edges — without this the
+    # pipeline re-executes per round, O(diameter × pair-generation)
     edges = (pairs.select(F.col(a_col).alias("src"),
                           F.col(b_col).alias("dst"))
              .unionAll(pairs.select(F.col(b_col).alias("src"),
-                                    F.col(a_col).alias("dst"))))
-    labels = (nodes.select(F.col(id_col).alias("node"))
+                                    F.col(a_col).alias("dst")))
+             .localCheckpoint())
+    labels = (edges.select(F.col("src").alias("node"))
               .distinct()
               .withColumn("label", F.col("node"))
               .localCheckpoint())
+
+    def _with_singletons(lab):
+        return (nodes.select(F.col(id_col)).distinct()
+                .join(lab.select(F.col("node").alias(id_col),
+                                 F.col("label")), id_col, "left")
+                .select(F.col(id_col),
+                        F.coalesce("label", F.col(id_col))
+                         .alias("cluster_id")))
+
     for _ in range(max_iters):
         neighbor_min = (edges.join(labels,
                                    edges.src == labels.node)
@@ -479,8 +501,7 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
                    .count())
         labels = new_labels
         if changed == 0:
-            return labels.select(F.col("node").alias(id_col),
-                                 F.col("label").alias("cluster_id"))
+            return _with_singletons(labels)
     raise RuntimeError(f"components did not converge in {max_iters} "
                        "rounds")
 
