@@ -64,6 +64,8 @@ HEADLINE = [
     "knn_bq_rerank",
     "dedup_embedding_clusters",
     "q_training_corpus_pipeline",
+    "sparse_bm25_topk",
+    "hybrid_rrf_topk",
 ]
 
 N_WORKLOAD_QUERIES = 200

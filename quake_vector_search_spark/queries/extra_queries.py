@@ -962,3 +962,56 @@ def hybrid_rrf_topk(spark, sf_dir):
                 .withColumnRenamed("vec_id", "query_id"), k=20)
     return rrf_fuse(sparse, dense, k=10,
                     id_cols=("doc_id", "vec_id"))
+
+
+@register("dedup_incremental", sql="""
+WITH fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+             ' +', ' ', 'g'))) AS fp
+  FROM documents
+), corpus AS (
+  SELECT DISTINCT fp FROM fp WHERE doc_id % 10 <> 0
+), batch AS (
+  SELECT doc_id, fp FROM fp WHERE doc_id % 10 = 0
+), flagged AS (
+  SELECT b.doc_id,
+         (c.fp IS NOT NULL) AS dup_of_corpus,
+         row_number() OVER (PARTITION BY b.fp ORDER BY b.doc_id) AS rn
+  FROM batch b LEFT JOIN corpus c ON c.fp = b.fp
+)
+SELECT doc_id, dup_of_corpus,
+       (rn > 1) AS dup_within_batch,
+       (dup_of_corpus OR rn > 1) AS drop_doc
+FROM flagged
+""")
+def dedup_incremental(spark, sf_dir):
+    """Ingest-time incremental dedup — the production shape (a new
+    batch arrives; the corpus is already deduped): flag each batch doc
+    that duplicates the EXISTING corpus (semi-join against the corpus
+    fingerprint set — at scale a bloom pre-filter
+    (api.membership_filter) sheds the misses before this join) or an
+    earlier doc in the SAME batch (keep-first window inside the
+    batch). Composes the fingerprint normalization every dedup stage
+    shares; batch = the doc_id % 10 == 0 slice standing in for an
+    ingest increment."""
+    from quake_vector_search_spark.operators.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = fingerprint(docs).select("doc_id", "fingerprint")
+    corpus = (fp.where(F.col("doc_id") % 10 != 0)
+              .select("fingerprint").distinct())
+    batch = fp.where(F.col("doc_id") % 10 == 0)
+    hit = (batch.join(corpus.withColumn("_in_corpus", F.lit(True)),
+                      "fingerprint", "left"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (hit.withColumn("_rn", F.row_number().over(w))
+            .select("doc_id",
+                    F.coalesce("_in_corpus", F.lit(False))
+                     .alias("dup_of_corpus"),
+                    (F.col("_rn") > 1).alias("dup_within_batch"))
+            .withColumn("drop_doc",
+                        F.col("dup_of_corpus")
+                        | F.col("dup_within_batch")))
