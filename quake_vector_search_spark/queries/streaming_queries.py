@@ -343,3 +343,73 @@ def stream_interval_join_equals_batch(spark, sf_dir):
         F.round((F.unix_micros("purchase_ts")
                  - F.unix_micros("click_ts")) / 1_000_000.0, 6)
          .alias("gap_s"))
+
+
+@register("stream_serving_equals_batch", sql="""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec
+  FROM embeddings WHERE vec_id < 10
+), d AS (
+  SELECT q.query_id, e.vec_id,
+         list_distance(CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.qvec AS DOUBLE[])) AS dist
+  FROM embeddings e CROSS JOIN q
+), r AS (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist ASC, vec_id ASC) AS rank
+  FROM d
+)
+SELECT query_id, vec_id, ROUND(dist, 6) AS dist, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 10
+""")
+def stream_serving_equals_batch(spark, sf_dir):
+    """The online query-serving path under the oracle, value-hashed
+    directly: 10 queries arrive as a 2-file stream, each micro-batch
+    runs the full APS → pruned-scan → top-k search through
+    streaming/serving.py::search_stream (foreachBatch, exactly-once
+    parquet sink), and at target_recall = 1.0 the drained answers must
+    equal brute force — which is exactly what DuckDB computes. Covers
+    the last previously-test-only streaming path with a full value
+    hash (micro-batching must not change a single answer row)."""
+    import uuid
+
+    from quake_vector_search_spark.queries.vector_queries import (
+        _ivf_index,
+    )
+    from quake_vector_search_spark.streaming.serving import search_stream
+
+    idx = _ivf_index(spark, sf_dir)
+    # stream the first 10 query vectors as 2 files
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    key = hashlib.md5(
+        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:8]
+    qdir = f"/tmp/qvss_serving_q_{key}"
+    if not os.path.exists(os.path.join(qdir, "_READY")):
+        shutil.rmtree(qdir, ignore_errors=True)
+        (load_table(spark, sf_dir, "embeddings")
+         .where(F.col("vec_id") < 10)
+         .withColumnRenamed("vec_id", "query_id")
+         .select("query_id", "embedding")
+         .repartition(2).write.mode("overwrite").parquet(qdir))
+        with open(os.path.join(qdir, "_READY"), "w") as fh:
+            fh.write("ok")
+    run = uuid.uuid4().hex[:8]
+    results = f"/tmp/qvss_serving_out_{os.getpid()}_{run}"
+    ckpt = f"/tmp/qvss_serving_ckpt_{os.getpid()}_{run}"
+    qstream = (spark.readStream
+               .schema("query_id long, embedding array<float>")
+               .option("maxFilesPerTrigger", 1).parquet(qdir))
+    q = search_stream(idx, qstream, results, ckpt, k=10,
+                      target_recall=1.0, max_probe=1_000_000_000)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.read.parquet(results)
+    res = (out.select("query_id", "vec_id",
+                      F.round("dist", 6).alias("dist"), "rank")
+           .localCheckpoint())
+    shutil.rmtree(results, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return res
