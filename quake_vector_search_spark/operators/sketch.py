@@ -219,3 +219,66 @@ def bloom_prefilter(df: DataFrame, item_col: str, mask: list[int],
     for c in conds[1:]:
         pred = pred & c
     return df.where(pred)
+
+
+MG_K = 16
+
+
+def misra_gries(items: DataFrame, item_col: str, k: int = MG_K) -> DataFrame:
+    """Distributed Misra-Gries heavy-hitters summary: (item, est) rows,
+    at most ``k`` of them, with the classic deterministic guarantees
+    for ANY row order and ANY partitioning:
+
+      * underestimate: est <= true_count
+      * bounded error: true_count - est <= N / (k+1)
+      * completeness: every item with true_count > N / (k+1) survives
+
+    Plan shape: one Arrow-batched ``mapInPandas`` pass builds a <= k
+    counter summary PER PARTITION (constant memory, no shuffle), then
+    the standard mergeable-summaries reduction (Agarwal et al.,
+    "Mergeable Summaries", PODS'12) combines them: sum counters by
+    item and subtract the (k+1)-th largest sum from everything. The
+    partials are sketch-sized by construction (<= k x num_partitions
+    rows — 16x32 = 512 here, and still only ~16M rows for k=16 on a
+    million-partition 100 TB scan), so the merge is a bounded
+    driver-side fold, the same "collect the sketch, not the data"
+    pattern as the CMS/KMV readers. Frequencies never hinge on row
+    order, so the guarantee booleans the registry query emits are
+    stable across engines, partitionings, and reruns.
+    """
+    import pandas as pd
+
+    def part(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for it in pdf["item"]:
+                if it in counters:
+                    counters[it] += 1
+                elif len(counters) < k:
+                    counters[it] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        if counters:
+            yield pd.DataFrame({"item": list(counters.keys()),
+                                "c": list(counters.values())})
+
+    partials = (items.select(F.col(item_col).cast("string").alias("item"))
+                .mapInPandas(part, "item string, c long"))
+    merged: dict = {}
+    for row in partials.groupBy("item").agg(
+            F.sum("c").alias("c")).collect():
+        merged[row["item"]] = int(row["c"])
+    if len(merged) > k:
+        sub = sorted(merged.values(), reverse=True)[k]
+        merged = {i: v - sub for i, v in merged.items() if v > sub}
+    spark = items.sparkSession
+    if not merged:
+        return spark.createDataFrame([], "item string, est long")
+    return spark.createDataFrame(
+        [(i, v) for i, v in sorted(merged.items())], "item string, est long")

@@ -1015,3 +1015,214 @@ def dedup_incremental(spark, sf_dir):
             .withColumn("drop_doc",
                         F.col("dup_of_corpus")
                         | F.col("dup_within_batch")))
+
+
+# -- round-5 continuation: PII, heavy hitters, sharded export ---------
+
+# the deterministic PII-bearing augmentation appended to each document
+# (the raw synthetic corpus contains no PII, which would make the
+# oracle vacuous): both engines build the SAME string, then run the
+# SAME portable regexes over it — the hash gate verifies the full
+# detect+redact machinery, not a precomputed answer.
+_PII_AUG_SQL = """text ||
+  CASE WHEN doc_id % 3 = 0 THEN ' mail u' || CAST(doc_id % 97 AS VARCHAR)
+       || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.com' ELSE '' END ||
+  CASE WHEN doc_id % 5 = 0 THEN ' tel +' || CAST(10 + doc_id % 89 AS VARCHAR)
+       || ' ' || CAST(100 + doc_id % 900 AS VARCHAR)
+       || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR) ELSE '' END ||
+  CASE WHEN doc_id % 7 = 0 THEN ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+       || '.' || CAST((doc_id * 3) % 256 AS VARCHAR)
+       || '.' || CAST(doc_id % 40 AS VARCHAR) ELSE '' END ||
+  CASE WHEN doc_id % 11 = 0 THEN ' acct '
+       || CAST(900000000 + doc_id AS VARCHAR) ELSE '' END"""
+
+
+def _pii_aug_col():
+    did = F.col("doc_id")
+    blank = F.lit("")
+    email = F.when(did % 3 == 0, F.concat(
+        F.lit(" mail u"), (did % 97).cast("string"),
+        F.lit("@ex"), (did % 7).cast("string"),
+        F.lit(".com"))).otherwise(blank)
+    phone = F.when(did % 5 == 0, F.concat(
+        F.lit(" tel +"), (did % 89 + 10).cast("string"), F.lit(" "),
+        (did % 900 + 100).cast("string"), F.lit("-"),
+        (did % 9000 + 1000).cast("string"))).otherwise(blank)
+    ip = F.when(did % 7 == 0, F.concat(
+        F.lit(" ip 10."), (did % 256).cast("string"), F.lit("."),
+        ((did * 3) % 256).cast("string"), F.lit("."),
+        (did % 40).cast("string"))).otherwise(blank)
+    acct = F.when(did % 11 == 0, F.concat(
+        F.lit(" acct "), (did + 900000000).cast("string"))).otherwise(blank)
+    return F.concat(F.col("text"), email, phone, ip, acct)
+
+
+def _pii_sql():
+    from quake_vector_search_spark.operators.pii import (
+        EMAIL_RE, IDRUN_RE, IPV4_RE, PHONE_RE, redact_sql)
+    red = redact_sql("t")
+    return f"""
+WITH aug AS (
+  SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents
+), red AS (
+  SELECT doc_id, t, {red} AS tr FROM aug
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS INT) AS n_email,
+  CAST(len(regexp_extract_all(t, '{PHONE_RE}')) AS INT) AS n_phone,
+  CAST(len(regexp_extract_all(t, '{IPV4_RE}')) AS INT) AS n_ip,
+  CAST(len(regexp_extract_all(t, '{IDRUN_RE}')) AS INT) AS n_idrun,
+  CAST(len(regexp_extract_all(t, '{EMAIL_RE}'))
+     + len(regexp_extract_all(t, '{PHONE_RE}'))
+     + len(regexp_extract_all(t, '{IPV4_RE}'))
+     + len(regexp_extract_all(t, '{IDRUN_RE}')) AS INT) AS pii_total,
+  (len(regexp_extract_all(t, '{EMAIL_RE}'))
+     + len(regexp_extract_all(t, '{PHONE_RE}'))
+     + len(regexp_extract_all(t, '{IPV4_RE}'))
+     + len(regexp_extract_all(t, '{IDRUN_RE}'))) > 0 AS has_pii,
+  CAST(length(tr) AS INT) AS red_len,
+  md5(tr) AS red_md5
+FROM red
+ORDER BY doc_id
+"""
+
+
+def _register_pii():
+    @register("text_pii_redact", sql=_pii_sql())
+    def text_pii_redact(spark, sf_dir):
+        """PII detect + redact (operators/pii.py) under a full value
+        hash: every doc gets a deterministic doc_id-derived suffix
+        carrying 0-4 planted PII items (emails, phones, IPv4s, long
+        digit runs), then the pure-Catalyst regexp signals and the
+        chained redaction run over real text + suffix. md5(redacted)
+        makes the gate byte-exact — a one-character divergence between
+        the Spark (Java regex) and DuckDB (RE2) executions of the
+        shared portable patterns flips the hash. Single narrow
+        projection; no shuffle, no UDF."""
+        from quake_vector_search_spark.operators.pii import (
+            pii_signals, redact)
+
+        docs = (load_table(spark, sf_dir, "documents")
+                .withColumn("text", _pii_aug_col()))
+        sig = pii_signals(docs)
+        red = redact(sig)
+        return (red.select(
+            "doc_id", "n_email", "n_phone", "n_ip", "n_idrun",
+            "pii_total", "has_pii",
+            F.length("text_redacted").alias("red_len"),
+            F.md5("text_redacted").alias("red_md5"))
+            .orderBy("doc_id"))
+
+
+_register_pii()
+
+
+_HH_K = 16
+# deterministic skewed large-domain item over orders: 3/4 of rows
+# collapse onto ~6 "hot" digit-count values (the largest covering
+# roughly half the table), 1/4 spread across 1000 "cold" values — the
+# hot/cold shape of a real URL/domain frequency stream, portable to
+# the oracle as pure integer arithmetic.
+_HH_ITEM_SQL = """CASE WHEN o_orderkey % 4 <> 0
+  THEN 'hot_' || CAST(length(CAST(o_orderkey AS VARCHAR)) AS VARCHAR)
+  ELSE 'cold_' || CAST(o_orderkey % 1000 AS VARCHAR) END"""
+
+
+@register("q_heavy_hitters", sql=f"""
+WITH items AS (
+  SELECT {_HH_ITEM_SQL} AS item FROM orders
+), tot AS (
+  SELECT COUNT(*) AS n FROM items
+), exact AS (
+  SELECT item, COUNT(*) AS cnt FROM items GROUP BY item
+)
+SELECT e.item, CAST(e.cnt AS BIGINT) AS cnt,
+       TRUE AS found, TRUE AS err_ok
+FROM exact e, tot
+WHERE e.cnt * {_HH_K + 1} > tot.n
+ORDER BY e.item
+""")
+def q_heavy_hitters(spark, sf_dir):
+    """Misra-Gries heavy hitters (operators/sketch.py::misra_gries)
+    with the guarantee property-encoded (gen_dataset_pinned pattern):
+    for every TRUE heavy hitter (exact cnt*(k+1) > N, computed by a
+    genuine second-pass groupBy), the sketch must contain it (`found`)
+    with an estimate inside the deterministic MG band
+    (est <= cnt and (cnt-est)*(k+1) <= N — integer arithmetic only, no
+    float tolerance). The guarantees hold for ANY row order /
+    partitioning, so the booleans are stable; DuckDB supplies the
+    exact counts and literal TRUEs. Sketch side: one mapInPandas pass
+    (<= k counters per partition) + a sketch-sized merge — the
+    constant-memory path a 100 TB vocabulary/URL tally needs."""
+    from quake_vector_search_spark.operators.sketch import misra_gries
+
+    okey = F.col("o_orderkey")
+    items = load_table(spark, sf_dir, "orders").select(
+        F.when(okey % 4 != 0,
+               F.concat(F.lit("hot_"),
+                        F.length(okey.cast("string")).cast("string")))
+         .otherwise(F.concat(F.lit("cold_"),
+                             (okey % 1000).cast("string")))
+         .alias("item"))
+    sketch = misra_gries(items, "item", k=_HH_K)
+    exact = items.groupBy("item").agg(F.count("*").alias("cnt"))
+    n = items.count()
+    hh = exact.where(F.col("cnt") * (_HH_K + 1) > F.lit(n))
+    joined = hh.join(F.broadcast(sketch), "item", "left")
+    return (joined.select(
+        "item", "cnt",
+        F.col("est").isNotNull().alias("found"),
+        (F.col("est").isNotNull() & (F.col("est") <= F.col("cnt"))
+         & ((F.col("cnt") - F.col("est")) * (_HH_K + 1) <= F.lit(n)))
+        .alias("err_ok"))
+        .orderBy("item"))
+
+
+_N_SHARDS = 8
+_SHARD_SEED = 101
+
+
+@register("q_shard_export", sql=f"""
+WITH assigned AS (
+  SELECT doc_id, n_chars,
+         CAST(concat('0x', substr(md5(concat('{_SHARD_SEED}', ':',
+              CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+           % {_N_SHARDS} AS shard,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 1000000007 AS h
+  FROM documents
+)
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+       CAST(SUM(h) AS BIGINT) AS id_checksum,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
+FROM assigned GROUP BY shard ORDER BY shard
+""")
+def q_shard_export(spark, sf_dir):
+    """Deterministic sharded export round-trip (operators/export.py):
+    hash-route documents into {_N_SHARDS} shards, WRITE them as
+    partitionBy(shard) parquet, READ THE FILES BACK, and manifest
+    them (count, id range, order-insensitive md5 checksum, content
+    sum). The oracle computes the identical manifest straight from the
+    source table — so a row lost/duplicated/mis-routed anywhere in the
+    write-read round trip, or any nondeterminism in shard assignment,
+    flips the hash. The shard column is pure md5 arithmetic (never
+    round-robin), which is what makes training-data releases
+    reproducible and engine-portable."""
+    import shutil
+    import uuid
+
+    from quake_vector_search_spark.operators.export import (
+        export_shards, shard_manifest)
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = f"/tmp/qvss_shards_{uuid.uuid4().hex[:8]}"
+    export_shards(docs, path, "doc_id", _N_SHARDS, seed=_SHARD_SEED)
+    back = spark.read.parquet(path)
+    out = (shard_manifest(back, "doc_id", content_cols=["n_chars"])
+           .withColumn("shard", F.col("shard").cast("long"))
+           .select("shard", "n_rows", "min_id", "max_id",
+                   "id_checksum", "sum_n_chars")
+           .orderBy("shard").localCheckpoint())
+    shutil.rmtree(path, ignore_errors=True)
+    return out

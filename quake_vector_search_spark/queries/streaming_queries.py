@@ -413,3 +413,77 @@ def stream_serving_equals_batch(spark, sf_dir):
     shutil.rmtree(results, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     return res
+
+
+@register("stream_ingest_equals_batch", sql="""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec
+  FROM embeddings WHERE vec_id < 5
+), d AS (
+  SELECT q.query_id, e.vec_id,
+         list_distance(CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.qvec AS DOUBLE[])) AS dist
+  FROM embeddings e CROSS JOIN q
+), r AS (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist ASC, vec_id ASC) AS rank
+  FROM d
+)
+SELECT query_id, vec_id, ROUND(dist, 6) AS dist, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 10
+""")
+def stream_ingest_equals_batch(spark, sf_dir):
+    """The foreachBatch ingest path under the oracle, value-hashed
+    directly (the last streaming path that was test-only): build a
+    fresh index over embeddings vec_id >= 50, stream the missing 50
+    vectors in as two micro-batches through
+    streaming/ingest.py::ingest_stream (nearest-coarse -> nearest-base
+    routing, exact incremental centroid updates), then full-probe
+    search 5 queries drawn FROM the streamed-in set. At
+    target_recall=1.0 the answers must equal brute force over the FULL
+    table — which is exactly what DuckDB computes. Micro-batched
+    insertion must not lose, duplicate, or mis-route a single vector,
+    or the value hash flips."""
+    import uuid
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.streaming.ingest import ingest_stream
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    run = uuid.uuid4().hex[:8]
+    workdir = f"/tmp/qvss_ingest_idx_{os.getpid()}_{run}"
+    ckpt = f"/tmp/qvss_ingest_ckpt_{os.getpid()}_{run}"
+    idx = IVFIndex.build(emb.where(F.col("vec_id") >= 50), workdir,
+                         coarse_k=16, base_k=4)
+    # the 50 held-out vectors as a 2-file stream (idempotent per
+    # testdata generation, keyed on the source file's identity)
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    key = hashlib.md5(
+        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:8]
+    vdir = f"/tmp/qvss_ingest_v_{key}"
+    if not os.path.exists(os.path.join(vdir, "_READY")):
+        shutil.rmtree(vdir, ignore_errors=True)
+        (emb.where(F.col("vec_id") < 50)
+            .select("vec_id", "embedding")
+            .repartition(2).write.mode("overwrite").parquet(vdir))
+        with open(os.path.join(vdir, "_READY"), "w") as fh:
+            fh.write("ok")
+    vstream = (spark.readStream
+               .schema("vec_id long, embedding array<float>")
+               .option("maxFilesPerTrigger", 1).parquet(vdir))
+    q = ingest_stream(idx, vstream, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    queries = (emb.where(F.col("vec_id") < 5)
+               .withColumnRenamed("vec_id", "query_id"))
+    out, _meta = idx.search(queries, k=10, target_recall=1.0,
+                            max_probe=1_000_000_000)
+    res = (out.select("query_id", "vec_id",
+                      F.round("dist", 6).alias("dist"), "rank")
+           .localCheckpoint())
+    shutil.rmtree(workdir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return res

@@ -1,0 +1,131 @@
+"""Unit tests for the round-5 continuation operators: PII
+detect/redact, Misra-Gries heavy hitters, deterministic shard export,
+and the streaming-ingest oracle plumbing."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from quake_vector_search_spark.operators.pii import (
+    REDACTION_RULES,
+    pii_signals,
+    redact,
+)
+from quake_vector_search_spark.operators.sketch import misra_gries
+
+
+def test_pii_signals_counts_each_category(spark):
+    rows = [
+        (1, "reach me at a.b+x@mail.example.org or b@c.io thanks"),
+        (2, "server 192.168.0.1 and 10.0.255.254 up"),
+        (3, "call +44 555-0199 or +1 202 5550"),
+        (4, "ref 123456789012 and short 12345678"),
+        (5, "clean text with no identifiers at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_signals(df).collect()}
+    assert got[1]["n_email"] == 2 and got[1]["pii_total"] == 2
+    assert got[2]["n_ip"] == 2
+    assert got[3]["n_phone"] == 2
+    # 9+ digit run matches once; the 8-digit run does not
+    assert got[4]["n_idrun"] == 1
+    assert got[5]["pii_total"] == 0 and not got[5]["has_pii"]
+
+
+def test_redact_replaces_and_preserves_clean_text(spark):
+    rows = [(1, "mail a@b.co ip 1.2.3.4 tel +44 555-0199 acct 987654321 end")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = redact(df).collect()[0]["text_redacted"]
+    assert out == "mail <EMAIL> ip <IP> tel <PHONE> acct <ID> end"
+    clean = spark.createDataFrame([(2, "nothing to hide")],
+                                  "doc_id long, text string")
+    assert redact(clean).collect()[0]["text_redacted"] == "nothing to hide"
+
+
+def test_redact_email_wins_over_id_and_ip_rules(spark):
+    # digits+dots inside an email must become one <EMAIL>, not <IP>/<ID>
+    df = spark.createDataFrame([(1, "x 123456789.a@d10.ex2.com y")],
+                               "doc_id long, text string")
+    assert (redact(df).collect()[0]["text_redacted"]
+            == "x <EMAIL> y")
+    assert [p for p, _ in REDACTION_RULES][0].endswith("{2,}")
+
+
+def _mg_truth_check(spark, stream, k):
+    """Assert the three MG guarantees against exact counts."""
+    df = spark.createDataFrame([(s,) for s in stream], "item string")
+    est = {r["item"]: r["est"]
+           for r in misra_gries(df, "item", k=k).collect()}
+    assert len(est) <= k
+    exact = {}
+    for s in stream:
+        exact[s] = exact.get(s, 0) + 1
+    n = len(stream)
+    for item, c in exact.items():
+        if c * (k + 1) > n:
+            assert item in est, f"true heavy hitter {item} missing"
+        if item in est:
+            assert est[item] <= c
+            assert (c - est[item]) * (k + 1) <= n
+
+
+def test_misra_gries_guarantees_random_streams(spark):
+    rng = random.Random(7)
+    for trial in range(3):
+        # zipf-ish: item i with weight 1/(i+1)
+        pop = [f"w{i}" for i in range(60)]
+        weights = [1.0 / (i + 1) for i in range(60)]
+        stream = rng.choices(pop, weights=weights, k=3000)
+        _mg_truth_check(spark, stream, k=8)
+
+
+def test_misra_gries_adversarial_order(spark):
+    # all heavy items first, then a flood of distinct singletons —
+    # the eviction-pressure worst case
+    stream = ["hh"] * 500 + [f"u{i}" for i in range(900)]
+    _mg_truth_check(spark, stream, k=4)
+
+
+def test_misra_gries_fewer_items_than_k_is_exact(spark):
+    stream = ["a"] * 10 + ["b"] * 5 + ["c"] * 2
+    df = spark.createDataFrame([(s,) for s in stream], "item string")
+    est = {r["item"]: r["est"]
+           for r in misra_gries(df, "item", k=16).collect()}
+    assert est == {"a": 10, "b": 5, "c": 2}
+
+
+def test_shard_export_roundtrip_and_determinism(spark, tmp_path):
+    from quake_vector_search_spark.operators.export import (
+        export_shards,
+        shard_assign,
+        shard_manifest,
+    )
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id") \
+        .withColumn("payload", (F.col("doc_id") * 3).cast("long"))
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    export_shards(df, p1, "doc_id", 8)
+    # same input re-exported (different partitioning) -> same routing
+    export_shards(df.repartition(13), p2, "doc_id", 8)
+    m1 = shard_manifest(spark.read.parquet(p1), "doc_id",
+                        ["payload"]).orderBy("shard").collect()
+    m2 = shard_manifest(spark.read.parquet(p2), "doc_id",
+                        ["payload"]).orderBy("shard").collect()
+    assert [tuple(r) for r in m1] == [tuple(r) for r in m2]
+    assert sum(r["n_rows"] for r in m1) == 500
+    assert len(m1) == 8  # 500 rows over 8 hash shards: all populated
+    # assignment is a pure function of (id, seed): direct recompute
+    back = spark.read.parquet(p1)
+    want = shard_assign(df, "doc_id", 8).select("doc_id", "shard")
+    got = back.select("doc_id", F.col("shard").cast("long").alias("shard"))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_shard_export_narrow_assignment_plan(spark):
+    from quake_vector_search_spark.operators.export import shard_assign
+
+    df = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    plan = shard_assign(df, "doc_id", 8)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan  # narrow: no shuffle to assign
