@@ -404,3 +404,104 @@ def chunk_dedup_stats(docs: DataFrame, size: int = 200,
     return agg.select(id_col, "n_chunks", "n_dup_chunks",
                       _r6(F.col("n_dup_chunks"),
                           F.col("n_chunks")).alias("dup_chunk_frac"))
+
+
+def dup_span_stats(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", k: int = 40,
+                   stride: int = 20) -> DataFrame:
+    """Character-window duplicated-span detection — the substring-level
+    dedup signal of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better" (ACL'22), re-expressed relationally: a
+    suffix array over 100 TB is not a Spark-shaped object, but its
+    curation OUTPUT (how much of each document is text repeated
+    elsewhere in the corpus) is reachable with strided k-char windows
+    hashed corpus-wide.
+
+    Windows start at 1, 1+stride, ... while a full k-char window fits
+    (docs shorter than k contribute their whole text as one window).
+    A window is duplicated if its hash occurs in >= 2 DISTINCT
+    documents. Plan: narrow explode (~len/stride rows/doc), one
+    groupBy on the window hash (map-side combined), one shuffle join
+    back on the hash — the posting-list shape of the chunk/ngram dedup
+    family; nothing driver-side, no n². dup_span_frac is an exact
+    integer-rounded rational (_r6).
+
+    Returns (id, n_windows, n_dup_windows, dup_span_frac).
+    """
+    docs = spread(docs)
+    t = F.col(text_col)
+    offs = F.sequence(
+        F.lit(1),
+        F.greatest(F.length(t) - F.lit(k - 1), F.lit(1)),
+        F.lit(stride))
+    w = (docs.select(F.col(id_col), t.alias("_t"),
+                     F.explode(offs).alias("off"))
+         .select(id_col,
+                 F.md5(F.expr(f"substring(_t, off, {k})")).alias("h")))
+    freq = w.groupBy("h").agg(
+        F.count_distinct(F.col(id_col)).alias("nd"))
+    joined = w.join(freq, "h")
+    agg = (joined.groupBy(id_col)
+           .agg(F.count("*").cast("long").alias("n_windows"),
+                F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+                 .cast("long").alias("n_dup_windows")))
+    return agg.select(id_col, "n_windows", "n_dup_windows",
+                      _r6(F.col("n_dup_windows"),
+                          F.col("n_windows")).alias("dup_span_frac"))
+
+
+# frozen default weights (milli-units) for the linear curation
+# classifier: favor alphabetic, stopword-bearing prose; penalize
+# punctuation- and digit-heavy rows. Arbitrary but frozen — the
+# operator contract is the exact linear-model evaluation, not the
+# particular weights (callers pass their own trained weights).
+QUALITY_WEIGHTS_MILLI: dict[str, int] = {
+    "alpha": 600, "punct": -300, "digit": -200,
+    "stopword": 400, "bias": -250,
+}
+
+
+def linear_quality_classifier(docs: DataFrame,
+                              weights: dict[str, int] | None = None,
+                              id_col: str = "doc_id",
+                              text_col: str = "text") -> DataFrame:
+    """fasttext-style quality filtering, Spark-first: the trained
+    model's inference is a LINEAR form over cheap per-row signals, so
+    it runs as a broadcast-free pure-Catalyst projection — the shape a
+    learned quality filter takes at 100 TB (model weights fold into
+    the expression; no UDF, no model server in the hot path).
+
+    Exact integer path: with milli-unit integer weights w and the
+    ratio signals na/L, np/L, nd/L, ns/T,
+
+      logit = (T·(w_a·na + w_p·np + w_d·nd) + w_s·ns·L + w_0·L·T)
+              / (1000·L·T)
+
+    so the decision (logit > 0) and the 6-place rounded logit are both
+    computed in integers — bit-identical across engines, immune to
+    float-sum ordering. Returns (id, logit, accept).
+    """
+    wts = dict(QUALITY_WEIGHTS_MILLI)
+    if weights:
+        wts.update(weights)
+    docs = spread(docs)
+    L = F.greatest(F.length(text_col), F.lit(1)).cast("long")
+    na = F.length(F.regexp_replace(text_col, "[^a-zA-Z]", "")).cast("long")
+    nd = F.length(F.regexp_replace(text_col, "[^0-9]", "")).cast("long")
+    np_ = F.length(
+        F.regexp_replace(text_col, r"[^.,;:!?'\"()-]", "")).cast("long")
+    words = F.expr(rf"regexp_extract_all({text_col}, '\\S+', 0)")
+    T = F.greatest(F.size(words), F.lit(1)).cast("long")
+    ns = F.size(F.filter(
+        words, lambda w: F.lower(w).isin(*LANG_STOPWORDS["en"]))) \
+        .cast("long")
+    P = (T * (F.lit(wts["alpha"]) * na + F.lit(wts["punct"]) * np_
+              + F.lit(wts["digit"]) * nd)
+         + F.lit(wts["stopword"]) * ns * L
+         + F.lit(wts["bias"]) * L * T)
+    Q = F.lit(1000) * L * T
+    # signed HALF_UP via _r6 on |P| (its integer floor path assumes a
+    # non-negative numerator)
+    logit = (F.when(P >= 0, _r6(P, Q)).otherwise(-_r6(-P, Q)))
+    return docs.select(
+        id_col, logit.alias("logit"), (P > 0).alias("accept"))

@@ -1226,3 +1226,126 @@ def q_shard_export(spark, sf_dir):
            .orderBy("shard").localCheckpoint())
     shutil.rmtree(path, ignore_errors=True)
     return out
+
+
+@register("text_dup_spans", sql="""
+WITH w AS (
+  SELECT d.doc_id,
+         md5(substr(d.text, CAST(o.off AS INT), 40)) AS h
+  FROM documents d,
+       unnest(range(1, greatest(length(d.text) - 39, 1) + 1, 20))
+         AS o(off)
+), freq AS (
+  SELECT h, COUNT(DISTINCT doc_id) AS nd FROM w GROUP BY h
+), agg AS (
+  SELECT w.doc_id, COUNT(*) AS n_windows,
+         SUM(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS n_dup
+  FROM w JOIN freq f USING (h) GROUP BY w.doc_id
+)
+SELECT doc_id, CAST(n_windows AS BIGINT) AS n_windows,
+       CAST(n_dup AS BIGINT) AS n_dup_windows,
+       CAST((2 * n_dup * 1000000 + n_windows) // (2 * n_windows)
+            AS DOUBLE) / 1e6 AS dup_span_frac
+FROM agg ORDER BY doc_id
+""")
+def text_dup_spans(spark, sf_dir):
+    """Substring-level duplicated-span signal (Lee et al. ACL'22
+    shape): strided 40-char window hashes, corpus-wide >= 2-distinct-
+    doc frequency, per-doc duplicated fraction — the posting-list
+    plan (narrow explode, one hash groupBy, one hash join), oracle-
+    mirrored window-for-window in DuckDB."""
+    from quake_vector_search_spark.operators.text import dup_span_stats
+
+    out = dup_span_stats(load_table(spark, sf_dir, "documents"))
+    return out.orderBy("doc_id")
+
+
+def _classifier_sql():
+    from quake_vector_search_spark.operators.text import (
+        LANG_STOPWORDS, QUALITY_WEIGHTS_MILLI as W)
+    en = "', '".join(LANG_STOPWORDS["en"])
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+    CAST(greatest(length(text), 1) AS BIGINT) AS L,
+    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)
+      AS na,
+    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+      AS nd,
+    CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+      AS BIGINT) AS np,
+    CAST(greatest(len(regexp_extract_all(text, '\\S+')), 1) AS BIGINT)
+      AS T,
+    CAST(len(list_filter(regexp_extract_all(text, '\\S+'),
+                         w -> lower(w) IN ('{en}'))) AS BIGINT) AS ns
+  FROM documents
+), r AS (
+  SELECT doc_id,
+         T * ({W["alpha"]} * na + {W["punct"]} * np + {W["digit"]} * nd)
+           + {W["stopword"]} * ns * L + {W["bias"]} * L * T AS P,
+         1000 * L * T AS Q
+  FROM m
+)
+SELECT doc_id,
+  0.0 + CASE WHEN P >= 0
+    THEN CAST((2 * P * 1000000 + Q) // (2 * Q) AS DOUBLE) / 1e6
+    ELSE -(CAST((2 * (-P) * 1000000 + Q) // (2 * Q) AS DOUBLE) / 1e6)
+  END AS logit,
+  P > 0 AS accept
+FROM r ORDER BY doc_id
+"""
+
+
+def _register_classifier():
+    @register("text_quality_classifier", sql=_classifier_sql())
+    def text_quality_classifier(spark, sf_dir):
+        """Learned-quality-filter inference as pure Catalyst: the
+        linear model folds into one codegen'd projection (no UDF, no
+        model service), decision and rounded logit both on the exact
+        integer path (operators/text.py::linear_quality_classifier) —
+        bit-identical cross-engine. The `0.0 +` normalizes a possible
+        IEEE -0.0 rounded logit identically on both sides."""
+        from quake_vector_search_spark.operators.text import (
+            linear_quality_classifier)
+
+        out = linear_quality_classifier(
+            load_table(spark, sf_dir, "documents"))
+        return (out.select("doc_id",
+                           (F.lit(0.0) + F.col("logit")).alias("logit"),
+                           "accept")
+                .orderBy("doc_id"))
+
+
+_register_classifier()
+
+
+@register("q_jsonl_roundtrip", sql="""
+SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars,
+       md5(text) AS text_md5
+FROM documents ORDER BY doc_id
+""")
+def q_jsonl_roundtrip(spark, sf_dir):
+    """JSON-lines interchange (E1 beyond parquet) under the oracle:
+    write the documents table as JSONL (sources/catalog.py::write_sink),
+    read it back with an explicit schema (read_source — no inference),
+    and emit md5(text) per row. The oracle reads the ORIGINAL parquet,
+    so any escaping/encoding/precision loss anywhere in the JSON
+    write-read round trip flips the hash."""
+    import shutil
+    import uuid
+
+    from quake_vector_search_spark.sources import (
+        read_source, write_sink)
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = f"/tmp/qvss_jsonl_{uuid.uuid4().hex[:8]}"
+    write_sink(docs, path, fmt="json")
+    back = read_source(
+        spark, path, fmt="json",
+        schema="doc_id long, text string, lang string, "
+               "source string, n_chars long")
+    out = (back.select("doc_id", "lang", "source", "n_chars",
+                       F.md5("text").alias("text_md5"))
+           .orderBy("doc_id").localCheckpoint())
+    shutil.rmtree(path, ignore_errors=True)
+    return out

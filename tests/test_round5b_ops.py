@@ -129,3 +129,63 @@ def test_shard_export_narrow_assignment_plan(spark):
     plan = shard_assign(df, "doc_id", 8)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan  # narrow: no shuffle to assign
+
+
+def test_dup_span_stats_detects_cross_doc_spans(spark):
+    from quake_vector_search_spark.operators.text import dup_span_stats
+
+    shared = "x" * 80  # identical 80-char block -> shared windows
+    rows = [
+        (1, shared + " unique tail one " + "a" * 30),
+        (2, shared + " other ending entirely " + "b" * 30),
+        (3, "completely different text with no repeats at all " + "c" * 40),
+        (4, "tiny"),  # shorter than the window: one whole-text window
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dup_span_stats(df).collect()}
+    assert got[1]["n_dup_windows"] >= 1  # the shared block collides
+    assert got[2]["n_dup_windows"] >= 1
+    assert got[3]["n_dup_windows"] == 0
+    assert got[3]["dup_span_frac"] == 0.0
+    assert got[4]["n_windows"] == 1
+    # windows are strided: offsets 1, 21, 41, ... while a full window fits
+    n1 = got[1]["n_windows"]
+    text_len = len(rows[0][1])
+    assert n1 == (max(text_len - 39, 1) + 19) // 20
+
+
+def test_dup_span_stats_within_doc_repeat_not_counted(spark):
+    from quake_vector_search_spark.operators.text import dup_span_stats
+
+    # the same span twice in ONE doc is not a cross-doc duplicate
+    rows = [(1, "z" * 40 + " middle filler words " + "z" * 40),
+            (2, "some other wholly unrelated document body here ok")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dup_span_stats(df).collect()}
+    assert got[1]["n_dup_windows"] == 0
+
+
+def test_linear_quality_classifier_exact_logit(spark):
+    from quake_vector_search_spark.operators.text import (
+        linear_quality_classifier,
+    )
+
+    # "the cat" -> L=7, na=6, nd=0, np=0, T=2, ns=1 ('the')
+    df = spark.createDataFrame([(1, "the cat")], "doc_id long, text string")
+    r = linear_quality_classifier(df).collect()[0]
+    # P = T*(600*na) + 400*ns*L + (-250)*L*T = 2*3600 + 2800 - 3500
+    p, q = 2 * 600 * 6 + 400 * 1 * 7 - 250 * 7 * 2, 1000 * 7 * 2
+    assert r["accept"] is (p > 0)
+    assert abs(r["logit"] - round(p / q, 6)) < 1e-9
+
+
+def test_linear_quality_classifier_custom_weights_flip(spark):
+    from quake_vector_search_spark.operators.text import (
+        linear_quality_classifier,
+    )
+
+    df = spark.createDataFrame([(1, "the cat")], "doc_id long, text string")
+    r = linear_quality_classifier(
+        df, weights={"alpha": -600, "stopword": -400, "bias": -100}) \
+        .collect()[0]
+    assert r["accept"] is False and r["logit"] < 0
