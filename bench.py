@@ -66,6 +66,12 @@ HEADLINE = [
     "q_training_corpus_pipeline",
     "sparse_bm25_topk",
     "hybrid_rrf_topk",
+    # round-5 continuation additions
+    "text_pii_redact",
+    "text_dup_spans",
+    "text_quality_classifier",
+    "q_heavy_hitters",
+    "q_shard_export",
 ]
 
 N_WORKLOAD_QUERIES = 200

@@ -247,3 +247,51 @@ def membership_filter(df: DataFrame, item_col: str,
         bloom_bits(members.select(member_col), member_col, m=m, k=k),
         m=m)
     return bloom_prefilter(df, item_col, mask, m=m, k=k)
+
+
+def pii_scrub(docs: DataFrame, signals: bool = True) -> DataFrame:
+    """Detect + redact PII (operators/pii.py): appends per-category
+    hit counts / `has_pii` (when ``signals``) and `text_redacted`."""
+    from quake_vector_search_spark.operators.pii import (
+        pii_signals,
+        redact,
+    )
+    out = pii_signals(docs) if signals else docs
+    return redact(out)
+
+
+def heavy_hitters(items: DataFrame, item_col: str,
+                  k: int = 16) -> DataFrame:
+    """Misra-Gries frequent items (operators/sketch.py::misra_gries):
+    <= k (item, est) rows with the deterministic MG guarantees."""
+    from quake_vector_search_spark.operators.sketch import misra_gries
+    return misra_gries(items, item_col, k=k)
+
+
+def export_dataset(df: DataFrame, path: str, id_col: str,
+                   n_shards: int, **kwargs) -> DataFrame:
+    """Deterministic hash-sharded export + read-back manifest
+    (operators/export.py) — the reproducible-release writer."""
+    from quake_vector_search_spark.operators.export import (
+        export_shards,
+        shard_manifest,
+    )
+    export_shards(df, path, id_col, n_shards, **kwargs)
+    return shard_manifest(df.sparkSession.read.parquet(path), id_col)
+
+
+def dup_spans(docs: DataFrame, **kwargs) -> DataFrame:
+    """Substring-level duplicated-span fractions
+    (operators/text.py::dup_span_stats)."""
+    from quake_vector_search_spark.operators.text import dup_span_stats
+    return dup_span_stats(docs, **kwargs)
+
+
+def quality_classify(docs: DataFrame,
+                     weights: dict | None = None) -> DataFrame:
+    """Linear quality-filter inference, pure Catalyst
+    (operators/text.py::linear_quality_classifier)."""
+    from quake_vector_search_spark.operators.text import (
+        linear_quality_classifier,
+    )
+    return linear_quality_classifier(docs, weights)

@@ -189,3 +189,32 @@ def test_linear_quality_classifier_custom_weights_flip(spark):
         df, weights={"alpha": -600, "stopword": -400, "bias": -100}) \
         .collect()[0]
     assert r["accept"] is False and r["logit"] < 0
+
+
+def test_api_round5b_facade(spark, tmp_path):
+    """Round-5 continuation api surface: pii_scrub, heavy_hitters,
+    export_dataset, dup_spans, quality_classify."""
+    from quake_vector_search_spark import api
+    from quake_vector_search_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").limit(50)
+
+    scrubbed = api.pii_scrub(docs)
+    assert {"has_pii", "text_redacted"} <= set(scrubbed.columns)
+    assert scrubbed.count() == 50
+
+    items = docs.select(F.col("source").alias("item"))
+    hh = api.heavy_hitters(items, "item", k=4)
+    assert hh.count() <= 4
+
+    manifest = api.export_dataset(docs, str(tmp_path / "ds"),
+                                  "doc_id", 4)
+    assert manifest.agg(F.sum("n_rows")).collect()[0][0] == 50
+
+    ds = api.dup_spans(docs)
+    assert {"n_windows", "dup_span_frac"} <= set(ds.columns)
+
+    qc = api.quality_classify(docs)
+    assert {"logit", "accept"} <= set(qc.columns)
+    assert qc.count() == 50
