@@ -295,3 +295,13 @@ def quality_classify(docs: DataFrame,
         linear_quality_classifier,
     )
     return linear_quality_classifier(docs, weights)
+
+
+def maxsim_search(corpus: DataFrame, queries: DataFrame,
+                  k: int = 10, **kwargs) -> DataFrame:
+    """Multi-vector late-interaction (ColBERT MaxSim) top-k
+    (operators/multivector.py::maxsim_topk)."""
+    from quake_vector_search_spark.operators.multivector import (
+        maxsim_topk,
+    )
+    return maxsim_topk(corpus, queries, k=k, **kwargs)

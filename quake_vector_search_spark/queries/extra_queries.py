@@ -1349,3 +1349,52 @@ def q_jsonl_roundtrip(spark, sf_dir):
            .orderBy("doc_id").localCheckpoint())
     shutil.rmtree(path, ignore_errors=True)
     return out
+
+
+@register("knn_multivector_maxsim", sql="""
+WITH c AS (
+  SELECT CAST(vec_id // 4 AS BIGINT) AS doc_id, embedding
+  FROM embeddings
+), q AS (
+  SELECT CAST(vec_id // 4 AS BIGINT) AS query_doc, vec_id AS qv_id,
+         embedding AS qvec
+  FROM embeddings WHERE vec_id < 8
+), sim AS (
+  SELECT q.query_doc, q.qv_id, c.doc_id,
+         MAX(ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                          CAST(q.qvec AS DOUBLE[])), 6))
+           AS mx
+  FROM c CROSS JOIN q
+  GROUP BY q.query_doc, q.qv_id, c.doc_id
+), sc AS (
+  SELECT query_doc, doc_id, ROUND(SUM(mx), 6) AS score
+  FROM sim GROUP BY query_doc, doc_id
+), r AS (
+  SELECT query_doc, doc_id, score,
+         row_number() OVER (PARTITION BY query_doc
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM sc
+)
+SELECT query_doc, doc_id, score, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 10
+""")
+def knn_multivector_maxsim(spark, sf_dir):
+    """Late-interaction multi-vector retrieval (SURVEY §2.2 gap item:
+    'no multi-vector'): embeddings grouped 4-per-document into vector
+    bags, two multi-vector queries (vec_id < 8), ColBERT MaxSim
+    scoring with per-qv maxes rounded before the sum (order-free) —
+    operators/multivector.py::maxsim_topk. Exact integer division
+    (a - a%4)/4 forms the bag ids identically on both engines."""
+    from quake_vector_search_spark.operators.multivector import (
+        maxsim_topk)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vid = F.col("vec_id")
+    bag = ((vid - F.pmod(vid, F.lit(4))) / 4).cast("long")
+    corpus = emb.select(bag.alias("doc_id"), "embedding")
+    queries = (emb.where(vid < 8)
+               .select(bag.alias("query_doc"),
+                       vid.alias("qv_id"),
+                       F.col("embedding").alias("qvec")))
+    out = maxsim_topk(corpus, queries, k=10)
+    return out.select("query_doc", "doc_id", "score", "rank")

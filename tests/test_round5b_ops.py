@@ -218,3 +218,42 @@ def test_api_round5b_facade(spark, tmp_path):
     qc = api.quality_classify(docs)
     assert {"logit", "accept"} <= set(qc.columns)
     assert qc.count() == 50
+
+
+def test_maxsim_hand_computed(spark):
+    from quake_vector_search_spark.operators.multivector import (
+        maxsim_topk,
+    )
+
+    # 2-dim vectors; doc 0 = {e_x, e_y}, doc 1 = {-e_x, diag}
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (0, [0.0, 1.0]),
+         (1, [-1.0, 0.0]), (1, [0.70710678, 0.70710678])],
+        "doc_id long, embedding array<double>")
+    # query doc 9 = {e_x, e_y}
+    queries = spark.createDataFrame(
+        [(9, 100, [1.0, 0.0]), (9, 101, [0.0, 1.0])],
+        "query_doc long, qv_id long, qvec array<double>")
+    got = {r["doc_id"]: r for r in
+           maxsim_topk(corpus, queries, k=2).collect()}
+    # doc 0: max cos vs e_x = 1, vs e_y = 1 -> score 2
+    assert abs(got[0]["score"] - 2.0) < 1e-9 and got[0]["rank"] == 1
+    # doc 1: e_x -> max(-1, .7071)= .707107; e_y -> max(0, .7071)
+    assert abs(got[1]["score"] - 1.414214) < 1e-9
+    assert got[1]["rank"] == 2
+
+
+def test_maxsim_plan_broadcasts_queries(spark):
+    from quake_vector_search_spark.operators.multivector import (
+        maxsim_topk,
+    )
+
+    corpus = spark.range(0, 64).select(
+        (F.col("id") / 8).cast("long").alias("doc_id"),
+        F.array(F.rand(1), F.rand(2)).alias("embedding"))
+    queries = spark.createDataFrame(
+        [(0, 0, [0.5, 0.5])], "query_doc long, qv_id long, qvec array<double>")
+    plan = maxsim_topk(corpus, queries)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
