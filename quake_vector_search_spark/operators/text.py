@@ -420,14 +420,18 @@ def dup_span_stats(docs: DataFrame, id_col: str = "doc_id",
     Windows start at 1, 1+stride, ... while a full k-char window fits
     (docs shorter than k contribute their whole text as one window).
     A window is duplicated if its hash occurs in >= 2 DISTINCT
-    documents. Plan: narrow explode (~len/stride rows/doc), one
-    groupBy on the window hash (map-side combined), one shuffle join
-    back on the hash — the posting-list shape of the chunk/ngram dedup
-    family; nothing driver-side, no n². dup_span_frac is an exact
-    integer-rounded rational (_r6).
+    documents. Plan: narrow explode (~len/stride rows/doc), then ONE
+    shuffle on the window hash where a partitioned-window collect_set
+    counts distinct owning docs in place (no second scan, no
+    self-join — plan-audited down from the 2-scan/7-exchange
+    groupBy+join form), then the per-doc aggregate. Nothing
+    driver-side, no n². dup_span_frac is an exact integer-rounded
+    rational (_r6).
 
     Returns (id, n_windows, n_dup_windows, dup_span_frac).
     """
+    from pyspark.sql import Window
+
     docs = spread(docs)
     t = F.col(text_col)
     offs = F.sequence(
@@ -438,10 +442,10 @@ def dup_span_stats(docs: DataFrame, id_col: str = "doc_id",
                      F.explode(offs).alias("off"))
          .select(id_col,
                  F.md5(F.expr(f"substring(_t, off, {k})")).alias("h")))
-    freq = w.groupBy("h").agg(
-        F.count_distinct(F.col(id_col)).alias("nd"))
-    joined = w.join(freq, "h")
-    agg = (joined.groupBy(id_col)
+    nd = F.size(F.collect_set(F.col(id_col))
+                .over(Window.partitionBy("h")))
+    flagged = w.withColumn("nd", nd)
+    agg = (flagged.groupBy(id_col)
            .agg(F.count("*").cast("long").alias("n_windows"),
                 F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
                  .cast("long").alias("n_dup_windows")))

@@ -1398,3 +1398,38 @@ def knn_multivector_maxsim(spark, sf_dir):
                        F.col("embedding").alias("qvec")))
     out = maxsim_topk(corpus, queries, k=10)
     return out.select("query_doc", "doc_id", "score", "rank")
+
+
+def _register_roundtrip(fmt: str, read_kwargs: dict | None = None):
+    @register(f"q_{fmt}_roundtrip", sql="""
+SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars,
+       md5(text) AS text_md5
+FROM documents ORDER BY doc_id
+""")
+    def roundtrip(spark, sf_dir, _fmt=fmt, _rk=read_kwargs or {}):
+        """{fmt} interchange round trip (E1 format matrix) — same
+        contract as q_jsonl_roundtrip: write documents with write_sink,
+        read back schema'd, md5(text) vs the ORIGINAL parquet."""
+        import shutil
+        import uuid
+
+        from quake_vector_search_spark.sources import (
+            read_source, write_sink)
+
+        docs = load_table(spark, sf_dir, "documents")
+        path = f"/tmp/qvss_{_fmt}_{uuid.uuid4().hex[:8]}"
+        write_sink(docs, path, fmt=_fmt)
+        back = read_source(
+            spark, path, fmt=_fmt,
+            schema="doc_id long, text string, lang string, "
+                   "source string, n_chars long", **_rk)
+        out = (back.select("doc_id", "lang", "source", "n_chars",
+                           F.md5("text").alias("text_md5"))
+               .orderBy("doc_id").localCheckpoint())
+        shutil.rmtree(path, ignore_errors=True)
+        return out
+    return roundtrip
+
+
+_register_roundtrip("csv")
+_register_roundtrip("orc")
