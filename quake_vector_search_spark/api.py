@@ -305,3 +305,12 @@ def maxsim_search(corpus: DataFrame, queries: DataFrame,
         maxsim_topk,
     )
     return maxsim_topk(corpus, queries, k=k, **kwargs)
+
+
+def centrality(pairs: DataFrame, iters: int = 3, **kwargs) -> DataFrame:
+    """Integer-arithmetic PageRank over a near-dup pair list
+    (operators/graph.py::pagerank_integer) — canonical-selection key."""
+    from quake_vector_search_spark.operators.graph import (
+        pagerank_integer,
+    )
+    return pagerank_integer(pairs, iters=iters, **kwargs)

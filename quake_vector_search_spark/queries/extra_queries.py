@@ -1433,3 +1433,127 @@ FROM documents ORDER BY doc_id
 
 _register_roundtrip("csv")
 _register_roundtrip("orc")
+
+
+@register("q_json_corrupt_quarantine", sql="""
+SELECT CAST(COUNT(*) FILTER (doc_id % 13 <> 0) AS BIGINT) AS n_good,
+       CAST(COUNT(*) FILTER (doc_id % 13 = 0) AS BIGINT) AS n_bad,
+       CAST(SUM(n_chars) FILTER (doc_id % 13 <> 0) AS BIGINT)
+         AS sum_chars_good,
+       CAST(SUM(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                         1, 15)) AS BIGINT) % 1000000007)
+            FILTER (doc_id % 13 <> 0) AS BIGINT) AS id_checksum_good
+FROM documents
+""")
+def q_json_corrupt_quarantine(spark, sf_dir):
+    """Corrupt-record quarantine at ingest (the operational reality of
+    a 100 TB JSONL crawl): every 13th document is written as a broken
+    JSON line (unterminated string), the rest as valid JSONL; the read
+    path uses PERMISSIVE mode with columnNameOfCorruptRecord so bad
+    lines quarantine into `_corrupt` instead of failing the job. The
+    query emits good/bad counts plus content+id checksums of the GOOD
+    rows; the oracle derives all four from the source table and the
+    planted corruption rule — a parser that drops, double-counts, or
+    misclassifies one line flips the hash."""
+    import shutil
+    import uuid
+
+    docs = load_table(spark, sf_dir, "documents")
+    line = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(F.lit('{"doc_id": '), F.col("doc_id").cast("string"),
+                 F.lit(', "text": "unterminated')),
+    ).otherwise(F.to_json(F.struct("doc_id", "text", "lang",
+                                   "source", "n_chars")))
+    path = f"/tmp/qvss_corrupt_{uuid.uuid4().hex[:8]}"
+    docs.select(line.alias("value")).write.mode("overwrite").text(path)
+    back = (spark.read
+            .schema("doc_id long, text string, lang string, "
+                    "source string, n_chars long, _corrupt string")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt")
+            .json(path))
+    h = (F.conv(F.substring(
+            F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+         .cast("long") % 1_000_000_007)
+    bad = F.col("_corrupt").isNotNull()
+    out = (back.agg(
+        F.sum(F.when(~bad, 1).otherwise(0)).cast("long").alias("n_good"),
+        F.sum(F.when(bad, 1).otherwise(0)).cast("long").alias("n_bad"),
+        F.sum(F.when(~bad, F.col("n_chars"))).cast("long")
+         .alias("sum_chars_good"),
+        F.sum(F.when(~bad, h)).cast("long").alias("id_checksum_good"))
+        .localCheckpoint())
+    shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
+def _pagerank_sql(iters: int = 3) -> str:
+    """Unrolled integer-PageRank oracle over the shared LSH pair
+    fragment: fixed iterations -> plain CTE layers, every step bigint
+    floor arithmetic (`//`) — bit-identical to the Spark operator by
+    construction."""
+    S = 1_000_000_000_000
+    sql = ["WITH " + _LSH_CAND_SQL + """,
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.id_a
+  JOIN embeddings eb ON eb.vec_id = c.id_b
+  WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                               CAST(eb.embedding AS DOUBLE[])) >= 0.45
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), deg AS (
+  SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+), mc AS (
+  SELECT COUNT(*) AS m FROM deg
+), r0 AS (
+  SELECT d.src AS node, CAST(%d // mc.m AS BIGINT) AS pr
+  FROM deg d, mc
+)""" % S]
+    for i in range(1, iters + 1):
+        sql.append(""", s%d AS (
+  SELECT e.dst AS node, SUM(r.pr // d.deg) AS s
+  FROM edges e
+  JOIN deg d ON d.src = e.src
+  JOIN r%d r ON r.node = e.src
+  GROUP BY e.dst
+), r%d AS (
+  SELECT d.src AS node,
+         CAST((15 * %d) // (100 * mc.m)
+              + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS pr
+  FROM deg d CROSS JOIN mc LEFT JOIN s%d s ON s.node = d.src
+)""" % (i, i - 1, i, S, i))
+    sql.append(f"""
+SELECT node AS vec_id, pr FROM r{iters} ORDER BY vec_id""")
+    return "".join(sql)
+
+
+def _register_pagerank():
+    @register("emb_pagerank", sql=_pagerank_sql())
+    def emb_pagerank(spark, sf_dir):
+        """Centrality-based canonical selection: integer-arithmetic
+        PageRank (operators/graph.py::pagerank_integer, 3 iterations,
+        damping 85/100) over the sign-LSH near-dup graph — ranks each
+        edge-touched vector by how strongly its cluster points at it,
+        a principled representative key next to keep-longest. Every
+        intermediate is a bigint (floor divisions, commutative-exact
+        sums), so Spark and the unrolled-CTE DuckDB oracle agree
+        bit-for-bit at any scale/partitioning."""
+        from quake_vector_search_spark.operators.dedup import (
+            cosine_pairs_lsh)
+        from quake_vector_search_spark.operators.graph import (
+            pagerank_integer)
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        pairs = cosine_pairs_lsh(emb, threshold=0.45,
+                                 n_bits=16, n_bands=4)
+        pr = pagerank_integer(pairs, iters=3)
+        return (pr.select(F.col("node").alias("vec_id"), "pr")
+                .orderBy("vec_id"))
+
+
+_register_pagerank()

@@ -257,3 +257,46 @@ def test_maxsim_plan_broadcasts_queries(spark):
         .executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pagerank_integer_path_graph(spark):
+    from quake_vector_search_spark.operators.graph import (
+        PR_SCALE,
+        pagerank_integer,
+    )
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)],
+                                  "id_a long, id_b long")
+    pr = {r["node"]: r["pr"] for r in pagerank_integer(pairs).collect()}
+    assert set(pr) == {1, 2, 3}
+    # center of the path out-ranks the endpoints; endpoints symmetric
+    assert pr[2] > pr[1] and pr[1] == pr[3]
+    # rank mass conserved up to floor-truncation loss
+    assert 0.999 * PR_SCALE < sum(pr.values()) <= PR_SCALE
+
+
+def test_pagerank_integer_partitioning_invariant(spark):
+    import random
+
+    from quake_vector_search_spark.operators.graph import (
+        pagerank_integer,
+    )
+
+    rng = random.Random(3)
+    edges = list({(rng.randrange(30), rng.randrange(30))
+                  for _ in range(60)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    r1 = {tuple(r) for r in pagerank_integer(df).collect()}
+    r2 = {tuple(r) for r in
+          pagerank_integer(df.repartition(7)).collect()}
+    assert r1 == r2
+
+
+def test_pagerank_integer_empty_edges(spark):
+    from quake_vector_search_spark.operators.graph import (
+        pagerank_integer,
+    )
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert pagerank_integer(empty).count() == 0
