@@ -299,7 +299,7 @@ def _lsh_hyperplanes(n_bits: int, dim: int, seed: str) -> list[list[float]]:
 
 
 def cosine_pairs_lsh(emb: DataFrame, threshold: float,
-                     n_bits: int = 16, n_bands: int = 4,
+                     n_bits: int = 64, n_bands: int = 16,
                      dim: int | None = None,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      seed: str = "lsh1") -> DataFrame:
