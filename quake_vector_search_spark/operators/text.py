@@ -509,3 +509,66 @@ def linear_quality_classifier(docs: DataFrame,
     logit = (F.when(P >= 0, _r6(P, Q)).otherwise(-_r6(-P, Q)))
     return docs.select(
         id_col, logit.alias("logit"), (P > 0).alias("accept"))
+
+
+FEATURE_HASH_DIM = 64
+
+
+def hash_embed(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text",
+               dim: int = FEATURE_HASH_DIM) -> DataFrame:
+    """Feature-hashing text embeddings (Weinberger et al., ICML'09 —
+    the 'hashing trick'): tokens hash to one of ``dim`` buckets with a
+    ±1 sign from a second hash, per-doc bucket sums form the vector.
+    No vocabulary, no training, no model server — the only way to
+    embed 100 TB of raw text inside the engine itself, and the vector
+    is an INTEGER relation (portable-md5 buckets/signs, exact sums),
+    so it cross-engine hash-matches with no float anywhere.
+
+    Returns the SPARSE form (id, bucket, v) — one explode + one
+    map-side-combined groupBy. Densify with :func:`hash_embed_dense`
+    to feed the kNN/IVF family."""
+    toks = (spread(docs)
+            .select(F.col(id_col),
+                    F.explode(F.expr(
+                        rf"regexp_extract_all(lower({text_col}),"
+                        rf" '\\S+', 0)")).alias("w")))
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("fh:"), F.col("w"))), 1, 15), 16, 10)
+        .cast("long") % dim)
+    sign = F.when(
+        F.conv(F.substring(
+            F.md5(F.concat(F.lit("fs:"), F.col("w"))), 1, 15), 16, 10)
+        .cast("long") % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+    return (toks.select(id_col, bucket.alias("bucket"),
+                        sign.alias("s"))
+            .groupBy(id_col, "bucket")
+            .agg(F.sum("s").cast("long").alias("v")))
+
+
+def hash_embed_dense(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     dim: int = FEATURE_HASH_DIM,
+                     normalize: bool = True) -> DataFrame:
+    """Dense ``array<double>`` form of :func:`hash_embed` (zeros for
+    untouched buckets, optional L2 normalization) — drop-in input for
+    knn_bruteforce / IVFIndex.build over raw text."""
+    sparse = hash_embed(docs, id_col, text_col, dim)
+    pairs = F.array_sort(F.collect_list(F.struct("bucket", "v")))
+    dense = (sparse.groupBy(id_col)
+             .agg(pairs.alias("_p"))
+             .select(id_col,
+                     F.expr(
+                         f"transform(sequence(0, {dim - 1}, 1), i -> "
+                         "CAST(coalesce("
+                         "element_at(map_from_entries(_p), i), 0) "
+                         "AS DOUBLE))").alias("embedding")))
+    if not normalize:
+        return dense
+    norm = F.sqrt(F.aggregate(
+        "embedding", F.lit(0.0), lambda acc, x: acc + x * x))
+    return dense.select(
+        id_col,
+        F.transform("embedding",
+                    lambda x: x / (norm + F.lit(1e-12)))
+         .alias("embedding"))

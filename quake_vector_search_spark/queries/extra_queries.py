@@ -1637,3 +1637,33 @@ FROM jac WHERE jaccard >= 0.5
 
 
 _register_minhash_recall()
+
+
+@register("text_hash_embedding", sql=r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS w
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5('fh:' || w), 1, 15)) AS BIGINT)
+           % 64 AS bucket,
+         CASE WHEN CAST(concat('0x', substr(md5('fs:' || w), 1, 15))
+                        AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS s
+  FROM tok
+)
+SELECT doc_id, bucket, CAST(SUM(s) AS BIGINT) AS v
+FROM h GROUP BY doc_id, bucket
+ORDER BY doc_id, bucket
+""")
+def text_hash_embedding(spark, sf_dir):
+    """Feature-hashing ('hashing trick') text embeddings — model-free
+    in-engine embedding of raw text (operators/text.py::hash_embed):
+    ±1-signed token hashing into 64 buckets, per-doc integer sums.
+    The sparse (doc, bucket, v) relation is all-integer (portable md5
+    buckets AND signs), so the full embedding matrix hash-matches
+    cross-engine exactly; hash_embed_dense lifts it to a normalized
+    array<double> for the kNN/IVF family (pinned by unit test)."""
+    from quake_vector_search_spark.operators.text import hash_embed
+
+    out = hash_embed(load_table(spark, sf_dir, "documents"))
+    return out.orderBy("doc_id", "bucket")

@@ -300,3 +300,36 @@ def test_pagerank_integer_empty_edges(spark):
 
     empty = spark.createDataFrame([], "id_a long, id_b long")
     assert pagerank_integer(empty).count() == 0
+
+
+def test_hash_embed_dense_normalized_and_knn_ready(spark):
+    from quake_vector_search_spark.operators.knn import knn_bruteforce
+    from quake_vector_search_spark.operators.text import (
+        hash_embed,
+        hash_embed_dense,
+    )
+    from quake_vector_search_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001",
+                      "documents").limit(40)
+    dense = hash_embed_dense(docs)
+    rows = dense.collect()
+    assert all(len(r["embedding"]) == 64 for r in rows)
+    for r in rows[:5]:
+        norm = sum(x * x for x in r["embedding"]) ** 0.5
+        assert abs(norm - 1.0) < 1e-6
+    # dense agrees with sparse at every touched bucket
+    sp = {(r["doc_id"], r["bucket"]): r["v"]
+          for r in hash_embed(docs).collect()}
+    some = rows[0]
+    raw = [sp.get((some["doc_id"], b), 0) for b in range(64)]
+    nrm = sum(x * x for x in raw) ** 0.5
+    for b in range(64):
+        assert abs(some["embedding"][b] - raw[b] / (nrm + 1e-12)) < 1e-9
+    # feeds the knn family directly: a doc's nearest neighbor is itself
+    emb = dense.withColumnRenamed("doc_id", "vec_id")
+    queries = (emb.where(F.col("vec_id") < 3)
+               .withColumnRenamed("vec_id", "query_id"))
+    top = knn_bruteforce(emb, queries, k=1)
+    got = {r["query_id"]: r["vec_id"] for r in top.collect()}
+    assert got == {0: 0, 1: 1, 2: 2}
