@@ -203,7 +203,9 @@ def dedup_embedding_cosine_oracle(spark, sf_dir):
     ``dedup_embedding_lsh`` (sign-LSH bucketing, see extra_queries) and
     IVF-kNN. Never the pipeline default (demoted per round-1 audit)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    out = D.cosine_pairs_exhaustive(emb, threshold=0.45)
+    # BLAS twin: same pair set and cosines as the pair-join form
+    # (exact re-verify through cosine_similarity_col), ~70x faster
+    out = D.cosine_pairs_exhaustive_blas(emb, threshold=0.45)
     return out.withColumn("cosine", F.round("cosine", 6))
 
 

@@ -1579,12 +1579,15 @@ def dedup_lsh_recall_eval(spark, sf_dir):
     that floor from regressing. DuckDB anchors the
     exact pair count; the booleans are computed Spark-side."""
     from quake_vector_search_spark.operators.dedup import (
-        cosine_pairs_exhaustive, cosine_pairs_lsh)
+        cosine_pairs_exhaustive_blas, cosine_pairs_lsh)
 
     emb = load_table(spark, sf_dir, "embeddings")
     # pair sets are tiny (dup density); checkpoint so the n² scan and
-    # the LSH pipeline each run ONCE, not once per count/join below
-    exact = (cosine_pairs_exhaustive(emb, threshold=0.45)
+    # the LSH pipeline each run ONCE, not once per count/join below.
+    # BLAS twin: identical pair set (margin candidates + exact
+    # re-verify through the same Catalyst expression), 67 s -> ~3 s
+    # for the n² pass at sf0.1
+    exact = (cosine_pairs_exhaustive_blas(emb, threshold=0.45)
              .select("id_a", "id_b").localCheckpoint())
     lsh = (cosine_pairs_lsh(emb, threshold=0.45)
            .select("id_a", "id_b").localCheckpoint())

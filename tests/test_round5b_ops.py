@@ -333,3 +333,23 @@ def test_hash_embed_dense_normalized_and_knn_ready(spark):
     top = knn_bruteforce(emb, queries, k=1)
     got = {r["query_id"]: r["vec_id"] for r in top.collect()}
     assert got == {0: 0, 1: 1, 2: 2}
+
+
+def test_cosine_exhaustive_blas_twin_matches_catalyst(spark):
+    from quake_vector_search_spark.operators.dedup import (
+        cosine_pairs_exhaustive,
+        cosine_pairs_exhaustive_blas,
+    )
+    from quake_vector_search_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    key = ["id_a", "id_b", "cosine"]
+    a = {tuple(r) for r in
+         cosine_pairs_exhaustive(emb, 0.45)
+         .withColumn("cosine", F.round("cosine", 6))
+         .select(*key).collect()}
+    b = {tuple(r) for r in
+         cosine_pairs_exhaustive_blas(emb, 0.45)
+         .withColumn("cosine", F.round("cosine", 6))
+         .select(*key).collect()}
+    assert a == b and len(a) > 0
