@@ -62,3 +62,21 @@ def scd2_apply(dim: DataFrame, new_changes: DataFrame, key_col: str,
                    .otherwise(F.col("valid_to_epoch_s")))
               .drop("_first_new_ts"))
     return closed.unionByName(new_built)
+
+
+def merge_rollup(existing: DataFrame, delta: DataFrame,
+                 keys: list[str], sum_cols: list[str],
+                 count_col: str = "n") -> DataFrame:
+    """Incremental aggregate maintenance (materialized-view merge):
+    fold a pre-aggregated DELTA batch into an EXISTING rollup without
+    touching history — the 100 TB pattern where the nightly fact scan
+    is replaced by re-aggregating only the new partition and merging
+    (sums add, counts add; avg/ratios derive downstream).
+
+    Both inputs carry (keys, sum_cols, count_col) at the same grain.
+    Plan: unionAll + one map-side-combined groupBy on the keys — the
+    merge shuffles only the two SUMMARY relations (cardinality =
+    group count, not fact rows)."""
+    aggs = [F.sum(c).alias(c) for c in sum_cols]
+    aggs.append(F.sum(count_col).cast("long").alias(count_col))
+    return existing.unionAll(delta).groupBy(*keys).agg(*aggs)

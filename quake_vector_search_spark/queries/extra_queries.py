@@ -1670,3 +1670,42 @@ def text_hash_embedding(spark, sf_dir):
 
     out = hash_embed(load_table(spark, sf_dir, "documents"))
     return out.orderBy("doc_id", "bucket")
+
+
+@register("q_incremental_rollup", sql="""
+SELECT o_orderpriority,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+       ROUND(SUM(o_totalprice), 4) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+GROUP BY o_orderpriority, date_trunc('month', o_orderdate)
+ORDER BY o_orderpriority, month
+""")
+def q_incremental_rollup(spark, sf_dir):
+    """Materialized-view incremental maintenance
+    (operators/scd.py::merge_rollup): the pre-1997 rollup is treated
+    as the EXISTING summary, the 1997+ orders are re-aggregated as
+    the DELTA, and the merge (union + one summary-sized groupBy) must
+    equal the full recompute — which is exactly what the oracle runs.
+    The at-scale point: the nightly job re-scans only the new
+    partition; history is never re-shuffled."""
+    from quake_vector_search_spark.operators.scd import merge_rollup
+
+    orders = load_table(spark, sf_dir, "orders")
+    month = F.date_format(F.col("o_orderdate"), "yyyy-MM")
+    cutoff = F.lit("1997-01-01").cast("date")
+
+    def agg(part):
+        return (part.groupBy(F.col("o_orderpriority"),
+                             month.alias("month"))
+                .agg(F.sum("o_totalprice").alias("revenue"),
+                     F.count("*").cast("long").alias("n")))
+
+    existing = agg(orders.where(F.col("o_orderdate") < cutoff))
+    delta = agg(orders.where(F.col("o_orderdate") >= cutoff))
+    merged = merge_rollup(existing, delta,
+                          keys=["o_orderpriority", "month"],
+                          sum_cols=["revenue"])
+    return (merged.select("o_orderpriority", "month",
+                          F.round("revenue", 4).alias("revenue"), "n")
+            .orderBy("o_orderpriority", "month"))
