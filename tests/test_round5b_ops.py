@@ -353,3 +353,32 @@ def test_cosine_exhaustive_blas_twin_matches_catalyst(spark):
          .withColumn("cosine", F.round("cosine", 6))
          .select(*key).collect()}
     assert a == b and len(a) > 0
+
+
+def test_redact_idempotent_and_silences_signals(spark):
+    """Fixpoint property: one redaction pass leaves nothing any rule
+    still matches (placeholders are designed not to re-match — '>' /
+    '<' terminate the local-part and digit-run classes), so
+    redact(redact(x)) == redact(x) and all signal counts on redacted
+    text are zero. Fuzzed over random strings from the PII alphabet."""
+    import random
+    import string
+
+    rng = random.Random(23)
+    alphabet = string.ascii_letters + string.digits + " @.+-_%<>(),"
+    rows = [(i, "".join(rng.choice(alphabet)
+                        for _ in range(rng.randrange(0, 60))))
+            for i in range(300)]
+    # seed some real PII shapes among the noise
+    rows += [(1000, "a@b.co x 1.2.3.4 +44 555-0199 987654321 end"),
+             (1001, "a@b.com@c.org .x@d.org chained")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = redact(df).select("doc_id",
+                             F.col("text_redacted").alias("text"))
+    twice = redact(once).select("doc_id", "text_redacted")
+    joined = (once.withColumnRenamed("text", "r1")
+              .join(twice.withColumnRenamed("text_redacted", "r2"),
+                    "doc_id"))
+    assert joined.where(F.col("r1") != F.col("r2")).count() == 0
+    sig = pii_signals(once)
+    assert sig.agg(F.sum("pii_total")).collect()[0][0] == 0
