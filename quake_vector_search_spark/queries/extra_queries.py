@@ -144,7 +144,8 @@ def ivf_pq_cosine_fullprobe(spark, sf_dir):
 
 @register("q_fuzzy_name_join", sql="""
 WITH w AS (
-  SELECT p_partkey AS id, string_split(p_name, ' ') AS wa FROM part
+  SELECT p_partkey AS id, string_split(p_name, ' ') AS wa
+  FROM part WHERE p_partkey % 3 = 0
 ), pairs AS (
   SELECT a.id AS id_a, b.id AS id_b,
          len(list_filter(range(len(a.wa)),
@@ -164,7 +165,13 @@ def q_fuzzy_name_join(spark, sf_dir):
         fuzzy_hamming_join,
     )
 
-    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    # deterministic 1/3 subset: the synthetic names are so uniform
+    # that ~half of ALL pairs are within hamming 1 (46.9M result rows
+    # at sf0.1 unrestricted) — the subset keeps the operator and its
+    # n² oracle fully exercised at ~1/9 the result volume
+    part = (load_table(spark, sf_dir, "part")
+            .where(F.col("p_partkey") % 3 == 0)
+            .select("p_partkey", "p_name"))
     return fuzzy_hamming_join(part, "p_partkey", "p_name", max_hamming=1)
 
 
