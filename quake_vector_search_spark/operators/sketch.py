@@ -282,3 +282,37 @@ def misra_gries(items: DataFrame, item_col: str, k: int = MG_K) -> DataFrame:
         return spark.createDataFrame([], "item string, est long")
     return spark.createDataFrame(
         [(i, v) for i, v in sorted(merged.items())], "item string, est long")
+
+
+def kmv_distinct_by(df: DataFrame, group_col: str, item_col: str,
+                    k: int = 256) -> DataFrame:
+    """Grouped KMV: one k-minimum-values sketch PER GROUP — the
+    "distinct users per segment / distinct tokens per domain" shape.
+    Same portable hash and estimator as :func:`kmv_distinct`; the
+    per-group k smallest survive a single partitioned window over the
+    DISTINCT (group, hash) pairs, so the shuffle carries at most the
+    distinct pairs and each group's state is k doubles. Returns
+    (group, kth_min_hash, est_distinct, n_kept) per group."""
+    from pyspark.sql import Window
+
+    h = (F.conv(F.substring(F.md5(
+            F.concat_ws(":", F.lit("kmv"),
+                        F.col(item_col).cast("string"))), 1, 15), 16, 10)
+         .cast("long"))
+    u = (h + F.lit(1)).cast("double") / F.lit(float(2 ** 60))
+    pairs = (df.select(F.col(group_col), u.alias("u"))
+             .where(F.col("u").isNotNull()).distinct())
+    w = Window.partitionBy(group_col).orderBy(F.col("u").asc())
+    mins = (pairs.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= k))
+    agg = (mins.groupBy(group_col)
+           .agg(F.max("u").alias("kth"),
+                F.count("*").alias("n_kept")))
+    return agg.select(
+        F.col(group_col),
+        F.round("kth", 10).alias("kth_min_hash"),
+        F.round(F.when(F.col("n_kept") < k,
+                       F.col("n_kept").cast("double"))
+                 .otherwise(F.lit(k - 1) / F.col("kth")), 4)
+         .alias("est_distinct"),
+        F.col("n_kept"))

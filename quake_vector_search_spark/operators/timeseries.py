@@ -179,3 +179,24 @@ def interval_join(left: DataFrame, right: DataFrame, key: str,
             & (F.col(f"r.{right_ts}") >= lo)
             & (F.col(f"r.{right_ts}") <= hi))
     return l.join(r, cond, "inner")
+
+
+def m4_downsample(events: DataFrame, width: str = "1 hour",
+                  ts_col: str = "ts", val_col: str = "value",
+                  key_col: str = "event_type",
+                  id_col: str = "event_id") -> DataFrame:
+    """M4 time-series downsampling (Jugel et al., VLDB'14): per
+    (series, time bucket) keep exactly the four value-defining points
+    — min, max, first, last — the lossless reduction for pixel-perfect
+    line rendering of arbitrarily long series. Purely relational: one
+    map-side-combined groupBy per bucket; first/last resolve by
+    (ts, id) so ties are deterministic. At 100 TB this turns a
+    billion-point series into 4·buckets rows with one shuffle."""
+    bucket = F.window(F.col(ts_col), width).start.alias("bucket_start")
+    tie = F.struct(F.col(ts_col), F.col(id_col), F.col(val_col))
+    return (events.groupBy(F.col(key_col), bucket)
+            .agg(F.count("*").cast("long").alias("n_points"),
+                 F.min(val_col).alias("v_min"),
+                 F.max(val_col).alias("v_max"),
+                 F.min(tie).getField(val_col).alias("v_first"),
+                 F.max(tie).getField(val_col).alias("v_last")))

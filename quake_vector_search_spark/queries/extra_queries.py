@@ -1721,3 +1721,42 @@ def q_incremental_rollup(spark, sf_dir):
     return (merged.select("o_orderpriority", "month",
                           F.round("revenue", 4).alias("revenue"), "n")
             .orderBy("o_orderpriority", "month"))
+
+
+@register("q_kmv_by_group", sql="""
+WITH hashes AS (
+  SELECT DISTINCT event_type,
+    (CAST(concat('0x', substr(md5(concat('kmv', ':',
+         CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) + 1)
+      / 1152921504606846976.0 AS u
+  FROM events
+), r AS (
+  SELECT event_type, u,
+         row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn
+  FROM hashes
+), mins AS (
+  SELECT event_type, u FROM r WHERE rn <= 64
+), agg AS (
+  SELECT event_type, MAX(u) AS kth,
+         CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM mins GROUP BY event_type
+)
+SELECT event_type, ROUND(kth, 10) AS kth_min_hash,
+       ROUND(CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+                  ELSE 63.0 / kth END, 4) AS est_distinct,
+       n_kept
+FROM agg ORDER BY event_type
+""")
+def q_kmv_by_group(spark, sf_dir):
+    """Grouped KMV sketches (operators/sketch.py::kmv_distinct_by):
+    distinct users per event type with one k=64 sketch per group —
+    the per-segment cardinality shape. k chosen below the true
+    per-group cardinality so the ESTIMATOR path (not the exact
+    fallback) is what hash-matches; deterministic portable hashing
+    means DuckDB builds the identical per-group sketches."""
+    from quake_vector_search_spark.operators.sketch import (
+        kmv_distinct_by)
+
+    ev = load_table(spark, sf_dir, "events")
+    out = kmv_distinct_by(ev, "event_type", "user_id", k=64)
+    return out.orderBy("event_type")

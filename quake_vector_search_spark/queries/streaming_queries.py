@@ -487,3 +487,92 @@ def stream_ingest_equals_batch(spark, sf_dir):
     shutil.rmtree(workdir, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     return res
+
+
+def _register_stream_curation():
+    from quake_vector_search_spark.operators.pii import redact_sql
+    from quake_vector_search_spark.operators.text import (
+        LANG_STOPWORDS, QUALITY_WEIGHTS_MILLI as W)
+    en = "', '".join(LANG_STOPWORDS["en"])
+
+    @register("stream_curation_filter_equals_batch", sql=f"""
+WITH m AS (
+  SELECT doc_id,
+    CAST(greatest(length(text), 1) AS BIGINT) AS L,
+    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)
+      AS na,
+    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+      AS nd,
+    CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+      AS BIGINT) AS np,
+    CAST(greatest(len(regexp_extract_all(text, '\\S+')), 1) AS BIGINT)
+      AS T,
+    CAST(len(list_filter(regexp_extract_all(text, '\\S+'),
+                         w -> lower(w) IN ('{en}'))) AS BIGINT) AS ns
+  FROM documents
+), r AS (
+  SELECT doc_id,
+         T * ({W["alpha"]} * na + {W["punct"]} * np + {W["digit"]} * nd)
+           + {W["stopword"]} * ns * L + {W["bias"]} * L * T AS P,
+         1000 * L * T AS Q
+  FROM m
+), red AS (
+  SELECT doc_id, md5({redact_sql('text')}) AS red_md5 FROM documents
+)
+SELECT r.doc_id,
+  0.0 + CASE WHEN P >= 0
+    THEN CAST((2 * P * 1000000 + Q) // (2 * Q) AS DOUBLE) / 1e6
+    ELSE -(CAST((2 * (-P) * 1000000 + Q) // (2 * Q) AS DOUBLE) / 1e6)
+  END AS logit,
+  P > 0 AS accept, red.red_md5
+FROM r JOIN red ON red.doc_id = r.doc_id
+ORDER BY r.doc_id
+""")
+    def stream_curation_filter_equals_batch(spark, sf_dir):
+        """The curation filters under STREAMING execution, value-hashed
+        directly: the documents table replays as a 2-file stream and
+        two narrow streaming pipelines run unmodified operator code —
+        linear_quality_classifier (spread() is streaming-aware) and
+        the PII redactor — each drained through a memory sink; the
+        joined drain must equal DuckDB's batch computation row for
+        row. Proves the row-wise curation surface is
+        execution-mode-agnostic (the 100 TB ingest-time filtering
+        story), not just batch-correct."""
+        from quake_vector_search_spark.operators.pii import redact
+        from quake_vector_search_spark.operators.text import (
+            linear_quality_classifier)
+        from quake_vector_search_spark.streaming import windows as SW
+
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        key = hashlib.md5(
+            f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()) \
+            .hexdigest()[:8]
+        ddir = f"/tmp/qvss_docs_stream_{key}"
+        if not os.path.exists(os.path.join(ddir, "_READY")):
+            shutil.rmtree(ddir, ignore_errors=True)
+            (spark.read.parquet(f"{sf_dir}/documents.parquet")
+             .repartition(2).write.mode("overwrite").parquet(ddir))
+            with open(os.path.join(ddir, "_READY"), "w") as fh:
+                fh.write("ok")
+
+        def docs_stream():
+            return (spark.readStream
+                    .schema("doc_id long, text string, lang string, "
+                            "source string, n_chars long")
+                    .option("maxFilesPerTrigger", 1).parquet(ddir))
+
+        clf = SW.run_to_completion(
+            linear_quality_classifier(docs_stream()),
+            _sink_name("curq"))
+        red = SW.run_to_completion(
+            redact(docs_stream()).select(
+                "doc_id", F.md5("text_redacted").alias("red_md5")),
+            _sink_name("curp"))
+        return (clf.select("doc_id",
+                           (F.lit(0.0) + F.col("logit")).alias("logit"),
+                           "accept")
+                .join(red, "doc_id")
+                .orderBy("doc_id"))
+
+
+_register_stream_curation()

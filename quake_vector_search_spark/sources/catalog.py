@@ -79,6 +79,12 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     this an explode/regex/hash pipeline runs single-threaded regardless
     of cluster size. No-op when the input is already wide enough — at
     100 TB the scan is naturally wide and this never triggers."""
+    if df.isStreaming:
+        # partition probing (and repartition heuristics) don't apply
+        # to an unbounded plan — micro-batch sizing is the stream's
+        # parallelism knob; pass through so every spread()-guarded
+        # operator (text stats, classifier, ...) is streaming-safe
+        return df
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
     try:
