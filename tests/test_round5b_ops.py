@@ -382,3 +382,47 @@ def test_redact_idempotent_and_silences_signals(spark):
     assert joined.where(F.col("r1") != F.col("r2")).count() == 0
     sig = pii_signals(once)
     assert sig.agg(F.sum("pii_total")).collect()[0][0] == 0
+
+
+def test_linear_classifier_matches_python_rational_reference(spark):
+    """Differential: the Catalyst integer-logit path must equal an
+    independent Python fractions.Fraction evaluation of the same
+    linear form (exact rational, then HALF_UP to 6 places) on random
+    texts — catches any drift in the P/Q factoring or _r6 rounding."""
+    import random
+    import string
+    from fractions import Fraction
+
+    from quake_vector_search_spark.operators.text import (
+        LANG_STOPWORDS,
+        QUALITY_WEIGHTS_MILLI as W,
+        linear_quality_classifier,
+    )
+
+    rng = random.Random(31)
+    alphabet = string.ascii_letters + string.digits + " .,!?()'\"-"
+    rows = [(i, "".join(rng.choice(alphabet)
+                        for _ in range(rng.randrange(1, 80))))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           linear_quality_classifier(df).collect()}
+    stop = set(LANG_STOPWORDS["en"])
+    for i, text in rows:
+        L = max(len(text), 1)
+        na = sum(c.isalpha() and c.isascii() for c in text)
+        nd = sum(c.isdigit() and c.isascii() for c in text)
+        np_ = sum(c in ".,;:!?'\"()-" for c in text)
+        words = text.split()
+        T = max(len(words), 1)
+        ns = sum(w.lower() in stop for w in words)
+        P = (T * (W["alpha"] * na + W["punct"] * np_ + W["digit"] * nd)
+             + W["stopword"] * ns * L + W["bias"] * L * T)
+        Q = 1000 * L * T
+        frac = Fraction(abs(P), Q)
+        # HALF_UP at 6 places on |P|/Q, re-signed
+        r6 = (2 * frac.numerator * 10**6 + frac.denominator) // (
+            2 * frac.denominator) / 1e6
+        want = r6 if P >= 0 else -r6
+        assert got[i]["accept"] is (P > 0), (i, text)
+        assert abs(got[i]["logit"] - want) < 1e-12, (i, text)
