@@ -1760,3 +1760,44 @@ def q_kmv_by_group(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     out = kmv_distinct_by(ev, "event_type", "user_id", k=64)
     return out.orderBy("event_type")
+
+
+@register("ts_m4_downsample", sql="""
+WITH e AS (
+  SELECT event_type, CAST(ts AS TIMESTAMP) AS tsu, event_id, value
+  FROM events
+), r AS (
+  SELECT event_type, date_trunc('hour', tsu) AS b, value,
+         row_number() OVER (PARTITION BY event_type,
+                            date_trunc('hour', tsu)
+                            ORDER BY tsu, event_id, value) AS rf,
+         row_number() OVER (PARTITION BY event_type,
+                            date_trunc('hour', tsu)
+                            ORDER BY tsu DESC, event_id DESC,
+                                     value DESC) AS rl
+  FROM e
+)
+SELECT event_type, b AS bucket_start,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       ROUND(MIN(value), 6) AS v_min,
+       ROUND(MAX(value), 6) AS v_max,
+       ROUND(MAX(CASE WHEN rf = 1 THEN value END), 6) AS v_first,
+       ROUND(MAX(CASE WHEN rl = 1 THEN value END), 6) AS v_last
+FROM r GROUP BY event_type, b
+""")
+def ts_m4_downsample(spark, sf_dir):
+    """M4 downsampling (Jugel et al., VLDB'14) — per (series, hour)
+    the four value-defining points (min/max/first/last), the lossless
+    reduction for rendering long series
+    (operators/timeseries.py::m4_downsample). One combine-heavy
+    groupBy; first/last picked via struct-min/max with (ts, id, value)
+    tie-break, mirrored in the oracle's two row_number orders."""
+    ev = load_table(spark, sf_dir, "events")
+    from quake_vector_search_spark.operators import timeseries as TS
+    out = TS.m4_downsample(ev, "1 hour")
+    return out.select(
+        "event_type", "bucket_start", "n_points",
+        F.round("v_min", 6).alias("v_min"),
+        F.round("v_max", 6).alias("v_max"),
+        F.round("v_first", 6).alias("v_first"),
+        F.round("v_last", 6).alias("v_last"))
