@@ -314,3 +314,20 @@ def centrality(pairs: DataFrame, iters: int = 3, **kwargs) -> DataFrame:
         pagerank_integer,
     )
     return pagerank_integer(pairs, iters=iters, **kwargs)
+
+
+def range_search(corpus: DataFrame, queries, radius: float,
+                 index=None, **kwargs) -> DataFrame:
+    """Radius search: all vectors within L2 ``radius`` of each query —
+    brute force, or losslessly partition-pruned through an IVFIndex
+    when one is supplied."""
+    if index is not None:
+        from quake_vector_search_spark.operators.ivf import (
+            ivf_range_search,
+        )
+        out, _meta = ivf_range_search(index, queries, radius, **kwargs)
+        return out
+    from quake_vector_search_spark.operators.knn import (
+        range_search_bruteforce,
+    )
+    return range_search_bruteforce(corpus, queries, radius, **kwargs)

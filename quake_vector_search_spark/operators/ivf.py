@@ -1004,3 +1004,80 @@ def aps_scores_table(queries_df: DataFrame, centroids_df: DataFrame,
                      F.least(F.lit(max_probe), F.count("*").over(wq)))
     return (ranked.withColumn("probed", F.col("rank") <= nprobe)
             .select("query_id", "partition_id", "prob", "rank", "probed"))
+
+
+def partition_radii(index: "IVFIndex") -> dict[int, float]:
+    """Per-partition covering radius max ||x − c_p|| over the LIVE
+    corpus (tombstones excluded) — the bounding metadata that makes
+    radius search prunable. One partition-pruned scan + combine-heavy
+    groupBy (one row per partition comes back); at 100 TB this is the
+    same bounded-stats pattern as the centroid/size table and would be
+    maintained incrementally at insert/maintain time."""
+    import pandas as pd
+
+    cent = index.spark.createDataFrame(
+        pd.DataFrame({
+            "partition_id": index.part_ids.astype("int64"),
+            "_c": [list(map(float, c)) for c in index.centroids],
+        }))
+    corpus = index.read_corpus()
+    d2 = F.aggregate(
+        F.zip_with(F.col(index.vec_col).cast("array<double>"),
+                   F.col("_c"),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda a, v: a + v)
+    rows = (corpus.join(F.broadcast(cent), "partition_id")
+            .groupBy("partition_id")
+            .agg(F.sqrt(F.max(d2)).alias("r"))
+            .collect())
+    return {int(r["partition_id"]): float(r["r"]) for r in rows}
+
+
+def ivf_range_search(index: "IVFIndex", queries, radius: float,
+                     query_id_col: str = "query_id",
+                     query_vec_col: str = "embedding"):
+    """EXACT radius search through the IVF layout: by the triangle
+    inequality a partition can contain a point within ``radius`` of q
+    only if ||q − c_p|| ≤ R_p + radius (R_p = covering radius), so
+    non-qualifying partitions are pruned from the scan entirely —
+    LOSSLESSLY, which is why the result can hash-match the brute-force
+    oracle. Pruning power depends on geometry: it bites when radius is
+    small against the centroid spread (self-match / near-exact-dup
+    radii, clustered data, or the finer partitions of a large index —
+    R_p shrinks as partitions multiply); on this 64-dim near-uniform
+    testdata with wide radii every covering ball overlaps and the
+    prune degrades gracefully to a full scan, never to a wrong
+    answer. The surviving partitions run the same broadcast-queries
+    in-place distance filter as range_search_bruteforce. Returns
+    (DataFrame(query_id, vec_id, dist), meta with avg_nprobe)."""
+    import numpy as np
+
+    from quake_vector_search_spark.operators.knn import (
+        _collect_queries,
+        range_search_bruteforce,
+    )
+
+    qids, qmat = _collect_queries(queries, query_id_col, query_vec_col)
+    radii = partition_radii(index)
+    nq = max(len(qids), 1)
+    if len(qids) == 0:
+        empty = index.spark.createDataFrame(
+            [], "query_id long, vec_id long, dist double")
+        return empty, {"avg_nprobe": 0.0, "n_partitions": len(radii)}
+    # ||q − c_p|| for every (query, partition): nq × P, driver-side —
+    # centroids are broadcast-scale metadata (same stance as search())
+    cd = np.sqrt(
+        ((qmat[:, None, :] - index.centroids[None, :, :]) ** 2)
+        .sum(axis=2))
+    rvec = np.array([radii.get(int(p), 0.0) for p in index.part_ids])
+    probe_mask = cd <= (rvec[None, :] + radius)
+    probe_union = sorted(
+        int(p) for p in index.part_ids[probe_mask.any(axis=0)])
+    scan = index.read_corpus(partition_ids=probe_union)
+    out = range_search_bruteforce(
+        scan, (qids, qmat), radius,
+        id_col=index.id_col, vec_col=index.vec_col)
+    meta = {"avg_nprobe": float(probe_mask.sum(axis=1).mean()) if nq else 0.0,
+            "n_partitions": len(index.part_ids),
+            "probed_union": len(probe_union)}
+    return out, meta

@@ -317,3 +317,35 @@ def knn_graph_blocked_blas(emb: DataFrame, k: int = 5,
     return (emb.select(F.col(id_col), F.col(block_col), F.col(vec_col))
             .groupBy(block_col)
             .applyInPandas(per_block, out_schema))
+
+
+def range_search_bruteforce(corpus_df: DataFrame, queries,
+                            radius: float,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            query_id_col: str = "query_id",
+                            query_vec_col: str = "embedding") -> DataFrame:
+    """Radius (range) search: ALL corpus vectors within L2 ``radius``
+    of each query — the fixed-threshold twin of top-k (duplicate
+    blast-radius queries, geo-style neighborhoods, recall-oriented
+    retrieval). Same scale shape as knn_bruteforce: queries broadcast
+    as a literal array, distances evaluated in-place per partition
+    (codegen'd column expression), only matches survive the scan — no
+    shuffle at all beyond the final sort the caller may add. Returns
+    (query_id, vec_id, dist)."""
+    from quake_vector_search_spark.functions.vector import l2_col
+
+    qids, qmat = _collect_queries(queries, query_id_col, query_vec_col)
+    spark = corpus_df.sparkSession
+    if len(qids) == 0:
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, dist double")
+    qdf = F.broadcast(spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(qids, qmat)],
+        f"{query_id_col} long, _qv array<double>"))
+    out = (corpus_df.crossJoin(qdf)
+           .withColumn("dist", l2_col(F.col(vec_col), F.col("_qv")))
+           .where(F.col("dist") <= radius)
+           .select(F.col(query_id_col).alias("query_id"),
+                   F.col(id_col).alias("vec_id"), "dist"))
+    return out

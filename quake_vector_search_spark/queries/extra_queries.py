@@ -1801,3 +1801,59 @@ def ts_m4_downsample(spark, sf_dir):
         F.round("v_max", 6).alias("v_max"),
         F.round("v_first", 6).alias("v_first"),
         F.round("v_last", 6).alias("v_last"))
+
+
+_RANGE_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec
+  FROM embeddings WHERE vec_id < 5
+), d AS (
+  SELECT q.query_id, e.vec_id,
+         list_distance(CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.qvec AS DOUBLE[])) AS dist
+  FROM embeddings e CROSS JOIN q
+)
+SELECT query_id, vec_id, ROUND(dist, 6) AS dist
+FROM d WHERE dist <= 1.3
+ORDER BY query_id, vec_id
+"""
+
+
+@register("knn_range_search", sql=_RANGE_SQL)
+def knn_range_search(spark, sf_dir):
+    """Radius search (the fixed-threshold twin of top-k, absent from
+    the reference's API): every vector within L2 1.3 of the first 5
+    queries (operators/knn.py::range_search_bruteforce — broadcast
+    queries, in-place codegen'd distance filter, matches-only
+    survive). Oracle is the same definition in DuckDB."""
+    from quake_vector_search_spark.operators.knn import (
+        range_search_bruteforce)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (emb.where(F.col("vec_id") < 5)
+               .withColumnRenamed("vec_id", "query_id"))
+    out = range_search_bruteforce(emb, queries, radius=1.3)
+    return (out.withColumn("dist", F.round("dist", 6))
+            .orderBy("query_id", "vec_id"))
+
+
+@register("ivf_range_search", sql=_RANGE_SQL)
+def ivf_range_search_q(spark, sf_dir):
+    """The SAME radius query answered through the IVF layout
+    (operators/ivf.py::ivf_range_search): per-partition covering
+    radii + triangle inequality prune the scan to qualifying
+    partitions only — LOSSLESSLY, so this row must hash-match the
+    identical brute-force oracle as knn_range_search. The IVF twin of
+    the fullprobe-equals-bruteforce contract, for range semantics."""
+    from quake_vector_search_spark.operators.ivf import (
+        ivf_range_search)
+    from quake_vector_search_spark.queries.vector_queries import (
+        _ivf_index)
+
+    idx = _ivf_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (emb.where(F.col("vec_id") < 5)
+               .withColumnRenamed("vec_id", "query_id"))
+    out, _meta = ivf_range_search(idx, queries, radius=1.3)
+    return (out.withColumn("dist", F.round("dist", 6))
+            .orderBy("query_id", "vec_id"))
