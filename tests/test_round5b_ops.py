@@ -468,3 +468,29 @@ def test_ivf_range_search_prunes_and_matches_bruteforce(spark):
     w2 = {tuple(r) for r in want2.select(*key).collect()}
     assert g2 == w2 and len(g2) >= 3  # at least the self-matches
     assert meta2["avg_nprobe"] < meta2["n_partitions"]
+
+
+def test_api_range_and_centrality_facades(spark):
+    from quake_vector_search_spark import api
+    from quake_vector_search_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = (emb.where(F.col("vec_id") < 2)
+               .withColumnRenamed("vec_id", "query_id"))
+    out = api.range_search(emb, queries, radius=1.3)
+    assert set(out.columns) == {"query_id", "vec_id", "dist"}
+    assert out.where("dist > 1.3").count() == 0
+    assert out.count() >= 2  # self matches at least
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)],
+                                  "id_a long, id_b long")
+    pr = api.centrality(pairs)
+    assert set(pr.columns) == {"node", "pr"} and pr.count() == 3
+
+    ms = api.maxsim_search(
+        spark.createDataFrame([(0, [1.0, 0.0])],
+                              "doc_id long, embedding array<double>"),
+        spark.createDataFrame([(9, 1, [1.0, 0.0])],
+                              "query_doc long, qv_id long, "
+                              "qvec array<double>"), k=1)
+    assert ms.count() == 1
