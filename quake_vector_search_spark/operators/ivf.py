@@ -1057,6 +1057,12 @@ def ivf_range_search(index: "IVFIndex", queries, radius: float,
         range_search_bruteforce,
     )
 
+    if index.metric != "l2":
+        raise NotImplementedError(
+            "ivf_range_search is defined for l2 indexes; for cosine, "
+            "unit-normalize the corpus and queries and express the "
+            "similarity threshold as an l2 radius "
+            "(||a-b||² = 2 - 2·cos on unit vectors)")
     qids, qmat = _collect_queries(queries, query_id_col, query_vec_col)
     radii = partition_radii(index)
     nq = max(len(qids), 1)
