@@ -1857,3 +1857,48 @@ def ivf_range_search_q(spark, sf_dir):
     out, _meta = ivf_range_search(idx, queries, radius=1.3)
     return (out.withColumn("dist", F.round("dist", 6))
             .orderBy("query_id", "vec_id"))
+
+
+@register("ivf_index_stats", sql="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_live_rows,
+       TRUE AS sizes_in_sync, TRUE AS radii_cover, TRUE AS parts_ok
+FROM embeddings
+""")
+def ivf_index_stats(spark, sf_dir):
+    """Index-health monitoring under the oracle (the O11-adjacent
+    observability surface an operator dashboards): the live corpus
+    count must equal DuckDB's COUNT(*) (anchor), the driver-side size
+    table must sum to it exactly (the invariant insert/delete/maintain
+    preserve), every partition's covering radius must bound ALL its
+    members (verified distributively against the live corpus — the
+    soundness condition range-search pruning rests on), and the
+    partition count is positive. Booleans computed genuinely
+    Spark-side; any metadata drift flips the hash."""
+    import pandas as pd
+
+    from quake_vector_search_spark.operators.ivf import partition_radii
+    from quake_vector_search_spark.queries.vector_queries import (
+        _ivf_index)
+
+    idx = _ivf_index(spark, sf_dir)
+    corpus = idx.read_corpus()
+    n_live = corpus.count()
+    sizes_ok = int(idx.sizes.sum()) == n_live
+    radii = partition_radii(idx)
+    rdf = F.broadcast(spark.createDataFrame(
+        pd.DataFrame({
+            "partition_id": [int(p) for p in idx.part_ids],
+            "_r": [radii.get(int(p), 0.0) for p in idx.part_ids],
+            "_c": [list(map(float, c)) for c in idx.centroids],
+        })))
+    d = F.sqrt(F.aggregate(
+        F.zip_with(F.col(idx.vec_col).cast("array<double>"),
+                   F.col("_c"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda a, v: a + v))
+    # strict bound with a 1e-9 slack for the double round trip of _r
+    violations = (corpus.join(rdf, "partition_id")
+                  .where(d > F.col("_r") + F.lit(1e-9)).count())
+    return spark.createDataFrame(
+        [(n_live, sizes_ok, violations == 0, len(idx.part_ids) >= 1)],
+        "n_live_rows long, sizes_in_sync boolean, "
+        "radii_cover boolean, parts_ok boolean")
