@@ -1902,3 +1902,158 @@ def ivf_index_stats(spark, sf_dir):
         [(n_live, sizes_ok, violations == 0, len(idx.part_ids) >= 1)],
         "n_live_rows long, sizes_in_sync boolean, "
         "radii_cover boolean, parts_ok boolean")
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training under a real cross-engine oracle.  The merge
+# loop is a fixed number of deterministic steps, so — exactly like
+# emb_pagerank — the DuckDB oracle unrolls it as plain CTE layers:
+# pair-count (weighted by word freq) -> argmax with a total-order
+# tie-break -> greedy left-to-right merge applied via list_reduce over
+# the token list.  Two queries share one generated SQL body so the
+# training oracle and the encoding oracle can never drift apart.
+
+_BPE_N_MERGES = 16
+_BPE_MAX_WORDS = 2000
+
+
+def _bpe_layers_sql(n_merges: int, max_words: int) -> str:
+    """Shared WITH-body: words_all/vocab + n_merges unrolled layers.
+    toks{k} carries EVERY distinct word (so the encode oracle covers
+    OOV words too); pair counts join only the top-N vocab, mirroring
+    operators/bpe.py::train_bpe's capped training set."""
+    # every toks{k} is referenced twice (p{k+1} and toks{k+1}) — without
+    # MATERIALIZED DuckDB inlines the chain, expanding 2^n_merges scans
+    # of documents ("Too many open files" observed at n_merges=16)
+    sql = [f"""words_all AS MATERIALIZED (
+  SELECT w.word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM documents d,
+       unnest(regexp_extract_all(lower(d.text), '[a-z]+')) AS w(word)
+  GROUP BY w.word
+), vocab AS MATERIALIZED (
+  SELECT word, freq FROM words_all ORDER BY freq DESC, word
+  LIMIT {max_words}
+), toks0 AS MATERIALIZED (
+  SELECT word, string_split(word, '') AS s FROM words_all
+)"""]
+    for k in range(1, n_merges + 1):
+        sql.append(f""", p{k} AS (
+  SELECT t.s[u.i] AS l, t.s[u.i + 1] AS r, SUM(v.freq) AS cnt
+  FROM toks{k - 1} t JOIN vocab v USING (word),
+       unnest(generate_series(1, len(t.s) - 1)) AS u(i)
+  GROUP BY 1, 2
+), b{k} AS (
+  SELECT l, r, l || r AS m, CAST(cnt AS BIGINT) AS cnt
+  FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1
+), toks{k} AS MATERIALIZED (
+  SELECT t.word,
+         list_reduce(list_transform(t.s, x -> [x]),
+           (acc, x) -> CASE WHEN acc[-1] = b.l AND x[1] = b.r
+                       THEN list_append(acc[1:-2], b.m)
+                       ELSE list_concat(acc, x) END) AS s
+  FROM toks{k - 1} t CROSS JOIN b{k} b
+)""")
+    return "".join(sql)
+
+
+def _bpe_merges_sql(n_merges: int = _BPE_N_MERGES,
+                    max_words: int = _BPE_MAX_WORDS) -> str:
+    body = _bpe_layers_sql(n_merges, max_words)
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS BIGINT) AS step, l AS lhs, r AS rhs, "
+        f"m AS merged, cnt AS pair_count FROM b{k}"
+        for k in range(1, n_merges + 1))
+    return f"WITH {body}\n{rows}\nORDER BY step"
+
+
+def _bpe_encode_sql(n_merges: int = _BPE_N_MERGES,
+                    max_words: int = _BPE_MAX_WORDS) -> str:
+    body = _bpe_layers_sql(n_merges, max_words)
+    return f"""WITH {body}
+SELECT d.doc_id,
+       CAST(COALESCE(x.n_words, 0) AS BIGINT) AS n_words,
+       CAST(COALESCE(x.n_tokens, 0) AS BIGINT) AS n_tokens
+FROM documents d LEFT JOIN (
+  SELECT dw.doc_id, COUNT(*) AS n_words, SUM(len(t.s)) AS n_tokens
+  FROM (SELECT d2.doc_id, w.word
+        FROM documents d2,
+             unnest(regexp_extract_all(lower(d2.text), '[a-z]+'))
+               AS w(word)) dw
+  JOIN toks{n_merges} t USING (word)
+  GROUP BY dw.doc_id) x USING (doc_id)
+ORDER BY d.doc_id"""
+
+
+def _register_bpe():
+    @register("text_bpe_merges", sql=_bpe_merges_sql())
+    def text_bpe_merges(spark, sf_dir):
+        """BPE tokenizer training (operators/bpe.py): distributed word
+        count + capped top-N vocab, driver-side merge loop (the
+        HF-tokenizers/SentencePiece word-count-model shape — the vocab
+        table is Heaps-law-bounded, so the collect is O(max_words)
+        regardless of corpus bytes).  Output is the merge table
+        itself; the oracle re-derives all 16 steps independently in
+        unrolled DuckDB CTE layers — exact integer counts, ASCII-only
+        symbols, total-order tie-breaks, so the match is bit-for-bit
+        at any sf."""
+        from quake_vector_search_spark.operators.bpe import (
+            train_bpe_on_corpus)
+
+        docs = load_table(spark, sf_dir, "documents")
+        merges = train_bpe_on_corpus(
+            spark, docs, n_merges=_BPE_N_MERGES,
+            max_words=_BPE_MAX_WORDS)
+        return spark.createDataFrame(
+            [(int(s), l, r, m, int(c)) for s, l, r, m, c in merges],
+            "step long, lhs string, rhs string, merged string, "
+            "pair_count long").orderBy("step")
+
+    @register("text_bpe_encode", sql=_bpe_encode_sql())
+    def text_bpe_encode(spark, sf_dir):
+        """Corpus encoding with the trained merges
+        (operators/bpe.py::encode_corpus): Arrow-batched mapInPandas,
+        merges shipped by closure, per-batch word->tokens memo.  The
+        oracle tokenizes every distinct word through the same unrolled
+        layers and joins counts back per doc — verifying the Python
+        encode path reproduces the training tokenization exactly
+        (in-vocab AND OOV words)."""
+        from quake_vector_search_spark.operators.bpe import (
+            encode_corpus, train_bpe_on_corpus)
+
+        docs = load_table(spark, sf_dir, "documents")
+        merges = train_bpe_on_corpus(
+            spark, docs, n_merges=_BPE_N_MERGES,
+            max_words=_BPE_MAX_WORDS)
+        return encode_corpus(docs, merges).orderBy("doc_id")
+
+
+_register_bpe()
+
+
+@register("q_grouped_ols", sql="""
+SELECT event_type,
+       CAST(regr_count(value, hour(ts)) AS BIGINT) AS n,
+       ROUND(regr_slope(value, hour(ts)), 4) AS slope,
+       ROUND(regr_intercept(value, hour(ts)), 4) AS intercept,
+       ROUND(regr_r2(value, hour(ts)), 6) AS r2
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""")
+def q_grouped_ols(spark, sf_dir):
+    """Per-group closed-form linear regression (E10 breadth): for each
+    event type, OLS of value on hour-of-day via the SQL-standard
+    regr_* aggregates — one scan, one hash shuffle on the group key,
+    partial aggregation map-side (the moment sums are commutative), so
+    the plan is a plain groupBy at any scale. Spark and DuckDB both
+    implement the textbook covar/var moments; slope/intercept round
+    at 4 and the scale-free r2 at 6 (the q_stats CORR precedent)."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.hour("ts")
+    return (ev.groupBy("event_type")
+            .agg(F.regr_count("value", x).cast("long").alias("n"),
+                 F.round(F.regr_slope("value", x), 4).alias("slope"),
+                 F.round(F.regr_intercept("value", x), 4)
+                  .alias("intercept"),
+                 F.round(F.regr_r2("value", x), 6).alias("r2"))
+            .orderBy("event_type"))
