@@ -2057,3 +2057,86 @@ def q_grouped_ols(spark, sf_dir):
                   .alias("intercept"),
                  F.round(F.regr_r2("value", x), 6).alias("r2"))
             .orderBy("event_type"))
+
+
+@register("emb_pca_whiten", sql="""
+WITH ex AS (
+  SELECT u.i AS i, CAST(e.embedding[u.i] AS DOUBLE) AS x
+  FROM embeddings e,
+       unnest(generate_series(1, len(e.embedding))) AS u(i)
+), pv AS (
+  SELECT i, var_pop(x) AS v FROM ex GROUP BY i
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n,
+       (SELECT CAST(MAX(len(embedding)) AS BIGINT)
+        FROM embeddings) AS dim,
+       ROUND(SUM(v), 2) AS trace_r2,
+       TRUE AS orthonormal, TRUE AS trace_consistent,
+       TRUE AS whitened_identity, TRUE AS centered, TRUE AS isometric
+FROM pv
+""")
+def emb_pca_whiten(spark, sf_dir):
+    """PCA / embedding whitening (operators/pca.py) under a property
+    oracle in the kmeans_clusters style.  Spark fits full-rank PCA
+    (map-only moment partials -> driver eigh of the 64x64 covariance)
+    and then GENUINELY verifies, each through a separate distributed
+    pass, that: the components are orthonormal; trace(C) = sum of
+    eigenvalues matches an independent Catalyst posexplode+var_pop
+    path at 1e-9; the whitened output's covariance is the identity and
+    its mean zero (1e-8); and the unwhitened full-rank projection is
+    an isometry row-by-row (zero violations).  DuckDB anchors n, dim,
+    and the trace itself (sum of per-dimension var_pop == sum of
+    eigenvalues, rounded at 2 where 1e-12 accumulation noise cannot
+    flip a digit).  Any fit/projection defect flips a boolean and the
+    hash."""
+    import numpy as np
+
+    from quake_vector_search_spark.operators.pca import (
+        _moment_partials, fit_pca, pca_project)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = fit_pca(emb)
+    d, n = m["dim"], m["n"]
+    comps, eig, mu = m["components"], m["eigvals"], m["mean"]
+    orthonormal = bool(
+        np.abs(comps @ comps.T - np.eye(d)).max() < 1e-8)
+
+    # independent Catalyst path for the trace: explode -> var_pop
+    tr_catalyst = (emb.select(F.posexplode(
+        F.col("embedding").cast("array<double>")).alias("i", "x"))
+        .groupBy("i").agg(F.var_pop("x").alias("v"))
+        .agg(F.sum("v").alias("t")).collect()[0]["t"])
+    tr_eigh = float(eig.sum())
+    trace_consistent = abs(tr_eigh - float(tr_catalyst)) < 1e-9
+
+    # whitened covariance == identity, mean == 0 (distributed pass)
+    white = pca_project(emb, m, whiten=True)
+    parts = _moment_partials(white, "proj")
+    nw = sum(int(p["n"]) for p in parts)
+    s = sum(np.frombuffer(p["s"], dtype=np.float64) for p in parts)
+    ss = sum(np.frombuffer(p["ss"], dtype=np.float64).reshape(d, d)
+             for p in parts)
+    muw = s / nw
+    cw = ss / nw - np.outer(muw, muw)
+    whitened_identity = bool(np.abs(cw - np.eye(d)).max() < 1e-8)
+    centered = bool(np.abs(muw).max() < 1e-8)
+
+    # full-rank unwhitened projection is a rotation: per-row isometry
+    rot = pca_project(emb, m, whiten=False)
+    both = (emb.select("vec_id", "embedding")
+            .join(rot.select("vec_id", "proj"), "vec_id"))
+    sq = lambda c: F.aggregate(c, F.lit(0.0),
+                               lambda a, v: a + v * v)  # noqa: E731
+    centered_vec = F.zip_with(
+        F.col("embedding").cast("array<double>"),
+        F.lit(mu.tolist()).cast("array<double>"), lambda x, y: x - y)
+    viol = both.where(
+        F.abs(sq(F.col("proj")) - sq(centered_vec))
+        > F.greatest(sq(centered_vec), F.lit(1.0)) * 1e-8).count()
+
+    return spark.createDataFrame(
+        [(n, d, round(tr_eigh, 2), orthonormal, trace_consistent,
+          whitened_identity, centered, viol == 0)],
+        "n long, dim long, trace_r2 double, orthonormal boolean, "
+        "trace_consistent boolean, whitened_identity boolean, "
+        "centered boolean, isometric boolean")
