@@ -72,6 +72,11 @@ HEADLINE = [
     "text_quality_classifier",
     "q_heavy_hitters",
     "q_shard_export",
+    # round-5 third-session additions
+    "text_bpe_merges",
+    "text_bpe_encode",
+    "emb_pca_whiten",
+    "q_grouped_ols",
 ]
 
 N_WORKLOAD_QUERIES = 200

@@ -331,3 +331,37 @@ def range_search(corpus: DataFrame, queries, radius: float,
         range_search_bruteforce,
     )
     return range_search_bruteforce(corpus, queries, radius, **kwargs)
+
+
+def train_tokenizer(spark, docs: DataFrame, n_merges: int = 16,
+                    max_words: int = 2000) -> list:
+    """BPE merge training (operators/bpe.py::train_bpe_on_corpus):
+    distributed word count, driver-side merge loop over the capped
+    vocabulary table. Returns [(step, left, right, merged, count)]."""
+    from quake_vector_search_spark.operators.bpe import (
+        train_bpe_on_corpus,
+    )
+    return train_bpe_on_corpus(spark, docs, n_merges=n_merges,
+                               max_words=max_words)
+
+
+def tokenize(docs: DataFrame, merges: list, **kwargs) -> DataFrame:
+    """Apply trained BPE merges to a corpus: per-doc (doc_id, n_words,
+    n_tokens) via Arrow-batched mapInPandas
+    (operators/bpe.py::encode_corpus)."""
+    from quake_vector_search_spark.operators.bpe import encode_corpus
+    return encode_corpus(docs, merges, **kwargs)
+
+
+def whiten(emb: DataFrame, k: int | None = None,
+           vec_col: str = "embedding", **kwargs) -> DataFrame:
+    """PCA-whiten an embedding column (operators/pca.py): fit on the
+    corpus (two map-only passes, no shuffle), project to the top-k
+    decorrelated unit-variance dimensions."""
+    from quake_vector_search_spark.operators.pca import (
+        fit_pca,
+        pca_project,
+    )
+    model = fit_pca(emb, vec_col=vec_col)
+    return pca_project(emb, model, k=k, whiten=True,
+                       vec_col=vec_col, **kwargs)

@@ -106,3 +106,28 @@ def test_encode_handles_oov_words(spark):
     for _, l, r, m, _ in merges:
         t = _apply_merge(t, l, r, m)
     assert row["n_tokens"] == len(t)
+
+
+def test_api_tokenizer_and_whiten_facades(spark):
+    import numpy as np
+
+    from quake_vector_search_spark import api
+
+    docs = spark.createDataFrame(
+        [(1, "pack my box with five dozen jugs"),
+         (2, "pack the box again")],
+        "doc_id long, text string")
+    merges = api.train_tokenizer(spark, docs, n_merges=3)
+    assert len(merges) == 3 and merges[0][0] == 1
+    enc = {r["doc_id"]: r["n_tokens"]
+           for r in api.tokenize(docs, merges).collect()}
+    assert enc[1] > 0 and enc[2] > 0
+
+    rng = np.random.RandomState(2)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in rng.randn(4) * [3, 1, 1, 0.2]])
+         for i in range(100)],
+        "vec_id long, embedding array<double>")
+    Y = np.stack([r["proj"] for r in api.whiten(emb, k=2).collect()])
+    assert Y.shape == (100, 2)
+    assert np.abs(np.cov(Y.T, bias=True) - np.eye(2)).max() < 1e-8
