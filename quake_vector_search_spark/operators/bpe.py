@@ -51,16 +51,20 @@ WORD_PATTERN = "[a-z]+"
 
 
 def word_frequencies(docs: DataFrame, text_col: str = "text",
-                     max_words: int = 2000) -> DataFrame:
+                     max_words: int | None = 2000) -> DataFrame:
     """(word, freq) for the ``max_words`` most frequent words, ordered
     by (freq DESC, word ASC) — a deterministic total order, so the cap
-    is reproducible on any engine and any partitioning."""
+    is reproducible on any engine and any partitioning.  ``None``
+    returns every distinct word (no ordering clause) — the shape
+    tokenize_words wants for full-vocab application."""
     words = F.explode(F.expr(
         f"regexp_extract_all(lower({text_col}), '{WORD_PATTERN}', 0)"
     )).alias("word")
     wf = (docs.select(words)
           .groupBy("word")
           .agg(F.count("*").cast("long").alias("freq")))
+    if max_words is None:
+        return wf
     return wf.orderBy(F.col("freq").desc(), F.col("word")) \
              .limit(max_words)
 
@@ -120,6 +124,33 @@ def train_bpe_on_corpus(spark, docs: DataFrame, n_merges: int = 16,
     wf = word_frequencies(docs, max_words=max_words).collect()
     return train_bpe([(r["word"], r["freq"]) for r in wf],
                      n_merges=n_merges)
+
+
+def tokenize_words(words: DataFrame, merges: list,
+                   word_col: str = "word") -> DataFrame:
+    """Tokenize a relation of distinct words with a trained merge
+    list: (word, toks 'a b c', n_toks).  Same sequential merge
+    application as encode_corpus — exposed separately so the exact
+    token BOUNDARIES (not just counts) can be verified per word."""
+    merge_ops = [(m[1], m[2], m[3]) for m in merges]
+
+    def gen(batches):
+        for pdf in batches:
+            toks = []
+            for w in pdf[word_col]:
+                t = tuple(w)
+                for left, right, merged in merge_ops:
+                    t = _apply_merge(t, left, right, merged)
+                toks.append(t)
+            yield pd.DataFrame({
+                "word": pdf[word_col],
+                "toks": [" ".join(t) for t in toks],
+                "n_toks": pd.Series([len(t) for t in toks],
+                                    dtype="int64"),
+            })
+
+    return words.select(F.col(word_col).alias("word")).mapInPandas(
+        gen, "word string, toks string, n_toks long")
 
 
 def encode_corpus(docs: DataFrame, merges: list,

@@ -2140,3 +2140,38 @@ def emb_pca_whiten(spark, sf_dir):
         "n long, dim long, trace_r2 double, orthonormal boolean, "
         "trace_consistent boolean, whitened_identity boolean, "
         "centered boolean, isometric boolean")
+
+
+def _bpe_vocab_sql(n_merges: int = _BPE_N_MERGES,
+                   max_words: int = _BPE_MAX_WORDS) -> str:
+    body = _bpe_layers_sql(n_merges, max_words)
+    return f"""WITH {body}
+SELECT word, array_to_string(s, ' ') AS toks,
+       CAST(len(s) AS BIGINT) AS n_toks
+FROM toks{n_merges} ORDER BY word"""
+
+
+def _register_bpe_vocab():
+    @register("text_bpe_vocab", sql=_bpe_vocab_sql())
+    def text_bpe_vocab(spark, sf_dir):
+        """The strongest BPE check: every distinct corpus word's exact
+        tokenization — token BOUNDARIES, not just counts
+        (operators/bpe.py::tokenize_words).  One hash-mismatched space
+        in any word flips the row hash; together with
+        text_bpe_merges/encode this pins the full train->apply path
+        cross-engine."""
+        from quake_vector_search_spark.operators.bpe import (
+            tokenize_words, train_bpe_on_corpus, word_frequencies)
+
+        docs = load_table(spark, sf_dir, "documents")
+        merges = train_bpe_on_corpus(
+            spark, docs, n_merges=_BPE_N_MERGES,
+            max_words=_BPE_MAX_WORDS)
+        # all distinct words (not just the capped training vocab) —
+        # mirrors the oracle's toks{K} over words_all
+        all_words = (word_frequencies(docs, max_words=None)
+                     .select("word"))
+        return tokenize_words(all_words, merges).orderBy("word")
+
+
+_register_bpe_vocab()

@@ -131,3 +131,16 @@ def test_api_tokenizer_and_whiten_facades(spark):
     Y = np.stack([r["proj"] for r in api.whiten(emb, k=2).collect()])
     assert Y.shape == (100, 2)
     assert np.abs(np.cov(Y.T, bias=True) - np.eye(2)).max() < 1e-8
+
+
+def test_tokenize_words_boundaries(spark):
+    from quake_vector_search_spark.operators.bpe import tokenize_words
+
+    merges = [(1, "a", "b", "ab", 9), (2, "ab", "c", "abc", 5)]
+    words = spark.createDataFrame(
+        [("abcab",), ("xyz",), ("ab",)], "word string")
+    got = {r["word"]: (r["toks"], r["n_toks"])
+           for r in tokenize_words(words, merges).collect()}
+    assert got["abcab"] == ("abc ab", 2)
+    assert got["xyz"] == ("x y z", 3)
+    assert got["ab"] == ("ab", 1)
