@@ -39,6 +39,31 @@ def _sink_name(tag: str) -> str:
     return f"strq_{tag}_{os.getpid()}_{next(_SINK_SEQ)}"
 
 
+def _docs_stream_dir(spark, sf_dir: str) -> str:
+    """Cacheable 2-file replay copy of the documents table (no
+    event-time column, so no mtime ordering needed — unlike
+    _events_stream_dir)."""
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.md5(
+        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()) \
+        .hexdigest()[:8]
+    ddir = f"/tmp/qvss_docs_stream_{key}"
+    if not os.path.exists(os.path.join(ddir, "_READY")):
+        shutil.rmtree(ddir, ignore_errors=True)
+        (spark.read.parquet(f"{sf_dir}/documents.parquet")
+         .repartition(2).write.mode("overwrite").parquet(ddir))
+        with open(os.path.join(ddir, "_READY"), "w") as fh:
+            fh.write("ok")
+    return ddir
+
+
+def _docs_stream(spark, ddir: str):
+    return (spark.readStream
+            .schema("doc_id long, text string, lang string, "
+                    "source string, n_chars long")
+            .option("maxFilesPerTrigger", 1).parquet(ddir))
+
+
 def _events_stream_dir(spark, sf_dir: str) -> str:
     """Materialize sf_dir's events table as a 4-file time-ranged stream
     directory with pinned mtimes (FileStreamSource consumes in mtime
@@ -543,23 +568,8 @@ ORDER BY r.doc_id
             linear_quality_classifier)
         from quake_vector_search_spark.streaming import windows as SW
 
-        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-        key = hashlib.md5(
-            f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()) \
-            .hexdigest()[:8]
-        ddir = f"/tmp/qvss_docs_stream_{key}"
-        if not os.path.exists(os.path.join(ddir, "_READY")):
-            shutil.rmtree(ddir, ignore_errors=True)
-            (spark.read.parquet(f"{sf_dir}/documents.parquet")
-             .repartition(2).write.mode("overwrite").parquet(ddir))
-            with open(os.path.join(ddir, "_READY"), "w") as fh:
-                fh.write("ok")
-
         def docs_stream():
-            return (spark.readStream
-                    .schema("doc_id long, text string, lang string, "
-                            "source string, n_chars long")
-                    .option("maxFilesPerTrigger", 1).parquet(ddir))
+            return _docs_stream(spark, _docs_stream_dir(spark, sf_dir))
 
         clf = SW.run_to_completion(
             linear_quality_classifier(docs_stream()),
@@ -576,3 +586,37 @@ ORDER BY r.doc_id
 
 
 _register_stream_curation()
+
+
+def _register_stream_tokenize():
+    from quake_vector_search_spark.queries.extra_queries import (
+        _bpe_encode_sql)
+
+    @register("stream_tokenize_equals_batch", sql=_bpe_encode_sql())
+    def stream_tokenize_equals_batch(spark, sf_dir):
+        """The BPE encoder under STREAMING execution, value-hashed
+        directly against the batch oracle: merges train batch-side
+        (training is a bounded aggregate, not a streaming concern),
+        then operators/bpe.py::encode_corpus runs UNMODIFIED on a
+        2-file replay of the documents table — mapInPandas is
+        execution-mode-agnostic — and the drained memory sink must
+        equal DuckDB's unrolled-CTE batch computation row for row.
+        Extends the ingest-time-curation story to tokenization: the
+        same operator object serves backfill and live ingest."""
+        from quake_vector_search_spark.operators.bpe import (
+            encode_corpus, train_bpe_on_corpus)
+        from quake_vector_search_spark.queries.extra_queries import (
+            _BPE_MAX_WORDS, _BPE_N_MERGES)
+        from quake_vector_search_spark.streaming import windows as SW
+
+        docs = load_table(spark, sf_dir, "documents")
+        merges = train_bpe_on_corpus(
+            spark, docs, n_merges=_BPE_N_MERGES,
+            max_words=_BPE_MAX_WORDS)
+        stream = _docs_stream(spark, _docs_stream_dir(spark, sf_dir))
+        drained = SW.run_to_completion(
+            encode_corpus(stream, merges), _sink_name("btok"))
+        return drained.orderBy("doc_id")
+
+
+_register_stream_tokenize()
