@@ -2175,3 +2175,78 @@ def _register_bpe_vocab():
 
 
 _register_bpe_vocab()
+
+
+@register("q_entity_resolution", sql="""
+WITH RECURSIVE w AS (
+  SELECT p_partkey AS id, p_retailprice AS price,
+         string_split(p_name, ' ') AS wa
+  FROM part WHERE p_partkey % 29 = 0
+), pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM w a JOIN w b ON a.id < b.id AND len(a.wa) = len(b.wa)
+  WHERE len(list_filter(range(len(a.wa)),
+        i -> a.wa[i + 1] IS DISTINCT FROM b.wa[i + 1])) <= 1
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+), reach(src, dst) AS (
+  SELECT id, id FROM w
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), comp AS (
+  SELECT src AS id, MIN(dst) AS entity_id FROM reach GROUP BY src
+), ranked AS (
+  SELECT c.id, c.entity_id, w.price,
+         ROW_NUMBER() OVER (PARTITION BY c.entity_id
+                            ORDER BY w.price DESC, c.id ASC) AS rk,
+         COUNT(*) OVER (PARTITION BY c.entity_id) AS n_members
+  FROM comp c JOIN w ON w.id = c.id
+)
+SELECT id AS p_partkey, entity_id,
+       CAST(n_members AS BIGINT) AS n_members,
+       (rk = 1) AS is_canonical
+FROM ranked ORDER BY p_partkey
+""")
+def q_entity_resolution(spark, sf_dir):
+    """End-to-end entity resolution as ONE hash-checked composition
+    (the q_training_corpus_pipeline pattern): lossless pigeonhole
+    fuzzy blocking on part names (hamming <= 1) -> connected
+    components (min-label propagation) -> survivorship: each entity's
+    canonical record is its highest-retailprice member (ties to the
+    lowest id). Every stage is the production-scale operator — no n²
+    anywhere Spark-side; the oracle IS the n² pair definition plus a
+    recursive-CTE reachability fixpoint, so the hash match proves the
+    blocking lossless AND the CC fixpoint exact. Deterministic %29
+    subset keeps the oracle's reachability table tractable (the
+    synthetic names are near-uniform; see q_fuzzy_name_join)."""
+    from pyspark.sql import Window
+
+    from quake_vector_search_spark.operators.dedup import (
+        connected_components)
+    from quake_vector_search_spark.operators.fuzzy import (
+        fuzzy_hamming_join)
+
+    part = (load_table(spark, sf_dir, "part")
+            .where(F.col("p_partkey") % 29 == 0)
+            .select("p_partkey", "p_name", "p_retailprice"))
+    pairs = (fuzzy_hamming_join(part, "p_partkey", "p_name",
+                                max_hamming=1)
+             .select(F.col("id_a").alias("doc_a"),
+                     F.col("id_b").alias("doc_b")))
+    comp = connected_components(
+        part.select(F.col("p_partkey").alias("doc_id")), pairs)
+    ent = (comp.select(F.col("doc_id").alias("p_partkey"),
+                       F.col("cluster_id").alias("entity_id"))
+           .join(part.select("p_partkey", "p_retailprice"),
+                 "p_partkey"))
+    byent = Window.partitionBy("entity_id")
+    rk = Window.partitionBy("entity_id").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc())
+    return (ent.withColumn("n_members",
+                           F.count("*").over(byent).cast("long"))
+            .withColumn("rk", F.row_number().over(rk))
+            .select("p_partkey", "entity_id", "n_members",
+                    (F.col("rk") == 1).alias("is_canonical"))
+            .orderBy("p_partkey"))
