@@ -2250,3 +2250,40 @@ def q_entity_resolution(spark, sf_dir):
             .select("p_partkey", "entity_id", "n_members",
                     (F.col("rk") == 1).alias("is_canonical"))
             .orderBy("p_partkey"))
+
+
+@register("q_schema_evolution", sql="""
+SELECT doc_id, md5(text) AS text_md5,
+       CASE WHEN doc_id % 2 = 0 THEN lang ELSE NULL END AS lang,
+       (doc_id % 2 = 0) AS has_lang
+FROM documents ORDER BY doc_id
+""")
+def q_schema_evolution(spark, sf_dir):
+    """Schema evolution under the oracle (the operational E1 case a
+    long-lived 100 TB dataset always hits): generation 1 of a dataset
+    is written WITHOUT the `lang` column (odd doc_ids), generation 2
+    WITH it (even doc_ids); a mergeSchema read unifies the two — old
+    files' missing column must surface as NULL, never as a read error
+    or column shift. The oracle recomputes the expected unified view
+    (text checksums + parity-derived nullness) from the original
+    table, so any column misalignment or value loss in the
+    evolved-read path flips the hash."""
+    import shutil
+    import uuid
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = f"/tmp/qvss_evolve_{uuid.uuid4().hex[:8]}"
+    (docs.where(F.col("doc_id") % 2 == 1)
+     .select("doc_id", "text")
+     .write.mode("overwrite").parquet(f"{path}/gen=1"))
+    (docs.where(F.col("doc_id") % 2 == 0)
+     .select("doc_id", "text", "lang")
+     .write.mode("overwrite").parquet(f"{path}/gen=2"))
+    back = (spark.read.option("mergeSchema", "true")
+            .option("recursiveFileLookup", "true").parquet(path))
+    out = (back.select("doc_id", F.md5("text").alias("text_md5"),
+                       "lang", F.col("lang").isNotNull()
+                       .alias("has_lang"))
+           .orderBy("doc_id").localCheckpoint())
+    shutil.rmtree(path, ignore_errors=True)
+    return out
