@@ -116,3 +116,29 @@ def pca_project(emb: DataFrame, model: dict, k: int | None = None,
         for f in emb.schema.fields if f.name != vec_col
     ) + f", {out_col} array<double>"
     return emb.select(*in_cols, vec_col).mapInPandas(gen, schema)
+
+
+def isometry_violations(emb: DataFrame, model: dict,
+                        vec_col: str = "embedding",
+                        rtol: float = 1e-8) -> int:
+    """Count rows where the full-rank unwhitened projection fails
+    ‖(v−μ)·Cᵀ‖² == ‖v−μ‖² (relative tol) — the rotation property.
+    Projection and comparison are FUSED in one map-only pass (one
+    tiny count row per Arrow batch), so the check adds no shuffle at
+    any corpus size — unlike a project-then-self-join formulation."""
+    comps = model["components"]
+    mu = model["mean"]
+
+    def gen(batches):
+        for pdf in batches:
+            vals = pdf[vec_col].dropna()
+            if not len(vals):
+                continue
+            X = np.stack(vals.to_numpy()).astype(np.float64) - mu
+            n2 = (X * X).sum(axis=1)
+            p2 = ((X @ comps.T) ** 2).sum(axis=1)
+            bad = np.abs(p2 - n2) > np.maximum(n2, 1.0) * rtol
+            yield pd.DataFrame({"viol": [np.int64(bad.sum())]})
+
+    parts = emb.select(vec_col).mapInPandas(gen, "viol long").collect()
+    return sum(int(p["viol"]) for p in parts)

@@ -2092,7 +2092,7 @@ def emb_pca_whiten(spark, sf_dir):
     import numpy as np
 
     from quake_vector_search_spark.operators.pca import (
-        _moment_partials, fit_pca, pca_project)
+        _moment_partials, fit_pca, isometry_violations, pca_project)
 
     emb = load_table(spark, sf_dir, "embeddings")
     m = fit_pca(emb)
@@ -2121,18 +2121,9 @@ def emb_pca_whiten(spark, sf_dir):
     whitened_identity = bool(np.abs(cw - np.eye(d)).max() < 1e-8)
     centered = bool(np.abs(muw).max() < 1e-8)
 
-    # full-rank unwhitened projection is a rotation: per-row isometry
-    rot = pca_project(emb, m, whiten=False)
-    both = (emb.select("vec_id", "embedding")
-            .join(rot.select("vec_id", "proj"), "vec_id"))
-    sq = lambda c: F.aggregate(c, F.lit(0.0),
-                               lambda a, v: a + v * v)  # noqa: E731
-    centered_vec = F.zip_with(
-        F.col("embedding").cast("array<double>"),
-        F.lit(mu.tolist()).cast("array<double>"), lambda x, y: x - y)
-    viol = both.where(
-        F.abs(sq(F.col("proj")) - sq(centered_vec))
-        > F.greatest(sq(centered_vec), F.lit(1.0)) * 1e-8).count()
+    # full-rank unwhitened projection is a rotation: per-row isometry,
+    # fused into one map-only pass (no project-then-self-join shuffle)
+    viol = isometry_violations(emb, m)
 
     return spark.createDataFrame(
         [(n, d, round(tr_eigh, 2), orthonormal, trace_consistent,

@@ -91,3 +91,22 @@ def test_fit_errors(spark):
         "vec_id long, embedding array<double>").repartition(2)
     with pytest.raises(ValueError, match="mixed vector widths"):
         fit_pca(mixed)
+
+
+def test_isometry_violations_zero_for_true_fit_and_catches_bad(spark):
+    import numpy as np
+
+    from quake_vector_search_spark.operators.pca import (
+        isometry_violations,
+    )
+
+    rng = np.random.RandomState(21)
+    X = rng.randn(150, 5) * np.array([3, 2, 1, 1, 0.5])
+    df = _mkdf(spark, X, parts=4)
+    m = fit_pca(df)
+    assert isometry_violations(df, m) == 0
+    # corrupt one component: no longer a rotation -> violations
+    bad = dict(m)
+    bad["components"] = m["components"].copy()
+    bad["components"][0] *= 1.5
+    assert isometry_violations(df, bad) > 0
