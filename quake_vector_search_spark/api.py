@@ -36,7 +36,9 @@ def knn(corpus_df: DataFrame, queries, k: int = 10,
     - ``index=None``: exact brute force (the oracle path) — L2 or
       cosine by ``metric``.
     - ``index=<IVFIndex>``: Adaptive Partition Scanning at the given
-      ``target_recall`` (L2 only, like the reference).
+      ``target_recall`` (L2 only, like the reference). Pass
+      ``allowed=<id DataFrame>`` for filtered ANN (pre-filter id set
+      pushed into the pruned index scan).
 
     Returns (query_id, vec_id, dist|sim, rank), rank 1..k, tie-broken
     on (dist, vec_id).

@@ -827,7 +827,8 @@ class IVFIndex:
                max_probe: int = 64,
                query_id_col: str = "query_id",
                query_vec_col: str = "embedding",
-               route_cells: int | None = None):
+               route_cells: int | None = None,
+               allowed: DataFrame | None = None):
         """O10 (ipynb c1:147-168): APS → partition-pruned scan → local
         top-k per (partition, query) → global windowed top-k.
 
@@ -835,8 +836,21 @@ class IVFIndex:
         counts (see partition_scores) — restricts scoring AND probing
         to each query's nearest coarse cells.
 
+        ``allowed``: optional single-column DataFrame of permitted ids
+        — filtered ANN via the pre-filter pattern (predicate evaluated
+        on the metadata table, id set pushed into the index scan as a
+        broadcast semi-join ahead of the distance kernel). Top-k is
+        then over qualifying ids only; at target_recall=1.0 this is
+        exactly brute-force-with-filter. The id set must be
+        broadcastable — for web-scale selectivity push a bloom_mask
+        pre-filter (operators/sketch.py) ahead of the exact semi-join.
+        Adaptive probing composes, but its recall target reflects
+        unfiltered geometry: highly selective filters warrant a higher
+        target or full probe (the standard filtered-ANN caveat).
+
         Returns (DataFrame(query_id, vec_id, dist, rank), meta dict with
-        avg_nprobe / avg_scanned). Increments hit stats (O11).
+        avg_nprobe / avg_scanned; avg_scanned counts probed-partition
+        sizes pre-filter). Increments hit stats (O11).
         """
         from quake_vector_search_spark.operators.knn import _collect_queries
         qids, qmat = _collect_queries(queries, query_id_col, query_vec_col)
@@ -871,6 +885,10 @@ class IVFIndex:
         union_parts = sorted(probe_map)
         corpus = self.read_corpus(partition_ids=union_parts) \
             .select(self.id_col, self.vec_col, "partition_id")
+        if allowed is not None:
+            ids = allowed.select(
+                F.col(allowed.columns[0]).alias(self.id_col))
+            corpus = corpus.join(F.broadcast(ids), self.id_col, "semi")
         # Size tasks by scanned volume, not directory count: the pruned
         # scan otherwise yields one task per probed partition dir, and a
         # mostly-empty Python task costs ~20-30 ms of Arrow/worker

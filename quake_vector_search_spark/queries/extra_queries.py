@@ -2278,3 +2278,55 @@ def q_schema_evolution(spark, sf_dir):
            .orderBy("doc_id").localCheckpoint())
     shutil.rmtree(path, ignore_errors=True)
     return out
+
+
+def _register_ivf_filtered():
+    from quake_vector_search_spark.queries.vector_queries import (
+        K, N_QUERIES)
+
+    @register("ivf_search_filtered_fullprobe", sql=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), d AS (
+  SELECT q.query_id, e.vec_id,
+         list_distance(CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.qvec AS DOUBLE[])) AS dist
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label % 3 = 0
+), r AS (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist ASC, vec_id ASC) AS rank
+  FROM d
+)
+SELECT query_id, vec_id, ROUND(dist, 6) AS dist, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {K}
+""")
+    def ivf_search_filtered_fullprobe(spark, sf_dir):
+        """Filtered ANN through the IVF path (the pre-filter pattern
+        every production vector store exposes): the metadata predicate
+        (label % 3 = 0) is evaluated on the source table, and the
+        resulting id set is pushed into the partition-pruned index
+        scan as a broadcast semi-join AHEAD of the distance kernel
+        (operators/ivf.py::IVFIndex.search(allowed=...)). At full
+        probe the result must equal brute-force-with-filter exactly —
+        the oracle IS that definition — extending the
+        fullprobe-equals-bruteforce contract to predicated search.
+        knn_filtered covers the brute path; this covers the index
+        path."""
+        from quake_vector_search_spark.queries.vector_queries import (
+            _ivf_index)
+
+        idx = _ivf_index(spark, sf_dir)
+        emb = load_table(spark, sf_dir, "embeddings")
+        allowed = emb.where(F.expr("label % 3 = 0")).select("vec_id")
+        queries = (emb.where(F.col("vec_id") < N_QUERIES)
+                   .withColumnRenamed("vec_id", "query_id"))
+        out, _meta = idx.search(queries, k=K, target_recall=1.0,
+                                max_probe=1_000_000_000,
+                                allowed=allowed)
+        return out.withColumn("dist", F.round("dist", 6))
+
+
+_register_ivf_filtered()

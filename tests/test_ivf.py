@@ -215,3 +215,34 @@ def test_distributed_aps_matches_numpy(spark, index, queries):
             assert pid == int(index.part_ids[order[qi, rk]])
             assert abs(p - float(probs[qi, rk])) < 1e-9
             assert probed == (rk < int(nprobe[qi]))
+
+
+def test_search_allowed_filter_matches_filtered_bruteforce(spark, tmp_path):
+    """allowed= pushes an id-set semi-join into the pruned scan; at
+    full probe the result is exactly brute-force over the allowed
+    subset, and disallowed ids never appear at any probe setting."""
+    import numpy as np
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.knn import knn_bruteforce
+
+    rng = np.random.RandomState(4)
+    rows = [(i, [float(v) for v in rng.randn(8)]) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = IVFIndex.build(emb, str(tmp_path / "ivf_filter"),
+                         coarse_k=4, base_k=2)
+    allowed = emb.where("vec_id % 2 = 0").select("vec_id")
+    queries = (emb.where("vec_id < 3")
+               .withColumnRenamed("vec_id", "query_id"))
+    out, _ = idx.search(queries, k=5, target_recall=1.0,
+                        max_probe=10**9, allowed=allowed)
+    got = {(r["query_id"], r["vec_id"], round(r["dist"], 6))
+           for r in out.collect()}
+    want = {(r["query_id"], r["vec_id"], round(r["dist"], 6))
+            for r in knn_bruteforce(
+                emb.where("vec_id % 2 = 0"), queries, k=5).collect()}
+    assert got == want
+    # adaptive probing still never leaks a disallowed id
+    out2, _ = idx.search(queries, k=5, target_recall=0.9,
+                         allowed=allowed)
+    assert all(r["vec_id"] % 2 == 0 for r in out2.collect())
