@@ -28,8 +28,14 @@ def _ivf_index(spark, sf_dir):
     from quake_vector_search_spark.operators.ivf import IVFIndex
     if sf_dir not in _IVF_CACHE:
         emb = load_table(spark, sf_dir, "embeddings")
+        # pid-scoped scratch: the cache dict is process-local but the
+        # DIRECTORY was global — two concurrent harness processes (a
+        # full sweep + a single-query check) would rmtree each other's
+        # live index out from under running queries (observed: 3
+        # FileNotFoundException failures in an sf0.01 sweep)
         workdir = os.path.join(
-            "/tmp/qvss_ivf", sf_dir.strip("/").replace("/", "_"))
+            f"/tmp/qvss_ivf_{os.getpid()}",
+            sf_dir.strip("/").replace("/", "_"))
         shutil.rmtree(workdir, ignore_errors=True)
         _IVF_CACHE[sf_dir] = IVFIndex.build(emb, workdir,
                                             coarse_k=16, base_k=4)
