@@ -886,6 +886,10 @@ class IVFIndex:
         corpus = self.read_corpus(partition_ids=union_parts) \
             .select(self.id_col, self.vec_col, "partition_id")
         if allowed is not None:
+            if len(allowed.columns) != 1:
+                raise ValueError(
+                    f"search(allowed=...): expected a single-column id "
+                    f"DataFrame, got columns {allowed.columns}")
             ids = allowed.select(
                 F.col(allowed.columns[0]).alias(self.id_col))
             corpus = corpus.join(F.broadcast(ids), self.id_col, "semi")
