@@ -144,3 +144,72 @@ def test_tokenize_words_boundaries(spark):
     assert got["abcab"] == ("abc ab", 2)
     assert got["xyz"] == ("x y z", 3)
     assert got["ab"] == ("ab", 1)
+
+
+# ------------------------- property tests (hypothesis, SURVEY.md §5.2)
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_WORDS = st.lists(
+    st.text(alphabet="abcd", min_size=1, max_size=8), min_size=1,
+    max_size=30)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_WORDS, st.integers(min_value=1, max_value=6))
+def test_bpe_training_invariants(words, n_merges):
+    """Pure-driver properties on arbitrary corpora: merged token is
+    always the concat of its parts; applying the merge list to any
+    training word reconstructs that word exactly (lossless); token
+    count never increases; pair counts are positive and derived from
+    the actual pre-merge state."""
+    freqs = {}
+    for w in words:
+        freqs[w] = freqs.get(w, 0) + 1
+    wf = sorted(freqs.items())
+    try:
+        merges = train_bpe(wf, n_merges=n_merges)
+    except ValueError:
+        # exhaustion is legitimate ONLY if some k < n_merges merges
+        # collapse every distinct word to a single token (no adjacent
+        # pairs remain anywhere)
+        k = n_merges - 1
+        while k > 0:
+            try:
+                partial = train_bpe(wf, n_merges=k)
+                break
+            except ValueError:
+                k -= 1
+        else:
+            partial = []
+        for w, _ in wf:
+            t = tuple(w)
+            for _, l, r, m, _ in partial:
+                t = _apply_merge(t, l, r, m)
+            assert len(t) == 1, (w, t)
+        return
+    for step, l, r, m, c in merges:
+        assert m == l + r and c >= 1
+    for w, _ in wf:
+        t = tuple(w)
+        for _, l, r, m, _ in merges:
+            t = _apply_merge(t, l, r, m)
+        assert "".join(t) == w          # lossless reconstruction
+        assert 1 <= len(t) <= len(w)    # merging never grows
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.text(alphabet="ab", min_size=2, max_size=40))
+def test_apply_merge_equals_naive_rescan(word):
+    """_apply_merge's single pass must equal the naive left-to-right
+    scan-with-restart definition for the overlap-heavy (a,a) pair."""
+    got = _apply_merge(tuple(word), "a", "a", "aa")
+    out, i = [], 0
+    while i < len(word):
+        if word[i:i + 2] == "aa":
+            out.append("aa")
+            i += 2
+        else:
+            out.append(word[i])
+            i += 1
+    assert list(got) == out
