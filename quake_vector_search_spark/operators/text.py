@@ -572,3 +572,43 @@ def hash_embed_dense(docs: DataFrame, id_col: str = "doc_id",
         F.transform("embedding",
                     lambda x: x / (norm + F.lit(1e-12)))
          .alias("embedding"))
+
+
+def hash_embed_cosine_topk(docs: DataFrame, queries: DataFrame,
+                           k: int = 10, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           dim: int = FEATURE_HASH_DIM,
+                           query_id_col: str = "query_id") -> DataFrame:
+    """Raw-text semantic retrieval entirely in Catalyst: feature-hash
+    both sides (exact integer sparse vectors), sparse cosine via a
+    bucket equi-join (integer dot products, integer squared norms,
+    ONE double division + sqrt at the end), windowed top-k on the
+    ROUNDED score. Because every input to the final division is an
+    exact integer, the doubles are bit-identical on any engine — the
+    whole retrieval pipeline value-hashes with no float-ordering risk.
+
+    Scale shape: two explode+groupBy embedding passes, one posting-
+    list join on the 64-bucket key (cost ∝ queries × docs sharing a
+    bucket — queries are the bounded side and broadcastable), one
+    top-k window partitioned by query."""
+    from pyspark.sql import Window
+
+    emb = hash_embed(docs, id_col, text_col, dim)
+    qe = (hash_embed(queries, query_id_col, text_col, dim)
+          .withColumnRenamed("v", "qv"))
+    n2 = emb.groupBy(id_col).agg(
+        F.sum(F.col("v") * F.col("v")).alias("_n2"))
+    qn2 = qe.groupBy(query_id_col).agg(
+        F.sum(F.col("qv") * F.col("qv")).alias("_qn2"))
+    dots = (emb.join(F.broadcast(qe), "bucket")
+            .groupBy(query_id_col, id_col)
+            .agg(F.sum(F.col("v") * F.col("qv")).alias("_dot")))
+    cos = (dots.join(n2, id_col).join(F.broadcast(qn2), query_id_col)
+           .select(query_id_col, id_col,
+                   F.round(F.col("_dot")
+                           / F.sqrt(F.col("_n2") * F.col("_qn2")), 6)
+                   .alias("cosine")))
+    w = (Window.partitionBy(query_id_col)
+         .orderBy(F.col("cosine").desc(), F.col(id_col).asc()))
+    return (cos.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))

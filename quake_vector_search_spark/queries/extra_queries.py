@@ -2330,3 +2330,61 @@ FROM r WHERE rank <= {K}
 
 
 _register_ivf_filtered()
+
+
+@register("text_semantic_search", sql=r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS w
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5('fh:' || w), 1, 15)) AS BIGINT)
+           % 64 AS bucket,
+         CASE WHEN CAST(concat('0x', substr(md5('fs:' || w), 1, 15))
+                        AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS s
+  FROM tok
+), sp AS (
+  SELECT doc_id, bucket, CAST(SUM(s) AS BIGINT) AS v
+  FROM h GROUP BY doc_id, bucket
+), n2 AS (
+  SELECT doc_id, SUM(v * v) AS n2 FROM sp GROUP BY doc_id
+), q AS (
+  SELECT doc_id AS query_id, bucket, v AS qv FROM sp WHERE doc_id < 3
+), qn AS (
+  SELECT query_id, SUM(qv * qv) AS qn2 FROM q GROUP BY query_id
+), d AS (
+  SELECT q.query_id, s.doc_id, SUM(s.v * q.qv) AS dot
+  FROM sp s JOIN q ON q.bucket = s.bucket
+  GROUP BY q.query_id, s.doc_id
+), c AS (
+  SELECT d.query_id, d.doc_id,
+         ROUND(d.dot / sqrt(n2.n2 * qn.qn2), 6) AS cosine
+  FROM d JOIN n2 ON n2.doc_id = d.doc_id
+         JOIN qn ON qn.query_id = d.query_id
+), r AS (
+  SELECT query_id, doc_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, doc_id ASC) AS rank
+  FROM c
+)
+SELECT query_id, doc_id, cosine, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 10 ORDER BY query_id, rank
+""")
+def text_semantic_search(spark, sf_dir):
+    """The raw-text-to-retrieval loop closed inside the engine: the
+    first 3 documents act as text queries against the whole corpus —
+    feature-hash embeddings on both sides, sparse integer cosine via
+    a bucket equi-join, top-10 per query ranked on the rounded score
+    (operators/text.py::hash_embed_cosine_topk). Every arithmetic
+    input to the one float division is an exact integer, so Spark and
+    DuckDB produce bit-identical doubles — the full retrieval
+    pipeline (tokenize → embed → score → rank) sits under one hash
+    gate with zero float-ordering risk."""
+    from quake_vector_search_spark.operators.text import (
+        hash_embed_cosine_topk)
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = (docs.where(F.col("doc_id") < 3)
+               .select(F.col("doc_id").alias("query_id"), "text"))
+    return (hash_embed_cosine_topk(docs, queries, k=10)
+            .orderBy("query_id", "rank"))

@@ -494,3 +494,24 @@ def test_api_range_and_centrality_facades(spark):
                               "query_doc long, qv_id long, "
                               "qvec array<double>"), k=1)
     assert ms.count() == 1
+
+
+def test_hash_embed_cosine_topk_self_match_and_ranking(spark):
+    from quake_vector_search_spark.operators.text import (
+        hash_embed_cosine_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"),
+         (3, "delta epsilon zeta"), (4, "alpha beta delta")],
+        "doc_id long, text string")
+    queries = docs.where("doc_id = 1").select(
+        F.col("doc_id").alias("query_id"), "text")
+    out = hash_embed_cosine_topk(docs, queries, k=4).collect()
+    by_rank = {r["rank"]: r for r in out}
+    # exact-duplicate docs tie at cosine 1.0; id tie-break puts 1 first
+    assert by_rank[1]["doc_id"] == 1 and by_rank[1]["cosine"] == 1.0
+    assert by_rank[2]["doc_id"] == 2 and by_rank[2]["cosine"] == 1.0
+    # partial overlap ranks above disjoint text
+    assert by_rank[3]["doc_id"] == 4
+    assert by_rank[3]["cosine"] > by_rank[4]["cosine"]
