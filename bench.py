@@ -77,6 +77,8 @@ HEADLINE = [
     "text_bpe_encode",
     "emb_pca_whiten",
     "q_grouped_ols",
+    "text_semantic_search",
+    "ivf_search_filtered_fullprobe",
 ]
 
 N_WORKLOAD_QUERIES = 200

@@ -2388,3 +2388,141 @@ def text_semantic_search(spark, sf_dir):
                .select(F.col("doc_id").alias("query_id"), "text"))
     return (hash_embed_cosine_topk(docs, queries, k=10)
             .orderBy("query_id", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified rerank under an unrolled greedy oracle.  Same CTE
+# machinery as BPE: each greedy step is one argmax layer.  All floats
+# are derived from the exact-integer hash-embed cosines, and BOTH
+# engines compute the second coefficient as (1.0 - 0.7) — the Python
+# double for 1-lam is 0.30000000000000004, NOT the literal 0.3 — so
+# scores are bit-identical and emitted unrounded.
+
+_MMR_K = 5
+_MMR_NCAND = 8
+
+
+def _mmr_sql(k: int = _MMR_K, ncand: int = _MMR_NCAND) -> str:
+    head = r"""WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS w
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5('fh:' || w), 1, 15)) AS BIGINT)
+           % 64 AS bucket,
+         CASE WHEN CAST(concat('0x', substr(md5('fs:' || w), 1, 15))
+                        AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS s
+  FROM tok
+), sp AS MATERIALIZED (
+  SELECT doc_id, bucket, CAST(SUM(s) AS BIGINT) AS v
+  FROM h GROUP BY doc_id, bucket
+), n2 AS MATERIALIZED (
+  SELECT doc_id, SUM(v * v) AS n2 FROM sp GROUP BY doc_id
+), q AS (
+  SELECT doc_id AS query_id, bucket, v AS qv FROM sp WHERE doc_id < 3
+), qn AS (
+  SELECT query_id, SUM(qv * qv) AS qn2 FROM q GROUP BY query_id
+), d AS (
+  SELECT q.query_id, s.doc_id, SUM(s.v * q.qv) AS dot
+  FROM sp s JOIN q ON q.bucket = s.bucket
+  GROUP BY q.query_id, s.doc_id
+), c AS (
+  SELECT d.query_id, d.doc_id,
+         ROUND(d.dot / sqrt(n2.n2 * qn.qn2), 6) AS cosine
+  FROM d JOIN n2 ON n2.doc_id = d.doc_id
+         JOIN qn ON qn.query_id = d.query_id
+), cand AS MATERIALIZED (
+  SELECT query_id, doc_id, cosine FROM (
+    SELECT query_id, doc_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, doc_id ASC) AS rn
+    FROM c) WHERE rn <= __NCAND__
+), cp AS (
+  SELECT x.query_id, x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM cand x JOIN cand y
+    ON x.query_id = y.query_id AND x.doc_id < y.doc_id
+), sd AS (
+  SELECT cp.query_id, cp.doc_a, cp.doc_b, SUM(sa.v * sb.v) AS dot
+  FROM cp JOIN sp sa ON sa.doc_id = cp.doc_a
+          JOIN sp sb ON sb.doc_id = cp.doc_b
+                    AND sb.bucket = sa.bucket
+  GROUP BY 1, 2, 3
+), sims AS MATERIALIZED (
+  SELECT sd.query_id, sd.doc_a, sd.doc_b,
+         ROUND(sd.dot / sqrt(na.n2 * nb.n2), 6) AS sim
+  FROM sd JOIN n2 na ON na.doc_id = sd.doc_a
+          JOIN n2 nb ON nb.doc_id = sd.doc_b
+), sel1 AS MATERIALIZED (
+  SELECT query_id, doc_id, 0.7 * cosine AS score FROM (
+    SELECT query_id, doc_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, doc_id ASC) AS rn
+    FROM cand) WHERE rn = 1
+), picked1 AS MATERIALIZED (
+  SELECT query_id, doc_id, 1 AS mmr_rank, score FROM sel1
+)""".replace("__NCAND__", str(ncand))
+    layers = []
+    for i in range(2, k + 1):
+        layers.append("""
+, sc%(i)d AS (
+  SELECT c.query_id, c.doc_id,
+         0.7 * c.cosine
+           - (1.0 - 0.7) * MAX(COALESCE(s.sim, 0)) AS score
+  FROM cand c
+  JOIN picked%(p)d p ON p.query_id = c.query_id
+  LEFT JOIN sims s ON s.query_id = c.query_id
+       AND ((s.doc_a = c.doc_id AND s.doc_b = p.doc_id)
+         OR (s.doc_a = p.doc_id AND s.doc_b = c.doc_id))
+  WHERE c.doc_id NOT IN (SELECT pp.doc_id FROM picked%(p)d pp
+                         WHERE pp.query_id = c.query_id)
+  GROUP BY c.query_id, c.doc_id, c.cosine
+), sel%(i)d AS MATERIALIZED (
+  SELECT query_id, doc_id, score FROM (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rn
+    FROM sc%(i)d) WHERE rn = 1
+), picked%(i)d AS MATERIALIZED (
+  SELECT * FROM picked%(p)d
+  UNION ALL
+  SELECT query_id, doc_id, %(i)d AS mmr_rank, score FROM sel%(i)d
+)""" % {"i": i, "p": i - 1})
+    tail = f"""
+SELECT query_id, doc_id, CAST(mmr_rank AS INT) AS mmr_rank,
+       score AS mmr_score
+FROM picked{k} ORDER BY query_id, mmr_rank"""
+    return head + "".join(layers) + tail
+
+
+def _register_mmr():
+    @register("text_mmr_rerank", sql=_mmr_sql())
+    def text_mmr_rerank(spark, sf_dir):
+        """MMR diversified rerank (operators/rerank.py) over the
+        hash-embed retrieval candidates: top-8 per text query, greedy
+        k=5 at lam=0.7 via cogrouped applyInPandas (per-query groups —
+        the one Pandas API the registry didn't exercise yet).  Every
+        rel/sim is an exact-integer-derived rounded cosine, both
+        engines compute (1.0 - 0.7) for the redundancy coefficient,
+        so mmr_score is emitted UNROUNDED and still hash-matches —
+        the greedy argmax, ties included, is bit-reproducible.
+        Oracle = the greedy definition unrolled as argmax CTE
+        layers."""
+        from quake_vector_search_spark.operators.rerank import (
+            candidate_sims, mmr_rerank)
+        from quake_vector_search_spark.operators.text import (
+            hash_embed_cosine_topk)
+
+        docs = load_table(spark, sf_dir, "documents")
+        queries = (docs.where(F.col("doc_id") < 3)
+                   .select(F.col("doc_id").alias("query_id"), "text"))
+        cands = (hash_embed_cosine_topk(docs, queries, k=_MMR_NCAND)
+                 .select("query_id", "doc_id", "cosine")
+                 .localCheckpoint())
+        # checkpoint: sims derives from cands, and cogroup rejects
+        # two groupings over shared-lineage attributes
+        sims = candidate_sims(docs, cands).localCheckpoint()
+        out = mmr_rerank(cands, sims, k=_MMR_K, lam=0.7)
+        return out.orderBy("query_id", "mmr_rank")
+
+
+_register_mmr()

@@ -515,3 +515,39 @@ def test_hash_embed_cosine_topk_self_match_and_ranking(spark):
     # partial overlap ranks above disjoint text
     assert by_rank[3]["doc_id"] == 4
     assert by_rank[3]["cosine"] > by_rank[4]["cosine"]
+
+
+def test_mmr_rerank_diversifies_and_orders(spark):
+    from quake_vector_search_spark.operators.rerank import mmr_rerank
+
+    # query 1: docs 10/11 highly relevant AND near-duplicates of each
+    # other; doc 12 slightly less relevant but dissimilar. Plain
+    # ranking = 10, 11, 12; MMR must interleave: 10, 12, 11.
+    cands = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 11, 0.98), (1, 12, 0.80)],
+        "query_id long, doc_id long, cosine double")
+    sims = spark.createDataFrame(
+        [(1, 10, 11, 0.99), (1, 10, 12, 0.05), (1, 11, 12, 0.05)],
+        "query_id long, doc_a long, doc_b long, sim double")
+    out = sorted((r["mmr_rank"], r["doc_id"], r["mmr_score"])
+                 for r in mmr_rerank(cands, sims, k=3,
+                                     lam=0.7).collect())
+    assert [d for _, d, _ in out] == [10, 12, 11]
+    # step-1 score is lam*rel; later steps subtract redundancy
+    assert abs(out[0][2] - 0.7 * 1.0) < 1e-12
+    assert abs(out[1][2] - (0.7 * 0.80 - 0.3 * 0.05)) < 1e-9
+    # redundancy penalty drove 11 below its relevance-only score
+    assert out[2][2] < 0.7 * 0.98 - 1e-6
+
+
+def test_mmr_rerank_fewer_candidates_than_k(spark):
+    from quake_vector_search_spark.operators.rerank import mmr_rerank
+
+    cands = spark.createDataFrame(
+        [(7, 1, 0.9), (7, 2, 0.5)],
+        "query_id long, doc_id long, cosine double")
+    sims = spark.createDataFrame(
+        [], "query_id long, doc_a long, doc_b long, sim double")
+    out = mmr_rerank(cands, sims, k=5, lam=0.7).collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 2]
+    assert sorted(r["mmr_rank"] for r in out) == [1, 2]
