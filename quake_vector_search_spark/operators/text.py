@@ -591,11 +591,25 @@ def hash_embed_cosine_topk(docs: DataFrame, queries: DataFrame,
     list join on the 64-bucket key (cost ∝ queries × docs sharing a
     bucket — queries are the bounded side and broadcastable), one
     top-k window partitioned by query."""
-    from pyspark.sql import Window
-
     emb = hash_embed(docs, id_col, text_col, dim)
     qe = (hash_embed(queries, query_id_col, text_col, dim)
           .withColumnRenamed("v", "qv"))
+    return sparse_cosine_topk(emb, qe, k=k, id_col=id_col,
+                              query_id_col=query_id_col)
+
+
+def sparse_cosine_topk(emb: DataFrame, qe: DataFrame, k: int = 10,
+                       id_col: str = "doc_id",
+                       query_id_col: str = "query_id") -> DataFrame:
+    """Sparse integer cosine top-k between two (id, bucket, weight)
+    relations: ``emb`` carries column ``v`` per (id_col, bucket),
+    ``qe`` carries ``qv`` per (query_id_col, bucket).  Integer dot
+    products and squared norms, one IEEE-exact division, top-k window
+    ranked on the ROUNDED score — the shared scoring core of
+    hash_embed_cosine_topk and Rocchio PRF (the expanded query vector
+    is just another integer ``qe`` relation)."""
+    from pyspark.sql import Window
+
     n2 = emb.groupBy(id_col).agg(
         F.sum(F.col("v") * F.col("v")).alias("_n2"))
     qn2 = qe.groupBy(query_id_col).agg(
@@ -612,3 +626,46 @@ def hash_embed_cosine_topk(docs: DataFrame, queries: DataFrame,
          .orderBy(F.col("cosine").desc(), F.col(id_col).asc()))
     return (cos.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def prf_rocchio_topk(docs: DataFrame, queries: DataFrame,
+                     k: int = 10, m: int = 5,
+                     alpha_i: int = 7, beta_i: int = 3,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     dim: int = FEATURE_HASH_DIM,
+                     query_id_col: str = "query_id") -> DataFrame:
+    """Pseudo-relevance feedback (Rocchio, SMART-era IR): retrieve
+    top-m per query, build the expanded query vector
+
+        V = alpha_i * m * v_q + beta_i * SUM_{t in top-m} v_t
+
+    ENTIRELY in integers (the classic alpha q + beta mean(top) scaled
+    by m so the mean never divides), then re-score the corpus with V
+    through the same sparse-cosine core.  Because V is an exact
+    integer relation, the re-ranked scores are single IEEE divisions
+    of integers — bit-identical cross-engine, no float-sum ordering
+    anywhere.  Cost: the base retrieval + one feedback-join (m rows
+    per query) + one more scoring pass."""
+    emb = hash_embed(docs, id_col, text_col, dim)
+    qe = (hash_embed(queries, query_id_col, text_col, dim)
+          .withColumnRenamed("v", "qv"))
+    base = sparse_cosine_topk(emb, qe, k=m, id_col=id_col,
+                              query_id_col=query_id_col)
+    fb = base.select(query_id_col, id_col)
+    fbv = (fb.join(emb, id_col)
+           .groupBy(query_id_col, "bucket")
+           .agg(F.sum("v").alias("_fv")))
+    expanded = (qe.select(query_id_col, "bucket",
+                          (F.lit(alpha_i * m) * F.col("qv"))
+                          .alias("_wq"))
+                .join(fbv.select(query_id_col, "bucket",
+                                 (F.lit(beta_i) * F.col("_fv"))
+                                 .alias("_wf")),
+                      [query_id_col, "bucket"], "full_outer")
+                .select(query_id_col, "bucket",
+                        (F.coalesce(F.col("_wq"), F.lit(0))
+                         + F.coalesce(F.col("_wf"), F.lit(0)))
+                        .alias("qv"))
+                .where(F.col("qv") != 0))
+    return sparse_cosine_topk(emb, expanded, k=k, id_col=id_col,
+                              query_id_col=query_id_col)

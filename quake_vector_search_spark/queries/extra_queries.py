@@ -2526,3 +2526,90 @@ def _register_mmr():
 
 
 _register_mmr()
+
+
+@register("text_prf_search", sql=r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS w
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5('fh:' || w), 1, 15)) AS BIGINT)
+           % 64 AS bucket,
+         CASE WHEN CAST(concat('0x', substr(md5('fs:' || w), 1, 15))
+                        AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS s
+  FROM tok
+), sp AS MATERIALIZED (
+  SELECT doc_id, bucket, CAST(SUM(s) AS BIGINT) AS v
+  FROM h GROUP BY doc_id, bucket
+), n2 AS MATERIALIZED (
+  SELECT doc_id, SUM(v * v) AS n2 FROM sp GROUP BY doc_id
+), q AS (
+  SELECT doc_id AS query_id, bucket, v AS qv FROM sp WHERE doc_id < 3
+), qn AS (
+  SELECT query_id, SUM(qv * qv) AS qn2 FROM q GROUP BY query_id
+), d AS (
+  SELECT q.query_id, s.doc_id, SUM(s.v * q.qv) AS dot
+  FROM sp s JOIN q ON q.bucket = s.bucket
+  GROUP BY q.query_id, s.doc_id
+), c AS (
+  SELECT d.query_id, d.doc_id,
+         ROUND(d.dot / sqrt(n2.n2 * qn.qn2), 6) AS cosine
+  FROM d JOIN n2 ON n2.doc_id = d.doc_id
+         JOIN qn ON qn.query_id = d.query_id
+), fbsel AS MATERIALIZED (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, doc_id ASC) AS rn
+    FROM c) WHERE rn <= 5
+), fbv AS (
+  SELECT f.query_id, s.bucket, SUM(s.v) AS fv
+  FROM fbsel f JOIN sp s ON s.doc_id = f.doc_id
+  GROUP BY f.query_id, s.bucket
+), V AS MATERIALIZED (
+  SELECT COALESCE(q.query_id, f.query_id) AS query_id,
+         COALESCE(q.bucket, f.bucket) AS bucket,
+         COALESCE(35 * q.qv, 0) + COALESCE(3 * f.fv, 0) AS qv
+  FROM q FULL OUTER JOIN fbv f
+    ON f.query_id = q.query_id AND f.bucket = q.bucket
+), Vnz AS MATERIALIZED (
+  SELECT query_id, bucket, qv FROM V WHERE qv <> 0
+), vn AS (
+  SELECT query_id, SUM(qv * qv) AS qn2 FROM Vnz GROUP BY query_id
+), vd AS (
+  SELECT v.query_id, s.doc_id, SUM(s.v * v.qv) AS dot
+  FROM sp s JOIN Vnz v ON v.bucket = s.bucket
+  GROUP BY v.query_id, s.doc_id
+), vc AS (
+  SELECT vd.query_id, vd.doc_id,
+         ROUND(vd.dot / sqrt(n2.n2 * vn.qn2), 6) AS cosine
+  FROM vd JOIN n2 ON n2.doc_id = vd.doc_id
+          JOIN vn ON vn.query_id = vd.query_id
+), r AS (
+  SELECT query_id, doc_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, doc_id ASC) AS rank
+  FROM vc
+)
+SELECT query_id, doc_id, cosine, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 10 ORDER BY query_id, rank
+""")
+def text_prf_search(spark, sf_dir):
+    """Pseudo-relevance-feedback retrieval (Rocchio) under the exact
+    oracle (operators/text.py::prf_rocchio_topk): top-5 feedback docs
+    per text query, expanded query vector V = 7·5·v_q + 3·Σ v_t built
+    ENTIRELY in integers (the mean scaled away), corpus re-scored
+    through the shared sparse-cosine core. Integer sums are
+    commutative-exact and the one float division is IEEE-identical,
+    so the re-ranked list hash-matches the unrolled SQL definition
+    bit-for-bit — query expansion with zero float-ordering risk."""
+    from quake_vector_search_spark.operators.text import (
+        prf_rocchio_topk)
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = (docs.where(F.col("doc_id") < 3)
+               .select(F.col("doc_id").alias("query_id"), "text"))
+    return (prf_rocchio_topk(docs, queries, k=10, m=5,
+                             alpha_i=7, beta_i=3)
+            .orderBy("query_id", "rank"))

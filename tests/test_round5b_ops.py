@@ -551,3 +551,34 @@ def test_mmr_rerank_fewer_candidates_than_k(spark):
     out = mmr_rerank(cands, sims, k=5, lam=0.7).collect()
     assert sorted(r["doc_id"] for r in out) == [1, 2]
     assert sorted(r["mmr_rank"] for r in out) == [1, 2]
+
+
+def test_prf_rocchio_pulls_in_feedback_neighborhood(spark):
+    from quake_vector_search_spark.operators.text import (
+        hash_embed_cosine_topk,
+        prf_rocchio_topk,
+    )
+
+    # doc 30 shares no terms with the query but heavily overlaps the
+    # query's nearest neighbors — feedback expansion must raise it
+    docs = spark.createDataFrame(
+        [(1, "apple banana cherry"),
+         (10, "apple banana cherry date"),
+         (11, "apple banana date elderberry"),
+         (30, "date elderberry fig grape"),
+         (40, "quartz zinc xenon")],
+        "doc_id long, text string")
+    q = docs.where("doc_id = 1").select(
+        F.col("doc_id").alias("query_id"), "text")
+    base = {r["doc_id"]: r["rank"]
+            for r in hash_embed_cosine_topk(docs, q, k=5).collect()}
+    prf = {r["doc_id"]: r["rank"]
+           for r in prf_rocchio_topk(docs, q, k=5, m=3).collect()}
+    # expansion must not displace the true top hit
+    assert prf[1] == 1
+    # doc 30's rank improves (or score appears) relative to pure
+    # lexical overlap with the original query
+    assert prf[30] <= base.get(30, 6)
+    # disjoint junk never outranks the neighborhood: either absent
+    # (no shared bucket with the expanded vector) or ranked last
+    assert 40 not in prf or prf[40] == max(prf.values())
