@@ -79,6 +79,8 @@ HEADLINE = [
     "q_grouped_ols",
     "text_semantic_search",
     "ivf_search_filtered_fullprobe",
+    "text_mmr_rerank",
+    "text_prf_search",
 ]
 
 N_WORKLOAD_QUERIES = 200

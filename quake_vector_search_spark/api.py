@@ -367,3 +367,34 @@ def whiten(emb: DataFrame, k: int | None = None,
     model = fit_pca(emb, vec_col=vec_col)
     return pca_project(emb, model, k=k, whiten=True,
                        vec_col=vec_col, **kwargs)
+
+
+def text_search(docs: DataFrame, queries: DataFrame, k: int = 10,
+                **kwargs) -> DataFrame:
+    """Raw-text semantic retrieval via feature-hash sparse cosine
+    (operators/text.py::hash_embed_cosine_topk): (query_id, doc_id,
+    cosine, rank)."""
+    from quake_vector_search_spark.operators.text import (
+        hash_embed_cosine_topk,
+    )
+    return hash_embed_cosine_topk(docs, queries, k=k, **kwargs)
+
+
+def text_search_prf(docs: DataFrame, queries: DataFrame, k: int = 10,
+                    m: int = 5, **kwargs) -> DataFrame:
+    """text_search with Rocchio pseudo-relevance feedback: top-m docs
+    fold into an integer-exact expanded query vector before the final
+    ranking (operators/text.py::prf_rocchio_topk)."""
+    from quake_vector_search_spark.operators.text import (
+        prf_rocchio_topk,
+    )
+    return prf_rocchio_topk(docs, queries, k=k, m=m, **kwargs)
+
+
+def diversify(cands: DataFrame, sims: DataFrame, k: int = 5,
+              lam: float = 0.7, **kwargs) -> DataFrame:
+    """MMR rerank of per-query candidates against a pairwise-sim
+    relation (operators/rerank.py::mmr_rerank; build sims with
+    operators/rerank.py::candidate_sims)."""
+    from quake_vector_search_spark.operators.rerank import mmr_rerank
+    return mmr_rerank(cands, sims, k=k, lam=lam, **kwargs)

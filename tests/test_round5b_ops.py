@@ -582,3 +582,27 @@ def test_prf_rocchio_pulls_in_feedback_neighborhood(spark):
     # disjoint junk never outranks the neighborhood: either absent
     # (no shared bucket with the expanded vector) or ranked last
     assert 40 not in prf or prf[40] == max(prf.values())
+
+
+def test_api_retrieval_facades(spark):
+    from quake_vector_search_spark import api
+
+    docs = spark.createDataFrame(
+        [(1, "red green blue"), (2, "red green yellow"),
+         (3, "cyan magenta black")],
+        "doc_id long, text string")
+    q = docs.where("doc_id = 1").select(
+        F.col("doc_id").alias("query_id"), "text")
+    hits = api.text_search(docs, q, k=3).collect()
+    assert hits[0]["doc_id"] == 1 and hits[0]["cosine"] == 1.0
+    prf = api.text_search_prf(docs, q, k=3, m=2).collect()
+    assert {r["doc_id"] for r in prf} >= {1, 2}
+    cands = spark.createDataFrame(
+        [(1, 1, 1.0), (1, 2, 0.9), (1, 3, 0.5)],
+        "query_id long, doc_id long, cosine double")
+    sims = spark.createDataFrame(
+        [(1, 1, 2, 0.95), (1, 1, 3, 0.0), (1, 2, 3, 0.0)],
+        "query_id long, doc_a long, doc_b long, sim double")
+    div = api.diversify(cands, sims, k=2).collect()
+    assert [r["doc_id"] for r in
+            sorted(div, key=lambda r: r["mmr_rank"])] == [1, 3]
