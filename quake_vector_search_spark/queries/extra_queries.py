@@ -2613,3 +2613,47 @@ def text_prf_search(spark, sf_dir):
     return (prf_rocchio_topk(docs, queries, k=10, m=5,
                              alpha_i=7, beta_i=3)
             .orderBy("query_id", "rank"))
+
+
+@register("text_zipf_fit", sql="""
+WITH wf AS (
+  SELECT w.word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM documents d,
+       unnest(regexp_extract_all(lower(d.text), '[a-z]+')) AS w(word)
+  GROUP BY w.word
+), ranked AS (
+  SELECT freq,
+         row_number() OVER (ORDER BY freq DESC, word ASC) AS rnk
+  FROM wf
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+       ROUND(regr_slope(ln(freq), ln(rnk)), 4) AS zipf_slope,
+       ROUND(regr_intercept(ln(freq), ln(rnk)), 4) AS zipf_intercept,
+       ROUND(regr_r2(ln(freq), ln(rnk)), 4) AS zipf_r2
+FROM ranked
+""")
+def text_zipf_fit(spark, sf_dir):
+    """Corpus naturalness diagnostic: fit ln(freq) ~ ln(rank) over the
+    word-frequency table — natural language sits near slope -1
+    (Zipf's law); templated/synthetic/spammy corpora drift off it, so
+    the slope + fit quality is a one-row curation health signal. One
+    explode + one groupBy + a rank window over the vocabulary-bounded
+    table, then the regr_* moment aggregates (map-side partials).
+    ln of exact integers gives identical doubles cross-engine; the
+    moment sums round at 4 (q_stats precedent)."""
+    from pyspark.sql import Window
+
+    from quake_vector_search_spark.operators.bpe import (
+        word_frequencies)
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = word_frequencies(docs, max_words=None)
+    ranked = wf.withColumn(
+        "rnk", F.row_number().over(
+            Window.orderBy(F.col("freq").desc(), F.col("word").asc())))
+    y, x = F.log("freq"), F.log("rnk")
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.round(F.regr_slope(y, x), 4).alias("zipf_slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("zipf_intercept"),
+        F.round(F.regr_r2(y, x), 4).alias("zipf_r2"))

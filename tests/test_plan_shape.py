@@ -397,7 +397,10 @@ def _unpartitioned_window_hits(plan: str) -> list[str]:
 #                   they exist to hash-check the scale-safe default.
 #   q_drift_psi   — the window runs over the 10-row PSI bucket table
 #                   (post-aggregation), never over raw rows.
-_GLOBAL_WINDOW_ALLOWLIST = {"q_drift_psi"}
+#   text_zipf_fit — the rank window runs over the word-frequency table
+#                   (post-groupBy), vocabulary-bounded (Heaps' law),
+#                   never over raw corpus rows.
+_GLOBAL_WINDOW_ALLOWLIST = {"q_drift_psi", "text_zipf_fit"}
 
 
 def test_no_registry_query_has_unpartitioned_window(spark):
