@@ -85,3 +85,53 @@ def pagerank_integer(pairs: DataFrame, a_col: str = "id_a",
                                   F.lit(100))).alias("pr"))
                  .localCheckpoint())
     return ranks
+
+
+def label_propagation(pairs: DataFrame, seeds: DataFrame,
+                      a_col: str = "id_a", b_col: str = "id_b",
+                      node_col: str = "node",
+                      label_col: str = "label",
+                      iters: int = 2) -> DataFrame:
+    """Semi-supervised label propagation over an undirected pair list
+    (the weak-supervision / label-imputation op): ``seeds`` =
+    (node, label) for the labeled minority; each round every still-
+    unlabeled edge-touched node takes the MAJORITY label among its
+    already-labeled neighbors (ties to the smallest label), and once
+    assigned a label is frozen — the incremental-frontier variant,
+    which unrolls exactly into oracle CTE layers.  Votes are integer
+    counts, the argmax tie-break is a total order, so the result is
+    engine- and partitioning-exact.
+
+    Returns (node, label, src_iter) — src_iter 0 for seeds, i for
+    round-i assignments.  Nodes no labeled neighbor ever reaches stay
+    absent.  Per round: one edge join + one count groupBy + one
+    per-node argmax window over the (shrinking) frontier."""
+    from pyspark.sql import Window
+
+    edges = (pairs.select(F.col(a_col).alias("src"),
+                          F.col(b_col).alias("dst"))
+             .unionAll(pairs.select(F.col(b_col).alias("src"),
+                                    F.col(a_col).alias("dst")))
+             .distinct()
+             .localCheckpoint())
+    labeled = (seeds.select(F.col(node_col).alias("node"),
+                            F.col(label_col).cast("long")
+                            .alias("label"),
+                            F.lit(0).alias("src_iter"))
+               .localCheckpoint())
+    for i in range(1, iters + 1):
+        votes = (edges
+                 .join(labeled.select(F.col("node").alias("src"),
+                                      "label"), "src")
+                 .join(labeled.select(F.col("node").alias("dst"))
+                       .distinct(), "dst", "left_anti")
+                 .groupBy("dst", "label")
+                 .agg(F.count("*").alias("_n")))
+        w = (Window.partitionBy("dst")
+             .orderBy(F.col("_n").desc(), F.col("label").asc()))
+        new = (votes.withColumn("_rn", F.row_number().over(w))
+               .where(F.col("_rn") == 1)
+               .select(F.col("dst").alias("node"), "label",
+                       F.lit(i).alias("src_iter")))
+        labeled = labeled.unionAll(new).localCheckpoint()
+    return labeled

@@ -2657,3 +2657,77 @@ def text_zipf_fit(spark, sf_dir):
         F.round(F.regr_slope(y, x), 4).alias("zipf_slope"),
         F.round(F.regr_intercept(y, x), 4).alias("zipf_intercept"),
         F.round(F.regr_r2(y, x), 4).alias("zipf_r2"))
+
+
+def _label_prop_sql(iters: int = 2) -> str:
+    """Unrolled label-propagation oracle over the shared LSH pair
+    fragment (the emb_pagerank pattern): integer majority votes,
+    total-order argmax, frozen-once-assigned — each round is one vote
+    layer + one argmax layer."""
+    sql = ["WITH " + _LSH_CAND_SQL + """,
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.id_a
+  JOIN embeddings eb ON eb.vec_id = c.id_b
+  WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                               CAST(eb.embedding AS DOUBLE[])) >= 0.45
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), l0 AS MATERIALIZED (
+  SELECT vec_id AS node, CAST(label AS BIGINT) AS label, 0 AS src_iter
+  FROM embeddings WHERE vec_id % 5 = 0
+)"""]
+    for i in range(1, iters + 1):
+        sql.append(""", v%(i)d AS (
+  SELECT e.dst AS node, l.label, COUNT(*) AS n
+  FROM edges e JOIN l%(p)d l ON l.node = e.src
+  WHERE e.dst NOT IN (SELECT node FROM l%(p)d)
+  GROUP BY e.dst, l.label
+), a%(i)d AS (
+  SELECT node, label, %(i)d AS src_iter FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY n DESC, label ASC) AS rn
+    FROM v%(i)d) WHERE rn = 1
+), l%(i)d AS MATERIALIZED (
+  SELECT * FROM l%(p)d UNION ALL SELECT * FROM a%(i)d
+)""" % {"i": i, "p": i - 1})
+    sql.append(f"""
+SELECT node AS vec_id, label, CAST(src_iter AS INT) AS src_iter
+FROM l{iters} ORDER BY vec_id""")
+    return "".join(sql)
+
+
+def _register_label_prop():
+    @register("emb_label_propagation", sql=_label_prop_sql())
+    def emb_label_propagation(spark, sf_dir):
+        """Semi-supervised label imputation (weak supervision): 20% of
+        vectors keep their labels as seeds (vec_id % 5 = 0), and two
+        majority-vote rounds propagate them across the sign-LSH
+        near-dup graph (operators/graph.py::label_propagation —
+        integer votes, smallest-label tie-break, frozen once
+        assigned). The oracle re-derives both rounds as vote+argmax
+        CTE layers over the SAME shared LSH fragment emb_pagerank
+        uses, so graph and propagation are pinned together."""
+        from quake_vector_search_spark.operators.dedup import (
+            cosine_pairs_lsh)
+        from quake_vector_search_spark.operators.graph import (
+            label_propagation)
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        pairs = cosine_pairs_lsh(emb, threshold=0.45,
+                                 n_bits=64, n_bands=16)
+        seeds = (emb.where(F.col("vec_id") % 5 == 0)
+                 .select(F.col("vec_id").alias("node"), "label"))
+        out = label_propagation(pairs, seeds, node_col="node",
+                                label_col="label", iters=2)
+        return (out.select(F.col("node").alias("vec_id"), "label",
+                           F.col("src_iter").cast("int")
+                           .alias("src_iter"))
+                .orderBy("vec_id"))
+
+
+_register_label_prop()

@@ -606,3 +606,35 @@ def test_api_retrieval_facades(spark):
     div = api.diversify(cands, sims, k=2).collect()
     assert [r["doc_id"] for r in
             sorted(div, key=lambda r: r["mmr_rank"])] == [1, 3]
+
+
+def test_label_propagation_votes_ties_and_freezing(spark):
+    from quake_vector_search_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # path graph 1-2-3-4; seeds at both ends with different labels.
+    # round 1: node 2 <- label(1)=7, node 3 <- label(4)=9.
+    # round 2: nothing left unlabeled. Seed labels never change.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "id_a long, id_b long")
+    seeds = spark.createDataFrame(
+        [(1, 7), (4, 9)], "node long, label long")
+    got = {r["node"]: (r["label"], r["src_iter"])
+           for r in label_propagation(pairs, seeds, iters=2).collect()}
+    assert got == {1: (7, 0), 4: (9, 0), 2: (7, 1), 3: (9, 1)}
+
+    # tie case: node 0 has one neighbor of each label -> smallest wins
+    pairs2 = spark.createDataFrame(
+        [(1, 0), (4, 0)], "id_a long, id_b long")
+    got2 = {r["node"]: (r["label"], r["src_iter"])
+            for r in label_propagation(pairs2, seeds,
+                                       iters=1).collect()}
+    assert got2[0] == (7, 1)
+
+    # isolated seed survives; unreachable node stays absent
+    pairs3 = spark.createDataFrame(
+        [(8, 9)], "id_a long, id_b long")
+    got3 = {r["node"] for r in
+            label_propagation(pairs3, seeds, iters=2).collect()}
+    assert got3 == {1, 4}
