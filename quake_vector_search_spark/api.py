@@ -398,3 +398,14 @@ def diversify(cands: DataFrame, sims: DataFrame, k: int = 5,
     operators/rerank.py::candidate_sims)."""
     from quake_vector_search_spark.operators.rerank import mmr_rerank
     return mmr_rerank(cands, sims, k=k, lam=lam, **kwargs)
+
+
+def propagate_labels(pairs: DataFrame, seeds: DataFrame,
+                     iters: int = 2, **kwargs) -> DataFrame:
+    """Semi-supervised label imputation over a near-dup pair list
+    (operators/graph.py::label_propagation): majority-vote rounds,
+    labels frozen once assigned; seeds = (node, label)."""
+    from quake_vector_search_spark.operators.graph import (
+        label_propagation,
+    )
+    return label_propagation(pairs, seeds, iters=iters, **kwargs)
