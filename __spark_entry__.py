@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from quake_vector_search_spark.queries import (  # noqa: E402
     REGISTRY,
     load_all_query_modules,
+    ordered_registry,
 )
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -36,12 +37,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    load_all_query_modules()
-    return {name: q.fn for name, q in REGISTRY.items()}
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordered so the round-6 rotation window (TPC-H battery, dedup family,
+    streaming mirrors, sketches — WINDOW_R6) occupies the first 50
+    entries; rounds 1-5 already driver-verified the previous prefix."""
+    return {name: q.fn for name, q in ordered_registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (omitted → rows-only check)."""
-    load_all_query_modules()
-    return {name: q.sql for name, q in REGISTRY.items() if q.sql is not None}
+    return {name: q.sql for name, q in ordered_registry().items()
+            if q.sql is not None}

@@ -36,14 +36,21 @@ def knn(corpus_df: DataFrame, queries, k: int = 10,
     - ``index=None``: exact brute force (the oracle path) — L2 or
       cosine by ``metric``.
     - ``index=<IVFIndex>``: Adaptive Partition Scanning at the given
-      ``target_recall`` (L2 only, like the reference). Pass
-      ``allowed=<id DataFrame>`` for filtered ANN (pre-filter id set
-      pushed into the pruned index scan).
+      ``target_recall`` (L2 only, like the reference).
+
+    ``allowed=<single-column id DataFrame>`` works on BOTH paths:
+    with an index the pre-filter id set is pushed into the pruned
+    index scan; without one the corpus is broadcast-semi-joined down
+    to the allowed ids before the exact kernel (same result set as
+    filter-then-search).
 
     Returns (query_id, vec_id, dist|sim, rank), rank 1..k, tie-broken
     on (dist, vec_id).
     """
+    allowed = kwargs.pop("allowed", None)
     if index is not None:
+        if allowed is not None:
+            kwargs["allowed"] = allowed
         if metric != index.metric:
             raise ValueError(f"index was built with metric="
                              f"{index.metric!r}, queried with {metric!r}"
@@ -52,6 +59,18 @@ def knn(corpus_df: DataFrame, queries, k: int = 10,
                                   target_recall=target_recall,
                                   max_probe=max_probe, **kwargs)
         return out
+    if allowed is not None:
+        # filtered exact search: semi-join the corpus down to the
+        # allowed id set first (broadcast when small — Catalyst/AQE
+        # decide), so the distance kernel only sees permitted rows
+        from pyspark.sql import functions as F
+        if len(allowed.columns) != 1:
+            raise ValueError(
+                f"knn(allowed=...): expected a single-column id "
+                f"DataFrame, got columns {allowed.columns}")
+        id_col = kwargs.get("id_col", "vec_id")
+        ids = allowed.select(F.col(allowed.columns[0]).alias(id_col))
+        corpus_df = corpus_df.join(ids, id_col, "left_semi")
     if metric == "l2":
         return knn_bruteforce(corpus_df, queries, k=k, **kwargs)
     if metric == "cosine":

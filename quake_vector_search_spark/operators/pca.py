@@ -93,7 +93,12 @@ def pca_project(emb: DataFrame, model: dict, k: int | None = None,
     """Project (v − μ) onto the top-k components; with ``whiten`` each
     retained coordinate is scaled by 1/√λ so the output covariance is
     the identity.  Dimensions with λ ≤ eps are never whitened (their
-    scale is numerical noise) — they keep unit scale."""
+    scale is numerical noise) — they keep unit scale.
+
+    Null vectors mirror ``fit_pca``'s handling: ``fit_pca`` dropna's
+    them when accumulating moments, so ``pca_project`` drops those rows
+    too — any input that fits also projects (same non-null row set),
+    rather than ``np.stack`` raising on a batch containing None."""
     k = model["dim"] if k is None else int(k)
     comps = model["components"][:k]
     eig = model["eigvals"][:k]
@@ -104,6 +109,10 @@ def pca_project(emb: DataFrame, model: dict, k: int | None = None,
 
     def gen(batches):
         for pdf in batches:
+            keep = pdf[vec_col].notna()
+            pdf = pdf[keep]
+            if not len(pdf):
+                continue
             X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             Y = (X - mu) @ B
             out = pdf.drop(columns=[vec_col])

@@ -37,6 +37,65 @@ def register(name: str, sql: str | None = None):
     return deco
 
 
+# Driver correctness window, round 6 rotation. The external gate checks
+# the FIRST 50 entries of ``__spark_entry__.queries()`` in dict order.
+# Rounds 1-5 verified the core vector / multimodal / time-series / text
+# surface (see tests/test_registry_window.py WINDOW_R2R5, still pinned as
+# the raw-REGISTRY prefix). Round 6 rotates in the 50 highest-value
+# queries the driver has never checked: the full TPC-H battery, the
+# dedup family, every streaming _equals_batch mirror, and the sketch
+# rows. ``ordered_registry()`` applies this ordering without touching
+# module load order, so both windows stay pinned and load-bearing.
+WINDOW_R6: tuple[str, ...] = (
+    # tpch_queries (14)
+    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+    "q9_product_type_profit", "q12_late_shipment_priority",
+    "q13_customer_order_distribution", "q14_promo_revenue",
+    "q15_top_supplier", "q16_supplier_part_count",
+    "q19_disjunctive_revenue", "q20_heavy_shippers",
+    "q21_waiting_supplier", "q2_min_balance_supplier",
+    "q11_important_parts",
+    # TPC-H rows defined in relational_queries (8)
+    "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
+    "q5_local_supplier_volume", "q10_returned_items",
+    "q17_small_quantity_revenue", "q18_large_volume_customer",
+    "q22_global_sales_opportunity",
+    # dedup_queries (14)
+    "dedup_exact", "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_uncapped_oracle", "dedup_minhash_lsh",
+    "dedup_simhash_oracle", "dedup_embedding_cosine_oracle",
+    "dedup_simhash_blocked", "dedup_ngram_jaccard_capped",
+    "dedup_clusters", "dedup_clusters_star", "dedup_cleaned_corpus",
+    "dedup_fingerprint_overlap", "dedup_keep_longest",
+    "dedup_semantic_clustered",
+    # streaming_queries (11)
+    "stream_tumbling_equals_batch", "stream_session_equals_batch",
+    "stream_dedup_equals_batch", "stream_kmv_equals_batch",
+    "stream_cms_equals_batch", "stream_stateful_totals_equals_batch",
+    "stream_interval_join_equals_batch", "stream_serving_equals_batch",
+    "stream_ingest_equals_batch", "stream_curation_filter_equals_batch",
+    "stream_tokenize_equals_batch",
+    # sketches (3)
+    "q_kmv_by_group", "q_heavy_hitters", "q_bloom_prefilter_join",
+)
+
+
+def ordered_registry() -> dict[str, Query]:
+    """REGISTRY re-ordered so the round-6 driver window comes first.
+
+    Raw REGISTRY insertion order (module load order) is unchanged —
+    rounds 1-5's window remains its prefix, pinned by
+    tests/test_registry_window.py alongside this one.
+    """
+    load_all_query_modules()
+    missing = [n for n in WINDOW_R6 if n not in REGISTRY]
+    if missing:
+        raise ValueError(f"WINDOW_R6 names not in registry: {missing}")
+    out = {n: REGISTRY[n] for n in WINDOW_R6}
+    out.update((n, q) for n, q in REGISTRY.items() if n not in out)
+    return out
+
+
 def load_all_query_modules() -> None:
     """Import every query-defining module so REGISTRY is populated.
 

@@ -22,7 +22,10 @@ _IVF_CACHE: dict[str, object] = {}
 def _ivf_index(spark, sf_dir):
     """Build (once per process per sf_dir) an IVF index over the
     embeddings table in a scratch dir."""
+    import atexit
+    import glob
     import os
+    import re
     import shutil
 
     from quake_vector_search_spark.operators.ivf import IVFIndex
@@ -33,10 +36,20 @@ def _ivf_index(spark, sf_dir):
         # full sweep + a single-query check) would rmtree each other's
         # live index out from under running queries (observed: 3
         # FileNotFoundException failures in an sf0.01 sweep)
+        pid_dir = f"/tmp/qvss_ivf_{os.getpid()}"
         workdir = os.path.join(
-            f"/tmp/qvss_ivf_{os.getpid()}",
-            sf_dir.strip("/").replace("/", "_"))
+            pid_dir, sf_dir.strip("/").replace("/", "_"))
         shutil.rmtree(workdir, ignore_errors=True)
+        # this process cleans its own dir on exit, and sweeps dirs
+        # orphaned by dead pids (a kill -9'd harness can't atexit) so
+        # /tmp doesn't accumulate a full index copy per past run
+        atexit.register(shutil.rmtree, pid_dir, ignore_errors=True)
+        for stale in glob.glob("/tmp/qvss_ivf_*"):
+            m = re.fullmatch(r"/tmp/qvss_ivf_(\d+)", stale)
+            if not m or int(m.group(1)) == os.getpid():
+                continue
+            if not os.path.exists(f"/proc/{m.group(1)}"):
+                shutil.rmtree(stale, ignore_errors=True)
         _IVF_CACHE[sf_dir] = IVFIndex.build(emb, workdir,
                                             coarse_k=16, base_k=4)
     return _IVF_CACHE[sf_dir]

@@ -110,3 +110,36 @@ def test_isometry_violations_zero_for_true_fit_and_catches_bad(spark):
     bad["components"] = m["components"].copy()
     bad["components"][0] *= 1.5
     assert isometry_violations(df, bad) > 0
+
+
+def test_project_drops_null_vectors_like_fit(spark):
+    """ADVICE r5 (medium): fit_pca dropna's null vectors but
+    pca_project used to np.stack the raw batch and crash — any input
+    that fits must also project, yielding exactly the non-null rows."""
+    rng = np.random.RandomState(33)
+    X = rng.randn(40, 3)
+    rows = [(i, [float(v) for v in x]) for i, x in enumerate(X)]
+    rows += [(100 + j, None) for j in range(5)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>").repartition(3)
+    m = fit_pca(df)                       # dropna path
+    out = pca_project(df, m).collect()    # must not raise
+    assert len(out) == 40
+    assert {r["vec_id"] for r in out} == set(range(40))
+    # projected values match the null-free projection row-for-row
+    clean = {r["vec_id"]: r["proj"]
+             for r in pca_project(df.where("embedding IS NOT NULL"),
+                                  m).collect()}
+    for r in out:
+        assert np.allclose(r["proj"], clean[r["vec_id"]])
+
+
+def test_project_all_null_yields_empty(spark):
+    rng = np.random.RandomState(34)
+    X = rng.randn(10, 3)
+    df = _mkdf(spark, X, parts=2)
+    m = fit_pca(df)
+    nulls = spark.createDataFrame(
+        [(i, None) for i in range(4)],
+        "vec_id long, embedding array<double>").repartition(2)
+    assert pca_project(nulls, m).count() == 0

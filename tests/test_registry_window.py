@@ -1,13 +1,25 @@
-"""Pin the driver's 50-entry correctness window (registry insertion
-order). The external gate checks exactly the first 50 registered
-queries, so the window composition is load-bearing — a module reorder
-or an entry added to a window module would silently rotate core
-queries out of driver verification. This test makes that a hard
-failure instead."""
+"""Pin the driver's 50-entry correctness window. The external gate
+checks exactly the first 50 entries of ``__spark_entry__.queries()`` in
+dict order, so the window composition is load-bearing — a module
+reorder, an entry added to a window module, or a change to WINDOW_R6
+would silently rotate queries out of driver verification. This test
+makes that a hard failure instead.
 
-from quake_vector_search_spark.queries import REGISTRY, load_all_query_modules
+Round 6 rotated the window (VERDICT r5 #1): ``ordered_registry()`` now
+puts the never-driver-checked TPC-H battery, dedup family, streaming
+mirrors and sketch rows first (WINDOW_R6). The rounds-1-5 window stays
+pinned as the raw-REGISTRY prefix so both remain verified compositions.
+"""
 
-EXPECTED_WINDOW = [
+from quake_vector_search_spark.queries import (
+    REGISTRY,
+    WINDOW_R6,
+    load_all_query_modules,
+    ordered_registry,
+)
+
+# Driver-verified across rounds 1-5 (CORRECTNESS_r01..r05: 50/50 green).
+WINDOW_R2R5 = [
     # vector_queries (17) — O1-O15, E14
     "knn_brute_l2", "knn_cosine", "ivf_search_fullprobe",
     "ivf_search_adaptive", "kmeans_clusters", "aps_partition_scores",
@@ -34,11 +46,28 @@ EXPECTED_WINDOW = [
 ]
 
 
-def test_driver_window_is_the_core_surface():
+def test_r6_window_is_the_rotated_surface():
+    """First 50 of the driver-facing ordering = WINDOW_R6, and every
+    name in it was OUTSIDE the rounds-1-5 window (pure rotation)."""
+    names = list(ordered_registry())
+    assert len(WINDOW_R6) == 50
+    assert names[:50] == list(WINDOW_R6)
+    assert not set(WINDOW_R6) & set(WINDOW_R2R5)
+
+
+def test_r2r5_window_still_pinned_in_raw_registry():
+    """Module load order unchanged: the previously driver-verified
+    window remains the raw-REGISTRY prefix."""
     load_all_query_modules()
     names = list(REGISTRY)
-    assert len(EXPECTED_WINDOW) == 50
-    assert names[:50] == EXPECTED_WINDOW
+    assert len(WINDOW_R2R5) == 50
+    assert names[:50] == WINDOW_R2R5
+
+
+def test_ordered_registry_is_a_permutation():
+    load_all_query_modules()
+    assert set(ordered_registry()) == set(REGISTRY)
+    assert len(ordered_registry()) == len(REGISTRY)
 
 
 def test_registry_has_no_orphan_oracles():

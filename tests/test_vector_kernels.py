@@ -276,3 +276,35 @@ def test_ivf_pq_cosine_fullprobe_matches_exact(spark):
         assert g[key][0] == w[key][0]
         assert abs(g[key][1] - w[key][1]) < 1e-6
     shutil.rmtree(wd, ignore_errors=True)
+
+
+def test_api_knn_allowed_bruteforce_path(spark):
+    """ADVICE r5 (low): api.knn(allowed=...) used to TypeError on the
+    index=None path; it must now pre-filter the corpus (same result as
+    filter-then-search) for every metric, and reject multi-column id
+    frames."""
+    import numpy as np
+    import pytest as _pytest
+
+    from quake_vector_search_spark import api
+
+    rng = np.random.RandomState(5)
+    corpus = spark.createDataFrame(
+        [(i, [float(v) for v in rng.randn(4)]) for i in range(30)],
+        "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        [(0, [0.1, 0.2, -0.3, 0.4])],
+        "query_id long, embedding array<float>")
+    allowed = spark.range(0, 30, 2).withColumnRenamed("id", "vec_id")
+    got = api.knn(corpus, queries, k=5, allowed=allowed).collect()
+    want = api.knn(corpus.where("vec_id % 2 = 0"), queries,
+                   k=5).collect()
+    assert [(r["query_id"], r["vec_id"], r["rank"]) for r in got] == \
+           [(r["query_id"], r["vec_id"], r["rank"]) for r in want]
+    assert all(r["vec_id"] % 2 == 0 for r in got)
+    got_cos = api.knn(corpus, queries, k=5, metric="cosine",
+                      allowed=allowed).collect()
+    assert all(r["vec_id"] % 2 == 0 for r in got_cos)
+    with _pytest.raises(ValueError, match="single-column"):
+        api.knn(corpus, queries, k=5,
+                allowed=allowed.withColumn("extra", allowed.vec_id))
