@@ -94,13 +94,20 @@ def chunk(docs: DataFrame, size: int = 200, overlap: int = 50,
 def dedup_clusters(docs: DataFrame, threshold: float = 0.8,
                    **kwargs) -> DataFrame:
     """Near-dup clustering: ≥threshold n-gram Jaccard pairs →
-    connected components → (doc_id, cluster_id)."""
+    connected components → (doc_id, cluster_id).
+
+    Components use the large-star/small-star algorithm (default since
+    round 6): O(log² n) rounds independent of component diameter — the
+    behavior that matters at web-corpus scale, where near-dup graphs
+    develop large components. ``operators.dedup.connected_components``
+    (min-label propagation) remains available when components are known
+    to be near-cliques (its per-round constant factors are lower)."""
     from quake_vector_search_spark.operators.dedup import (
-        connected_components,
+        connected_components_star,
         jaccard_pairs,
     )
     pairs = jaccard_pairs(docs, threshold=threshold, **kwargs)
-    return connected_components(docs, pairs)
+    return connected_components_star(docs, pairs)
 
 
 def near_dup_pairs(df: DataFrame, method: str = "minhash_lsh",

@@ -36,21 +36,32 @@ def _terms(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def tfidf_vectors(docs: DataFrame, id_col: str = "doc_id",
-                  text_col: str = "text") -> DataFrame:
+                  text_col: str = "text",
+                  n_docs: int | None = None) -> DataFrame:
     """Sparse TF-IDF document vectors: weight = tf · (ln((N+1)/(df+1))
     + 1) — the smooth-idf variant, never negative, deterministic from
     integer (tf, df, N). Two aggregates (term stats, doc tf) + one
     broadcast-scale join on term.
+
+    N (corpus size) is a LAZY 1-row aggregate broadcast into the plan
+    (round 6 — it was an eager ``distinct().count()``, which launched
+    a standalone scan-job per index build just to fetch one scalar: a
+    full extra corpus pass at 100 TB). Pass ``n_docs`` to reuse a
+    precomputed corpus-stats value and skip even the narrow id scan.
 
     Returns (id, term, weight) — the sparse index relation.
     """
     t = _terms(docs, id_col, text_col)
     tf = t.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n_docs = docs.select(id_col).distinct().count()
-    idf = F.log((F.lit(float(n_docs + 1)))
+    if n_docs is not None:
+        nrow = docs.sparkSession.createDataFrame(
+            [(int(n_docs),)], "_n long")
+    else:
+        nrow = docs.agg(F.countDistinct(id_col).alias("_n"))
+    idf = F.log((F.col("_n") + F.lit(1)).cast("double")
                 / (F.col("df") + F.lit(1)).cast("double")) + F.lit(1.0)
-    return (tf.join(df_, "term")
+    return (tf.join(df_, "term").join(F.broadcast(nrow))
             .select(F.col(id_col), "term",
                     (F.col("tf").cast("double") * idf).alias("weight")))
 
@@ -92,7 +103,8 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
               k1: float = 1.2, b: float = 0.75,
               id_col: str = "doc_id",
               text_col: str = "text",
-              query_id_col: str = "query_id") -> DataFrame:
+              query_id_col: str = "query_id",
+              n_docs: int | None = None) -> DataFrame:
     """BM25 retrieval over the corpus — the standard lexical ranking
     (the retrieval half of quality-filtering and RAG evaluation):
 
@@ -101,9 +113,12 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
         idf(t) = ln( (N − df + 0.5)/(df + 0.5) + 1 )   (Robertson)
 
     Every statistic (tf, df, N, len_d, avg_len) comes from the same
-    two aggregates as TF-IDF; avg_len is a 1-row broadcast. Queries
-    are (query_id, term) bags. Same join/agg/window plan as
-    sparse_dot_topk.
+    two aggregates as TF-IDF; avg_len AND N are 1-row broadcasts
+    (round 6: N was an eager ``distinct().count()`` — a standalone
+    scan-job per retrieval build; now it's a lazy aggregate folded
+    into the same Spark action, or ``n_docs=`` from precomputed
+    corpus stats). Queries are (query_id, term) bags. Same
+    join/agg/window plan as sparse_dot_topk.
 
     Returns (query_id, id, score, rank).
     """
@@ -111,12 +126,16 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
     tf = t.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     dlen = t.groupBy(id_col).agg(F.count("*").alias("_len"))
-    n_docs = docs.select(id_col).distinct().count()
+    if n_docs is not None:
+        nrow = docs.sparkSession.createDataFrame(
+            [(int(n_docs),)], "_n long")
+    else:
+        nrow = docs.agg(F.countDistinct(id_col).alias("_n"))
     avg_len = dlen.agg(F.avg("_len").alias("_avg"))
-    idf = F.log((F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+    idf = F.log((F.col("_n").cast("double") - F.col("df") + F.lit(0.5))
                 / (F.col("df") + F.lit(0.5)) + F.lit(1.0))
     postings = (tf.join(df_, "term").join(dlen, id_col)
-                .join(F.broadcast(avg_len)))
+                .join(F.broadcast(avg_len)).join(F.broadcast(nrow)))
     denom = (F.col("tf")
              + F.lit(k1) * (F.lit(1.0 - b)
                             + F.lit(b) * F.col("_len") / F.col("_avg")))

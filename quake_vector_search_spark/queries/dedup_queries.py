@@ -259,12 +259,16 @@ def dedup_clusters(spark, sf_dir):
     """Near-dup clustering (E12 / training-pipeline): connected
     components over the ≥0.8 Jaccard pair graph; every document gets
     its component's minimum doc_id as cluster key and the canonical
-    (keep-this-one) flag. Spark side is iterative min-label propagation
-    (operators/dedup.py::connected_components); the oracle computes the
-    same fixpoint as a recursive CTE."""
+    (keep-this-one) flag. Spark side defaults to the large-star/
+    small-star algorithm (round 6 — diameter-independent O(log² n)
+    rounds, the 100 TB requirement: web-corpus boilerplate produces
+    large/stringy components where min-label's diameter-bounded rounds
+    blow up). Min-label propagation remains the differential twin via
+    dedup_cleaned_corpus / dedup_keep_longest and the unit suite; the
+    oracle computes the same fixpoint as a recursive CTE."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.jaccard_pairs(docs, threshold=0.8)
-    comp = D.connected_components(docs, pairs)
+    comp = D.connected_components_star(docs, pairs)
     return comp.select(
         "doc_id", "cluster_id",
         (F.col("cluster_id") == F.col("doc_id")).alias("is_canonical"))

@@ -723,16 +723,22 @@ def dedup_embedding_clusters(spark, sf_dir):
     with its component's minimum id + canonical flag. The same
     composition the jaccard family ships for text (dedup_clusters),
     now over the embedding column; the oracle mirrors the LSH banding
-    AND the component fixpoint as one recursive CTE."""
+    AND the component fixpoint as one recursive CTE.
+
+    Round 6: components default to large-star/small-star
+    (connected_components_star) — rounds are O(log² n) independent of
+    component diameter, which is the binding constraint at web-corpus
+    scale where boilerplate near-dup graphs grow large components
+    (min-label's rounds ∝ diameter). Same fixpoint, same oracle."""
     from quake_vector_search_spark.operators.dedup import (
-        connected_components,
+        connected_components_star,
         cosine_pairs_lsh,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = cosine_pairs_lsh(emb, threshold=0.45, n_bits=64, n_bands=16)
-    comp = connected_components(emb, pairs, id_col="vec_id",
-                                a_col="id_a", b_col="id_b")
+    comp = connected_components_star(emb, pairs, id_col="vec_id",
+                                     a_col="id_a", b_col="id_b")
     return comp.select(
         "vec_id", "cluster_id",
         (F.col("cluster_id") == F.col("vec_id")).alias("is_canonical"))

@@ -701,3 +701,27 @@ def test_psi_drift_empty_reference_raises(spark):
     # explicit edges still work with an empty reference
     rows = psi_drift(empty, cur, "v", lo=0.0, hi=10.0).collect()
     assert sum(r["n_cur"] for r in rows) == 10
+
+
+def test_cosine_pairs_lsh_pandas_column_twins_agree(spark):
+    """Round 6: the vectorized (NumPy matmul) signature kernel and the
+    Column-expression twin must emit IDENTICAL pair sets — same
+    hyperplanes, same banding, near-zero dots resolved by the same
+    sequential fold."""
+    from quake_vector_search_spark.operators.dedup import cosine_pairs_lsh
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(40, 16))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    rows += [(100 + i, [float(x) for x in base[i] +
+                        rng.normal(scale=1e-3, size=16)])
+             for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got_p = {(r["id_a"], r["id_b"], round(r["cosine"], 9))
+             for r in cosine_pairs_lsh(emb, threshold=0.45,
+                                       impl="pandas").collect()}
+    got_c = {(r["id_a"], r["id_b"], round(r["cosine"], 9))
+             for r in cosine_pairs_lsh(emb, threshold=0.45,
+                                       impl="column").collect()}
+    assert got_p == got_c
+    assert len(got_p) >= 20  # the engineered twins collide
