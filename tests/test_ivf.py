@@ -246,3 +246,60 @@ def test_search_allowed_filter_matches_filtered_bruteforce(spark, tmp_path):
     out2, _ = idx.search(queries, k=5, target_recall=0.9,
                          allowed=allowed)
     assert all(r["vec_id"] % 2 == 0 for r in out2.collect())
+
+
+# --------------------------------------------------- calibrated policy
+
+@pytest.fixture(scope="module")
+def blob_index(spark):
+    from quake_vector_search_spark.operators.workload import make_dataset
+    corpus = make_dataset(spark, 6000, d=16, n_clusters=30, seed=7)
+    wd = "/tmp/qvss_test_ivf_cal"
+    shutil.rmtree(wd, ignore_errors=True)
+    return IVFIndex.build(corpus, wd, coarse_k=8, base_k=8)
+
+
+def test_calibrate_fit_shape_and_determinism(blob_index):
+    cal = blob_index.calibrate(n_queries=32)
+    assert cal["temperature"] >= 1.0
+    cuts = cal["cutoffs"]
+    assert len(cuts) == len(cal["targets"])
+    assert all(0.0 < c <= 1.0 for c in cuts)
+    assert cuts == sorted(cuts)  # monotone in target
+    again = blob_index.calibrate(n_queries=32)
+    assert again == cal  # seeded → bit-identical refit
+
+
+def test_calibrated_policy_prunes_and_keeps_recall(spark, blob_index):
+    blob_index.calibrate(n_queries=64)
+    rng = np.random.default_rng(5)
+    corpus = blob_index.read_corpus()
+    rows = corpus.where(F.col("vec_id") < 1000).collect()
+    vecs = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    pick = rng.integers(0, len(vecs), 30)
+    qmat = vecs[pick] + rng.normal(0.0, 0.1, size=(30, 16))
+    qids = np.arange(30)
+    exact = knn_bruteforce(corpus, (qids, qmat), k=10).localCheckpoint()
+    f_cal, m_cal = blob_index.search(
+        (qids, qmat), k=10, target_recall=0.9, policy="calibrated",
+        max_probe=len(blob_index.part_ids))
+    f_ref, m_ref = blob_index.search(
+        (qids, qmat), k=10, target_recall=0.9, policy="reference",
+        max_probe=len(blob_index.part_ids))
+    assert avg_recall(f_cal, exact, 10) >= 0.85
+    # the whole point: strictly fewer rows scanned at the same target
+    assert m_cal["avg_scanned"] < m_ref["avg_scanned"]
+
+
+def test_calibrated_unknown_policy_raises(blob_index):
+    with pytest.raises(ValueError, match="unknown policy"):
+        blob_index.search((np.array([0]), np.zeros((1, 16))),
+                          k=5, policy="nope")
+
+
+def test_dml_invalidates_calibration(spark, blob_index):
+    blob_index.calibrate(n_queries=32)
+    assert blob_index._calibration is not None
+    blob_index.insert([999_991], np.zeros((1, 16)))
+    assert blob_index._calibration is None
+    blob_index.delete([999_991])
