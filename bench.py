@@ -259,17 +259,26 @@ def _replay(spark, emb, workdir: str, n_queries: int, batch: int,
         nprobes.extend(meta["nprobe"])
         scanned.append(meta["avg_scanned"])
         all_found = found if all_found is None else all_found.unionAll(found)
-        # DML cadence (reference: 10+10 per 20 queries; scaled per batch)
-        t1 = time.time()
-        idx.insert(list(range(next_id, next_id + n_ins)),
-                   rng.normal(size=(n_ins, d)))
-        phase["insert_s"] += time.time() - t1
-        next_id += n_ins
+        # DML cadence (reference: 10+10 per 20 queries; scaled per
+        # batch). Deletes run FIRST (round 6): the delete pool is
+        # pre-existing ids and the insert ids are fresh, so the two
+        # commute — but delete's row lookup can then reuse the
+        # already-listed corpus relation instead of re-listing the
+        # post-append file set, and on maintenance batches the
+        # insert's eager refresh is skipped entirely (maintain
+        # republishes and re-lists anyway).
         bi = b // batch
+        will_maintain = bi % maintain_every == maintain_every - 1
         t1 = time.time()
         idx.delete(del_pool[bi * n_del:(bi + 1) * n_del])
         phase["delete_s"] += time.time() - t1
-        if (b // batch) % maintain_every == maintain_every - 1:
+        t1 = time.time()
+        idx.insert(list(range(next_id, next_id + n_ins)),
+                   rng.normal(size=(n_ins, d)),
+                   refresh=not will_maintain)
+        phase["insert_s"] += time.time() - t1
+        next_id += n_ins
+        if will_maintain:
             t1 = time.time()
             maintain(idx)
             phase["maintain_s"] += time.time() - t1

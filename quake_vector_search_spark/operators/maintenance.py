@@ -116,16 +116,26 @@ def maintain(idx: IVFIndex,
             else:
                 _link_partition_dir(
                     src, os.path.join(new_corpus, f"partition_id={pid}"))
+    # ---- rewrite pass: compacted partitions (plain pruned read) and
+    # split partitions (per-partition 2-means via applyInPandas) are
+    # UNIONED into ONE write job (round 6): the n40k replay runs
+    # maintenance every batch, and two separate write jobs per maintain
+    # paid double scheduling overhead. No repartition on the compact
+    # side either — the scan packs the accumulated small files into a
+    # few tasks (files.maxPartitionBytes/openCost), so the write
+    # already collapses each partition dir to ~tasks-that-touch-it
+    # files; COMPACT_FILE_THRESHOLD re-triggers if a dir creeps up
+    # again. (A repartition("partition_id") shuffle bought one file
+    # per partition but cost more than the extra footers it saved; a
+    # coalesce(1) serialized the split kernels — both measured slower
+    # on the n40k replay.)
+    to_write = []
     if compact_pids:
-        # ONE job for all compacted partitions: pruned read of the old
-        # layout (tombstones drop out physically — sizes/centroids were
-        # already downdated at delete time), one file per partition out
-        (idx.read_corpus(partition_ids=compact_pids)
-         .repartition("partition_id")
-         .write.mode("append").partitionBy("partition_id")
-         .parquet(new_corpus))
-
-    # ---- rewrite split partitions (2-means per partition, executor-side)
+        # pruned read of the old layout (tombstones drop out physically
+        # — sizes/centroids were already downdated at delete time)
+        to_write.append(
+            idx.read_corpus(partition_ids=compact_pids)
+            .select(idx.id_col, idx.vec_col, "partition_id"))
     if split_parents:
         df = idx.read_corpus(partition_ids=split_parents)  # compacts tombstones
         bc = spark.sparkContext.broadcast(child_of)
@@ -148,11 +158,17 @@ def maintain(idx: IVFIndex,
             out["partition_id"] = new_pid
             return out
 
-        (df.groupBy("partition_id")
-         .applyInPandas(split_group,
-                        f"{id_col} long, {vec_col} array<float>, "
-                        "partition_id long")
-         .write.mode("append").partitionBy("partition_id")
+        to_write.append(
+            df.groupBy("partition_id")
+            .applyInPandas(split_group,
+                           f"{id_col} long, {vec_col} array<float>, "
+                           "partition_id long")
+            .select(id_col, vec_col, "partition_id"))
+    if to_write:
+        out_df = to_write[0]
+        for extra in to_write[1:]:
+            out_df = out_df.unionAll(extra)
+        (out_df.write.mode("append").partitionBy("partition_id")
          .parquet(new_corpus))
 
     # ---- adopt the new layout, refresh metadata for affected partitions

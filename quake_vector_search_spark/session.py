@@ -42,6 +42,15 @@ def get_spark(app_name: str = "quake_vector_search_spark",
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # partition discovery: past 32 dirs Spark launches a LISTING JOB
+        # per refresh (~170 ms of scheduling to enumerate a local
+        # directory tree). The IVF index re-lists after every DML
+        # publish, so raise the driver-side listing cutoff; on a real
+        # cluster against an object store with thousands of partitions
+        # the distributed listing kicks in past this threshold exactly
+        # as before.
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+                "512")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
