@@ -46,10 +46,83 @@ def synthesize_assets(docs: DataFrame, media_type: str = "image") -> DataFrame:
 
 def real_decode_stub(content: bytes) -> np.ndarray:
     """The seam for a real decoder (PIL.Image.open / soundfile / ffmpeg
-    frame extraction). Not available in this container."""
+    frame extraction). Not available in this container — but see
+    ``decode_ppm`` below for a real, dependency-free decoder proving
+    the seam end-to-end."""
     raise NotImplementedError(
         "media codecs are not bundled; pass decode= a real decoder "
-        "(e.g. PIL-based) or use fake_decode for plumbing tests")
+        "(e.g. PIL-based or decode_ppm) or use fake_decode for "
+        "plumbing tests")
+
+
+def decode_ppm(content: bytes) -> np.ndarray:
+    """REAL image decoder (round 6): binary PPM ("P6", the Netpbm raw
+    RGB format) parsed with nothing but the stdlib + NumPy — the
+    container ships no media libraries, but PPM needs none. Handles
+    the full header grammar (whitespace runs, ``#`` comments between
+    tokens, any maxval < 256) and returns an (h, w, 3) uint8 array.
+    Plugs into the same ``decode=`` seam as ``fake_decode``/PIL, so
+    one oracle row exercises a genuine parse of genuine bytes."""
+    if not isinstance(content, (bytes, bytearray)) or len(content) < 2:
+        raise ValueError("decode_ppm: not a PPM payload")
+    if bytes(content[:2]) != b"P6":
+        raise ValueError(f"decode_ppm: bad magic {bytes(content[:2])!r}"
+                         " (only binary P6 supported)")
+    pos, tokens = 2, []
+    n = len(content)
+    while len(tokens) < 3:
+        while pos < n and content[pos:pos + 1].isspace():
+            pos += 1
+        if pos < n and content[pos:pos + 1] == b"#":   # comment → EOL
+            while pos < n and content[pos:pos + 1] not in (b"\n", b"\r"):
+                pos += 1
+            continue
+        start = pos
+        while pos < n and not content[pos:pos + 1].isspace():
+            pos += 1
+        tok = content[start:pos]
+        if not tok.isdigit():
+            raise ValueError(f"decode_ppm: bad header token {tok!r}")
+        tokens.append(int(tok))
+    width, height, maxval = tokens
+    if not (0 < maxval < 256):
+        raise ValueError(f"decode_ppm: unsupported maxval {maxval}"
+                         " (only 1-byte samples)")
+    pos += 1  # exactly ONE whitespace byte separates header from raster
+    need = width * height * 3
+    raw = bytes(content[pos:pos + need])
+    if len(raw) != need:
+        raise ValueError(f"decode_ppm: truncated raster "
+                         f"({len(raw)} of {need} bytes)")
+    return np.frombuffer(raw, dtype=np.uint8).reshape(height, width, 3)
+
+
+def synthesize_ppm_assets(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL PPM assets from documents: image (i, j)
+    channel c's byte = md5int(text:k) % 256 with k the flat sample
+    index — the same SQL-expressible md5 integer trick as fake_decode,
+    so a DuckDB oracle can recompute every pixel from text alone while
+    the Spark side round-trips genuine P6 bytes through a genuine
+    parser. width = n_chars % 5 + 2, height = n_chars % 3 + 2; a
+    comment line in the header exercises the grammar."""
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                t = text or ""
+                w = (len(t) % 5) + 2
+                h = (len(t) % 3) + 2
+                raster = bytes(
+                    int(hashlib.md5(f"{t}:{k}".encode())
+                        .hexdigest()[:15], 16) % 256
+                    for k in range(w * h * 3))
+                payloads.append(b"P6\n# qvss synthetic\n"
+                                + f"{w} {h}\n255\n".encode() + raster)
+            yield pd.DataFrame({"asset_id": pdf["doc_id"],
+                                "content": payloads})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, "asset_id long, content binary")
 
 
 PIX_DENOM = 1048576  # 2^20. Power-of-two denominator: every pixel k/2^20

@@ -63,3 +63,47 @@ def test_resize_fixed_shape(spark):
         assert r["height"] == 8
         assert len(r["pixels"]) == 8
         assert all(len(row) == r["width"] for row in r["pixels"])
+
+
+def test_decode_ppm_parses_real_bytes():
+    """Round 6: the real dependency-free PPM parser — header grammar
+    (comments, whitespace runs), raster reshape, validation."""
+    import numpy as np
+    import pytest
+
+    from quake_vector_search_spark.multimodal.binary import decode_ppm
+
+    raster = bytes(range(2 * 3 * 3))  # 3x2 image
+    img = decode_ppm(b"P6\n# a comment\n3 2\n255\n" + raster)
+    assert img.shape == (2, 3, 3)
+    assert img.dtype == np.uint8
+    assert img.ravel().tolist() == list(range(18))
+    # whitespace-run + mid-header comment variants parse identically
+    img2 = decode_ppm(b"P6  \t\n#c1\n#c2\n 3\n2 #d\n 255\n" + raster)
+    assert (img2 == img).all()
+    with pytest.raises(ValueError, match="bad magic"):
+        decode_ppm(b"P5\n3 2\n255\n" + raster)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ppm(b"P6\n3 2\n255\n" + raster[:-1])
+    with pytest.raises(ValueError, match="maxval"):
+        decode_ppm(b"P6\n3 2\n65535\n" + raster * 2)
+    with pytest.raises(ValueError, match="bad header token"):
+        decode_ppm(b"P6\n3 x\n255\n" + raster)
+
+
+def test_synthesize_ppm_roundtrip(spark):
+    from quake_vector_search_spark.multimodal.binary import (
+        decode_ppm,
+        synthesize_ppm_assets,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world", "en", "s", 11),
+         (2, "", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    rows = {r["asset_id"]: bytes(r["content"])
+            for r in synthesize_ppm_assets(docs).collect()}
+    img1 = decode_ppm(rows[1])
+    assert img1.shape == ((11 % 3) + 2, (11 % 5) + 2, 3)
+    img2 = decode_ppm(rows[2])
+    assert img2.shape == (2, 2, 3)
