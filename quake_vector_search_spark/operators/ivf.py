@@ -68,7 +68,8 @@ class IVFIndex:
                  hits: dict[int, int], last_split_at: dict[int, int],
                  query_counter: int = 0,
                  tombstones: set[int] | None = None,
-                 metric: str = "l2"):
+                 metric: str = "l2",
+                 calibration: dict | None = None):
         self.spark = spark
         self.metric = metric          # "l2" | "cosine" (unit-normalized)
         self.workdir = workdir
@@ -84,10 +85,11 @@ class IVFIndex:
         self.last_split_at = dict(last_split_at)
         self.query_counter = query_counter
         self.tombstones: set[int] = set(tombstones or ())
-        # policy="calibrated" state: {"targets": [...], "cutoffs": [...]}
-        # fitted by calibrate(); invalidated by DML/maintenance via
-        # invalidate_corpus()
-        self._calibration: dict | None = None
+        # policy="calibrated" state: {"targets": [...], "cutoffs": [...],
+        # "temperature": s} fitted by calibrate(); invalidated by DML/
+        # maintenance via invalidate_corpus(); persisted in stats.json
+        # so a reloaded index keeps its fit
+        self._calibration: dict | None = calibration
         # lazily-built base corpus DataFrame for the CURRENT file set:
         # spark.read.parquet re-lists files + re-infers schema on every
         # call (hundreds of ms locally, worse with many files) — reuse
@@ -452,6 +454,11 @@ class IVFIndex:
                 "vec_col": self.vec_col,
                 "id_col": self.id_col,
                 "metric": self.metric,
+                # persist the APS calibration fit with the version it
+                # was estimated against; DML invalidates it in memory
+                # BEFORE the republish, so a saved fit always matches
+                # its corpus
+                "calibration": self._calibration,
             }, f)
 
     @classmethod
@@ -483,7 +490,8 @@ class IVFIndex:
                    last_split_at={int(k): v
                                   for k, v in stats["last_split_at"].items()},
                    query_counter=stats["query_counter"],
-                   tombstones=set(stats["tombstones"]))
+                   tombstones=set(stats["tombstones"]),
+                   calibration=stats.get("calibration"))
 
     # ------------------------------------------------------------- read
     def invalidate_corpus(self) -> None:
@@ -556,6 +564,10 @@ class IVFIndex:
         vecs = np.asarray(vecs, dtype=np.float64)
         if len(ids) == 0:
             return np.empty(0, dtype=np.int64)
+        # drop the calibration fit BEFORE any save_meta below — the
+        # staged-publish path persists meta, and a fit estimated
+        # against the pre-insert corpus must not ride along
+        self._calibration = None
         if self.metric == "cosine":
             vecs = vecs / (np.linalg.norm(vecs, axis=1, keepdims=True)
                            + 1e-12)
@@ -706,6 +718,9 @@ class IVFIndex:
         ids = [int(i) for i in ids]
         if not ids:
             return
+        # tombstones change the live corpus without touching files —
+        # the calibration fit still goes stale
+        self._calibration = None
         rows = (self.read_corpus()
                 .where(F.col(self.id_col).isin(ids))
                 .select(self.id_col, self.vec_col, "partition_id")

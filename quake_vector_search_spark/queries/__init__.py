@@ -99,14 +99,14 @@ def ordered_registry() -> dict[str, Query]:
 def load_all_query_modules() -> None:
     """Import every query-defining module so REGISTRY is populated.
 
-    LOAD ORDER IS LOAD-BEARING: the driver's correctness gate checks the
-    first 50 registry entries in insertion order. Round 1 verified the
-    dedup/relational surface (CORRECTNESS_r01.json, 45/50 green); this
-    round the window rotates to the core vector surface (O1-O15, E14),
-    multimodal (E15), time-series (E11), text (E13) and the two pinned
-    scale-path queries — exactly 50 entries (pinned by
-    tests/test_registry_window.py). Everything outside the window stays
-    covered by the local gate (tools/check_oracle.py).
+    LOAD ORDER IS STILL LOAD-BEARING, but since round 6 the
+    driver-facing ordering is ``ordered_registry()`` (WINDOW_R6 first);
+    the raw insertion order below is pinned as the rounds-1-5 window by
+    tests/test_registry_window.py so both verified compositions stay
+    checkable. New registrations go in extra_queries/streaming_queries
+    ONLY — an entry added to an early module shifts the pinned prefix.
+    Everything outside the driver window stays covered by the local
+    gate (tools/check_oracle.py).
     """
     from quake_vector_search_spark.queries import (  # noqa: F401
         vector_queries,       # 17: knn_*/ivf_*/kmeans/aps  (O1-O15, E14)

@@ -303,3 +303,16 @@ def test_dml_invalidates_calibration(spark, blob_index):
     blob_index.insert([999_991], np.zeros((1, 16)))
     assert blob_index._calibration is None
     blob_index.delete([999_991])
+
+
+def test_calibration_persists_across_reload(spark, blob_index):
+    cal = blob_index.calibrate(n_queries=32)
+    blob_index.save_meta()
+    re = IVFIndex.load(spark, blob_index.workdir)
+    assert re._calibration == cal
+    # delete stales it; a save after that must not resurrect the fit
+    blob_index.delete([int(blob_index.part_ids[0]) * 0])  # id 0
+    assert blob_index._calibration is None
+    blob_index.save_meta()
+    re2 = IVFIndex.load(spark, blob_index.workdir)
+    assert re2._calibration is None
