@@ -36,7 +36,12 @@ def knn(corpus_df: DataFrame, queries, k: int = 10,
     - ``index=None``: exact brute force (the oracle path) — L2 or
       cosine by ``metric``.
     - ``index=<IVFIndex>``: Adaptive Partition Scanning at the given
-      ``target_recall`` (L2 only, like the reference).
+      ``target_recall`` (L2 only, like the reference). Extra kwargs
+      flow through to ``IVFIndex.search`` — notably
+      ``policy="calibrated"`` after ``index.calibrate()`` (or on first
+      use, auto-fit) for a stopping rule whose targets actually prune
+      (the default ``policy="reference"`` reproduces the reference's
+      flat-softmax behavior).
 
     ``allowed=<single-column id DataFrame>`` works on BOTH paths:
     with an index the pre-filter id set is pushed into the pruned
