@@ -241,10 +241,6 @@ def knn_pq(corpus_df: DataFrame, queries, k: int = 10,
     like SQ8, oversample + rerank recovers the exact answer on the
     testdata — the brute-force query is the oracle.
     """
-    import pandas as pd
-
-    from quake_vector_search_spark.functions.vector import (
-        l2_batch, topk_cols_2d)
     from quake_vector_search_spark.operators.knn import (
         _collect_queries, _empty_result)
 
@@ -256,14 +252,30 @@ def knn_pq(corpus_df: DataFrame, queries, k: int = 10,
     books = pq_train(corpus_df, m=m, ksub=ksub, seed=seed,
                      vec_col=vec_col)
     enc = pq_encode(corpus_df, books, id_col=id_col, vec_col=vec_col)
+    cand = _pq_adc_candidates(enc, books, qids, qmat,
+                              k * oversample, id_col)
+    return exact_rerank(cand, corpus_df, (qids, qmat), k,
+                        id_col=id_col, vec_col=vec_col)
 
-    mm, ksub_eff, dsub = books.shape
-    # per-query subspace LUTs, computed once: [m, nq, ksub]
+
+def _pq_adc_candidates(enc: DataFrame, books: np.ndarray,
+                       qids: np.ndarray, qmat: np.ndarray,
+                       kk_cand: int, id_col: str) -> DataFrame:
+    """Shared ADC scan: per-query [m, ksub] LUTs broadcast once, every
+    code row scored with m table gathers, per-batch top-kk, global
+    windowed top-kk → (query_id, id) candidate set. ``qmat`` must live
+    in the SAME space the codebooks were trained in (rotated for OPQ)."""
+    import pandas as pd
+
+    from quake_vector_search_spark.functions.vector import (
+        l2_batch, topk_cols_2d)
+
+    spark = enc.sparkSession
+    mm, _ksub, dsub = books.shape
     luts = np.stack([
         l2_batch(qmat[:, j * dsub:(j + 1) * dsub], books[j])
-        for j in range(mm)])
+        for j in range(mm)])                                  # [m, nq, ksub]
     bc = spark.sparkContext.broadcast((qids, luts))
-    kk_cand = k * oversample
 
     def adc_topk(batches):
         qids_l, luts_l = bc.value
@@ -290,9 +302,49 @@ def knn_pq(corpus_df: DataFrame, queries, k: int = 10,
     from pyspark.sql import Window
     w = (Window.partitionBy("query_id")
          .orderBy(F.col("dist").asc(), F.col(id_col).asc()))
-    cand = (local.withColumn("rank", F.row_number().over(w))
+    return (local.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= kk_cand)
             .select("query_id", id_col))
+
+
+def knn_opq(corpus_df: DataFrame, queries, k: int = 10,
+            m: int = 8, ksub: int = 256, oversample: int = 4,
+            seed: int = 99, id_col: str = "vec_id",
+            vec_col: str = "embedding") -> DataFrame:
+    """OPQ-style kNN (round 6): PQ in a PCA-ROTATED space. Product
+    quantization's subspace independence assumption breaks when
+    dimensions are correlated; rotating by the PCA basis first
+    decorrelates them — the non-parametric initialization of Optimized
+    Product Quantization (Ge et al., CVPR'13; full OPQ alternates the
+    rotation and codebooks, this ships the one-shot PCA rotation).
+
+    Plan: fit_pca (map-only moment pass) → pca_project (map-only
+    matmul; a pure rotation, so L2 is preserved exactly in math) →
+    pq_train/encode/ADC entirely in the rotated space → exact rerank
+    against the ORIGINAL vectors, so the output is bit-compatible with
+    the brute-force oracle regardless of rotation round-off. Same
+    bandwidth story as knn_pq: the scan reads m bytes/vector.
+    """
+    from quake_vector_search_spark.operators.knn import (
+        _collect_queries, _empty_result)
+    from quake_vector_search_spark.operators.pca import (
+        fit_pca, pca_project)
+
+    spark = corpus_df.sparkSession
+    qids, qmat = _collect_queries(queries, "query_id", vec_col)
+    if len(qids) == 0:
+        return _empty_result(spark, "dist")
+
+    model = fit_pca(corpus_df, vec_col=vec_col)
+    rot = (pca_project(corpus_df.select(id_col, vec_col), model,
+                       out_col="_rot")
+           .select(id_col, F.col("_rot").alias(vec_col)))
+    qrot = (qmat - model["mean"]) @ model["components"].T
+
+    books = pq_train(rot, m=m, ksub=ksub, seed=seed, vec_col=vec_col)
+    enc = pq_encode(rot, books, id_col=id_col, vec_col=vec_col)
+    cand = _pq_adc_candidates(enc, books, qids, qrot,
+                              k * oversample, id_col)
     return exact_rerank(cand, corpus_df, (qids, qmat), k,
                         id_col=id_col, vec_col=vec_col)
 

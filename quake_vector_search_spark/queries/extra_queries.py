@@ -2887,3 +2887,48 @@ def mm_extract_features_ppm(spark, sf_dir):
         feat, "doc_id long, width long, height long, "
               "sum_r long, sum_g long, sum_b long")
         .orderBy("doc_id"))
+
+
+def _register_opq():
+    from quake_vector_search_spark.queries.vector_queries import (
+        K, N_QUERIES)
+
+    @register("knn_opq_rerank", sql=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), d AS (
+  SELECT q.query_id, e.vec_id,
+         list_distance(CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.qvec AS DOUBLE[])) AS dist
+  FROM embeddings e CROSS JOIN q
+), r AS (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist ASC, vec_id ASC) AS rank
+  FROM d
+)
+SELECT query_id, vec_id, ROUND(dist, 6) AS dist, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {K}
+""")
+    def knn_opq_rerank(spark, sf_dir):
+        """OPQ-style kNN (round 6): PQ codebooks trained and scanned
+        in a PCA-rotated space (the non-parametric OPQ initialization,
+        Ge et al. CVPR'13 — decorrelated subspaces repair PQ's
+        independence assumption), exact rerank in the ORIGINAL space
+        so brute force stays the oracle (same contract and oversample
+        reasoning as knn_pq_rerank). Exercises fit_pca → pca_project →
+        pq_train/encode → ADC → rerank end-to-end."""
+        from quake_vector_search_spark.operators.quantization import (
+            knn_opq)
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        queries = emb.where(F.col("vec_id") < N_QUERIES) \
+                     .withColumnRenamed("vec_id", "query_id")
+        n = emb.count()
+        out = knn_opq(emb, queries, k=K, m=8, ksub=256,
+                      oversample=max(16, -(-n // (2 * K))))
+        return out.withColumn("dist", F.round("dist", 6))
+
+
+_register_opq()

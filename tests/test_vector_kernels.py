@@ -308,3 +308,32 @@ def test_api_knn_allowed_bruteforce_path(spark):
     with _pytest.raises(ValueError, match="single-column"):
         api.knn(corpus, queries, k=5,
                 allowed=allowed.withColumn("extra", allowed.vec_id))
+
+
+def test_knn_opq_matches_bruteforce(spark):
+    """OPQ (PCA-rotated PQ) with exact rerank must reproduce brute
+    force on a correlated corpus — the case plain PQ's independence
+    assumption dislikes and the rotation is for."""
+    import numpy as np
+
+    from quake_vector_search_spark.operators.knn import knn_bruteforce
+    from quake_vector_search_spark.operators.quantization import knn_opq
+
+    rng = np.random.RandomState(13)
+    # strongly correlated dims: latent 4-d factors blown up to 16-d
+    Z = rng.randn(400, 4)
+    A = rng.randn(4, 16)
+    X = Z @ A + 0.05 * rng.randn(400, 16)
+    corpus = spark.createDataFrame(
+        [(i, [float(v) for v in x]) for i, x in enumerate(X)],
+        "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(5)],
+        "query_id long, embedding array<float>")
+    got = knn_opq(corpus, queries, k=5, m=4, ksub=16,
+                  oversample=40).collect()
+    want = knn_bruteforce(corpus, queries, k=5).collect()
+    key = lambda rows: [(r["query_id"], r["vec_id"], r["rank"])
+                        for r in sorted(rows, key=lambda r:
+                                        (r["query_id"], r["rank"]))]
+    assert key(got) == key(want)

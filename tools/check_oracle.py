@@ -63,7 +63,55 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     return errs
 
 
+def _run_sharded(n_shards: int, extra: list[str]) -> int:
+    """Split the registry across N child processes (round 6). Safe:
+    every index scratch dir is pid-scoped and each child builds its
+    own SparkSession/DuckDB. Interleaved by position so heavy families
+    (ivf, dedup, streaming) spread across shards. Exit code 0 iff all
+    shards pass. NOT for timing runs — for correctness sweeps only."""
+    import subprocess
+
+    from quake_vector_search_spark.queries import (
+        REGISTRY,
+        load_all_query_modules,
+    )
+    load_all_query_modules()
+    names = extra or list(REGISTRY)
+    shards = [names[i::n_shards] for i in range(n_shards)]
+    procs = []
+    for i, shard in enumerate(shards):
+        if not shard:
+            continue
+        procs.append((i, subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), *shard],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            text=True, env={**os.environ,
+                            "SPARK_GRAFT_CPUS": str(
+                                max(4, 32 // n_shards))})))
+    rc = 0
+    n_pass = n_total = 0
+    for i, p in procs:
+        out, _ = p.communicate()
+        for ln in out.splitlines():
+            if ln.startswith(("PASS", "FAIL")):
+                print(ln)
+            if ln.startswith("FAIL"):
+                rc = 1
+            m = ln.strip()
+            if m.endswith("passed") and "/" in m:
+                a, b = m.split()[0].split("/")
+                n_pass += int(a)
+                n_total += int(b)
+        if p.returncode:
+            rc = 1
+    print(f"\n{n_pass}/{n_total} passed (over {len(procs)} shards)")
+    return rc
+
+
 def main(argv):
+    if argv and argv[0] == "--shards":
+        return _run_sharded(int(argv[1]), argv[2:])
+
     from quake_vector_search_spark.queries import REGISTRY, load_all_query_modules
     from quake_vector_search_spark.session import get_spark
 
