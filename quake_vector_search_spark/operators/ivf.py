@@ -994,13 +994,22 @@ class IVFIndex:
                                      max_probe: int = 64,
                                      query_id_col: str = "query_id",
                                      query_vec_col: str = "embedding",
+                                     policy: str = "reference",
                                      ) -> DataFrame:
         """Distributed APS over this index's centroid state — the
         ≥10⁶-partition scale path (see aps_scores_table). The centroid
         table here is materialized from index meta (at real scale it is
         the persisted centroids parquet); `pos` carries the same
         array-position tie-break as the driver NumPy path so the two
-        orderings agree exactly."""
+        orderings agree exactly. ``policy="calibrated"`` applies the
+        fitted temperature/cutoff (calibrate() — auto-fits on first
+        use) to the probe decision, same as search(policy=...)."""
+        temperature, cutoff = 1.0, None
+        if policy == "calibrated":
+            temperature, cutoff = self._calibrated_rule(target_recall)
+        elif policy != "reference":
+            raise ValueError(f"unknown policy {policy!r} "
+                             "(reference|calibrated)")
         rows = [(int(p), int(i), [float(x) for x in self.centroids[i]],
                  int(self.sizes[i]))
                 for i, p in enumerate(self.part_ids)]
@@ -1010,7 +1019,8 @@ class IVFIndex:
         return aps_scores_table(
             queries_df, cdf, target_recall=target_recall,
             max_probe=max_probe, query_id_col=query_id_col,
-            query_vec_col=query_vec_col)
+            query_vec_col=query_vec_col,
+            temperature=temperature, mass_cutoff=cutoff)
 
     # ------------------------------------------------------------ search
     def search(self, queries, k: int = 10, target_recall: float = 0.9,
@@ -1188,7 +1198,9 @@ class IVFIndex:
 def aps_scores_table(queries_df: DataFrame, centroids_df: DataFrame,
                      target_recall: float = 0.9, max_probe: int = 64,
                      query_id_col: str = "query_id",
-                     query_vec_col: str = "embedding") -> DataFrame:
+                     query_vec_col: str = "embedding",
+                     temperature: float = 1.0,
+                     mass_cutoff: float | None = None) -> DataFrame:
     """Distributed APS (O8/O9 at extreme partition counts): the exact
     softmax-over-``-dist/tau + 0.5·ln(size+1)`` scoring of
     ``IVFIndex.partition_scores`` (ipynb c1:127-145), but computed as a
@@ -1207,6 +1219,13 @@ def aps_scores_table(queries_df: DataFrame, centroids_df: DataFrame,
     aggregates partitioned by query — ONE shuffle of [nq · P] scalar
     rows, no vectors, no driver materialization. Equality with the
     NumPy path is pinned in tests/test_ivf.py.
+
+    ``temperature``/``mass_cutoff`` port the CALIBRATED policy to this
+    scale path (round 6): the probe decision runs on row-wise
+    temperature-sharpened mass (order-preserving, so ``prob``/``rank``
+    stay the reference quantities) against the fitted cutoff instead
+    of the raw target — pass ``IVFIndex._calibrated_rule(target)``'s
+    pair, or use ``partition_scores_distributed(policy="calibrated")``.
 
     Returns (query_id, partition_id, prob, rank, probed).
     """
@@ -1228,13 +1247,22 @@ def aps_scores_table(queries_df: DataFrame, centroids_df: DataFrame,
     p_un = F.exp(F.col("_logit") - F.max("_logit").over(wq))
     scored = scored.withColumn("_p", p_un)
     prob = F.col("_p") / F.sum("_p").over(wq)
+    # decision mass: temperature-sharpened softmax (identical to prob
+    # at temperature 1; same ORDER at any temperature since p^s is
+    # monotone — only the stopping rule sees the sharper distribution)
+    p_dec = F.exp((F.col("_logit") - F.max("_logit").over(wq))
+                  * F.lit(float(temperature)))
+    scored = scored.withColumn("_pd", p_dec)
+    prob_dec = F.col("_pd") / F.sum("_pd").over(wq)
     worder = wq.orderBy(F.col("prob").desc(), F.col("pos").asc())
     ranked = (scored.withColumn("prob", prob)
+              .withColumn("_probd", prob_dec)
               .withColumn("rank", F.row_number().over(worder))
-              .withColumn("_cum", F.sum("prob").over(
+              .withColumn("_cum", F.sum("_probd").over(
                   worder.rowsBetween(Window.unboundedPreceding, 0))))
     # choose_nprobe: smallest rank with cum ≥ target, clipped [1, max_probe]
-    reached = F.min(F.when(F.col("_cum") >= target_recall,
+    eff_target = target_recall if mass_cutoff is None else mass_cutoff
+    reached = F.min(F.when(F.col("_cum") >= F.lit(float(eff_target)),
                            F.col("rank"))).over(wq)
     nprobe = F.least(F.greatest(F.coalesce(reached, F.count("*").over(wq)),
                                 F.lit(1)),

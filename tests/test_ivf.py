@@ -316,3 +316,38 @@ def test_calibration_persists_across_reload(spark, blob_index):
     blob_index.save_meta()
     re2 = IVFIndex.load(spark, blob_index.workdir)
     assert re2._calibration is None
+
+
+def test_distributed_calibrated_matches_driver_policy(spark, blob_index):
+    """The scale-path APS with policy='calibrated' must probe exactly
+    the partitions the driver NumPy calibrated rule probes."""
+    blob_index.calibrate(n_queries=32)
+    rng = np.random.default_rng(9)
+    rows = blob_index.read_corpus().where(F.col("vec_id") < 200).collect()
+    vecs = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    qmat = vecs[rng.integers(0, len(vecs), 8)] + rng.normal(
+        0.0, 0.1, size=(8, 16))
+    qids = np.arange(8)
+    qdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(qids, qmat)],
+        "query_id long, embedding array<double>")
+    dist = (blob_index.partition_scores_distributed(
+        qdf, target_recall=0.9, policy="calibrated",
+        max_probe=len(blob_index.part_ids))
+        .where("probed").select("query_id", "partition_id").collect())
+    got = {}
+    for r in dist:
+        got.setdefault(int(r["query_id"]), set()).add(
+            int(r["partition_id"]))
+    # driver rule
+    order, probs = blob_index.partition_scores(qmat)
+    s, cutoff = blob_index._calibrated_rule(0.9)
+    logp = np.log(np.maximum(probs, 1e-300)) * s
+    logp -= logp.max(axis=1, keepdims=True)
+    ps = np.exp(logp); ps /= ps.sum(axis=1, keepdims=True)
+    nprobe = blob_index.choose_nprobe(ps, cutoff,
+                                      len(blob_index.part_ids))
+    want = {int(q): set(int(p) for p in
+                        blob_index.part_ids[order[i, :nprobe[i]]])
+            for i, q in enumerate(qids)}
+    assert got == want
