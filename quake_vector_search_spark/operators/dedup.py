@@ -304,7 +304,8 @@ def cosine_pairs_lsh(emb: DataFrame, threshold: float,
                      dim: int | None = None,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      seed: str = "lsh1",
-                     impl: str = "pandas") -> DataFrame:
+                     impl: str = "pandas",
+                     max_bucket_size: int | None = None) -> DataFrame:
     """Embedding-cosine near-dup pairs via sign-LSH bucketing — the
     scale path (the n² sibling is ``cosine_pairs_exhaustive``):
 
@@ -325,6 +326,20 @@ def cosine_pairs_lsh(emb: DataFrame, threshold: float,
     scan). A vector whose width disagrees with ``dim`` raises at run
     time instead of the old failure mode — zip_with null-padding every
     band key so the join silently returned ZERO pairs.
+
+    ``max_bucket_size`` is the web-scale guard (round 6), the exact
+    analogue of the jaccard family's ``max_shingle_df``: candidate
+    volume per band is Σ|bucket|², and the bucket SPACE is only
+    2^(n_bits/n_bands) keys (16 at the 4-bit default — chosen for
+    recall at the testdata's low 0.45 threshold), so near-isotropic
+    data degenerates toward n²/buckets collisions. Capping drops
+    (band, key) buckets larger than the cap from candidate generation
+    — hot buckets carry the least signal per pair (their members
+    agree on a band by bulk, not by similarity) and every dropped
+    pair can still surface through its other n_bands−1 chances.
+    ``None`` (default) keeps exact reference-oracle semantics; at
+    corpus scale set it (e.g. 10·expected-dup-cluster size) or widen
+    the bands.
 
     ``impl`` picks the signature kernel (round 6): ``"pandas"``
     (default) computes all n_bits sign bits per Arrow batch as ONE
@@ -428,6 +443,12 @@ def cosine_pairs_lsh(emb: DataFrame, threshold: float,
     else:
         raise ValueError(f"cosine_pairs_lsh: unknown impl {impl!r} "
                          "(pandas|column)")
+    if max_bucket_size is not None:
+        bw = Window.partitionBy("band", "key")
+        banded = (banded
+                  .withColumn("_bsz", F.count("*").over(bw))
+                  .where(F.col("_bsz") <= max_bucket_size)
+                  .drop("_bsz"))
     a, b2 = banded.alias("a"), banded.alias("b")
     cand = (a.join(b2, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.key") == F.col("b.key"))
@@ -437,13 +458,20 @@ def cosine_pairs_lsh(emb: DataFrame, threshold: float,
             .distinct())
     from quake_vector_search_spark.functions.vector import (
         cosine_similarity_col,
+        cosine_similarity_pandas,
     )
+    # the verify dominates at tight band widths (4-bit keys = 16
+    # buckets/band, so collision volume is large even when the final
+    # pair set is tiny): vectorize it on the pandas path — same
+    # formula, einsum per Arrow batch instead of a per-row fold
+    cos_fn = (cosine_similarity_pandas if impl == "pandas"
+              else cosine_similarity_col)
     ea = emb.select(F.col(id_col).alias("id_a"),
                     F.col(vec_col).alias("va"))
     eb = emb.select(F.col(id_col).alias("id_b"),
                     F.col(vec_col).alias("vb"))
     return (cand.join(ea, "id_a").join(eb, "id_b")
-            .withColumn("cosine", cosine_similarity_col("va", "vb"))
+            .withColumn("cosine", cos_fn("va", "vb"))
             .where(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
 

@@ -725,3 +725,30 @@ def test_cosine_pairs_lsh_pandas_column_twins_agree(spark):
                                        impl="column").collect()}
     assert got_p == got_c
     assert len(got_p) >= 20  # the engineered twins collide
+
+
+def test_cosine_pairs_lsh_bucket_cap(spark):
+    """max_bucket_size drops only hot (band, key) buckets from
+    candidate generation; a pair that collides in a small bucket of
+    any other band still surfaces (the max_shingle_df analogue)."""
+    from quake_vector_search_spark.operators.dedup import cosine_pairs_lsh
+
+    rng = np.random.default_rng(17)
+    base = rng.normal(size=(30, 8))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    rows += [(100 + i, [float(x) for x in base[i] +
+                        rng.normal(scale=1e-4, size=8)])
+             for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    uncapped = {(r["id_a"], r["id_b"])
+                for r in cosine_pairs_lsh(emb, threshold=0.999).collect()}
+    capped = {(r["id_a"], r["id_b"])
+              for r in cosine_pairs_lsh(emb, threshold=0.999,
+                                        max_bucket_size=5).collect()}
+    # capping never invents pairs, and near-identical twins (which
+    # collide in EVERY band, so any small bucket suffices) survive
+    assert capped <= uncapped
+    assert {(i, 100 + i) for i in range(10)} <= capped
+    # cap=1 kills all candidate generation
+    assert cosine_pairs_lsh(emb, threshold=0.999,
+                            max_bucket_size=1).count() == 0
