@@ -845,3 +845,62 @@ def cosine_pairs_exhaustive_blas(emb: DataFrame, threshold: float,
             .withColumn("cosine", cosine_similarity_col("va", "vb"))
             .where(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
+
+
+def semantic_decontaminate_flags(train: DataFrame, eval_vecs: DataFrame,
+                                 threshold: float,
+                                 id_col: str = "vec_id",
+                                 vec_col: str = "embedding") -> DataFrame:
+    """Embedding-space decontamination (round 6) — the SEMANTIC
+    sibling of ``decontaminate_flags``: flag every training vector
+    whose cosine similarity to ANY evaluation vector reaches
+    ``threshold`` (the D4/SemDeDup-era rule: n-gram overlap misses
+    paraphrased leakage; embedding similarity catches it).
+
+    Plan shape for 100 TB of train vs a benchmark-sized eval set: the
+    eval matrix is collected and closure-broadcast (benchmarks are
+    thousands of rows — broadcast-scale by nature, same argument as
+    the n-gram variant's gram set), and ONE narrow map-only pass over
+    train computes each row's max cosine against the whole eval block
+    via a BLAS matmul per Arrow batch. No shuffle, no join, no
+    candidate explosion; at any corpus size the plan is a single scan.
+    If the eval set ever outgrew the driver, fall back to
+    ``cosine_pairs_lsh`` between the two sides (bucketed join).
+
+    Returns (id, max_eval_cosine DOUBLE, contaminated BOOLEAN) for
+    EVERY train row (null vectors: cosine 0.0, not contaminated).
+    """
+    rows = eval_vecs.where(F.col(vec_col).isNotNull()) \
+                    .select(vec_col).collect()
+    if not rows:
+        return (train.select(id_col)
+                .withColumn("max_eval_cosine", F.lit(0.0))
+                .withColumn("contaminated", F.lit(False)))
+    E = np.stack([np.asarray(r[vec_col], dtype=np.float64)
+                  for r in rows])
+    En = E / (np.linalg.norm(E, axis=1, keepdims=True) + 1e-12)
+    spark = train.sparkSession
+    bc = spark.sparkContext.broadcast(En)
+    thr = float(threshold)
+
+    def flag(batches):
+        En_l = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keep = pdf[vec_col].notna()
+            out = pd.DataFrame({id_col: pdf[id_col],
+                                "max_eval_cosine": 0.0})
+            if keep.any():
+                X = np.stack(pdf.loc[keep, vec_col].to_numpy()) \
+                    .astype(np.float64)
+                Xn = X / (np.linalg.norm(X, axis=1, keepdims=True)
+                          + 1e-12)
+                out.loc[keep, "max_eval_cosine"] = (Xn @ En_l.T) \
+                    .max(axis=1)
+            out["contaminated"] = out["max_eval_cosine"] >= thr
+            yield out
+
+    return train.select(id_col, vec_col).mapInPandas(
+        flag, f"{id_col} long, max_eval_cosine double, "
+              "contaminated boolean")

@@ -2932,3 +2932,42 @@ FROM r WHERE rank <= {K}
 
 
 _register_opq()
+
+
+@register("emb_decontaminate", sql="""
+WITH ev AS (
+  SELECT embedding FROM embeddings WHERE vec_id % 97 = 0
+), mx AS (
+  SELECT e.vec_id,
+         MAX(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(v.embedding AS DOUBLE[]))) AS m
+  FROM embeddings e CROSS JOIN ev v
+  GROUP BY e.vec_id
+)
+SELECT vec_id, ROUND(m, 6) AS max_eval_cosine,
+       (m >= 0.6) AS contaminated
+FROM mx ORDER BY vec_id
+""")
+def emb_decontaminate(spark, sf_dir):
+    """SEMANTIC decontamination (round 6): flag training vectors whose
+    max cosine against an evaluation set reaches 0.6 — the
+    embedding-space sibling of text_decontaminate (n-gram leakage
+    misses paraphrases; similarity catches them). Spark plan is ONE
+    narrow map-only pass: the benchmark-sized eval matrix is
+    closure-broadcast and each Arrow batch computes max cosine via a
+    BLAS matmul — no join, no shuffle, no candidate explosion, at any
+    corpus size (operators/dedup.py::semantic_decontaminate_flags).
+    The eval set here is the deterministic ~1% vec_id % 97 slice of
+    the corpus itself, so every eval member must flag itself at
+    cosine 1.0 and the oracle cross-join recomputes every max."""
+    from quake_vector_search_spark.operators.dedup import (
+        semantic_decontaminate_flags)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.where(F.col("vec_id") % 97 == 0)
+    out = semantic_decontaminate_flags(emb, ev, threshold=0.6)
+    return (out.select("vec_id",
+                       F.round("max_eval_cosine", 6)
+                        .alias("max_eval_cosine"),
+                       "contaminated")
+            .orderBy("vec_id"))

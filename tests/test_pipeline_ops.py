@@ -752,3 +752,27 @@ def test_cosine_pairs_lsh_bucket_cap(spark):
     # cap=1 kills all candidate generation
     assert cosine_pairs_lsh(emb, threshold=0.999,
                             max_bucket_size=1).count() == 0
+
+
+def test_semantic_decontaminate_flags(spark):
+    """Self-members flag at cosine 1.0; orthogonal rows don't; null
+    vectors pass through unflagged; empty eval flags nothing."""
+    from quake_vector_search_spark.operators.dedup import (
+        semantic_decontaminate_flags,
+    )
+
+    rows = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]),
+            (2, [0.96, 0.28, 0.0]), (3, None)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    ev = emb.where("vec_id = 0")
+    got = {r["vec_id"]: (round(r["max_eval_cosine"], 6),
+                         r["contaminated"])
+           for r in semantic_decontaminate_flags(emb, ev,
+                                                 threshold=0.9).collect()}
+    assert got[0] == (1.0, True)
+    assert got[1] == (0.0, False)
+    assert got[2][1] is True and 0.95 < got[2][0] < 0.97
+    assert got[3] == (0.0, False)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = semantic_decontaminate_flags(emb, empty, threshold=0.5).collect()
+    assert all(not r["contaminated"] for r in out) and len(out) == 4
