@@ -138,14 +138,33 @@ def bloom_bits(df: DataFrame, item_col: str,
 
     Returns (bit) rows, bit ∈ [0, m).
     """
-    j = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j")
     d = df.select(F.col(item_col).alias("item")) \
-          .where(F.col("item").isNotNull()).select("item", j)
-    tag = F.concat(F.lit("bloom"), F.col("j").cast("string"),
-                   F.lit(":"), F.col("item").cast("string"))
-    bit = (F.conv(F.substring(F.md5(tag), 1, 15), 16, 10)
-           .cast("long") % m)
-    return d.select(bit.alias("bit")).distinct()
+          .where(F.col("item").isNotNull())
+    bits_arr = F.array(*_bloom_bit_exprs(F.col("item"), m, k))
+    return (d.select(F.explode(bits_arr).alias("bit")).distinct())
+
+
+def _bloom_bit_exprs(item, m: int, k: int) -> list:
+    """The k bloom bit positions of one item from ONE md5 (round 6):
+    lane j = 7 hex chars starting at 1+7j of md5('bloom:' || item) →
+    bigint % m. One hash call instead of k (the md5 dominated the
+    prefilter's per-row cost); 28 bits/lane bounds m at 2^28, and four
+    lanes fit the 32-hex digest. DuckDB mirror per lane::
+
+        CAST(concat('0x', substr(md5(concat('bloom:', CAST(x AS
+             VARCHAR))), 1 + 7*j, 7)) AS BIGINT) % m
+    """
+    if k * 7 > 32:
+        raise ValueError(f"bloom k={k} needs {k * 7} hex chars; "
+                         "md5 has 32 (k <= 4)")
+    if m > (1 << 28):
+        raise ValueError(f"bloom m={m} exceeds the 28-bit lane range")
+    h = F.md5(F.concat(F.lit("bloom:"), item.cast("string")))
+    return [
+        (F.conv(F.substring(h, 1 + 7 * j, 7), 16, 10)
+         .cast("long") % m)
+        for j in range(k)
+    ]
 
 
 def bloom_membership(bits: DataFrame, candidates: DataFrame,
@@ -158,15 +177,12 @@ def bloom_membership(bits: DataFrame, candidates: DataFrame,
 
     Returns (item_col, maybe_present).
     """
-    j = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j")
     cand = (candidates.select(F.col(item_col))
             .where(F.col(item_col).isNotNull())
-            .distinct().select(item_col, j))
-    tag = F.concat(F.lit("bloom"), F.col("j").cast("string"),
-                   F.lit(":"), F.col(item_col).cast("string"))
-    bit = (F.conv(F.substring(F.md5(tag), 1, 15), 16, 10)
-           .cast("long") % m)
-    probe = cand.select(item_col, bit.alias("_pbit"))
+            .distinct())
+    bits_arr = F.array(*_bloom_bit_exprs(F.col(item_col), m, k))
+    probe = cand.select(item_col,
+                        F.explode(bits_arr).alias("_pbit"))
     setbits = bits.select(F.col("bit").alias("_setbit"))
     hit = F.when(F.col("_setbit").isNotNull(), 1).otherwise(0)
     return (probe.join(F.broadcast(setbits),
@@ -208,11 +224,7 @@ def bloom_prefilter(df: DataFrame, item_col: str, mask: list[int],
     form of the same idea."""
     mask_arr = F.array(*[F.lit(int(w)) for w in mask])
     conds = []
-    for j in range(k):
-        tag = F.concat(F.lit("bloom"), F.lit(str(j)), F.lit(":"),
-                       F.col(item_col).cast("string"))
-        bit = (F.conv(F.substring(F.md5(tag), 1, 15), 16, 10)
-               .cast("long") % m)
+    for bit in _bloom_bit_exprs(F.col(item_col), m, k):
         word = F.element_at(mask_arr, (bit / 64).cast("int") + 1)
         conds.append(F.getbit(word, (bit % 64).cast("int")) == 1)
     pred = conds[0]

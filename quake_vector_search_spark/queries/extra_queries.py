@@ -448,14 +448,15 @@ WITH js AS (SELECT unnest(generate_series(0, 3)) AS j),
 items AS (SELECT DISTINCT o_custkey FROM orders),
 bits AS (
   SELECT DISTINCT
-    CAST(concat('0x', substr(md5(concat('bloom', js.j, ':',
-         CAST(items.o_custkey AS VARCHAR))), 1, 15)) AS BIGINT) % 4096
-      AS bit
+    CAST(concat('0x', substr(md5(concat('bloom:',
+         CAST(items.o_custkey AS VARCHAR))), 1 + 7 * js.j, 7))
+         AS BIGINT) % 4096 AS bit
   FROM items CROSS JOIN js
 ), cand AS (
   SELECT c_custkey, js.j,
-    CAST(concat('0x', substr(md5(concat('bloom', js.j, ':',
-         CAST(c_custkey AS VARCHAR))), 1, 15)) AS BIGINT) % 4096 AS bit
+    CAST(concat('0x', substr(md5(concat('bloom:',
+         CAST(c_custkey AS VARCHAR))), 1 + 7 * js.j, 7))
+         AS BIGINT) % 4096 AS bit
   FROM (SELECT DISTINCT c_custkey FROM customer) CROSS JOIN js
 )
 SELECT c.c_custkey,
