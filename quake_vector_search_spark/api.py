@@ -440,3 +440,36 @@ def propagate_labels(pairs: DataFrame, seeds: DataFrame,
         label_propagation,
     )
     return label_propagation(pairs, seeds, iters=iters, **kwargs)
+
+
+def decontaminate_semantic(train: DataFrame, eval_vecs: DataFrame,
+                           threshold: float = 0.8,
+                           **kwargs) -> DataFrame:
+    """Embedding-space decontamination (round 6): flag training
+    vectors whose max cosine to ANY eval vector reaches threshold —
+    one narrow map-only pass against the closure-broadcast eval
+    matrix (operators/dedup.py::semantic_decontaminate_flags); the
+    paraphrase-catching sibling of ``decontaminate``."""
+    from quake_vector_search_spark.operators.dedup import (
+        semantic_decontaminate_flags,
+    )
+    return semantic_decontaminate_flags(train, eval_vecs,
+                                        threshold=threshold, **kwargs)
+
+
+def knn_compressed(corpus_df: DataFrame, queries, k: int = 10,
+                   method: str = "pq", **kwargs) -> DataFrame:
+    """Bandwidth-reduced kNN: ADC/bit-ops scan over compressed codes +
+    exact rerank. ``method``: ``"pq"`` (product quantization),
+    ``"opq"`` (PQ in a PCA-rotated space — round 6), ``"sq8"``
+    (scalar int8), ``"bq"`` (1-bit binary + Hamming)."""
+    from quake_vector_search_spark.operators import quantization as Q
+    if method == "pq":
+        return Q.knn_pq(corpus_df, queries, k=k, **kwargs)
+    if method == "opq":
+        return Q.knn_opq(corpus_df, queries, k=k, **kwargs)
+    if method == "sq8":
+        return Q.knn_sq8(corpus_df, queries, k=k, **kwargs)
+    if method == "bq":
+        return Q.knn_bq(corpus_df, queries, k=k, **kwargs)
+    raise ValueError(f"unknown method {method!r} (pq|opq|sq8|bq)")
