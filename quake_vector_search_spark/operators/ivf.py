@@ -1077,6 +1077,14 @@ class IVFIndex:
             return empty, {"nprobe": [], "avg_nprobe": 0.0,
                            "avg_scanned": 0.0,
                            "n_partitions": len(self.part_ids)}
+        if (policy == "calibrated" and route_cells is not None
+                and route_cells < len(self.coarse_centroids)):
+            raise ValueError(
+                "search: policy='calibrated' cutoffs are fitted against "
+                "FULL partition scoring; route_cells restricts and "
+                "renormalizes the softmax, so the fitted mass cutoffs "
+                "do not transfer. Search without route_cells, or use "
+                "policy='reference' for routed search.")
         order, probs = self.partition_scores(qmat, route_cells=route_cells)
         if policy == "calibrated":
             s, eff_target = self._calibrated_rule(target_recall)

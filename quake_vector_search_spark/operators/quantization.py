@@ -351,13 +351,40 @@ def knn_opq(corpus_df: DataFrame, queries, k: int = 10,
 
 # ------------------------------------------------------- IVF + PQ hybrid
 
+def _rotate_corpus(index, corpus, rot: dict):
+    """Project the corpus into the sidecar's PCA-rotated space,
+    keeping (id, partition_id) alongside the rotated vector under the
+    ORIGINAL vec_col name so the PQ machinery applies unchanged."""
+    from quake_vector_search_spark.operators.pca import pca_project
+
+    model = {"dim": rot["components"].shape[1],
+             "mean": rot["mean"],
+             # unused without whiten=True, but pca_project slices it
+             "eigvals": np.ones(rot["components"].shape[0]),
+             "components": rot["components"]}
+    return (pca_project(
+        corpus.select(index.id_col, "partition_id", index.vec_col),
+        model, out_col="_rot")
+        .select(index.id_col, "partition_id",
+                F.col("_rot").alias(index.vec_col)))
+
+
 def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
-                     seed: int = 99, sample_n: int = 100_000) -> np.ndarray:
+                     seed: int = 99, sample_n: int = 100_000,
+                     rotate: bool = False) -> np.ndarray:
     """Build a PQ codes *sidecar* for a published IVF index version:
     train codebooks on a bounded sample of the live corpus, encode every
     vector, and write the codes Parquet partitioned exactly like the
     corpus (same partition_id layout → same pruning applies). The
     codebooks land next to it as .npy (m·ksub·dsub floats).
+
+    ``rotate=True`` (round 6) trains and encodes in the PCA-ROTATED
+    space (the OPQ non-parametric initialization — decorrelated
+    subspaces repair PQ's independence assumption); the rotation
+    persists as pq_rotation.npz next to the codebooks and
+    ``knn_ivf_pq`` applies it to queries automatically. The rerank is
+    always in the original space, so accuracy semantics are unchanged
+    — only ADC candidate quality improves.
 
     The sidecar belongs to ONE index version: maintenance (split/merge)
     publishes a new version dir, so its sidecar must be rebuilt — the
@@ -365,15 +392,29 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
     """
     import os
 
+    from quake_vector_search_spark.operators.pca import fit_pca
+
     corpus = index.read_corpus()
-    books = pq_train(corpus, m=m, ksub=ksub, seed=seed,
+    if rotate:
+        model = fit_pca(corpus, vec_col=index.vec_col)
+        rot = {"mean": model["mean"], "components": model["components"]}
+        enc_src = _rotate_corpus(index, corpus, rot)
+    else:
+        rot, enc_src = None, corpus
+    books = pq_train(enc_src, m=m, ksub=ksub, seed=seed,
                      sample_n=sample_n, vec_col=index.vec_col)
-    enc = pq_encode(corpus, books, id_col=index.id_col,
+    enc = pq_encode(enc_src, books, id_col=index.id_col,
                     vec_col=index.vec_col, keep_cols=("partition_id",))
     path = os.path.join(index.version_dir, "pq")
     (enc.write.mode("overwrite").partitionBy("partition_id")
         .parquet(path))
     np.save(os.path.join(index.version_dir, "pq_codebooks.npy"), books)
+    rot_path = os.path.join(index.version_dir, "pq_rotation.npz")
+    if rotate:
+        np.savez(rot_path, mean=rot["mean"],
+                 components=rot["components"])
+    elif os.path.exists(rot_path):
+        os.unlink(rot_path)   # plain rebuild replaces a rotated sidecar
     return books
 
 
@@ -415,6 +456,15 @@ def knn_ivf_pq(index, queries, k: int = 10, target_recall: float = 0.9,
         # converted back to similarity at the end
         qmat = qmat / (np.linalg.norm(qmat, axis=1, keepdims=True)
                        + 1e-12)
+    # a rotated (OPQ) sidecar carries its rotation next to the
+    # codebooks; the LUTs must be built in the same space the codes
+    # live in. The rerank below stays in the original space.
+    rot_path = os.path.join(index.version_dir, "pq_rotation.npz")
+    if os.path.exists(rot_path) and len(qids):
+        rz = np.load(rot_path)
+        qmat_adc = (qmat - rz["mean"]) @ rz["components"].T
+    else:
+        qmat_adc = qmat
     nq = len(qids)
     if nq == 0:
         return (_empty_result(spark, "dist"),
@@ -436,7 +486,7 @@ def knn_ivf_pq(index, queries, k: int = 10, target_recall: float = 0.9,
 
     mm, ksub_eff, dsub = books.shape
     luts = np.stack([
-        l2_batch(qmat[:, j * dsub:(j + 1) * dsub], books[j])
+        l2_batch(qmat_adc[:, j * dsub:(j + 1) * dsub], books[j])
         for j in range(mm)])
     bc = spark.sparkContext.broadcast((qids, luts, probe_map))
     kk_cand = k * oversample
@@ -509,20 +559,32 @@ def refresh_pq_sidecar(index, books: np.ndarray | None = None) -> bool:
     import os
 
     npy = os.path.join(index.version_dir, "pq_codebooks.npy")
+    prev_dir = os.path.join(index.workdir, f"v{index.version - 1:04d}")
     if books is None:
         # look in the previous version dir (maintain() already bumped)
-        prev = os.path.join(index.workdir,
-                            f"v{index.version - 1:04d}",
-                            "pq_codebooks.npy")
+        prev = os.path.join(prev_dir, "pq_codebooks.npy")
         if not os.path.exists(prev):
             return False
         books = np.load(prev)
-    enc = pq_encode(index.read_corpus(), books, id_col=index.id_col,
+    # a rotated (OPQ) sidecar carries its rotation forward too — like
+    # the codebooks it models the data distribution, not the layout
+    rot = None
+    prev_rot = os.path.join(prev_dir, "pq_rotation.npz")
+    if os.path.exists(prev_rot):
+        rz = np.load(prev_rot)
+        rot = {"mean": rz["mean"], "components": rz["components"]}
+    corpus = index.read_corpus()
+    enc_src = (_rotate_corpus(index, corpus, rot)
+               if rot is not None else corpus)
+    enc = pq_encode(enc_src, books, id_col=index.id_col,
                     vec_col=index.vec_col, keep_cols=("partition_id",))
     path = os.path.join(index.version_dir, "pq")
     (enc.write.mode("overwrite").partitionBy("partition_id")
         .parquet(path))
     np.save(npy, books)
+    if rot is not None:
+        np.savez(os.path.join(index.version_dir, "pq_rotation.npz"),
+                 mean=rot["mean"], components=rot["components"])
     return True
 
 

@@ -292,3 +292,51 @@ def test_recompute_prunes_stats_of_dropped_partitions(spark, index):
     assert pid not in set(int(p) for p in index.part_ids)
     assert pid not in index.hits
     assert pid not in index.last_split_at
+
+
+def test_rotated_pq_sidecar_roundtrip(spark, tmp_path):
+    """OPQ sidecar (round 6): build with rotate=True, search applies
+    the stored rotation to queries automatically, recall matches the
+    plain-PQ sidecar at full probe, and maintenance carries the
+    rotation into the refreshed sidecar."""
+    import numpy as np
+
+    from quake_vector_search_spark.operators.evaluation import avg_recall
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.knn import knn_bruteforce
+    from quake_vector_search_spark.operators.maintenance import maintain
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+        knn_ivf_pq,
+    )
+    import os
+
+    rng = np.random.RandomState(7)
+    Z = rng.randn(600, 4)
+    A = rng.randn(4, 16)
+    X = Z @ A + 0.05 * rng.randn(600, 16)   # correlated dims
+    corpus = spark.createDataFrame(
+        [(i, [float(v) for v in x]) for i, x in enumerate(X)],
+        "vec_id long, embedding array<float>")
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_opq"),
+                         coarse_k=4, base_k=2)
+    build_pq_sidecar(idx, m=4, ksub=32, rotate=True)
+    assert os.path.exists(os.path.join(idx.version_dir,
+                                       "pq_rotation.npz"))
+    qids = np.arange(5)
+    qmat = X[:5].astype(np.float64)
+    exact = knn_bruteforce(idx.read_corpus(), (qids, qmat), k=5)
+    exact = exact.localCheckpoint()
+    found, _ = knn_ivf_pq(idx, (qids, qmat), k=5, target_recall=1.0,
+                          max_probe=64, oversample=30)
+    assert avg_recall(found, exact, 5) >= 0.95
+    # maintenance republished version must keep the rotation
+    idx.insert([10_000], rng.randn(1, 16), refresh=False)
+    maintain(idx)
+    assert os.path.exists(os.path.join(idx.version_dir,
+                                       "pq_rotation.npz"))
+    found2, _ = knn_ivf_pq(idx, (qids, qmat), k=5, target_recall=1.0,
+                           max_probe=64, oversample=30)
+    exact2 = knn_bruteforce(idx.read_corpus(), (qids, qmat),
+                            k=5).localCheckpoint()
+    assert avg_recall(found2, exact2, 5) >= 0.95

@@ -351,3 +351,18 @@ def test_distributed_calibrated_matches_driver_policy(spark, blob_index):
                         blob_index.part_ids[order[i, :nprobe[i]]])
             for i, q in enumerate(qids)}
     assert got == want
+
+
+def test_calibrated_rejects_routed_scoring(blob_index):
+    """The calibration is fitted against full scoring; routed scoring
+    renormalizes the softmax, so the composition must refuse loudly
+    instead of silently probing with non-transferring cutoffs."""
+    blob_index.calibrate(n_queries=32)
+    with pytest.raises(ValueError, match="route_cells"):
+        blob_index.search((np.array([0]), np.zeros((1, 16))),
+                          k=5, policy="calibrated", route_cells=2)
+    # route_cells >= n_cells reduces to full scoring — allowed
+    f, _ = blob_index.search(
+        (np.array([0]), np.zeros((1, 16))), k=5, policy="calibrated",
+        route_cells=len(blob_index.coarse_centroids))
+    assert f.count() == 5
