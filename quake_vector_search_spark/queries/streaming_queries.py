@@ -620,3 +620,57 @@ def _register_stream_tokenize():
 
 
 _register_stream_tokenize()
+
+
+@register("stream_semantic_decontaminate_equals_batch", sql="""
+WITH ev AS (
+  SELECT embedding FROM embeddings WHERE vec_id % 97 = 0
+), mx AS (
+  SELECT e.vec_id,
+         MAX(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(v.embedding AS DOUBLE[]))) AS m
+  FROM embeddings e CROSS JOIN ev v
+  GROUP BY e.vec_id
+)
+SELECT vec_id, ROUND(m, 6) AS max_eval_cosine,
+       (m >= 0.6) AS contaminated
+FROM mx ORDER BY vec_id
+""")
+def stream_semantic_decontaminate_equals_batch(spark, sf_dir):
+    """Semantic decontamination under STREAMING execution (round 6),
+    value-hashed directly against the batch oracle: the embeddings
+    table replays as a 2-file stream and
+    operators/dedup.py::semantic_decontaminate_flags runs UNMODIFIED
+    (a map-only mapInPandas against the closure-broadcast eval matrix
+    is execution-mode-agnostic), drained through a memory sink. The
+    ingest-time leakage-gating story: the same flags at the stream
+    head as in the batch backfill, row for row."""
+    from quake_vector_search_spark.operators.dedup import (
+        semantic_decontaminate_flags)
+    from quake_vector_search_spark.streaming import windows as SW
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.where(F.col("vec_id") % 97 == 0)
+
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    key = hashlib.md5(
+        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()) \
+        .hexdigest()[:8]
+    edir = f"/tmp/qvss_emb_stream_{key}"
+    if not os.path.exists(os.path.join(edir, "_READY")):
+        shutil.rmtree(edir, ignore_errors=True)
+        (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+         .repartition(2).write.mode("overwrite").parquet(edir))
+        with open(os.path.join(edir, "_READY"), "w") as fh:
+            fh.write("ok")
+    stream = (spark.readStream
+              .schema("vec_id long, embedding array<float>, label int")
+              .option("maxFilesPerTrigger", 1).parquet(edir))
+    drained = SW.run_to_completion(
+        semantic_decontaminate_flags(stream, ev, threshold=0.6),
+        _sink_name("sdecon"))
+    return (drained.select("vec_id",
+                           F.round("max_eval_cosine", 6)
+                            .alias("max_eval_cosine"),
+                           "contaminated")
+            .orderBy("vec_id"))

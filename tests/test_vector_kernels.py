@@ -337,3 +337,48 @@ def test_knn_opq_matches_bruteforce(spark):
                         for r in sorted(rows, key=lambda r:
                                         (r["query_id"], r["rank"]))]
     assert key(got) == key(want)
+
+
+def test_cosine_pandas_twin_matches_column(spark):
+    """Property: the einsum cosine kernel and the Column fold agree to
+    float tolerance on random pair frames (round 6 — the LSH verify
+    swap rests on this)."""
+    import numpy as np
+
+    from quake_vector_search_spark.functions.vector import (
+        cosine_similarity_col,
+        cosine_similarity_pandas,
+    )
+
+    rng = np.random.RandomState(23)
+    rows = []
+    for i in range(200):
+        a = rng.randn(12) * rng.choice([1e-3, 1.0, 1e3])
+        b = rng.randn(12) * rng.choice([1e-3, 1.0, 1e3])
+        rows.append((i, [float(x) for x in a], [float(x) for x in b]))
+    rows.append((200, [0.0] * 12, [1.0] * 12))   # zero-norm epsilon path
+    df = spark.createDataFrame(
+        rows, "pid long, va array<double>, vb array<double>")
+    got = (df.select("pid",
+                     cosine_similarity_pandas("va", "vb").alias("cp"),
+                     cosine_similarity_col("va", "vb").alias("cc"))
+           .collect())
+    for r in got:
+        assert abs(r["cp"] - r["cc"]) < 1e-9, (r["pid"], r["cp"], r["cc"])
+
+
+def test_bloom_lane_guards():
+    """Round 6 lane-split limits: k>4 exceeds the 32-hex digest, m
+    beyond 2^28 exceeds the 7-hex lane range."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from quake_vector_search_spark.operators.sketch import (
+        _bloom_bit_exprs,
+    )
+
+    assert len(_bloom_bit_exprs(F.lit(1), 4096, 4)) == 4
+    with _pytest.raises(ValueError, match="k <= 4"):
+        _bloom_bit_exprs(F.lit(1), 4096, 5)
+    with _pytest.raises(ValueError, match="lane range"):
+        _bloom_bit_exprs(F.lit(1), 1 << 29, 4)
