@@ -978,6 +978,27 @@ class IVFIndex:
                              "seed": int(seed)}
         return self._calibration
 
+    def _decide_nprobe(self, probs: np.ndarray, target_recall: float,
+                       max_probe: int, policy: str) -> np.ndarray:
+        """The probe-count rule shared by search() and the IVF+PQ
+        hybrid: reference = cumulative mass vs the raw target;
+        calibrated = temperature-sharpened mass (order-preserving —
+        p^s is monotone, only the stopping rule sees sharper mass) vs
+        the fitted cutoff."""
+        if policy == "calibrated":
+            s, eff_target = self._calibrated_rule(target_recall)
+            logp = np.log(np.maximum(probs, 1e-300)) * s
+            logp -= logp.max(axis=1, keepdims=True)
+            decision_probs = np.exp(logp)
+            decision_probs /= decision_probs.sum(axis=1, keepdims=True)
+        elif policy == "reference":
+            eff_target = target_recall
+            decision_probs = probs
+        else:
+            raise ValueError(f"unknown policy {policy!r} "
+                             "(reference|calibrated)")
+        return self.choose_nprobe(decision_probs, eff_target, max_probe)
+
     def _calibrated_rule(self, target_recall: float
                          ) -> tuple[float, float]:
         """(temperature, cumulative-mass cutoff) for a recall target
@@ -1086,21 +1107,8 @@ class IVFIndex:
                 "do not transfer. Search without route_cells, or use "
                 "policy='reference' for routed search.")
         order, probs = self.partition_scores(qmat, route_cells=route_cells)
-        if policy == "calibrated":
-            s, eff_target = self._calibrated_rule(target_recall)
-            # temperature-sharpen row-wise: order is unchanged (p^s is
-            # monotone), only the stopping rule sees sharper mass
-            logp = np.log(np.maximum(probs, 1e-300)) * s
-            logp -= logp.max(axis=1, keepdims=True)
-            decision_probs = np.exp(logp)
-            decision_probs /= decision_probs.sum(axis=1, keepdims=True)
-        elif policy == "reference":
-            eff_target = target_recall
-            decision_probs = probs
-        else:
-            raise ValueError(f"search: unknown policy {policy!r} "
-                             "(reference|calibrated)")
-        nprobe = self.choose_nprobe(decision_probs, eff_target, max_probe)
+        nprobe = self._decide_nprobe(probs, target_recall, max_probe,
+                                     policy)
 
         # probe sets (positions → stable partition ids)
         probe_map: dict[int, list[int]] = {}

@@ -420,7 +420,8 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
 
 def knn_ivf_pq(index, queries, k: int = 10, target_recall: float = 0.9,
                max_probe: int = 64, oversample: int = 16,
-               books: np.ndarray | None = None):
+               books: np.ndarray | None = None,
+               policy: str = "reference"):
     """ANN search combining BOTH pruning axes: IVF/APS chooses which
     partitions to read (row pruning), PQ codes shrink what each read
     moves (byte pruning — m bytes/vector vs 4·d). At 100 TB the scan
@@ -471,8 +472,11 @@ def knn_ivf_pq(index, queries, k: int = 10, target_recall: float = 0.9,
                 {"nprobe": [], "avg_nprobe": 0.0, "avg_scanned": 0.0,
                  "n_partitions": len(index.part_ids)})
 
+    # same probe-count rule as IVFIndex.search — incl. the calibrated
+    # temperature/cutoff fit when policy="calibrated"
     order, probs = index.partition_scores(qmat)
-    nprobe = index.choose_nprobe(probs, target_recall, max_probe)
+    nprobe = index._decide_nprobe(probs, target_recall, max_probe,
+                                  policy)
     probe_map: dict[int, list[int]] = {}
     scanned = 0
     for qi in range(nq):

@@ -366,3 +366,29 @@ def test_calibrated_rejects_routed_scoring(blob_index):
         (np.array([0]), np.zeros((1, 16))), k=5, policy="calibrated",
         route_cells=len(blob_index.coarse_centroids))
     assert f.count() == 5
+
+
+def test_ivf_pq_calibrated_policy_prunes(spark, blob_index, tmp_path):
+    """knn_ivf_pq(policy='calibrated') shares search()'s probe rule:
+    fewer rows scanned than the reference policy at the same target."""
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+        knn_ivf_pq,
+    )
+    blob_index.calibrate(n_queries=32)
+    books = build_pq_sidecar(blob_index, m=4, ksub=32)
+    rng = np.random.default_rng(6)
+    corpus = blob_index.read_corpus()
+    rows = corpus.where(F.col("vec_id") < 500).collect()
+    vecs = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    qmat = vecs[rng.integers(0, len(vecs), 10)]
+    qids = np.arange(10)
+    _, m_cal = knn_ivf_pq(blob_index, (qids, qmat), k=5,
+                          target_recall=0.9, policy="calibrated",
+                          max_probe=len(blob_index.part_ids),
+                          books=books)
+    _, m_ref = knn_ivf_pq(blob_index, (qids, qmat), k=5,
+                          target_recall=0.9, policy="reference",
+                          max_probe=len(blob_index.part_ids),
+                          books=books)
+    assert m_cal["avg_scanned"] < m_ref["avg_scanned"]
