@@ -369,9 +369,41 @@ def _rotate_corpus(index, corpus, rot: dict):
                 F.col("_rot").alias(index.vec_col)))
 
 
+def _residual_corpus(index, corpus):
+    """Subtract each row's partition centroid (closure-broadcast —
+    centroid state is metadata-scale) so PQ encodes RESIDUALS: the
+    canonical IVFADC formulation (Jégou et al., TPAMI'11). Residual
+    magnitudes are a fraction of the raw vectors', so the same m bytes
+    quantize a much tighter distribution."""
+    cent_by_pid = {int(p): index.centroids[i].copy()
+                   for i, p in enumerate(index.part_ids)}
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(cent_by_pid)
+    id_col, vec_col = index.id_col, index.vec_col
+
+    def gen(batches):
+        cents = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            pids = pdf["partition_id"].to_numpy(dtype=np.int64)
+            C = np.stack([cents[int(p)] for p in pids])
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                "partition_id": pids,
+                vec_col: list(X - C),
+            })
+
+    return corpus.select(id_col, "partition_id", vec_col).mapInPandas(
+        gen, f"{id_col} long, partition_id long, "
+             f"{vec_col} array<double>")
+
+
 def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
                      seed: int = 99, sample_n: int = 100_000,
-                     rotate: bool = False) -> np.ndarray:
+                     rotate: bool = False,
+                     residual: bool = False) -> np.ndarray:
     """Build a PQ codes *sidecar* for a published IVF index version:
     train codebooks on a bounded sample of the live corpus, encode every
     vector, and write the codes Parquet partitioned exactly like the
@@ -386,19 +418,34 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
     always in the original space, so accuracy semantics are unchanged
     — only ADC candidate quality improves.
 
+    ``residual=True`` (round 6) encodes ``x − centroid(partition)``
+    instead of ``x`` — the canonical IVFADC formulation: residuals
+    inside a cell span a far tighter distribution than raw vectors,
+    so the same code budget carries more precision. ``knn_ivf_pq``
+    then builds its ADC lookup tables per (query, probed partition)
+    from ``q − c_p`` automatically (flag persisted in pq_meta.json).
+    Mutually exclusive with ``rotate`` (compose-at-your-own-risk is
+    exactly the kind of silent semantics drift this codebase avoids).
+
     The sidecar belongs to ONE index version: maintenance (split/merge)
     publishes a new version dir, so its sidecar must be rebuilt — the
     same compaction contract any secondary structure has.
     """
+    import json
     import os
 
     from quake_vector_search_spark.operators.pca import fit_pca
 
+    if rotate and residual:
+        raise ValueError("build_pq_sidecar: rotate and residual are "
+                         "mutually exclusive")
     corpus = index.read_corpus()
     if rotate:
         model = fit_pca(corpus, vec_col=index.vec_col)
         rot = {"mean": model["mean"], "components": model["components"]}
         enc_src = _rotate_corpus(index, corpus, rot)
+    elif residual:
+        rot, enc_src = None, _residual_corpus(index, corpus)
     else:
         rot, enc_src = None, corpus
     books = pq_train(enc_src, m=m, ksub=ksub, seed=seed,
@@ -415,6 +462,10 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
                  components=rot["components"])
     elif os.path.exists(rot_path):
         os.unlink(rot_path)   # plain rebuild replaces a rotated sidecar
+    with open(os.path.join(index.version_dir, "pq_meta.json"),
+              "w") as fh:
+        json.dump({"residual": bool(residual), "m": m,
+                   "ksub": int(books.shape[1])}, fh)
     return books
 
 
@@ -488,11 +539,30 @@ def knn_ivf_pq(index, queries, k: int = 10, target_recall: float = 0.9,
         index.hits[pid] = index.hits.get(pid, 0) + len(qlist)
     index.query_counter += nq
 
+    # residual sidecars (IVFADC) carry their flag in pq_meta.json:
+    # the codes quantize x − c_p, so the ADC tables must come from
+    # q − c_p PER PROBED PARTITION — built inside the kernel (nq_p ×
+    # ksub × dsub flops per subspace, trivial next to the code scan)
+    import json as _json
+
+    meta_path = os.path.join(index.version_dir, "pq_meta.json")
+    residual = False
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            residual = bool(_json.load(fh).get("residual", False))
+
     mm, ksub_eff, dsub = books.shape
-    luts = np.stack([
-        l2_batch(qmat_adc[:, j * dsub:(j + 1) * dsub], books[j])
-        for j in range(mm)])
-    bc = spark.sparkContext.broadcast((qids, luts, probe_map))
+    if residual:
+        cent_by_pid = {int(p): index.centroids[i].copy()
+                       for i, p in enumerate(index.part_ids)
+                       if int(p) in probe_map}
+        bc = spark.sparkContext.broadcast(
+            (qids, qmat_adc, probe_map, books, cent_by_pid))
+    else:
+        luts = np.stack([
+            l2_batch(qmat_adc[:, j * dsub:(j + 1) * dsub], books[j])
+            for j in range(mm)])
+        bc = spark.sparkContext.broadcast((qids, luts, probe_map))
     kk_cand = k * oversample
     id_col = index.id_col
 
@@ -501,7 +571,10 @@ def knn_ivf_pq(index, queries, k: int = 10, target_recall: float = 0.9,
              .where(F.expr(f"partition_id IN ({ids_sql})")))
 
     def adc_topk(batches):
-        qids_l, luts_l, pmap = bc.value
+        if residual:
+            qids_l, qmat_l, pmap, books_l, cents_l = bc.value
+        else:
+            qids_l, luts_l, pmap = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -516,8 +589,16 @@ def knn_ivf_pq(index, queries, k: int = 10, target_recall: float = 0.9,
                 mask = pids == pid
                 cds, ids = all_codes[mask], all_ids[mask]
                 approx = np.zeros((len(qidx), cds.shape[0]))
-                for j in range(luts_l.shape[0]):
-                    approx += luts_l[j][np.ix_(qidx, cds[:, j])]
+                if residual:
+                    qres = qmat_l[qidx] - cents_l[int(pid)]
+                    for j in range(books_l.shape[0]):
+                        lut_j = l2_batch(
+                            qres[:, j * dsub:(j + 1) * dsub],
+                            books_l[j])
+                        approx += lut_j[:, cds[:, j]]
+                else:
+                    for j in range(luts_l.shape[0]):
+                        approx += luts_l[j][np.ix_(qidx, cds[:, j])]
                 kk = min(kk_cand, len(ids))
                 part = topk_cols_2d(approx, ids, kk)
                 out.append(pd.DataFrame({
@@ -571,15 +652,29 @@ def refresh_pq_sidecar(index, books: np.ndarray | None = None) -> bool:
             return False
         books = np.load(prev)
     # a rotated (OPQ) sidecar carries its rotation forward too — like
-    # the codebooks it models the data distribution, not the layout
+    # the codebooks it models the data distribution, not the layout.
+    # A residual (IVFADC) sidecar re-encodes residuals vs the CURRENT
+    # centroids (maintenance moved them; the codebooks still model the
+    # residual distribution).
+    import json
+
     rot = None
     prev_rot = os.path.join(prev_dir, "pq_rotation.npz")
     if os.path.exists(prev_rot):
         rz = np.load(prev_rot)
         rot = {"mean": rz["mean"], "components": rz["components"]}
+    residual = False
+    prev_meta = os.path.join(prev_dir, "pq_meta.json")
+    if os.path.exists(prev_meta):
+        with open(prev_meta) as fh:
+            residual = bool(json.load(fh).get("residual", False))
     corpus = index.read_corpus()
-    enc_src = (_rotate_corpus(index, corpus, rot)
-               if rot is not None else corpus)
+    if rot is not None:
+        enc_src = _rotate_corpus(index, corpus, rot)
+    elif residual:
+        enc_src = _residual_corpus(index, corpus)
+    else:
+        enc_src = corpus
     enc = pq_encode(enc_src, books, id_col=index.id_col,
                     vec_col=index.vec_col, keep_cols=("partition_id",))
     path = os.path.join(index.version_dir, "pq")
@@ -589,6 +684,10 @@ def refresh_pq_sidecar(index, books: np.ndarray | None = None) -> bool:
     if rot is not None:
         np.savez(os.path.join(index.version_dir, "pq_rotation.npz"),
                  mean=rot["mean"], components=rot["components"])
+    with open(os.path.join(index.version_dir, "pq_meta.json"),
+              "w") as fh:
+        json.dump({"residual": residual, "m": int(books.shape[0]),
+                   "ksub": int(books.shape[1])}, fh)
     return True
 
 

@@ -3036,3 +3036,67 @@ FROM r WHERE rank <= {K}
 
 _IVF_OPQ_CACHE: dict = {}
 _register_ivf_opq()
+
+
+def _register_ivf_pq_residual():
+    from quake_vector_search_spark.queries.vector_queries import (
+        K, N_QUERIES)
+
+    @register("ivf_pq_residual_fullprobe", sql=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), d AS (
+  SELECT q.query_id, e.vec_id,
+         list_distance(CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.qvec AS DOUBLE[])) AS dist
+  FROM embeddings e CROSS JOIN q
+), r AS (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist ASC, vec_id ASC) AS rank
+  FROM d
+)
+SELECT query_id, vec_id, ROUND(dist, 6) AS dist, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {K}
+""")
+    def ivf_pq_residual_fullprobe(spark, sf_dir):
+        """IVFADC (round 6): the sidecar encodes RESIDUALS
+        x − centroid(partition) — the canonical IVF+PQ formulation
+        (Jégou et al., TPAMI'11), where the same code budget
+        quantizes the much tighter within-cell distribution — and the
+        ADC tables are built per (query, probed partition) from
+        q − c_p. Full probe + exact rerank must equal brute force
+        (the oracle). Own scratch index, like the OPQ row, so the
+        plain-PQ sidecar rows stay isolated."""
+        import os
+        import shutil
+
+        from quake_vector_search_spark.operators.ivf import IVFIndex
+        from quake_vector_search_spark.operators.quantization import (
+            build_pq_sidecar,
+            knn_ivf_pq,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        wd = os.path.join(f"/tmp/qvss_ivf_{os.getpid()}",
+                          "res_" + sf_dir.strip("/").replace("/", "_"))
+        if wd not in _IVF_RES_CACHE:
+            shutil.rmtree(wd, ignore_errors=True)
+            idx = IVFIndex.build(emb, wd, coarse_k=8, base_k=4)
+            books = build_pq_sidecar(idx, m=8, ksub=256, seed=99,
+                                     residual=True)
+            _IVF_RES_CACHE[wd] = (idx, books)
+        idx, books = _IVF_RES_CACHE[wd]
+        queries = emb.where(F.col("vec_id") < N_QUERIES) \
+                     .withColumnRenamed("vec_id", "query_id")
+        n = emb.count()
+        out, _meta = knn_ivf_pq(idx, queries, k=K, target_recall=1.0,
+                                max_probe=1_000_000_000,
+                                oversample=max(16, -(-n // (2 * K))),
+                                books=books)
+        return out.withColumn("dist", F.round("dist", 6))
+
+
+_IVF_RES_CACHE: dict = {}
+_register_ivf_pq_residual()

@@ -37,16 +37,31 @@ def _append_pq_codes(index: IVFIndex, ids: np.ndarray,
     sidecar). Codebooks are cached per version dir: maintenance bumps
     the version (and re-encodes the sidecar itself), after which the
     next batch picks up the new version's codebooks."""
+    import json
+
     npy = os.path.join(index.version_dir, "pq_codebooks.npy")
     if not os.path.exists(npy):
         return False
     if books_cache.get("path") != npy:
         books_cache["path"] = npy
         books_cache["books"] = np.load(npy)
+        meta_path = os.path.join(index.version_dir, "pq_meta.json")
+        residual = False
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                residual = bool(json.load(fh).get("residual", False))
+        books_cache["residual"] = residual
     from quake_vector_search_spark.operators.quantization import (
         pq_encode_local,
     )
-    codes = pq_encode_local(vecs, books_cache["books"])
+    enc_vecs = np.asarray(vecs, dtype=np.float64)
+    if books_cache.get("residual"):
+        # IVFADC sidecar: codes quantize x − c_p — mirror the batch
+        # encoder for streaming appends
+        pos_of = {int(p): i for i, p in enumerate(index.part_ids)}
+        C = np.stack([index.centroids[pos_of[int(p)]] for p in pids])
+        enc_vecs = enc_vecs - C
+    codes = pq_encode_local(enc_vecs, books_cache["books"])
     # pyarrow Table from the flat code buffer: exact types independent
     # of the session's Arrow config (pandas object columns of numpy
     # arrays fail the non-Arrow row verifier)

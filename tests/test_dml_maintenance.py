@@ -340,3 +340,51 @@ def test_rotated_pq_sidecar_roundtrip(spark, tmp_path):
     exact2 = knn_bruteforce(idx.read_corpus(), (qids, qmat),
                             k=5).localCheckpoint()
     assert avg_recall(found2, exact2, 5) >= 0.95
+
+
+def test_residual_pq_sidecar_roundtrip(spark, tmp_path):
+    """IVFADC (round 6): residual-encoded sidecar at full probe equals
+    brute force; maintenance re-encodes residuals vs the republished
+    centroids; mixing rotate+residual is refused."""
+    import os
+
+    import numpy as np
+    import pytest as _pytest
+
+    from quake_vector_search_spark.operators.evaluation import avg_recall
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.knn import knn_bruteforce
+    from quake_vector_search_spark.operators.maintenance import maintain
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+        knn_ivf_pq,
+    )
+    from quake_vector_search_spark.operators.workload import make_dataset
+
+    corpus = make_dataset(spark, 800, d=16, n_clusters=10, seed=5)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_res"),
+                         coarse_k=4, base_k=2)
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        build_pq_sidecar(idx, rotate=True, residual=True)
+    build_pq_sidecar(idx, m=4, ksub=32, residual=True)
+    import json
+    with open(os.path.join(idx.version_dir, "pq_meta.json")) as fh:
+        assert json.load(fh)["residual"] is True
+    rows = corpus.where("vec_id < 5").collect()
+    qmat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    qids = np.arange(5)
+    exact = knn_bruteforce(idx.read_corpus(), (qids, qmat),
+                           k=5).localCheckpoint()
+    found, _ = knn_ivf_pq(idx, (qids, qmat), k=5, target_recall=1.0,
+                          max_probe=64, oversample=40)
+    assert avg_recall(found, exact, 5) >= 0.95
+    rng = np.random.default_rng(2)
+    idx.insert([20_000], rng.normal(size=(1, 16)), refresh=False)
+    maintain(idx)
+    with open(os.path.join(idx.version_dir, "pq_meta.json")) as fh:
+        assert json.load(fh)["residual"] is True
+    exact2 = knn_bruteforce(idx.read_corpus(), (qids, qmat),
+                            k=5).localCheckpoint()
+    found2, _ = knn_ivf_pq(idx, (qids, qmat), k=5, target_recall=1.0,
+                           max_probe=64, oversample=40)
+    assert avg_recall(found2, exact2, 5) >= 0.95
