@@ -352,13 +352,17 @@ def _replay(spark, emb, workdir: str, n_queries: int, batch: int,
                                 target_recall=0.5, oversample=8,
                                 books=books)
         n_corpus_pq = idx.read_corpus().count()
+        # plain-sidecar RESULT VALUES must all be computed BEFORE the
+        # residual build below overwrites the codes files: a cache
+        # eviction would silently re-scan the replaced sidecar (a
+        # cached DataFrame is a hint, not a snapshot) — observed as a
+        # bit-deterministic recall changing between runs.
+        plain_recall = round(
+            avg_recall(fpq, exact.where(exact.query_id < 50), K), 4)
+        plain5_recall = round(
+            avg_recall(fpq5, exact.where(exact.query_id < 50), K), 4)
         # residual (IVFADC) variant on the same index: same 8-byte
-        # budget, codes quantize x − c_p (round 6). Overwrites the
-        # plain sidecar files — so every plain-sidecar result must be
-        # MATERIALIZED first (fpq5 is lazy and would otherwise scan
-        # the replaced codes at collect time).
-        fpq5 = fpq5.cache()
-        fpq5.count()
+        # budget, codes quantize x − c_p (round 6)
         t2 = time.time()
         books_res = build_pq_sidecar(idx, m=8, ksub=256, seed=99,
                                      residual=True)
@@ -370,26 +374,23 @@ def _replay(spark, emb, workdir: str, n_queries: int, batch: int,
         fres = fres.cache()
         fres.count()
         res_search_s = time.time() - t2
+        res_recall = round(
+            avg_recall(fres, exact.where(exact.query_id < 50), K), 4)
         pq_block = {
             "sidecar_build_s": round(pq_build_s, 3),
             "batch50_ms": round(1000 * pq_search_s, 1),
             "avg_query_ms": round(1000 * pq_search_s / 50, 2),
-            "recall_at_10": round(
-                avg_recall(fpq, exact.where(exact.query_id < 50), K), 4),
+            "recall_at_10": plain_recall,
             "residual_variant": {
                 "sidecar_build_s": round(res_build_s, 3),
                 "batch50_ms": round(1000 * res_search_s, 1),
-                "recall_at_10": round(
-                    avg_recall(fres, exact.where(exact.query_id < 50),
-                               K), 4),
+                "recall_at_10": res_recall,
             },
             "bytes_per_vector_scanned": 8,   # m=8 codes vs 256 (4·d=64)
             "at_target_0.5": {
                 "scanned_frac": round(
                     mpq5["avg_scanned"] / max(n_corpus_pq, 1), 4),
-                "recall_at_10": round(
-                    avg_recall(fpq5, exact.where(exact.query_id < 50),
-                               K), 4),
+                "recall_at_10": plain5_recall,
                 "effective_bytes_frac": round(
                     (mpq5["avg_scanned"] / max(n_corpus_pq, 1))
                     * 8 / 256, 4),
