@@ -383,6 +383,10 @@ def cosine_pairs_lsh(emb: DataFrame, threshold: float,
 
         @pandas_udf("array<long>")
         def band_keys(vs: pd.Series) -> pd.Series:
+            if len(vs) == 0:
+                # empty Arrow batch: np.stack below would raise on a
+                # zero-length array list
+                return pd.Series([], dtype=object)
             lens = vs.map(len).to_numpy()
             if (lens != exp_dim).any():
                 bad = int(lens[lens != exp_dim][0])

@@ -119,7 +119,8 @@ class IVFIndex:
               cell_train_cap: int = 100_000,
               train_cap: int = 200_000,
               coarse_train_cap: int = 20_000,
-              metric: str = "l2") -> "IVFIndex":
+              metric: str = "l2",
+              calibrate: bool = False) -> "IVFIndex":
         """Two-level build (reference ``build``, ipynb c1:66-90).
 
         Coarse: seeded Lloyd's over a deterministic hash-ordered sample
@@ -381,6 +382,12 @@ class IVFIndex:
         else:
             idx.recompute_centroids()
         idx.save_meta()
+        if calibrate:
+            # eager fit at build time (VERDICT r6 #2): a deployment
+            # serving policy="calibrated" should never pay the
+            # brute-force calibration pass inside a latency-sensitive
+            # search call; calibrate() persists its own meta
+            idx.calibrate()
         return idx
 
     # --------------------------------------------------------- metadata
@@ -976,6 +983,11 @@ class IVFIndex:
                              "expected_scan_rows": best_cost,
                              "k": k, "n_queries": int(nq),
                              "seed": int(seed)}
+        # persist immediately: the fit is valid for the corpus just
+        # read, and every DML path clears _calibration BEFORE its own
+        # save_meta — so without this call the stats.json calibration
+        # field would only ever hold null (ADVICE r6)
+        self.save_meta()
         return self._calibration
 
     def _decide_nprobe(self, probs: np.ndarray, target_recall: float,
@@ -1002,8 +1014,20 @@ class IVFIndex:
     def _calibrated_rule(self, target_recall: float
                          ) -> tuple[float, float]:
         """(temperature, cumulative-mass cutoff) for a recall target
-        (linear interpolation; auto-fits with defaults on first use)."""
+        (linear interpolation; auto-fits with defaults on first use —
+        but loudly: the fit is a brute-force pass over a query sample,
+        a surprise inside a latency-sensitive search call. Fit eagerly
+        via build(calibrate=True) / maintain(recalibrate=True) or an
+        explicit calibrate() instead)."""
         if self._calibration is None:
+            import warnings
+            warnings.warn(
+                "search(policy='calibrated') on an uncalibrated index: "
+                "auto-running calibrate() (a brute-force pass over a "
+                "query sample) inside the search call. Prefer "
+                "build(calibrate=True), maintain(recalibrate=True), or "
+                "an explicit calibrate() at version-publish time.",
+                RuntimeWarning, stacklevel=3)
             self.calibrate()
         cal = self._calibration
         return (cal["temperature"],

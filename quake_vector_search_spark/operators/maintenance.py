@@ -74,9 +74,16 @@ def maintain(idx: IVFIndex,
              split_size: int = SPLIT_SIZE,
              merge_size: int = MERGE_SIZE,
              hot_window: int = HOT_WINDOW,
-             hot_multiplier: float = HOT_SPLIT_MULTIPLIER) -> dict:
+             hot_multiplier: float = HOT_SPLIT_MULTIPLIER,
+             recalibrate: bool = False) -> dict:
     """Run one split+merge pass, publish a new version, return a summary
-    {"splits": [...], "merges": [...], "version": N}."""
+    {"splits": [...], "merges": [...], "version": N}.
+
+    ``recalibrate`` (VERDICT r6 #2): refit the APS calibration against
+    the just-published version, eagerly, so a deployment serving
+    ``policy="calibrated"`` never pays the implicit ``calibrate()``
+    brute-force pass inside a search call (maintenance always drops the
+    previous fit — it was estimated against the old geometry)."""
     spark = idx.spark
     old_corpus = idx.corpus_path
     new_version = idx.version + 1
@@ -246,6 +253,8 @@ def maintain(idx: IVFIndex,
         refresh_pq_sidecar,
     )
     pq_refreshed = refresh_pq_sidecar(idx)
+    if recalibrate:
+        idx.calibrate()  # persists its own meta for the new version
     return {"splits": [(p, child_of[p]) for p in split_parents],
             "merges": merges, "version": new_version,
             "pq_refreshed": pq_refreshed}

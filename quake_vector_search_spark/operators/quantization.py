@@ -369,14 +369,48 @@ def _rotate_corpus(index, corpus, rot: dict):
                 F.col("_rot").alias(index.vec_col)))
 
 
-def _residual_corpus(index, corpus):
+def save_residual_snapshot(version_dir: str,
+                           cent_by_pid: dict) -> None:
+    """Persist the centroids a residual (IVFADC) sidecar was ENCODED
+    against. DML moves the live index centroids incrementally while
+    existing sidecar codes stay quantized against encode-time
+    centroids — so the ADC q − c_p LUTs must come from this snapshot,
+    not the drifted live state, or accuracy decays silently between
+    sidecar rebuilds (ADVICE r6). Metadata-scale: one vector per
+    partition."""
+    import os
+
+    pids = sorted(cent_by_pid)
+    np.savez(os.path.join(version_dir, "pq_centroids.npz"),
+             part_ids=np.asarray(pids, dtype=np.int64),
+             centroids=np.stack([cent_by_pid[p] for p in pids])
+             if pids else np.zeros((0, 0)))
+
+
+def load_residual_snapshot(version_dir: str) -> dict | None:
+    """Encode-time centroid snapshot of a residual sidecar, as
+    {pid: centroid}; None when the sidecar predates snapshots (the
+    caller falls back to live centroids — the old drift-prone
+    behavior, kept for compatibility)."""
+    import os
+
+    path = os.path.join(version_dir, "pq_centroids.npz")
+    if not os.path.exists(path):
+        return None
+    z = np.load(path)
+    return {int(p): z["centroids"][i]
+            for i, p in enumerate(z["part_ids"])}
+
+
+def _residual_corpus(index, corpus, cent_by_pid: dict | None = None):
     """Subtract each row's partition centroid (closure-broadcast —
     centroid state is metadata-scale) so PQ encodes RESIDUALS: the
     canonical IVFADC formulation (Jégou et al., TPAMI'11). Residual
     magnitudes are a fraction of the raw vectors', so the same m bytes
     quantize a much tighter distribution."""
-    cent_by_pid = {int(p): index.centroids[i].copy()
-                   for i, p in enumerate(index.part_ids)}
+    if cent_by_pid is None:
+        cent_by_pid = {int(p): index.centroids[i].copy()
+                       for i, p in enumerate(index.part_ids)}
     spark = corpus.sparkSession
     bc = spark.sparkContext.broadcast(cent_by_pid)
     id_col, vec_col = index.id_col, index.vec_col
@@ -440,12 +474,18 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
         raise ValueError("build_pq_sidecar: rotate and residual are "
                          "mutually exclusive")
     corpus = index.read_corpus()
+    enc_cents = None
     if rotate:
         model = fit_pca(corpus, vec_col=index.vec_col)
         rot = {"mean": model["mean"], "components": model["components"]}
         enc_src = _rotate_corpus(index, corpus, rot)
     elif residual:
-        rot, enc_src = None, _residual_corpus(index, corpus)
+        # freeze the encode-time centroids: DML drifts the live ones,
+        # and the ADC LUTs must match what the codes were quantized
+        # against (see save_residual_snapshot)
+        enc_cents = {int(p): index.centroids[i].copy()
+                     for i, p in enumerate(index.part_ids)}
+        rot, enc_src = None, _residual_corpus(index, corpus, enc_cents)
     else:
         rot, enc_src = None, corpus
     books = pq_train(enc_src, m=m, ksub=ksub, seed=seed,
@@ -462,6 +502,11 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
                  components=rot["components"])
     elif os.path.exists(rot_path):
         os.unlink(rot_path)   # plain rebuild replaces a rotated sidecar
+    snap_path = os.path.join(index.version_dir, "pq_centroids.npz")
+    if residual:
+        save_residual_snapshot(index.version_dir, enc_cents)
+    elif os.path.exists(snap_path):
+        os.unlink(snap_path)  # plain rebuild replaces a residual one
     with open(os.path.join(index.version_dir, "pq_meta.json"),
               "w") as fh:
         json.dump({"residual": bool(residual), "m": m,
@@ -553,7 +598,13 @@ def knn_ivf_pq(index, queries, k: int = 10, target_recall: float = 0.9,
 
     mm, ksub_eff, dsub = books.shape
     if residual:
-        cent_by_pid = {int(p): index.centroids[i].copy()
+        # LUTs must use the ENCODE-TIME centroids (snapshot persisted
+        # by the sidecar build), not the live ones DML has drifted;
+        # snapshot-less sidecars (pre-snapshot format) fall back to
+        # live centroids, as do partitions created after the snapshot
+        snap = load_residual_snapshot(index.version_dir) or {}
+        cent_by_pid = {int(p): snap.get(int(p),
+                                        index.centroids[i]).copy()
                        for i, p in enumerate(index.part_ids)
                        if int(p) in probe_map}
         bc = spark.sparkContext.broadcast(
@@ -669,10 +720,16 @@ def refresh_pq_sidecar(index, books: np.ndarray | None = None) -> bool:
         with open(prev_meta) as fh:
             residual = bool(json.load(fh).get("residual", False))
     corpus = index.read_corpus()
+    enc_cents = None
     if rot is not None:
         enc_src = _rotate_corpus(index, corpus, rot)
     elif residual:
-        enc_src = _residual_corpus(index, corpus)
+        # re-encode against the NEW layout's current centroids and
+        # snapshot them — the refresh is exactly the rebuild point
+        # where the drift window resets
+        enc_cents = {int(p): index.centroids[i].copy()
+                     for i, p in enumerate(index.part_ids)}
+        enc_src = _residual_corpus(index, corpus, enc_cents)
     else:
         enc_src = corpus
     enc = pq_encode(enc_src, books, id_col=index.id_col,
@@ -684,6 +741,8 @@ def refresh_pq_sidecar(index, books: np.ndarray | None = None) -> bool:
     if rot is not None:
         np.savez(os.path.join(index.version_dir, "pq_rotation.npz"),
                  mean=rot["mean"], components=rot["components"])
+    if residual:
+        save_residual_snapshot(index.version_dir, enc_cents)
     with open(os.path.join(index.version_dir, "pq_meta.json"),
               "w") as fh:
         json.dump({"residual": residual, "m": int(books.shape[0]),

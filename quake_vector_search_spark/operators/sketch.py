@@ -144,8 +144,21 @@ def bloom_bits(df: DataFrame, item_col: str,
     return (d.select(F.explode(bits_arr).alias("bit")).distinct())
 
 
+#: Bloom bit-derivation scheme version. v1 (rounds <=5) hashed each
+#: lane with its own md5('<j>:bloom:<item>'); v2 (round 6+) takes all
+#: k lanes from ONE md5. The schemes produce DIFFERENT bit positions —
+#: a mask/bit relation persisted under v1 would FALSE-NEGATIVE when
+#: probed with v2 derivations, which a bloom filter must never do.
+#: Nothing in this repo persists sketches across versions (masks and
+#: bit relations are built and probed within one query), but any
+#: caller that does persist them must store this constant alongside
+#: the bits and refuse to probe on mismatch.
+BLOOM_HASH_SCHEME = 2
+
+
 def _bloom_bit_exprs(item, m: int, k: int) -> list:
-    """The k bloom bit positions of one item from ONE md5 (round 6):
+    """The k bloom bit positions of one item from ONE md5 (round 6,
+    scheme v2 — see BLOOM_HASH_SCHEME for the persistence caveat):
     lane j = 7 hex chars starting at 1+7j of md5('bloom:' || item) →
     bigint % m. One hash call instead of k (the md5 dominated the
     prefilter's per-row cost); 28 bits/lane bounds m at 2^28, and four

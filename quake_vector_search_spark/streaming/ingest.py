@@ -51,16 +51,46 @@ def _append_pq_codes(index: IVFIndex, ids: np.ndarray,
             with open(meta_path) as fh:
                 residual = bool(json.load(fh).get("residual", False))
         books_cache["residual"] = residual
+        # A rotated (OPQ) sidecar's codebooks live in the PCA-rotated
+        # space; streamed vectors must be projected the same way or
+        # their codes are garbage in the ADC candidate stage (queries
+        # ARE rotated by knn_ivf_pq, so unrotated appends silently
+        # mis-rank).
+        rot_path = os.path.join(index.version_dir, "pq_rotation.npz")
+        if os.path.exists(rot_path):
+            rz = np.load(rot_path)
+            books_cache["rotation"] = {"mean": rz["mean"],
+                                       "components": rz["components"]}
+        else:
+            books_cache["rotation"] = None
     from quake_vector_search_spark.operators.quantization import (
         pq_encode_local,
     )
     enc_vecs = np.asarray(vecs, dtype=np.float64)
     if books_cache.get("residual"):
         # IVFADC sidecar: codes quantize x − c_p — mirror the batch
-        # encoder for streaming appends
+        # encoder for streaming appends. c_p comes from the sidecar's
+        # ENCODE-TIME snapshot (the LUT side reads the same snapshot);
+        # partitions born after the snapshot get their current
+        # centroid ADDED to it so encode and LUT stay consistent.
+        from quake_vector_search_spark.operators.quantization import (
+            load_residual_snapshot, save_residual_snapshot,
+        )
+        snap = books_cache.get("snapshot")
+        if snap is None:
+            snap = load_residual_snapshot(index.version_dir) or {}
+            books_cache["snapshot"] = snap
         pos_of = {int(p): i for i, p in enumerate(index.part_ids)}
-        C = np.stack([index.centroids[pos_of[int(p)]] for p in pids])
+        new_pids = {int(p) for p in pids} - set(snap)
+        if new_pids:
+            for p in new_pids:
+                snap[p] = index.centroids[pos_of[p]].copy()
+            save_residual_snapshot(index.version_dir, snap)
+        C = np.stack([snap[int(p)] for p in pids])
         enc_vecs = enc_vecs - C
+    rot = books_cache.get("rotation")
+    if rot is not None:
+        enc_vecs = (enc_vecs - rot["mean"]) @ rot["components"].T
     codes = pq_encode_local(enc_vecs, books_cache["books"])
     # pyarrow Table from the flat code buffer: exact types independent
     # of the session's Arrow config (pandas object columns of numpy

@@ -388,3 +388,51 @@ def test_residual_pq_sidecar_roundtrip(spark, tmp_path):
     found2, _ = knn_ivf_pq(idx, (qids, qmat), k=5, target_recall=1.0,
                            max_probe=64, oversample=40)
     assert avg_recall(found2, exact2, 5) >= 0.95
+
+
+def test_residual_snapshot_shields_adc_from_centroid_drift(spark, tmp_path):
+    """IVFADC staleness guard (ADVICE r6): the sidecar persists the
+    centroids it ENCODED against, and the ADC LUTs come from that
+    snapshot — so live-centroid drift under DML cannot silently corrupt
+    the candidate stage. Simulated here with an extreme drift (far
+    beyond what incremental inserts produce): oversample=1 makes the
+    candidate selection pure ADC, so with live-centroid LUTs the
+    cross-partition rankings would be garbage."""
+    import os
+
+    import numpy as np
+
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+        knn_ivf_pq,
+        load_residual_snapshot,
+    )
+    from quake_vector_search_spark.operators.workload import make_dataset
+
+    corpus = make_dataset(spark, 800, d=16, n_clusters=10, seed=5)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_res_snap"),
+                         coarse_k=4, base_k=2)
+    build_pq_sidecar(idx, m=4, ksub=32, residual=True)
+    assert os.path.exists(os.path.join(idx.version_dir,
+                                       "pq_centroids.npz"))
+    snap = load_residual_snapshot(idx.version_dir)
+    assert set(snap) == {int(p) for p in idx.part_ids}
+    # extreme per-partition drift of the LIVE centroids only — the
+    # snapshot must stay frozen and keep the ADC exact-equivalent
+    rng = np.random.default_rng(17)
+    idx.centroids = idx.centroids + rng.normal(
+        scale=100.0, size=idx.centroids.shape)
+    snap2 = load_residual_snapshot(idx.version_dir)
+    for p in snap:
+        np.testing.assert_array_equal(snap[p], snap2[p])
+    rows = corpus.where("vec_id < 8").collect()
+    qmat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    qids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    found, _ = knn_ivf_pq(idx, (qids, qmat), k=1, target_recall=1.0,
+                          max_probe=10**9, oversample=1)
+    got = {r["query_id"]: r["vec_id"] for r in found.collect()}
+    assert got == {int(q): int(q) for q in qids}
+    # maintenance re-encodes and re-snapshots against the NEW layout
+    maintain(idx)
+    snap3 = load_residual_snapshot(idx.version_dir)
+    assert set(snap3) == {int(p) for p in idx.part_ids}

@@ -392,3 +392,68 @@ def test_ivf_pq_calibrated_policy_prunes(spark, blob_index, tmp_path):
                           max_probe=len(blob_index.part_ids),
                           books=books)
     assert m_cal["avg_scanned"] < m_ref["avg_scanned"]
+
+
+# ------------------------------- eager calibration (VERDICT r6 #2)
+
+def test_calibrate_persists_itself(spark, tmp_path):
+    """calibrate() saves its own meta: a reloaded index keeps the fit
+    without the caller remembering an explicit save_meta (ADVICE r6 —
+    previously the persisted calibration field was always null)."""
+    from quake_vector_search_spark.operators.workload import make_dataset
+
+    corpus = make_dataset(spark, 1500, d=8, n_clusters=6, seed=3)
+    idx = IVFIndex.build(corpus, str(tmp_path / "cal_save"),
+                         coarse_k=4, base_k=2)
+    cal = idx.calibrate(n_queries=16)
+    re = IVFIndex.load(spark, idx.workdir)
+    assert re._calibration == cal
+
+
+def test_no_implicit_calibrate_after_eager_fit(spark, tmp_path):
+    """build(calibrate=True) and maintain(recalibrate=True) fit at
+    version-publish time, so search(policy='calibrated') never launches
+    the brute-force fit pass inside the query path."""
+    from quake_vector_search_spark.operators.maintenance import maintain
+    from quake_vector_search_spark.operators.workload import make_dataset
+
+    corpus = make_dataset(spark, 1500, d=8, n_clusters=6, seed=4)
+    idx = IVFIndex.build(corpus, str(tmp_path / "cal_eager"),
+                         coarse_k=4, base_k=2, calibrate=True)
+    assert idx._calibration is not None
+
+    def boom(*a, **k):
+        raise AssertionError("implicit calibrate() inside search")
+
+    idx.calibrate = boom
+    qmat = np.zeros((2, 8))
+    out, _ = idx.search((np.arange(2), qmat), k=3, target_recall=0.9,
+                        policy="calibrated")
+    assert out.count() > 0
+
+    # maintenance drops the fit; recalibrate=True refits eagerly
+    del idx.calibrate
+    idx.insert([777_001], np.zeros((1, 8)), refresh=False)
+    assert idx._calibration is None
+    maintain(idx, recalibrate=True)
+    assert idx._calibration is not None
+    idx.calibrate = boom
+    out2, _ = idx.search((np.arange(2), qmat), k=3, target_recall=0.9,
+                         policy="calibrated")
+    assert out2.count() > 0
+
+
+def test_implicit_autofit_warns(spark, tmp_path):
+    """Uncalibrated + policy='calibrated' still works (auto-fit) but
+    warns loudly — at scale an unexpected multi-job fit inside a
+    latency-sensitive search call is a surprise."""
+    from quake_vector_search_spark.operators.workload import make_dataset
+
+    corpus = make_dataset(spark, 1500, d=8, n_clusters=6, seed=5)
+    idx = IVFIndex.build(corpus, str(tmp_path / "cal_warn"),
+                         coarse_k=4, base_k=2)
+    assert idx._calibration is None
+    with pytest.warns(RuntimeWarning, match="uncalibrated"):
+        out, _ = idx.search((np.arange(2), np.zeros((2, 8))), k=3,
+                            target_recall=0.9, policy="calibrated")
+    assert idx._calibration is not None

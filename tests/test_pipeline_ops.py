@@ -776,3 +776,16 @@ def test_semantic_decontaminate_flags(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     out = semantic_decontaminate_flags(emb, empty, threshold=0.5).collect()
     assert all(not r["contaminated"] for r in out) and len(out) == 4
+
+
+def test_cosine_pairs_lsh_empty_arrow_batches(spark):
+    """ADVICE r6: the pandas band_keys UDF must tolerate zero-row
+    Arrow batches (empty partitions after a wide repartition) — the
+    np.stack over an empty array list would raise otherwise."""
+    from quake_vector_search_spark.operators.dedup import cosine_pairs_lsh
+
+    rows = [(0, [1.0, 0.0, 0.0]), (1, [1.0, 1e-4, 0.0])]
+    emb = (spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+           .repartition(16))
+    pairs = cosine_pairs_lsh(emb, threshold=0.999).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}

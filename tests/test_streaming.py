@@ -401,3 +401,67 @@ def test_streaming_cms_matches_batch(spark, events_dir):
             for r in cms_sketch(batch.select("event_type"),
                                 "event_type").collect()}
     assert got == want and got
+
+
+def test_streaming_ingest_into_rotated_sidecar(spark):
+    """ADVICE r6 (medium): vectors streamed into an OPQ-rotated
+    sidecar must be encoded IN THE ROTATED SPACE — the codebooks live
+    there and knn_ivf_pq rotates queries, so unrotated appends would
+    produce garbage codes that silently mis-rank in the ADC stage.
+    Checked bit-exactly against the local encoder, then behaviorally
+    with oversample=1 (pure-ADC candidate selection, no rerank mask)."""
+    import os
+
+    import numpy as np
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+        knn_ivf_pq,
+        pq_encode_local,
+    )
+    from quake_vector_search_spark.streaming.ingest import ingest_stream
+
+    emb = load_table(spark, SF, "embeddings")
+    wd = "/tmp/qvss_stream_ivf_opq"
+    shutil.rmtree(wd, ignore_errors=True)
+    idx = IVFIndex.build(emb, wd, coarse_k=4, base_k=2)
+    books = build_pq_sidecar(idx, m=8, ksub=16, seed=99, rotate=True)
+    rz = np.load(os.path.join(idx.version_dir, "pq_rotation.npz"))
+
+    rng = np.random.default_rng(23)
+    rows = [(int(30_000 + i), rng.normal(size=64).astype(float).tolist())
+            for i in range(10)]
+    vec_dir = "/tmp/qvss_stream_vecs_opq"
+    shutil.rmtree(vec_dir, ignore_errors=True)
+    shutil.rmtree("/tmp/qvss_stream_ckpt_opq", ignore_errors=True)
+    (spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+     .repartition(2).write.mode("overwrite").parquet(vec_dir))
+    vstream = (spark.readStream
+               .schema("vec_id long, embedding array<float>")
+               .option("maxFilesPerTrigger", 1).parquet(vec_dir))
+    q = ingest_stream(idx, vstream, "/tmp/qvss_stream_ckpt_opq")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # bit-exact: the appended code equals the local rotated-space encode
+    probe_id, probe_vec = rows[3]
+    got_code = (spark.read.parquet(f"{idx.version_dir}/pq")
+                .where(f"vec_id = {probe_id}")
+                .collect())
+    assert len(got_code) == 1
+    v = np.asarray(probe_vec, dtype=np.float64)
+    # the corpus stores float32: the streamed vector was encoded from
+    # the float32-rounded values the batch collect returned
+    v32 = v.astype(np.float32).astype(np.float64)
+    want = pq_encode_local(
+        ((v32 - rz["mean"]) @ rz["components"].T)[None, :], books)[0]
+    assert list(got_code[0]["pq_codes"]) == [int(c) for c in want]
+    # behavioral: ADC alone (oversample=1) ranks the streamed vector
+    # first for its own query
+    found, _ = knn_ivf_pq(idx, ([1], np.array([probe_vec])), k=1,
+                          target_recall=1.0, max_probe=10**9,
+                          oversample=1, books=books)
+    assert found.collect()[0]["vec_id"] == probe_id
