@@ -5,15 +5,19 @@ reorder, an entry added to a window module, or a change to WINDOW_R6
 would silently rotate queries out of driver verification. This test
 makes that a hard failure instead.
 
-Round 6 rotated the window (VERDICT r5 #1): ``ordered_registry()`` now
-puts the never-driver-checked TPC-H battery, dedup family, streaming
-mirrors and sketch rows first (WINDOW_R6). The rounds-1-5 window stays
-pinned as the raw-REGISTRY prefix so both remain verified compositions.
+Round 6 rotated the window (VERDICT r5 #1): TPC-H battery, dedup
+family, streaming mirrors and sketch rows (WINDOW_R6). Round 7 rotated
+a THIRD disjoint 50 in front (WINDOW_R7: quantization ladder,
+calibrated APS, retrieval/graph/BPE/PCA rows, format roundtrips, the
+E4/E7-E9 relational surface); WINDOW_R6 now sits at positions 51-100.
+The rounds-1-5 window stays pinned as the raw-REGISTRY prefix so all
+three remain verified compositions.
 """
 
 from quake_vector_search_spark.queries import (
     REGISTRY,
     WINDOW_R6,
+    WINDOW_R7,
     load_all_query_modules,
     ordered_registry,
 )
@@ -46,12 +50,22 @@ WINDOW_R2R5 = [
 ]
 
 
-def test_r6_window_is_the_rotated_surface():
-    """First 50 of the driver-facing ordering = WINDOW_R6, and every
-    name in it was OUTSIDE the rounds-1-5 window (pure rotation)."""
+def test_r7_window_is_the_rotated_surface():
+    """First 50 of the driver-facing ordering = WINDOW_R7, disjoint
+    from BOTH previously driver-verified windows (pure rotation)."""
+    names = list(ordered_registry())
+    assert len(WINDOW_R7) == 50
+    assert names[:50] == list(WINDOW_R7)
+    assert not set(WINDOW_R7) & set(WINDOW_R6)
+    assert not set(WINDOW_R7) & set(WINDOW_R2R5)
+
+
+def test_r6_window_still_pinned_at_51_100():
+    """The round-6 driver-verified window keeps its exact composition
+    at positions 51-100 of the driver-facing ordering."""
     names = list(ordered_registry())
     assert len(WINDOW_R6) == 50
-    assert names[:50] == list(WINDOW_R6)
+    assert names[50:100] == list(WINDOW_R6)
     assert not set(WINDOW_R6) & set(WINDOW_R2R5)
 
 
