@@ -47,12 +47,12 @@ def synthesize_assets(docs: DataFrame, media_type: str = "image") -> DataFrame:
 def real_decode_stub(content: bytes) -> np.ndarray:
     """The seam for a real decoder (PIL.Image.open / soundfile / ffmpeg
     frame extraction). Not available in this container — but see
-    ``decode_ppm`` below for a real, dependency-free decoder proving
-    the seam end-to-end."""
+    ``decode_ppm`` (image) and ``decode_wav`` (audio) below for real,
+    dependency-free decoders proving the seam end-to-end."""
     raise NotImplementedError(
         "media codecs are not bundled; pass decode= a real decoder "
-        "(e.g. PIL-based or decode_ppm) or use fake_decode for "
-        "plumbing tests")
+        "(e.g. PIL-based, decode_ppm, decode_wav) or use fake_decode "
+        "for plumbing tests")
 
 
 def decode_ppm(content: bytes) -> np.ndarray:
@@ -118,6 +118,103 @@ def synthesize_ppm_assets(docs: DataFrame) -> DataFrame:
                     for k in range(w * h * 3))
                 payloads.append(b"P6\n# qvss synthetic\n"
                                 + f"{w} {h}\n255\n".encode() + raster)
+            yield pd.DataFrame({"asset_id": pdf["doc_id"],
+                                "content": payloads})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, "asset_id long, content binary")
+
+
+def decode_wav(content: bytes) -> np.ndarray:
+    """REAL audio decoder (round 7): RIFF/WAVE PCM parsed with nothing
+    but the stdlib + NumPy — the second genuine format on the codec
+    seam (after ``decode_ppm``), giving the ``media_type="audio"`` path
+    a real decoder too. Walks the chunk list (skipping unknown chunks
+    like LIST/INFO, honoring the odd-size pad byte), reads the ``fmt ``
+    chunk (PCM only, 8- or 16-bit samples), and reshapes the ``data``
+    raster to (n_frames, n_channels) int32 — 8-bit unsigned is offset
+    to signed like every audio library does. Truncated data and
+    non-PCM encodings raise instead of mis-decoding."""
+    import struct
+
+    b = bytes(content) if isinstance(content, (bytes, bytearray)) else b""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("decode_wav: not a RIFF/WAVE payload")
+    pos, n = 12, len(b)
+    fmt = None
+    data = None
+    while pos + 8 <= n:
+        cid = b[pos:pos + 4]
+        (csize,) = struct.unpack_from("<I", b, pos + 4)
+        body = b[pos + 8:pos + 8 + csize]
+        if cid == b"fmt ":
+            if csize < 16:
+                raise ValueError("decode_wav: short fmt chunk")
+            audio_fmt, nch, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body, 0)
+            if audio_fmt != 1:
+                raise ValueError(f"decode_wav: non-PCM format "
+                                 f"{audio_fmt} unsupported")
+            if bits not in (8, 16):
+                raise ValueError(f"decode_wav: {bits}-bit samples "
+                                 "unsupported (8|16)")
+            if nch < 1:
+                raise ValueError("decode_wav: zero channels")
+            fmt = (nch, rate, bits)
+        elif cid == b"data":
+            if len(body) != csize:
+                raise ValueError(f"decode_wav: truncated data chunk "
+                                 f"({len(body)} of {csize} bytes)")
+            data = body
+        # chunks are word-aligned: odd sizes carry one pad byte
+        pos += 8 + csize + (csize & 1)
+    if fmt is None or data is None:
+        raise ValueError("decode_wav: missing fmt/data chunk")
+    nch, _rate, bits = fmt
+    if bits == 16:
+        if len(data) % 2:
+            raise ValueError("decode_wav: odd 16-bit data length")
+        samples = np.frombuffer(data, dtype="<i2").astype(np.int32)
+    else:
+        samples = np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128
+    if len(samples) % nch:
+        raise ValueError(f"decode_wav: {len(samples)} samples not "
+                         f"divisible by {nch} channels")
+    return samples.reshape(-1, nch)
+
+
+def synthesize_wav_assets(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL 16-bit PCM WAV assets from documents: flat
+    sample k (frame-major, channel-interleaved) = md5int(text:k) %
+    65536 − 32768 — the same SQL-expressible md5-integer trick as
+    ``synthesize_ppm_assets``, so a DuckDB oracle recomputes every
+    sample from text alone while the Spark side round-trips genuine
+    RIFF bytes through a genuine parser. n_frames = n_chars % 7 + 3,
+    n_channels = n_chars % 2 + 1; a junk LIST chunk with an ODD size
+    sits between fmt and data to exercise chunk traversal + padding."""
+    import struct
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                t = text or ""
+                nf = (len(t) % 7) + 3
+                nc = (len(t) % 2) + 1
+                vals = [
+                    int(hashlib.md5(f"{t}:{k}".encode())
+                        .hexdigest()[:15], 16) % 65536 - 32768
+                    for k in range(nf * nc)]
+                raster = struct.pack(f"<{len(vals)}h", *vals)
+                rate = 8000
+                fmt = (b"fmt " + struct.pack("<I", 16)
+                       + struct.pack("<HHIIHH", 1, nc, rate,
+                                     rate * nc * 2, nc * 2, 16))
+                junk = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+                data = b"data" + struct.pack("<I", len(raster)) + raster
+                body = b"WAVE" + fmt + junk + data
+                payloads.append(b"RIFF" + struct.pack("<I", len(body))
+                                + body)
             yield pd.DataFrame({"asset_id": pdf["doc_id"],
                                 "content": payloads})
 
