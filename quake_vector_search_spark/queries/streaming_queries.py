@@ -674,3 +674,93 @@ def stream_semantic_decontaminate_equals_batch(spark, sf_dir):
                             .alias("max_eval_cosine"),
                            "contaminated")
             .orderBy("vec_id"))
+
+
+@register("stream_serving_calibrated_equals_batch", sql="""
+SELECT CAST(20 AS BIGINT) AS n_queries, TRUE AS counts_match,
+       TRUE AS stream_equals_batch, TRUE AS k_rows_per_query,
+       TRUE AS no_implicit_fit
+""")
+def stream_serving_calibrated_equals_batch(spark, sf_dir):
+    """Online serving under the CALIBRATED probing policy (round 7,
+    VERDICT r6 #7): the same fitted temperature/cutoff rule that
+    drives batch search must drive streamed micro-batches, answer for
+    answer. Build a clustered index (make_dataset — pruning is real
+    there), fit eagerly via build(calibrate=True), run 20 corpus
+    queries once as a BATCH calibrated search and once as a 2-file
+    STREAM through streaming/serving.py::search_stream(policy=
+    "calibrated") against the SAME index version, and hash-pin:
+    identical row sets (query_id, vec_id, dist@6, rank), k rows per
+    query, and — because the fit was eager — no implicit calibrate()
+    ran inside any micro-batch (asserted by poisoning the method).
+    APS scoring is a pure function of query + centroid state, so any
+    drift between the two paths is a real serving bug."""
+    import uuid
+
+    import numpy as np
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.workload import make_dataset
+    from quake_vector_search_spark.streaming.serving import search_stream
+
+    n, d, nq, k = 6000, 16, 20, 10
+    corpus = make_dataset(spark, n, d=d, n_clusters=30, seed=11)
+    wd = os.path.join(f"/tmp/qvss_ivf_{os.getpid()}", "serving_cal")
+    shutil.rmtree(wd, ignore_errors=True)
+    idx = IVFIndex.build(corpus, wd, coarse_k=8, base_k=8,
+                         calibrate=True)
+
+    qrows = corpus.where(F.col("vec_id") < nq).collect()
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    batch, _ = idx.search((qids, qmat), k=k, target_recall=0.9,
+                          policy="calibrated",
+                          max_probe=len(idx.part_ids))
+    batch_rows = {(int(r["query_id"]), int(r["vec_id"]),
+                   round(r["dist"], 6), int(r["rank"]))
+                  for r in batch.collect()}
+
+    # the fit is eager — a micro-batch must never trigger the implicit
+    # brute-force auto-fit
+    def _poisoned(*a, **kw):
+        raise AssertionError("implicit calibrate() inside serving")
+    idx.calibrate = _poisoned
+
+    run = uuid.uuid4().hex[:8]
+    qdir = f"/tmp/qvss_serving_cal_q_{os.getpid()}_{run}"
+    results = f"/tmp/qvss_serving_cal_out_{os.getpid()}_{run}"
+    ckpt = f"/tmp/qvss_serving_cal_ckpt_{os.getpid()}_{run}"
+    (corpus.where(F.col("vec_id") < nq)
+     .withColumnRenamed("vec_id", "query_id")
+     .select("query_id", "embedding")
+     .repartition(2).write.mode("overwrite").parquet(qdir))
+    qstream = (spark.readStream
+               .schema("query_id long, embedding array<float>")
+               .option("maxFilesPerTrigger", 1).parquet(qdir))
+    q = search_stream(idx, qstream, results, ckpt, k=k,
+                      target_recall=0.9,
+                      max_probe=len(idx.part_ids),
+                      policy="calibrated")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stream_rows = {(int(r["query_id"]), int(r["vec_id"]),
+                    round(r["dist"], 6), int(r["rank"]))
+                   for r in spark.read.parquet(results).collect()}
+    for p in (qdir, results, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+
+    per_q: dict[int, int] = {}
+    for qid, _v, _d, _r in stream_rows:
+        per_q[qid] = per_q.get(qid, 0) + 1
+    return spark.createDataFrame(
+        [(nq,
+          bool(len(stream_rows) == len(batch_rows)),
+          bool(stream_rows == batch_rows),
+          bool(len(per_q) == nq
+               and all(c == k for c in per_q.values())),
+          True)],  # _poisoned would have raised otherwise
+        "n_queries long, counts_match boolean, "
+        "stream_equals_batch boolean, k_rows_per_query boolean, "
+        "no_implicit_fit boolean")

@@ -35,17 +35,24 @@ def search_stream(index: IVFIndex, queries_stream: DataFrame,
                   k: int = 10, target_recall: float = 0.9,
                   max_probe: int = 64,
                   query_id_col: str = "query_id",
-                  query_vec_col: str = "embedding"):
+                  query_vec_col: str = "embedding",
+                  policy: str = "reference"):
     """Attach a query stream to the index; each micro-batch's top-k
     results land in ``results_dir`` as parquet rows
     (query_id, vec_id, dist|sim, rank, epoch_id). Returns the
     StreamingQuery; caller owns lifecycle (processAllAvailable/stop).
+
+    ``policy`` passes through to IVFIndex.search — serving can run
+    under the fitted calibrated probing rule (round 7). Calibrate
+    EAGERLY before attaching the stream (build(calibrate=True) /
+    maintain(recalibrate=True)): the implicit auto-fit would otherwise
+    run its brute-force pass inside the first micro-batch.
     """
     def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
         out, _meta = index.search(
             batch_df, k=k, target_recall=target_recall,
             max_probe=max_probe, query_id_col=query_id_col,
-            query_vec_col=query_vec_col)
+            query_vec_col=query_vec_col, policy=policy)
         (out.withColumn("epoch_id", F.lit(int(epoch_id)))
          .write.mode("append").parquet(results_dir))
 
