@@ -180,6 +180,121 @@ def ivf_calibrated_n40k(spark) -> dict:
     }
 
 
+def ivf_scale_n400k(spark) -> dict:
+    """Calibrated pruning + ADC ladder at 10× the reference's corpus
+    (round 7, VERDICT r6 #3): the sf0.1 testdata embeddings are
+    near-isotropic and the 40k block is small enough that LUT overhead
+    dominates ADC, so neither shows the at-scale story. This block
+    does: a 400k×64 clustered corpus (150 Gaussian blobs), a
+    ~256-partition index, the fitted calibrated policy's
+    recall-vs-scanned curve, and plain-vs-residual PQ recall at the
+    same 8-byte budget — the regime where scan bandwidth, not setup,
+    is the cost."""
+    import shutil
+
+    from quake_vector_search_spark.operators.evaluation import avg_recall
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.knn import knn_bruteforce
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+        knn_ivf_pq,
+    )
+    from quake_vector_search_spark.operators.workload import make_dataset
+
+    # the reference's exact cluster geometry (60 blobs, seed 7) at 10×
+    # the points — same overlap structure, so pruning numbers compare
+    # directly to the n40k block; 256 partitions need a larger, wider-
+    # margin calibration sample or the fit overfits (measured: 128
+    # queries / margin .02 hit recall 0.85 held-out at target 0.9)
+    n, d = 400_000, 64
+    emb = make_dataset(spark, n, d=d, n_clusters=60, seed=7).cache()
+    emb.count()
+    wd = "/tmp/qvss_bench_400k"
+    shutil.rmtree(wd, ignore_errors=True)
+    t0 = time.time()
+    idx = IVFIndex.build(emb, wd, coarse_k=32, base_k=8)
+    build_s = time.time() - t0
+    t0 = time.time()
+    cal = idx.calibrate(n_queries=256, margin=0.05)
+    calibrate_s = time.time() - t0
+
+    rng = np.random.default_rng(3)
+    rows = emb.where("vec_id < 4000").collect()
+    vecs = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    pick = rng.integers(0, len(vecs), 50)
+    qmat = vecs[pick] + rng.normal(0.0, 0.1, size=(50, d))
+    qids = np.arange(50)
+    exact = knn_bruteforce(idx.read_corpus(), (qids, qmat), k=K)
+    exact = exact.localCheckpoint()
+
+    pts = []
+    for policy, targets in (("reference", (0.9,)),
+                            ("calibrated", (0.5, 0.9, 0.99))):
+        for tr in targets:
+            t1 = time.time()
+            f, m = idx.search((qids, qmat), k=K, target_recall=tr,
+                              policy=policy,
+                              max_probe=len(idx.part_ids))
+            f = f.cache()
+            f.count()
+            batch_s = time.time() - t1
+            pts.append({
+                "policy": policy, "target_recall": tr,
+                "avg_nprobe": round(m["avg_nprobe"], 2),
+                "scanned_frac": round(m["avg_scanned"] / n, 4),
+                "recall_at_10": round(avg_recall(f, exact, K), 4),
+                "batch50_ms": round(1000 * batch_s, 1),
+            })
+
+    # PQ ladder at the same 8-byte budget. Plain-sidecar values are
+    # computed BEFORE the residual build overwrites the codes files
+    # (round-6 measurement bug: a cached DataFrame is a hint, not a
+    # snapshot).
+    t1 = time.time()
+    books = build_pq_sidecar(idx, m=8, ksub=256, seed=99)
+    pq_build_s = time.time() - t1
+    t1 = time.time()
+    fpq, _ = knn_ivf_pq(idx, (qids, qmat), k=K, target_recall=0.9,
+                        oversample=32, books=books)
+    fpq = fpq.cache()
+    fpq.count()
+    pq_search_s = time.time() - t1
+    plain_recall = round(avg_recall(fpq, exact, K), 4)
+    t1 = time.time()
+    books_res = build_pq_sidecar(idx, m=8, ksub=256, seed=99,
+                                 residual=True)
+    res_build_s = time.time() - t1
+    t1 = time.time()
+    fres, _ = knn_ivf_pq(idx, (qids, qmat), k=K, target_recall=0.9,
+                         oversample=32, books=books_res)
+    fres = fres.cache()
+    fres.count()
+    res_search_s = time.time() - t1
+    res_recall = round(avg_recall(fres, exact, K), 4)
+    emb.unpersist()
+    out = {
+        "n_corpus": n,
+        "n_partitions": int(len(idx.part_ids)),
+        "build_s": round(build_s, 3),
+        "calibrate_s": round(calibrate_s, 3),
+        "temperature": cal["temperature"],
+        "points": pts,
+        "ivf_pq": {
+            "sidecar_build_s": round(pq_build_s, 3),
+            "batch50_ms": round(1000 * pq_search_s, 1),
+            "recall_at_10": plain_recall,
+            "residual_variant": {
+                "sidecar_build_s": round(res_build_s, 3),
+                "batch50_ms": round(1000 * res_search_s, 1),
+                "recall_at_10": res_recall,
+            },
+            "bytes_per_vector_scanned": 8,
+        },
+    }
+    shutil.rmtree(wd, ignore_errors=True)
+    return out
+
+
 def _replay(spark, emb, workdir: str, n_queries: int, batch: int,
             n_ins: int, n_del: int, maintain_every: int,
             curve: bool) -> dict:
@@ -449,8 +564,12 @@ def main() -> None:
     cal40k = ivf_calibrated_n40k(spark)
     times["ivf_calibrated_n40k"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    scale400k = ivf_scale_n400k(spark)
+    times["ivf_scale_n400k"] = round(time.time() - t0, 3)
+
     total = round(sum(times.values()), 3)
-    print(json.dumps({
+    payload = {
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
@@ -459,7 +578,25 @@ def main() -> None:
         "ivf": ivf,
         "ivf_n40k_reference_config": ivf40k,
         "ivf_calibrated_n40k": cal40k,
-    }))
+        "ivf_scale_n400k": scale400k,
+    }
+    print(json.dumps(payload))
+    # committed machine-readable copy (VERDICT r6 #4): the driver's
+    # BENCH_r{N}.json keeps only a truncated output tail, so the
+    # per-query longitudinal record must survive somewhere
+    # tools/bench_compare.py can read both sides of. Round number =
+    # next after the newest recorded driver artifact, overridable.
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if out_path is None:
+        import re as _re
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        rounds = [int(m.group(1)) for f in os.listdir(here)
+                  if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", f))]
+        out_path = os.path.join(
+            here, f"bench_results_r{(max(rounds, default=0) + 1):02d}.json")
+    with open(out_path, "w") as fh:
+        json.dump(payload, fh, indent=1)
 
 
 if __name__ == "__main__":
