@@ -849,7 +849,8 @@ class IVFIndex:
     # ----------------------------------------------------- calibration
     def calibrate(self, n_queries: int = 64, k: int = 10,
                   targets: tuple = (0.5, 0.7, 0.8, 0.9, 0.95, 0.99),
-                  margin: float = 0.02, seed: int = 1234) -> dict:
+                  margin: float = 0.02, seed: int = 1234,
+                  route_cells: int | None = None) -> dict:
         """Fit ``policy="calibrated"`` cutoffs for adaptive probing.
 
         The reference APS policy treats the softmax cumulative mass as
@@ -876,6 +877,17 @@ class IVFIndex:
         run once per index version, amortized over every calibrated
         search. Returns the fitted {"targets", "cutoffs"} mapping and
         stores it on the index (invalidated by DML/maintenance).
+
+        ``route_cells`` (round 7) fits against the ROUTED two-level
+        scoring instead of full scoring — the >10⁵-partition scale
+        path, where a full centroid scan per query is itself the
+        bottleneck. The routed softmax renormalizes over each query's
+        nearest coarse cells, so its mass→recall mapping is a
+        DIFFERENT function; the fit records which restriction it was
+        estimated under and ``search`` only accepts a matching
+        ``route_cells``. Neighbors outside a query's routed cells are
+        unreachable at any prefix and correctly depress the achieved
+        coverage the fit sees.
         """
         from quake_vector_search_spark.operators.knn import knn_bruteforce
         corpus = self.read_corpus()
@@ -898,7 +910,8 @@ class IVFIndex:
         for r in truth:
             parts_by_q.setdefault(int(r["query_id"]), []).append(
                 int(r["partition_id"]))
-        order, probs = self.partition_scores(qmat)
+        order, probs = self.partition_scores(qmat,
+                                             route_cells=route_cells)
         cum = np.cumsum(probs, axis=1)
         nq, P = probs.shape
         # coverage-by-prefix per query (coverage == recall: probed
@@ -917,7 +930,12 @@ class IVFIndex:
             w = np.zeros(P)
             vals, counts = np.unique(tp, return_counts=True)
             for v, c in zip(vals.tolist(), counts.tolist()):
-                w[pos_of[v]] += c
+                # under routed scoring the probe matrix only spans the
+                # batch-union of routed members: a true neighbor
+                # outside it is unreachable at ANY prefix and
+                # correctly caps this query's achievable coverage
+                if v in pos_of:
+                    w[pos_of[v]] += c
             cov[qi] = np.cumsum(w) / float(len(tp))
         # scanned-row cost of each prefix, per query
         size_cum = np.cumsum(
@@ -982,7 +1000,9 @@ class IVFIndex:
                              "temperature": float(best_s),
                              "expected_scan_rows": best_cost,
                              "k": k, "n_queries": int(nq),
-                             "seed": int(seed)}
+                             "seed": int(seed),
+                             "route_cells": (None if route_cells is None
+                                             else int(route_cells))}
         # persist immediately: the fit is valid for the corpus just
         # read, and every DML path clears _calibration BEFORE its own
         # save_meta — so without this call the stats.json calibration
@@ -1051,6 +1071,14 @@ class IVFIndex:
         use) to the probe decision, same as search(policy=...)."""
         temperature, cutoff = 1.0, None
         if policy == "calibrated":
+            if (self._calibration is not None
+                    and self._calibration.get("route_cells") is not None):
+                raise ValueError(
+                    "partition_scores_distributed: the fitted "
+                    "calibration is routed (route_cells="
+                    f"{self._calibration['route_cells']}) but this "
+                    "path scores ALL partitions; refit with "
+                    "calibrate() (full scoring) first.")
             temperature, cutoff = self._calibrated_rule(target_recall)
         elif policy != "reference":
             raise ValueError(f"unknown policy {policy!r} "
@@ -1122,14 +1150,39 @@ class IVFIndex:
             return empty, {"nprobe": [], "avg_nprobe": 0.0,
                            "avg_scanned": 0.0,
                            "n_partitions": len(self.part_ids)}
-        if (policy == "calibrated" and route_cells is not None
-                and route_cells < len(self.coarse_centroids)):
-            raise ValueError(
-                "search: policy='calibrated' cutoffs are fitted against "
-                "FULL partition scoring; route_cells restricts and "
-                "renormalizes the softmax, so the fitted mass cutoffs "
-                "do not transfer. Search without route_cells, or use "
-                "policy='reference' for routed search.")
+        if policy == "calibrated":
+            # the fitted mass cutoffs belong to ONE scoring function:
+            # routed scoring renormalizes the softmax over each query's
+            # routed cells, so a fit under one restriction does not
+            # transfer to another (round 7: calibrate(route_cells=N)
+            # composes; mismatches still refuse loudly)
+            asked = (int(route_cells)
+                     if (route_cells is not None
+                         and route_cells < len(self.coarse_centroids))
+                     else None)
+            if self._calibration is None:
+                if asked is not None:
+                    import warnings
+                    warnings.warn(
+                        "search(policy='calibrated', route_cells="
+                        f"{asked}) on an uncalibrated index: "
+                        "auto-running calibrate(route_cells="
+                        f"{asked}) inside the search call. Prefer an "
+                        "eager fit at version-publish time.",
+                        RuntimeWarning, stacklevel=2)
+                    self.calibrate(route_cells=asked)
+                # asked None → _calibrated_rule below auto-fits full
+            else:
+                fitted = self._calibration.get("route_cells")
+                if fitted != asked:
+                    raise ValueError(
+                        "search: policy='calibrated' cutoffs were "
+                        f"fitted under route_cells={fitted!r} but this "
+                        f"search asked route_cells={asked!r}; the "
+                        "routed softmax renormalizes, so cutoffs do "
+                        "not transfer across restrictions. Refit with "
+                        f"calibrate(route_cells={asked!r}) or search "
+                        "under the fitted restriction.")
         order, probs = self.partition_scores(qmat, route_cells=route_cells)
         nprobe = self._decide_nprobe(probs, target_recall, max_probe,
                                      policy)

@@ -175,6 +175,94 @@ def _infer_id_col(df: DataFrame, default: str = "vec_id") -> str:
     return default if default in df.columns else df.columns[0]
 
 
+def opq_refine_local(samp: np.ndarray, m: int, ksub: int = 256,
+                     opq_iters: int = 4, kmeans_iters: int = 4,
+                     seed: int = 99) -> dict:
+    """Iterative OPQ (round 7): refine a PCA-initialized rotation by
+    alternating codebook training and an orthogonal-Procrustes update
+    (the non-parametric OPQ of Ge et al., CVPR'13). One-shot PCA
+    decorrelates subspaces but ignores the quantizer; the alternation
+    rotates the space to MINIMIZE actual PQ reconstruction error:
+
+      repeat: train codebooks in the current rotated space →
+              decode → R ← argmin_orthogonal ||Z Rᵀ − decoded||_F
+              (SVD of ZᵀŶ — the Procrustes solution)
+
+    Driver-side on the bounded seeded sample only (a d×d rotation
+    needs a representative sample, not the corpus; each step is a few
+    NumPy matmuls + m seeded Lloyd's runs). Lloyd's from a fixed
+    seeded init is not an exact argmin, so the running BEST
+    configuration by measured error is returned — the refined
+    rotation can only match or beat the PCA init. Returns
+    {"mean", "components", "books", "errors", "best_error"};
+    ``errors[0]`` is the PCA-init reconstruction MSE and
+    ``best_error`` (= min(errors)) belongs to the returned config.
+    The rotation plugs into the persisted pq_rotation.npz format
+    unchanged, so queries, streaming appends, and maintenance refresh
+    all pick it up with zero further changes."""
+    from quake_vector_search_spark.operators.kmeans import local_kmeans
+
+    X = np.asarray(samp, dtype=np.float64)
+    n, d = X.shape
+    if d % m != 0:
+        raise ValueError(f"d={d} not divisible by m={m}")
+    dsub = d // m
+    ksub_eff = min(ksub, n)
+    mean = X.mean(axis=0)
+    Z = X - mean
+    # Init = PCA + EIGENVALUE ALLOCATION (the parametric OPQ of Ge et
+    # al. §4): plain PCA stuffs all variance into the first subspace,
+    # which a fixed ksub budget quantizes terribly; greedily assigning
+    # principal directions so each subspace's variance PRODUCT is
+    # balanced (min log-sum bucket first) equalizes the per-subspace
+    # quantization load. The non-parametric alternation below then
+    # refines from an already-strong start — starting it from plain
+    # PCA is a known local-minimum trap on low-rank data.
+    cov = (Z.T @ Z) / max(n - 1, 1)
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    eigvals, eigvecs = eigvals[::-1], eigvecs[:, ::-1]   # descending
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    load = np.zeros(m)
+    for i in range(d):
+        open_b = [b for b in range(m) if len(buckets[b]) < dsub]
+        b = min(open_b, key=lambda b: load[b])
+        buckets[b].append(i)
+        load[b] += np.log(max(eigvals[i], 1e-12))
+    perm = [i for b in buckets for i in b]
+    R = eigvecs[:, perm].T
+
+    def _books_for(Y):
+        books = np.empty((m, ksub_eff, dsub), dtype=np.float64)
+        for j in range(m):
+            books[j], _ = local_kmeans(Y[:, j * dsub:(j + 1) * dsub],
+                                       ksub_eff, kmeans_iters,
+                                       seed + 1 + j)
+        return books
+
+    def _decode(Y, books):
+        codes = pq_encode_local(Y, books)
+        out = np.empty_like(Y)
+        for j in range(m):
+            out[:, j * dsub:(j + 1) * dsub] = books[j][codes[:, j]]
+        return out
+
+    best = None
+    errors = []
+    for _ in range(max(1, opq_iters)):
+        Y = Z @ R.T
+        books = _books_for(Y)
+        Yhat = _decode(Y, books)
+        err = float(((Y - Yhat) ** 2).sum() / n)
+        errors.append(err)
+        if best is None or err < best[0]:
+            best = (err, R.copy(), books.copy())
+        # Procrustes: R.T <- argmin_Q ||Z Q - Yhat||_F, Q orthogonal
+        U, _s, Vt = np.linalg.svd(Z.T @ Yhat)
+        R = (U @ Vt).T
+    return {"mean": mean, "components": best[1], "books": best[2],
+            "errors": errors, "best_error": best[0]}
+
+
 def pq_encode_local(vecs: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
     """NumPy PQ encode of one vector block: [n, d] → [n, m] int codes
     (nearest sub-centroid per subspace). The kernel shared by the
@@ -437,7 +525,8 @@ def _residual_corpus(index, corpus, cent_by_pid: dict | None = None):
 def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
                      seed: int = 99, sample_n: int = 100_000,
                      rotate: bool = False,
-                     residual: bool = False) -> np.ndarray:
+                     residual: bool = False,
+                     opq_iters: int = 0) -> np.ndarray:
     """Build a PQ codes *sidecar* for a published IVF index version:
     train codebooks on a bounded sample of the live corpus, encode every
     vector, and write the codes Parquet partitioned exactly like the
@@ -450,7 +539,10 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
     persists as pq_rotation.npz next to the codebooks and
     ``knn_ivf_pq`` applies it to queries automatically. The rerank is
     always in the original space, so accuracy semantics are unchanged
-    — only ADC candidate quality improves.
+    — only ADC candidate quality improves. ``opq_iters > 0`` (round 7)
+    refines that init with the full iterative OPQ alternation
+    (``opq_refine_local``) before encoding — same persisted format,
+    measurably lower quantization error on correlated data.
 
     ``residual=True`` (round 6) encodes ``x − centroid(partition)``
     instead of ``x`` — the canonical IVFADC formulation: residuals
@@ -476,7 +568,24 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
     corpus = index.read_corpus()
     enc_cents = None
     if rotate:
-        model = fit_pca(corpus, vec_col=index.vec_col)
+        if opq_iters > 0:
+            # iterative OPQ (round 7): alternate codebook training and
+            # Procrustes rotation updates on a bounded seeded sample —
+            # same persisted-rotation contract, strictly better (or
+            # equal) reconstruction than the one-shot PCA init. The
+            # refine sample is capped below the train sample: a d×d
+            # rotation needs far fewer rows than ksub·m centroids do.
+            from quake_vector_search_spark.operators.kmeans import (
+                _seeded_sample,
+            )
+
+            _, samp = _seeded_sample(corpus, index.vec_col,
+                                     index.id_col,
+                                     min(sample_n, 25_000), seed)
+            model = opq_refine_local(samp, m=m, ksub=ksub,
+                                     opq_iters=opq_iters, seed=seed)
+        else:
+            model = fit_pca(corpus, vec_col=index.vec_col)
         rot = {"mean": model["mean"], "components": model["components"]}
         enc_src = _rotate_corpus(index, corpus, rot)
     elif residual:
@@ -569,7 +678,16 @@ def knn_ivf_pq(index, queries, k: int = 10, target_recall: float = 0.9,
                  "n_partitions": len(index.part_ids)})
 
     # same probe-count rule as IVFIndex.search — incl. the calibrated
-    # temperature/cutoff fit when policy="calibrated"
+    # temperature/cutoff fit when policy="calibrated". This path scores
+    # ALL partitions, so a fit estimated under routed scoring does not
+    # transfer (same refusal as partition_scores_distributed).
+    if (policy == "calibrated" and index._calibration is not None
+            and index._calibration.get("route_cells") is not None):
+        raise ValueError(
+            "knn_ivf_pq: the fitted calibration is routed "
+            f"(route_cells={index._calibration['route_cells']}) but "
+            "the hybrid path scores all partitions; refit with "
+            "calibrate() (full scoring) first.")
     order, probs = index.partition_scores(qmat)
     nprobe = index._decide_nprobe(probs, target_recall, max_probe,
                                   policy)

@@ -3119,6 +3119,70 @@ _IVF_OPQ_CACHE: dict = {}
 _register_ivf_opq()
 
 
+def _register_ivf_opq_iterative():
+    from quake_vector_search_spark.queries.vector_queries import (
+        K, N_QUERIES)
+
+    @register("ivf_opq_iterative_fullprobe", sql=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), d AS (
+  SELECT q.query_id, e.vec_id,
+         list_distance(CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.qvec AS DOUBLE[])) AS dist
+  FROM embeddings e CROSS JOIN q
+), r AS (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist ASC, vec_id ASC) AS rank
+  FROM d
+)
+SELECT query_id, vec_id, ROUND(dist, 6) AS dist, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {K}
+""")
+    def ivf_opq_iterative_fullprobe(spark, sf_dir):
+        """IVF + ITERATIVELY-refined OPQ rotation (round 7): the
+        sidecar rotation is the full Ge et al. alternation
+        (codebooks ↔ Procrustes, ``opq_refine_local``) instead of the
+        one-shot PCA init, persisted through the identical
+        pq_rotation.npz contract — so full probe + exact rerank must
+        still equal brute force (the oracle; rotation quality is
+        pinned separately by the reconstruction-error test). Own
+        scratch index so the other sidecar rows never see these
+        codes."""
+        import os
+        import shutil
+
+        from quake_vector_search_spark.operators.ivf import IVFIndex
+        from quake_vector_search_spark.operators.quantization import (
+            build_pq_sidecar,
+            knn_ivf_pq,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        wd = os.path.join(f"/tmp/qvss_ivf_{os.getpid()}",
+                          "opqit_" + sf_dir.strip("/").replace("/", "_"))
+        if wd not in _IVF_OPQ_CACHE:
+            shutil.rmtree(wd, ignore_errors=True)
+            idx = IVFIndex.build(emb, wd, coarse_k=8, base_k=4)
+            books = build_pq_sidecar(idx, m=8, ksub=256, seed=99,
+                                     rotate=True, opq_iters=4)
+            _IVF_OPQ_CACHE[wd] = (idx, books)
+        idx, books = _IVF_OPQ_CACHE[wd]
+        queries = emb.where(F.col("vec_id") < N_QUERIES) \
+                     .withColumnRenamed("vec_id", "query_id")
+        n = emb.count()
+        out, _meta = knn_ivf_pq(idx, queries, k=K, target_recall=1.0,
+                                max_probe=1_000_000_000,
+                                oversample=max(16, -(-n // (2 * K))),
+                                books=books)
+        return out.withColumn("dist", F.round("dist", 6))
+
+
+_register_ivf_opq_iterative()
+
+
 def _register_ivf_pq_residual():
     from quake_vector_search_spark.queries.vector_queries import (
         K, N_QUERIES)

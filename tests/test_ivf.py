@@ -353,10 +353,11 @@ def test_distributed_calibrated_matches_driver_policy(spark, blob_index):
     assert got == want
 
 
-def test_calibrated_rejects_routed_scoring(blob_index):
-    """The calibration is fitted against full scoring; routed scoring
-    renormalizes the softmax, so the composition must refuse loudly
-    instead of silently probing with non-transferring cutoffs."""
+def test_calibrated_rejects_mismatched_routing(blob_index):
+    """A calibration fit belongs to ONE scoring function: a full fit
+    must refuse routed search (and vice versa) instead of silently
+    probing with non-transferring cutoffs (round 7: matching
+    restrictions compose — see the routed-composition test)."""
     blob_index.calibrate(n_queries=32)
     with pytest.raises(ValueError, match="route_cells"):
         blob_index.search((np.array([0]), np.zeros((1, 16))),
@@ -366,6 +367,42 @@ def test_calibrated_rejects_routed_scoring(blob_index):
         (np.array([0]), np.zeros((1, 16))), k=5, policy="calibrated",
         route_cells=len(blob_index.coarse_centroids))
     assert f.count() == 5
+
+
+def test_calibrated_composes_with_matching_route_cells(spark, blob_index):
+    """Two-level calibrated APS (round 7): a fit estimated under
+    routed scoring serves routed searches — the >1e5-partition scale
+    path. Probe sets stay within the routed restriction, recall holds
+    on in-distribution queries, and cross-restriction use refuses."""
+    cal = blob_index.calibrate(n_queries=64, route_cells=3)
+    assert cal["route_cells"] == 3
+    rng = np.random.default_rng(6)
+    corpus = blob_index.read_corpus()
+    rows = corpus.where(F.col("vec_id") < 1000).collect()
+    vecs = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    pick = rng.integers(0, len(vecs), 20)
+    qmat = vecs[pick] + rng.normal(0.0, 0.1, size=(20, 16))
+    qids = np.arange(20)
+    f_cal, m_cal = blob_index.search(
+        (qids, qmat), k=10, target_recall=0.9, policy="calibrated",
+        route_cells=3, max_probe=len(blob_index.part_ids))
+    exact = knn_bruteforce(corpus, (qids, qmat), k=10).localCheckpoint()
+    assert avg_recall(f_cal, exact, 10) >= 0.8
+    # a restriction, never an expansion: probes stay within routed APS
+    _, m_routed_ref = blob_index.search(
+        (qids, qmat), k=10, target_recall=1.0, policy="reference",
+        route_cells=3, max_probe=len(blob_index.part_ids))
+    assert m_cal["avg_scanned"] <= m_routed_ref["avg_scanned"]
+    # the routed fit does not serve full-scoring paths
+    with pytest.raises(ValueError, match="route_cells"):
+        blob_index.search((qids, qmat), k=10, policy="calibrated")
+    with pytest.raises(ValueError, match="routed"):
+        blob_index.partition_scores_distributed(
+            spark.createDataFrame(
+                [(0, [0.0] * 16)], "query_id long, embedding array<double>"),
+            policy="calibrated")
+    # restore the full fit for the other module-scoped tests
+    blob_index.calibrate(n_queries=32)
 
 
 def test_ivf_pq_calibrated_policy_prunes(spark, blob_index, tmp_path):
