@@ -2971,6 +2971,75 @@ def mm_extract_features_wav(spark, sf_dir):
         .orderBy("doc_id"))
 
 
+@register("mm_audio_windows_wav", sql="""
+WITH dims AS (
+  SELECT doc_id,
+         (length(text) % 7) + 3 AS nf,
+         (length(text) % 2) + 1 AS nc
+  FROM documents
+), wins AS (
+  SELECT d.doc_id, d.nf, d.nc, (u.w - 1) AS win
+  FROM dims d,
+       unnest(generate_series(1, (d.nf - 4) // 2 + 1)) AS u(w)
+  WHERE d.nf >= 4
+), smp AS (
+  SELECT w.doc_id, w.win, w.nc,
+         CAST(concat('0x', substr(md5(doc.text || ':' ||
+                    ((2 * w.win + u.f - 1) * w.nc + c.ch - 1)),
+                    1, 15)) AS BIGINT) % 65536 - 32768 AS s
+  FROM wins w
+  JOIN documents doc USING (doc_id),
+       unnest(generate_series(1, 4)) AS u(f),
+       unnest(generate_series(1, 2)) AS c(ch)
+  WHERE c.ch <= w.nc
+)
+SELECT doc_id, CAST(win AS BIGINT) AS win_idx,
+       CAST(SUM(s) AS BIGINT) AS win_sum
+FROM smp GROUP BY doc_id, win ORDER BY doc_id, win_idx
+""")
+def mm_audio_windows_wav(spark, sf_dir):
+    """Audio windowing over the REAL WAV decode (round 7): frame each
+    decoded PCM stream into fixed windows (length 4 frames, hop 2 —
+    the ASR-style chunking shape that turns a recording into training
+    segments) and reduce each window to an exact integer sample sum
+    across channels. The one-to-many mapInPandas shape (rows out ≠
+    rows in, like frame_sample) on top of ``decode_wav``; the DuckDB
+    oracle regenerates every windowed sample from text alone, so any
+    frame-boundary, hop, or de-interleave defect flips the hash.
+    Streams shorter than one window produce no rows on either side."""
+    import numpy as np
+    import pandas as pd
+
+    from quake_vector_search_spark.multimodal.binary import (
+        decode_wav,
+        synthesize_wav_assets,
+    )
+
+    L, H = 4, 2
+    docs = load_table(spark, sf_dir, "documents")
+    assets = synthesize_wav_assets(docs)
+
+    def windows(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, wins, sums = [], [], []
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                smp = decode_wav(bytes(content))
+                nf = smp.shape[0]
+                for w in range((nf - L) // H + 1 if nf >= L else 0):
+                    ids.append(int(aid))
+                    wins.append(w)
+                    sums.append(int(
+                        smp[w * H:w * H + L].astype(np.int64).sum()))
+            yield pd.DataFrame({"doc_id": ids, "win_idx": wins,
+                                "win_sum": sums})
+
+    return (assets.mapInPandas(
+        windows, "doc_id long, win_idx long, win_sum long")
+        .orderBy("doc_id", "win_idx"))
+
+
 def _register_opq():
     from quake_vector_search_spark.queries.vector_queries import (
         K, N_QUERIES)
