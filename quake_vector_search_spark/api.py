@@ -461,8 +461,9 @@ def knn_compressed(corpus_df: DataFrame, queries, k: int = 10,
                    method: str = "pq", **kwargs) -> DataFrame:
     """Bandwidth-reduced kNN: ADC/bit-ops scan over compressed codes +
     exact rerank. ``method``: ``"pq"`` (product quantization),
-    ``"opq"`` (PQ in a PCA-rotated space — round 6), ``"sq8"``
-    (scalar int8), ``"bq"`` (1-bit binary + Hamming)."""
+    ``"opq"`` (PQ in a rotated space — one-shot PCA by default, full
+    iterative OPQ training with ``opq_iters=N``; rounds 6-7),
+    ``"sq8"`` (scalar int8), ``"bq"`` (1-bit binary + Hamming)."""
     from quake_vector_search_spark.operators import quantization as Q
     if method == "pq":
         return Q.knn_pq(corpus_df, queries, k=k, **kwargs)

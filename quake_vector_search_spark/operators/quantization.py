@@ -398,20 +398,24 @@ def _pq_adc_candidates(enc: DataFrame, books: np.ndarray,
 def knn_opq(corpus_df: DataFrame, queries, k: int = 10,
             m: int = 8, ksub: int = 256, oversample: int = 4,
             seed: int = 99, id_col: str = "vec_id",
-            vec_col: str = "embedding") -> DataFrame:
+            vec_col: str = "embedding",
+            opq_iters: int = 0) -> DataFrame:
     """OPQ-style kNN (round 6): PQ in a PCA-ROTATED space. Product
     quantization's subspace independence assumption breaks when
     dimensions are correlated; rotating by the PCA basis first
     decorrelates them — the non-parametric initialization of Optimized
-    Product Quantization (Ge et al., CVPR'13; full OPQ alternates the
-    rotation and codebooks, this ships the one-shot PCA rotation).
+    Product Quantization (Ge et al., CVPR'13). ``opq_iters > 0``
+    (round 7) upgrades the init to the paper's full training —
+    eigenvalue allocation + codebooks↔Procrustes alternation via
+    ``opq_refine_local`` on a bounded seeded sample.
 
-    Plan: fit_pca (map-only moment pass) → pca_project (map-only
-    matmul; a pure rotation, so L2 is preserved exactly in math) →
-    pq_train/encode/ADC entirely in the rotated space → exact rerank
-    against the ORIGINAL vectors, so the output is bit-compatible with
-    the brute-force oracle regardless of rotation round-off. Same
-    bandwidth story as knn_pq: the scan reads m bytes/vector.
+    Plan: fit rotation (map-only moment pass, or driver refine on the
+    sample) → project (map-only matmul; a pure rotation, so L2 is
+    preserved exactly in math) → pq_train/encode/ADC entirely in the
+    rotated space → exact rerank against the ORIGINAL vectors, so the
+    output is bit-compatible with the brute-force oracle regardless of
+    rotation round-off. Same bandwidth story as knn_pq: the scan reads
+    m bytes/vector.
     """
     from quake_vector_search_spark.operators.knn import (
         _collect_queries, _empty_result)
@@ -423,7 +427,20 @@ def knn_opq(corpus_df: DataFrame, queries, k: int = 10,
     if len(qids) == 0:
         return _empty_result(spark, "dist")
 
-    model = fit_pca(corpus_df, vec_col=vec_col)
+    if opq_iters > 0:
+        from quake_vector_search_spark.operators.kmeans import (
+            _seeded_sample,
+        )
+
+        _, samp = _seeded_sample(corpus_df, vec_col,
+                                 _infer_id_col(corpus_df), 25_000, seed)
+        ref = opq_refine_local(samp, m=m, ksub=ksub,
+                               opq_iters=opq_iters, seed=seed)
+        model = {"dim": ref["components"].shape[1], "mean": ref["mean"],
+                 "eigvals": np.ones(ref["components"].shape[0]),
+                 "components": ref["components"]}
+    else:
+        model = fit_pca(corpus_df, vec_col=vec_col)
     rot = (pca_project(corpus_df.select(id_col, vec_col), model,
                        out_col="_rot")
            .select(id_col, F.col("_rot").alias(vec_col)))

@@ -438,3 +438,27 @@ def test_opq_refine_beats_pca_init():
     # determinism: same seed, same fit
     again = opq_refine_local(X, m=4, ksub=32, opq_iters=5, seed=7)
     np.testing.assert_array_equal(again["components"], R)
+
+
+def test_knn_opq_iterative_matches_bruteforce(spark):
+    """knn_opq(opq_iters=N) — full OPQ training on the sample — keeps
+    the exact-rerank contract: at high oversample the output equals
+    brute force, rotation round-off notwithstanding."""
+    import numpy as np
+
+    from quake_vector_search_spark.operators.knn import knn_bruteforce
+    from quake_vector_search_spark.operators.quantization import knn_opq
+    from quake_vector_search_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.count()
+    queries = (emb.where("vec_id < 3")
+               .withColumnRenamed("vec_id", "query_id"))
+    got = knn_opq(emb, queries, k=5, m=8, ksub=64,
+                  oversample=max(4, -(-n // 10)), opq_iters=2)
+    want = knn_bruteforce(emb, queries, k=5)
+    g = {(r["query_id"], r["vec_id"], round(r["dist"], 6))
+         for r in got.collect()}
+    w = {(r["query_id"], r["vec_id"], round(r["dist"], 6))
+         for r in want.collect()}
+    assert g == w
