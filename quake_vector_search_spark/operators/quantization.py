@@ -567,8 +567,14 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
     so the same code budget carries more precision. ``knn_ivf_pq``
     then builds its ADC lookup tables per (query, probed partition)
     from ``q − c_p`` automatically (flag persisted in pq_meta.json).
-    Mutually exclusive with ``rotate`` (compose-at-your-own-risk is
-    exactly the kind of silent semantics drift this codebase avoids).
+
+    ``rotate + residual`` together (round 7) is the full
+    OPQ→IVF→ADC composition (the FAISS-standard index recipe): the
+    rotation is fitted ON THE RESIDUALS and codes quantize
+    ``((x − c_p) − mean) @ Rᵀ``; the ADC side rotates queries with the
+    mean and centroids linearly, so ``q_rot − c_rot`` lands in exactly
+    the encode space. Streaming appends already subtract-then-rotate
+    in that order.
 
     The sidecar belongs to ONE index version: maintenance (split/merge)
     publishes a new version dir, so its sidecar must be rebuilt — the
@@ -579,12 +585,31 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
 
     from quake_vector_search_spark.operators.pca import fit_pca
 
-    if rotate and residual:
-        raise ValueError("build_pq_sidecar: rotate and residual are "
-                         "mutually exclusive")
     corpus = index.read_corpus()
     enc_cents = None
-    if rotate:
+    if rotate and residual:
+        # OPQ→IVF→ADC: snapshot the encode-time centroids, form the
+        # residual corpus, fit the rotation ON the residuals (their
+        # distribution is what the codebooks will model), encode
+        # rotated residuals
+        enc_cents = {int(p): index.centroids[i].copy()
+                     for i, p in enumerate(index.part_ids)}
+        res_src = _residual_corpus(index, corpus, enc_cents)
+        if opq_iters > 0:
+            from quake_vector_search_spark.operators.kmeans import (
+                _seeded_sample,
+            )
+
+            _, samp = _seeded_sample(res_src, index.vec_col,
+                                     index.id_col,
+                                     min(sample_n, 25_000), seed)
+            model = opq_refine_local(samp, m=m, ksub=ksub,
+                                     opq_iters=opq_iters, seed=seed)
+        else:
+            model = fit_pca(res_src, vec_col=index.vec_col)
+        rot = {"mean": model["mean"], "components": model["components"]}
+        enc_src = _rotate_corpus(index, res_src, rot)
+    elif rotate:
         if opq_iters > 0:
             # iterative OPQ (round 7): alternate codebook training and
             # Procrustes rotation updates on a bounded seeded sample —
@@ -683,9 +708,11 @@ def knn_ivf_pq(index, queries, k: int = 10, target_recall: float = 0.9,
     # codebooks; the LUTs must be built in the same space the codes
     # live in. The rerank below stays in the original space.
     rot_path = os.path.join(index.version_dir, "pq_rotation.npz")
+    rot_R = None
     if os.path.exists(rot_path) and len(qids):
         rz = np.load(rot_path)
-        qmat_adc = (qmat - rz["mean"]) @ rz["components"].T
+        rot_R = rz["components"]
+        qmat_adc = (qmat - rz["mean"]) @ rot_R.T
     else:
         qmat_adc = qmat
     nq = len(qids)
@@ -742,6 +769,13 @@ def knn_ivf_pq(index, queries, k: int = 10, target_recall: float = 0.9,
                                         index.centroids[i]).copy()
                        for i, p in enumerate(index.part_ids)
                        if int(p) in probe_map}
+        if rot_R is not None:
+            # rotated-residual (OPQ→IVF→ADC) sidecar: codes live in
+            # ((x − c_p) − mean) @ Rᵀ space; qmat_adc already carries
+            # (q − mean) @ Rᵀ, so rotating the centroids LINEARLY puts
+            # q_rot − c_rot exactly in the encode space
+            cent_by_pid = {p: c @ rot_R.T
+                           for p, c in cent_by_pid.items()}
         bc = spark.sparkContext.broadcast(
             (qids, qmat_adc, probe_map, books, cent_by_pid))
     else:
@@ -856,15 +890,21 @@ def refresh_pq_sidecar(index, books: np.ndarray | None = None) -> bool:
             residual = bool(json.load(fh).get("residual", False))
     corpus = index.read_corpus()
     enc_cents = None
-    if rot is not None:
-        enc_src = _rotate_corpus(index, corpus, rot)
-    elif residual:
+    if residual:
         # re-encode against the NEW layout's current centroids and
         # snapshot them — the refresh is exactly the rebuild point
         # where the drift window resets
         enc_cents = {int(p): index.centroids[i].copy()
                      for i, p in enumerate(index.part_ids)}
         enc_src = _residual_corpus(index, corpus, enc_cents)
+        if rot is not None:
+            # rotated-residual sidecar: the carried rotation models
+            # the residual distribution, which the new layout's
+            # residuals still follow — codes and LUTs stay consistent
+            # because both use the carried R
+            enc_src = _rotate_corpus(index, enc_src, rot)
+    elif rot is not None:
+        enc_src = _rotate_corpus(index, corpus, rot)
     else:
         enc_src = corpus
     enc = pq_encode(enc_src, books, id_col=index.id_col,

@@ -3314,3 +3314,69 @@ FROM r WHERE rank <= {K}
 
 _IVF_RES_CACHE: dict = {}
 _register_ivf_pq_residual()
+
+
+def _register_ivf_opq_residual():
+    from quake_vector_search_spark.queries.vector_queries import (
+        K, N_QUERIES)
+
+    @register("ivf_opq_residual_fullprobe", sql=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), d AS (
+  SELECT q.query_id, e.vec_id,
+         list_distance(CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.qvec AS DOUBLE[])) AS dist
+  FROM embeddings e CROSS JOIN q
+), r AS (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist ASC, vec_id ASC) AS rank
+  FROM d
+)
+SELECT query_id, vec_id, ROUND(dist, 6) AS dist, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {K}
+""")
+    def ivf_opq_residual_fullprobe(spark, sf_dir):
+        """OPQ→IVF→ADC (round 7) — the FAISS-standard composition:
+        codes quantize rotated residuals ((x − c_p) − mean) @ Rᵀ with
+        the rotation fitted ON the residual distribution; the ADC
+        stage rotates queries (with mean) and the snapshot centroids
+        (linearly), so q_rot − c_rot lands exactly in the encode
+        space. Full probe + exact rerank must equal brute force (the
+        oracle); the encode-space consistency itself is what the row
+        pins — any rotate/residual ordering or mean-handling defect
+        destroys the ADC candidate ranking at oversample this tight
+        relative to corpus size. Own scratch index like the other
+        sidecar rows."""
+        import os
+        import shutil
+
+        from quake_vector_search_spark.operators.ivf import IVFIndex
+        from quake_vector_search_spark.operators.quantization import (
+            build_pq_sidecar,
+            knn_ivf_pq,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        wd = os.path.join(f"/tmp/qvss_ivf_{os.getpid()}",
+                          "opqres_" + sf_dir.strip("/").replace("/", "_"))
+        if wd not in _IVF_RES_CACHE:
+            shutil.rmtree(wd, ignore_errors=True)
+            idx = IVFIndex.build(emb, wd, coarse_k=8, base_k=4)
+            books = build_pq_sidecar(idx, m=8, ksub=256, seed=99,
+                                     rotate=True, residual=True)
+            _IVF_RES_CACHE[wd] = (idx, books)
+        idx, books = _IVF_RES_CACHE[wd]
+        queries = emb.where(F.col("vec_id") < N_QUERIES) \
+                     .withColumnRenamed("vec_id", "query_id")
+        n = emb.count()
+        out, _meta = knn_ivf_pq(idx, queries, k=K, target_recall=1.0,
+                                max_probe=1_000_000_000,
+                                oversample=max(16, -(-n // (2 * K))),
+                                books=books)
+        return out.withColumn("dist", F.round("dist", 6))
+
+
+_register_ivf_opq_residual()

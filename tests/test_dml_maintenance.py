@@ -364,8 +364,6 @@ def test_residual_pq_sidecar_roundtrip(spark, tmp_path):
     corpus = make_dataset(spark, 800, d=16, n_clusters=10, seed=5)
     idx = IVFIndex.build(corpus, str(tmp_path / "ivf_res"),
                          coarse_k=4, base_k=2)
-    with _pytest.raises(ValueError, match="mutually exclusive"):
-        build_pq_sidecar(idx, rotate=True, residual=True)
     build_pq_sidecar(idx, m=4, ksub=32, residual=True)
     import json
     with open(os.path.join(idx.version_dir, "pq_meta.json")) as fh:
@@ -436,3 +434,69 @@ def test_residual_snapshot_shields_adc_from_centroid_drift(spark, tmp_path):
     maintain(idx)
     snap3 = load_residual_snapshot(idx.version_dir)
     assert set(snap3) == {int(p) for p in idx.part_ids}
+
+
+def test_rotated_residual_pq_sidecar_roundtrip(spark, tmp_path):
+    """OPQ→IVF→ADC composition (round 7): rotation fitted on the
+    residuals, codes quantize ((x − c_p) − mean) @ Rᵀ. Full probe +
+    exact rerank equals brute force; both metadata files persist and
+    survive a maintain() republish; streamed appends encode into the
+    composed space (subtract-then-rotate) and stay searchable."""
+    import os
+
+    import numpy as np
+
+    from quake_vector_search_spark.operators.evaluation import avg_recall
+    from quake_vector_search_spark.operators.knn import knn_bruteforce
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+        knn_ivf_pq,
+    )
+    from quake_vector_search_spark.operators.workload import make_dataset
+
+    corpus = make_dataset(spark, 800, d=16, n_clusters=10, seed=5)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_rotres"),
+                         coarse_k=4, base_k=2)
+    build_pq_sidecar(idx, m=4, ksub=32, rotate=True, residual=True)
+    for f_ in ("pq_rotation.npz", "pq_centroids.npz"):
+        assert os.path.exists(os.path.join(idx.version_dir, f_))
+    import json
+    with open(os.path.join(idx.version_dir, "pq_meta.json")) as fh:
+        assert json.load(fh)["residual"] is True
+
+    rows = corpus.where("vec_id < 5").collect()
+    qmat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    qids = np.arange(5)
+    exact = knn_bruteforce(idx.read_corpus(), (qids, qmat),
+                           k=5).localCheckpoint()
+    found, _ = knn_ivf_pq(idx, (qids, qmat), k=5, target_recall=1.0,
+                          max_probe=10**9, oversample=40)
+    assert avg_recall(found, exact, 5) >= 0.95
+
+    # streamed append into the COMPOSED sidecar: subtract-then-rotate
+    # order is only exercised here; oversample=1 makes candidate
+    # selection pure ADC so a wrong encode space fails loudly
+    from quake_vector_search_spark.streaming.ingest import (
+        _append_pq_codes,
+    )
+
+    rng = np.random.default_rng(2)
+    new_id = np.array([40_000], dtype=np.int64)
+    new_vec = rng.normal(size=(1, 16))
+    pids = idx.insert(new_id, new_vec)
+    assert _append_pq_codes(idx, new_id, new_vec, pids, {})
+    f_new, _ = knn_ivf_pq(idx, (np.array([99]), new_vec), k=1,
+                          target_recall=1.0, max_probe=10**9,
+                          oversample=1)
+    assert f_new.collect()[0]["vec_id"] == 40_000
+
+    # maintenance carries BOTH the rotation and a fresh snapshot
+    idx.insert([30_000], rng.normal(size=(1, 16)), refresh=False)
+    maintain(idx)
+    for f_ in ("pq_rotation.npz", "pq_centroids.npz"):
+        assert os.path.exists(os.path.join(idx.version_dir, f_))
+    exact2 = knn_bruteforce(idx.read_corpus(), (qids, qmat),
+                            k=5).localCheckpoint()
+    found2, _ = knn_ivf_pq(idx, (qids, qmat), k=5, target_recall=1.0,
+                           max_probe=10**9, oversample=40)
+    assert avg_recall(found2, exact2, 5) >= 0.95
