@@ -500,3 +500,34 @@ def test_rotated_residual_pq_sidecar_roundtrip(spark, tmp_path):
     found2, _ = knn_ivf_pq(idx, (qids, qmat), k=5, target_recall=1.0,
                            max_probe=10**9, oversample=40)
     assert avg_recall(found2, exact2, 5) >= 0.95
+
+
+def test_residual_sidecar_on_cosine_index(spark, tmp_path):
+    """Residual encoding composes with the cosine metric: the corpus
+    is unit-normalized at build, residuals are taken against the
+    (non-unit) partition centroids, and the ADC+rerank pipeline stays
+    a pure L2 kernel on unit vectors — full probe equals brute-force
+    cosine ranking."""
+    import numpy as np
+
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+        knn_ivf_pq,
+    )
+    from quake_vector_search_spark.operators.workload import make_dataset
+
+    corpus = make_dataset(spark, 600, d=16, n_clusters=8, seed=9)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_cos_res"),
+                         coarse_k=4, base_k=2, metric="cosine")
+    build_pq_sidecar(idx, m=4, ksub=32, residual=True)
+    rows = corpus.where("vec_id < 5").collect()
+    qmat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    qids = np.arange(5)
+    found, _ = knn_ivf_pq(idx, (qids, qmat), k=1, target_recall=1.0,
+                          max_probe=10**9, oversample=40)
+    got = {int(r["query_id"]): int(r["vec_id"])
+           for r in found.collect()}
+    # each unit-normalized corpus vector is its own nearest neighbor
+    assert got == {i: int(q) for i, q in enumerate(qids)}
+    row0 = found.where("query_id = 0").collect()[0]
+    assert abs(row0["sim"] - 1.0) < 1e-6

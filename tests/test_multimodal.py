@@ -176,3 +176,26 @@ def test_synthesize_wav_roundtrip(spark):
                .hexdigest()[:15], 16) % 65536 - 32768
     assert int(smp.ravel()[k]) == want
     assert MM.decode_wav(rows[2]).shape == (3, 1)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(nc=st.integers(1, 4),
+       bits=st.sampled_from([8, 16]),
+       nf=st.integers(1, 40),
+       junk=st.booleans(),
+       data=st.data())
+def test_decode_wav_roundtrip_property(nc, bits, nf, junk, data):
+    """Property: any synthesized PCM payload decodes back to exactly
+    the samples that went in, for any channel count, bit depth, frame
+    count, and with or without an interposed unknown chunk."""
+    lo, hi = (-128, 127) if bits == 8 else (-32768, 32767)
+    vals = data.draw(st.lists(st.integers(lo, hi),
+                              min_size=nf * nc, max_size=nf * nc))
+    smp = MM.decode_wav(_wav(nc=nc, bits=bits, vals=tuple(vals),
+                             junk=junk))
+    assert smp.shape == (nf, nc)
+    assert smp.ravel().tolist() == vals
