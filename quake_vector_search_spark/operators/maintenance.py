@@ -75,7 +75,7 @@ def maintain(idx: IVFIndex,
              merge_size: int = MERGE_SIZE,
              hot_window: int = HOT_WINDOW,
              hot_multiplier: float = HOT_SPLIT_MULTIPLIER,
-             recalibrate: bool = False) -> dict:
+             recalibrate: bool | dict = False) -> dict:
     """Run one split+merge pass, publish a new version, return a summary
     {"splits": [...], "merges": [...], "version": N}.
 
@@ -83,7 +83,10 @@ def maintain(idx: IVFIndex,
     the just-published version, eagerly, so a deployment serving
     ``policy="calibrated"`` never pays the implicit ``calibrate()``
     brute-force pass inside a search call (maintenance always drops the
-    previous fit — it was estimated against the old geometry)."""
+    previous fit — it was estimated against the old geometry). Pass a
+    dict instead of True to forward calibrate() kwargs — in particular
+    ``{"route_cells": N}`` so a ROUTED deployment's refit keeps its
+    restriction instead of silently reverting to full scoring."""
     spark = idx.spark
     old_corpus = idx.corpus_path
     new_version = idx.version + 1
@@ -254,7 +257,10 @@ def maintain(idx: IVFIndex,
     )
     pq_refreshed = refresh_pq_sidecar(idx)
     if recalibrate:
-        idx.calibrate()  # persists its own meta for the new version
+        # persists its own meta for the new version; dict → kwargs
+        # (e.g. route_cells for routed deployments)
+        idx.calibrate(**(recalibrate
+                         if isinstance(recalibrate, dict) else {}))
     return {"splits": [(p, child_of[p]) for p in split_parents],
             "merges": merges, "version": new_version,
             "pq_refreshed": pq_refreshed}

@@ -494,3 +494,24 @@ def test_implicit_autofit_warns(spark, tmp_path):
         out, _ = idx.search((np.arange(2), np.zeros((2, 8))), k=3,
                             target_recall=0.9, policy="calibrated")
     assert idx._calibration is not None
+
+
+def test_maintain_recalibrate_forwards_kwargs(spark, tmp_path):
+    """maintain(recalibrate={...}) forwards calibrate() kwargs, so a
+    routed deployment's refit keeps its restriction instead of
+    silently reverting to full scoring."""
+    from quake_vector_search_spark.operators.maintenance import maintain
+    from quake_vector_search_spark.operators.workload import make_dataset
+
+    corpus = make_dataset(spark, 1500, d=8, n_clusters=6, seed=8)
+    idx = IVFIndex.build(corpus, str(tmp_path / "cal_routed_refit"),
+                         coarse_k=4, base_k=2)
+    idx.insert([888_001], np.zeros((1, 8)), refresh=False)
+    maintain(idx, recalibrate={"n_queries": 16, "route_cells": 2})
+    assert idx._calibration is not None
+    assert idx._calibration["route_cells"] == 2
+    # and the routed fit serves routed searches without refitting
+    out, _ = idx.search((np.arange(2), np.zeros((2, 8))), k=3,
+                        target_recall=0.9, policy="calibrated",
+                        route_cells=2)
+    assert out.count() > 0
