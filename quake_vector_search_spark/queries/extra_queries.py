@@ -3380,3 +3380,70 @@ FROM r WHERE rank <= {K}
 
 
 _register_ivf_opq_residual()
+
+
+@register("ivf_search_calibrated_routed", sql="""
+SELECT CAST(8000 AS BIGINT) AS n_corpus, TRUE AS fit_is_routed,
+       TRUE AS recall_floor, TRUE AS within_routed_aps,
+       TRUE AS mismatch_refused
+""")
+def ivf_search_calibrated_routed(spark, sf_dir):
+    """Calibrated probing composed with two-level routed scoring
+    (round 7) — the >10⁵-partition scale path, where even the full
+    per-query centroid scan is a cost. ``calibrate(route_cells=N)``
+    fits the temperature/cutoffs against the ROUTED (renormalized)
+    softmax and records the restriction; ``search`` accepts only a
+    matching ``route_cells``. This row hash-pins the properties on a
+    seeded clustered corpus: the fit records its restriction, routed
+    calibrated search clears a recall floor on held-out noisy queries,
+    its probe set never exceeds the routed reference's at full target
+    (a restriction, never an expansion), and a full-scoring calibrated
+    search against the routed fit refuses. Every quantity genuinely
+    computed; any composition regression flips a boolean and the
+    hash."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from quake_vector_search_spark.operators.evaluation import avg_recall
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.knn import knn_bruteforce
+    from quake_vector_search_spark.operators.workload import make_dataset
+
+    n, d = 8000, 32
+    corpus = make_dataset(spark, n, d=d, n_clusters=40, seed=7)
+    wd = os.path.join(f"/tmp/qvss_ivf_{os.getpid()}", "cal_routed_blob")
+    shutil.rmtree(wd, ignore_errors=True)
+    idx = IVFIndex.build(corpus, wd, coarse_k=8, base_k=8)
+    cal = idx.calibrate(n_queries=64, route_cells=4)
+
+    rows = corpus.where(F.col("vec_id") < 2000).collect()
+    vecs = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(3)
+    pick = rng.integers(0, len(vecs), 50)
+    qmat = vecs[pick] + rng.normal(0.0, 0.1, size=(50, d))
+    qids = np.arange(50)
+    exact = knn_bruteforce(idx.read_corpus(), (qids, qmat), k=10)
+    exact = exact.localCheckpoint()
+
+    f_cal, m_cal = idx.search((qids, qmat), k=10, target_recall=0.9,
+                              policy="calibrated", route_cells=4,
+                              max_probe=len(idx.part_ids))
+    recall_cal = avg_recall(f_cal, exact, 10)
+    _, m_ref = idx.search((qids, qmat), k=10, target_recall=1.0,
+                          policy="reference", route_cells=4,
+                          max_probe=len(idx.part_ids))
+    try:
+        idx.search((qids, qmat), k=10, policy="calibrated")
+        mismatch_refused = False
+    except ValueError:
+        mismatch_refused = True
+    return spark.createDataFrame(
+        [(n,
+          bool(cal["route_cells"] == 4),
+          bool(recall_cal >= 0.8),
+          bool(m_cal["avg_scanned"] <= m_ref["avg_scanned"]),
+          bool(mismatch_refused))],
+        "n_corpus long, fit_is_routed boolean, recall_floor boolean, "
+        "within_routed_aps boolean, mismatch_refused boolean")

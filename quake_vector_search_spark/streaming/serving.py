@@ -36,7 +36,8 @@ def search_stream(index: IVFIndex, queries_stream: DataFrame,
                   max_probe: int = 64,
                   query_id_col: str = "query_id",
                   query_vec_col: str = "embedding",
-                  policy: str = "reference"):
+                  policy: str = "reference",
+                  route_cells: int | None = None):
     """Attach a query stream to the index; each micro-batch's top-k
     results land in ``results_dir`` as parquet rows
     (query_id, vec_id, dist|sim, rank, epoch_id). Returns the
@@ -47,12 +48,16 @@ def search_stream(index: IVFIndex, queries_stream: DataFrame,
     EAGERLY before attaching the stream (build(calibrate=True) /
     maintain(recalibrate=True)): the implicit auto-fit would otherwise
     run its brute-force pass inside the first micro-batch.
+    ``route_cells`` passes through too, so a deployment serving under
+    a ROUTED fit (calibrate(route_cells=N)) works — without it every
+    micro-batch would refuse on the restriction mismatch.
     """
     def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
         out, _meta = index.search(
             batch_df, k=k, target_recall=target_recall,
             max_probe=max_probe, query_id_col=query_id_col,
-            query_vec_col=query_vec_col, policy=policy)
+            query_vec_col=query_vec_col, policy=policy,
+            route_cells=route_cells)
         (out.withColumn("epoch_id", F.lit(int(epoch_id)))
          .write.mode("append").parquet(results_dir))
 
