@@ -890,6 +890,12 @@ class IVFIndex:
         coverage the fit sees.
         """
         from quake_vector_search_spark.operators.knn import knn_bruteforce
+        # normalize exactly like search(): route_cells >= n_cells IS
+        # full scoring, so the fit must record None or a matched
+        # search pair would spuriously refuse on "restriction mismatch"
+        if (route_cells is not None
+                and route_cells >= len(self.coarse_centroids)):
+            route_cells = None
         corpus = self.read_corpus()
         qrows = (corpus.select(self.id_col, self.vec_col)
                  .orderBy(F.xxhash64(F.col(self.id_col), F.lit(seed)))

@@ -63,6 +63,10 @@ def _append_pq_codes(index: IVFIndex, ids: np.ndarray,
                                        "components": rz["components"]}
         else:
             books_cache["rotation"] = None
+        # version changed → the residual snapshot belongs to the OLD
+        # version dir; drop it so the residual branch reloads (and
+        # extends) the new version's snapshot
+        books_cache.pop("snapshot", None)
     from quake_vector_search_spark.operators.quantization import (
         pq_encode_local,
     )

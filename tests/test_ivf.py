@@ -515,3 +515,25 @@ def test_maintain_recalibrate_forwards_kwargs(spark, tmp_path):
                         target_recall=0.9, policy="calibrated",
                         route_cells=2)
     assert out.count() > 0
+
+
+def test_calibrate_route_cells_normalizes_to_full(spark, tmp_path):
+    """calibrate(route_cells >= n_cells) IS full scoring and must
+    record route_cells=None, matching search()'s normalization — a
+    'matched' pair would otherwise spuriously refuse."""
+    from quake_vector_search_spark.operators.workload import make_dataset
+
+    corpus = make_dataset(spark, 1200, d=8, n_clusters=6, seed=12)
+    idx = IVFIndex.build(corpus, str(tmp_path / "cal_norm"),
+                         coarse_k=4, base_k=2)
+    cal = idx.calibrate(n_queries=16,
+                        route_cells=len(idx.coarse_centroids))
+    assert cal["route_cells"] is None
+    # both full-scoring call forms serve the fit
+    out, _ = idx.search((np.arange(2), np.zeros((2, 8))), k=3,
+                        target_recall=0.9, policy="calibrated")
+    assert out.count() > 0
+    out2, _ = idx.search((np.arange(2), np.zeros((2, 8))), k=3,
+                         target_recall=0.9, policy="calibrated",
+                         route_cells=len(idx.coarse_centroids))
+    assert out2.count() > 0

@@ -465,3 +465,45 @@ def test_streaming_ingest_into_rotated_sidecar(spark):
                           target_recall=1.0, max_probe=10**9,
                           oversample=1, books=books)
     assert found.collect()[0]["vec_id"] == probe_id
+
+
+def test_append_pq_codes_snapshot_follows_version(spark, tmp_path):
+    """Regression (round 7): the ingest books_cache must drop its
+    residual-centroid snapshot when maintenance bumps the version —
+    a stale cached snapshot would be extended and SAVED over the new
+    version's freshly-written one, silently reverting most partitions
+    to pre-maintenance centroids."""
+    import numpy as np
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.maintenance import maintain
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+        load_residual_snapshot,
+    )
+    from quake_vector_search_spark.operators.workload import make_dataset
+    from quake_vector_search_spark.streaming.ingest import _append_pq_codes
+
+    corpus = make_dataset(spark, 600, d=16, n_clusters=6, seed=3)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_snapver"),
+                         coarse_k=4, base_k=2)
+    build_pq_sidecar(idx, m=4, ksub=32, residual=True)
+    cache: dict = {}
+    rng = np.random.default_rng(5)
+    v1 = rng.normal(size=(1, 16))
+    ids1 = np.array([50_001], dtype=np.int64)
+    pids1 = idx.insert(ids1, v1)
+    assert _append_pq_codes(idx, ids1, v1, pids1, cache)
+    # force splits so the new version has NEW partition ids
+    summary = maintain(idx, split_size=32, merge_size=0)
+    assert summary["splits"]
+    v2 = rng.normal(size=(1, 16))
+    ids2 = np.array([50_002], dtype=np.int64)
+    pids2 = idx.insert(ids2, v2)
+    assert _append_pq_codes(idx, ids2, v2, pids2, cache)
+    # the persisted snapshot must cover the NEW layout (refresh wrote
+    # it; the append may only EXTEND it) — a stale cache would have
+    # overwritten it with the pre-maintenance partition set
+    snap = load_residual_snapshot(idx.version_dir)
+    live = {int(p) for p in idx.part_ids}
+    assert live <= set(snap)
