@@ -474,3 +474,43 @@ def knn_compressed(corpus_df: DataFrame, queries, k: int = 10,
     if method == "bq":
         return Q.knn_bq(corpus_df, queries, k=k, **kwargs)
     raise ValueError(f"unknown method {method!r} (pq|opq|sq8|bq)")
+
+
+def compress_index(index: IVFIndex, method: str = "pq", **kwargs):
+    """Attach a PQ codes sidecar to a published IVF index version so
+    hybrid (row-pruned × byte-pruned) search is available. ``method``:
+    ``"pq"`` (global codebooks), ``"opq"`` (rotated; ``opq_iters=N``
+    for iterative training), ``"ivfadc"`` (residual-encoded),
+    ``"opq_ivfadc"`` (rotation fitted on residuals — the FAISS-standard
+    composition), ``"lopq"`` (per-partition codebooks on each cell's
+    own residuals, Kalantidis & Avrithis CVPR'14). Returns the trained
+    codebooks (per-pid dict for lopq). Maintenance keeps whichever
+    flavor was built current across split/merge republishes."""
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+    )
+    flavors = {
+        "pq": {},
+        "opq": {"rotate": True},
+        "ivfadc": {"residual": True},
+        "opq_ivfadc": {"rotate": True, "residual": True},
+        "lopq": {"residual": True, "local": True},
+    }
+    if method not in flavors:
+        raise ValueError(f"unknown method {method!r} "
+                         f"({'|'.join(flavors)})")
+    return build_pq_sidecar(index, **{**flavors[method], **kwargs})
+
+
+def knn_hybrid(index: IVFIndex, queries, k: int = 10,
+               **kwargs) -> DataFrame:
+    """IVF+PQ hybrid search over a sidecar built by
+    ``compress_index``: APS probe selection prunes rows, the ADC scan
+    over codes prunes bytes, exact rerank restores full precision.
+    The sidecar flavor (plain/rotated/residual/local) is
+    auto-detected from the persisted metadata."""
+    from quake_vector_search_spark.operators.quantization import (
+        knn_ivf_pq,
+    )
+    out, _meta = knn_ivf_pq(index, queries, k=k, **kwargs)
+    return out

@@ -507,6 +507,138 @@ def load_residual_snapshot(version_dir: str) -> dict | None:
             for i, p in enumerate(z["part_ids"])}
 
 
+def save_local_books(version_dir: str, books_by_pid: dict) -> None:
+    """Persist per-partition (local) PQ codebooks as ONE npz keyed
+    ``books_{pid}``. Size is P · m · ksub · dsub doubles — metadata
+    scale at the partition counts this engine targets per index
+    version (same boundedness class as the centroid table). For a
+    ≥10⁵-partition deployment the local books would graduate to a
+    parquet sidecar keyed by partition_id and map-side-join into the
+    ADC kernel; the npz keeps the format trivially seekable here."""
+    import os
+
+    np.savez(os.path.join(version_dir, "pq_local_books.npz"),
+             **{f"books_{int(p)}": b for p, b in books_by_pid.items()})
+
+
+def load_local_books(version_dir: str) -> dict | None:
+    """Per-partition codebooks of a local (LOPQ) sidecar as
+    {pid: [m, ksub_p, dsub]}; None when the version has none."""
+    import os
+
+    path = os.path.join(version_dir, "pq_local_books.npz")
+    if not os.path.exists(path):
+        return None
+    z = np.load(path)
+    return {int(k.split("_", 1)[1]): z[k] for k in z.files}
+
+
+def _cell_book_seed(seed: int, pid: int) -> int:
+    """Deterministic per-cell seed base — a function of (seed, pid)
+    only, so training is independent of partition count, row order,
+    and which executor the cell lands on."""
+    return int(seed + 1_000_003 * (int(pid) + 1))
+
+
+def train_local_books(res_src: DataFrame, m: int, ksub: int,
+                      seed: int, cell_sample_n: int,
+                      id_col: str, vec_col: str,
+                      iters: int = 8) -> dict:
+    """Train one PQ codebook set PER PARTITION on that cell's residuals
+    — the local product quantization of Kalantidis & Avrithis (LOPQ,
+    CVPR'14): a single global codebook must model the union of every
+    cell's residual distribution, while per-cell books spend their full
+    ksub budget on ONE cell's (far tighter, locally-oriented) residual
+    cloud. Training is a grouped-map pass: each cell fits entirely
+    in one executor task (cells are the index's partition unit), the
+    per-cell sample is capped deterministically by a splitmix-style
+    id hash (order- and partitioning-independent), and only the
+    codebooks — not the vectors — come back to the driver.
+
+    Returns {pid: books [m, ksub_p, dsub]} with ksub_p = min(ksub,
+    |cell sample|): a small cell gets exactly as many codewords as it
+    has distinct support for, never empty clusters."""
+    from quake_vector_search_spark.operators.kmeans import local_kmeans
+
+    def fit(key, pdf):
+        pid = int(key[0])
+        n = len(pdf)
+        if n == 0:
+            return pd.DataFrame({"partition_id": [], "ksub": [],
+                                 "books": []})
+        if n > cell_sample_n:
+            ids = pdf[id_col].to_numpy(dtype=np.uint64)
+            h = (ids * np.uint64(0x9E3779B97F4A7C15)
+                 + np.uint64(seed)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+            order = np.lexsort((ids, h))[:cell_sample_n]
+            pdf = pdf.iloc[order]
+            n = cell_sample_n
+        X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        d = X.shape[1]
+        dsub = d // m
+        ksub_p = min(ksub, n)
+        books = np.empty((m, ksub_p, dsub), dtype=np.float64)
+        base = _cell_book_seed(seed, pid)
+        for j in range(m):
+            books[j], _ = local_kmeans(X[:, j * dsub:(j + 1) * dsub],
+                                       ksub_p, iters, base + j)
+        return pd.DataFrame({"partition_id": [pid],
+                             "ksub": [ksub_p],
+                             "books": [books.ravel()]})
+
+    rows = (res_src.select(id_col, "partition_id", vec_col)
+            .groupBy("partition_id")
+            .applyInPandas(fit, "partition_id long, ksub int, "
+                                "books array<double>")
+            .collect())
+    out = {}
+    for r in rows:
+        flat = np.asarray(r["books"], dtype=np.float64)
+        dsub = flat.size // (m * r["ksub"])
+        out[int(r["partition_id"])] = flat.reshape(m, r["ksub"], dsub)
+    return out
+
+
+def _encode_local_sidecar(res_src: DataFrame, books_by_pid: dict,
+                          id_col: str, vec_col: str) -> DataFrame:
+    """Encode residuals against each row's OWN partition's codebooks
+    (broadcast dict, one pq_encode_local kernel call per (batch, pid)
+    run) — the per-cell twin of ``pq_encode``. Rows from a partition
+    with no trained books (can't happen in the supported build /
+    refresh / streaming flows, which keep the books exhaustive) are
+    dropped rather than mis-encoded."""
+    spark = res_src.sparkSession
+    bc = spark.sparkContext.broadcast(books_by_pid)
+    m = next(iter(books_by_pid.values())).shape[0]
+
+    def encode(batches):
+        books = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pids = pdf["partition_id"].to_numpy(dtype=np.int64)
+            X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            codes = np.empty((len(pdf), m), dtype=np.int64)
+            keep = np.ones(len(pdf), dtype=bool)
+            for pid in np.unique(pids):
+                mask = pids == pid
+                bk = books.get(int(pid))
+                if bk is None:
+                    keep[mask] = False
+                    continue
+                codes[mask] = pq_encode_local(X[mask], bk)
+            yield pd.DataFrame({
+                id_col: ids[keep],
+                "pq_codes": list(codes[keep]),
+                "partition_id": pids[keep],
+            })
+
+    return (res_src.select(id_col, "partition_id", vec_col)
+            .mapInPandas(encode, f"{id_col} long, pq_codes array<int>, "
+                                 "partition_id long"))
+
+
 def _residual_corpus(index, corpus, cent_by_pid: dict | None = None):
     """Subtract each row's partition centroid (closure-broadcast —
     centroid state is metadata-scale) so PQ encodes RESIDUALS: the
@@ -543,7 +675,9 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
                      seed: int = 99, sample_n: int = 100_000,
                      rotate: bool = False,
                      residual: bool = False,
-                     opq_iters: int = 0) -> np.ndarray:
+                     opq_iters: int = 0,
+                     local: bool = False,
+                     cell_sample_n: int = 20_000):
     """Build a PQ codes *sidecar* for a published IVF index version:
     train codebooks on a bounded sample of the live corpus, encode every
     vector, and write the codes Parquet partitioned exactly like the
@@ -576,6 +710,21 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
     the encode space. Streaming appends already subtract-then-rotate
     in that order.
 
+    ``local=True`` (round 7) trains codebooks PER PARTITION on that
+    cell's residuals — locally-optimized PQ (Kalantidis & Avrithis,
+    CVPR'14): one global book must model the union of all cells'
+    residual clouds, while per-cell books spend the whole ksub budget
+    on one cell's tighter, locally-oriented distribution. Implies the
+    residual encoding (LOPQ is defined on residuals); a per-cell
+    ROTATION (full LOPQ) is a further rung — ``local`` composes with
+    neither ``rotate`` nor ``opq_iters`` and refuses both. Books
+    persist as pq_local_books.npz; ``knn_ivf_pq`` builds its ADC
+    tables per (query, probed partition) from that partition's books,
+    and only the PROBED partitions' books ride the broadcast. Unlike
+    global codebooks, per-cell books are LAYOUT-BOUND: maintenance
+    retrains them (see ``refresh_pq_sidecar``), and streaming appends
+    train books for partitions the sidecar has never seen.
+
     The sidecar belongs to ONE index version: maintenance (split/merge)
     publishes a new version dir, so its sidecar must be rebuilt — the
     same compaction contract any secondary structure has.
@@ -587,6 +736,36 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
 
     corpus = index.read_corpus()
     enc_cents = None
+    if local:
+        if rotate or opq_iters:
+            raise ValueError(
+                "local (per-cell) codebooks do not compose with a "
+                "global rotation; drop rotate=/opq_iters= or use the "
+                "global rotated-residual sidecar")
+        enc_cents = {int(p): index.centroids[i].copy()
+                     for i, p in enumerate(index.part_ids)}
+        res_src = _residual_corpus(index, corpus, enc_cents)
+        books_by_pid = train_local_books(
+            res_src, m=m, ksub=ksub, seed=seed,
+            cell_sample_n=cell_sample_n,
+            id_col=index.id_col, vec_col=index.vec_col)
+        enc = _encode_local_sidecar(res_src, books_by_pid,
+                                    index.id_col, index.vec_col)
+        path = os.path.join(index.version_dir, "pq")
+        (enc.write.mode("overwrite").partitionBy("partition_id")
+            .parquet(path))
+        save_local_books(index.version_dir, books_by_pid)
+        save_residual_snapshot(index.version_dir, enc_cents)
+        for stale in ("pq_rotation.npz", "pq_codebooks.npy"):
+            sp = os.path.join(index.version_dir, stale)
+            if os.path.exists(sp):
+                os.unlink(sp)
+        with open(os.path.join(index.version_dir, "pq_meta.json"),
+                  "w") as fh:
+            json.dump({"residual": True, "local": True, "m": m,
+                       "ksub": int(ksub), "seed": int(seed),
+                       "cell_sample_n": int(cell_sample_n)}, fh)
+        return books_by_pid
     if rotate and residual:
         # OPQ→IVF→ADC: snapshot the encode-time centroids, form the
         # residual corpus, fit the rotation ON the residuals (their
@@ -658,6 +837,9 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
         save_residual_snapshot(index.version_dir, enc_cents)
     elif os.path.exists(snap_path):
         os.unlink(snap_path)  # plain rebuild replaces a residual one
+    local_path = os.path.join(index.version_dir, "pq_local_books.npz")
+    if os.path.exists(local_path):
+        os.unlink(local_path)  # global rebuild replaces a local one
     with open(os.path.join(index.version_dir, "pq_meta.json"),
               "w") as fh:
         json.dump({"residual": bool(residual), "m": m,
@@ -693,7 +875,21 @@ def knn_ivf_pq(index, queries, k: int = 10, target_recall: float = 0.9,
         raise NotImplementedError(
             f"PQ sidecar supports l2|cosine, got {index.metric!r}")
     spark = index.spark
-    if books is None:
+    # sidecar flavor first: a local (LOPQ) sidecar has no global
+    # pq_codebooks.npy to load — its books live per-partition
+    import json as _json
+
+    meta_path = os.path.join(index.version_dir, "pq_meta.json")
+    residual, local = False, False
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            _meta = _json.load(fh)
+        residual = bool(_meta.get("residual", False))
+        local = bool(_meta.get("local", False))
+    if local:
+        if not isinstance(books, dict):
+            books = load_local_books(index.version_dir)
+    elif books is None:
         books = np.load(os.path.join(index.version_dir,
                                      "pq_codebooks.npy"))
     qids, qmat = _collect_queries(queries, "query_id", index.vec_col)
@@ -746,19 +942,18 @@ def knn_ivf_pq(index, queries, k: int = 10, target_recall: float = 0.9,
         index.hits[pid] = index.hits.get(pid, 0) + len(qlist)
     index.query_counter += nq
 
-    # residual sidecars (IVFADC) carry their flag in pq_meta.json:
-    # the codes quantize x − c_p, so the ADC tables must come from
-    # q − c_p PER PROBED PARTITION — built inside the kernel (nq_p ×
-    # ksub × dsub flops per subspace, trivial next to the code scan)
-    import json as _json
-
-    meta_path = os.path.join(index.version_dir, "pq_meta.json")
-    residual = False
-    if os.path.exists(meta_path):
-        with open(meta_path) as fh:
-            residual = bool(_json.load(fh).get("residual", False))
-
-    mm, ksub_eff, dsub = books.shape
+    # residual sidecars (IVFADC) quantize x − c_p, so the ADC tables
+    # must come from q − c_p PER PROBED PARTITION — built inside the
+    # kernel (nq_p × ksub × dsub flops per subspace, trivial next to
+    # the code scan). Local (LOPQ) sidecars additionally use the
+    # probed PARTITION'S OWN codebooks for those tables; only the
+    # probed partitions' books ride the broadcast.
+    if local:
+        _any = next(iter(books.values()))
+        mm, dsub = _any.shape[0], _any.shape[2]
+        books = {p: b for p, b in books.items() if p in probe_map}
+    else:
+        mm, ksub_eff, dsub = books.shape
     if residual:
         # LUTs must use the ENCODE-TIME centroids (snapshot persisted
         # by the sidecar build), not the live ones DML has drifted;
@@ -810,11 +1005,16 @@ def knn_ivf_pq(index, queries, k: int = 10, target_recall: float = 0.9,
                 cds, ids = all_codes[mask], all_ids[mask]
                 approx = np.zeros((len(qidx), cds.shape[0]))
                 if residual:
+                    # local sidecar: this partition's own codebooks
+                    bk = (books_l.get(int(pid)) if local
+                          else books_l)
+                    if bk is None:
+                        continue
                     qres = qmat_l[qidx] - cents_l[int(pid)]
-                    for j in range(books_l.shape[0]):
+                    for j in range(bk.shape[0]):
                         lut_j = l2_batch(
                             qres[:, j * dsub:(j + 1) * dsub],
-                            books_l[j])
+                            bk[j])
                         approx += lut_j[:, cds[:, j]]
                 else:
                     for j in range(luts_l.shape[0]):
@@ -865,6 +1065,27 @@ def refresh_pq_sidecar(index, books: np.ndarray | None = None) -> bool:
 
     npy = os.path.join(index.version_dir, "pq_codebooks.npy")
     prev_dir = os.path.join(index.workdir, f"v{index.version - 1:04d}")
+    import json
+
+    prev_meta_path = os.path.join(prev_dir, "pq_meta.json")
+    if os.path.exists(prev_meta_path):
+        with open(prev_meta_path) as fh:
+            prev_meta = json.load(fh)
+        if prev_meta.get("local"):
+            # per-cell (LOPQ) codebooks are LAYOUT-BOUND: split/merge
+            # changed the cells, so carrying books forward would pair
+            # codes with the wrong residual distributions. Retrain on
+            # the new layout with the build-time hyperparameters — the
+            # honest cost of a local sidecar, and still one bounded
+            # grouped-map pass + one encode pass.
+            build_pq_sidecar(index, m=int(prev_meta["m"]),
+                             ksub=int(prev_meta["ksub"]),
+                             seed=int(prev_meta.get("seed", 99)),
+                             residual=True, local=True,
+                             cell_sample_n=int(
+                                 prev_meta.get("cell_sample_n",
+                                               20_000)))
+            return True
     if books is None:
         # look in the previous version dir (maintain() already bumped)
         prev = os.path.join(prev_dir, "pq_codebooks.npy")
@@ -876,17 +1097,14 @@ def refresh_pq_sidecar(index, books: np.ndarray | None = None) -> bool:
     # A residual (IVFADC) sidecar re-encodes residuals vs the CURRENT
     # centroids (maintenance moved them; the codebooks still model the
     # residual distribution).
-    import json
-
     rot = None
     prev_rot = os.path.join(prev_dir, "pq_rotation.npz")
     if os.path.exists(prev_rot):
         rz = np.load(prev_rot)
         rot = {"mean": rz["mean"], "components": rz["components"]}
     residual = False
-    prev_meta = os.path.join(prev_dir, "pq_meta.json")
-    if os.path.exists(prev_meta):
-        with open(prev_meta) as fh:
+    if os.path.exists(prev_meta_path):
+        with open(prev_meta_path) as fh:
             residual = bool(json.load(fh).get("residual", False))
     corpus = index.read_corpus()
     enc_cents = None

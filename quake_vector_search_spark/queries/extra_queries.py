@@ -3382,6 +3382,74 @@ FROM r WHERE rank <= {K}
 _register_ivf_opq_residual()
 
 
+def _register_ivf_lopq():
+    from quake_vector_search_spark.queries.vector_queries import (
+        K, N_QUERIES)
+
+    @register("ivf_lopq_fullprobe", sql=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), d AS (
+  SELECT q.query_id, e.vec_id,
+         list_distance(CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.qvec AS DOUBLE[])) AS dist
+  FROM embeddings e CROSS JOIN q
+), r AS (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist ASC, vec_id ASC) AS rank
+  FROM d
+)
+SELECT query_id, vec_id, ROUND(dist, 6) AS dist, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {K}
+""")
+    def ivf_lopq_fullprobe(spark, sf_dir):
+        """LOPQ (round 7): per-PARTITION codebooks trained on each
+        cell's own residuals (Kalantidis & Avrithis, CVPR'14) — one
+        global book must model the union of every cell's residual
+        cloud, while per-cell books spend the whole ksub budget on one
+        cell's tighter distribution. Training is a grouped-map pass
+        (cells are the partition unit, so each fits one task); the ADC
+        stage builds its q − c_p tables from the probed partition's
+        OWN books, and only probed partitions' books ride the
+        broadcast. Full probe + exact rerank must equal brute force
+        (the oracle) — what the row pins is books/codes/LUT per-cell
+        consistency: pairing any cell's codes with another cell's
+        books destroys the candidate ranking at oversample this tight.
+        Own scratch index like the other sidecar rows."""
+        import os
+        import shutil
+
+        from quake_vector_search_spark.operators.ivf import IVFIndex
+        from quake_vector_search_spark.operators.quantization import (
+            build_pq_sidecar,
+            knn_ivf_pq,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        wd = os.path.join(f"/tmp/qvss_ivf_{os.getpid()}",
+                          "lopq_" + sf_dir.strip("/").replace("/", "_"))
+        if wd not in _IVF_RES_CACHE:
+            shutil.rmtree(wd, ignore_errors=True)
+            idx = IVFIndex.build(emb, wd, coarse_k=8, base_k=4)
+            books = build_pq_sidecar(idx, m=8, ksub=256, seed=99,
+                                     residual=True, local=True)
+            _IVF_RES_CACHE[wd] = (idx, books)
+        idx, books = _IVF_RES_CACHE[wd]
+        queries = emb.where(F.col("vec_id") < N_QUERIES) \
+                     .withColumnRenamed("vec_id", "query_id")
+        n = emb.count()
+        out, _meta = knn_ivf_pq(idx, queries, k=K, target_recall=1.0,
+                                max_probe=1_000_000_000,
+                                oversample=max(16, -(-n // (2 * K))),
+                                books=books)
+        return out.withColumn("dist", F.round("dist", 6))
+
+
+_register_ivf_lopq()
+
+
 @register("ivf_search_calibrated_routed", sql="""
 SELECT CAST(8000 AS BIGINT) AS n_corpus, TRUE AS fit_is_routed,
        TRUE AS recall_floor, TRUE AS within_routed_aps,

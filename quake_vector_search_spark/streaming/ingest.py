@@ -40,29 +40,47 @@ def _append_pq_codes(index: IVFIndex, ids: np.ndarray,
     import json
 
     npy = os.path.join(index.version_dir, "pq_codebooks.npy")
-    if not os.path.exists(npy):
+    local_npz = os.path.join(index.version_dir, "pq_local_books.npz")
+    if os.path.exists(local_npz):
+        cache_key = local_npz     # local (LOPQ) sidecar
+    elif os.path.exists(npy):
+        cache_key = npy           # global-codebook sidecar
+    else:
         return False
-    if books_cache.get("path") != npy:
-        books_cache["path"] = npy
-        books_cache["books"] = np.load(npy)
+    if books_cache.get("path") != cache_key:
+        from quake_vector_search_spark.operators.quantization import (
+            load_local_books,
+        )
+
+        books_cache["path"] = cache_key
         meta_path = os.path.join(index.version_dir, "pq_meta.json")
-        residual = False
+        meta = {}
         if os.path.exists(meta_path):
             with open(meta_path) as fh:
-                residual = bool(json.load(fh).get("residual", False))
-        books_cache["residual"] = residual
-        # A rotated (OPQ) sidecar's codebooks live in the PCA-rotated
-        # space; streamed vectors must be projected the same way or
-        # their codes are garbage in the ADC candidate stage (queries
-        # ARE rotated by knn_ivf_pq, so unrotated appends silently
-        # mis-rank).
-        rot_path = os.path.join(index.version_dir, "pq_rotation.npz")
-        if os.path.exists(rot_path):
-            rz = np.load(rot_path)
-            books_cache["rotation"] = {"mean": rz["mean"],
-                                       "components": rz["components"]}
-        else:
+                meta = json.load(fh)
+        books_cache["meta"] = meta
+        books_cache["residual"] = bool(meta.get("residual", False))
+        books_cache["local"] = bool(meta.get("local", False))
+        if books_cache["local"]:
+            # per-cell books; a local sidecar never carries a rotation
+            books_cache["books"] = load_local_books(index.version_dir)
             books_cache["rotation"] = None
+        else:
+            books_cache["books"] = np.load(npy)
+            # A rotated (OPQ) sidecar's codebooks live in the
+            # PCA-rotated space; streamed vectors must be projected the
+            # same way or their codes are garbage in the ADC candidate
+            # stage (queries ARE rotated by knn_ivf_pq, so unrotated
+            # appends silently mis-rank).
+            rot_path = os.path.join(index.version_dir,
+                                    "pq_rotation.npz")
+            if os.path.exists(rot_path):
+                rz = np.load(rot_path)
+                books_cache["rotation"] = {
+                    "mean": rz["mean"],
+                    "components": rz["components"]}
+            else:
+                books_cache["rotation"] = None
         # version changed → the residual snapshot belongs to the OLD
         # version dir; drop it so the residual branch reloads (and
         # extends) the new version's snapshot
@@ -95,7 +113,46 @@ def _append_pq_codes(index: IVFIndex, ids: np.ndarray,
     rot = books_cache.get("rotation")
     if rot is not None:
         enc_vecs = (enc_vecs - rot["mean"]) @ rot["components"].T
-    codes = pq_encode_local(enc_vecs, books_cache["books"])
+    if books_cache.get("local"):
+        # local (LOPQ) sidecar: each row encodes against ITS
+        # partition's codebooks. A partition the sidecar has never
+        # seen gets books trained right here from the batch's own
+        # residuals (deterministic per-cell seed, persisted by
+        # extending the npz) — so the books stay exhaustive over every
+        # coded partition and the query-side LUTs, which reload the
+        # npz per search, stay consistent with the codes.
+        from quake_vector_search_spark.operators.kmeans import (
+            local_kmeans,
+        )
+        from quake_vector_search_spark.operators.quantization import (
+            _cell_book_seed, save_local_books,
+        )
+
+        books = books_cache["books"]
+        meta = books_cache.get("meta", {})
+        m = int(meta.get("m", 8))
+        pid_arr = np.asarray(pids, dtype=np.int64)
+        missing = sorted({int(p) for p in pid_arr} - set(books))
+        for p in missing:
+            Xp = enc_vecs[pid_arr == p]
+            dsub = Xp.shape[1] // m
+            ksub_p = min(int(meta.get("ksub", 256)), len(Xp))
+            bk = np.empty((m, ksub_p, dsub), dtype=np.float64)
+            base = _cell_book_seed(int(meta.get("seed", 99)), p)
+            for j in range(m):
+                bk[j], _ = local_kmeans(
+                    Xp[:, j * dsub:(j + 1) * dsub], ksub_p, 8,
+                    base + j)
+            books[p] = bk
+        if missing:
+            save_local_books(index.version_dir, books)
+        codes = np.empty((len(enc_vecs), m), dtype=np.int64)
+        for p in np.unique(pid_arr):
+            mask = pid_arr == p
+            codes[mask] = pq_encode_local(enc_vecs[mask],
+                                          books[int(p)])
+    else:
+        codes = pq_encode_local(enc_vecs, books_cache["books"])
     # pyarrow Table from the flat code buffer: exact types independent
     # of the session's Arrow config (pandas object columns of numpy
     # arrays fail the non-Arrow row verifier)

@@ -531,3 +531,64 @@ def test_residual_sidecar_on_cosine_index(spark, tmp_path):
     assert got == {i: int(q) for i, q in enumerate(qids)}
     row0 = found.where("query_id = 0").collect()[0]
     assert abs(row0["sim"] - 1.0) < 1e-6
+
+
+def test_local_pq_sidecar_roundtrip(spark, tmp_path):
+    """LOPQ (round 7): per-partition codebooks on each cell's own
+    residuals (Kalantidis & Avrithis, CVPR'14). Full probe + exact
+    rerank equals brute force; per-cell books persist as
+    pq_local_books.npz (no global pq_codebooks.npy); maintenance
+    RETRAINS the books — they are layout-bound, unlike global
+    codebooks, so a split/merge republish carries nothing forward;
+    composing local with a global rotation is refused."""
+    import json
+    import os
+
+    from quake_vector_search_spark.operators.evaluation import avg_recall
+    from quake_vector_search_spark.operators.knn import knn_bruteforce
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+        knn_ivf_pq,
+        load_local_books,
+    )
+    from quake_vector_search_spark.operators.workload import make_dataset
+
+    corpus = make_dataset(spark, 800, d=16, n_clusters=10, seed=5)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_lopq"),
+                         coarse_k=4, base_k=2)
+    with pytest.raises(ValueError, match="rotation"):
+        build_pq_sidecar(idx, m=4, ksub=32, residual=True, local=True,
+                         rotate=True)
+    books = build_pq_sidecar(idx, m=4, ksub=32, residual=True,
+                             local=True)
+    assert isinstance(books, dict)
+    assert set(books) == {int(p) for p in idx.part_ids}
+    with open(os.path.join(idx.version_dir, "pq_meta.json")) as fh:
+        meta = json.load(fh)
+    assert meta["local"] is True and meta["residual"] is True
+    assert os.path.exists(os.path.join(idx.version_dir,
+                                       "pq_local_books.npz"))
+    assert not os.path.exists(os.path.join(idx.version_dir,
+                                           "pq_codebooks.npy"))
+    rows = corpus.where("vec_id < 5").collect()
+    qmat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    qids = np.arange(5)
+    exact = knn_bruteforce(idx.read_corpus(), (qids, qmat),
+                           k=5).localCheckpoint()
+    found, _ = knn_ivf_pq(idx, (qids, qmat), k=5, target_recall=1.0,
+                          max_probe=64, oversample=40)
+    assert avg_recall(found, exact, 5) >= 0.95
+    # maintenance republish: the retrained books cover the NEW layout
+    rng = np.random.default_rng(2)
+    idx.insert([20_000], rng.normal(size=(1, 16)), refresh=False)
+    maintain(idx, split_size=48, merge_size=0)
+    with open(os.path.join(idx.version_dir, "pq_meta.json")) as fh:
+        meta2 = json.load(fh)
+    assert meta2["local"] is True
+    books2 = load_local_books(idx.version_dir)
+    assert set(books2) == {int(p) for p in idx.part_ids}
+    exact2 = knn_bruteforce(idx.read_corpus(), (qids, qmat),
+                            k=5).localCheckpoint()
+    found2, _ = knn_ivf_pq(idx, (qids, qmat), k=5, target_recall=1.0,
+                           max_probe=64, oversample=40)
+    assert avg_recall(found2, exact2, 5) >= 0.95

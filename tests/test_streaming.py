@@ -507,3 +507,113 @@ def test_append_pq_codes_snapshot_follows_version(spark, tmp_path):
     snap = load_residual_snapshot(idx.version_dir)
     live = {int(p) for p in idx.part_ids}
     assert live <= set(snap)
+
+
+def test_streaming_ingest_into_local_sidecar(spark):
+    """Vectors streamed into a LOPQ (per-cell-books) sidecar encode
+    against THEIR partition's codebooks — checked bit-exactly against
+    the local encoder on the routed partition's books + snapshot
+    centroid, then behaviorally with oversample=1 (pure-ADC candidate
+    selection)."""
+    import os
+
+    import numpy as np
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+        knn_ivf_pq,
+        load_local_books,
+        load_residual_snapshot,
+        pq_encode_local,
+    )
+    from quake_vector_search_spark.streaming.ingest import ingest_stream
+
+    emb = load_table(spark, SF, "embeddings")
+    wd = "/tmp/qvss_stream_ivf_lopq"
+    shutil.rmtree(wd, ignore_errors=True)
+    idx = IVFIndex.build(emb, wd, coarse_k=4, base_k=2)
+    build_pq_sidecar(idx, m=8, ksub=16, seed=99, residual=True,
+                     local=True)
+
+    rng = np.random.default_rng(29)
+    rows = [(int(40_000 + i), rng.normal(size=64).astype(float).tolist())
+            for i in range(10)]
+    vec_dir = "/tmp/qvss_stream_vecs_lopq"
+    shutil.rmtree(vec_dir, ignore_errors=True)
+    shutil.rmtree("/tmp/qvss_stream_ckpt_lopq", ignore_errors=True)
+    (spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+     .repartition(2).write.mode("overwrite").parquet(vec_dir))
+    vstream = (spark.readStream
+               .schema("vec_id long, embedding array<float>")
+               .option("maxFilesPerTrigger", 1).parquet(vec_dir))
+    q = ingest_stream(idx, vstream, "/tmp/qvss_stream_ckpt_lopq")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    probe_id, probe_vec = rows[3]
+    got = (spark.read.parquet(f"{idx.version_dir}/pq")
+           .where(f"vec_id = {probe_id}")
+           .select("pq_codes", "partition_id").collect())
+    assert len(got) == 1
+    pid = int(got[0]["partition_id"])
+    books = load_local_books(idx.version_dir)
+    snap = load_residual_snapshot(idx.version_dir)
+    v32 = (np.asarray(probe_vec, dtype=np.float64)
+           .astype(np.float32).astype(np.float64))
+    want = pq_encode_local((v32 - snap[pid])[None, :], books[pid])[0]
+    assert list(got[0]["pq_codes"]) == [int(c) for c in want]
+    found, _ = knn_ivf_pq(idx, ([1], np.array([probe_vec])), k=1,
+                          target_recall=1.0, max_probe=10**9,
+                          oversample=1)
+    assert found.collect()[0]["vec_id"] == probe_id
+
+
+def test_append_pq_codes_trains_books_for_unseen_partition(spark, tmp_path):
+    """A local (LOPQ) sidecar whose npz is missing a partition's books
+    (e.g. a sidecar built before that partition existed) must not drop
+    or mis-encode streamed rows routed there: the append trains books
+    for the unseen cell from the batch's own residuals and EXTENDS the
+    persisted npz, so query-side LUTs (which reload the npz) stay
+    consistent with the codes."""
+    import numpy as np
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+        knn_ivf_pq,
+        load_local_books,
+        save_local_books,
+    )
+    from quake_vector_search_spark.operators.workload import make_dataset
+    from quake_vector_search_spark.streaming.ingest import _append_pq_codes
+
+    corpus = make_dataset(spark, 600, d=16, n_clusters=6, seed=3)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_lopq_unseen"),
+                         coarse_k=4, base_k=2)
+    build_pq_sidecar(idx, m=4, ksub=16, residual=True, local=True)
+    # simulate a sidecar that predates one partition: drop its books
+    books = load_local_books(idx.version_dir)
+    victim = int(sorted(books)[0])
+    del books[victim]
+    save_local_books(idx.version_dir, books)
+    # route a batch straight at the victim partition: vectors at its
+    # centroid are routed there by nearest-centroid insert
+    pos = {int(p): i for i, p in enumerate(idx.part_ids)}
+    c = idx.centroids[pos[victim]]
+    rng = np.random.default_rng(7)
+    vecs = c + 0.01 * rng.normal(size=(8, 16))
+    ids = np.arange(60_000, 60_008, dtype=np.int64)
+    pids = idx.insert(ids, vecs)
+    assert victim in {int(p) for p in pids}
+    cache: dict = {}
+    assert _append_pq_codes(idx, ids, vecs, pids, cache)
+    books2 = load_local_books(idx.version_dir)
+    assert victim in books2                      # npz extended
+    # and the streamed rows are ADC-searchable with consistent books
+    found, _ = knn_ivf_pq(idx, ([1], vecs[:1]), k=1,
+                          target_recall=1.0, max_probe=10**9,
+                          oversample=1)
+    assert found.collect()[0]["vec_id"] == int(ids[0])

@@ -462,3 +462,88 @@ def test_knn_opq_iterative_matches_bruteforce(spark):
     w = {(r["query_id"], r["vec_id"], round(r["dist"], 6))
          for r in want.collect()}
     assert g == w
+
+
+def test_local_books_beat_global_residual_adc(spark, tmp_path):
+    """The LOPQ design claim, measured (Kalantidis & Avrithis CVPR'14):
+    on clusters with DIFFERENT local orientations/scales, per-cell
+    codebooks trained on each cell's own residuals beat one global
+    residual codebook in the pure-ADC candidate stage (oversample=1,
+    no rerank mask). One global book must model the union of every
+    cell's residual cloud; the per-cell budget models just one.
+    Fully seed-pinned → deterministic; measured 0.642 vs 0.476
+    recall@10 at these settings (asserted with slack)."""
+    import shutil
+
+    import numpy as np
+
+    from quake_vector_search_spark.operators.evaluation import avg_recall
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.knn import knn_bruteforce
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+        knn_ivf_pq,
+    )
+
+    rng = np.random.default_rng(11)
+    n_cl, per, d = 12, 200, 16
+    X, centers = [], rng.normal(0, 8, size=(n_cl, d))
+    for c in range(n_cl):
+        # per-cluster random rotation × per-axis scales in [0.2, 3]
+        A = (np.linalg.qr(rng.normal(size=(d, d)))[0]
+             * rng.uniform(0.2, 3.0, size=d))
+        X.append(centers[c] + rng.normal(size=(per, d)) @ A.T)
+    X = np.vstack(X)
+    rows = [(int(i), [float(v) for v in X[i]]) for i in range(len(X))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qmat = X[:50].astype(np.float32).astype(np.float64)
+    qids = np.arange(50)
+
+    recalls = {}
+    for mode, kw in (("global", {}), ("local", {"local": True})):
+        wd = str(tmp_path / f"lopq_ab_{mode}")
+        shutil.rmtree(wd, ignore_errors=True)
+        idx = IVFIndex.build(df, wd, coarse_k=4, base_k=3)
+        build_pq_sidecar(idx, m=4, ksub=16, seed=99, residual=True,
+                         **kw)
+        exact = knn_bruteforce(idx.read_corpus(), (qids, qmat),
+                               k=10).localCheckpoint()
+        found, _ = knn_ivf_pq(idx, (qids, qmat), k=10,
+                              target_recall=1.0, max_probe=10**9,
+                              oversample=1)
+        recalls[mode] = avg_recall(found, exact, 10)
+    assert recalls["local"] >= recalls["global"] + 0.05, recalls
+    assert recalls["local"] >= 0.60, recalls
+
+
+def test_api_compress_index_and_knn_hybrid_facades(spark, tmp_path):
+    """api.compress_index / api.knn_hybrid: the one-stop entry to the
+    sidecar family. lopq flavor → per-pid dict books + local metadata;
+    knn_hybrid auto-detects the flavor and returns exact top-1 for
+    self-queries at full probe; unknown flavor refused."""
+    import json
+    import os
+
+    import numpy as np
+    import pytest as _pytest
+
+    from quake_vector_search_spark import api
+    from quake_vector_search_spark.operators.workload import make_dataset
+
+    corpus = make_dataset(spark, 500, d=16, n_clusters=6, seed=13)
+    idx = api.build_index(corpus, str(tmp_path / "api_hybrid"),
+                          coarse_k=4, base_k=2)
+    books = api.compress_index(idx, method="lopq", m=4, ksub=16)
+    assert isinstance(books, dict)
+    with open(os.path.join(idx.version_dir, "pq_meta.json")) as fh:
+        assert json.load(fh)["local"] is True
+    rows = corpus.where("vec_id < 4").collect()
+    qmat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    qids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    found = api.knn_hybrid(idx, (qids, qmat), k=1, target_recall=1.0,
+                           max_probe=10**9, oversample=40)
+    got = {int(r["query_id"]): int(r["vec_id"])
+           for r in found.collect()}
+    assert got == {int(q): int(q) for q in qids}
+    with _pytest.raises(ValueError, match="unknown method"):
+        api.compress_index(idx, method="hnsw")
