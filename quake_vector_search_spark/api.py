@@ -502,6 +502,39 @@ def compress_index(index: IVFIndex, method: str = "pq", **kwargs):
     return build_pq_sidecar(index, **{**flavors[method], **kwargs})
 
 
+def build_near_dup_index(docs: DataFrame, path: str, **kwargs) -> None:
+    """Persist a MinHash-LSH near-dup index (band buckets + exact
+    shingle sets) for incremental CDC dedup
+    (operators/dedup_index.py)."""
+    from quake_vector_search_spark.operators.dedup_index import (
+        build_lsh_index,
+    )
+    build_lsh_index(docs, path, **kwargs)
+
+
+def near_dups_against_index(spark, path: str, new_docs: DataFrame,
+                            threshold: float = 0.5,
+                            **kwargs) -> DataFrame:
+    """(new_id, corpus_id, jaccard) near-dups of a batch against a
+    persisted index — per-batch cost ∝ batch, corpus text never
+    re-read. Use ``extend_near_dup_index`` to admit survivors."""
+    from quake_vector_search_spark.operators.dedup_index import (
+        query_lsh_index,
+    )
+    return query_lsh_index(spark, path, new_docs, threshold=threshold,
+                           **kwargs)
+
+
+def extend_near_dup_index(path: str, survivors: DataFrame,
+                          **kwargs) -> None:
+    """Append post-dedup survivors to a persisted near-dup index so
+    later batches dedup against corpus ∪ survivors (no rebuild)."""
+    from quake_vector_search_spark.operators.dedup_index import (
+        extend_lsh_index,
+    )
+    extend_lsh_index(path, survivors, **kwargs)
+
+
 def knn_hybrid(index: IVFIndex, queries, k: int = 10,
                **kwargs) -> DataFrame:
     """IVF+PQ hybrid search over a sidecar built by

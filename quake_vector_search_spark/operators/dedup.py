@@ -180,6 +180,31 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     return h.groupBy(id_col).agg(*aggs)
 
 
+def band_explode(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Signature row → (id, band, key) LSH bucket rows via ONE explode
+    over the signature (NOT a union of N_BANDS re-aggregations — each
+    union branch would recompute the whole signature shuffle).
+    Shared by the in-memory pair path and the persisted index."""
+    band_arr = F.array(*[
+        F.struct(
+            F.lit(bnd).alias("band"),
+            F.concat_ws("_", *[
+                F.col(f"mh{bnd * BAND_WIDTH + j}").cast("string")
+                for j in range(BAND_WIDTH)]).alias("key"))
+        for bnd in range(N_BANDS)])
+    return (sig.select(F.col(id_col), F.explode(band_arr).alias("bk"))
+            .select(id_col, "bk.band", "bk.key"))
+
+
+def shingle_sets(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", n: int = 3) -> DataFrame:
+    """Per-doc exact shingle-hash set + size — the verification payload
+    next to LSH candidates (exact Jaccard needs the full sets)."""
+    return (doc_shingles(docs, id_col, text_col, n)
+            .groupBy(id_col).agg(F.collect_set("sh").alias("shs"),
+                                 F.count("*").alias("n_sh")))
+
+
 def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
                       id_col: str = "doc_id", text_col: str = "text",
                       n: int = 3) -> DataFrame:
@@ -189,18 +214,7 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
     verify candidates with exact Jaccard ≥ threshold.
     Returns (doc_a, doc_b, jaccard)."""
     sig = minhash_signatures(docs, id_col, text_col, n)
-    # Band via one explode over the signature row (NOT a union of 8
-    # re-aggregations — each union branch would recompute the whole
-    # signature shuffle).
-    band_arr = F.array(*[
-        F.struct(
-            F.lit(bnd).alias("band"),
-            F.concat_ws("_", *[
-                F.col(f"mh{bnd * BAND_WIDTH + j}").cast("string")
-                for j in range(BAND_WIDTH)]).alias("key"))
-        for bnd in range(N_BANDS)])
-    banded = (sig.select(F.col(id_col), F.explode(band_arr).alias("bk"))
-              .select(id_col, "bk.band", "bk.key"))
+    banded = band_explode(sig, id_col)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -211,9 +225,7 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
             .distinct())
     # Verify with exact Jaccard computed ONLY on candidate pairs —
     # cost ∝ candidates (true-dup density), never the all-pairs join.
-    sets = (doc_shingles(docs, id_col, text_col, n)
-            .groupBy(id_col).agg(F.collect_set("sh").alias("shs"),
-                                 F.count("*").alias("n_sh")))
+    sets = shingle_sets(docs, id_col, text_col, n)
     sa = sets.select(F.col(id_col).alias("doc_a"),
                      F.col("shs").alias("sa"), F.col("n_sh").alias("na"))
     sb = sets.select(F.col(id_col).alias("doc_b"),

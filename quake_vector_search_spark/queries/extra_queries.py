@@ -3515,3 +3515,82 @@ def ivf_search_calibrated_routed(spark, sf_dir):
           bool(mismatch_refused))],
         "n_corpus long, fit_is_routed boolean, recall_floor boolean, "
         "within_routed_aps boolean, mismatch_refused boolean")
+
+
+def _incremental_lsh_sql() -> str:
+    """Cross-side twin of dedup_queries._minhash_sql(): identical
+    signature/banding arithmetic, candidates restricted to
+    (corpus = even doc_id) × (batch = odd doc_id) pairs — exactly the
+    pairs the persisted index can produce for this split."""
+    from quake_vector_search_spark.operators import dedup as D
+    from quake_vector_search_spark.queries.dedup_queries import (
+        SQL_JACCARD_PAIRS,
+        SQL_TOKEN_HASH,
+    )
+
+    h = SQL_TOKEN_HASH.format(x="sh")
+    mins = ",\n         ".join(
+        f"MIN(({D.MINHASH_A[i]} * h + {D.MINHASH_B[i]}) % 2147483647) "
+        f"AS mh{i}"
+        for i in range(32))
+    band_keys = []
+    for bnd in range(D.N_BANDS):
+        cols = [f"mh{bnd * D.BAND_WIDTH + j}"
+                for j in range(D.BAND_WIDTH)]
+        key = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_keys.append(
+            f"SELECT doc_id, {bnd} AS band, {key} AS key FROM sig")
+    banded = "\nUNION ALL\n".join(band_keys)
+    return ("WITH " + SQL_JACCARD_PAIRS + f""",
+hashed AS (SELECT doc_id, {h} AS h FROM sh),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM hashed GROUP BY doc_id
+),
+banded AS ({banded}),
+cand AS (
+  SELECT DISTINCT b.doc_id AS new_id, a.doc_id AS corpus_id
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key
+   AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+)
+SELECT c.new_id, c.corpus_id, ROUND(j.jaccard, 6) AS jaccard
+FROM cand c JOIN jac j
+  ON j.doc_a = LEAST(c.new_id, c.corpus_id)
+ AND j.doc_b = GREATEST(c.new_id, c.corpus_id)
+WHERE j.jaccard >= 0.5
+""")
+
+
+@register("dedup_lsh_index_incremental", sql=_incremental_lsh_sql())
+def dedup_lsh_index_incremental(spark, sf_dir):
+    """Persisted incremental near-dup index (operators/dedup_index.py):
+    the CDC dedup loop — corpus signatures computed ONCE and persisted
+    as LSH band buckets + exact shingle sets; each arriving batch
+    dedups against the index at cost ∝ batch, never re-reading corpus
+    text. Here corpus = even doc_ids (indexed), batch = odd doc_ids
+    (queried); same banding + exact-Jaccard arithmetic as
+    dedup_minhash_lsh, so the oracle re-derives the full pipeline
+    restricted to cross-side pairs."""
+    import os
+    import shutil
+
+    from quake_vector_search_spark.operators.dedup_index import (
+        build_lsh_index,
+        query_lsh_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(f"/tmp/qvss_ivf_{os.getpid()}",
+                        "lshidx_" + sf_dir.strip("/").replace("/", "_"))
+    if path not in _LSH_INDEX_CACHE:
+        shutil.rmtree(path, ignore_errors=True)
+        build_lsh_index(docs.where(F.col("doc_id") % 2 == 0), path)
+        _LSH_INDEX_CACHE[path] = True
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    out = query_lsh_index(spark, path, batch, threshold=0.5)
+    return out.withColumn("jaccard", F.round("jaccard", 6))
+
+
+_LSH_INDEX_CACHE: dict = {}

@@ -789,3 +789,71 @@ def test_cosine_pairs_lsh_empty_arrow_batches(spark):
            .repartition(16))
     pairs = cosine_pairs_lsh(emb, threshold=0.999).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
+
+
+def test_lsh_index_build_query_extend(spark, tmp_path):
+    """Persisted incremental near-dup index lifecycle: (1) query
+    answers EQUAL the in-memory minhash_lsh_pairs operator restricted
+    to cross-side pairs (same banding + exact-Jaccard arithmetic);
+    (2) extend() appends a batch so the NEXT batch's dups against it
+    are caught without any rebuild; (3) id_col mismatch refused."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from quake_vector_search_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from quake_vector_search_spark.operators.dedup_index import (
+        build_lsh_index,
+        extend_lsh_index,
+        query_lsh_index,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog "
+            "while the cat watches from the warm windowsill")
+    rows = []
+    for i in range(20):
+        # even ids: corpus; odd ids: batch. Make odd 2i+1 a near-dup
+        # of even 2i for i < 5, distinct otherwise.
+        rows.append((2 * i, f"{base} corpus variant {i} " * 2))
+        if i < 5:
+            rows.append((2 * i + 1, f"{base} corpus variant {i} "
+                                    f"{base} corpus variant {i} edited"))
+        else:
+            rows.append((2 * i + 1,
+                         f"completely different text number {i} "
+                         f"about topic {i} with unique words w{i}a "
+                         f"w{i}b w{i}c w{i}d w{i}e w{i}f w{i}g"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+
+    path = str(tmp_path / "lsh_index")
+    build_lsh_index(corpus, path)
+    got = {(r["new_id"], r["corpus_id"], round(r["jaccard"], 9))
+           for r in query_lsh_index(spark, path, batch,
+                                    threshold=0.5).collect()}
+    # oracle: in-memory operator over the union, cross-side pairs only
+    want = {(max(r["doc_a"], r["doc_b"]) if r["doc_a"] % 2 == 0
+             else r["doc_a"],
+             min(r["doc_a"], r["doc_b"]) if r["doc_a"] % 2 == 0
+             else r["doc_b"],
+             round(r["jaccard"], 9))
+            for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+            if r["doc_a"] % 2 != r["doc_b"] % 2}
+    assert got == want and got  # non-empty: the 5 planted pairs found
+
+    # extend with the batch; a later doc duplicating an ODD (appended)
+    # doc must now be flagged against it
+    extend_lsh_index(path, batch)
+    later = spark.createDataFrame(
+        [(1001, f"{base} corpus variant 3 "
+                f"{base} corpus variant 3 edited")],
+        "doc_id long, text string")
+    hits = {r["corpus_id"]
+            for r in query_lsh_index(spark, path, later,
+                                     threshold=0.9).collect()}
+    assert 7 in hits  # doc 7 (= 2*3+1) entered the index via extend
+
+    with _pytest.raises(ValueError, match="id_col"):
+        extend_lsh_index(path, later, id_col="other_id")
