@@ -617,3 +617,67 @@ def test_append_pq_codes_trains_books_for_unseen_partition(spark, tmp_path):
                           target_recall=1.0, max_probe=10**9,
                           oversample=1)
     assert found.collect()[0]["vec_id"] == int(ids[0])
+
+
+def test_streaming_ingest_invalidates_routed_calibration(spark, tmp_path):
+    """Streaming ingest is DML: a routed calibration fit (fitted
+    against routed APS scoring on a specific layout) must be
+    invalidated by the micro-batch inserts — serving with
+    policy=\"calibrated\" afterwards must not silently reuse the
+    stale fit (it auto-refits WITH the recorded route restriction,
+    warning loudly), and maintain(recalibrate=True, route_cells=...)
+    restores an eager routed fit."""
+    import warnings
+
+    import numpy as np
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.maintenance import maintain
+    from quake_vector_search_spark.operators.workload import make_dataset
+    from quake_vector_search_spark.streaming.ingest import ingest_stream
+
+    corpus = make_dataset(spark, 600, d=16, n_clusters=6, seed=3)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_routed_stream"),
+                         coarse_k=4, base_k=2)
+    cal = idx.calibrate(n_queries=32, route_cells=3)
+    assert cal["route_cells"] == 3 and idx._calibration is not None
+
+    rng = np.random.default_rng(31)
+    rows = [(int(70_000 + i),
+             rng.normal(size=16).astype(float).tolist())
+            for i in range(6)]
+    vec_dir = str(tmp_path / "vecs")
+    ckpt = str(tmp_path / "ckpt")
+    (spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+     .repartition(2).write.mode("overwrite").parquet(vec_dir))
+    vstream = (spark.readStream
+               .schema("vec_id long, embedding array<float>")
+               .option("maxFilesPerTrigger", 1).parquet(vec_dir))
+    q = ingest_stream(idx, vstream, ckpt, encode_pq=False)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # the micro-batch inserts invalidated the routed fit
+    assert idx._calibration is None
+
+    # eager refit at maintenance time restores a routed fit; serving
+    # afterwards must NOT warn (no implicit auto-fit)
+    maintain(idx, recalibrate={"n_queries": 32, "route_cells": 3})
+    assert idx._calibration is not None
+    assert idx._calibration["route_cells"] == 3
+    # Differential vs the reference policy under the SAME route
+    # restriction at fullprobe (routing may legitimately exclude the
+    # cell holding a random out-of-distribution insert — out-of-route
+    # neighbors are unreachable by design, so absolute ground truth is
+    # the wrong oracle here). warnings→error pins that serving never
+    # pays an implicit auto-fit after the eager maintenance refit.
+    qmat = np.array([rows[0][1]], dtype=np.float64)
+    ref, _ = idx.search(([1], qmat), k=1, route_cells=3,
+                        target_recall=1.0, max_probe=len(idx.part_ids))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        found, _ = idx.search(([1], qmat), k=1, policy="calibrated",
+                              route_cells=3, target_recall=1.0,
+                              max_probe=len(idx.part_ids))
+    assert found.collect()[0]["vec_id"] == ref.collect()[0]["vec_id"]
