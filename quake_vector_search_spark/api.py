@@ -483,7 +483,9 @@ def compress_index(index: IVFIndex, method: str = "pq", **kwargs):
     for iterative training), ``"ivfadc"`` (residual-encoded),
     ``"opq_ivfadc"`` (rotation fitted on residuals — the FAISS-standard
     composition), ``"lopq"`` (per-partition codebooks on each cell's
-    own residuals, Kalantidis & Avrithis CVPR'14). Returns the trained
+    own residuals, Kalantidis & Avrithis CVPR'14), ``"lopq_rotated"``
+    (FULL LOPQ: per-cell OPQ rotations AND per-cell codebooks —
+    ``opq_iters=N`` refines each cell's rotation). Returns the trained
     codebooks (per-pid dict for lopq). Maintenance keeps whichever
     flavor was built current across split/merge republishes."""
     from quake_vector_search_spark.operators.quantization import (
@@ -495,6 +497,8 @@ def compress_index(index: IVFIndex, method: str = "pq", **kwargs):
         "ivfadc": {"residual": True},
         "opq_ivfadc": {"rotate": True, "residual": True},
         "lopq": {"residual": True, "local": True},
+        "lopq_rotated": {"residual": True, "local": True,
+                         "rotate": True},
     }
     if method not in flavors:
         raise ValueError(f"unknown method {method!r} "

@@ -507,18 +507,30 @@ def load_residual_snapshot(version_dir: str) -> dict | None:
             for i, p in enumerate(z["part_ids"])}
 
 
-def save_local_books(version_dir: str, books_by_pid: dict) -> None:
+def save_local_books(version_dir: str, books_by_pid: dict,
+                     rots_by_pid: dict | None = None) -> None:
     """Persist per-partition (local) PQ codebooks as ONE npz keyed
     ``books_{pid}``. Size is P · m · ksub · dsub doubles — metadata
     scale at the partition counts this engine targets per index
     version (same boundedness class as the centroid table). For a
     ≥10⁵-partition deployment the local books would graduate to a
     parquet sidecar keyed by partition_id and map-side-join into the
-    ADC kernel; the npz keeps the format trivially seekable here."""
+    ADC kernel; the npz keeps the format trivially seekable here.
+
+    ``rots_by_pid`` (full LOPQ): per-cell OPQ rotations stored in the
+    SAME npz as ``rotm_{pid}`` (mean, (d,)) and ``rotc_{pid}``
+    (components, (d, d)) — one file keeps the books/rotations
+    lifecycle atomic (a rotation without its books, or vice versa,
+    can never be observed)."""
     import os
 
+    payload = {f"books_{int(p)}": b for p, b in books_by_pid.items()}
+    if rots_by_pid:
+        for p, r in rots_by_pid.items():
+            payload[f"rotm_{int(p)}"] = r["mean"]
+            payload[f"rotc_{int(p)}"] = r["components"]
     np.savez(os.path.join(version_dir, "pq_local_books.npz"),
-             **{f"books_{int(p)}": b for p, b in books_by_pid.items()})
+             **payload)
 
 
 def load_local_books(version_dir: str) -> dict | None:
@@ -530,7 +542,26 @@ def load_local_books(version_dir: str) -> dict | None:
     if not os.path.exists(path):
         return None
     z = np.load(path)
-    return {int(k.split("_", 1)[1]): z[k] for k in z.files}
+    return {int(k.split("_", 1)[1]): z[k] for k in z.files
+            if k.startswith("books_")}
+
+
+def load_local_rots(version_dir: str) -> dict | None:
+    """Per-cell rotations of a full-LOPQ sidecar as
+    {pid: {"mean", "components"}}; None when the sidecar is unrotated
+    (plain per-cell books) or absent."""
+    import os
+
+    path = os.path.join(version_dir, "pq_local_books.npz")
+    if not os.path.exists(path):
+        return None
+    z = np.load(path)
+    out = {}
+    for k in z.files:
+        if k.startswith("rotm_"):
+            pid = int(k.split("_", 1)[1])
+            out[pid] = {"mean": z[k], "components": z[f"rotc_{pid}"]}
+    return out or None
 
 
 def _cell_book_seed(seed: int, pid: int) -> int:
@@ -543,7 +574,8 @@ def _cell_book_seed(seed: int, pid: int) -> int:
 def train_local_books(res_src: DataFrame, m: int, ksub: int,
                       seed: int, cell_sample_n: int,
                       id_col: str, vec_col: str,
-                      iters: int = 8) -> dict:
+                      iters: int = 8, rotate: bool = False,
+                      opq_iters: int = 1) -> tuple[dict, dict | None]:
     """Train one PQ codebook set PER PARTITION on that cell's residuals
     — the local product quantization of Kalantidis & Avrithis (LOPQ,
     CVPR'14): a single global codebook must model the union of every
@@ -555,9 +587,22 @@ def train_local_books(res_src: DataFrame, m: int, ksub: int,
     id hash (order- and partitioning-independent), and only the
     codebooks — not the vectors — come back to the driver.
 
-    Returns {pid: books [m, ksub_p, dsub]} with ksub_p = min(ksub,
-    |cell sample|): a small cell gets exactly as many codewords as it
-    has distinct support for, never empty clusters."""
+    ``rotate=True`` is FULL LOPQ: each cell additionally learns its
+    OWN OPQ rotation (``opq_refine_local`` per cell — eigenvalue-
+    allocation init, ``opq_iters`` codebook↔Procrustes alternations)
+    before its books are trained, so the subspace decomposition
+    itself adapts to the cell's local covariance — the paper's whole
+    point is that residual clouds are locally oriented, which a
+    per-cell rotation exploits and per-cell books alone cannot.
+    Each cell's fit is still driver-free (runs inside the same
+    grouped-map task, pure NumPy on the bounded sample) and
+    deterministic (seeded per cell via ``_cell_book_seed``).
+
+    Returns ``(books_by_pid, rots_by_pid)`` — books {pid: [m, ksub_p,
+    dsub]} with ksub_p = min(ksub, |cell sample|) (a small cell gets
+    exactly as many codewords as it has distinct support for, never
+    empty clusters); rots {pid: {"mean", "components"}} or None when
+    ``rotate`` is off."""
     from quake_vector_search_spark.operators.kmeans import local_kmeans
 
     def fit(key, pdf):
@@ -565,7 +610,8 @@ def train_local_books(res_src: DataFrame, m: int, ksub: int,
         n = len(pdf)
         if n == 0:
             return pd.DataFrame({"partition_id": [], "ksub": [],
-                                 "books": []})
+                                 "books": [], "rot_mean": [],
+                                 "rot_comps": []})
         if n > cell_sample_n:
             ids = pdf[id_col].to_numpy(dtype=np.uint64)
             h = (ids * np.uint64(0x9E3779B97F4A7C15)
@@ -577,42 +623,70 @@ def train_local_books(res_src: DataFrame, m: int, ksub: int,
         d = X.shape[1]
         dsub = d // m
         ksub_p = min(ksub, n)
-        books = np.empty((m, ksub_p, dsub), dtype=np.float64)
         base = _cell_book_seed(seed, pid)
-        for j in range(m):
-            books[j], _ = local_kmeans(X[:, j * dsub:(j + 1) * dsub],
-                                       ksub_p, iters, base + j)
+        if rotate:
+            model = opq_refine_local(X, m=m, ksub=ksub_p,
+                                     opq_iters=max(1, opq_iters),
+                                     kmeans_iters=iters, seed=base)
+            books = model["books"]
+            rot_mean, rot_comps = (model["mean"],
+                                   model["components"].ravel())
+        else:
+            books = np.empty((m, ksub_p, dsub), dtype=np.float64)
+            for j in range(m):
+                books[j], _ = local_kmeans(
+                    X[:, j * dsub:(j + 1) * dsub], ksub_p, iters,
+                    base + j)
+            rot_mean = np.zeros(0)
+            rot_comps = np.zeros(0)
         return pd.DataFrame({"partition_id": [pid],
-                             "ksub": [ksub_p],
-                             "books": [books.ravel()]})
+                             "ksub": [int(books.shape[1])],
+                             "books": [books.ravel()],
+                             "rot_mean": [rot_mean],
+                             "rot_comps": [rot_comps]})
 
     rows = (res_src.select(id_col, "partition_id", vec_col)
             .groupBy("partition_id")
             .applyInPandas(fit, "partition_id long, ksub int, "
-                                "books array<double>")
+                                "books array<double>, "
+                                "rot_mean array<double>, "
+                                "rot_comps array<double>")
             .collect())
     out = {}
+    rots = {}
     for r in rows:
         flat = np.asarray(r["books"], dtype=np.float64)
         dsub = flat.size // (m * r["ksub"])
-        out[int(r["partition_id"])] = flat.reshape(m, r["ksub"], dsub)
-    return out
+        pid = int(r["partition_id"])
+        out[pid] = flat.reshape(m, r["ksub"], dsub)
+        if rotate:
+            mean = np.asarray(r["rot_mean"], dtype=np.float64)
+            d = mean.size
+            rots[pid] = {
+                "mean": mean,
+                "components": np.asarray(
+                    r["rot_comps"], dtype=np.float64).reshape(d, d)}
+    return out, (rots if rotate else None)
 
 
 def _encode_local_sidecar(res_src: DataFrame, books_by_pid: dict,
-                          id_col: str, vec_col: str) -> DataFrame:
+                          id_col: str, vec_col: str,
+                          rots_by_pid: dict | None = None) -> DataFrame:
     """Encode residuals against each row's OWN partition's codebooks
     (broadcast dict, one pq_encode_local kernel call per (batch, pid)
-    run) — the per-cell twin of ``pq_encode``. Rows from a partition
-    with no trained books (can't happen in the supported build /
-    refresh / streaming flows, which keep the books exhaustive) are
-    dropped rather than mis-encoded."""
+    run) — the per-cell twin of ``pq_encode``. With ``rots_by_pid``
+    (full LOPQ) each cell's residuals are first projected through that
+    cell's own rotation — ``(x_res − mean_p) @ R_pᵀ`` — so codes live
+    in the per-cell rotated space the books were trained in. Rows from
+    a partition with no trained books (can't happen in the supported
+    build / refresh / streaming flows, which keep the books
+    exhaustive) are dropped rather than mis-encoded."""
     spark = res_src.sparkSession
-    bc = spark.sparkContext.broadcast(books_by_pid)
+    bc = spark.sparkContext.broadcast((books_by_pid, rots_by_pid))
     m = next(iter(books_by_pid.values())).shape[0]
 
     def encode(batches):
-        books = bc.value
+        books, rots = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -627,7 +701,11 @@ def _encode_local_sidecar(res_src: DataFrame, books_by_pid: dict,
                 if bk is None:
                     keep[mask] = False
                     continue
-                codes[mask] = pq_encode_local(X[mask], bk)
+                Xp = X[mask]
+                rot = rots.get(int(pid)) if rots else None
+                if rot is not None:
+                    Xp = (Xp - rot["mean"]) @ rot["components"].T
+                codes[mask] = pq_encode_local(Xp, bk)
             yield pd.DataFrame({
                 id_col: ids[keep],
                 "pq_codes": list(codes[keep]),
@@ -715,15 +793,23 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
     CVPR'14): one global book must model the union of all cells'
     residual clouds, while per-cell books spend the whole ksub budget
     on one cell's tighter, locally-oriented distribution. Implies the
-    residual encoding (LOPQ is defined on residuals); a per-cell
-    ROTATION (full LOPQ) is a further rung — ``local`` composes with
-    neither ``rotate`` nor ``opq_iters`` and refuses both. Books
-    persist as pq_local_books.npz; ``knn_ivf_pq`` builds its ADC
-    tables per (query, probed partition) from that partition's books,
-    and only the PROBED partitions' books ride the broadcast. Unlike
-    global codebooks, per-cell books are LAYOUT-BOUND: maintenance
-    retrains them (see ``refresh_pq_sidecar``), and streaming appends
-    train books for partitions the sidecar has never seen.
+    residual encoding (LOPQ is defined on residuals). Books persist as
+    pq_local_books.npz; ``knn_ivf_pq`` builds its ADC tables per
+    (query, probed partition) from that partition's books, and only
+    the PROBED partitions' books ride the broadcast. Unlike global
+    codebooks, per-cell books are LAYOUT-BOUND: maintenance retrains
+    them (see ``refresh_pq_sidecar``), and streaming appends train
+    books for partitions the sidecar has never seen.
+
+    ``local=True, rotate=True`` is FULL LOPQ (the paper's complete
+    recipe): each cell learns its OWN OPQ rotation on its residuals
+    (``opq_iters`` alternations; 1 = eigenvalue-allocation init only)
+    before training its books — residual clouds are locally ORIENTED,
+    so even the subspace decomposition should be per-cell. Rotations
+    persist inside pq_local_books.npz (``rotm_/rotc_`` keys — one
+    file keeps books+rotations atomic); the ADC stage projects
+    ``q − c_p`` through the probed cell's rotation, and streaming
+    appends fit a rotation for partitions born after the build.
 
     The sidecar belongs to ONE index version: maintenance (split/merge)
     publishes a new version dir, so its sidecar must be rebuilt — the
@@ -737,24 +823,22 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
     corpus = index.read_corpus()
     enc_cents = None
     if local:
-        if rotate or opq_iters:
-            raise ValueError(
-                "local (per-cell) codebooks do not compose with a "
-                "global rotation; drop rotate=/opq_iters= or use the "
-                "global rotated-residual sidecar")
         enc_cents = {int(p): index.centroids[i].copy()
                      for i, p in enumerate(index.part_ids)}
         res_src = _residual_corpus(index, corpus, enc_cents)
-        books_by_pid = train_local_books(
+        books_by_pid, rots_by_pid = train_local_books(
             res_src, m=m, ksub=ksub, seed=seed,
             cell_sample_n=cell_sample_n,
-            id_col=index.id_col, vec_col=index.vec_col)
+            id_col=index.id_col, vec_col=index.vec_col,
+            rotate=rotate, opq_iters=max(1, opq_iters))
         enc = _encode_local_sidecar(res_src, books_by_pid,
-                                    index.id_col, index.vec_col)
+                                    index.id_col, index.vec_col,
+                                    rots_by_pid=rots_by_pid)
         path = os.path.join(index.version_dir, "pq")
         (enc.write.mode("overwrite").partitionBy("partition_id")
             .parquet(path))
-        save_local_books(index.version_dir, books_by_pid)
+        save_local_books(index.version_dir, books_by_pid,
+                         rots_by_pid=rots_by_pid)
         save_residual_snapshot(index.version_dir, enc_cents)
         for stale in ("pq_rotation.npz", "pq_codebooks.npy"):
             sp = os.path.join(index.version_dir, stale)
@@ -764,6 +848,8 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
                   "w") as fh:
             json.dump({"residual": True, "local": True, "m": m,
                        "ksub": int(ksub), "seed": int(seed),
+                       "rotate": bool(rotate),
+                       "opq_iters": int(max(1, opq_iters)),
                        "cell_sample_n": int(cell_sample_n)}, fh)
         return books_by_pid
     if rotate and residual:
@@ -948,10 +1034,18 @@ def knn_ivf_pq(index, queries, k: int = 10, target_recall: float = 0.9,
     # the code scan). Local (LOPQ) sidecars additionally use the
     # probed PARTITION'S OWN codebooks for those tables; only the
     # probed partitions' books ride the broadcast.
+    local_rots = None
     if local:
         _any = next(iter(books.values()))
         mm, dsub = _any.shape[0], _any.shape[2]
         books = {p: b for p, b in books.items() if p in probe_map}
+        # full-LOPQ sidecar: the probed cell's own rotation must be
+        # applied to q − c_p before the LUT build (codes live in the
+        # per-cell rotated space); only probed cells' rotations ride
+        local_rots = load_local_rots(index.version_dir)
+        if local_rots is not None:
+            local_rots = {p: r for p, r in local_rots.items()
+                          if p in probe_map}
     else:
         mm, ksub_eff, dsub = books.shape
     if residual:
@@ -972,7 +1066,8 @@ def knn_ivf_pq(index, queries, k: int = 10, target_recall: float = 0.9,
             cent_by_pid = {p: c @ rot_R.T
                            for p, c in cent_by_pid.items()}
         bc = spark.sparkContext.broadcast(
-            (qids, qmat_adc, probe_map, books, cent_by_pid))
+            (qids, qmat_adc, probe_map, books, cent_by_pid,
+             local_rots))
     else:
         luts = np.stack([
             l2_batch(qmat_adc[:, j * dsub:(j + 1) * dsub], books[j])
@@ -987,7 +1082,8 @@ def knn_ivf_pq(index, queries, k: int = 10, target_recall: float = 0.9,
 
     def adc_topk(batches):
         if residual:
-            qids_l, qmat_l, pmap, books_l, cents_l = bc.value
+            (qids_l, qmat_l, pmap, books_l, cents_l,
+             rots_l) = bc.value
         else:
             qids_l, luts_l, pmap = bc.value
         for pdf in batches:
@@ -1011,6 +1107,13 @@ def knn_ivf_pq(index, queries, k: int = 10, target_recall: float = 0.9,
                     if bk is None:
                         continue
                     qres = qmat_l[qidx] - cents_l[int(pid)]
+                    rot = (rots_l.get(int(pid))
+                           if local and rots_l else None)
+                    if rot is not None:
+                        # full LOPQ: codes live in THIS cell's
+                        # rotated space
+                        qres = ((qres - rot["mean"])
+                                @ rot["components"].T)
                     for j in range(bk.shape[0]):
                         lut_j = l2_batch(
                             qres[:, j * dsub:(j + 1) * dsub],
@@ -1030,11 +1133,14 @@ def knn_ivf_pq(index, queries, k: int = 10, target_recall: float = 0.9,
             if out:
                 yield pd.concat(out)
 
-    local = codes.mapInPandas(
+    # NOTE: must not reuse the name `local` here — adc_topk's closure
+    # reads the `local` FLAG, and cloudpickle captures the cell at
+    # pickle time; shadowing it with a DataFrame is a landmine
+    approx_scores = codes.mapInPandas(
         adc_topk, f"query_id long, {id_col} long, dist double")
     w = (Window.partitionBy("query_id")
          .orderBy(F.col("dist").asc(), F.col(id_col).asc()))
-    cand = (local.withColumn("rank", F.row_number().over(w))
+    cand = (approx_scores.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= kk_cand)
             .select("query_id", id_col))
     out = exact_rerank(cand, index.read_corpus(), (qids, qmat), k,
@@ -1082,6 +1188,10 @@ def refresh_pq_sidecar(index, books: np.ndarray | None = None) -> bool:
                              ksub=int(prev_meta["ksub"]),
                              seed=int(prev_meta.get("seed", 99)),
                              residual=True, local=True,
+                             rotate=bool(prev_meta.get("rotate",
+                                                       False)),
+                             opq_iters=int(prev_meta.get("opq_iters",
+                                                         1)),
                              cell_sample_n=int(
                                  prev_meta.get("cell_sample_n",
                                                20_000)))

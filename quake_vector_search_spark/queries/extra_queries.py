@@ -3450,6 +3450,77 @@ FROM r WHERE rank <= {K}
 _register_ivf_lopq()
 
 
+def _register_ivf_lopq_rotated():
+    from quake_vector_search_spark.queries.vector_queries import (
+        K, N_QUERIES)
+
+    @register("ivf_lopq_rotated_fullprobe", sql=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), d AS (
+  SELECT q.query_id, e.vec_id,
+         list_distance(CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.qvec AS DOUBLE[])) AS dist
+  FROM embeddings e CROSS JOIN q
+), r AS (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist ASC, vec_id ASC) AS rank
+  FROM d
+)
+SELECT query_id, vec_id, ROUND(dist, 6) AS dist, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {K}
+""")
+    def ivf_lopq_rotated_fullprobe(spark, sf_dir):
+        """FULL LOPQ (round 7): per-cell OPQ rotations AND per-cell
+        codebooks (Kalantidis & Avrithis, CVPR'14 — the paper's
+        complete recipe). Residual clouds are locally ORIENTED, so
+        the subspace decomposition itself is learned per cell: each
+        cell fits its own eigenvalue-allocated rotation inside the
+        same grouped-map task that trains its books, codes quantize
+        ``((x − c_p) − mean_p) @ R_pᵀ``, and the ADC stage projects
+        ``q − c_p`` through the probed cell's own rotation before the
+        LUT build. Full probe + exact rerank must equal brute force
+        (the oracle) — what the row pins beyond ``ivf_lopq_fullprobe``
+        is per-cell ROTATION consistency: pairing any cell's codes
+        with another cell's rotation (or skipping the rotation on
+        either the encode or the LUT side) destroys the candidate
+        ranking at oversample this tight. Own scratch index like the
+        other sidecar rows."""
+        import os
+        import shutil
+
+        from quake_vector_search_spark.operators.ivf import IVFIndex
+        from quake_vector_search_spark.operators.quantization import (
+            build_pq_sidecar,
+            knn_ivf_pq,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        wd = os.path.join(f"/tmp/qvss_ivf_{os.getpid()}",
+                          "lopqr_" + sf_dir.strip("/").replace("/", "_"))
+        if wd not in _IVF_RES_CACHE:
+            shutil.rmtree(wd, ignore_errors=True)
+            idx = IVFIndex.build(emb, wd, coarse_k=8, base_k=4)
+            books = build_pq_sidecar(idx, m=8, ksub=256, seed=99,
+                                     residual=True, local=True,
+                                     rotate=True, opq_iters=2)
+            _IVF_RES_CACHE[wd] = (idx, books)
+        idx, books = _IVF_RES_CACHE[wd]
+        queries = emb.where(F.col("vec_id") < N_QUERIES) \
+                     .withColumnRenamed("vec_id", "query_id")
+        n = emb.count()
+        out, _meta = knn_ivf_pq(idx, queries, k=K, target_recall=1.0,
+                                max_probe=1_000_000_000,
+                                oversample=max(16, -(-n // (2 * K))),
+                                books=books)
+        return out.withColumn("dist", F.round("dist", 6))
+
+
+_register_ivf_lopq_rotated()
+
+
 @register("ivf_search_calibrated_routed", sql="""
 SELECT CAST(8000 AS BIGINT) AS n_corpus, TRUE AS fit_is_routed,
        TRUE AS recall_floor, TRUE AS within_routed_aps,

@@ -62,8 +62,17 @@ def _append_pq_codes(index: IVFIndex, ids: np.ndarray,
         books_cache["residual"] = bool(meta.get("residual", False))
         books_cache["local"] = bool(meta.get("local", False))
         if books_cache["local"]:
-            # per-cell books; a local sidecar never carries a rotation
+            # per-cell books; a GLOBAL rotation never applies to a
+            # local sidecar — full-LOPQ rotations are per-cell and
+            # ride in the same npz as the books
+            from quake_vector_search_spark.operators.quantization import (  # noqa: E501
+                load_local_rots,
+            )
+
             books_cache["books"] = load_local_books(index.version_dir)
+            books_cache["local_rots"] = (
+                load_local_rots(index.version_dir)
+                if meta.get("rotate") else None)
             books_cache["rotation"] = None
         else:
             books_cache["books"] = np.load(npy)
@@ -125,32 +134,52 @@ def _append_pq_codes(index: IVFIndex, ids: np.ndarray,
             local_kmeans,
         )
         from quake_vector_search_spark.operators.quantization import (
-            _cell_book_seed, save_local_books,
+            _cell_book_seed, opq_refine_local, save_local_books,
         )
 
         books = books_cache["books"]
+        rots = books_cache.get("local_rots")
         meta = books_cache.get("meta", {})
         m = int(meta.get("m", 8))
+        rotated = bool(meta.get("rotate", False))
         pid_arr = np.asarray(pids, dtype=np.int64)
         missing = sorted({int(p) for p in pid_arr} - set(books))
         for p in missing:
             Xp = enc_vecs[pid_arr == p]
             dsub = Xp.shape[1] // m
             ksub_p = min(int(meta.get("ksub", 256)), len(Xp))
-            bk = np.empty((m, ksub_p, dsub), dtype=np.float64)
             base = _cell_book_seed(int(meta.get("seed", 99)), p)
-            for j in range(m):
-                bk[j], _ = local_kmeans(
-                    Xp[:, j * dsub:(j + 1) * dsub], ksub_p, 8,
-                    base + j)
-            books[p] = bk
+            if rotated:
+                # full-LOPQ sidecar: a partition born after the build
+                # gets its own rotation fitted from the batch's
+                # residuals, mirroring the build-time per-cell fit
+                model = opq_refine_local(
+                    Xp, m=m, ksub=ksub_p,
+                    opq_iters=int(meta.get("opq_iters", 1)),
+                    kmeans_iters=8, seed=base)
+                books[p] = model["books"]
+                if rots is None:
+                    rots = books_cache["local_rots"] = {}
+                rots[p] = {"mean": model["mean"],
+                           "components": model["components"]}
+            else:
+                bk = np.empty((m, ksub_p, dsub), dtype=np.float64)
+                for j in range(m):
+                    bk[j], _ = local_kmeans(
+                        Xp[:, j * dsub:(j + 1) * dsub], ksub_p, 8,
+                        base + j)
+                books[p] = bk
         if missing:
-            save_local_books(index.version_dir, books)
+            save_local_books(index.version_dir, books,
+                             rots_by_pid=rots)
         codes = np.empty((len(enc_vecs), m), dtype=np.int64)
         for p in np.unique(pid_arr):
             mask = pid_arr == p
-            codes[mask] = pq_encode_local(enc_vecs[mask],
-                                          books[int(p)])
+            Xp = enc_vecs[mask]
+            rot = rots.get(int(p)) if rots else None
+            if rot is not None:
+                Xp = (Xp - rot["mean"]) @ rot["components"].T
+            codes[mask] = pq_encode_local(Xp, books[int(p)])
     else:
         codes = pq_encode_local(enc_vecs, books_cache["books"])
     # pyarrow Table from the flat code buffer: exact types independent

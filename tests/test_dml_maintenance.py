@@ -556,9 +556,6 @@ def test_local_pq_sidecar_roundtrip(spark, tmp_path):
     corpus = make_dataset(spark, 800, d=16, n_clusters=10, seed=5)
     idx = IVFIndex.build(corpus, str(tmp_path / "ivf_lopq"),
                          coarse_k=4, base_k=2)
-    with pytest.raises(ValueError, match="rotation"):
-        build_pq_sidecar(idx, m=4, ksub=32, residual=True, local=True,
-                         rotate=True)
     books = build_pq_sidecar(idx, m=4, ksub=32, residual=True,
                              local=True)
     assert isinstance(books, dict)
@@ -587,6 +584,61 @@ def test_local_pq_sidecar_roundtrip(spark, tmp_path):
     assert meta2["local"] is True
     books2 = load_local_books(idx.version_dir)
     assert set(books2) == {int(p) for p in idx.part_ids}
+    exact2 = knn_bruteforce(idx.read_corpus(), (qids, qmat),
+                            k=5).localCheckpoint()
+    found2, _ = knn_ivf_pq(idx, (qids, qmat), k=5, target_recall=1.0,
+                           max_probe=64, oversample=40)
+    assert avg_recall(found2, exact2, 5) >= 0.95
+
+
+def test_rotated_local_pq_sidecar_roundtrip(spark, tmp_path):
+    """Full LOPQ (per-cell rotations + per-cell books) survives a
+    maintenance republish: the retrained sidecar keeps rotate=True in
+    its meta, every new-layout cell gets BOTH books and a rotation
+    (atomic in one npz), and hybrid search accuracy holds before and
+    after — per-cell rotations are layout-bound like the books, so
+    carrying either forward across a split/merge would pair codes
+    with the wrong space."""
+    import json
+    import os
+
+    from quake_vector_search_spark.operators.evaluation import avg_recall
+    from quake_vector_search_spark.operators.knn import knn_bruteforce
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+        knn_ivf_pq,
+        load_local_books,
+        load_local_rots,
+    )
+    from quake_vector_search_spark.operators.workload import make_dataset
+
+    corpus = make_dataset(spark, 800, d=16, n_clusters=10, seed=5)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_lopqr"),
+                         coarse_k=4, base_k=2)
+    build_pq_sidecar(idx, m=4, ksub=32, residual=True, local=True,
+                     rotate=True, opq_iters=2)
+    with open(os.path.join(idx.version_dir, "pq_meta.json")) as fh:
+        meta = json.load(fh)
+    assert meta["local"] and meta["rotate"] and meta["opq_iters"] == 2
+    rots = load_local_rots(idx.version_dir)
+    assert set(rots) == {int(p) for p in idx.part_ids}
+    rows = corpus.where("vec_id < 5").collect()
+    qmat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    qids = np.arange(5)
+    exact = knn_bruteforce(idx.read_corpus(), (qids, qmat),
+                           k=5).localCheckpoint()
+    found, _ = knn_ivf_pq(idx, (qids, qmat), k=5, target_recall=1.0,
+                          max_probe=64, oversample=40)
+    assert avg_recall(found, exact, 5) >= 0.95
+    rng = np.random.default_rng(2)
+    idx.insert([21_000], rng.normal(size=(1, 16)), refresh=False)
+    maintain(idx, split_size=48, merge_size=0)
+    with open(os.path.join(idx.version_dir, "pq_meta.json")) as fh:
+        meta2 = json.load(fh)
+    assert meta2["local"] and meta2["rotate"] and meta2["opq_iters"] == 2
+    books2 = load_local_books(idx.version_dir)
+    rots2 = load_local_rots(idx.version_dir)
+    assert set(books2) == set(rots2) == {int(p) for p in idx.part_ids}
     exact2 = knn_bruteforce(idx.read_corpus(), (qids, qmat),
                             k=5).localCheckpoint()
     found2, _ = knn_ivf_pq(idx, (qids, qmat), k=5, target_recall=1.0,

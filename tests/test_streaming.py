@@ -619,6 +619,80 @@ def test_append_pq_codes_trains_books_for_unseen_partition(spark, tmp_path):
     assert found.collect()[0]["vec_id"] == int(ids[0])
 
 
+def test_append_pq_codes_into_rotated_local_sidecar(spark, tmp_path):
+    """Full-LOPQ sidecar (per-cell rotations + per-cell books) under
+    streaming appends. Existing partitions: streamed codes must be
+    encoded through THAT cell's rotation (bit-identical to re-encoding
+    the residual through the persisted rotation+books by hand — an
+    unrotated append would silently mis-rank in the ADC stage, the
+    same failure mode ADVICE r6 flagged for the global rotated
+    sidecar). A partition born after the build gets its OWN rotation
+    fitted from the batch and persisted atomically with its books."""
+    import numpy as np
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+        knn_ivf_pq,
+        load_local_books,
+        load_local_rots,
+        load_residual_snapshot,
+        pq_encode_local,
+        save_local_books,
+    )
+    from quake_vector_search_spark.operators.workload import make_dataset
+    from quake_vector_search_spark.streaming.ingest import _append_pq_codes
+
+    corpus = make_dataset(spark, 600, d=16, n_clusters=6, seed=3)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_lopqr_stream"),
+                         coarse_k=4, base_k=2)
+    build_pq_sidecar(idx, m=4, ksub=16, residual=True, local=True,
+                     rotate=True, opq_iters=2)
+    rots = load_local_rots(idx.version_dir)
+    books = load_local_books(idx.version_dir)
+    assert rots is not None and set(rots) == set(books)
+
+    # --- existing partitions: append rows near two live centroids
+    pos = {int(p): i for i, p in enumerate(idx.part_ids)}
+    rng = np.random.default_rng(17)
+    targets = sorted(books)[:2]
+    vecs = np.vstack([idx.centroids[pos[t]] + 0.05 * rng.normal(size=(3, 16))
+                      for t in targets])
+    ids = np.arange(80_000, 80_006, dtype=np.int64)
+    pids = idx.insert(ids, vecs)
+    cache: dict = {}
+    assert _append_pq_codes(idx, ids, vecs, pids, cache)
+    # bit-exact: streamed codes == hand-encoded rotated residuals
+    snap = load_residual_snapshot(idx.version_dir)
+    streamed = (spark.read.parquet(f"{idx.version_dir}/pq")
+                .where(F.col(idx.id_col) >= 80_000).collect())
+    assert len(streamed) == len(ids)
+    for r in streamed:
+        p = int(r["partition_id"])
+        x = vecs[list(ids).index(r[idx.id_col])]
+        res = (x - snap[p] - rots[p]["mean"]) @ rots[p]["components"].T
+        want = pq_encode_local(res[None, :], books[p])[0]
+        assert list(r["pq_codes"]) == [int(c) for c in want]
+
+    # --- unseen partition: drop one cell's books AND rotation, then
+    # stream straight at it — both are refitted and persisted
+    victim = int(sorted(books)[0])
+    del books[victim], rots[victim]
+    save_local_books(idx.version_dir, books, rots_by_pid=rots)
+    c = idx.centroids[pos[victim]]
+    vecs2 = c + 0.01 * rng.normal(size=(8, 16))
+    ids2 = np.arange(81_000, 81_008, dtype=np.int64)
+    pids2 = idx.insert(ids2, vecs2)
+    assert victim in {int(p) for p in pids2}
+    assert _append_pq_codes(idx, ids2, vecs2, pids2, {})
+    assert victim in load_local_books(idx.version_dir)
+    assert victim in load_local_rots(idx.version_dir)
+    found, _ = knn_ivf_pq(idx, ([1], vecs2[:1]), k=1,
+                          target_recall=1.0, max_probe=10**9,
+                          oversample=1)
+    assert found.collect()[0]["vec_id"] == int(ids2[0])
+
+
 def test_streaming_ingest_invalidates_routed_calibration(spark, tmp_path):
     """Streaming ingest is DML: a routed calibration fit (fitted
     against routed APS scoring on a specific layout) must be

@@ -500,7 +500,9 @@ def test_local_books_beat_global_residual_adc(spark, tmp_path):
     qids = np.arange(50)
 
     recalls = {}
-    for mode, kw in (("global", {}), ("local", {"local": True})):
+    for mode, kw in (("global", {}), ("local", {"local": True}),
+                     ("local_rot", {"local": True, "rotate": True,
+                                    "opq_iters": 2})):
         wd = str(tmp_path / f"lopq_ab_{mode}")
         shutil.rmtree(wd, ignore_errors=True)
         idx = IVFIndex.build(df, wd, coarse_k=4, base_k=3)
@@ -514,6 +516,12 @@ def test_local_books_beat_global_residual_adc(spark, tmp_path):
         recalls[mode] = avg_recall(found, exact, 10)
     assert recalls["local"] >= recalls["global"] + 0.05, recalls
     assert recalls["local"] >= 0.60, recalls
+    # full LOPQ: the clusters are built with per-cluster random
+    # rotations × scales, exactly the anisotropy a per-cell rotation
+    # exploits and per-cell books alone cannot — measured 0.714 vs
+    # 0.642 at these settings (asserted with slack)
+    assert recalls["local_rot"] >= recalls["local"] + 0.04, recalls
+    assert recalls["local_rot"] >= 0.68, recalls
 
 
 def test_api_compress_index_and_knn_hybrid_facades(spark, tmp_path):
