@@ -3588,11 +3588,16 @@ def ivf_search_calibrated_routed(spark, sf_dir):
         "within_routed_aps boolean, mismatch_refused boolean")
 
 
-def _incremental_lsh_sql() -> str:
+def _incremental_lsh_sql(
+        cand_pred: str = "a.doc_id % 2 = 0 AND b.doc_id % 2 = 1",
+) -> str:
     """Cross-side twin of dedup_queries._minhash_sql(): identical
-    signature/banding arithmetic, candidates restricted to
-    (corpus = even doc_id) × (batch = odd doc_id) pairs — exactly the
-    pairs the persisted index can produce for this split."""
+    signature/banding arithmetic, candidates restricted by
+    ``cand_pred`` (a = already-indexed member, b = arriving doc). The
+    default — (corpus = even doc_id) × (batch = odd doc_id) — is
+    exactly the pairs the persisted index can produce for the one-shot
+    split; the streaming mirror widens it to members indexed by
+    EARLIER micro-batches."""
     from quake_vector_search_spark.operators import dedup as D
     from quake_vector_search_spark.queries.dedup_queries import (
         SQL_JACCARD_PAIRS,
@@ -3624,7 +3629,7 @@ cand AS (
   SELECT DISTINCT b.doc_id AS new_id, a.doc_id AS corpus_id
   FROM banded a JOIN banded b
     ON a.band = b.band AND a.key = b.key
-   AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+   AND {cand_pred}
 )
 SELECT c.new_id, c.corpus_id, ROUND(j.jaccard, 6) AS jaccard
 FROM cand c JOIN jac j
@@ -3665,3 +3670,77 @@ def dedup_lsh_index_incremental(spark, sf_dir):
 
 
 _LSH_INDEX_CACHE: dict = {}
+
+
+@register("stream_dedup_index_equals_batch", sql=_incremental_lsh_sql(
+    cand_pred="b.doc_id % 2 = 1 AND (a.doc_id % 2 = 0 "
+              "OR (a.doc_id % 6) < (b.doc_id % 6))"))
+def stream_dedup_index_equals_batch(spark, sf_dir):
+    """The persisted near-dup index under STREAMING execution — the
+    full CDC dedup loop, value-hashed directly: corpus = even doc_ids
+    indexed once; odd doc_ids arrive as THREE micro-batches (split by
+    ``doc_id % 6`` ∈ {1, 3, 5}, file-per-batch with pinned mtimes so
+    the file source replays them in order); each micro-batch is
+    queried against the index (query_lsh_index) and then extends it
+    with ALL its rows (extend_lsh_index), so later batches dedup
+    against corpus ∪ earlier batches. The oracle re-derives the exact
+    banding + Jaccard pipeline with the partner predicate "even OR an
+    odd from a STRICTLY EARLIER batch" — same-batch pairs must NOT be
+    flagged (extends happen after the query), and a lost or duplicated
+    extend flips the hash. Fresh index per run (extends mutate it)."""
+    import os
+    import shutil
+    import time
+    import uuid
+
+    from quake_vector_search_spark.operators.dedup_index import (
+        build_lsh_index,
+        extend_lsh_index,
+        query_lsh_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    run = uuid.uuid4().hex[:8]
+    base_dir = f"/tmp/qvss_lsh_stream_{os.getpid()}_{run}"
+    idx_path = os.path.join(base_dir, "idx")
+    bdir = os.path.join(base_dir, "batches")
+    ckpt = os.path.join(base_dir, "ckpt")
+    os.makedirs(bdir, exist_ok=True)
+    build_lsh_index(docs.where(F.col("doc_id") % 2 == 0), idx_path)
+    # one file per micro-batch, mtimes pinned in batch order (the
+    # file source replays oldest-first)
+    base_ts = time.time() - 1_000
+    for i, r in enumerate((1, 3, 5)):
+        tmp = os.path.join(base_dir, f"tmp{i}")
+        (docs.where(F.col("doc_id") % 6 == r)
+             .select("doc_id", "text")
+             .coalesce(1).write.mode("overwrite").parquet(tmp))
+        part = next(f for f in os.listdir(tmp)
+                    if f.endswith(".parquet"))
+        dst = os.path.join(bdir, f"b{i}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (base_ts + 100 * i,) * 2)
+    results: list = []
+
+    def handle(batch_df, _epoch):
+        pairs = query_lsh_index(spark, idx_path, batch_df,
+                                threshold=0.5)
+        results.extend((int(r["new_id"]), int(r["corpus_id"]),
+                        float(r["jaccard"]))
+                       for r in pairs.collect())
+        extend_lsh_index(idx_path, batch_df)
+
+    st = (spark.readStream.schema("doc_id long, text string")
+          .option("maxFilesPerTrigger", 1).parquet(bdir))
+    q = (st.writeStream.option("checkpointLocation", ckpt)
+         .foreachBatch(handle).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.createDataFrame(
+        results, "new_id long, corpus_id long, jaccard double")
+    res = (out.withColumn("jaccard", F.round("jaccard", 6))
+           .localCheckpoint())
+    shutil.rmtree(base_dir, ignore_errors=True)
+    return res
