@@ -539,6 +539,26 @@ def extend_near_dup_index(path: str, survivors: DataFrame,
     extend_lsh_index(path, survivors, **kwargs)
 
 
+def remove_from_near_dup_index(spark, path: str, ids) -> None:
+    """CDC delete: tombstone members of a persisted near-dup index so
+    queries stop matching them — metadata-cost append, no rewrite; a
+    later extend of the same id re-admits it."""
+    from quake_vector_search_spark.operators.dedup_index import (
+        remove_from_lsh_index,
+    )
+    remove_from_lsh_index(spark, path, ids)
+
+
+def compact_near_dup_index(spark, path: str) -> dict:
+    """Physically drop tombstoned members and rewrite the index's
+    band/shingle tables coalesced (small-file cleanup after many CDC
+    extends); query answers are identical before and after."""
+    from quake_vector_search_spark.operators.dedup_index import (
+        compact_lsh_index,
+    )
+    return compact_lsh_index(spark, path)
+
+
 def knn_hybrid(index: IVFIndex, queries, k: int = 10,
                **kwargs) -> DataFrame:
     """IVF+PQ hybrid search over a sidecar built by

@@ -11,9 +11,16 @@ MinHash-LSH semantics `operators/dedup.py` uses in-memory.
 
 Index layout under ``path``::
 
-    bands/     (id, band, key)   parquet, partitionBy(band)
-    shingles/  (id, shs, n_sh)   parquet — exact verification payload
-    meta.json  {n, id_col, version}
+    bands/      (id, band, key)          parquet, partitionBy(band)
+    shingles/   (id, shs, n_sh, epoch)   parquet — exact verification
+    tombstones/ (id, t_epoch)            parquet — CDC removals
+    meta.json   {n, id_col, version, epoch}
+
+Epoch rule (the insert-after-delete visibility the IVF index's DML
+has): member rows stamp the epoch current at write time; ``remove``
+bumps the epoch and tombstones ids at the new value, killing rows
+written before it; a later ``extend`` of the same id re-admits it.
+``compact`` physically drops dead rows and clears tombstones.
 
 Scale notes:
 - ``query`` joins the (small) batch's bucket rows against the band
@@ -46,12 +53,14 @@ from quake_vector_search_spark.operators.dedup import (
 
 
 def _write_members(docs: DataFrame, path: str, id_col: str,
-                   text_col: str, n: int, mode: str) -> None:
+                   text_col: str, n: int, mode: str,
+                   epoch: int = 0) -> None:
     sig = minhash_signatures(docs, id_col, text_col, n)
     (band_explode(sig, id_col)
      .write.mode(mode).partitionBy("band")
      .parquet(os.path.join(path, "bands")))
     (shingle_sets(docs, id_col, text_col, n)
+     .withColumn("epoch", F.lit(int(epoch)))
      .write.mode(mode).parquet(os.path.join(path, "shingles")))
 
 
@@ -62,14 +71,46 @@ def build_lsh_index(docs: DataFrame, path: str,
     sets. Two shuffles total (the signature groupBy and the set
     groupBy), both map-side combined; the corpus text is never read
     again by query/extend."""
-    _write_members(docs, path, id_col, text_col, n, "overwrite")
+    _write_members(docs, path, id_col, text_col, n, "overwrite",
+                   epoch=0)
     with open(os.path.join(path, "meta.json"), "w") as fh:
-        json.dump({"n": n, "id_col": id_col, "version": 1}, fh)
+        json.dump({"n": n, "id_col": id_col, "version": 1,
+                   "epoch": 0}, fh)
 
 
 def _load_meta(path: str) -> dict:
     with open(os.path.join(path, "meta.json")) as fh:
         return json.load(fh)
+
+
+def _save_meta(path: str, meta: dict) -> None:
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+
+
+def _alive_shingles(spark: SparkSession, path: str,
+                    id_col: str) -> DataFrame:
+    """The index's LIVE membership: shingle rows whose epoch is at or
+    after the newest tombstone for their id. A member row written at
+    epoch e dies when a ``remove`` stamps a tombstone at e' > e, and a
+    later ``extend`` of the same id (written at the then-current
+    epoch ≥ e') re-admits it — the exact insert-after-delete
+    visibility rule the IVF index's DML has, expressed as one
+    broadcastable max-per-id join. Pre-epoch indexes (no ``epoch``
+    column, no tombstones) read as epoch 0 / no tombstones."""
+    sh = spark.read.parquet(os.path.join(path, "shingles"))
+    if "epoch" not in sh.columns:
+        sh = sh.withColumn("epoch", F.lit(0))
+    tomb_dir = os.path.join(path, "tombstones")
+    if not os.path.isdir(tomb_dir):
+        return sh
+    tomb = (spark.read.parquet(tomb_dir)
+            .groupBy(id_col)
+            .agg(F.max("t_epoch").alias("t_epoch")))
+    return (sh.join(tomb, id_col, "left")
+            .where(F.col("t_epoch").isNull()
+                   | (F.col("epoch") >= F.col("t_epoch")))
+            .drop("t_epoch"))
 
 
 def query_lsh_index(spark: SparkSession, path: str,
@@ -92,8 +133,10 @@ def query_lsh_index(spark: SparkSession, path: str,
             .select("new_id", "corpus_id").distinct())
     # corpus verification payload, candidate-bounded via semi-join
     # BEFORE the set join — the index's shingle table never streams
-    # through the verifier beyond the candidate ids
-    corpus_sets = (spark.read.parquet(os.path.join(path, "shingles"))
+    # through the verifier beyond the candidate ids. Alive rows only:
+    # stale band rows of removed members still bucket-match, but the
+    # inner join against the live shingle set drops them here.
+    corpus_sets = (_alive_shingles(spark, path, id_col)
                    .join(cand.select(F.col("corpus_id").alias(id_col))
                          .distinct(), id_col, "left_semi")
                    .select(F.col(id_col).alias("corpus_id"),
@@ -124,4 +167,64 @@ def extend_lsh_index(path: str, new_docs: DataFrame,
         raise ValueError(f"index was built with id_col="
                          f"{meta['id_col']!r}, got {id_col!r}")
     _write_members(new_docs, path, id_col, text_col, int(meta["n"]),
-                   "append")
+                   "append", epoch=int(meta.get("epoch", 0)))
+
+
+def remove_from_lsh_index(spark: SparkSession, path: str,
+                          ids) -> None:
+    """CDC delete: tombstone members so ``query`` stops matching them
+    — O(|ids|) metadata append, no rewrite of the member tables (the
+    same tombstone economics as the IVF index's delete). The removal
+    bumps the index epoch and stamps tombstones at the new epoch, so
+    member rows written BEFORE the removal die while a later
+    ``extend`` of the same id (stamped at the then-current epoch)
+    re-admits it. ``compact_lsh_index`` physically drops dead rows.
+
+    ``ids``: an iterable of ids or a single-column DataFrame."""
+    meta = _load_meta(path)
+    epoch = int(meta.get("epoch", 0)) + 1
+    id_col = meta["id_col"]
+    if isinstance(ids, DataFrame):
+        tomb = ids.toDF(id_col)
+    else:
+        tomb = spark.createDataFrame([(int(i),) for i in ids],
+                                     f"{id_col} long")
+    (tomb.withColumn("t_epoch", F.lit(epoch))
+     .write.mode("append").parquet(os.path.join(path, "tombstones")))
+    meta["epoch"] = epoch
+    _save_meta(path, meta)
+
+
+def compact_lsh_index(spark: SparkSession, path: str) -> dict:
+    """Physically drop dead members (tombstoned, never re-admitted)
+    from both tables and clear the tombstones — the periodic
+    compaction any tombstone scheme owes, and the small-file cleanup
+    after many appends (each ``extend`` adds a file per band
+    partition; at CDC cadence that's thousands of tiny files a day at
+    100 TB scale — compaction rewrites each band partition into full
+    coalesced files in one pass). Query answers are IDENTICAL before
+    and after. Returns {"live", "dropped"}."""
+    import shutil
+
+    meta = _load_meta(path)
+    id_col = meta["id_col"]
+    total = spark.read.parquet(os.path.join(path, "shingles")).count()
+    alive = _alive_shingles(spark, path, id_col)
+    live_ids = alive.select(id_col)
+    bands = (spark.read.parquet(os.path.join(path, "bands"))
+             .join(live_ids, id_col, "left_semi"))
+    # rewrite into scratch dirs, then swap — readers of the OLD files
+    # are done by the time the actions below finish (same single-
+    # writer contract the IVF sidecar rebuilds have)
+    tmp_b = os.path.join(path, "_compact_bands")
+    tmp_s = os.path.join(path, "_compact_shingles")
+    bands.write.mode("overwrite").partitionBy("band").parquet(tmp_b)
+    alive.write.mode("overwrite").parquet(tmp_s)
+    n_live = spark.read.parquet(tmp_s).count()
+    for tmp, final in ((tmp_b, "bands"), (tmp_s, "shingles")):
+        dst = os.path.join(path, final)
+        shutil.rmtree(dst, ignore_errors=True)
+        os.replace(tmp, dst)
+    shutil.rmtree(os.path.join(path, "tombstones"),
+                  ignore_errors=True)
+    return {"live": int(n_live), "dropped": int(total - n_live)}

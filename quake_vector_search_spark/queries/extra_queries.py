@@ -3744,3 +3744,48 @@ def stream_dedup_index_equals_batch(spark, sf_dir):
            .localCheckpoint())
     shutil.rmtree(base_dir, ignore_errors=True)
     return res
+
+
+@register("dedup_lsh_index_remove_readd", sql=_incremental_lsh_sql(
+    cand_pred="b.doc_id % 2 = 1 AND a.doc_id % 2 = 0 "
+              "AND (a.doc_id % 10 != 0 OR a.doc_id % 20 = 0)"))
+def dedup_lsh_index_remove_readd(spark, sf_dir):
+    """CDC delete + re-admission on the persisted near-dup index:
+    corpus = even doc_ids indexed; doc_id % 10 == 0 members are
+    tombstoned (remove_from_lsh_index — metadata append, no member
+    rewrite); then the doc_id % 20 == 0 half of them is RE-EXTENDED,
+    which must re-admit exactly those (extend stamps the post-removal
+    epoch, so the epoch visibility rule revives them while the
+    % 10 == 0, % 20 != 0 ids stay dead). The index is then COMPACTED
+    (physical drop of dead rows + tombstone clear) before querying the
+    odd-doc_id batch — so the row also pins that compaction changes no
+    answers. Oracle partner predicate: even AND (not removed OR
+    re-added). Fresh index per run (mutations)."""
+    import os
+    import shutil
+    import uuid
+
+    from quake_vector_search_spark.operators.dedup_index import (
+        build_lsh_index,
+        compact_lsh_index,
+        extend_lsh_index,
+        query_lsh_index,
+        remove_from_lsh_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    run = uuid.uuid4().hex[:8]
+    path = f"/tmp/qvss_lsh_dml_{os.getpid()}_{run}"
+    build_lsh_index(docs.where(F.col("doc_id") % 2 == 0), path)
+    removed = [int(r["doc_id"]) for r in
+               docs.where(F.col("doc_id") % 10 == 0)
+                   .select("doc_id").collect()]
+    remove_from_lsh_index(spark, path, removed)
+    extend_lsh_index(path, docs.where(F.col("doc_id") % 20 == 0))
+    compact_lsh_index(spark, path)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    out = query_lsh_index(spark, path, batch, threshold=0.5)
+    res = (out.withColumn("jaccard", F.round("jaccard", 6))
+           .localCheckpoint())
+    shutil.rmtree(path, ignore_errors=True)
+    return res

@@ -857,3 +857,82 @@ def test_lsh_index_build_query_extend(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="id_col"):
         extend_lsh_index(path, later, id_col="other_id")
+
+
+def test_lsh_index_remove_readmit_compact(spark, tmp_path):
+    """CDC delete on the persisted near-dup index: (1) remove hides a
+    member from queries (tombstone only — member files untouched);
+    (2) a later extend of the same id RE-ADMITS it (epoch visibility:
+    the re-extended row outlives the tombstone); (3) compaction
+    physically drops dead rows + clears tombstones and changes NO
+    answers; (4) a pre-epoch index (no epoch column, no tombstones)
+    still queries — backward compatible."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from quake_vector_search_spark.operators.dedup_index import (
+        build_lsh_index,
+        compact_lsh_index,
+        extend_lsh_index,
+        query_lsh_index,
+        remove_from_lsh_index,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog "
+            "while the cat watches from the warm windowsill")
+    rows = []
+    for i in range(8):
+        rows.append((2 * i, f"{base} corpus variant {i} " * 2))
+        rows.append((2 * i + 1, f"{base} corpus variant {i} "
+                                f"{base} corpus variant {i} edited"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "lsh_dml")
+    build_lsh_index(corpus, path)
+
+    def hits():
+        return {(r["new_id"], r["corpus_id"]) for r in
+                query_lsh_index(spark, path, batch,
+                                threshold=0.5).collect()}
+
+    before = hits()
+    assert (1, 0) in before and (5, 4) in before
+    # remove two members; their pairs disappear, others unaffected
+    remove_from_lsh_index(spark, path, [0, 4])
+    after_rm = hits()
+    assert after_rm == {p for p in before if p[1] not in (0, 4)}
+    # re-admit id 0 (same text): its pair comes back; 4 stays dead
+    extend_lsh_index(path, corpus.where(F.col("doc_id") == 0))
+    after_readd = hits()
+    assert after_readd == {p for p in before if p[1] != 4}
+    # compact: answers identical, tombstones gone, dead rows dropped
+    stats = compact_lsh_index(spark, path)
+    assert stats["dropped"] == 2       # dead id 4 + dead old row of 0
+    assert not os.path.isdir(os.path.join(path, "tombstones"))
+    assert hits() == after_readd
+    # removing after compact still works (epoch monotonicity survives)
+    remove_from_lsh_index(spark, path, [0])
+    assert hits() == {p for p in before if p[1] not in (0, 4)}
+
+    # backward compat: strip the epoch column + meta key to fake a
+    # pre-epoch index; queries still run (epoch read as 0)
+    import json
+    legacy = str(tmp_path / "lsh_legacy")
+    build_lsh_index(corpus, legacy)
+    sh = (spark.read.parquet(os.path.join(legacy, "shingles"))
+          .drop("epoch"))
+    sh.write.mode("overwrite").parquet(os.path.join(legacy, "sh2"))
+    import shutil
+    shutil.rmtree(os.path.join(legacy, "shingles"))
+    os.replace(os.path.join(legacy, "sh2"),
+               os.path.join(legacy, "shingles"))
+    meta_p = os.path.join(legacy, "meta.json")
+    meta = json.load(open(meta_p))
+    meta.pop("epoch")
+    json.dump(meta, open(meta_p, "w"))
+    got = {(r["new_id"], r["corpus_id"]) for r in
+           query_lsh_index(spark, legacy, batch,
+                           threshold=0.5).collect()}
+    assert got == before
