@@ -440,6 +440,84 @@ def stream_serving_equals_batch(spark, sf_dir):
     return res
 
 
+@register("stream_serving_compressed_equals_batch", sql="""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec
+  FROM embeddings WHERE vec_id < 10
+), d AS (
+  SELECT q.query_id, e.vec_id,
+         list_distance(CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.qvec AS DOUBLE[])) AS dist
+  FROM embeddings e CROSS JOIN q
+), r AS (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist ASC, vec_id ASC) AS rank
+  FROM d
+)
+SELECT query_id, vec_id, ROUND(dist, 6) AS dist, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 10
+""")
+def stream_serving_compressed_equals_batch(spark, sf_dir):
+    """Online serving through the COMPRESSED (IVF+PQ hybrid) path,
+    value-hashed directly — the 100 TB serving configuration, where
+    each micro-batch scans the probed partitions' 8-byte codes instead
+    of full vectors and reranks candidates exactly. The sidecar here
+    is the ladder's top rung (full LOPQ: per-cell rotations + per-cell
+    books), so the row also pins flavor auto-detection inside the
+    serving loop. At full probe + corpus-wide oversample the hybrid
+    answers equal brute force — which is what DuckDB computes; a
+    mis-rotated LUT, wrong cell's books, or lost micro-batch flips the
+    hash. Fresh scratch index per run (the sidecar belongs to it)."""
+    import uuid
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+    )
+    from quake_vector_search_spark.streaming.serving import search_stream
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    run = uuid.uuid4().hex[:8]
+    wd = f"/tmp/qvss_cserv_idx_{os.getpid()}_{run}"
+    idx = IVFIndex.build(emb, wd, coarse_k=8, base_k=4)
+    build_pq_sidecar(idx, m=8, ksub=256, seed=99, residual=True,
+                     local=True, rotate=True)
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    key = hashlib.md5(
+        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:8]
+    qdir = f"/tmp/qvss_serving_q_{key}"
+    if not os.path.exists(os.path.join(qdir, "_READY")):
+        shutil.rmtree(qdir, ignore_errors=True)
+        (emb.where(F.col("vec_id") < 10)
+         .withColumnRenamed("vec_id", "query_id")
+         .select("query_id", "embedding")
+         .repartition(2).write.mode("overwrite").parquet(qdir))
+        with open(os.path.join(qdir, "_READY"), "w") as fh:
+            fh.write("ok")
+    results = f"/tmp/qvss_cserv_out_{os.getpid()}_{run}"
+    ckpt = f"/tmp/qvss_cserv_ckpt_{os.getpid()}_{run}"
+    qstream = (spark.readStream
+               .schema("query_id long, embedding array<float>")
+               .option("maxFilesPerTrigger", 1).parquet(qdir))
+    n = emb.count()
+    q = search_stream(idx, qstream, results, ckpt, k=10,
+                      target_recall=1.0, max_probe=1_000_000_000,
+                      compressed=True,
+                      oversample=max(16, -(-n // 20)))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.read.parquet(results)
+    res = (out.select("query_id", "vec_id",
+                      F.round("dist", 6).alias("dist"), "rank")
+           .localCheckpoint())
+    for p in (results, ckpt, wd):
+        shutil.rmtree(p, ignore_errors=True)
+    return res
+
+
 @register("stream_ingest_equals_batch", sql="""
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qvec

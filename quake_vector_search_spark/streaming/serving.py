@@ -37,7 +37,9 @@ def search_stream(index: IVFIndex, queries_stream: DataFrame,
                   query_id_col: str = "query_id",
                   query_vec_col: str = "embedding",
                   policy: str = "reference",
-                  route_cells: int | None = None):
+                  route_cells: int | None = None,
+                  compressed: bool = False,
+                  oversample: int = 16):
     """Attach a query stream to the index; each micro-batch's top-k
     results land in ``results_dir`` as parquet rows
     (query_id, vec_id, dist|sim, rank, epoch_id). Returns the
@@ -51,13 +53,42 @@ def search_stream(index: IVFIndex, queries_stream: DataFrame,
     ``route_cells`` passes through too, so a deployment serving under
     a ROUTED fit (calibrate(route_cells=N)) works — without it every
     micro-batch would refuse on the restriction mismatch.
+
+    ``compressed=True`` (round 7) serves through the IVF+PQ hybrid
+    (``knn_ivf_pq``) against whichever codes sidecar the index's
+    current version carries (plain/OPQ/IVFADC/LOPQ — flavor
+    auto-detected from the sidecar meta): the probed partitions'
+    8-byte codes are scanned instead of full vectors, then candidates
+    rerank exactly. At 100 TB this is the serving configuration — the
+    per-batch scan moves m bytes/vector instead of 4·d. Sidecar
+    lifecycle is the streaming one: maintenance republishes re-encode
+    it, ``ingest_stream`` keeps it current for streamed inserts.
     """
+    from quake_vector_search_spark.operators.quantization import (
+        knn_ivf_pq,
+    )
+
+    if compressed and route_cells is not None:
+        raise ValueError(
+            "compressed serving scores all partitions (knn_ivf_pq has "
+            "no routed path); drop route_cells= or serve uncompressed")
+
     def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        out, _meta = index.search(
-            batch_df, k=k, target_recall=target_recall,
-            max_probe=max_probe, query_id_col=query_id_col,
-            query_vec_col=query_vec_col, policy=policy,
-            route_cells=route_cells)
+        if compressed:
+            out, _meta = knn_ivf_pq(
+                index,
+                batch_df.select(
+                    F.col(query_id_col).alias("query_id"),
+                    F.col(query_vec_col).alias(index.vec_col)),
+                k=k, target_recall=target_recall,
+                max_probe=max_probe, oversample=oversample,
+                policy=policy)
+        else:
+            out, _meta = index.search(
+                batch_df, k=k, target_recall=target_recall,
+                max_probe=max_probe, query_id_col=query_id_col,
+                query_vec_col=query_vec_col, policy=policy,
+                route_cells=route_cells)
         (out.withColumn("epoch_id", F.lit(int(epoch_id)))
          .write.mode("append").parquet(results_dir))
 

@@ -755,3 +755,16 @@ def test_streaming_ingest_invalidates_routed_calibration(spark, tmp_path):
                               route_cells=3, target_recall=1.0,
                               max_probe=len(idx.part_ids))
     assert found.collect()[0]["vec_id"] == ref.collect()[0]["vec_id"]
+
+
+def test_search_stream_compressed_refuses_routed():
+    """compressed serving scores all partitions (knn_ivf_pq has no
+    routed path) — combining it with route_cells= must refuse up
+    front, before any stream is attached."""
+    import pytest as _pytest
+
+    from quake_vector_search_spark.streaming.serving import search_stream
+
+    with _pytest.raises(ValueError, match="compressed serving"):
+        search_stream(None, None, "", "", compressed=True,
+                      route_cells=2)
