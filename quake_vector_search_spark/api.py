@@ -559,6 +559,39 @@ def compact_near_dup_index(spark, path: str) -> dict:
     return compact_lsh_index(spark, path)
 
 
+def build_bm25_index(docs: DataFrame, path: str, **kwargs) -> None:
+    """Persist a BM25 inverted index (posting lists + mergeable
+    integer stats) for incremental lexical retrieval
+    (operators/sparse_index.py) — tokenize the corpus once, serve
+    query batches and admit document batches at batch cost."""
+    from quake_vector_search_spark.operators.sparse_index import (
+        build_bm25_index as _build,
+    )
+    _build(docs, path, **kwargs)
+
+
+def extend_bm25_index(path: str, new_docs: DataFrame,
+                      **kwargs) -> None:
+    """Admit a document batch into a persisted BM25 index — appends
+    posting/stat partials and bumps exact counters; later queries
+    score against corpus ∪ batch with no rebuild."""
+    from quake_vector_search_spark.operators.sparse_index import (
+        extend_bm25_index as _extend,
+    )
+    _extend(path, new_docs, **kwargs)
+
+
+def bm25_against_index(spark, path: str, queries: DataFrame,
+                       k: int = 10, **kwargs) -> DataFrame:
+    """BM25 top-k of (query_id, term) bags against a persisted index
+    — identical scores to the one-shot ``bm25_topk`` over every
+    admitted batch."""
+    from quake_vector_search_spark.operators.sparse_index import (
+        query_bm25_index,
+    )
+    return query_bm25_index(spark, path, queries, k=k, **kwargs)
+
+
 def knn_hybrid(index: IVFIndex, queries, k: int = 10,
                **kwargs) -> DataFrame:
     """IVF+PQ hybrid search over a sidecar built by

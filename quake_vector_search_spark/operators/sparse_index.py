@@ -1,0 +1,160 @@
+"""Persisted incremental BM25 (inverted) index.
+
+The lexical-retrieval twin of ``dedup_index``: tokenizing a 100 TB
+corpus is expensive, so do it ONCE — persist the posting lists and the
+per-term / per-doc integer statistics — and serve query batches (or
+admit new document batches) at cost proportional to the batch, never
+re-reading corpus text. The reference has no sparse surface at all
+(SURVEY.md §2.2 extended gap); this is the CDC-shaped completion of
+``operators/sparse.py``'s one-shot ``bm25_topk``.
+
+The design decision that makes extends O(batch): persist RAW INTEGER
+statistics, never weights. BM25 weights depend on global stats
+(df, N, avg_len) that change with every admitted batch — a
+materialized weight column would go stale corpus-wide on each extend.
+Raw (tf, df, len) rows are append-only and MERGEABLE (df sums across
+batches, N and Σlen are two driver-side counters), and the weight
+arithmetic moves to query time, where it costs a handful of Column
+expressions over candidate-bounded rows.
+
+Index layout under ``path``::
+
+    postings/   (id, term, tf)   parquet — append per batch
+    termstats/  (term, df)       parquet — per-batch partials; query
+                                 SUMs them (vocab-bounded, and only
+                                 for the query's own terms)
+    doclens/    (id, len)        parquet — candidate-bounded join
+    meta.json   {id_col, version, n_docs, n_len_docs, total_len}
+
+Scale notes:
+- ``query`` inner-joins postings to the (tiny) query-term stats table
+  — AQE broadcasts the term side, so the posting scan is pruned to
+  the query's terms; doc lengths join only candidate ids.
+- df for a query term = SUM over per-batch partials — the same
+  mergeable-partial-aggregate shape as the sketch family, so extends
+  never rewrite existing stats.
+- N / avg_len are exact integers in meta.json, updated per batch from
+  the batch's own aggregates — no corpus-wide recount, ever.
+- Scores are identical to ``bm25_topk`` over the union of all
+  admitted batches (pinned by the registry row's oracle): same
+  Robertson idf, same rounding-before-ranking determinism rule.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from quake_vector_search_spark.operators.sparse import _terms
+
+
+def _batch_stats(docs: DataFrame, path: str, id_col: str,
+                 text_col: str, mode: str) -> dict:
+    """Write one batch's postings/termstats/doclens and return its
+    integer counters {n_docs, n_len_docs, total_len}. Two aggregates
+    over the term relation (the same pair every sparse operator
+    uses) + one narrow distinct-count of the batch's ids."""
+    t = _terms(docs, id_col, text_col)
+    tf = t.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    if mode == "overwrite":
+        # build: write the postings first, then derive the other
+        # stats FROM the written files — the corpus-scale relation is
+        # materialized exactly once, scan-backed, never cached
+        tf.write.mode(mode).parquet(os.path.join(path, "postings"))
+        tf = docs.sparkSession.read.parquet(
+            os.path.join(path, "postings"))
+    else:
+        # extend: the batch-bounded tf is checkpointed so the three
+        # derived aggregates don't re-tokenize the batch; an append
+        # can't re-read its own rows back (the dir holds all batches)
+        tf = tf.localCheckpoint()
+        tf.write.mode(mode).parquet(os.path.join(path, "postings"))
+    (tf.groupBy("term").agg(F.count("*").alias("df"))
+     .write.mode(mode).parquet(os.path.join(path, "termstats")))
+    dlen = tf.groupBy(id_col).agg(F.sum("tf").alias("len"))
+    dlen.write.mode(mode).parquet(os.path.join(path, "doclens"))
+    agg = dlen.agg(F.count("*").alias("nl"),
+                   F.sum("len").alias("tl")).collect()[0]
+    n_docs = docs.select(id_col).distinct().count()
+    return {"n_docs": int(n_docs),
+            "n_len_docs": int(agg["nl"] or 0),
+            "total_len": int(agg["tl"] or 0)}
+
+
+def build_bm25_index(docs: DataFrame, path: str,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> None:
+    """One-time corpus pass: persist posting lists + integer stats.
+    The corpus text is never read again by query/extend."""
+    counters = _batch_stats(docs, path, id_col, text_col, "overwrite")
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump({"id_col": id_col, "version": 1, **counters}, fh)
+
+
+def _load_meta(path: str) -> dict:
+    with open(os.path.join(path, "meta.json")) as fh:
+        return json.load(fh)
+
+
+def extend_bm25_index(path: str, new_docs: DataFrame,
+                      text_col: str = "text") -> None:
+    """Admit a document batch: append its postings/stats partials and
+    bump the exact driver-side counters — O(batch), no rewrite, no
+    corpus re-read. Ids are assumed new (the same unique-member
+    contract the near-dup index has)."""
+    meta = _load_meta(path)
+    counters = _batch_stats(new_docs, path, meta["id_col"], text_col,
+                            "append")
+    for key in ("n_docs", "n_len_docs", "total_len"):
+        meta[key] = int(meta.get(key, 0)) + counters[key]
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+
+
+def query_bm25_index(spark: SparkSession, path: str,
+                     queries: DataFrame, k: int = 10,
+                     k1: float = 1.2, b: float = 0.75,
+                     query_id_col: str = "query_id") -> DataFrame:
+    """BM25 top-k of a query batch against the persisted index —
+    identical scores to ``bm25_topk`` over the union of every admitted
+    batch. Queries are (query_id, term) bags. The plan touches only
+    query-term postings (inner join against the query's own term-stat
+    rows) and candidate-doc lengths; N/avg_len come from the meta
+    counters as literals, so no corpus-wide job runs at query time."""
+    meta = _load_meta(path)
+    id_col = meta["id_col"]
+    n = int(meta["n_docs"])
+    avg_len = float(meta["total_len"]) / max(int(meta["n_len_docs"]),
+                                             1)
+    qq = queries.select(F.col(query_id_col), "term").distinct()
+    # per-term df = SUM of per-batch partials, restricted to the
+    # query's terms BEFORE the sum — vocab-bounded, batch-bounded
+    ts = (spark.read.parquet(os.path.join(path, "termstats"))
+          .join(qq.select("term").distinct(), "term", "left_semi")
+          .groupBy("term").agg(F.sum("df").alias("df")))
+    posts = (spark.read.parquet(os.path.join(path, "postings"))
+             .join(ts, "term"))
+    dlen = (spark.read.parquet(os.path.join(path, "doclens"))
+            .join(posts.select(id_col).distinct(), id_col,
+                  "left_semi"))
+    idf = F.log((F.lit(float(n)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)) + F.lit(1.0))
+    denom = (F.col("tf")
+             + F.lit(k1) * (F.lit(1.0 - b)
+                            + F.lit(b) * F.col("len")
+                            / F.lit(avg_len)))
+    scored = (posts.join(dlen, id_col)
+              .select(F.col(id_col), "term",
+                      (idf * F.col("tf").cast("double")
+                       * F.lit(k1 + 1.0) / denom).alias("weight")))
+    hits = (scored.join(qq, "term")
+            .groupBy(query_id_col, id_col)
+            .agg(F.round(F.sum("weight"), 6).alias("score")))
+    w = (Window.partitionBy(query_id_col)
+         .orderBy(F.col("score").desc(), F.col(id_col).asc()))
+    return (hits.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(query_id_col, id_col, "score", "rank"))

@@ -3789,3 +3789,52 @@ def dedup_lsh_index_remove_readd(spark, sf_dir):
            .localCheckpoint())
     shutil.rmtree(path, ignore_errors=True)
     return res
+
+
+def _register_sparse_bm25_index():
+    from quake_vector_search_spark.queries import REGISTRY
+
+    @register("sparse_bm25_index_topk",
+              sql=REGISTRY["sparse_bm25_topk"].sql)
+    def sparse_bm25_index_topk(spark, sf_dir):
+        """Persisted incremental BM25 index
+        (operators/sparse_index.py): corpus tokenized ONCE into
+        posting lists + MERGEABLE integer stats (per-batch df
+        partials SUM at query time; N/Σlen are exact meta counters) —
+        weights are computed at query time from current totals, which
+        is what makes extends O(batch): a materialized weight column
+        would go stale corpus-wide on every admitted batch. Here the
+        even-doc_id half is indexed, the odd half admitted via
+        extend, and the query batch must score EXACTLY like the
+        one-shot ``bm25_topk`` over the full corpus — the oracle is
+        the same SQL as ``sparse_bm25_topk``, so any error in the
+        stat merge arithmetic (df partial lost, N stale, avg_len
+        drifted) flips the hash. Fresh index per run (extends mutate
+        it)."""
+        import os
+        import shutil
+        import uuid
+
+        from quake_vector_search_spark.operators.sparse import _terms
+        from quake_vector_search_spark.operators.sparse_index import (
+            build_bm25_index,
+            extend_bm25_index,
+            query_bm25_index,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        run = uuid.uuid4().hex[:8]
+        path = f"/tmp/qvss_bm25idx_{os.getpid()}_{run}"
+        build_bm25_index(docs.where(F.col("doc_id") % 2 == 0), path)
+        extend_bm25_index(path, docs.where(F.col("doc_id") % 2 == 1))
+        queries = (_terms(docs.where(F.col("doc_id") < 5),
+                          "doc_id", "text")
+                   .distinct()
+                   .select(F.col("doc_id").alias("query_id"), "term"))
+        res = query_bm25_index(spark, path, queries,
+                               k=10).localCheckpoint()
+        shutil.rmtree(path, ignore_errors=True)
+        return res
+
+
+_register_sparse_bm25_index()

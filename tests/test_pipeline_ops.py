@@ -936,3 +936,46 @@ def test_lsh_index_remove_readmit_compact(spark, tmp_path):
            query_lsh_index(spark, legacy, batch,
                            threshold=0.5).collect()}
     assert got == before
+
+
+def test_bm25_index_multi_extend_equals_oneshot(spark, tmp_path):
+    """Persisted BM25 index: build on one batch, extend TWICE, query
+    — scores and ranks must EXACTLY equal the one-shot bm25_topk over
+    the union (stat-merge arithmetic: df partials sum, N/avg_len
+    counters stay exact across batches; an empty-text doc counts in N
+    but not in avg_len, in both paths)."""
+    from pyspark.sql import functions as F
+
+    from quake_vector_search_spark.operators.sparse import (
+        _terms,
+        bm25_topk,
+    )
+    from quake_vector_search_spark.operators.sparse_index import (
+        build_bm25_index,
+        extend_bm25_index,
+        query_bm25_index,
+    )
+
+    rows = []
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    for i in range(30):
+        txt = " ".join(words[(i + j) % len(words)]
+                       for j in range(3 + i % 4))
+        rows.append((i, txt))
+    rows.append((30, ""))  # empty doc: in N, not in avg_len
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    path = str(tmp_path / "bm25_idx")
+    build_bm25_index(docs.where(F.col("doc_id") % 3 == 0), path)
+    extend_bm25_index(path, docs.where(F.col("doc_id") % 3 == 1))
+    extend_bm25_index(path, docs.where(F.col("doc_id") % 3 == 2))
+
+    queries = (_terms(docs.where(F.col("doc_id") < 3),
+                      "doc_id", "text").distinct()
+               .select(F.col("doc_id").alias("query_id"), "term"))
+    got = {(r["query_id"], r["doc_id"], r["score"], r["rank"])
+           for r in query_bm25_index(spark, path, queries,
+                                     k=5).collect()}
+    want = {(r["query_id"], r["doc_id"], r["score"], r["rank"])
+            for r in bm25_topk(docs, queries, k=5).collect()}
+    assert got == want and got
