@@ -271,6 +271,29 @@ def ivf_scale_n400k(spark) -> dict:
     fres.count()
     res_search_s = time.time() - t1
     res_recall = round(avg_recall(fres, exact, K), 4)
+    # Full LOPQ (per-cell rotations + books) as the ladder's top rung.
+    # Measured r7: recall 0.972 vs the global residual book's 0.900 at
+    # the same 8 bytes — even on these ISOTROPIC blobs, because each
+    # cell's residual support differs near blob boundaries and the
+    # per-cell ksub budget models exactly one cell's cloud — AND the
+    # sidecar builds ~4× faster (14.9 s vs 58.0 s): per-cell training
+    # parallelizes across cells with small per-cell samples, while the
+    # global path funnels one big driver-side sample. The locally-
+    # ORIENTED case (the paper's motivation) is pinned separately in
+    # tests/test_vector_kernels.py::test_local_books_beat_global_
+    # residual_adc (0.714 vs 0.642 ADC-only).
+    t1 = time.time()
+    books_lopq = build_pq_sidecar(idx, m=8, ksub=256, seed=99,
+                                  residual=True, local=True,
+                                  rotate=True)
+    lopq_build_s = time.time() - t1
+    t1 = time.time()
+    flop, _ = knn_ivf_pq(idx, (qids, qmat), k=K, target_recall=0.9,
+                         oversample=32, books=books_lopq)
+    flop = flop.cache()
+    flop.count()
+    lopq_search_s = time.time() - t1
+    lopq_recall = round(avg_recall(flop, exact, K), 4)
     emb.unpersist()
     out = {
         "n_corpus": n,
@@ -287,6 +310,11 @@ def ivf_scale_n400k(spark) -> dict:
                 "sidecar_build_s": round(res_build_s, 3),
                 "batch50_ms": round(1000 * res_search_s, 1),
                 "recall_at_10": res_recall,
+            },
+            "lopq_rotated_variant": {
+                "sidecar_build_s": round(lopq_build_s, 3),
+                "batch50_ms": round(1000 * lopq_search_s, 1),
+                "recall_at_10": lopq_recall,
             },
             "bytes_per_vector_scanned": 8,
         },
