@@ -592,6 +592,27 @@ def bm25_against_index(spark, path: str, queries: DataFrame,
     return query_bm25_index(spark, path, queries, k=k, **kwargs)
 
 
+def remove_from_bm25_index(spark, path: str, ids) -> None:
+    """CDC delete from a persisted BM25 index: tombstones the docs
+    and appends negative stat partials, at cost proportional to the
+    removed docs' own postings — queries immediately score as if the
+    docs were never admitted."""
+    from quake_vector_search_spark.operators.sparse_index import (
+        remove_from_bm25_index as _remove,
+    )
+    _remove(spark, path, ids)
+
+
+def compact_bm25_index(spark, path: str) -> dict:
+    """Physically drop removed docs' rows, squash stat partials to one
+    row per term, clear tombstones; query answers identical before and
+    after."""
+    from quake_vector_search_spark.operators.sparse_index import (
+        compact_bm25_index as _compact,
+    )
+    return _compact(spark, path)
+
+
 def knn_hybrid(index: IVFIndex, queries, k: int = 10,
                **kwargs) -> DataFrame:
     """IVF+PQ hybrid search over a sidecar built by

@@ -20,10 +20,12 @@ expressions over candidate-bounded rows.
 Index layout under ``path``::
 
     postings/   (id, term, tf)   parquet — append per batch
-    termstats/  (term, df)       parquet — per-batch partials; query
-                                 SUMs them (vocab-bounded, and only
-                                 for the query's own terms)
+    termstats/  (term, df)       parquet — per-batch partials (CDC
+                                 removals append NEGATIVE partials);
+                                 query SUMs them (vocab-bounded, and
+                                 only for the query's own terms)
     doclens/    (id, len)        parquet — candidate-bounded join
+    tombstones/ (id)             parquet — removed docs until compact
     meta.json   {id_col, version, n_docs, n_len_docs, total_len}
 
 Scale notes:
@@ -134,9 +136,18 @@ def query_bm25_index(spark: SparkSession, path: str,
     # query's terms BEFORE the sum — vocab-bounded, batch-bounded
     ts = (spark.read.parquet(os.path.join(path, "termstats"))
           .join(qq.select("term").distinct(), "term", "left_semi")
-          .groupBy("term").agg(F.sum("df").alias("df")))
+          .groupBy("term").agg(F.sum("df").alias("df"))
+          .where(F.col("df") > 0))
     posts = (spark.read.parquet(os.path.join(path, "postings"))
              .join(ts, "term"))
+    # CDC removals: tombstoned docs drop out of the candidate set
+    # here (their df/N/len corrections are already in the stats —
+    # negative partials + decremented counters), until a compact
+    # physically drops their rows
+    tomb_dir = os.path.join(path, "tombstones")
+    if os.path.isdir(tomb_dir):
+        posts = posts.join(spark.read.parquet(tomb_dir), id_col,
+                           "left_anti")
     dlen = (spark.read.parquet(os.path.join(path, "doclens"))
             .join(posts.select(id_col).distinct(), id_col,
                   "left_semi"))
@@ -158,3 +169,79 @@ def query_bm25_index(spark: SparkSession, path: str,
     return (hits.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select(query_id_col, id_col, "score", "rank"))
+
+
+def remove_from_bm25_index(spark: SparkSession, path: str,
+                           ids) -> None:
+    """CDC delete: un-admit documents at cost ∝ their own postings —
+    no corpus rescan, no rewrite. Three mergeable corrections, all
+    derived from the index's own persisted rows for the removed ids:
+
+    - tombstones/ (id): query-side anti-join drops the docs' postings
+      and lengths;
+    - NEGATIVE df partials appended to termstats/ (the per-term SUM
+      the query computes then nets out the removed docs — the same
+      merge arithmetic extends use, run in reverse);
+    - the meta counters decremented by the docs' own doclens rows.
+
+    Ids removed twice would double-subtract; the unique-member
+    contract (same as extend's) applies. ``compact_bm25_index``
+    physically drops the rows and squashes the partials."""
+    meta = _load_meta(path)
+    id_col = meta["id_col"]
+    if isinstance(ids, DataFrame):
+        rm = ids.toDF(id_col)
+    else:
+        rm = spark.createDataFrame([(int(i),) for i in ids],
+                                   f"{id_col} long")
+    rm = rm.localCheckpoint()  # bounded: the removal batch
+    posts_rm = (spark.read.parquet(os.path.join(path, "postings"))
+                .join(rm, id_col, "left_semi"))
+    (posts_rm.groupBy("term")
+     .agg((-F.count("*")).alias("df"))
+     .write.mode("append").parquet(os.path.join(path, "termstats")))
+    dl_rm = (spark.read.parquet(os.path.join(path, "doclens"))
+             .join(rm, id_col, "left_semi"))
+    agg = dl_rm.agg(F.count("*").alias("nl"),
+                    F.sum("len").alias("tl")).collect()[0]
+    rm.write.mode("append").parquet(os.path.join(path, "tombstones"))
+    meta["n_docs"] = int(meta["n_docs"]) - rm.count()
+    meta["n_len_docs"] = int(meta["n_len_docs"]) - int(agg["nl"] or 0)
+    meta["total_len"] = int(meta["total_len"]) - int(agg["tl"] or 0)
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+
+
+def compact_bm25_index(spark: SparkSession, path: str) -> dict:
+    """Physically drop removed docs' postings/lengths, squash the
+    per-batch termstats partials (positive and negative) into one row
+    per term, and clear tombstones — query answers identical before
+    and after, file counts reset after many CDC batches. Returns
+    {"live", "dropped"}."""
+    import shutil
+
+    meta = _load_meta(path)
+    id_col = meta["id_col"]
+    tomb_dir = os.path.join(path, "tombstones")
+    posts = spark.read.parquet(os.path.join(path, "postings"))
+    total = posts.count()
+    dlen = spark.read.parquet(os.path.join(path, "doclens"))
+    if os.path.isdir(tomb_dir):
+        tomb = spark.read.parquet(tomb_dir)
+        posts = posts.join(tomb, id_col, "left_anti")
+        dlen = dlen.join(tomb, id_col, "left_anti")
+    stats = (spark.read.parquet(os.path.join(path, "termstats"))
+             .groupBy("term").agg(F.sum("df").alias("df"))
+             .where(F.col("df") > 0))
+    tmp = {k: os.path.join(path, f"_compact_{k}")
+           for k in ("postings", "doclens", "termstats")}
+    posts.write.mode("overwrite").parquet(tmp["postings"])
+    dlen.write.mode("overwrite").parquet(tmp["doclens"])
+    stats.write.mode("overwrite").parquet(tmp["termstats"])
+    n_live = spark.read.parquet(tmp["postings"]).count()
+    for k, t in tmp.items():
+        dst = os.path.join(path, k)
+        shutil.rmtree(dst, ignore_errors=True)
+        os.replace(t, dst)
+    shutil.rmtree(tomb_dir, ignore_errors=True)
+    return {"live": int(n_live), "dropped": int(total - n_live)}

@@ -3838,3 +3838,94 @@ def _register_sparse_bm25_index():
 
 
 _register_sparse_bm25_index()
+
+
+@register("sparse_bm25_index_remove", sql="""
+WITH tt_all AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+  WHERE t.term <> ''
+), live AS (
+  SELECT * FROM documents WHERE doc_id % 2 = 0
+), tt AS (
+  SELECT doc_id, t.term
+  FROM live, unnest(string_split(text, ' ')) AS t(term)
+  WHERE t.term <> ''
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tt GROUP BY 1, 2
+), dfq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), dlen AS (
+  SELECT doc_id, COUNT(*) AS len FROM tt GROUP BY 1
+), stats AS (
+  SELECT COUNT(DISTINCT doc_id) AS nd FROM live
+), avgl AS (
+  SELECT AVG(len) AS avg_len FROM dlen
+), post AS (
+  SELECT tf.doc_id, tf.term,
+         ln((stats.nd - dfq.df + 0.5) / (dfq.df + 0.5) + 1)
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dlen.len / avgl.avg_len))
+           AS weight
+  FROM tf JOIN dfq USING (term) JOIN dlen USING (doc_id), stats, avgl
+), q AS (
+  SELECT DISTINCT doc_id AS query_id, term FROM tt_all WHERE doc_id < 5
+), s AS (
+  SELECT q.query_id, post.doc_id, ROUND(SUM(post.weight), 6) AS score
+  FROM post JOIN q USING (term) GROUP BY 1, 2
+), r AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM s
+)
+SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 10
+""")
+def sparse_bm25_index_remove(spark, sf_dir):
+    """CDC delete on the persisted BM25 index: the FULL corpus is
+    indexed, then every odd doc_id is REMOVED
+    (remove_from_bm25_index: tombstones + NEGATIVE df partials +
+    decremented N/Σlen counters — cost ∝ the removed docs' own
+    postings, no rescan). Queries must then score EXACTLY as if only
+    the even half had ever been admitted (the oracle recomputes BM25
+    over the even half; query term bags still come from all
+    doc_id < 5 docs — term bags need no membership). The row queries
+    BOTH through the tombstone path and again after
+    compact_bm25_index (physical drop + partial squash) and asserts
+    the two answers identical before returning — a divergence raises,
+    so the driver's hash check covers both paths. Fresh index per run
+    (mutations)."""
+    import os
+    import shutil
+    import uuid
+
+    from quake_vector_search_spark.operators.sparse import _terms
+    from quake_vector_search_spark.operators.sparse_index import (
+        build_bm25_index,
+        compact_bm25_index,
+        query_bm25_index,
+        remove_from_bm25_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    run = uuid.uuid4().hex[:8]
+    path = f"/tmp/qvss_bm25rm_{os.getpid()}_{run}"
+    build_bm25_index(docs, path)
+    removed = docs.where(F.col("doc_id") % 2 == 1).select("doc_id")
+    remove_from_bm25_index(spark, path, removed)
+    queries = (_terms(docs.where(F.col("doc_id") < 5),
+                      "doc_id", "text")
+               .distinct()
+               .select(F.col("doc_id").alias("query_id"), "term"))
+    pre = query_bm25_index(spark, path, queries, k=10).localCheckpoint()
+    compact_bm25_index(spark, path)
+    post = query_bm25_index(spark, path, queries,
+                            k=10).localCheckpoint()
+    a = {tuple(r) for r in pre.collect()}
+    b = {tuple(r) for r in post.collect()}
+    if a != b:
+        raise AssertionError(
+            "bm25 index: tombstone-path and compacted answers differ")
+    shutil.rmtree(path, ignore_errors=True)
+    return post

@@ -979,3 +979,59 @@ def test_bm25_index_multi_extend_equals_oneshot(spark, tmp_path):
     want = {(r["query_id"], r["doc_id"], r["score"], r["rank"])
             for r in bm25_topk(docs, queries, k=5).collect()}
     assert got == want and got
+
+
+def test_bm25_index_remove_then_readmit(spark, tmp_path):
+    """BM25 index CDC loop: remove docs (tombstone + negative
+    partials) -> scores equal an index never containing them; EXTEND
+    one of the removed ids back after compact -> it scores again
+    (remove/compact fully forget the doc, so re-admission is a plain
+    extend); counters stay exact through the whole sequence."""
+    from pyspark.sql import functions as F
+
+    from quake_vector_search_spark.operators.sparse import _terms
+    from quake_vector_search_spark.operators.sparse_index import (
+        _load_meta,
+        build_bm25_index,
+        compact_bm25_index,
+        extend_bm25_index,
+        query_bm25_index,
+        remove_from_bm25_index,
+    )
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    rows = [(i, " ".join(words[(i + j) % len(words)]
+                         for j in range(3 + i % 4)))
+            for i in range(24)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "bm25_dml")
+    build_bm25_index(docs, path)
+    queries = (_terms(docs.where(F.col("doc_id") < 2), "doc_id",
+                      "text").distinct()
+               .select(F.col("doc_id").alias("query_id"), "term"))
+
+    def answers():
+        return {tuple(r) for r in
+                query_bm25_index(spark, path, queries, k=8).collect()}
+
+    # oracle: an index built on the even half only
+    ref_path = str(tmp_path / "bm25_ref")
+    build_bm25_index(docs.where(F.col("doc_id") % 2 == 0), ref_path)
+    want = {tuple(r) for r in
+            query_bm25_index(spark, ref_path, queries, k=8).collect()}
+
+    remove_from_bm25_index(
+        spark, path, docs.where(F.col("doc_id") % 2 == 1)
+        .select("doc_id"))
+    assert answers() == want                       # tombstone path
+    stats = compact_bm25_index(spark, path)
+    assert stats["dropped"] > 0
+    assert answers() == want                       # compacted path
+    m = _load_meta(path)
+    mr = _load_meta(ref_path)
+    assert (m["n_docs"], m["n_len_docs"], m["total_len"]) == \
+           (mr["n_docs"], mr["n_len_docs"], mr["total_len"])
+    # re-admit doc 1 after compact: plain extend, scores reappear
+    extend_bm25_index(path, docs.where(F.col("doc_id") == 1))
+    readd = answers()
+    assert any(r[1] == 1 for r in readd)
