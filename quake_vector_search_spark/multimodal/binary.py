@@ -333,3 +333,93 @@ def resize(assets: DataFrame, target_rows: int = 8,
     return assets.mapInPandas(
         rsz, "asset_id long, height int, width int, "
              "pixels array<array<double>>")
+
+
+def decode_bmp(content: bytes) -> np.ndarray:
+    """REAL image decoder #2 (round 7): uncompressed 24-bit BMP
+    (BITMAPFILEHEADER + BITMAPINFOHEADER, BI_RGB) parsed with the
+    stdlib + NumPy. The format's quirks are exactly what the oracle
+    row pins: pixel rows are stored BOTTOM-UP (unless height is
+    negative — top-down is handled too), channel order is BGR, every
+    row pads to a 4-byte boundary, and the pixel array starts at the
+    header's dataOffset — NOT necessarily right after the headers.
+    Returns (h, w, 3) uint8 RGB."""
+    import struct
+
+    if len(content) < 54:
+        raise ValueError(f"BMP truncated: {len(content)} bytes")
+    if content[:2] != b"BM":
+        raise ValueError("not a BMP (missing 'BM' magic)")
+    data_off = struct.unpack_from("<I", content, 10)[0]
+    dib = struct.unpack_from("<I", content, 14)[0]
+    if dib < 40:
+        raise ValueError(f"unsupported DIB header size {dib}")
+    w = struct.unpack_from("<i", content, 18)[0]
+    h = struct.unpack_from("<i", content, 22)[0]
+    planes = struct.unpack_from("<H", content, 26)[0]
+    bpp = struct.unpack_from("<H", content, 28)[0]
+    comp = struct.unpack_from("<I", content, 30)[0]
+    if planes != 1 or bpp != 24 or comp != 0:
+        raise ValueError(
+            f"unsupported BMP: planes={planes} bpp={bpp} comp={comp} "
+            "(only uncompressed 24-bit BI_RGB)")
+    if w <= 0 or h == 0:
+        raise ValueError(f"bad dimensions {w}x{h}")
+    top_down = h < 0
+    hh = abs(h)
+    row_size = (w * 3 + 3) // 4 * 4
+    need = data_off + row_size * hh
+    if len(content) < need:
+        raise ValueError(
+            f"BMP truncated: need {need} bytes, have {len(content)}")
+    rows = (np.frombuffer(content, dtype=np.uint8,
+                          count=row_size * hh, offset=data_off)
+            .reshape(hh, row_size)[:, :w * 3]
+            .reshape(hh, w, 3))
+    if not top_down:
+        rows = rows[::-1]
+    return rows[..., ::-1].copy()          # BGR -> RGB
+
+
+def synthesize_bmp_assets(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL BMP assets from documents: RGB pixel k (flat
+    row-major, top-down) = md5int(text:k) % 256 — the same
+    SQL-expressible md5 trick as the PPM/WAV synthesizers, so a DuckDB
+    oracle recomputes every pixel from text alone — then packed
+    through every BMP quirk: BGR byte order, bottom-up row storage,
+    4-byte row padding, and a dataOffset 6 bytes PAST the headers
+    (junk gap) so offset handling is exercised, not assumed.
+    width = n_chars % 4 + 2, height = n_chars % 3 + 2."""
+    import struct
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                t = text or ""
+                w = (len(t) % 4) + 2
+                h = (len(t) % 3) + 2
+                rgb = np.array(
+                    [int(hashlib.md5(f"{t}:{k}".encode())
+                         .hexdigest()[:15], 16) % 256
+                     for k in range(w * h * 3)],
+                    dtype=np.uint8).reshape(h, w, 3)
+                bgr = rgb[..., ::-1]
+                row_size = (w * 3 + 3) // 4 * 4
+                pad = b"\x00" * (row_size - w * 3)
+                body = b"".join(bgr[i].tobytes() + pad
+                                for i in range(h - 1, -1, -1))
+                data_off = 14 + 40 + 6       # 6-byte junk gap
+                total = data_off + len(body)
+                header = (b"BM" + struct.pack("<IHHI", total, 0, 0,
+                                              data_off)
+                          + struct.pack("<IiiHHIIiiII", 40, w, h, 1,
+                                        24, 0, len(body), 2835, 2835,
+                                        0, 0)
+                          + b"\xDE\xAD\xBE\xEF\x00\x00")
+                payloads.append(header + body)
+            yield pd.DataFrame({"asset_id": pdf["doc_id"],
+                                "content": payloads})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, "asset_id long, content binary")

@@ -3929,3 +3929,73 @@ def sparse_bm25_index_remove(spark, sf_dir):
             "bm25 index: tombstone-path and compacted answers differ")
     shutil.rmtree(path, ignore_errors=True)
     return post
+
+
+@register("mm_extract_features_bmp", sql="""
+WITH dims AS (
+  SELECT doc_id,
+         (length(text) % 4) + 2 AS w,
+         (length(text) % 3) + 2 AS h
+  FROM documents
+), px AS (
+  SELECT d.doc_id, d.w, d.h, (u.k - 1) AS k,
+         CAST(concat('0x', substr(md5(doc.text || ':' || (u.k - 1)),
+                                  1, 15)) AS BIGINT) % 256 AS b
+  FROM dims d
+  JOIN documents doc USING (doc_id),
+       unnest(generate_series(1, d.w * d.h * 3)) AS u(k)
+)
+SELECT doc_id, CAST(MAX(w) AS BIGINT) AS width,
+       CAST(MAX(h) AS BIGINT) AS height,
+       CAST(SUM(CASE WHEN k % 3 = 0 THEN b ELSE 0 END) AS BIGINT) AS sum_r,
+       CAST(SUM(CASE WHEN k % 3 = 1 THEN b ELSE 0 END) AS BIGINT) AS sum_g,
+       CAST(SUM(CASE WHEN k % 3 = 2 THEN b ELSE 0 END) AS BIGINT) AS sum_b
+FROM px GROUP BY doc_id ORDER BY doc_id
+""")
+def mm_extract_features_bmp(spark, sf_dir):
+    """Third REAL decode format on the codec seam (round 7):
+    deterministic 24-bit BMP bytes synthesized from documents.text
+    (RGB pixel bytes = md5 integers, the established SQL-expressible
+    trick) and round-tripped through ``decode_bmp`` — a genuine
+    dependency-free parser of the format's real quirks: BOTTOM-UP row
+    storage, BGR channel order, 4-byte row padding, and a dataOffset
+    pointing PAST the headers (the synthesizer inserts a junk gap so
+    offset handling is exercised, not assumed). Reduced to exact
+    integer per-channel sums; the DuckDB oracle recomputes every
+    pixel from text alone, so a missed vertical flip, an unswapped
+    BGR triple, padding read as pixels, or a wrong raster offset all
+    flip the hash. With PPM and WAV this makes THREE real formats on
+    the decode seam."""
+    import numpy as np
+    import pandas as pd
+
+    from quake_vector_search_spark.multimodal.binary import (
+        decode_bmp,
+        synthesize_bmp_assets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = synthesize_bmp_assets(docs)
+
+    def feat(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {"doc_id": [], "width": [], "height": [],
+                   "sum_r": [], "sum_g": [], "sum_b": []}
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                px = decode_bmp(bytes(content))
+                h, w, _ = px.shape
+                sums = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                out["doc_id"].append(int(aid))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_r"].append(int(sums[0]))
+                out["sum_g"].append(int(sums[1]))
+                out["sum_b"].append(int(sums[2]))
+            yield pd.DataFrame(out)
+
+    return (assets.mapInPandas(
+        feat, "doc_id long, width long, height long, "
+              "sum_r long, sum_g long, sum_b long")
+        .orderBy("doc_id"))

@@ -199,3 +199,69 @@ def test_decode_wav_roundtrip_property(nc, bits, nf, junk, data):
                              junk=junk))
     assert smp.shape == (nf, nc)
     assert smp.ravel().tolist() == vals
+
+
+def _bmp(w, h, rgb_flat, top_down=False, gap=6, pad_extra=0):
+    """Pack RGB (row-major, top-down) pixels into a 24-bit BMP."""
+    import struct
+
+    import numpy as np
+
+    rgb = np.asarray(rgb_flat, dtype=np.uint8).reshape(h, w, 3)
+    bgr = rgb[..., ::-1]
+    row_size = (w * 3 + 3) // 4 * 4
+    pad = b"\x00" * (row_size - w * 3)
+    order = range(h) if top_down else range(h - 1, -1, -1)
+    body = b"".join(bgr[i].tobytes() + pad for i in order)
+    data_off = 14 + 40 + gap
+    header = (b"BM" + struct.pack("<IHHI", data_off + len(body), 0, 0,
+                                  data_off)
+              + struct.pack("<IiiHHIIiiII", 40, w,
+                            -h if top_down else h, 1, 24, 0,
+                            len(body), 2835, 2835, 0, 0)
+              + b"\xAB" * gap)
+    return header + body + b"\x00" * pad_extra
+
+
+def test_decode_bmp_grammar_and_errors():
+    """decode_bmp: bottom-up flip, BGR swap, row padding, dataOffset
+    gap, top-down variant; refuses bad magic, unsupported bpp /
+    compression, truncation."""
+    import numpy as np
+    import pytest as _pytest
+
+    rng = np.random.default_rng(5)
+    w, h = 3, 2                            # row pad = 3 bytes
+    rgb = rng.integers(0, 256, size=w * h * 3, dtype=np.uint16) \
+             .astype(np.uint8)
+    out = MM.decode_bmp(_bmp(w, h, rgb))
+    assert out.shape == (h, w, 3)
+    assert (out.ravel() == rgb).all()
+    out_td = MM.decode_bmp(_bmp(w, h, rgb, top_down=True))
+    assert (out_td.ravel() == rgb).all()
+    # trailing slack after the raster is fine (dataOffset-relative)
+    assert (MM.decode_bmp(_bmp(w, h, rgb, pad_extra=9)).ravel()
+            == rgb).all()
+    with _pytest.raises(ValueError, match="magic"):
+        MM.decode_bmp(b"XX" + _bmp(w, h, rgb)[2:])
+    with _pytest.raises(ValueError, match="truncated"):
+        MM.decode_bmp(_bmp(w, h, rgb)[:-1])
+    with _pytest.raises(ValueError, match="unsupported BMP"):
+        bad = bytearray(_bmp(w, h, rgb))
+        bad[28] = 32                       # 32 bpp
+        MM.decode_bmp(bytes(bad))
+
+
+@settings(max_examples=60, deadline=None)
+@given(w=st.integers(1, 9), h=st.integers(1, 6),
+       top_down=st.booleans(), gap=st.integers(0, 16),
+       data=st.data())
+def test_decode_bmp_roundtrip_property(w, h, top_down, gap, data):
+    """Property: any packed 24-bit raster decodes back to exactly the
+    RGB pixels that went in, for any dims, row-pad width, storage
+    direction, and header gap."""
+    vals = data.draw(st.lists(st.integers(0, 255),
+                              min_size=w * h * 3, max_size=w * h * 3))
+    out = MM.decode_bmp(_bmp(w, h, vals, top_down=top_down, gap=gap))
+    assert out.shape == (h, w, 3)
+    assert out.ravel().tolist() == vals
