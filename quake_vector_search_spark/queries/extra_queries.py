@@ -3999,3 +3999,77 @@ def mm_extract_features_bmp(spark, sf_dir):
         feat, "doc_id long, width long, height long, "
               "sum_r long, sum_g long, sum_b long")
         .orderBy("doc_id"))
+
+
+def _register_stream_bm25_index():
+    from quake_vector_search_spark.queries import REGISTRY
+
+    @register("stream_bm25_index_equals_batch",
+              sql=REGISTRY["sparse_bm25_topk"].sql)
+    def stream_bm25_index_equals_batch(spark, sf_dir):
+        """The persisted BM25 index under STREAMING admission: the
+        even-doc half is indexed once; the odd half arrives as three
+        mtime-ordered micro-batches, each admitted via
+        extend_bm25_index inside foreachBatch. After the stream
+        drains, a query batch must score EXACTLY like the one-shot
+        ``bm25_topk`` over the full corpus (oracle = the
+        ``sparse_bm25_topk`` SQL) — so a lost or double-counted
+        micro-batch's df partials, a stale N, or a drifted Σlen
+        counter flips the hash. With ``stream_dedup_index_equals_
+        batch`` this pins BOTH persisted indexes' CDC admission loops
+        under real micro-batch execution. Fresh index per run."""
+        import os
+        import shutil
+        import time
+        import uuid
+
+        from quake_vector_search_spark.operators.sparse import _terms
+        from quake_vector_search_spark.operators.sparse_index import (
+            build_bm25_index,
+            extend_bm25_index,
+            query_bm25_index,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        run = uuid.uuid4().hex[:8]
+        base_dir = f"/tmp/qvss_bm25_stream_{os.getpid()}_{run}"
+        idx_path = os.path.join(base_dir, "idx")
+        bdir = os.path.join(base_dir, "batches")
+        ckpt = os.path.join(base_dir, "ckpt")
+        os.makedirs(bdir, exist_ok=True)
+        build_bm25_index(docs.where(F.col("doc_id") % 2 == 0),
+                         idx_path)
+        base_ts = time.time() - 1_000
+        for i, r in enumerate((1, 3, 5)):
+            tmp = os.path.join(base_dir, f"tmp{i}")
+            (docs.where(F.col("doc_id") % 6 == r)
+                 .select("doc_id", "text")
+                 .coalesce(1).write.mode("overwrite").parquet(tmp))
+            part = next(f for f in os.listdir(tmp)
+                        if f.endswith(".parquet"))
+            dst = os.path.join(bdir, f"b{i}.parquet")
+            shutil.move(os.path.join(tmp, part), dst)
+            os.utime(dst, (base_ts + 100 * i,) * 2)
+
+        def handle(batch_df, _epoch):
+            extend_bm25_index(idx_path, batch_df)
+
+        st = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(bdir))
+        q = (st.writeStream.option("checkpointLocation", ckpt)
+             .foreachBatch(handle).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        queries = (_terms(docs.where(F.col("doc_id") < 5),
+                          "doc_id", "text")
+                   .distinct()
+                   .select(F.col("doc_id").alias("query_id"), "term"))
+        res = query_bm25_index(spark, idx_path, queries,
+                               k=10).localCheckpoint()
+        shutil.rmtree(base_dir, ignore_errors=True)
+        return res
+
+
+_register_stream_bm25_index()
