@@ -936,7 +936,8 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
 def knn_ivf_pq(index, queries, k: int = 10, target_recall: float = 0.9,
                max_probe: int = 64, oversample: int = 16,
                books: np.ndarray | None = None,
-               policy: str = "reference"):
+               policy: str = "reference",
+               allowed: DataFrame | None = None):
     """ANN search combining BOTH pruning axes: IVF/APS chooses which
     partitions to read (row pruning), PQ codes shrink what each read
     moves (byte pruning — m bytes/vector vs 4·d). At 100 TB the scan
@@ -948,6 +949,12 @@ def knn_ivf_pq(index, queries, k: int = 10, target_recall: float = 0.9,
     top-(k·oversample) candidates rerank at full precision against the
     live corpus (tombstoned ids drop out at the rerank join). Returns
     (DataFrame(query_id, vec_id, dist, rank), meta) like IVFIndex.search.
+
+    ``allowed`` (round 7): optional single-column id DataFrame — the
+    pre-filter pattern on the COMPRESSED path. The id set semi-joins
+    the codes scan ahead of the ADC kernel, so the filter pays 8-byte
+    rows, not full vectors, and candidate slots are never wasted on
+    disallowed ids.
     """
     import os
 
@@ -1079,6 +1086,19 @@ def knn_ivf_pq(index, queries, k: int = 10, target_recall: float = 0.9,
     ids_sql = ",".join(str(p) for p in sorted(probe_map))
     codes = (spark.read.parquet(os.path.join(index.version_dir, "pq"))
              .where(F.expr(f"partition_id IN ({ids_sql})")))
+    if allowed is not None:
+        # filtered hybrid search: the predicate's id set prunes the
+        # CODES scan itself (broadcast semi-join ahead of the ADC
+        # kernel), so disallowed vectors never enter candidate
+        # generation — same pre-filter pattern as IVFIndex.search
+        if len(allowed.columns) != 1:
+            raise ValueError(
+                f"knn_ivf_pq(allowed=...): expected a single-column "
+                f"id DataFrame, got columns {allowed.columns}")
+        codes = codes.join(
+            F.broadcast(allowed.select(
+                F.col(allowed.columns[0]).alias(id_col))),
+            id_col, "semi")
 
     def adc_topk(batches):
         if residual:

@@ -4073,3 +4073,71 @@ def _register_stream_bm25_index():
 
 
 _register_stream_bm25_index()
+
+
+def _register_ivf_pq_filtered():
+    from quake_vector_search_spark.queries.vector_queries import (
+        K, N_QUERIES)
+
+    @register("ivf_pq_filtered_fullprobe", sql=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), d AS (
+  SELECT q.query_id, e.vec_id,
+         list_distance(CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.qvec AS DOUBLE[])) AS dist
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label % 3 = 0
+), r AS (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist ASC, vec_id ASC) AS rank
+  FROM d
+)
+SELECT query_id, vec_id, ROUND(dist, 6) AS dist, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {K}
+""")
+    def ivf_pq_filtered_fullprobe(spark, sf_dir):
+        """Filtered ANN through the COMPRESSED (IVF+PQ hybrid) path —
+        the filters × compression cell of the search matrix
+        (``ivf_search_filtered_fullprobe`` covers filters × IVF,
+        ``knn_filtered`` covers filters × brute force). The metadata
+        predicate's id set semi-joins the CODES scan ahead of the ADC
+        kernel, so the filter pays 8-byte rows and candidate slots
+        are never wasted on disallowed ids; the exact rerank then
+        works entirely within the allowed set. At full probe +
+        corpus-wide oversample the result must equal
+        brute-force-with-filter exactly (the oracle IS that
+        definition). Reuses the residual-sidecar scratch index."""
+        import os
+        import shutil
+
+        from quake_vector_search_spark.operators.ivf import IVFIndex
+        from quake_vector_search_spark.operators.quantization import (
+            build_pq_sidecar,
+            knn_ivf_pq,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        wd = os.path.join(f"/tmp/qvss_ivf_{os.getpid()}",
+                          "pqf_" + sf_dir.strip("/").replace("/", "_"))
+        if wd not in _IVF_RES_CACHE:
+            shutil.rmtree(wd, ignore_errors=True)
+            idx = IVFIndex.build(emb, wd, coarse_k=8, base_k=4)
+            books = build_pq_sidecar(idx, m=8, ksub=256, seed=99,
+                                     residual=True)
+            _IVF_RES_CACHE[wd] = (idx, books)
+        idx, books = _IVF_RES_CACHE[wd]
+        allowed = emb.where(F.expr("label % 3 = 0")).select("vec_id")
+        queries = emb.where(F.col("vec_id") < N_QUERIES) \
+                     .withColumnRenamed("vec_id", "query_id")
+        n = emb.count()
+        out, _meta = knn_ivf_pq(idx, queries, k=K, target_recall=1.0,
+                                max_probe=1_000_000_000,
+                                oversample=max(16, -(-n // (2 * K))),
+                                books=books, allowed=allowed)
+        return out.withColumn("dist", F.round("dist", 6))
+
+
+_register_ivf_pq_filtered()
