@@ -71,6 +71,14 @@ def build_lsh_index(docs: DataFrame, path: str,
     sets. Two shuffles total (the signature groupBy and the set
     groupBy), both map-side combined; the corpus text is never read
     again by query/extend."""
+    import shutil
+
+    # a REBUILD at the same path must not inherit the previous
+    # index's tombstones: the new epoch-0 member rows would read as
+    # dead against stale higher-epoch tombstones — silently hiding
+    # freshly-indexed members
+    shutil.rmtree(os.path.join(path, "tombstones"),
+                  ignore_errors=True)
     _write_members(docs, path, id_col, text_col, n, "overwrite",
                    epoch=0)
     with open(os.path.join(path, "meta.json"), "w") as fh:
@@ -97,10 +105,18 @@ def _alive_shingles(spark: SparkSession, path: str,
     epoch ≥ e') re-admits it — the exact insert-after-delete
     visibility rule the IVF index's DML has, expressed as one
     broadcastable max-per-id join. Pre-epoch indexes (no ``epoch``
-    column, no tombstones) read as epoch 0 / no tombstones."""
-    sh = spark.read.parquet(os.path.join(path, "shingles"))
+    column, no tombstones) read as epoch 0 / no tombstones —
+    including MIXED dirs (pre-epoch build + post-epoch extends):
+    mergeSchema unions the file schemas so the new files' stored
+    epochs can't be dropped by single-file schema inference, and the
+    old files' missing values coalesce to 0."""
+    sh = (spark.read.option("mergeSchema", "true")
+          .parquet(os.path.join(path, "shingles")))
     if "epoch" not in sh.columns:
         sh = sh.withColumn("epoch", F.lit(0))
+    else:
+        sh = sh.withColumn("epoch",
+                           F.coalesce(F.col("epoch"), F.lit(0)))
     tomb_dir = os.path.join(path, "tombstones")
     if not os.path.isdir(tomb_dir):
         return sh
@@ -187,8 +203,19 @@ def remove_from_lsh_index(spark: SparkSession, path: str,
     if isinstance(ids, DataFrame):
         tomb = ids.toDF(id_col)
     else:
-        tomb = spark.createDataFrame([(int(i),) for i in ids],
-                                     f"{id_col} long")
+        # derive the id type from the persisted member table — the
+        # index is id-type-agnostic (string ids work everywhere
+        # else), so a hardcoded long here would silently no-op the
+        # remove for non-long ids
+        from pyspark.sql import types as T
+
+        id_field = next(
+            f for f in spark.read.parquet(
+                os.path.join(path, "shingles")).schema
+            if f.name == id_col)
+        tomb = spark.createDataFrame(
+            [(i,) for i in ids],
+            T.StructType([T.StructField(id_col, id_field.dataType)]))
     (tomb.withColumn("t_epoch", F.lit(epoch))
      .write.mode("append").parquet(os.path.join(path, "tombstones")))
     meta["epoch"] = epoch

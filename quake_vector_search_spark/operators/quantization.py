@@ -564,6 +564,31 @@ def load_local_rots(version_dir: str) -> dict | None:
     return out or None
 
 
+_LOCAL_SIDECAR_CACHE: dict = {}
+
+
+def _load_local_sidecar_cached(version_dir: str):
+    """(books, rots) for a local sidecar, cached per version dir and
+    keyed by the npz's mtime — serving loops (and any repeated
+    ``knn_ivf_pq`` calls against one version) stop re-reading the
+    whole books file per call, while streaming appends, which rewrite
+    the npz, still invalidate on the mtime change. Bounded: the cache
+    keeps only the few most recent version dirs."""
+    import os
+
+    npz = os.path.join(version_dir, "pq_local_books.npz")
+    mt = os.path.getmtime(npz)
+    hit = _LOCAL_SIDECAR_CACHE.get(version_dir)
+    if hit is not None and hit[0] == mt:
+        return hit[1], hit[2]
+    books = load_local_books(version_dir)
+    rots = load_local_rots(version_dir)
+    while len(_LOCAL_SIDECAR_CACHE) >= 4:
+        _LOCAL_SIDECAR_CACHE.pop(next(iter(_LOCAL_SIDECAR_CACHE)))
+    _LOCAL_SIDECAR_CACHE[version_dir] = (mt, books, rots)
+    return books, rots
+
+
 def _cell_book_seed(seed: int, pid: int) -> int:
     """Deterministic per-cell seed base — a function of (seed, pid)
     only, so training is independent of partition count, row order,
@@ -823,6 +848,11 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
     corpus = index.read_corpus()
     enc_cents = None
     if local:
+        if opq_iters and not rotate:
+            raise ValueError(
+                "local + opq_iters requires rotate=True: iterative "
+                "OPQ refines a per-cell ROTATION — without one the "
+                "parameter would be silently ignored")
         enc_cents = {int(p): index.centroids[i].copy()
                      for i, p in enumerate(index.part_ids)}
         res_src = _residual_corpus(index, corpus, enc_cents)
@@ -849,7 +879,8 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
             json.dump({"residual": True, "local": True, "m": m,
                        "ksub": int(ksub), "seed": int(seed),
                        "rotate": bool(rotate),
-                       "opq_iters": int(max(1, opq_iters)),
+                       "opq_iters": (int(max(1, opq_iters))
+                                     if rotate else 0),
                        "cell_sample_n": int(cell_sample_n)}, fh)
         return books_by_pid
     if rotate and residual:
@@ -979,9 +1010,13 @@ def knn_ivf_pq(index, queries, k: int = 10, target_recall: float = 0.9,
             _meta = _json.load(fh)
         residual = bool(_meta.get("residual", False))
         local = bool(_meta.get("local", False))
+    _cached_rots = None
     if local:
         if not isinstance(books, dict):
-            books = load_local_books(index.version_dir)
+            books, _cached_rots = _load_local_sidecar_cached(
+                index.version_dir)
+        else:
+            _cached_rots = load_local_rots(index.version_dir)
     elif books is None:
         books = np.load(os.path.join(index.version_dir,
                                      "pq_codebooks.npy"))
@@ -1049,7 +1084,7 @@ def knn_ivf_pq(index, queries, k: int = 10, target_recall: float = 0.9,
         # full-LOPQ sidecar: the probed cell's own rotation must be
         # applied to q − c_p before the LUT build (codes live in the
         # per-cell rotated space); only probed cells' rotations ride
-        local_rots = load_local_rots(index.version_dir)
+        local_rots = _cached_rots
         if local_rots is not None:
             local_rots = {p: r for p, r in local_rots.items()
                           if p in probe_map}

@@ -76,12 +76,20 @@ def _batch_stats(docs: DataFrame, path: str, id_col: str,
         tf.write.mode(mode).parquet(os.path.join(path, "postings"))
     (tf.groupBy("term").agg(F.count("*").alias("df"))
      .write.mode(mode).parquet(os.path.join(path, "termstats")))
-    dlen = tf.groupBy(id_col).agg(F.sum("tf").alias("len"))
+    # doclens is the index's MEMBER table: one row per admitted doc,
+    # len 0 for empty-text docs (they count in N but not in avg_len)
+    # — removal needs an authoritative membership test, and this
+    # table is it
+    dlen = (docs.select(id_col).distinct()
+            .join(tf.groupBy(id_col).agg(F.sum("tf").alias("len")),
+                  id_col, "left")
+            .withColumn("len", F.coalesce(F.col("len"), F.lit(0))))
     dlen.write.mode(mode).parquet(os.path.join(path, "doclens"))
-    agg = dlen.agg(F.count("*").alias("nl"),
-                   F.sum("len").alias("tl")).collect()[0]
-    n_docs = docs.select(id_col).distinct().count()
-    return {"n_docs": int(n_docs),
+    agg = dlen.agg(
+        F.count("*").alias("nd"),
+        F.sum(F.when(F.col("len") > 0, 1).otherwise(0)).alias("nl"),
+        F.sum("len").alias("tl")).collect()[0]
+    return {"n_docs": int(agg["nd"] or 0),
             "n_len_docs": int(agg["nl"] or 0),
             "total_len": int(agg["tl"] or 0)}
 
@@ -91,6 +99,13 @@ def build_bm25_index(docs: DataFrame, path: str,
                      text_col: str = "text") -> None:
     """One-time corpus pass: persist posting lists + integer stats.
     The corpus text is never read again by query/extend."""
+    import shutil
+
+    # a REBUILD must not inherit the previous index's tombstones:
+    # the stale anti-join would hide freshly-indexed docs that the
+    # fresh stats still count — silently wrong top-k
+    shutil.rmtree(os.path.join(path, "tombstones"),
+                  ignore_errors=True)
     counters = _batch_stats(docs, path, id_col, text_col, "overwrite")
     with open(os.path.join(path, "meta.json"), "w") as fh:
         json.dump({"id_col": id_col, "version": 1, **counters}, fh)
@@ -184,28 +199,44 @@ def remove_from_bm25_index(spark: SparkSession, path: str,
       merge arithmetic extends use, run in reverse);
     - the meta counters decremented by the docs' own doclens rows.
 
-    Ids removed twice would double-subtract; the unique-member
-    contract (same as extend's) applies. ``compact_bm25_index``
-    physically drops the rows and squashes the partials."""
+    Non-member ids are IGNORED (a CDC delete can arrive for a doc
+    that was filtered at ingest): membership is tested against the
+    doclens member table, so stray ids never corrupt N or leave
+    tombstones. Ids removed twice would double-subtract; the
+    unique-member contract (same as extend's) applies.
+    ``compact_bm25_index`` physically drops the rows and squashes
+    the partials."""
     meta = _load_meta(path)
     id_col = meta["id_col"]
     if isinstance(ids, DataFrame):
-        rm = ids.toDF(id_col)
+        req = ids.toDF(id_col)
     else:
-        rm = spark.createDataFrame([(int(i),) for i in ids],
-                                   f"{id_col} long")
-    rm = rm.localCheckpoint()  # bounded: the removal batch
+        from pyspark.sql import types as T
+
+        id_field = next(
+            f for f in spark.read.parquet(
+                os.path.join(path, "doclens")).schema
+            if f.name == id_col)
+        req = spark.createDataFrame(
+            [(i,) for i in ids],
+            T.StructType([T.StructField(id_col, id_field.dataType)]))
+    # restrict to ACTUAL members — doclens has one row per admitted
+    # doc (len 0 for empty-text docs), so it is the membership oracle
+    dl_rm = (spark.read.parquet(os.path.join(path, "doclens"))
+             .join(req, id_col, "left_semi")
+             .localCheckpoint())   # bounded: the removal batch
+    rm = dl_rm.select(id_col)
     posts_rm = (spark.read.parquet(os.path.join(path, "postings"))
                 .join(rm, id_col, "left_semi"))
     (posts_rm.groupBy("term")
      .agg((-F.count("*")).alias("df"))
      .write.mode("append").parquet(os.path.join(path, "termstats")))
-    dl_rm = (spark.read.parquet(os.path.join(path, "doclens"))
-             .join(rm, id_col, "left_semi"))
-    agg = dl_rm.agg(F.count("*").alias("nl"),
-                    F.sum("len").alias("tl")).collect()[0]
+    agg = dl_rm.agg(
+        F.count("*").alias("nd"),
+        F.sum(F.when(F.col("len") > 0, 1).otherwise(0)).alias("nl"),
+        F.sum("len").alias("tl")).collect()[0]
     rm.write.mode("append").parquet(os.path.join(path, "tombstones"))
-    meta["n_docs"] = int(meta["n_docs"]) - rm.count()
+    meta["n_docs"] = int(meta["n_docs"]) - int(agg["nd"] or 0)
     meta["n_len_docs"] = int(meta["n_len_docs"]) - int(agg["nl"] or 0)
     meta["total_len"] = int(meta["total_len"]) - int(agg["tl"] or 0)
     with open(os.path.join(path, "meta.json"), "w") as fh:

@@ -3672,6 +3672,33 @@ def dedup_lsh_index_incremental(spark, sf_dir):
 _LSH_INDEX_CACHE: dict = {}
 
 
+def _stage_doc_microbatches(docs, base_dir: str,
+                            residues=(1, 3, 5), mod: int = 6) -> str:
+    """Stage documents as one parquet file per micro-batch under
+    base_dir/batches, mtimes pinned in batch order — the file source
+    replays oldest-first, so batch i (doc_id % mod == residues[i])
+    arrives strictly before batch i+1. Shared by every streaming CDC
+    row so the mtime scheme lives in one place."""
+    import os
+    import shutil
+    import time
+
+    bdir = os.path.join(base_dir, "batches")
+    os.makedirs(bdir, exist_ok=True)
+    base_ts = time.time() - 1_000
+    for i, r in enumerate(residues):
+        tmp = os.path.join(base_dir, f"tmp{i}")
+        (docs.where(F.col("doc_id") % mod == r)
+             .select("doc_id", "text")
+             .coalesce(1).write.mode("overwrite").parquet(tmp))
+        part = next(f for f in os.listdir(tmp)
+                    if f.endswith(".parquet"))
+        dst = os.path.join(bdir, f"b{i}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (base_ts + 100 * i,) * 2)
+    return bdir
+
+
 @register("stream_dedup_index_equals_batch", sql=_incremental_lsh_sql(
     cand_pred="b.doc_id % 2 = 1 AND (a.doc_id % 2 = 0 "
               "OR (a.doc_id % 6) < (b.doc_id % 6))"))
@@ -3690,7 +3717,6 @@ def stream_dedup_index_equals_batch(spark, sf_dir):
     extend flips the hash. Fresh index per run (extends mutate it)."""
     import os
     import shutil
-    import time
     import uuid
 
     from quake_vector_search_spark.operators.dedup_index import (
@@ -3703,23 +3729,9 @@ def stream_dedup_index_equals_batch(spark, sf_dir):
     run = uuid.uuid4().hex[:8]
     base_dir = f"/tmp/qvss_lsh_stream_{os.getpid()}_{run}"
     idx_path = os.path.join(base_dir, "idx")
-    bdir = os.path.join(base_dir, "batches")
     ckpt = os.path.join(base_dir, "ckpt")
-    os.makedirs(bdir, exist_ok=True)
     build_lsh_index(docs.where(F.col("doc_id") % 2 == 0), idx_path)
-    # one file per micro-batch, mtimes pinned in batch order (the
-    # file source replays oldest-first)
-    base_ts = time.time() - 1_000
-    for i, r in enumerate((1, 3, 5)):
-        tmp = os.path.join(base_dir, f"tmp{i}")
-        (docs.where(F.col("doc_id") % 6 == r)
-             .select("doc_id", "text")
-             .coalesce(1).write.mode("overwrite").parquet(tmp))
-        part = next(f for f in os.listdir(tmp)
-                    if f.endswith(".parquet"))
-        dst = os.path.join(bdir, f"b{i}.parquet")
-        shutil.move(os.path.join(tmp, part), dst)
-        os.utime(dst, (base_ts + 100 * i,) * 2)
+    bdir = _stage_doc_microbatches(docs, base_dir)
     results: list = []
 
     def handle(batch_df, _epoch):
@@ -4020,7 +4032,6 @@ def _register_stream_bm25_index():
         under real micro-batch execution. Fresh index per run."""
         import os
         import shutil
-        import time
         import uuid
 
         from quake_vector_search_spark.operators.sparse import _terms
@@ -4034,22 +4045,10 @@ def _register_stream_bm25_index():
         run = uuid.uuid4().hex[:8]
         base_dir = f"/tmp/qvss_bm25_stream_{os.getpid()}_{run}"
         idx_path = os.path.join(base_dir, "idx")
-        bdir = os.path.join(base_dir, "batches")
         ckpt = os.path.join(base_dir, "ckpt")
-        os.makedirs(bdir, exist_ok=True)
         build_bm25_index(docs.where(F.col("doc_id") % 2 == 0),
                          idx_path)
-        base_ts = time.time() - 1_000
-        for i, r in enumerate((1, 3, 5)):
-            tmp = os.path.join(base_dir, f"tmp{i}")
-            (docs.where(F.col("doc_id") % 6 == r)
-                 .select("doc_id", "text")
-                 .coalesce(1).write.mode("overwrite").parquet(tmp))
-            part = next(f for f in os.listdir(tmp)
-                        if f.endswith(".parquet"))
-            dst = os.path.join(bdir, f"b{i}.parquet")
-            shutil.move(os.path.join(tmp, part), dst)
-            os.utime(dst, (base_ts + 100 * i,) * 2)
+        bdir = _stage_doc_microbatches(docs, base_dir)
 
         def handle(batch_df, _epoch):
             extend_bm25_index(idx_path, batch_df)

@@ -101,6 +101,28 @@ def _events_stream_dir(spark, sf_dir: str) -> str:
     return out
 
 
+def _serving_query_dir(spark, sf_dir: str) -> str:
+    """Stage the first 10 query vectors as a 2-file parquet dir for
+    the serving rows — idempotent per testdata generation (keyed on
+    the source file's identity, _READY marker closes the
+    write-then-read race). One implementation so the key scheme and
+    the race guard can't drift between the serving variants."""
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    key = hashlib.md5(
+        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:8]
+    qdir = f"/tmp/qvss_serving_q_{key}"
+    if not os.path.exists(os.path.join(qdir, "_READY")):
+        shutil.rmtree(qdir, ignore_errors=True)
+        (load_table(spark, sf_dir, "embeddings")
+         .where(F.col("vec_id") < 10)
+         .withColumnRenamed("vec_id", "query_id")
+         .select("query_id", "embedding")
+         .repartition(2).write.mode("overwrite").parquet(qdir))
+        with open(os.path.join(qdir, "_READY"), "w") as fh:
+            fh.write("ok")
+    return qdir
+
+
 def _drain(spark, sf_dir: str, build, tag: str, output_mode="append"):
     """Replay events through a streaming transform and return the
     drained memory-sink contents as a batch DataFrame."""
@@ -405,20 +427,7 @@ def stream_serving_equals_batch(spark, sf_dir):
     from quake_vector_search_spark.streaming.serving import search_stream
 
     idx = _ivf_index(spark, sf_dir)
-    # stream the first 10 query vectors as 2 files
-    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
-    key = hashlib.md5(
-        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:8]
-    qdir = f"/tmp/qvss_serving_q_{key}"
-    if not os.path.exists(os.path.join(qdir, "_READY")):
-        shutil.rmtree(qdir, ignore_errors=True)
-        (load_table(spark, sf_dir, "embeddings")
-         .where(F.col("vec_id") < 10)
-         .withColumnRenamed("vec_id", "query_id")
-         .select("query_id", "embedding")
-         .repartition(2).write.mode("overwrite").parquet(qdir))
-        with open(os.path.join(qdir, "_READY"), "w") as fh:
-            fh.write("ok")
+    qdir = _serving_query_dir(spark, sf_dir)
     run = uuid.uuid4().hex[:8]
     results = f"/tmp/qvss_serving_out_{os.getpid()}_{run}"
     ckpt = f"/tmp/qvss_serving_ckpt_{os.getpid()}_{run}"
@@ -483,18 +492,7 @@ def stream_serving_compressed_equals_batch(spark, sf_dir):
     idx = IVFIndex.build(emb, wd, coarse_k=8, base_k=4)
     build_pq_sidecar(idx, m=8, ksub=256, seed=99, residual=True,
                      local=True, rotate=True)
-    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
-    key = hashlib.md5(
-        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:8]
-    qdir = f"/tmp/qvss_serving_q_{key}"
-    if not os.path.exists(os.path.join(qdir, "_READY")):
-        shutil.rmtree(qdir, ignore_errors=True)
-        (emb.where(F.col("vec_id") < 10)
-         .withColumnRenamed("vec_id", "query_id")
-         .select("query_id", "embedding")
-         .repartition(2).write.mode("overwrite").parquet(qdir))
-        with open(os.path.join(qdir, "_READY"), "w") as fh:
-            fh.write("ok")
+    qdir = _serving_query_dir(spark, sf_dir)
     results = f"/tmp/qvss_cserv_out_{os.getpid()}_{run}"
     ckpt = f"/tmp/qvss_cserv_ckpt_{os.getpid()}_{run}"
     qstream = (spark.readStream

@@ -644,3 +644,20 @@ def test_rotated_local_pq_sidecar_roundtrip(spark, tmp_path):
     found2, _ = knn_ivf_pq(idx, (qids, qmat), k=5, target_recall=1.0,
                            max_probe=64, oversample=40)
     assert avg_recall(found2, exact2, 5) >= 0.95
+
+
+def test_local_sidecar_refuses_opq_iters_without_rotate(spark, tmp_path):
+    """Review finding: plain per-cell books (local=True, rotate=False)
+    with opq_iters would silently ignore the parameter — iterative OPQ
+    refines a per-cell ROTATION, so the combination must refuse."""
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+    )
+    from quake_vector_search_spark.operators.workload import make_dataset
+
+    corpus = make_dataset(spark, 200, d=16, n_clusters=4, seed=9)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_guard"),
+                         coarse_k=2, base_k=2)
+    with pytest.raises(ValueError, match="rotate=True"):
+        build_pq_sidecar(idx, m=4, ksub=8, residual=True, local=True,
+                         opq_iters=3)

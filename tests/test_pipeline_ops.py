@@ -1035,3 +1035,77 @@ def test_bm25_index_remove_then_readmit(spark, tmp_path):
     extend_bm25_index(path, docs.where(F.col("doc_id") == 1))
     readd = answers()
     assert any(r[1] == 1 for r in readd)
+
+
+def test_index_rebuild_clears_stale_tombstones(spark, tmp_path):
+    """Rebuilding either persisted index at the same path must not
+    inherit the previous index's tombstones (review finding): a stale
+    tombstone would silently hide freshly-indexed members — LSH via
+    the epoch rule (rebuilt epoch-0 rows read dead against a
+    higher-epoch tombstone), BM25 via the anti-join (docs hidden yet
+    still counted in the fresh stats)."""
+    from pyspark.sql import functions as F
+
+    from quake_vector_search_spark.operators.dedup_index import (
+        build_lsh_index,
+        query_lsh_index,
+        remove_from_lsh_index,
+    )
+    from quake_vector_search_spark.operators.sparse import _terms
+    from quake_vector_search_spark.operators.sparse_index import (
+        build_bm25_index,
+        query_bm25_index,
+        remove_from_bm25_index,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog "
+            "while the cat watches from the warm windowsill")
+    rows = [(0, f"{base} corpus variant zero " * 2),
+            (1, f"{base} corpus variant zero "
+                f"{base} corpus variant zero edited")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = docs.where(F.col("doc_id") == 0)
+    batch = docs.where(F.col("doc_id") == 1)
+
+    lpath = str(tmp_path / "lsh_rebuild")
+    build_lsh_index(corpus, lpath)
+    remove_from_lsh_index(spark, lpath, [0])
+    assert not query_lsh_index(spark, lpath, batch, 0.5).collect()
+    build_lsh_index(corpus, lpath)        # rebuild, same path
+    assert query_lsh_index(spark, lpath, batch, 0.5).collect()
+
+    bpath = str(tmp_path / "bm25_rebuild")
+    queries = (_terms(batch, "doc_id", "text").distinct()
+               .select(F.col("doc_id").alias("query_id"), "term"))
+    build_bm25_index(corpus, bpath)
+    remove_from_bm25_index(spark, bpath, [0])
+    assert not query_bm25_index(spark, bpath, queries, 5).collect()
+    build_bm25_index(corpus, bpath)       # rebuild, same path
+    assert query_bm25_index(spark, bpath, queries, 5).collect()
+
+
+def test_bm25_remove_ignores_non_members(spark, tmp_path):
+    """Review finding: a CDC delete for an id that was never admitted
+    (or an empty-text member) must not corrupt N — membership is
+    tested against the doclens member table, which now includes
+    len-0 rows for empty docs."""
+    from pyspark.sql import functions as F
+
+    from quake_vector_search_spark.operators.sparse_index import (
+        _load_meta,
+        build_bm25_index,
+        remove_from_bm25_index,
+    )
+
+    rows = [(0, "alpha beta gamma"), (1, "alpha delta"), (2, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "bm25_nonmember")
+    build_bm25_index(docs, path)
+    assert _load_meta(path)["n_docs"] == 3
+    remove_from_bm25_index(spark, path, [999, 1000])   # never admitted
+    m = _load_meta(path)
+    assert m["n_docs"] == 3 and m["n_len_docs"] == 2
+    # removing the EMPTY member decrements N but not the length stats
+    remove_from_bm25_index(spark, path, [2])
+    m = _load_meta(path)
+    assert m["n_docs"] == 2 and m["n_len_docs"] == 2
