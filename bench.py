@@ -81,6 +81,11 @@ HEADLINE = [
     "ivf_search_filtered_fullprobe",
     "text_mmr_rerank",
     "text_prf_search",
+    # round-7 late additions: the persisted CDC indexes' build+query
+    # loops (each row builds its index fresh, so the timing covers
+    # the whole tokenize/signature pass + the batch query)
+    "dedup_lsh_index_incremental",
+    "sparse_bm25_index_topk",
 ]
 
 N_WORKLOAD_QUERIES = 200
