@@ -1102,6 +1102,45 @@ class IVFIndex:
             temperature=temperature, mass_cutoff=cutoff)
 
     # ------------------------------------------------------------ search
+    def _check_calibrated_restriction(self, route_cells,
+                                      caller: str = "search"):
+        """The fitted mass cutoffs belong to ONE scoring function:
+        routed scoring renormalizes the softmax over each query's
+        routed cells, so a fit under one restriction does not
+        transfer to another (round 7: calibrate(route_cells=N)
+        composes; mismatches refuse loudly). Shared by search() and
+        the IVF+PQ hybrid so the rule can't drift between paths.
+        Returns the normalized restriction (route_cells >= n_cells
+        reduces to full scoring = None)."""
+        asked = (int(route_cells)
+                 if (route_cells is not None
+                     and route_cells < len(self.coarse_centroids))
+                 else None)
+        if self._calibration is None:
+            if asked is not None:
+                import warnings
+                warnings.warn(
+                    f"{caller}(policy='calibrated', route_cells="
+                    f"{asked}) on an uncalibrated index: "
+                    "auto-running calibrate(route_cells="
+                    f"{asked}) inside the search call. Prefer an "
+                    "eager fit at version-publish time.",
+                    RuntimeWarning, stacklevel=3)
+                self.calibrate(route_cells=asked)
+            # asked None → _calibrated_rule auto-fits full
+        else:
+            fitted = self._calibration.get("route_cells")
+            if fitted != asked:
+                raise ValueError(
+                    f"{caller}: policy='calibrated' cutoffs were "
+                    f"fitted under route_cells={fitted!r} but this "
+                    f"search asked route_cells={asked!r}; the "
+                    "routed softmax renormalizes, so cutoffs do "
+                    "not transfer across restrictions. Refit with "
+                    f"calibrate(route_cells={asked!r}) or search "
+                    "under the fitted restriction.")
+        return asked
+
     def search(self, queries, k: int = 10, target_recall: float = 0.9,
                max_probe: int = 64,
                query_id_col: str = "query_id",
@@ -1157,38 +1196,7 @@ class IVFIndex:
                            "avg_scanned": 0.0,
                            "n_partitions": len(self.part_ids)}
         if policy == "calibrated":
-            # the fitted mass cutoffs belong to ONE scoring function:
-            # routed scoring renormalizes the softmax over each query's
-            # routed cells, so a fit under one restriction does not
-            # transfer to another (round 7: calibrate(route_cells=N)
-            # composes; mismatches still refuse loudly)
-            asked = (int(route_cells)
-                     if (route_cells is not None
-                         and route_cells < len(self.coarse_centroids))
-                     else None)
-            if self._calibration is None:
-                if asked is not None:
-                    import warnings
-                    warnings.warn(
-                        "search(policy='calibrated', route_cells="
-                        f"{asked}) on an uncalibrated index: "
-                        "auto-running calibrate(route_cells="
-                        f"{asked}) inside the search call. Prefer an "
-                        "eager fit at version-publish time.",
-                        RuntimeWarning, stacklevel=2)
-                    self.calibrate(route_cells=asked)
-                # asked None → _calibrated_rule below auto-fits full
-            else:
-                fitted = self._calibration.get("route_cells")
-                if fitted != asked:
-                    raise ValueError(
-                        "search: policy='calibrated' cutoffs were "
-                        f"fitted under route_cells={fitted!r} but this "
-                        f"search asked route_cells={asked!r}; the "
-                        "routed softmax renormalizes, so cutoffs do "
-                        "not transfer across restrictions. Refit with "
-                        f"calibrate(route_cells={asked!r}) or search "
-                        "under the fitted restriction.")
+            self._check_calibrated_restriction(route_cells)
         order, probs = self.partition_scores(qmat, route_cells=route_cells)
         nprobe = self._decide_nprobe(probs, target_recall, max_probe,
                                      policy)

@@ -968,7 +968,8 @@ def knn_ivf_pq(index, queries, k: int = 10, target_recall: float = 0.9,
                max_probe: int = 64, oversample: int = 16,
                books: np.ndarray | None = None,
                policy: str = "reference",
-               allowed: DataFrame | None = None):
+               allowed: DataFrame | None = None,
+               route_cells: int | None = None):
     """ANN search combining BOTH pruning axes: IVF/APS chooses which
     partitions to read (row pruning), PQ codes shrink what each read
     moves (byte pruning — m bytes/vector vs 4·d). At 100 TB the scan
@@ -986,6 +987,14 @@ def knn_ivf_pq(index, queries, k: int = 10, target_recall: float = 0.9,
     the codes scan ahead of the ADC kernel, so the filter pays 8-byte
     rows, not full vectors, and candidate slots are never wasted on
     disallowed ids.
+
+    ``route_cells`` (round 7): the same two-level APS restriction as
+    IVFIndex.search — scoring and probing restricted to each query's
+    nearest coarse cells, for partition counts where even the full
+    centroid scan per query is a cost. Composes with a matching
+    routed calibration fit; mismatched restrictions refuse (shared
+    rule with search()). Out-of-route neighbors are unreachable by
+    design.
     """
     import os
 
@@ -1046,17 +1055,16 @@ def knn_ivf_pq(index, queries, k: int = 10, target_recall: float = 0.9,
                  "n_partitions": len(index.part_ids)})
 
     # same probe-count rule as IVFIndex.search — incl. the calibrated
-    # temperature/cutoff fit when policy="calibrated". This path scores
-    # ALL partitions, so a fit estimated under routed scoring does not
-    # transfer (same refusal as partition_scores_distributed).
-    if (policy == "calibrated" and index._calibration is not None
-            and index._calibration.get("route_cells") is not None):
-        raise ValueError(
-            "knn_ivf_pq: the fitted calibration is routed "
-            f"(route_cells={index._calibration['route_cells']}) but "
-            "the hybrid path scores all partitions; refit with "
-            "calibrate() (full scoring) first.")
-    order, probs = index.partition_scores(qmat)
+    # temperature/cutoff fit when policy="calibrated", and (round 7)
+    # the same two-level ``route_cells`` restriction: the compressed
+    # path serves >10⁵-partition deployments too, where even the full
+    # per-query centroid scan is a cost. A fit's recorded restriction
+    # must match the call's (shared check with search()).
+    if policy == "calibrated":
+        index._check_calibrated_restriction(route_cells,
+                                            caller="knn_ivf_pq")
+    order, probs = index.partition_scores(qmat,
+                                          route_cells=route_cells)
     nprobe = index._decide_nprobe(probs, target_recall, max_probe,
                                   policy)
     probe_map: dict[int, list[int]] = {}

@@ -63,15 +63,12 @@ def search_stream(index: IVFIndex, queries_stream: DataFrame,
     per-batch scan moves m bytes/vector instead of 4·d. Sidecar
     lifecycle is the streaming one: maintenance republishes re-encode
     it, ``ingest_stream`` keeps it current for streamed inserts.
+    ``route_cells`` composes with the compressed path too (the hybrid
+    shares search()'s routed scoring and restriction-matching rule).
     """
     from quake_vector_search_spark.operators.quantization import (
         knn_ivf_pq,
     )
-
-    if compressed and route_cells is not None:
-        raise ValueError(
-            "compressed serving scores all partitions (knn_ivf_pq has "
-            "no routed path); drop route_cells= or serve uncompressed")
 
     def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if compressed:
@@ -82,7 +79,7 @@ def search_stream(index: IVFIndex, queries_stream: DataFrame,
                     F.col(query_vec_col).alias(index.vec_col)),
                 k=k, target_recall=target_recall,
                 max_probe=max_probe, oversample=oversample,
-                policy=policy)
+                policy=policy, route_cells=route_cells)
         else:
             out, _meta = index.search(
                 batch_df, k=k, target_recall=target_recall,

@@ -757,14 +757,55 @@ def test_streaming_ingest_invalidates_routed_calibration(spark, tmp_path):
     assert found.collect()[0]["vec_id"] == ref.collect()[0]["vec_id"]
 
 
-def test_search_stream_compressed_refuses_routed():
-    """compressed serving scores all partitions (knn_ivf_pq has no
-    routed path) — combining it with route_cells= must refuse up
-    front, before any stream is attached."""
+def test_knn_ivf_pq_routed(spark, tmp_path):
+    """Routed (two-level APS) probing on the COMPRESSED path (round
+    7): knn_ivf_pq(route_cells=N) restricts scoring and probing to
+    each query's nearest coarse cells — the same restriction
+    search() has, so compressed serving works at partition counts
+    where even the full centroid scan is a cost. Pins: (1) routed
+    hybrid ≡ routed UNCOMPRESSED search top-1 for self-queries at
+    full within-route probe (identical restriction on both sides);
+    (2) a routed calibration fit composes with the routed hybrid and
+    a mismatched restriction refuses with the shared message."""
+    import numpy as np
     import pytest as _pytest
 
-    from quake_vector_search_spark.streaming.serving import search_stream
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+        knn_ivf_pq,
+    )
+    from quake_vector_search_spark.operators.workload import make_dataset
 
-    with _pytest.raises(ValueError, match="compressed serving"):
-        search_stream(None, None, "", "", compressed=True,
-                      route_cells=2)
+    corpus = make_dataset(spark, 800, d=16, n_clusters=8, seed=21)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_pq_routed"),
+                         coarse_k=4, base_k=2)
+    build_pq_sidecar(idx, m=4, ksub=32, seed=99, residual=True)
+    rows = corpus.where("vec_id < 8").collect()
+    qmat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    qids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+
+    ref, m_ref = idx.search((qids, qmat), k=1, route_cells=2,
+                            target_recall=1.0,
+                            max_probe=len(idx.part_ids))
+    got, m_got = knn_ivf_pq(idx, (qids, qmat), k=1, route_cells=2,
+                            target_recall=1.0,
+                            max_probe=len(idx.part_ids),
+                            oversample=400)
+    want = {(int(r["query_id"]), int(r["vec_id"]))
+            for r in ref.collect()}
+    have = {(int(r["query_id"]), int(r["vec_id"]))
+            for r in got.collect()}
+    assert have == want
+    # routing restricted the hybrid's scan like the uncompressed path
+    assert m_got["avg_scanned"] <= m_ref["avg_scanned"] + 1e-9
+
+    # routed fit composes; mismatched restriction refuses
+    idx.calibrate(n_queries=32, route_cells=2)
+    f2, _ = knn_ivf_pq(idx, (qids, qmat), k=1, policy="calibrated",
+                       route_cells=2, target_recall=1.0,
+                       max_probe=len(idx.part_ids), oversample=400)
+    assert {(int(r["query_id"]), int(r["vec_id"]))
+            for r in f2.collect()} == want
+    with _pytest.raises(ValueError, match="route_cells"):
+        knn_ivf_pq(idx, (qids, qmat), k=1, policy="calibrated")
