@@ -1109,3 +1109,124 @@ def test_bm25_remove_ignores_non_members(spark, tmp_path):
     remove_from_bm25_index(spark, path, [2])
     m = _load_meta(path)
     assert m["n_docs"] == 2 and m["n_len_docs"] == 2
+
+
+def test_lsh_index_interleaved_dml_membership(spark, tmp_path):
+    """Scripted CDC interleaving on the near-dup index — build,
+    extend, remove, re-admit, remove again, compact, extend — with
+    the queryable membership checked against a plain Python live-set
+    after EVERY step. Exercises epoch monotonicity across compaction
+    (a remove after compact must still kill re-admitted rows) and
+    multi-generation tombstones."""
+    from pyspark.sql import functions as F
+
+    from quake_vector_search_spark.operators.dedup_index import (
+        build_lsh_index,
+        compact_lsh_index,
+        extend_lsh_index,
+        query_lsh_index,
+        remove_from_lsh_index,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog "
+            "while the cat watches from the warm windowsill")
+    # docs 0..5 all near-dups of each other (same base, light edits):
+    # every live member should match the probe batch
+    rows = [(i, f"{base} shared variant {'edited' * (i % 2)}")
+            for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    probe = spark.createDataFrame(
+        [(100, f"{base} shared variant probe")],
+        "doc_id long, text string")
+    path = str(tmp_path / "lsh_interleave")
+
+    def members():
+        return {r["corpus_id"] for r in
+                query_lsh_index(spark, path, probe,
+                                threshold=0.5).collect()}
+
+    live: set = set()
+    build_lsh_index(docs.where(F.col("doc_id") < 2), path)
+    live |= {0, 1}
+    assert members() == live
+    extend_lsh_index(path, docs.where(
+        F.col("doc_id").isin(2, 3)))
+    live |= {2, 3}
+    assert members() == live
+    remove_from_lsh_index(spark, path, [1, 2])
+    live -= {1, 2}
+    assert members() == live
+    extend_lsh_index(path, docs.where(F.col("doc_id") == 2))
+    live |= {2}                                     # re-admit
+    assert members() == live
+    remove_from_lsh_index(spark, path, [2])         # kill the re-admit
+    live -= {2}
+    assert members() == live
+    compact_lsh_index(spark, path)
+    assert members() == live
+    extend_lsh_index(path, docs.where(
+        F.col("doc_id").isin(4, 5)))
+    live |= {4, 5}
+    assert members() == live
+    remove_from_lsh_index(spark, path, [0])         # remove post-compact
+    live -= {0}
+    assert members() == live
+
+
+def test_bm25_index_interleaved_dml_equals_fresh(spark, tmp_path):
+    """Scripted CDC interleaving on the BM25 index: after every step
+    the DML'd index must score EXACTLY like a fresh index built from
+    the live set — answers AND all three meta counters."""
+    from pyspark.sql import functions as F
+
+    from quake_vector_search_spark.operators.sparse import _terms
+    from quake_vector_search_spark.operators.sparse_index import (
+        _load_meta,
+        build_bm25_index,
+        compact_bm25_index,
+        extend_bm25_index,
+        query_bm25_index,
+        remove_from_bm25_index,
+    )
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    rows = [(i, " ".join(words[(i + j) % len(words)]
+                         for j in range(2 + i % 3)))
+            for i in range(12)]
+    rows.append((12, ""))                 # empty doc in the mix
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    queries = (_terms(docs.where(F.col("doc_id") == 0), "doc_id",
+                      "text").distinct()
+               .select(F.col("doc_id").alias("query_id"), "term"))
+    path = str(tmp_path / "bm25_interleave")
+
+    def check(live_ids, tag):
+        ref = str(tmp_path / f"bm25_ref_{tag}")
+        build_bm25_index(
+            docs.where(F.col("doc_id").isin(*live_ids)), ref)
+        want = {tuple(r) for r in
+                query_bm25_index(spark, ref, queries, k=6).collect()}
+        got = {tuple(r) for r in
+               query_bm25_index(spark, path, queries, k=6).collect()}
+        assert got == want, tag
+        m, mr = _load_meta(path), _load_meta(ref)
+        assert (m["n_docs"], m["n_len_docs"], m["total_len"]) == \
+               (mr["n_docs"], mr["n_len_docs"], mr["total_len"]), tag
+
+    build_bm25_index(docs.where(F.col("doc_id") < 6), path)
+    live = set(range(6))
+    check(live, "build")
+    extend_bm25_index(path, docs.where(F.col("doc_id").isin(6, 7, 12)))
+    live |= {6, 7, 12}
+    check(live, "extend")
+    remove_from_bm25_index(spark, path, [1, 6, 12])
+    live -= {1, 6, 12}
+    check(live, "remove-incl-empty")
+    compact_bm25_index(spark, path)
+    check(live, "compact")
+    extend_bm25_index(path, docs.where(F.col("doc_id").isin(8, 9)))
+    live |= {8, 9}
+    check(live, "extend-post-compact")
+    remove_from_bm25_index(spark, path, [8])
+    live -= {8}
+    check(live, "remove-post-compact")
