@@ -485,8 +485,10 @@ def compress_index(index: IVFIndex, method: str = "pq", **kwargs):
     composition), ``"lopq"`` (per-partition codebooks on each cell's
     own residuals, Kalantidis & Avrithis CVPR'14), ``"lopq_rotated"``
     (FULL LOPQ: per-cell OPQ rotations AND per-cell codebooks —
-    ``opq_iters=N`` refines each cell's rotation). Returns the trained
-    codebooks (per-pid dict for lopq). Maintenance keeps whichever
+    ``opq_iters=N`` refines each cell's rotation), ``"ivf_sq8"``
+    (scalar quantizer: one uint8 per dimension — d bytes/vector,
+    higher fidelity than PQ at more scan bytes). Returns the trained
+    codebooks (per-pid dict for lopq, {vmin, scale} for ivf_sq8). Maintenance keeps whichever
     flavor was built current across split/merge republishes."""
     from quake_vector_search_spark.operators.quantization import (
         build_pq_sidecar,
@@ -499,6 +501,7 @@ def compress_index(index: IVFIndex, method: str = "pq", **kwargs):
         "lopq": {"residual": True, "local": True},
         "lopq_rotated": {"residual": True, "local": True,
                          "rotate": True},
+        "ivf_sq8": {"sq8": True},
     }
     if method not in flavors:
         raise ValueError(f"unknown method {method!r} "

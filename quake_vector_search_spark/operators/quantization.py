@@ -564,6 +564,91 @@ def load_local_rots(version_dir: str) -> dict | None:
     return out or None
 
 
+def fit_sq8_params(res_src: DataFrame, vec_col: str) -> dict:
+    """Per-dimension scalar-quantizer bounds over the (residual)
+    corpus: one narrow map-partitions pass of elementwise min/max
+    partials (two d-vectors per task back to the driver — the same
+    boundedness class as the PCA moment partials), combined exactly.
+    Returns {"vmin": (d,), "scale": (d,)} with scale = (vmax−vmin)/255
+    and constant dimensions pinned to scale 1 (their codes are all 0
+    and decode exactly to vmin)."""
+    def partials(batches):
+        lo, hi = None, None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].dropna().to_numpy())
+            if not len(X):
+                continue
+            bl, bh = X.min(axis=0), X.max(axis=0)
+            lo = bl if lo is None else np.minimum(lo, bl)
+            hi = bh if hi is None else np.maximum(hi, bh)
+        if lo is not None:
+            yield pd.DataFrame({"lo": [lo.astype(float)],
+                                "hi": [hi.astype(float)]})
+
+    rows = (res_src.select(vec_col).mapInPandas(
+        partials, "lo array<double>, hi array<double>").collect())
+    if not rows:
+        raise ValueError("fit_sq8_params: empty input")
+    lo = np.min([np.asarray(r["lo"]) for r in rows], axis=0)
+    hi = np.max([np.asarray(r["hi"]) for r in rows], axis=0)
+    scale = (hi - lo) / 255.0
+    scale[scale <= 0] = 1.0
+    return {"vmin": lo, "scale": scale}
+
+
+def sq8_encode_local(vecs: np.ndarray, vmin: np.ndarray,
+                     scale: np.ndarray) -> np.ndarray:
+    """Quantize rows to uint8 codes: round((x − vmin)/scale), clipped
+    to [0, 255]. Pure NumPy twin of the distributed encoder."""
+    codes = np.rint((np.asarray(vecs, dtype=np.float64) - vmin)
+                    / scale)
+    return np.clip(codes, 0, 255).astype(np.int64)
+
+
+def _encode_sq8_sidecar(res_src: DataFrame, params: dict,
+                        id_col: str, vec_col: str) -> DataFrame:
+    spark = res_src.sparkSession
+    bc = spark.sparkContext.broadcast((params["vmin"],
+                                       params["scale"]))
+
+    def encode(batches):
+        vmin, scale = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.vstack(pdf[vec_col].to_numpy())
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                "pq_codes": list(sq8_encode_local(X, vmin, scale)),
+                "partition_id": pdf["partition_id"]
+                .to_numpy(dtype=np.int64),
+            })
+
+    return (res_src.select(id_col, "partition_id", vec_col)
+            .mapInPandas(encode, f"{id_col} long, "
+                                 "pq_codes array<int>, "
+                                 "partition_id long"))
+
+
+def save_sq8_params(version_dir: str, params: dict) -> None:
+    import os
+
+    np.savez(os.path.join(version_dir, "sq8_params.npz"),
+             vmin=params["vmin"], scale=params["scale"])
+
+
+def load_sq8_params(version_dir: str) -> dict | None:
+    import os
+
+    path = os.path.join(version_dir, "sq8_params.npz")
+    if not os.path.exists(path):
+        return None
+    z = np.load(path)
+    return {"vmin": z["vmin"], "scale": z["scale"]}
+
+
 _LOCAL_SIDECAR_CACHE: dict = {}
 
 
@@ -780,7 +865,8 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
                      residual: bool = False,
                      opq_iters: int = 0,
                      local: bool = False,
-                     cell_sample_n: int = 20_000):
+                     cell_sample_n: int = 20_000,
+                     sq8: bool = False):
     """Build a PQ codes *sidecar* for a published IVF index version:
     train codebooks on a bounded sample of the live corpus, encode every
     vector, and write the codes Parquet partitioned exactly like the
@@ -847,6 +933,42 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
 
     corpus = index.read_corpus()
     enc_cents = None
+    if sq8:
+        # IVF+SQ8 (the FAISS IVFScalarQuantizer point on the ladder):
+        # one uint8 PER DIMENSION instead of m sub-codes — d bytes
+        # per vector, so at d=64 it sits between PQ-8 (8 B) and raw
+        # float32 (256 B) with much higher fidelity than PQ at the
+        # cost of more scan bytes. Always residual-encoded (the
+        # per-dim range of residuals is a fraction of raw vectors',
+        # so the 1/255 step carries more precision); per-dim bounds
+        # are distribution-bound — maintenance carries them forward
+        # like global codebooks.
+        if rotate or local or opq_iters:
+            raise ValueError(
+                "sq8 composes with none of rotate/local/opq_iters — "
+                "it has no subspaces to rotate and no codebooks")
+        enc_cents = {int(p): index.centroids[i].copy()
+                     for i, p in enumerate(index.part_ids)}
+        res_src = _residual_corpus(index, corpus, enc_cents)
+        params = fit_sq8_params(res_src, index.vec_col)
+        enc = _encode_sq8_sidecar(res_src, params,
+                                  index.id_col, index.vec_col)
+        path = os.path.join(index.version_dir, "pq")
+        (enc.write.mode("overwrite").partitionBy("partition_id")
+            .parquet(path))
+        save_sq8_params(index.version_dir, params)
+        save_residual_snapshot(index.version_dir, enc_cents)
+        for stale in ("pq_rotation.npz", "pq_codebooks.npy",
+                      "pq_local_books.npz"):
+            sp = os.path.join(index.version_dir, stale)
+            if os.path.exists(sp):
+                os.unlink(sp)
+        with open(os.path.join(index.version_dir, "pq_meta.json"),
+                  "w") as fh:
+            json.dump({"residual": True, "sq8": True,
+                       "m": int(len(params["vmin"])),
+                       "ksub": 256}, fh)
+        return params
     if local:
         if opq_iters and not rotate:
             raise ValueError(
@@ -870,7 +992,8 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
         save_local_books(index.version_dir, books_by_pid,
                          rots_by_pid=rots_by_pid)
         save_residual_snapshot(index.version_dir, enc_cents)
-        for stale in ("pq_rotation.npz", "pq_codebooks.npy"):
+        for stale in ("pq_rotation.npz", "pq_codebooks.npy",
+                      "sq8_params.npz"):
             sp = os.path.join(index.version_dir, stale)
             if os.path.exists(sp):
                 os.unlink(sp)
@@ -954,9 +1077,10 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
         save_residual_snapshot(index.version_dir, enc_cents)
     elif os.path.exists(snap_path):
         os.unlink(snap_path)  # plain rebuild replaces a residual one
-    local_path = os.path.join(index.version_dir, "pq_local_books.npz")
-    if os.path.exists(local_path):
-        os.unlink(local_path)  # global rebuild replaces a local one
+    for stale in ("pq_local_books.npz", "sq8_params.npz"):
+        sp = os.path.join(index.version_dir, stale)
+        if os.path.exists(sp):
+            os.unlink(sp)     # global rebuild replaces local/sq8
     with open(os.path.join(index.version_dir, "pq_meta.json"),
               "w") as fh:
         json.dump({"residual": bool(residual), "m": m,
@@ -1013,14 +1137,21 @@ def knn_ivf_pq(index, queries, k: int = 10, target_recall: float = 0.9,
     import json as _json
 
     meta_path = os.path.join(index.version_dir, "pq_meta.json")
-    residual, local = False, False
+    residual, local, sq8 = False, False, False
     if os.path.exists(meta_path):
         with open(meta_path) as fh:
             _meta = _json.load(fh)
         residual = bool(_meta.get("residual", False))
         local = bool(_meta.get("local", False))
+        sq8 = bool(_meta.get("sq8", False))
     _cached_rots = None
-    if local:
+    sq8_params = None
+    if sq8:
+        # scalar-quantizer sidecar: no codebooks at all — per-dim
+        # bounds stand in for them on the ADC side
+        sq8_params = load_sq8_params(index.version_dir)
+        books = None
+    elif local:
         if not isinstance(books, dict):
             books, _cached_rots = _load_local_sidecar_cached(
                 index.version_dir)
@@ -1085,7 +1216,9 @@ def knn_ivf_pq(index, queries, k: int = 10, target_recall: float = 0.9,
     # probed PARTITION'S OWN codebooks for those tables; only the
     # probed partitions' books ride the broadcast.
     local_rots = None
-    if local:
+    if sq8:
+        mm = dsub = None          # no sub-codes: codes are per-dim
+    elif local:
         _any = next(iter(books.values()))
         mm, dsub = _any.shape[0], _any.shape[2]
         books = {p: b for p, b in books.items() if p in probe_map}
@@ -1117,7 +1250,7 @@ def knn_ivf_pq(index, queries, k: int = 10, target_recall: float = 0.9,
                            for p, c in cent_by_pid.items()}
         bc = spark.sparkContext.broadcast(
             (qids, qmat_adc, probe_map, books, cent_by_pid,
-             local_rots))
+             local_rots, sq8_params))
     else:
         luts = np.stack([
             l2_batch(qmat_adc[:, j * dsub:(j + 1) * dsub], books[j])
@@ -1146,7 +1279,7 @@ def knn_ivf_pq(index, queries, k: int = 10, target_recall: float = 0.9,
     def adc_topk(batches):
         if residual:
             (qids_l, qmat_l, pmap, books_l, cents_l,
-             rots_l) = bc.value
+             rots_l, sq8_l) = bc.value
         else:
             qids_l, luts_l, pmap = bc.value
         for pdf in batches:
@@ -1164,24 +1297,33 @@ def knn_ivf_pq(index, queries, k: int = 10, target_recall: float = 0.9,
                 cds, ids = all_codes[mask], all_ids[mask]
                 approx = np.zeros((len(qidx), cds.shape[0]))
                 if residual:
-                    # local sidecar: this partition's own codebooks
-                    bk = (books_l.get(int(pid)) if local
-                          else books_l)
-                    if bk is None:
-                        continue
                     qres = qmat_l[qidx] - cents_l[int(pid)]
-                    rot = (rots_l.get(int(pid))
-                           if local and rots_l else None)
-                    if rot is not None:
-                        # full LOPQ: codes live in THIS cell's
-                        # rotated space
-                        qres = ((qres - rot["mean"])
-                                @ rot["components"].T)
-                    for j in range(bk.shape[0]):
-                        lut_j = l2_batch(
-                            qres[:, j * dsub:(j + 1) * dsub],
-                            bk[j])
-                        approx += lut_j[:, cds[:, j]]
+                    if sq8:
+                        # scalar quantizer: decode codes to residual
+                        # vectors (one multiply-add per dim) and take
+                        # exact squared L2 against q − c_p — no LUTs,
+                        # no codebooks
+                        dec = (cds * sq8_l["scale"]
+                               + sq8_l["vmin"])
+                        approx = l2_batch(qres, dec)
+                    else:
+                        # local sidecar: this partition's own books
+                        bk = (books_l.get(int(pid)) if local
+                              else books_l)
+                        if bk is None:
+                            continue
+                        rot = (rots_l.get(int(pid))
+                               if local and rots_l else None)
+                        if rot is not None:
+                            # full LOPQ: codes live in THIS cell's
+                            # rotated space
+                            qres = ((qres - rot["mean"])
+                                    @ rot["components"].T)
+                        for j in range(bk.shape[0]):
+                            lut_j = l2_batch(
+                                qres[:, j * dsub:(j + 1) * dsub],
+                                bk[j])
+                            approx += lut_j[:, cds[:, j]]
                 else:
                     for j in range(luts_l.shape[0]):
                         approx += luts_l[j][np.ix_(qidx, cds[:, j])]
@@ -1240,6 +1382,27 @@ def refresh_pq_sidecar(index, books: np.ndarray | None = None) -> bool:
     if os.path.exists(prev_meta_path):
         with open(prev_meta_path) as fh:
             prev_meta = json.load(fh)
+        if prev_meta.get("sq8"):
+            # SQ8 sidecar: the per-dim bounds model the residual
+            # DISTRIBUTION, not the layout — carry them forward and
+            # re-encode against the new layout's centroids (the
+            # refresh resets the drift window like every residual
+            # rebuild)
+            params = load_sq8_params(prev_dir)
+            enc_cents = {int(p): index.centroids[i].copy()
+                         for i, p in enumerate(index.part_ids)}
+            res_src = _residual_corpus(index, index.read_corpus(),
+                                       enc_cents)
+            enc = _encode_sq8_sidecar(res_src, params,
+                                      index.id_col, index.vec_col)
+            (enc.write.mode("overwrite").partitionBy("partition_id")
+                .parquet(os.path.join(index.version_dir, "pq")))
+            save_sq8_params(index.version_dir, params)
+            save_residual_snapshot(index.version_dir, enc_cents)
+            with open(os.path.join(index.version_dir,
+                                   "pq_meta.json"), "w") as fh:
+                json.dump(prev_meta, fh)
+            return True
         if prev_meta.get("local"):
             # per-cell (LOPQ) codebooks are LAYOUT-BOUND: split/merge
             # changed the cells, so carrying books forward would pair

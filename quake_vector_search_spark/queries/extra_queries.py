@@ -4140,3 +4140,69 @@ FROM r WHERE rank <= {K}
 
 
 _register_ivf_pq_filtered()
+
+
+def _register_ivf_sq8():
+    from quake_vector_search_spark.queries.vector_queries import (
+        K, N_QUERIES)
+
+    @register("ivf_sq8_fullprobe", sql=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), d AS (
+  SELECT q.query_id, e.vec_id,
+         list_distance(CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.qvec AS DOUBLE[])) AS dist
+  FROM embeddings e CROSS JOIN q
+), r AS (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist ASC, vec_id ASC) AS rank
+  FROM d
+)
+SELECT query_id, vec_id, ROUND(dist, 6) AS dist, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {K}
+""")
+    def ivf_sq8_fullprobe(spark, sf_dir):
+        """IVF+SQ8 — the scalar-quantizer point on the compression
+        ladder (the FAISS IVFScalarQuantizer analogue): one uint8 PER
+        DIMENSION quantizing the residual ``x − c_p`` against
+        corpus-wide per-dim bounds, so the scan moves d bytes/vector
+        (between PQ-8's 8 B and float32's 4·d B) with far higher
+        fidelity than PQ. The ADC stage decodes codes to residual
+        vectors (one multiply-add per dim) and takes exact squared L2
+        against ``q − c_p`` — no LUTs, no codebooks. Full probe +
+        exact rerank must equal brute force (the oracle); what the
+        row pins is bounds/codes/decode consistency: a drifted vmin
+        or scale, or decoding against the wrong centroid snapshot,
+        destroys the candidate ranking. Own scratch index like the
+        other sidecar rows."""
+        import os
+        import shutil
+
+        from quake_vector_search_spark.operators.ivf import IVFIndex
+        from quake_vector_search_spark.operators.quantization import (
+            build_pq_sidecar,
+            knn_ivf_pq,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        wd = os.path.join(f"/tmp/qvss_ivf_{os.getpid()}",
+                          "sq8_" + sf_dir.strip("/").replace("/", "_"))
+        if wd not in _IVF_RES_CACHE:
+            shutil.rmtree(wd, ignore_errors=True)
+            idx = IVFIndex.build(emb, wd, coarse_k=8, base_k=4)
+            build_pq_sidecar(idx, sq8=True)
+            _IVF_RES_CACHE[wd] = (idx, None)
+        idx, _ = _IVF_RES_CACHE[wd]
+        queries = emb.where(F.col("vec_id") < N_QUERIES) \
+                     .withColumnRenamed("vec_id", "query_id")
+        n = emb.count()
+        out, _meta = knn_ivf_pq(idx, queries, k=K, target_recall=1.0,
+                                max_probe=1_000_000_000,
+                                oversample=max(16, -(-n // (2 * K))))
+        return out.withColumn("dist", F.round("dist", 6))
+
+
+_register_ivf_sq8()

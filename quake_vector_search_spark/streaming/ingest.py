@@ -41,7 +41,10 @@ def _append_pq_codes(index: IVFIndex, ids: np.ndarray,
 
     npy = os.path.join(index.version_dir, "pq_codebooks.npy")
     local_npz = os.path.join(index.version_dir, "pq_local_books.npz")
-    if os.path.exists(local_npz):
+    sq8_npz = os.path.join(index.version_dir, "sq8_params.npz")
+    if os.path.exists(sq8_npz):
+        cache_key = sq8_npz       # scalar-quantizer sidecar
+    elif os.path.exists(local_npz):
         cache_key = local_npz     # local (LOPQ) sidecar
     elif os.path.exists(npy):
         cache_key = npy           # global-codebook sidecar
@@ -61,7 +64,18 @@ def _append_pq_codes(index: IVFIndex, ids: np.ndarray,
         books_cache["meta"] = meta
         books_cache["residual"] = bool(meta.get("residual", False))
         books_cache["local"] = bool(meta.get("local", False))
-        if books_cache["local"]:
+        books_cache["sq8"] = bool(meta.get("sq8", False))
+        if books_cache["sq8"]:
+            from quake_vector_search_spark.operators.quantization import (  # noqa: E501
+                load_sq8_params,
+            )
+
+            books_cache["sq8_params"] = load_sq8_params(
+                index.version_dir)
+            books_cache["books"] = None
+            books_cache["rotation"] = None
+            books_cache["local_rots"] = None
+        elif books_cache["local"]:
             # per-cell books; a GLOBAL rotation never applies to a
             # local sidecar — full-LOPQ rotations are per-cell and
             # ride in the same npz as the books
@@ -122,7 +136,16 @@ def _append_pq_codes(index: IVFIndex, ids: np.ndarray,
     rot = books_cache.get("rotation")
     if rot is not None:
         enc_vecs = (enc_vecs - rot["mean"]) @ rot["components"].T
-    if books_cache.get("local"):
+    if books_cache.get("sq8"):
+        # scalar-quantizer sidecar: per-dim bounds, no books; the
+        # residual subtraction above already used the snapshot
+        from quake_vector_search_spark.operators.quantization import (
+            sq8_encode_local,
+        )
+
+        p = books_cache["sq8_params"]
+        codes = sq8_encode_local(enc_vecs, p["vmin"], p["scale"])
+    elif books_cache.get("local"):
         # local (LOPQ) sidecar: each row encodes against ITS
         # partition's codebooks. A partition the sidecar has never
         # seen gets books trained right here from the batch's own

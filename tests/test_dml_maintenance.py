@@ -661,3 +661,67 @@ def test_local_sidecar_refuses_opq_iters_without_rotate(spark, tmp_path):
     with pytest.raises(ValueError, match="rotate=True"):
         build_pq_sidecar(idx, m=4, ksub=8, residual=True, local=True,
                          opq_iters=3)
+
+
+def test_sq8_sidecar_roundtrip_streaming_and_maintenance(spark, tmp_path):
+    """IVF+SQ8 sidecar lifecycle: (1) pure-ADC (oversample=1, no
+    rerank margin) recall beats PQ-8 at the same corpus — the d-byte
+    fidelity claim, measured; (2) streamed appends encode through the
+    stored per-dim bounds + residual snapshot and are ADC-searchable;
+    (3) maintenance republish carries the bounds forward, re-encodes
+    against the new layout, and keeps full-probe accuracy."""
+    import numpy as np
+
+    from quake_vector_search_spark.operators.evaluation import avg_recall
+    from quake_vector_search_spark.operators.knn import knn_bruteforce
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+        knn_ivf_pq,
+        load_sq8_params,
+    )
+    from quake_vector_search_spark.operators.workload import make_dataset
+    from quake_vector_search_spark.streaming.ingest import _append_pq_codes
+
+    corpus = make_dataset(spark, 800, d=16, n_clusters=8, seed=23)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_sq8"),
+                         coarse_k=4, base_k=2)
+    rows = corpus.where("vec_id < 20").collect()
+    qmat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    qids = np.arange(20)
+    exact = knn_bruteforce(idx.read_corpus(), (qids, qmat),
+                           k=10).localCheckpoint()
+
+    build_pq_sidecar(idx, m=8, ksub=256, seed=99, residual=True)
+    f_pq, _ = knn_ivf_pq(idx, (qids, qmat), k=10, target_recall=1.0,
+                         max_probe=10**9, oversample=1)
+    r_pq = avg_recall(f_pq, exact, 10)
+    build_pq_sidecar(idx, sq8=True)
+    f_sq, _ = knn_ivf_pq(idx, (qids, qmat), k=10, target_recall=1.0,
+                         max_probe=10**9, oversample=1)
+    r_sq = avg_recall(f_sq, exact, 10)
+    assert r_sq >= max(r_pq, 0.95), (r_sq, r_pq)
+
+    # streamed append into the sq8 sidecar
+    rng = np.random.default_rng(9)
+    pos = {int(p): i for i, p in enumerate(idx.part_ids)}
+    c = idx.centroids[0]
+    vecs = c + 0.05 * rng.normal(size=(4, 16))
+    ids = np.arange(90_000, 90_004, dtype=np.int64)
+    pids = idx.insert(ids, vecs)
+    assert _append_pq_codes(idx, ids, vecs, pids, {})
+    found, _ = knn_ivf_pq(idx, ([1], vecs[:1]), k=1,
+                          target_recall=1.0, max_probe=10**9,
+                          oversample=1)
+    assert found.collect()[0]["vec_id"] == int(ids[0])
+
+    # maintenance republish: bounds carried, full-probe exactness holds
+    params_before = load_sq8_params(idx.version_dir)
+    maintain(idx, split_size=64, merge_size=0)
+    params_after = load_sq8_params(idx.version_dir)
+    np.testing.assert_allclose(params_after["vmin"],
+                               params_before["vmin"])
+    exact2 = knn_bruteforce(idx.read_corpus(), (qids, qmat),
+                            k=10).localCheckpoint()
+    f2, _ = knn_ivf_pq(idx, (qids, qmat), k=10, target_recall=1.0,
+                       max_probe=10**9, oversample=40)
+    assert avg_recall(f2, exact2, 10) >= 0.99
