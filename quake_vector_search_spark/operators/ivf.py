@@ -1035,7 +1035,22 @@ class IVFIndex:
         else:
             raise ValueError(f"unknown policy {policy!r} "
                              "(reference|calibrated)")
-        return self.choose_nprobe(decision_probs, eff_target, max_probe)
+        nprobe = self.choose_nprobe(decision_probs, eff_target,
+                                    max_probe)
+        # Routed scoring: columns are the BATCH-UNION of routed
+        # members; a query's own non-routed columns carry exact
+        # probability 0 (exp(-inf)) and sort last. choose_nprobe's
+        # all-False fallback (cumulative mass never reaching the
+        # target, e.g. float ulp at target_recall=1.0) would set
+        # nprobe to the full union width — probing zero-probability
+        # partitions routed only for OTHER queries, contradicting the
+        # "restriction, never an expansion" semantics (ADVICE r7).
+        # Cap each query at its own routed-column count. Computed
+        # from the RAW probs (the calibrated sharpening floors zeros
+        # at 1e-300, so decision_probs can't identify them). Inert
+        # under full scoring: every softmax prob is > 0 there.
+        routed_width = np.maximum((probs > 0).sum(axis=1), 1)
+        return np.minimum(nprobe, routed_width)
 
     def _calibrated_rule(self, target_recall: float
                          ) -> tuple[float, float]:

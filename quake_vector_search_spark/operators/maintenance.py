@@ -256,7 +256,10 @@ def maintain(idx: IVFIndex,
         refresh_pq_sidecar,
     )
     pq_refreshed = refresh_pq_sidecar(idx)
-    if recalibrate:
+    # an EMPTY dict means "recalibrate with default calibrate()
+    # kwargs", not "skip" — a bare truthiness test silently treated
+    # recalibrate={} as False (ADVICE r7)
+    if recalibrate or isinstance(recalibrate, dict):
         # persists its own meta for the new version; dict → kwargs
         # (e.g. route_cells for routed deployments)
         idx.calibrate(**(recalibrate

@@ -577,9 +577,13 @@ def fit_sq8_params(res_src: DataFrame, vec_col: str) -> dict:
         for pdf in batches:
             if not len(pdf):
                 continue
-            X = np.stack(pdf[vec_col].dropna().to_numpy())
-            if not len(X):
+            # filter nulls BEFORE np.stack — stacking an empty
+            # sequence raises, so an all-null batch must be skipped
+            # here (pca_project does the same; ADVICE r7)
+            vals = pdf[vec_col].dropna().to_numpy()
+            if not len(vals):
                 continue
+            X = np.stack(vals)
             bl, bh = X.min(axis=0), X.max(axis=0)
             lo = bl if lo is None else np.minimum(lo, bl)
             hi = bh if hi is None else np.maximum(hi, bh)

@@ -199,13 +199,16 @@ def remove_from_bm25_index(spark: SparkSession, path: str,
       merge arithmetic extends use, run in reverse);
     - the meta counters decremented by the docs' own doclens rows.
 
-    Non-member ids are IGNORED (a CDC delete can arrive for a doc
-    that was filtered at ingest): membership is tested against the
-    doclens member table, so stray ids never corrupt N or leave
-    tombstones. Ids removed twice would double-subtract; the
-    unique-member contract (same as extend's) applies.
-    ``compact_bm25_index`` physically drops the rows and squashes
-    the partials."""
+    Removal is IDEMPOTENT. CDC delivery is at-least-once, so the same
+    delete can arrive twice (and a batch can repeat an id): the
+    request ids are deduped, then anti-joined against the existing
+    tombstones BEFORE any correction is computed — a redelivered
+    delete touches zero rows and leaves every counter unchanged.
+    Non-member ids (a delete for a doc filtered at ingest) are also
+    ignored: live membership is tested against the doclens member
+    table net of tombstones, so stray ids never corrupt N or leave
+    tombstones. ``compact_bm25_index`` physically drops the rows and
+    squashes the partials."""
     meta = _load_meta(path)
     id_col = meta["id_col"]
     if isinstance(ids, DataFrame):
@@ -220,6 +223,16 @@ def remove_from_bm25_index(spark: SparkSession, path: str,
         req = spark.createDataFrame(
             [(i,) for i in ids],
             T.StructType([T.StructField(id_col, id_field.dataType)]))
+    req = req.distinct()          # a batch may repeat an id
+    # already-tombstoned ids are NOT members anymore — doclens still
+    # holds their rows until compact, so the membership test must be
+    # doclens NET OF tombstones or a redelivered delete would
+    # double-append negative df partials and double-decrement the
+    # meta counters (silent score corruption; ADVICE r7 medium)
+    tomb_dir = os.path.join(path, "tombstones")
+    if os.path.isdir(tomb_dir):
+        req = req.join(spark.read.parquet(tomb_dir), id_col,
+                       "left_anti")
     # restrict to ACTUAL members — doclens has one row per admitted
     # doc (len 0 for empty-text docs), so it is the membership oracle
     dl_rm = (spark.read.parquet(os.path.join(path, "doclens"))

@@ -50,13 +50,21 @@ def _append_pq_codes(index: IVFIndex, ids: np.ndarray,
         cache_key = npy           # global-codebook sidecar
     else:
         return False
-    if books_cache.get("path") != cache_key:
+    # key on path AND mtimes: a same-flavor sidecar rebuild into the
+    # same version dir (bench does plain→residual→LOPQ in one dir)
+    # must invalidate a live stream's cached books, or appended codes
+    # go inconsistent with the on-disk codebooks/meta — mirroring the
+    # query side's _load_local_sidecar_cached (ADVICE r7)
+    meta_path = os.path.join(index.version_dir, "pq_meta.json")
+    cache_tag = (cache_key, os.path.getmtime(cache_key),
+                 os.path.getmtime(meta_path)
+                 if os.path.exists(meta_path) else None)
+    if books_cache.get("path") != cache_tag:
         from quake_vector_search_spark.operators.quantization import (
             load_local_books,
         )
 
-        books_cache["path"] = cache_key
-        meta_path = os.path.join(index.version_dir, "pq_meta.json")
+        books_cache["path"] = cache_tag
         meta = {}
         if os.path.exists(meta_path):
             with open(meta_path) as fh:

@@ -517,6 +517,61 @@ def test_maintain_recalibrate_forwards_kwargs(spark, tmp_path):
     assert out.count() > 0
 
 
+def test_decide_nprobe_capped_at_routed_width(spark, tmp_path):
+    """ADVICE r7: under routed scoring, choose_nprobe's all-False
+    fallback (cumulative mass never reaching the target through float
+    ulp) used to set nprobe to the full batch-union width — probing
+    zero-probability partitions routed only for OTHER queries. The
+    cap keeps each query inside its own routed columns ("restriction,
+    never an expansion")."""
+    from quake_vector_search_spark.operators.workload import make_dataset
+
+    corpus = make_dataset(spark, 1200, d=8, n_clusters=6, seed=12)
+    idx = IVFIndex.build(corpus, str(tmp_path / "routed_cap"),
+                         coarse_k=4, base_k=2)
+    # synthetic routed score matrix: query 0 has 2 routed columns and
+    # a cumulative mass ulp short of 1.0 (forces the fallback); query
+    # 1 spans the full batch union
+    probs = np.array([[0.6, 0.4 - 1e-12, 0.0, 0.0],
+                      [0.25, 0.25, 0.25, 0.25]])
+    nprobe = idx._decide_nprobe(probs, target_recall=1.0,
+                                max_probe=64, policy="reference")
+    routed_width = (probs > 0).sum(axis=1)
+    assert (nprobe <= routed_width).all()
+    assert nprobe[0] == 2          # not the union width 4
+    # end-to-end: a routed search at target 1.0 never probes beyond
+    # each query's routed members (the within-routed invariant)
+    qmat = np.asarray(
+        [r["embedding"] for r in corpus.select("embedding")
+         .orderBy("vec_id").limit(3).collect()], dtype=np.float64)
+    _, probs_r = idx.partition_scores(qmat, route_cells=2)
+    np_r = idx._decide_nprobe(probs_r, target_recall=1.0,
+                              max_probe=64, policy="reference")
+    assert (np_r <= (probs_r > 0).sum(axis=1)).all()
+
+
+def test_maintain_recalibrate_empty_dict_refits(spark, tmp_path):
+    """ADVICE r7: recalibrate={} means "refit with default calibrate()
+    kwargs" — an empty dict is falsy, so a bare truthiness test
+    silently skipped the refit."""
+    from quake_vector_search_spark.operators.maintenance import maintain
+    from quake_vector_search_spark.operators.workload import make_dataset
+
+    corpus = make_dataset(spark, 1500, d=8, n_clusters=6, seed=11)
+    idx = IVFIndex.build(corpus, str(tmp_path / "cal_emptydict"),
+                         coarse_k=4, base_k=2)
+    idx.insert([889_001], np.zeros((1, 8)), refresh=False)
+    assert idx._calibration is None
+    maintain(idx, recalibrate={})
+    assert idx._calibration is not None
+    # route_cells defaults to None under default kwargs
+    assert idx._calibration["route_cells"] is None
+    # and False still means skip
+    idx.insert([889_002], np.zeros((1, 8)), refresh=False)
+    maintain(idx, recalibrate=False)
+    assert idx._calibration is None
+
+
 def test_calibrate_route_cells_normalizes_to_full(spark, tmp_path):
     """calibrate(route_cells >= n_cells) IS full scoring and must
     record route_cells=None, matching search()'s normalization — a

@@ -1111,6 +1111,43 @@ def test_bm25_remove_ignores_non_members(spark, tmp_path):
     assert m["n_docs"] == 2 and m["n_len_docs"] == 2
 
 
+def test_bm25_remove_is_idempotent(spark, tmp_path):
+    """ADVICE r7 (medium): CDC delivery is at-least-once, so the same
+    delete can arrive twice — and a single batch can repeat an id.
+    Redelivery must touch nothing: counters unchanged, no duplicate
+    negative df partials, top-k scores identical to a single remove."""
+    from quake_vector_search_spark.operators.sparse_index import (
+        _load_meta,
+        build_bm25_index,
+        query_bm25_index,
+        remove_from_bm25_index,
+    )
+
+    rows = [(0, "alpha beta gamma"), (1, "alpha delta"),
+            (2, "beta beta gamma"), (3, "delta epsilon alpha")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "bm25_idem")
+    build_bm25_index(docs, path)
+    q = spark.createDataFrame(
+        [(0, "alpha"), (0, "beta")], "query_id long, term string")
+
+    # a batch that repeats the id must count it once
+    remove_from_bm25_index(spark, path, [1, 1])
+    m1 = dict(_load_meta(path))
+    hits1 = {(r["doc_id"], r["score"])
+             for r in query_bm25_index(spark, path, q, k=10).collect()}
+    assert m1["n_docs"] == 3 and m1["n_len_docs"] == 3
+    assert 1 not in {d for d, _ in hits1}
+
+    # redelivered delete (at-least-once): a no-op end to end
+    remove_from_bm25_index(spark, path, [1])
+    m2 = dict(_load_meta(path))
+    hits2 = {(r["doc_id"], r["score"])
+             for r in query_bm25_index(spark, path, q, k=10).collect()}
+    assert m2 == m1
+    assert hits2 == hits1
+
+
 def test_lsh_index_interleaved_dml_membership(spark, tmp_path):
     """Scripted CDC interleaving on the near-dup index — build,
     extend, remove, re-admit, remove again, compact, extend — with

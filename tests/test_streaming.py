@@ -619,6 +619,53 @@ def test_append_pq_codes_trains_books_for_unseen_partition(spark, tmp_path):
     assert found.collect()[0]["vec_id"] == int(ids[0])
 
 
+def test_append_pq_codes_reloads_rebuilt_sidecar(spark, tmp_path):
+    """ADVICE r7: the ingest books cache used to key only on the
+    sidecar file PATH, so a same-flavor sidecar rebuild into the same
+    version dir (bench does plain→residual→LOPQ in one dir) served a
+    live stream stale books — codes inconsistent with the on-disk
+    codebooks, a silent candidate-ranking corruption. The cache now
+    keys on (path, sidecar mtime, meta mtime), mirroring the query
+    side's _load_local_sidecar_cached."""
+    import numpy as np
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+        pq_encode_local,
+    )
+    from quake_vector_search_spark.operators.workload import make_dataset
+    from quake_vector_search_spark.streaming.ingest import _append_pq_codes
+
+    corpus = make_dataset(spark, 600, d=16, n_clusters=6, seed=5)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_rebuild_cache"),
+                         coarse_k=4, base_k=2)
+    books1 = build_pq_sidecar(idx, m=4, ksub=16, seed=1)
+    rng = np.random.default_rng(9)
+    v1 = rng.normal(size=(2, 16))
+    ids1 = np.arange(70_000, 70_002, dtype=np.int64)
+    pids1 = idx.insert(ids1, v1)
+    cache: dict = {}
+    assert _append_pq_codes(idx, ids1, v1, pids1, cache)
+
+    # REBUILD the same-flavor sidecar into the SAME version dir with
+    # different books while the "stream" (the cache dict) stays live
+    books2 = build_pq_sidecar(idx, m=4, ksub=16, seed=2)
+    assert not np.array_equal(np.asarray(books1), np.asarray(books2))
+    v2 = rng.normal(size=(2, 16))
+    ids2 = np.arange(70_002, 70_004, dtype=np.int64)
+    pids2 = idx.insert(ids2, v2)
+    assert _append_pq_codes(idx, ids2, v2, pids2, cache)
+
+    got = {r["vec_id"]: list(r["pq_codes"]) for r in
+           spark.read.parquet(f"{idx.version_dir}/pq")
+           .where("vec_id >= 70002").collect()}
+    want = pq_encode_local(v2, books2)
+    for i, vid in enumerate(ids2):
+        assert got[int(vid)] == [int(c) for c in want[i]], \
+            "appended codes came from the STALE pre-rebuild books"
+
+
 def test_append_pq_codes_into_rotated_local_sidecar(spark, tmp_path):
     """Full-LOPQ sidecar (per-cell rotations + per-cell books) under
     streaming appends. Existing partitions: streamed codes must be

@@ -126,6 +126,28 @@ def test_sq8_roundtrip_and_recall(spark):
     assert avg_recall(got, exact, 10) >= 0.95
 
 
+def test_fit_sq8_params_skips_all_null_batches(spark):
+    """ADVICE r7: an Arrow batch whose vectors are ALL null used to
+    reach np.stack on an empty sequence ('need at least one array to
+    stack') — the emptiness guard sat after the stack. Nulls are now
+    filtered before stacking (as pca_project does); the fit over a
+    null-heavy relation equals the fit over its non-null rows."""
+    import numpy as np
+
+    from quake_vector_search_spark.operators.quantization import (
+        fit_sq8_params,
+    )
+
+    rows = ([(i, None) for i in range(6)]
+            + [(10, [1.0, -2.0, 3.0]), (11, [5.0, 0.0, -1.0])])
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>").repartition(4)
+    params = fit_sq8_params(df, "embedding")
+    assert np.allclose(params["vmin"], [1.0, -2.0, -1.0])
+    assert np.allclose(params["vmin"] + params["scale"] * 255,
+                       [5.0, 0.0, 3.0])
+
+
 def test_pq_encode_and_recall(spark):
     """PQ codes are valid codebook indices of the right arity; ADC +
     rerank search hits a high recall floor at moderate oversample and
