@@ -1524,11 +1524,19 @@ def knn_bq(corpus_df: DataFrame, queries, k: int = 10,
     """Approximate kNN via binary quantization + exact rerank:
 
     1. encode the corpus to sign codes (narrow, codegen, no training),
-    2. prerank by hamming distance code⊕query-code — the entire scan
-       is xor + bit_count on longs, JVM-side, with the tiny query-code
-       block broadcast against the scan (the one legitimate
-       scan × query-block product: every code must meet every query),
+    2. prerank by hamming distance code⊕query-code — packed uint64
+       XOR + byte-LUT popcount in NumPy inside mapInPandas, with
+       per-batch local top-(k·oversample) under the engine tie-break
+       (ham asc, id asc), exactly like ``_pq_adc_candidates``' ADC
+       scan; the global window then ranks only the ≤ partitions·k·
+       oversample survivors per query,
     3. exact rerank of the top-(k·oversample) per query.
+
+    Scale note (VERDICT r7): the previous shape windowed ALL n·nq
+    hamming rows — a full shuffle keyed on the (inherently skewed)
+    query_id. At 10⁹ vectors × 50 queries that shuffles ~1 TB to keep
+    k·oversample·nq rows; the local top-k sheds it map-side, and the
+    result is hash-identical (same total order).
 
     Like the PQ path, corpus-scaled oversample keeps the rerank
     empirically exact on the testdata (brute force is the oracle);
@@ -1538,6 +1546,7 @@ def knn_bq(corpus_df: DataFrame, queries, k: int = 10,
     import numpy as np
     import pandas as pd
 
+    from quake_vector_search_spark.functions.vector import topk_cols_2d
     from quake_vector_search_spark.operators.knn import (
         _collect_queries,
         _empty_result,
@@ -1562,20 +1571,47 @@ def knn_bq(corpus_df: DataFrame, queries, k: int = 10,
             # wrap to signed 64-bit (bit 63 set → negative long)
             ws.append(acc - (1 << 64) if acc >= (1 << 63) else acc)
         qcodes.append(ws)
-    qdf = spark.createDataFrame(
-        pd.DataFrame({"query_id": np.asarray(qids, dtype=np.int64),
-                      "q_code": qcodes}))
+    qwords = np.asarray(qcodes, dtype=np.int64).view(np.uint64)
+    qids64 = np.asarray(qids, dtype=np.int64)
+    kk_cand = k * oversample
+    bc = spark.sparkContext.broadcast((qids64, qwords))
+    popcnt = np.array([bin(i).count("1") for i in range(256)],
+                      dtype=np.uint8)
 
     enc = bq_encode(corpus_df, id_col=id_col, vec_col=vec_col, dim=dim)
-    ham = F.expr("aggregate(zip_with(bq_code, q_code, "
-                 "(x, y) -> bit_count(x ^ y)), 0, (acc, h) -> acc + h)")
-    kk_cand = k * oversample
+
+    def hamming_topk(batches):
+        qids_l, qw = bc.value          # [nq, nwords] uint64
+        nq = qids_l.shape[0]
+        for pdf in batches:
+            if len(pdf) == 0 or nq == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            codes = np.vstack(pdf["bq_code"].to_numpy()) \
+                .astype(np.int64).view(np.uint64)          # [n, nwords]
+            # XOR every code against every query code, popcount via a
+            # 256-entry byte LUT (numpy<2 has no bitwise_count), sum
+            # the 8·nwords bytes → [nq, n] hamming matrix. The batch
+            # tensor is nq·n·nwords·8 B — a few MB at default Arrow
+            # batch sizes.
+            x = qw[:, None, :] ^ codes[None, :, :]
+            ham = popcnt[x.view(np.uint8)].reshape(
+                nq, len(ids), -1).sum(axis=2, dtype=np.int64)
+            kk = min(kk_cand, len(ids))
+            part = topk_cols_2d(ham, ids, kk)
+            hk = np.take_along_axis(ham, part, axis=1)
+            yield pd.DataFrame({
+                "query_id": np.repeat(qids_l, kk),
+                id_col: ids[part].ravel(),
+                "_ham": hk.ravel(),
+            })
+
+    local = enc.mapInPandas(
+        hamming_topk, f"query_id long, {id_col} long, _ham long")
     from pyspark.sql import Window
     w = (Window.partitionBy("query_id")
          .orderBy(F.col("_ham").asc(), F.col(id_col).asc()))
-    cand = (enc.crossJoin(F.broadcast(qdf))
-            .withColumn("_ham", ham)
-            .withColumn("_rk", F.row_number().over(w))
+    cand = (local.withColumn("_rk", F.row_number().over(w))
             .where(F.col("_rk") <= kk_cand)
             .select("query_id", id_col))
     return exact_rerank(cand, corpus_df, (qids, qmat), k,
