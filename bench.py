@@ -223,21 +223,36 @@ def ivf_scale_n400k(spark) -> dict:
     cal = idx.calibrate(n_queries=256, margin=0.05)
     calibrate_s = time.time() - t0
 
+    # the PQ ladder keeps the EXACT r7 query set (same rng consumption
+    # order: pick 50, then the noise block) so its recall numbers stay
+    # longitudinally comparable; the POLICY points evaluate on 200
+    # queries — per-query recall at low targets is bimodal (std ~0.45),
+    # so a 50-query estimate has SE ~0.064 and r7's reported 0.352 at
+    # target 0.5 was a -2.4σ draw on a population-correct policy
+    # (measured: 500 fresh queries give 0.508; VERDICT r7 #3)
     rng = np.random.default_rng(3)
     rows = emb.where("vec_id < 4000").collect()
     vecs = np.array([r["embedding"] for r in rows], dtype=np.float64)
     pick = rng.integers(0, len(vecs), 50)
     qmat = vecs[pick] + rng.normal(0.0, 0.1, size=(50, d))
     qids = np.arange(50)
-    exact = knn_bruteforce(idx.read_corpus(), (qids, qmat), k=K)
-    exact = exact.localCheckpoint()
+    pick_xl = rng.integers(0, len(vecs), 150)
+    qmat_xl = np.vstack([
+        qmat, vecs[pick_xl] + rng.normal(0.0, 0.1, size=(150, d))])
+    qids_xl = np.arange(200)
+    t0 = time.time()
+    exact_xl = knn_bruteforce(idx.read_corpus(), (qids_xl, qmat_xl),
+                              k=K).localCheckpoint()
+    exact = exact_xl.where("query_id < 50").localCheckpoint()
+    truth_s = time.time() - t0
 
+    t0 = time.time()
     pts = []
     for policy, targets in (("reference", (0.9,)),
                             ("calibrated", (0.5, 0.9, 0.99))):
         for tr in targets:
             t1 = time.time()
-            f, m = idx.search((qids, qmat), k=K, target_recall=tr,
+            f, m = idx.search((qids_xl, qmat_xl), k=K, target_recall=tr,
                               policy=policy,
                               max_probe=len(idx.part_ids))
             f = f.cache()
@@ -245,11 +260,13 @@ def ivf_scale_n400k(spark) -> dict:
             batch_s = time.time() - t1
             pts.append({
                 "policy": policy, "target_recall": tr,
+                "n_eval_queries": 200,
                 "avg_nprobe": round(m["avg_nprobe"], 2),
                 "scanned_frac": round(m["avg_scanned"] / n, 4),
-                "recall_at_10": round(avg_recall(f, exact, K), 4),
-                "batch50_ms": round(1000 * batch_s, 1),
+                "recall_at_10": round(avg_recall(f, exact_xl, K), 4),
+                "batch200_ms": round(1000 * batch_s, 1),
             })
+    policy_eval_s = time.time() - t0
 
     # PQ ladder at the same 8-byte budget. Plain-sidecar values are
     # computed BEFORE the residual build overwrites the codes files
@@ -305,7 +322,21 @@ def ivf_scale_n400k(spark) -> dict:
         "n_partitions": int(len(idx.part_ids)),
         "build_s": round(build_s, 3),
         "calibrate_s": round(calibrate_s, 3),
+        # per-phase seconds, surfaced as ivf_scale_n400k.<phase> keys
+        # in the top-level "queries" dict so tools/bench_compare.py
+        # diffs evaluation-block growth per phase instead of flagging
+        # the block total (VERDICT r7 #8)
+        "phases": {
+            "build": round(build_s, 3),
+            "calibrate": round(calibrate_s, 3),
+            "truth": round(truth_s, 3),
+            "policy_eval": round(policy_eval_s, 3),
+            "pq_ladder": round(pq_build_s + pq_search_s + res_build_s
+                               + res_search_s + lopq_build_s
+                               + lopq_search_s, 3),
+        },
         "temperature": cal["temperature"],
+        "calibration_deficits": cal.get("deficits"),
         "points": pts,
         "ivf_pq": {
             "sidecar_build_s": round(pq_build_s, 3),
@@ -600,8 +631,14 @@ def main() -> None:
     t0 = time.time()
     scale400k = ivf_scale_n400k(spark)
     times["ivf_scale_n400k"] = round(time.time() - t0, 3)
+    # per-phase keys for bench_compare (evaluation-block growth shows
+    # up in its own phase, not as a spurious block-total regression)
+    for ph, sec in scale400k.get("phases", {}).items():
+        times[f"ivf_scale_n400k.{ph}"] = sec
 
-    total = round(sum(times.values()), 3)
+    # dotted keys are sub-phase breakdowns already counted inside
+    # their block's total — exclude them from the headline sum
+    total = round(sum(v for k, v in times.items() if "." not in k), 3)
     payload = {
         "metric": "headline_total",
         "value": total,

@@ -628,3 +628,159 @@ def knn_hybrid(index: IVFIndex, queries, k: int = 10,
     )
     out, _meta = knn_ivf_pq(index, queries, k=k, **kwargs)
     return out
+
+
+# --------------------------------------------------------------------
+# Unified persisted-index lifecycle (VERDICT r7 #5)
+#
+# The engine ships three persisted index families — IVF vector
+# (workdir/v{N} versions), MinHash-LSH near-dup (epoch tombstones),
+# and BM25 inverted (negative stat partials) — each grown its own
+# entry points. A pipeline author should discover ONE surface:
+#
+#     h = api.index("vector" | "near_dup" | "bm25", spark, path)
+#     h.build(df, **kw)      # one-time corpus pass
+#     h.query(batch, **kw)   # -> DataFrame, cost ∝ batch
+#     h.extend(batch, **kw)  # admit new rows, no rebuild
+#     h.remove(ids)          # CDC delete, no rewrite
+#     h.compact(**kw)        # physical cleanup, answers unchanged
+#
+# These handles are THIN: every verb delegates to the exact function
+# the per-family wrappers above call, so behavior (and the oracle
+# rows pinning it) is unchanged.
+# --------------------------------------------------------------------
+
+class _IndexHandle:
+    """Uniform lifecycle over one persisted index family."""
+
+    kind: str = ""
+
+    def __init__(self, spark, path: str):
+        self.spark = spark
+        self.path = path
+
+    def __repr__(self):
+        return f"<{type(self).__name__} kind={self.kind} path={self.path}>"
+
+
+class VectorIndexHandle(_IndexHandle):
+    """IVF index under ``path`` (versioned ``v{N}`` dirs). ``query``
+    runs APS search; pass ``compressed=True`` to serve through a PQ
+    sidecar built with ``compress_index``. ``compact`` runs one
+    split/merge maintenance pass and publishes a new version."""
+
+    kind = "vector"
+
+    def __init__(self, spark, path: str):
+        super().__init__(spark, path)
+        self._idx: IVFIndex | None = None
+
+    @property
+    def idx(self) -> IVFIndex:
+        if self._idx is None:
+            self._idx = IVFIndex.load(self.spark, self.path)
+        return self._idx
+
+    def build(self, corpus_df: DataFrame, **kwargs) -> "VectorIndexHandle":
+        self._idx = IVFIndex.build(corpus_df, self.path, **kwargs)
+        return self
+
+    def query(self, queries, k: int = 10, compressed: bool = False,
+              **kwargs) -> DataFrame:
+        if compressed:
+            from quake_vector_search_spark.operators.quantization import (
+                knn_ivf_pq,
+            )
+            out, _ = knn_ivf_pq(self.idx, queries, k=k, **kwargs)
+            return out
+        out, _ = self.idx.search(queries, k=k, **kwargs)
+        return out
+
+    def extend(self, ids, vecs=None, **kwargs):
+        """Admit vectors: either ``extend(ids, vecs)`` arrays or a
+        single (id, embedding) DataFrame (collected — insert batches
+        are driver-bounded by contract, same as IVFIndex.insert)."""
+        if vecs is None:
+            import numpy as np
+            rows = ids.collect()
+            id_c, vec_c = ids.columns[0], ids.columns[1]
+            vecs = np.array([r[vec_c] for r in rows], dtype=np.float64)
+            ids = np.array([r[id_c] for r in rows], dtype=np.int64)
+        return self.idx.insert(ids, vecs, **kwargs)
+
+    def remove(self, ids) -> None:
+        self.idx.delete(ids)
+
+    def compact(self, **kwargs) -> dict:
+        from quake_vector_search_spark.operators.maintenance import (
+            maintain,
+        )
+        return maintain(self.idx, **kwargs)
+
+
+class NearDupIndexHandle(_IndexHandle):
+    """Persisted MinHash-LSH near-dup index (epoch-stamped tombstones;
+    ``extend`` re-admits a removed id; ``compact`` drops dead members)."""
+
+    kind = "near_dup"
+
+    def build(self, docs: DataFrame, **kwargs) -> "NearDupIndexHandle":
+        build_near_dup_index(docs, self.path, **kwargs)
+        return self
+
+    def query(self, new_docs: DataFrame, **kwargs) -> DataFrame:
+        return near_dups_against_index(self.spark, self.path,
+                                       new_docs, **kwargs)
+
+    def extend(self, new_docs: DataFrame, **kwargs) -> None:
+        extend_near_dup_index(self.path, new_docs, **kwargs)
+
+    def remove(self, ids) -> None:
+        remove_from_near_dup_index(self.spark, self.path, ids)
+
+    def compact(self) -> dict:
+        return compact_near_dup_index(self.spark, self.path)
+
+
+class Bm25IndexHandle(_IndexHandle):
+    """Persisted BM25 inverted index (mergeable integer stats,
+    idempotent CDC removes via tombstone-aware membership)."""
+
+    kind = "bm25"
+
+    def build(self, docs: DataFrame, **kwargs) -> "Bm25IndexHandle":
+        build_bm25_index(docs, self.path, **kwargs)
+        return self
+
+    def query(self, queries: DataFrame, k: int = 10,
+              **kwargs) -> DataFrame:
+        return bm25_against_index(self.spark, self.path, queries,
+                                  k=k, **kwargs)
+
+    def extend(self, new_docs: DataFrame, **kwargs) -> None:
+        extend_bm25_index(self.path, new_docs, **kwargs)
+
+    def remove(self, ids) -> None:
+        remove_from_bm25_index(self.spark, self.path, ids)
+
+    def compact(self) -> dict:
+        return compact_bm25_index(self.spark, self.path)
+
+
+_INDEX_KINDS = {
+    "vector": VectorIndexHandle,
+    "near_dup": NearDupIndexHandle,
+    "bm25": Bm25IndexHandle,
+}
+
+
+def index(kind: str, spark, path: str) -> _IndexHandle:
+    """One discoverable surface over every persisted index family:
+    ``api.index(kind, spark, path)`` returns a handle with the uniform
+    ``build / query / extend / remove / compact`` lifecycle. ``kind``
+    is one of ``vector`` (IVF), ``near_dup`` (MinHash-LSH), ``bm25``
+    (inverted index)."""
+    if kind not in _INDEX_KINDS:
+        raise ValueError(
+            f"unknown index kind {kind!r} ({'|'.join(_INDEX_KINDS)})")
+    return _INDEX_KINDS[kind](spark, path)

@@ -848,7 +848,8 @@ class IVFIndex:
 
     # ----------------------------------------------------- calibration
     def calibrate(self, n_queries: int = 64, k: int = 10,
-                  targets: tuple = (0.5, 0.7, 0.8, 0.9, 0.95, 0.99),
+                  targets: tuple = (0.3, 0.5, 0.7, 0.8, 0.9, 0.95,
+                                    0.99),
                   margin: float = 0.02, seed: int = 1234,
                   route_cells: int | None = None) -> dict:
         """Fit ``policy="calibrated"`` cutoffs for adaptive probing.
@@ -870,7 +871,21 @@ class IVFIndex:
            UNCHANGED softmax ordering; since probed partitions are
            scanned exactly, coverage IS recall@k;
         5. per target t, the cutoff is the smallest cumulative mass c
-           whose mean achieved recall on the sample ≥ t + ``margin``.
+           whose mean achieved recall on the sample ≥ t + ``margin``
+           + the target's CROSS-FITTED deficit (below).
+
+        Low-target safety (VERDICT r7 #2): at small prefixes the
+        coverage curve is steep, so a cutoff tuned to where the train
+        mean barely crosses t generalizes with a measurable deficit
+        (measured at 400k/256 parts: train 0.55 → held-out 0.47 at
+        t=0.5, while t=0.9 holds). The fit therefore 2-fold
+        cross-fits each target — cutoffs fitted on one half, achieved
+        recall measured on the other — and refits on the full sample
+        with ``margin`` boosted by the worst observed deficit. High
+        targets measure ~zero deficit and keep their cutoffs; low
+        targets get exactly the cushion the data says they need.
+        Targets outside the fitted range warn at query time
+        (``_calibrated_rule``) and clamp to the nearest fitted cutoff.
 
         Scale: steps 1-3 are one narrow scan + one brute-force top-k
         over the sample (same cost as ``n_queries`` exact queries) —
@@ -947,34 +962,42 @@ class IVFIndex:
         size_cum = np.cumsum(
             self.sizes[order].astype(np.float64), axis=1)
 
-        def _fit_cutoffs(cum_s):
-            """Per target: smallest cumulative-mass cutoff whose mean
-            achieved recall on the sample >= target + margin (exactly
+        def _achieved(cum_s, cov_m, c):
+            """Mean coverage + prefix indices at cutoff ``c`` (exactly
             choose_nprobe's prefix rule, incl. the all-False fallback
             to the full prefix — a cutoff can exceed a query's final
-            mass by a float ulp). Returns (cutoffs, scan cost/target)."""
+            mass by a float ulp)."""
+            reached = cum_s >= c
+            prefix = np.where(reached.any(axis=1),
+                              reached.argmax(axis=1),
+                              cum_s.shape[1] - 1)
+            rows = np.arange(cum_s.shape[0])
+            return float(cov_m[rows, prefix].mean()), prefix
+
+        def _fit_cutoffs(cum_s, cov_m, size_m, margins):
+            """Per target: smallest cumulative-mass cutoff whose mean
+            achieved recall on the given query subset >= target +
+            its margin. Returns (isotonic cutoffs, scan cost/target)."""
             cands = np.unique(cum_s)
             outs, costs = [], []
-            for t in targets:
-                want = min(1.0, t + margin)
+            for t, mg in zip(targets, margins):
+                want = min(1.0, t + mg)
                 lo, hi = 0, len(cands) - 1
                 best, best_cost = float(cands[-1]), None
                 while lo <= hi:
                     mid = (lo + hi) // 2
                     c = cands[mid]
-                    reached = cum_s >= c
-                    prefix = np.where(reached.any(axis=1),
-                                      reached.argmax(axis=1), P - 1)
-                    achieved = float(cov[np.arange(nq), prefix].mean())
+                    achieved, prefix = _achieved(cum_s, cov_m, c)
                     if achieved >= want:
                         best = float(c)
                         best_cost = float(
-                            size_cum[np.arange(nq), prefix].mean())
+                            size_m[np.arange(cum_s.shape[0]),
+                                   prefix].mean())
                         hi = mid - 1
                     else:
                         lo = mid + 1
                 if best_cost is None:
-                    best_cost = float(size_cum[:, -1].mean())
+                    best_cost = float(size_m[:, -1].mean())
                 outs.append(min(best, 1.0))
                 costs.append(best_cost)
             return np.maximum.accumulate(np.array(outs)).tolist(), costs
@@ -991,19 +1014,51 @@ class IVFIndex:
         tarr = np.asarray(targets, dtype=np.float64)
         le = np.where(tarr <= 0.9)[0]
         obj_i = int(le[-1]) if len(le) else int(len(tarr) // 2)
-        best_s, best_cutoffs, best_cost = 1.0, None, None
-        for s in (1.0, 2.0, 4.0, 8.0, 16.0, 32.0):
+        base_margins = np.full(len(targets), float(margin))
+
+        def _sharpened_cum(s):
             logp = np.log(np.maximum(probs, 1e-300)) * s
             logp -= logp.max(axis=1, keepdims=True)
             ps = np.exp(logp)
             ps /= ps.sum(axis=1, keepdims=True)
-            cuts, costs = _fit_cutoffs(np.cumsum(ps, axis=1))
+            return np.cumsum(ps, axis=1)
+
+        best_s, best_cost, best_cum = 1.0, None, None
+        for s in (1.0, 2.0, 4.0, 8.0, 16.0, 32.0):
+            cum_s = _sharpened_cum(s)
+            _cuts, costs = _fit_cutoffs(cum_s, cov, size_cum,
+                                        base_margins)
             cost = float(costs[obj_i])
             if best_cost is None or cost < best_cost:
-                best_s, best_cutoffs, best_cost = s, cuts, cost
+                best_s, best_cost, best_cum = s, cost, cum_s
+
+        # cross-fitted per-target safety margin for the chosen
+        # temperature: fit on one half, measure the achieved-recall
+        # deficit on the other (both directions, worst case), then
+        # refit on the FULL sample with the margin boosted by it —
+        # all driver-side NumPy over the already-collected matrices
+        deficits = np.zeros(len(targets))
+        half = nq // 2
+        if half >= 8:
+            perm = np.random.default_rng(seed).permutation(nq)
+            for tr_i, te_i in ((perm[:half], perm[half:]),
+                               (perm[half:], perm[:half])):
+                cuts_tr, _ = _fit_cutoffs(best_cum[tr_i], cov[tr_i],
+                                          size_cum[tr_i], base_margins)
+                for i, t in enumerate(targets):
+                    ach, _ = _achieved(best_cum[te_i], cov[te_i],
+                                       cuts_tr[i])
+                    deficits[i] = max(deficits[i], float(t) - ach)
+            deficits = np.clip(deficits, 0.0, 0.25)
+        best_cutoffs, final_costs = _fit_cutoffs(
+            best_cum, cov, size_cum, base_margins + deficits)
+        best_cost = float(final_costs[obj_i])
         self._calibration = {"targets": [float(t) for t in targets],
                              "cutoffs": best_cutoffs,
                              "temperature": float(best_s),
+                             "margin": float(margin),
+                             "deficits": [round(float(x), 6)
+                                          for x in deficits],
                              "expected_scan_rows": best_cost,
                              "k": k, "n_queries": int(nq),
                              "seed": int(seed),
@@ -1071,6 +1126,15 @@ class IVFIndex:
                 RuntimeWarning, stacklevel=3)
             self.calibrate()
         cal = self._calibration
+        tmin, tmax = cal["targets"][0], cal["targets"][-1]
+        if not (tmin - 1e-12 <= target_recall <= tmax + 1e-12):
+            import warnings
+            warnings.warn(
+                f"target_recall={target_recall} is outside the fitted "
+                f"calibration range [{tmin}, {tmax}]; clamping to the "
+                "nearest fitted cutoff. Refit with calibrate(targets="
+                "...) covering this operating point for a "
+                "recall-faithful policy.", RuntimeWarning, stacklevel=3)
         return (cal["temperature"],
                 float(np.interp(target_recall, cal["targets"],
                                 cal["cutoffs"])))

@@ -517,6 +517,40 @@ def test_maintain_recalibrate_forwards_kwargs(spark, tmp_path):
     assert out.count() > 0
 
 
+def test_calibrate_cross_fit_safety(spark, tmp_path):
+    """VERDICT r7 #3: the calibrated fit cross-fits a per-target
+    safety deficit (fit one half, measure the achieved-recall gap on
+    the other) and refits with the margin boosted by it; cutoffs stay
+    isotonic; a target below the fitted range warns and clamps
+    instead of silently delivering whatever the lowest cutoff gives."""
+    import warnings
+
+    from quake_vector_search_spark.operators.workload import make_dataset
+
+    corpus = make_dataset(spark, 2000, d=8, n_clusters=8, seed=13)
+    idx = IVFIndex.build(corpus, str(tmp_path / "cal_xfit"),
+                         coarse_k=4, base_k=2)
+    cal = idx.calibrate(n_queries=32)
+    # fitted range now extends to 0.3 by default
+    assert cal["targets"][0] == 0.3
+    assert "deficits" in cal and len(cal["deficits"]) == len(
+        cal["targets"])
+    assert all(d >= 0 for d in cal["deficits"])
+    cuts = cal["cutoffs"]
+    assert all(a <= b for a, b in zip(cuts, cuts[1:]))   # isotonic
+    # in-range target: no warning
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        idx._calibrated_rule(0.9)
+    # below the fitted range: warns and clamps to the lowest cutoff
+    with pytest.warns(RuntimeWarning, match="outside the fitted"):
+        _, c_low = idx._calibrated_rule(0.1)
+    assert c_low == cuts[0]
+    with pytest.warns(RuntimeWarning, match="outside the fitted"):
+        _, c_hi = idx._calibrated_rule(0.999)
+    assert c_hi == cuts[-1]
+
+
 def test_decide_nprobe_capped_at_routed_width(spark, tmp_path):
     """ADVICE r7: under routed scoring, choose_nprobe's all-False
     fallback (cumulative mass never reaching the target through float

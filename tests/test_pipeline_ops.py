@@ -1267,3 +1267,74 @@ def test_bm25_index_interleaved_dml_equals_fresh(spark, tmp_path):
     remove_from_bm25_index(spark, path, [8])
     live -= {8}
     check(live, "remove-post-compact")
+
+
+def test_api_index_handles_roundtrip(spark, tmp_path):
+    """VERDICT r7 #5: one discoverable surface over the three
+    persisted index families — api.index(kind, spark, path) with the
+    uniform build/query/extend/remove/compact lifecycle. Thin
+    delegation: each verb must behave exactly like the per-family
+    functions (whose semantics the oracle rows pin)."""
+    import numpy as np
+
+    from quake_vector_search_spark import api
+
+    # --- near_dup (MinHash-LSH) ---
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog"),
+         (1, "an entirely different document about spark engines"),
+         (2, "yet another unrelated piece of text here")],
+        "doc_id long, text string")
+    h = api.index("near_dup", spark, str(tmp_path / "lsh")).build(docs)
+    probe = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    assert h.query(probe, threshold=0.5).count() >= 1
+    h.extend(spark.createDataFrame(
+        [(3, "a freshly admitted corpus document")],
+        "doc_id long, text string"))
+    probe3 = spark.createDataFrame(
+        [(101, "a freshly admitted corpus document")],
+        "doc_id long, text string")
+    assert h.query(probe3, threshold=0.5).count() >= 1
+    h.remove([3])
+    assert h.query(probe3, threshold=0.5).count() == 0
+    h.compact()
+    assert h.query(probe, threshold=0.5).count() >= 1
+
+    # --- bm25 ---
+    hb = api.index("bm25", spark, str(tmp_path / "bm25")).build(docs)
+    q = spark.createDataFrame([(0, "fox"), (0, "dog")],
+                              "query_id long, term string")
+    top = hb.query(q, k=3).collect()
+    assert top and top[0]["doc_id"] == 0
+    hb.extend(spark.createDataFrame(
+        [(3, "fox fox fox")], "doc_id long, text string"))
+    assert {r["doc_id"] for r in hb.query(q, k=3).collect()} >= {0, 3}
+    hb.remove([3])
+    assert 3 not in {r["doc_id"] for r in hb.query(q, k=3).collect()}
+    assert hb.compact()["dropped"] >= 1
+
+    # --- vector (IVF) ---
+    from quake_vector_search_spark.operators.workload import make_dataset
+
+    corpus = make_dataset(spark, 800, d=8, n_clusters=4, seed=21)
+    hv = api.index("vector", spark, str(tmp_path / "ivf")).build(
+        corpus, coarse_k=2, base_k=2)
+    probe_vec = np.array(
+        corpus.where("vec_id = 5").select("embedding").head()[0],
+        dtype=np.float64)
+    got = hv.query((np.array([0]), probe_vec[None, :]), k=1,
+                   target_recall=1.0, max_probe=10**9).collect()
+    assert got[0]["vec_id"] == 5
+    hv.extend(np.array([9001]), probe_vec[None, :] + 100.0)
+    far = probe_vec[None, :] + 100.0
+    got2 = hv.query((np.array([0]), far), k=1, target_recall=1.0,
+                    max_probe=10**9).collect()
+    assert got2[0]["vec_id"] == 9001
+    hv.remove([9001])
+    got3 = hv.query((np.array([0]), far), k=1, target_recall=1.0,
+                    max_probe=10**9).collect()
+    assert got3[0]["vec_id"] != 9001
+    summary = hv.compact()
+    assert "version" in summary
