@@ -132,12 +132,25 @@ def _alive_shingles(spark: SparkSession, path: str,
 def query_lsh_index(spark: SparkSession, path: str,
                     new_docs: DataFrame, threshold: float = 0.5,
                     id_col: str = "doc_id",
-                    text_col: str = "text") -> DataFrame:
+                    text_col: str = "text",
+                    max_bucket_size: int | None = None) -> DataFrame:
     """Near-dups of a new batch AGAINST the indexed corpus:
     (new_id, corpus_id, jaccard ≥ threshold). Same banding + exact-
     Jaccard semantics as ``minhash_lsh_pairs`` restricted to
     cross-side pairs — so the in-memory operator on corpus ∪ batch is
-    the oracle for this path."""
+    the oracle for this path.
+
+    ``max_bucket_size`` is the hot-key guard (VERDICT r7 #7), the
+    index-query analogue of ``minhash_lsh_pairs``' cap: candidate
+    volume per matched (band, key) is |corpus bucket| × |batch
+    bucket|, and an adversarial (or boilerplate-heavy) corpus can
+    concentrate millions of members in one bucket — a single skewed
+    join key at 100 TB. Buckets larger than the cap are dropped from
+    candidate generation; their members can still surface through
+    their other bands. Sizes are counted only for buckets the BATCH
+    actually touches (semi-join first), so the guard's cost is
+    batch-bounded, not corpus-bounded. ``None`` (default) keeps exact
+    oracle semantics."""
     meta = _load_meta(path)
     n = int(meta["n"])
     sig_new = minhash_signatures(new_docs, id_col, text_col, n)
@@ -145,6 +158,16 @@ def query_lsh_index(spark: SparkSession, path: str,
                   .withColumnRenamed(id_col, "new_id"))
     corpus_bands = (spark.read.parquet(os.path.join(path, "bands"))
                     .withColumnRenamed(id_col, "corpus_id"))
+    if max_bucket_size is not None:
+        touched = banded_new.select("band", "key").distinct()
+        corpus_bands = corpus_bands.join(F.broadcast(touched),
+                                         ["band", "key"], "left_semi")
+        ok = (corpus_bands.groupBy("band", "key")
+              .agg(F.count("*").alias("bsz"))
+              .where(F.col("bsz") <= int(max_bucket_size))
+              .select("band", "key"))
+        corpus_bands = corpus_bands.join(F.broadcast(ok),
+                                         ["band", "key"], "left_semi")
     cand = (corpus_bands.join(banded_new, ["band", "key"])
             .select("new_id", "corpus_id").distinct())
     # corpus verification payload, candidate-bounded via semi-join

@@ -134,13 +134,23 @@ def extend_bm25_index(path: str, new_docs: DataFrame,
 def query_bm25_index(spark: SparkSession, path: str,
                      queries: DataFrame, k: int = 10,
                      k1: float = 1.2, b: float = 0.75,
-                     query_id_col: str = "query_id") -> DataFrame:
+                     query_id_col: str = "query_id",
+                     max_term_df: int | None = None) -> DataFrame:
     """BM25 top-k of a query batch against the persisted index —
     identical scores to ``bm25_topk`` over the union of every admitted
     batch. Queries are (query_id, term) bags. The plan touches only
     query-term postings (inner join against the query's own term-stat
     rows) and candidate-doc lengths; N/avg_len come from the meta
-    counters as literals, so no corpus-wide job runs at query time."""
+    counters as literals, so no corpus-wide job runs at query time.
+
+    ``max_term_df`` is the hot-key guard (VERDICT r7 #7): the posting
+    scan is pruned to the query's terms, but ONE stopword-class term
+    ("the") can hold a posting list the size of the corpus — a skewed
+    join key whose candidates dominate the scan while contributing
+    ~zero score (Robertson idf → 0 as df → N). Terms with summed df
+    above the cap are dropped at the stats step, before any posting
+    row is read, bounding candidates to Σ df ≤ n_query_terms · cap.
+    ``None`` (default) keeps exact oracle semantics."""
     meta = _load_meta(path)
     id_col = meta["id_col"]
     n = int(meta["n_docs"])
@@ -153,6 +163,8 @@ def query_bm25_index(spark: SparkSession, path: str,
           .join(qq.select("term").distinct(), "term", "left_semi")
           .groupBy("term").agg(F.sum("df").alias("df"))
           .where(F.col("df") > 0))
+    if max_term_df is not None:
+        ts = ts.where(F.col("df") <= int(max_term_df))
     posts = (spark.read.parquet(os.path.join(path, "postings"))
              .join(ts, "term"))
     # CDC removals: tombstoned docs drop out of the candidate set

@@ -1338,3 +1338,68 @@ def test_api_index_handles_roundtrip(spark, tmp_path):
     assert got3[0]["vec_id"] != 9001
     summary = hv.compact()
     assert "version" in summary
+
+
+def test_lsh_index_hot_bucket_cap(spark, tmp_path):
+    """VERDICT r7 #7 skew probe: an adversarial corpus concentrating
+    hundreds of members in ONE band bucket (identical boilerplate
+    text → identical signature → same key in every band) must not
+    blow up candidate generation when the cap is on — and docs in
+    small buckets must still match through it."""
+    from quake_vector_search_spark.operators.dedup_index import (
+        build_lsh_index,
+        query_lsh_index,
+    )
+
+    hot = [(i, "the exact same boilerplate header text repeated")
+           for i in range(300)]
+    cold = [(1000, "a genuinely unique document about spark engines"),
+            (1001, "another unique text concerning quantization")]
+    docs = spark.createDataFrame(hot + cold, "doc_id long, text string")
+    path = str(tmp_path / "lsh_hot")
+    build_lsh_index(docs, path)
+
+    probe = spark.createDataFrame(
+        [(5000, "the exact same boilerplate header text repeated"),
+         (5001, "a genuinely unique document about spark engines")],
+        "doc_id long, text string")
+    # uncapped: the hot-bucket probe matches all 300 members
+    full = query_lsh_index(spark, path, probe, threshold=0.9)
+    by_probe = {r["new_id"] for r in full.collect()}
+    assert full.where("new_id = 5000").count() == 300
+    assert 5001 in by_probe
+    # capped: hot-bucket candidates are DROPPED (bounded work — the
+    # cap is the explicit recall trade), small buckets unaffected
+    capped = query_lsh_index(spark, path, probe, threshold=0.9,
+                             max_bucket_size=10)
+    assert capped.where("new_id = 5000").count() == 0
+    assert capped.where("new_id = 5001").count() == 1
+
+
+def test_bm25_index_hot_term_cap(spark, tmp_path):
+    """VERDICT r7 #7 skew probe: one stopword-class term present in
+    every corpus doc must not drag the whole posting table through
+    the query when the df cap is on; rare-term matches survive and
+    their scores equal the cap-free scores of the same docs minus the
+    dropped term's (near-zero-idf) contribution."""
+    from quake_vector_search_spark.operators.sparse_index import (
+        build_bm25_index,
+        query_bm25_index,
+    )
+
+    rows = [(i, "the filler " + ("alpha" if i == 0 else
+                                 "beta" if i == 1 else "common"))
+            for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "bm25_hot")
+    build_bm25_index(docs, path)
+    q = spark.createDataFrame(
+        [(0, "the"), (0, "alpha")], "query_id long, term string")
+    # uncapped: "the" matches all 200 docs → 200 candidates ranked
+    full = query_bm25_index(spark, path, q, k=500)
+    assert full.count() == 200
+    # capped at 50: "the" (df=200) is dropped before any posting row
+    # is read; only the rare term's single posting survives
+    capped = query_bm25_index(spark, path, q, k=500, max_term_df=50)
+    got = capped.collect()
+    assert len(got) == 1 and got[0]["doc_id"] == 0
