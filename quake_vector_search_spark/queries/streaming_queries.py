@@ -840,3 +840,125 @@ def stream_serving_calibrated_equals_batch(spark, sf_dir):
         "n_queries long, counts_match boolean, "
         "stream_equals_batch boolean, k_rows_per_query boolean, "
         "no_implicit_fit boolean")
+
+
+@register("stream_routed_serving_after_ingest_equals_batch", sql="""
+SELECT CAST(21 AS BIGINT) AS n_queries,
+       TRUE AS fit_invalidated_by_ingest, TRUE AS refit_is_routed,
+       TRUE AS ingested_visible, TRUE AS stream_equals_batch,
+       TRUE AS no_implicit_fit
+""")
+def stream_routed_serving_after_ingest_equals_batch(spark, sf_dir):
+    """The full streamed-DML → routed-serving lifecycle in one row
+    (round 8, NOTES r7 candidate #3): a ROUTED calibration
+    (calibrate(route_cells=N) — the >10⁵-partition scale path) must
+    be invalidated by a streamed ingest (stale cutoffs describe a
+    corpus that no longer exists), eagerly refit UNDER THE SAME
+    restriction, and then serve micro-batches answer-for-answer equal
+    to batch search — with the streamed-in vectors VISIBLE (a query
+    placed exactly at an ingested vector returns it at rank 1,
+    dist 0). Pins, via genuinely computed booleans: the
+    DML-invalidation contract, restriction-preserving refit, streamed
+    visibility through the serving path, stream≡batch row sets at
+    rounded-dist/rank granularity, and no implicit brute-force fit
+    inside any micro-batch (method poisoned)."""
+    import uuid
+
+    import numpy as np
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.workload import make_dataset
+    from quake_vector_search_spark.streaming.ingest import ingest_stream
+    from quake_vector_search_spark.streaming.serving import search_stream
+
+    n, d, k = 6000, 16, 10
+    corpus = make_dataset(spark, n, d=d, n_clusters=30, seed=17)
+    wd = os.path.join(f"/tmp/qvss_ivf_{os.getpid()}", "serving_routed")
+    shutil.rmtree(wd, ignore_errors=True)
+    idx = IVFIndex.build(corpus, wd, coarse_k=8, base_k=8)
+    idx.calibrate(n_queries=32, route_cells=4)
+
+    # --- streamed ingest: 8 new vectors near corpus vector 0 ---
+    base = np.array(corpus.where(F.col("vec_id") == 0)
+                    .select("embedding").head()[0], dtype=np.float64)
+    new_ids = np.arange(90_000, 90_008)
+    new_vecs = base[None, :] + 0.05 * (
+        1.0 + np.arange(8, dtype=np.float64))[:, None]
+    run = uuid.uuid4().hex[:8]
+    vdir = f"/tmp/qvss_routed_ing_v_{os.getpid()}_{run}"
+    ickpt = f"/tmp/qvss_routed_ing_ck_{os.getpid()}_{run}"
+    (spark.createDataFrame(
+        [(int(i), [float(x) for x in v])
+         for i, v in zip(new_ids, new_vecs)],
+        "vec_id long, embedding array<float>")
+     .repartition(2).write.mode("overwrite").parquet(vdir))
+    vstream = (spark.readStream
+               .schema("vec_id long, embedding array<float>")
+               .option("maxFilesPerTrigger", 1).parquet(vdir))
+    iq = ingest_stream(idx, vstream, ickpt)
+    try:
+        iq.processAllAvailable()
+    finally:
+        iq.stop()
+    fit_invalidated = idx._calibration is None
+
+    # eager restriction-preserving refit (the documented contract:
+    # DML clears fits; recalibrate at publish time, never in-query)
+    cal = idx.calibrate(n_queries=32, route_cells=4)
+    refit_is_routed = cal["route_cells"] == 4
+
+    # --- queries: 20 corpus members + 1 exactly at an ingested vec ---
+    nq = 21
+    qrows = corpus.where(F.col("vec_id") < 20).collect()
+    qids = np.array([r["vec_id"] for r in qrows] + [90_003],
+                    dtype=np.int64)
+    probe = np.array(new_vecs[3], dtype=np.float32).astype(np.float64)
+    qmat = np.vstack([np.array([r["embedding"] for r in qrows],
+                               dtype=np.float64), probe[None, :]])
+    batch, _ = idx.search((qids, qmat), k=k, target_recall=0.9,
+                          policy="calibrated", route_cells=4,
+                          max_probe=len(idx.part_ids))
+    batch_rows = {(int(r["query_id"]), int(r["vec_id"]),
+                   round(r["dist"], 6), int(r["rank"]))
+                  for r in batch.collect()}
+    ingested_visible = (90_003, 90_003, 0.0, 1) in batch_rows
+
+    def _poisoned(*a, **kw):
+        raise AssertionError("implicit calibrate() inside serving")
+    idx.calibrate = _poisoned
+
+    qdir = f"/tmp/qvss_routed_srv_q_{os.getpid()}_{run}"
+    results = f"/tmp/qvss_routed_srv_out_{os.getpid()}_{run}"
+    ckpt = f"/tmp/qvss_routed_srv_ck_{os.getpid()}_{run}"
+    (spark.createDataFrame(
+        [(int(q), [float(x) for x in v])
+         for q, v in zip(qids, qmat)],
+        "query_id long, embedding array<float>")
+     .repartition(2).write.mode("overwrite").parquet(qdir))
+    qstream = (spark.readStream
+               .schema("query_id long, embedding array<float>")
+               .option("maxFilesPerTrigger", 1).parquet(qdir))
+    q = search_stream(idx, qstream, results, ckpt, k=k,
+                      target_recall=0.9,
+                      max_probe=len(idx.part_ids),
+                      policy="calibrated", route_cells=4)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stream_rows = {(int(r["query_id"]), int(r["vec_id"]),
+                    round(r["dist"], 6), int(r["rank"]))
+                   for r in spark.read.parquet(results).collect()}
+    for p in (vdir, ickpt, qdir, results, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+
+    return spark.createDataFrame(
+        [(nq,
+          bool(fit_invalidated),
+          bool(refit_is_routed),
+          bool(ingested_visible),
+          bool(stream_rows == batch_rows),
+          True)],   # reaching here = the poisoned fit never fired
+        "n_queries long, fit_invalidated_by_ingest boolean, "
+        "refit_is_routed boolean, ingested_visible boolean, "
+        "stream_equals_batch boolean, no_implicit_fit boolean")
