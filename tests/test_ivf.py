@@ -543,11 +543,14 @@ def test_calibrate_cross_fit_safety(spark, tmp_path):
         warnings.simplefilter("error")
         idx._calibrated_rule(0.9)
     # below the fitted range: warns and clamps to the lowest cutoff
-    with pytest.warns(RuntimeWarning, match="outside the fitted"):
+    with pytest.warns(RuntimeWarning, match="below the fitted"):
         _, c_low = idx._calibrated_rule(0.1)
     assert c_low == cuts[0]
-    with pytest.warns(RuntimeWarning, match="outside the fitted"):
-        _, c_hi = idx._calibrated_rule(0.999)
+    # above the range: silent clamp to the MOST CONSERVATIVE cutoff
+    # (target 1.0 is the common fullprobe-intent ask)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        _, c_hi = idx._calibrated_rule(1.0)
     assert c_hi == cuts[-1]
 
 
