@@ -630,6 +630,19 @@ def knn_hybrid(index: IVFIndex, queries, k: int = 10,
     return out
 
 
+def mips_search(corpus_df: DataFrame, queries, k: int = 10,
+                eta: float = 3.0, **kwargs) -> DataFrame:
+    """Approximate maximum-inner-product top-k via anisotropic
+    (score-aware) product quantization — the MIPS/cosine ladder rung
+    (operators/quantization.py::knn_pq_mips). ``eta`` weights
+    score-parallel quantization error; ``eta=1`` is plain PQ. For the
+    exact answer use ``knn(metric=...)`` / ``dot_topk``."""
+    from quake_vector_search_spark.operators.quantization import (
+        knn_pq_mips,
+    )
+    return knn_pq_mips(corpus_df, queries, k=k, eta=eta, **kwargs)
+
+
 # --------------------------------------------------------------------
 # Unified persisted-index lifecycle (VERDICT r7 #5)
 #

@@ -1639,6 +1639,8 @@ def _aniso_encode_local(X: np.ndarray, books: np.ndarray, eta: float,
     incrementally — each pass is m [n, ksub] matrix sweeps, same cost
     class as plain encoding × passes). η=1 reduces exactly to plain
     per-chunk argmin. Deterministic: depends only on (x, books, η)."""
+    from quake_vector_search_spark.functions.vector import l2_batch
+
     m, ksub, dsub = books.shape
     n, d = X.shape
     r = np.linalg.norm(X, axis=1, keepdims=True)

@@ -4331,3 +4331,57 @@ def dedup_lsh_index_capped(spark, sf_dir):
     out = query_lsh_index(spark, path, batch, threshold=0.5,
                           max_bucket_size=1)
     return out.withColumn("jaccard", F.round("jaccard", 6))
+
+
+def _register_aniso():
+    from quake_vector_search_spark.queries.vector_queries import (
+        K, N_QUERIES)
+
+    @register("knn_aniso_mips_rerank", sql=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), d AS (
+  SELECT q.query_id, e.vec_id,
+         list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                            CAST(q.qvec AS DOUBLE[])) AS score
+  FROM embeddings e CROSS JOIN q
+), r AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id ASC) AS rank
+  FROM d
+)
+SELECT query_id, vec_id, ROUND(score, 6) AS score,
+       CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {K}
+""")
+    def knn_aniso_mips_rerank(spark, sf_dir):
+        """Anisotropic (score-aware) product quantization — the ladder
+        rung ABOVE plain PQ for MIPS/cosine retrieval (round 8; ScaNN's
+        loss, Guo et al. ICML'20): codebooks and codes minimize
+        ‖e‖² + (η−1)(eᵀx̂)², weighting quantization error PARALLEL to the
+        datapoint (which perturbs inner-product scores directly) over
+        orthogonal error (which mostly cancels in the score). Training
+        alternates coordinate-descent assignment with the closed-form
+        weighted codeword solve; encoding is the same coordinate descent,
+        distributed per Arrow batch. Measured at 8 bytes/vector on
+        clustered normalized data: candidate recall 0.539 vs plain PQ's
+        0.489 at oversample 10 (0.341 vs 0.301 at 5) — pinned by
+        tests/test_vector_kernels.py. Here the corpus-scaled oversample
+        makes the exact-dot rerank equal brute force (the oracle), hashing
+        the full train→encode→ADC→rerank pipeline."""
+        from quake_vector_search_spark.operators.quantization import (
+            knn_pq_mips,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        queries = emb.where(F.col("vec_id") < N_QUERIES) \
+                     .withColumnRenamed("vec_id", "query_id")
+        n = emb.count()
+        out = knn_pq_mips(emb, queries, k=K, m=8, ksub=256, eta=3.0,
+                          oversample=max(16, -(-n // (2 * K))))
+        return out.withColumn("score", F.round("score", 6))
+
+
+_register_aniso()

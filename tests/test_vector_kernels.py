@@ -577,3 +577,69 @@ def test_api_compress_index_and_knn_hybrid_facades(spark, tmp_path):
     assert got == {int(q): int(q) for q in qids}
     with _pytest.raises(ValueError, match="unknown method"):
         api.compress_index(idx, method="hnsw")
+
+
+def test_aniso_pq_beats_plain_on_mips(spark):
+    """The anisotropic rung's reason to exist, pinned: at the same
+    byte budget on clustered normalized vectors, score-aware training
+    + encoding yields strictly better MIPS candidate recall than plain
+    PQ (measured at authoring time: 0.539 vs 0.489 at oversample 10).
+    Also pins the η=1 reduction (anisotropic encode == plain argmin
+    encode bit-for-bit)."""
+    import numpy as np
+
+    from quake_vector_search_spark.functions.vector import l2_batch
+    from quake_vector_search_spark.operators.quantization import (
+        _aniso_encode_local,
+        aniso_pq_train,
+        pq_train,
+    )
+    from quake_vector_search_spark.operators.workload import make_dataset
+
+    n, d, m, ksub = 12000, 64, 8, 256
+    emb = make_dataset(spark, n, d=d, n_clusters=50, seed=29)
+
+    def normalize(pdf_iter):
+        import pandas as pd
+        for pdf in pdf_iter:
+            V = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            V /= np.linalg.norm(V, axis=1, keepdims=True)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"],
+                                "embedding": list(V)})
+
+    embn = emb.mapInPandas(normalize,
+                           "vec_id long, embedding array<double>")
+    embn = embn.localCheckpoint()
+    X = np.vstack([r["embedding"] for r in
+                   embn.orderBy("vec_id").collect()])
+    rng = np.random.default_rng(5)
+    Q = X[rng.integers(0, n, 60)] + rng.normal(0, 0.05, (60, d))
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    true = (Q @ X.T).argsort(axis=1)[:, ::-1][:, :10]
+
+    def cand_recall(books, codes, oversample=10):
+        mm, _k, dsub = books.shape
+        score = np.zeros((len(Q), len(X)))
+        for j in range(mm):
+            lut = Q[:, j * dsub:(j + 1) * dsub] @ books[j].T
+            score += lut[:, codes[:, j]]
+        got = score.argsort(axis=1)[:, ::-1][:, :10 * oversample]
+        return float(np.mean([len(set(a) & set(b)) / 10
+                              for a, b in zip(got, true)]))
+
+    plain_books = pq_train(embn, m=m, ksub=ksub, seed=99)
+    plain_codes = _aniso_encode_local(X, plain_books, eta=1.0)
+    aniso_books = aniso_pq_train(embn, m=m, ksub=ksub, eta=3.0,
+                                 seed=99)
+    aniso_codes = _aniso_encode_local(X, aniso_books, eta=3.0)
+    r_plain = cand_recall(plain_books, plain_codes)
+    r_aniso = cand_recall(aniso_books, aniso_codes)
+    assert r_aniso > r_plain, (r_aniso, r_plain)
+
+    # η=1 reduces EXACTLY to plain per-chunk argmin encoding
+    dsub = d // m
+    want = np.stack([np.argmin(l2_batch(X[:500, j*dsub:(j+1)*dsub],
+                                        plain_books[j]), axis=1)
+                     for j in range(m)], axis=1)
+    got1 = _aniso_encode_local(X[:500], plain_books, eta=1.0)
+    assert np.array_equal(got1, want)
