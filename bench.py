@@ -121,6 +121,80 @@ def ivf_workload_n40k(spark) -> dict:
                    n_ins=25, n_del=25, maintain_every=1, curve=False)
 
 
+def aniso_mips_n40k(spark) -> dict:
+    """Anisotropic (score-aware) PQ vs plain PQ for MIPS retrieval at
+    8 bytes/vector (round 8): candidate recall of the true dot-product
+    top-10 inside the ADC top-(10·oversample) on a 40k clustered
+    NORMALIZED corpus — the operating number the rerank stage
+    actually depends on. Same books budget both rungs; the delta is
+    purely the score-aware loss."""
+    import numpy as np
+    import pandas as pd
+
+    from quake_vector_search_spark.operators.quantization import (
+        _aniso_encode_local,
+        aniso_pq_encode,
+        aniso_pq_train,
+        pq_train,
+    )
+    from quake_vector_search_spark.operators.workload import make_dataset
+
+    n, d, m, ksub = 40_000, 64, 8, 256
+    emb = make_dataset(spark, n, d=d, n_clusters=60, seed=7)
+
+    def normalize(batches):
+        for pdf in batches:
+            V = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            V /= np.linalg.norm(V, axis=1, keepdims=True)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"],
+                                "embedding": list(V)})
+
+    embn = emb.mapInPandas(normalize,
+                           "vec_id long, embedding array<double>")
+    embn = embn.localCheckpoint()
+    rows = embn.orderBy("vec_id").collect()
+    X = np.vstack([r["embedding"] for r in rows])
+    rng = np.random.default_rng(5)
+    Q = X[rng.integers(0, n, 100)] + rng.normal(0, 0.05, (100, d))
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    true = (Q @ X.T).argsort(axis=1)[:, ::-1][:, :10]
+
+    def eval_rung(books, eta):
+        t0 = time.time()
+        enc = aniso_pq_encode(embn, books, eta=eta).collect()
+        enc_s = time.time() - t0
+        ids = np.array([r["vec_id"] for r in enc])
+        order = np.argsort(ids)
+        codes = np.vstack([enc[i]["pq_codes"] for i in order])
+        score = np.zeros((len(Q), n))
+        dsub = d // m
+        for j in range(m):
+            lut = Q[:, j * dsub:(j + 1) * dsub] @ books[j].T
+            score += lut[:, codes[:, j]]
+        got = score.argsort(axis=1)[:, ::-1]
+        out = {}
+        for ov in (5, 10):
+            out[f"cand_recall_at_{10*ov}"] = round(float(np.mean(
+                [len(set(a[:10*ov]) & set(b)) / 10
+                 for a, b in zip(got, true)])), 4)
+        out["encode_s"] = round(enc_s, 3)
+        return out
+
+    t0 = time.time()
+    books_p = pq_train(embn, m=m, ksub=ksub, seed=99)
+    plain_train_s = time.time() - t0
+    t0 = time.time()
+    books_a = aniso_pq_train(embn, m=m, ksub=ksub, eta=3.0, seed=99)
+    aniso_train_s = time.time() - t0
+    return {
+        "n_corpus": n, "bytes_per_vector": m,
+        "plain": {"train_s": round(plain_train_s, 3),
+                  **eval_rung(books_p, 1.0)},
+        "anisotropic_eta3": {"train_s": round(aniso_train_s, 3),
+                             **eval_rung(books_a, 3.0)},
+    }
+
+
 def ivf_calibrated_n40k(spark) -> dict:
     """Calibrated APS on the reference's n40k clustered corpus (round
     6, VERDICT r5 #3): a finer 128-partition index + the fitted
@@ -629,6 +703,10 @@ def main() -> None:
     times["ivf_calibrated_n40k"] = round(time.time() - t0, 3)
 
     t0 = time.time()
+    aniso40k = aniso_mips_n40k(spark)
+    times["aniso_mips_n40k"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
     scale400k = ivf_scale_n400k(spark)
     times["ivf_scale_n400k"] = round(time.time() - t0, 3)
     # per-phase keys for bench_compare (evaluation-block growth shows
@@ -648,6 +726,7 @@ def main() -> None:
         "ivf": ivf,
         "ivf_n40k_reference_config": ivf40k,
         "ivf_calibrated_n40k": cal40k,
+        "aniso_mips_n40k": aniso40k,
         "ivf_scale_n400k": scale400k,
     }
     print(json.dumps(payload))
