@@ -478,3 +478,23 @@ def test_bq_candidates_shed_map_side(spark):
     # the local top-k runs in Arrow-batched Python, not a JVM window
     # over the raw product
     assert "MapInPandas" in p or "ArrowEvalPython" in p or "PythonMap" in p
+
+
+def test_aniso_mips_sheds_map_side(spark):
+    """knn_pq_mips keeps knn_pq's plan shape: ADC scoring + local
+    top-k inside mapInPandas (no cross join, no full-corpus window
+    input), candidates join back by id for the exact rerank."""
+    from pyspark.sql import functions as F
+
+    from quake_vector_search_spark.operators.quantization import (
+        knn_pq_mips,
+    )
+    from quake_vector_search_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    qs = (emb.where(F.col("vec_id") < 3)
+          .withColumnRenamed("vec_id", "query_id"))
+    p = _plan(knn_pq_mips(emb, qs, k=5, ksub=16, oversample=2))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "MapInPandas" in p or "ArrowEvalPython" in p or "PythonMap" in p
