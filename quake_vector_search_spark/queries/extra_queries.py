@@ -4385,3 +4385,79 @@ FROM r WHERE rank <= {K}
 
 
 _register_aniso()
+
+
+@register("sparse_bm25_index_capped", sql="""
+WITH tt AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+  WHERE t.term <> ''
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tt GROUP BY 1, 2
+), dfq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), stats AS (
+  SELECT COUNT(DISTINCT doc_id) AS nd FROM documents
+), dfq_cap AS (
+  SELECT dfq.* FROM dfq, stats WHERE dfq.df <= stats.nd / 2
+), dlen AS (
+  SELECT doc_id, COUNT(*) AS len FROM tt GROUP BY 1
+), avgl AS (
+  SELECT AVG(len) AS avg_len FROM dlen
+), post AS (
+  SELECT tf.doc_id, tf.term,
+         ln((stats.nd - dfq_cap.df + 0.5) / (dfq_cap.df + 0.5) + 1)
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dlen.len / avgl.avg_len))
+           AS weight
+  FROM tf JOIN dfq_cap USING (term) JOIN dlen USING (doc_id),
+       stats, avgl
+), q(query_id, term) AS (
+  VALUES (0, 'dup'), (0, 'batch'), (1, 'dup'), (1, 'scan')
+), s AS (
+  SELECT q.query_id, post.doc_id, ROUND(SUM(post.weight), 6) AS score
+  FROM post JOIN q USING (term) GROUP BY 1, 2
+), r AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM s
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
+       CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 10
+""")
+def sparse_bm25_index_capped(spark, sf_dir):
+    """Hot-term guard on the persisted BM25 index (round 8, VERDICT
+    r7 #7): ``query_bm25_index(max_term_df=N/2)`` drops terms whose
+    summed df exceeds half the corpus BEFORE any posting row is read
+    — the stopword-class pruning a 100 TB lexical query needs when a
+    term holds a posting list the size of the corpus while
+    contributing ~zero idf. The query bags pair the testdata's one
+    RARE term ('dup', df ≈ 5% of docs) with stopword-class terms
+    ('batch'/'scan', df ≈ 80%): the cap BINDS at every sf — the hot
+    terms drop, the rare term alone scores — and the DuckDB oracle
+    applies the identical df <= N/2 restriction, so both WHICH terms
+    drop and the exact surviving scores are pinned. Fresh index per
+    run."""
+    import os
+    import shutil
+    import uuid
+
+    from quake_vector_search_spark.operators.sparse_index import (
+        build_bm25_index,
+        query_bm25_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    run = uuid.uuid4().hex[:8]
+    path = f"/tmp/qvss_bm25cap_{os.getpid()}_{run}"
+    build_bm25_index(docs, path)
+    n_docs = docs.count()
+    queries = spark.createDataFrame(
+        [(0, "dup"), (0, "batch"), (1, "dup"), (1, "scan")],
+        "query_id long, term string")
+    res = query_bm25_index(spark, path, queries, k=10,
+                           max_term_df=n_docs // 2).localCheckpoint()
+    shutil.rmtree(path, ignore_errors=True)
+    return res
