@@ -870,7 +870,8 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
                      opq_iters: int = 0,
                      local: bool = False,
                      cell_sample_n: int = 20_000,
-                     sq8: bool = False):
+                     sq8: bool = False,
+                     anisotropic: float | None = None):
     """Build a PQ codes *sidecar* for a published IVF index version:
     train codebooks on a bounded sample of the live corpus, encode every
     vector, and write the codes Parquet partitioned exactly like the
@@ -937,6 +938,49 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
 
     corpus = index.read_corpus()
     enc_cents = None
+    if anisotropic is not None:
+        # ANISOTROPIC flavor (round 8): score-aware books + codes for
+        # COSINE indexes — the corpus is unit-normalized there, so the
+        # dot ordering the anisotropic loss preserves IS the L2
+        # ordering the ADC stage ranks by; raw-L2 indexes gain nothing
+        # from a score-parallel weighting and are refused. Kept
+        # composition-free on purpose: the loss is defined w.r.t. the
+        # ORIGINAL vector direction, and residual/rotated spaces
+        # change that geometry — composing them is future work, not a
+        # silent approximation.
+        if rotate or residual or local or sq8 or opq_iters:
+            raise ValueError(
+                "anisotropic composes with none of rotate/residual/"
+                "local/sq8/opq_iters (the score-aware loss lives in "
+                "the original vector space)")
+        if index.metric != "cosine":
+            raise ValueError(
+                "anisotropic sidecars require a cosine index: on "
+                "unit vectors dot ordering == L2 ordering, which is "
+                "what the score-aware loss preserves")
+        books = aniso_pq_train(corpus, m=m, ksub=ksub,
+                               eta=float(anisotropic), seed=seed,
+                               vec_col=index.vec_col)
+        enc = aniso_pq_encode(corpus, books, eta=float(anisotropic),
+                              id_col=index.id_col,
+                              vec_col=index.vec_col,
+                              keep_cols=("partition_id",))
+        path = os.path.join(index.version_dir, "pq")
+        (enc.write.mode("overwrite").partitionBy("partition_id")
+            .parquet(path))
+        np.save(os.path.join(index.version_dir, "pq_codebooks.npy"),
+                books)
+        for stale in ("pq_rotation.npz", "pq_local_books.npz",
+                      "sq8_params.npz", "pq_centroids.npz"):
+            sp = os.path.join(index.version_dir, stale)
+            if os.path.exists(sp):
+                os.unlink(sp)
+        with open(os.path.join(index.version_dir, "pq_meta.json"),
+                  "w") as fh:
+            json.dump({"residual": False, "m": m,
+                       "ksub": int(books.shape[1]),
+                       "anisotropic": float(anisotropic)}, fh)
+        return books
     if sq8:
         # IVF+SQ8 (the FAISS IVFScalarQuantizer point on the ladder):
         # one uint8 PER DIMENSION instead of m sub-codes — d bytes
@@ -1442,10 +1486,12 @@ def refresh_pq_sidecar(index, books: np.ndarray | None = None) -> bool:
     if os.path.exists(prev_rot):
         rz = np.load(prev_rot)
         rot = {"mean": rz["mean"], "components": rz["components"]}
-    residual = False
+    residual, aniso = False, None
     if os.path.exists(prev_meta_path):
         with open(prev_meta_path) as fh:
-            residual = bool(json.load(fh).get("residual", False))
+            _pm = json.load(fh)
+        residual = bool(_pm.get("residual", False))
+        aniso = _pm.get("anisotropic")
     corpus = index.read_corpus()
     enc_cents = None
     if residual:
@@ -1465,8 +1511,18 @@ def refresh_pq_sidecar(index, books: np.ndarray | None = None) -> bool:
         enc_src = _rotate_corpus(index, corpus, rot)
     else:
         enc_src = corpus
-    enc = pq_encode(enc_src, books, id_col=index.id_col,
-                    vec_col=index.vec_col, keep_cols=("partition_id",))
+    if aniso is not None:
+        # anisotropic sidecar: books model the distribution and carry
+        # forward like global codebooks; the re-encode must use the
+        # SAME score-aware assignment the codes were built with
+        enc = aniso_pq_encode(enc_src, books, eta=float(aniso),
+                              id_col=index.id_col,
+                              vec_col=index.vec_col,
+                              keep_cols=("partition_id",))
+    else:
+        enc = pq_encode(enc_src, books, id_col=index.id_col,
+                        vec_col=index.vec_col,
+                        keep_cols=("partition_id",))
     path = os.path.join(index.version_dir, "pq")
     (enc.write.mode("overwrite").partitionBy("partition_id")
         .parquet(path))
@@ -1476,10 +1532,13 @@ def refresh_pq_sidecar(index, books: np.ndarray | None = None) -> bool:
                  mean=rot["mean"], components=rot["components"])
     if residual:
         save_residual_snapshot(index.version_dir, enc_cents)
+    meta_out = {"residual": residual, "m": int(books.shape[0]),
+                "ksub": int(books.shape[1])}
+    if aniso is not None:
+        meta_out["anisotropic"] = float(aniso)
     with open(os.path.join(index.version_dir, "pq_meta.json"),
               "w") as fh:
-        json.dump({"residual": residual, "m": int(books.shape[0]),
-                   "ksub": int(books.shape[1])}, fh)
+        json.dump(meta_out, fh)
     return True
 
 
@@ -1752,7 +1811,8 @@ def aniso_pq_encode(corpus_df: DataFrame, books: np.ndarray,
                     eta: float = 3.0, cd_passes: int = 2,
                     id_col: str = "vec_id",
                     vec_col: str = "embedding",
-                    code_col: str = "pq_codes") -> DataFrame:
+                    code_col: str = "pq_codes",
+                    keep_cols: tuple = ()) -> DataFrame:
     """Distributed score-aware encoding: books broadcast once, each
     Arrow batch coordinate-descends its own rows (row-local, so the
     result is partition-layout-independent and deterministic)."""
@@ -1767,13 +1827,17 @@ def aniso_pq_encode(corpus_df: DataFrame, books: np.ndarray,
             vecs = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             codes = _aniso_encode_local(vecs, bks, eta,
                                         passes=cd_passes)
-            yield pd.DataFrame({
-                id_col: pdf[id_col].to_numpy(dtype=np.int64),
-                code_col: list(codes)})
+            out = {id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                   code_col: list(codes)}
+            for c in keep_cols:
+                out[c] = pdf[c].to_numpy(dtype=np.int64)
+            yield pd.DataFrame(out)
 
-    return (corpus_df.select(id_col, vec_col)
+    keep_schema = "".join(f", {c} long" for c in keep_cols)
+    return (corpus_df.select(id_col, vec_col, *keep_cols)
             .mapInPandas(encode,
-                         f"{id_col} long, {code_col} array<int>"))
+                         f"{id_col} long, {code_col} array<int>"
+                         f"{keep_schema}"))
 
 
 def knn_pq_mips(corpus_df: DataFrame, queries, k: int = 10,

@@ -211,6 +211,17 @@ def _append_pq_codes(index: IVFIndex, ids: np.ndarray,
             if rot is not None:
                 Xp = (Xp - rot["mean"]) @ rot["components"].T
             codes[mask] = pq_encode_local(Xp, books[int(p)])
+    elif books_cache["meta"].get("anisotropic") is not None:
+        # anisotropic sidecar: streamed codes must come from the SAME
+        # score-aware coordinate-descent assignment the batch encoder
+        # used — plain argmin codes are valid to decode but break the
+        # bit-exact streamed≡batch encoding contract
+        from quake_vector_search_spark.operators.quantization import (
+            _aniso_encode_local,
+        )
+        codes = _aniso_encode_local(
+            enc_vecs, books_cache["books"],
+            float(books_cache["meta"]["anisotropic"]))
     else:
         codes = pq_encode_local(enc_vecs, books_cache["books"])
     # pyarrow Table from the flat code buffer: exact types independent
@@ -249,7 +260,14 @@ def ingest_stream(index: IVFIndex, vectors_stream: DataFrame,
         ids = np.array([r[0] for r in rows], dtype=np.int64)
         vecs = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
         pids = index.insert(ids, vecs)
-        if encode_pq and index.metric == "l2":
+        if encode_pq:
+            if index.metric == "cosine":
+                # the corpus (hence every sidecar's books) stores UNIT
+                # vectors — insert() normalized its own copy, so the
+                # append must encode the same normalized values or the
+                # codes disagree with what the corpus row holds
+                vecs = vecs / (np.linalg.norm(vecs, axis=1,
+                                              keepdims=True) + 1e-12)
             _append_pq_codes(index, ids, vecs, pids, books_cache)
 
     return (vectors_stream.writeStream

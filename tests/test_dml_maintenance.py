@@ -725,3 +725,45 @@ def test_sq8_sidecar_roundtrip_streaming_and_maintenance(spark, tmp_path):
     f2, _ = knn_ivf_pq(idx, (qids, qmat), k=10, target_recall=1.0,
                        max_probe=10**9, oversample=40)
     assert avg_recall(f2, exact2, 10) >= 0.99
+
+
+def test_maintenance_carries_aniso_sidecar(spark, tmp_path):
+    """refresh_pq_sidecar must carry the anisotropic flavor across a
+    version publish: books carry forward (they model the
+    distribution), the re-encode uses the SAME score-aware assignment
+    (spot-checked bit-exactly against the local encoder), and
+    pq_meta.json keeps the anisotropic key so streaming appends keep
+    encoding score-aware."""
+    import json
+    import os
+
+    import numpy as np
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.maintenance import maintain
+    from quake_vector_search_spark.operators.quantization import (
+        _aniso_encode_local,
+        build_pq_sidecar,
+    )
+    from quake_vector_search_spark.operators.workload import make_dataset
+
+    corpus = make_dataset(spark, 700, d=16, n_clusters=5, seed=9)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_aniso_maint"),
+                         coarse_k=4, base_k=2, metric="cosine")
+    books = build_pq_sidecar(idx, m=4, ksub=16, seed=7,
+                             anisotropic=3.0)
+    idx.insert([90_500], np.ones((1, 16)), refresh=False)
+    maintain(idx)
+    with open(os.path.join(idx.version_dir, "pq_meta.json")) as fh:
+        meta = json.load(fh)
+    assert meta.get("anisotropic") == 3.0
+    books2 = np.load(os.path.join(idx.version_dir,
+                                  "pq_codebooks.npy"))
+    assert np.array_equal(books, books2)          # books carried
+    # spot-check: a re-encoded row's codes = score-aware local encode
+    row = (spark.read.parquet(f"{idx.version_dir}/pq")
+           .where("vec_id = 3").collect())
+    v = np.array(idx.read_corpus().where("vec_id = 3")
+                 .select(idx.vec_col).head()[0], dtype=np.float64)
+    want = _aniso_encode_local(v[None, :], books2, 3.0)[0]
+    assert list(row[0]["pq_codes"]) == [int(c) for c in want]

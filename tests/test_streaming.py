@@ -856,3 +856,59 @@ def test_knn_ivf_pq_routed(spark, tmp_path):
             for r in f2.collect()} == want
     with _pytest.raises(ValueError, match="route_cells"):
         knn_ivf_pq(idx, (qids, qmat), k=1, policy="calibrated")
+
+
+def test_streaming_ingest_into_aniso_cosine_sidecar(spark, tmp_path):
+    """Streamed appends into an ANISOTROPIC cosine sidecar (round 8):
+    the streamed code must come from the same score-aware
+    coordinate-descent assignment the batch encoder used, computed on
+    the UNIT-NORMALIZED vector (the corpus stores unit vectors —
+    plain-argmin or unnormalized codes would silently disagree with
+    the on-disk encoding). Pinned bit-exactly, then behaviorally:
+    pure-ADC candidate selection (oversample=1) ranks the streamed
+    vector first for its own query."""
+    import numpy as np
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.quantization import (
+        _aniso_encode_local,
+        build_pq_sidecar,
+        knn_ivf_pq,
+    )
+    from quake_vector_search_spark.operators.workload import make_dataset
+    from quake_vector_search_spark.streaming.ingest import ingest_stream
+
+    corpus = make_dataset(spark, 600, d=16, n_clusters=6, seed=6)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_aniso_stream"),
+                         coarse_k=4, base_k=2, metric="cosine")
+    books = build_pq_sidecar(idx, m=4, ksub=16, seed=7,
+                             anisotropic=3.0)
+
+    rng = np.random.default_rng(41)
+    rows = [(int(80_000 + i), rng.normal(size=16).astype(float).tolist())
+            for i in range(6)]
+    vdir, ckpt = str(tmp_path / "vecs"), str(tmp_path / "ckpt")
+    (spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+     .repartition(2).write.mode("overwrite").parquet(vdir))
+    vstream = (spark.readStream
+               .schema("vec_id long, embedding array<float>")
+               .option("maxFilesPerTrigger", 1).parquet(vdir))
+    q = ingest_stream(idx, vstream, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    probe_id, probe_vec = rows[2]
+    got = (spark.read.parquet(f"{idx.version_dir}/pq")
+           .where(f"vec_id = {probe_id}").collect())
+    assert len(got) == 1
+    # the stream collected float32-rounded values, then normalized
+    v = np.asarray(probe_vec, dtype=np.float32).astype(np.float64)
+    v = v / (np.linalg.norm(v) + 1e-12)
+    want = _aniso_encode_local(v[None, :], books, 3.0)[0]
+    assert list(got[0]["pq_codes"]) == [int(c) for c in want]
+    found, _ = knn_ivf_pq(idx, ([1], np.array([probe_vec])), k=1,
+                          target_recall=1.0, max_probe=10**9,
+                          oversample=1, books=books)
+    assert found.collect()[0]["vec_id"] == probe_id
