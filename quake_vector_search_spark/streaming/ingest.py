@@ -215,13 +215,21 @@ def _append_pq_codes(index: IVFIndex, ids: np.ndarray,
         # anisotropic sidecar: streamed codes must come from the SAME
         # score-aware coordinate-descent assignment the batch encoder
         # used — plain argmin codes are valid to decode but break the
-        # bit-exact streamed≡batch encoding contract
+        # bit-exact streamed≡batch encoding contract. Under the
+        # residual composition enc_vecs already holds r = x − c_p
+        # (subtracted above) and the score-parallel direction is the
+        # ORIGINAL unit vector, recomputed from the incoming batch.
         from quake_vector_search_spark.operators.quantization import (
             _aniso_encode_local,
         )
+        dirs = None
+        if books_cache.get("residual"):
+            orig = np.asarray(vecs, dtype=np.float64)
+            dirs = orig / np.maximum(
+                np.linalg.norm(orig, axis=1, keepdims=True), 1e-12)
         codes = _aniso_encode_local(
             enc_vecs, books_cache["books"],
-            float(books_cache["meta"]["anisotropic"]))
+            float(books_cache["meta"]["anisotropic"]), dirs=dirs)
     else:
         codes = pq_encode_local(enc_vecs, books_cache["books"])
     # pyarrow Table from the flat code buffer: exact types independent

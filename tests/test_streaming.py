@@ -912,3 +912,69 @@ def test_streaming_ingest_into_aniso_cosine_sidecar(spark, tmp_path):
                           target_recall=1.0, max_probe=10**9,
                           oversample=1, books=books)
     assert found.collect()[0]["vec_id"] == probe_id
+
+
+def test_streaming_ingest_into_aniso_residual_sidecar(spark, tmp_path):
+    """Streamed appends into the RESIDUAL anisotropic sidecar: the
+    streamed code must encode r = x − c_p(snapshot) under the
+    score-aware assignment whose direction is the NORMALIZED ORIGINAL
+    vector — pinned bit-exactly against the local encoder, then
+    behaviorally (pure-ADC top-1 on the streamed vector's own
+    query)."""
+    import numpy as np
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.quantization import (
+        _aniso_encode_local,
+        build_pq_sidecar,
+        knn_ivf_pq,
+        load_residual_snapshot,
+    )
+    from quake_vector_search_spark.operators.workload import make_dataset
+    from quake_vector_search_spark.streaming.ingest import ingest_stream
+
+    corpus = make_dataset(spark, 600, d=16, n_clusters=6, seed=8)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_anires_stream"),
+                         coarse_k=4, base_k=2, metric="cosine")
+    books = build_pq_sidecar(idx, m=4, ksub=16, seed=7,
+                             anisotropic=3.0, residual=True)
+
+    rng = np.random.default_rng(43)
+    rows = [(int(85_000 + i), rng.normal(size=16).astype(float).tolist())
+            for i in range(6)]
+    vdir, ckpt = str(tmp_path / "vecs"), str(tmp_path / "ckpt")
+    (spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+     .repartition(2).write.mode("overwrite").parquet(vdir))
+    vstream = (spark.readStream
+               .schema("vec_id long, embedding array<float>")
+               .option("maxFilesPerTrigger", 1).parquet(vdir))
+    q = ingest_stream(idx, vstream, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    probe_id, probe_vec = rows[4]
+    got = (spark.read.parquet(f"{idx.version_dir}/pq")
+           .where(f"vec_id = {probe_id}").collect())
+    assert len(got) == 1
+    pid = int(got[0]["partition_id"]) if "partition_id" in \
+        got[0].asDict() else None
+    # replicate the streaming pipeline: float32 read → normalize →
+    # residual vs the SNAPSHOT centroid → score-aware encode with the
+    # normalized original as direction
+    v = np.asarray(probe_vec, dtype=np.float32).astype(np.float64)
+    v = v / (np.linalg.norm(v) + 1e-12)
+    snap = load_residual_snapshot(idx.version_dir)
+    if pid is None:
+        pid = int(spark.read.parquet(f"{idx.version_dir}/pq")
+                  .where(f"vec_id = {probe_id}")
+                  .select("partition_id").head()[0])
+    r = v - snap[pid]
+    want = _aniso_encode_local(r[None, :], books, 3.0,
+                               dirs=v[None, :])[0]
+    assert list(got[0]["pq_codes"]) == [int(c) for c in want]
+    found, _ = knn_ivf_pq(idx, ([1], np.array([probe_vec])), k=1,
+                          target_recall=1.0, max_probe=10**9,
+                          oversample=1, books=books)
+    assert found.collect()[0]["vec_id"] == probe_id

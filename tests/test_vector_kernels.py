@@ -643,3 +643,63 @@ def test_aniso_pq_beats_plain_on_mips(spark):
                      for j in range(m)], axis=1)
     got1 = _aniso_encode_local(X[:500], plain_books, eta=1.0)
     assert np.array_equal(got1, want)
+
+
+def test_aniso_residual_directions_beat_directionless(spark, tmp_path):
+    """The residual composition's reason to exist, pinned: encoding
+    residuals with the ORIGINAL vector's direction (what the query's
+    score reads) beats direction-less residual encoding at the same
+    byte budget (measured at authoring time: candidate recall@50
+    0.832 vs 0.629 at eta=5 on clustered unit vectors)."""
+    import numpy as np
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.quantization import (
+        _aniso_encode_local,
+        build_pq_sidecar,
+        load_residual_snapshot,
+    )
+    from quake_vector_search_spark.operators.workload import make_dataset
+
+    n, d = 6000, 32
+    emb = make_dataset(spark, n, d=d, n_clusters=30, seed=31)
+    idx = IVFIndex.build(emb, str(tmp_path / "ivf_anires_win"),
+                         coarse_k=8, base_k=4, metric="cosine")
+    books = build_pq_sidecar(idx, m=4, ksub=64, seed=5,
+                             anisotropic=5.0, residual=True)
+    snap = load_residual_snapshot(idx.version_dir)
+    rows = (idx.read_corpus()
+            .select("vec_id", "partition_id", idx.vec_col)
+            .collect())
+    ids = np.array([r["vec_id"] for r in rows])
+    pids = np.array([r["partition_id"] for r in rows])
+    X = np.vstack([r[idx.vec_col] for r in rows]).astype(np.float64)
+    C = np.stack([snap[int(p)] for p in pids])
+    R = X - C
+    dirs = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True),
+                          1e-12)
+
+    rng = np.random.default_rng(3)
+    Q = X[rng.integers(0, n, 40)] + rng.normal(0, 0.05, (40, d))
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    true = (Q @ X.T).argsort(axis=1)[:, ::-1][:, :10]
+
+    def cand_recall(codes):
+        m, _k, dsub = books.shape
+        dec = np.concatenate([books[j][codes[:, j]] for j in range(m)],
+                             axis=1)
+        approx = C + dec
+        sc = Q @ approx.T
+        got = ids[sc.argsort(axis=1)[:, ::-1][:, :50]]
+        tru = ids[true]
+        return float(np.mean([len(set(a) & set(b)) / 10
+                              for a, b in zip(got, tru)]))
+
+    c_dir = _aniso_encode_local(R, books, 5.0, dirs=dirs)
+    c_nodir = _aniso_encode_local(R, books, 1.0)   # plain argmin
+    assert cand_recall(c_dir) > cand_recall(c_nodir)
+    # and the sidecar's persisted codes ARE the direction-aware ones
+    got = {r["vec_id"]: list(r["pq_codes"]) for r in
+           spark.read.parquet(f"{idx.version_dir}/pq").collect()}
+    i = int(np.where(ids == 7)[0][0])
+    assert got[7] == [int(c) for c in c_dir[i]]
