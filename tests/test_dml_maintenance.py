@@ -767,3 +767,49 @@ def test_maintenance_carries_aniso_sidecar(spark, tmp_path):
                  .select(idx.vec_col).head()[0], dtype=np.float64)
     want = _aniso_encode_local(v[None, :], books2, 3.0)[0]
     assert list(row[0]["pq_codes"]) == [int(c) for c in want]
+
+
+def test_maintenance_carries_aniso_residual_sidecar(spark, tmp_path):
+    """The RESIDUAL anisotropic flavor across a version publish:
+    books carry forward, the re-encode runs score-aware with
+    directions rebuilt from the NEW layout's snapshot, and the meta
+    keeps both flags. Spot-checked bit-exactly."""
+    import json
+    import os
+
+    import numpy as np
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.maintenance import maintain
+    from quake_vector_search_spark.operators.quantization import (
+        _aniso_encode_local,
+        build_pq_sidecar,
+        load_residual_snapshot,
+    )
+    from quake_vector_search_spark.operators.workload import make_dataset
+
+    corpus = make_dataset(spark, 700, d=16, n_clusters=5, seed=10)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_anires_maint"),
+                         coarse_k=4, base_k=2, metric="cosine")
+    books = build_pq_sidecar(idx, m=4, ksub=16, seed=7,
+                             anisotropic=3.0, residual=True)
+    idx.insert([91_500], np.ones((1, 16)), refresh=False)
+    maintain(idx)
+    with open(os.path.join(idx.version_dir, "pq_meta.json")) as fh:
+        meta = json.load(fh)
+    assert meta.get("anisotropic") == 3.0 and meta.get("residual")
+    books2 = np.load(os.path.join(idx.version_dir,
+                                  "pq_codebooks.npy"))
+    assert np.array_equal(books, books2)
+    snap = load_residual_snapshot(idx.version_dir)
+    row = (spark.read.parquet(f"{idx.version_dir}/pq")
+           .where("vec_id = 3")
+           .select("pq_codes", "partition_id").collect())
+    pid = int(row[0]["partition_id"])
+    v = np.array(idx.read_corpus().where("vec_id = 3")
+                 .select(idx.vec_col).head()[0], dtype=np.float64)
+    r = v - snap[pid]
+    d = v / (np.linalg.norm(v) + 1e-12)
+    want = _aniso_encode_local(r[None, :], books2, 3.0,
+                               dirs=d[None, :])[0]
+    assert list(row[0]["pq_codes"]) == [int(c) for c in want]
