@@ -1665,12 +1665,17 @@ def knn_bq(corpus_df: DataFrame, queries, k: int = 10,
                 .astype(np.int64).view(np.uint64)          # [n, nwords]
             # XOR every code against every query code, popcount via a
             # 256-entry byte LUT (numpy<2 has no bitwise_count), sum
-            # the 8·nwords bytes → [nq, n] hamming matrix. The batch
-            # tensor is nq·n·nwords·8 B — a few MB at default Arrow
-            # batch sizes.
-            x = qw[:, None, :] ^ codes[None, :, :]
-            ham = popcnt[x.view(np.uint8)].reshape(
-                nq, len(ids), -1).sum(axis=2, dtype=np.int64)
+            # the 8·nwords bytes → [nq, n] hamming matrix. The LUT
+            # gather's uint8 intermediate is 8× the XOR tensor, so
+            # popcount in query blocks of ≤64: peak extra memory is
+            # 64·n·nwords·64 B ≈ 40 MB at default Arrow batch sizes,
+            # independent of the full query-block size.
+            ham = np.empty((nq, len(ids)), dtype=np.int64)
+            for q0 in range(0, nq, 64):
+                x = qw[q0:q0 + 64, None, :] ^ codes[None, :, :]
+                ham[q0:q0 + 64] = popcnt[x.view(np.uint8)].reshape(
+                    x.shape[0], len(ids), -1).sum(axis=2,
+                                                  dtype=np.int64)
             kk = min(kk_cand, len(ids))
             part = topk_cols_2d(ham, ids, kk)
             hk = np.take_along_axis(ham, part, axis=1)
