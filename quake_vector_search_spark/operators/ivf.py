@@ -884,8 +884,9 @@ class IVFIndex:
         with ``margin`` boosted by the worst observed deficit. High
         targets measure ~zero deficit and keep their cutoffs; low
         targets get exactly the cushion the data says they need.
-        Targets outside the fitted range warn at query time
-        (``_calibrated_rule``) and clamp to the nearest fitted cutoff.
+        Targets BELOW the fitted range warn at query time
+        (``_calibrated_rule``) and clamp to the lowest fitted cutoff;
+        above-range asks clamp silently to the most conservative one.
 
         Scale: steps 1-3 are one narrow scan + one brute-force top-k
         over the sample (same cost as ``n_queries`` exact queries) —
