@@ -149,8 +149,12 @@ def query_lsh_index(spark: SparkSession, path: str,
     candidate generation; their members can still surface through
     their other bands. Sizes are counted only for buckets the BATCH
     actually touches (semi-join first), so the guard's cost is
-    batch-bounded, not corpus-bounded. ``None`` (default) keeps exact
-    oracle semantics."""
+    batch-bounded, not corpus-bounded. The count is over PHYSICAL
+    band rows — including tombstoned members until a compact — on
+    purpose: dead rows still flow through the candidate join, and
+    join cost is what the guard bounds (run ``compact_lsh_index``
+    if removals have inflated hot buckets). ``None`` (default) keeps
+    exact oracle semantics."""
     meta = _load_meta(path)
     n = int(meta["n"])
     sig_new = minhash_signatures(new_docs, id_col, text_col, n)
