@@ -186,12 +186,64 @@ def aniso_mips_n40k(spark) -> dict:
     t0 = time.time()
     books_a = aniso_pq_train(embn, m=m, ksub=ksub, eta=3.0, seed=99)
     aniso_train_s = time.time() - t0
+
+    # RESIDUAL composition at the same byte budget: IVFADC codes with
+    # score-aware directions (normalize(r + c_p)) vs direction-less
+    # residual codes, both through the real sidecar path on a cosine
+    # index — the rung the engine actually serves compressed cosine
+    # search with. Candidate metric: true dot top-10 inside the
+    # decode-approximated top-(10·oversample), fullprobe (no APS
+    # pruning noise in the measurement).
+    import shutil as _sh
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+        load_residual_snapshot,
+    )
+
+    wd = "/tmp/qvss_bench_anisores"
+    _sh.rmtree(wd, ignore_errors=True)
+    idx = IVFIndex.build(embn, wd, coarse_k=16, base_k=8,
+                         metric="cosine")
+    res_out = {}
+    for label, kwargs in (("plain_residual", {"residual": True}),
+                          ("aniso_residual",
+                           {"anisotropic": 3.0, "residual": True})):
+        t0 = time.time()
+        books_r = build_pq_sidecar(idx, m=m, ksub=ksub, seed=99,
+                                   **kwargs)
+        build_s = time.time() - t0
+        snap = load_residual_snapshot(idx.version_dir)
+        enc = (idx.spark.read.parquet(f"{idx.version_dir}/pq")
+               .orderBy("vec_id").collect())
+        ids_r = np.array([r["vec_id"] for r in enc])
+        pids_r = np.array([r["partition_id"] for r in enc])
+        codes_r = np.vstack([r["pq_codes"] for r in enc])
+        dsub = d // m
+        dec = np.concatenate([books_r[j][codes_r[:, j]]
+                              for j in range(m)], axis=1)
+        approx = np.stack([snap[int(p)] for p in pids_r]) + dec
+        score = Q @ approx.T
+        got_ids = ids_r[score.argsort(axis=1)[:, ::-1]]
+        # ids_r order == vec_id order == X row order (orderBy above)
+        tru = ids_r[true] if (ids_r == np.arange(n)).all() else \
+            np.array([[ids_r[j] for j in row] for row in true])
+        entry = {"sidecar_build_s": round(build_s, 3)}
+        for ov in (5, 10):
+            entry[f"cand_recall_at_{10*ov}"] = round(float(np.mean(
+                [len(set(a[:10*ov]) & set(b)) / 10
+                 for a, b in zip(got_ids, tru)])), 4)
+        res_out[label] = entry
+    _sh.rmtree(wd, ignore_errors=True)
+
     return {
         "n_corpus": n, "bytes_per_vector": m,
         "plain": {"train_s": round(plain_train_s, 3),
                   **eval_rung(books_p, 1.0)},
         "anisotropic_eta3": {"train_s": round(aniso_train_s, 3),
                              **eval_rung(books_a, 3.0)},
+        **res_out,
     }
 
 

@@ -487,9 +487,14 @@ def compress_index(index: IVFIndex, method: str = "pq", **kwargs):
     (FULL LOPQ: per-cell OPQ rotations AND per-cell codebooks —
     ``opq_iters=N`` refines each cell's rotation), ``"ivf_sq8"``
     (scalar quantizer: one uint8 per dimension — d bytes/vector,
-    higher fidelity than PQ at more scan bytes). Returns the trained
-    codebooks (per-pid dict for lopq, {vmin, scale} for ivf_sq8). Maintenance keeps whichever
-    flavor was built current across split/merge republishes."""
+    higher fidelity than PQ at more scan bytes), ``"aniso"`` /
+    ``"aniso_ivfadc"`` (round 8, COSINE indexes only: score-aware
+    ScaNN-loss books + coordinate-descent codes, plain or
+    residual-composed — the strongest 8-byte rungs for cosine
+    serving; ``anisotropic=η`` overrides the default weight 3.0).
+    Returns the trained codebooks (per-pid dict for lopq,
+    {vmin, scale} for ivf_sq8). Maintenance keeps whichever flavor
+    was built current across split/merge republishes."""
     from quake_vector_search_spark.operators.quantization import (
         build_pq_sidecar,
     )
@@ -502,6 +507,8 @@ def compress_index(index: IVFIndex, method: str = "pq", **kwargs):
         "lopq_rotated": {"residual": True, "local": True,
                          "rotate": True},
         "ivf_sq8": {"sq8": True},
+        "aniso": {"anisotropic": 3.0},
+        "aniso_ivfadc": {"anisotropic": 3.0, "residual": True},
     }
     if method not in flavors:
         raise ValueError(f"unknown method {method!r} "
