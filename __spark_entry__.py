@@ -39,9 +39,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Ordered so the round-6 rotation window (TPC-H battery, dedup family,
-    streaming mirrors, sketches — WINDOW_R6) occupies the first 50
-    entries; rounds 1-5 already driver-verified the previous prefix."""
+    Ordered so the round-8 rotation window (WINDOW_R8: the CDC
+    indexes, serving mirrors, quantization rungs, routed calibration,
+    WAV/BMP decoders, recall guards and the text/relational remainder
+    — the 50 rows never driver-verified through round 7) occupies the
+    first 50 entries; WINDOW_R7 and WINDOW_R6 follow at 51-100 and
+    101-150 (rounds 1-7 already driver-verified those)."""
     return {name: q.fn for name, q in ordered_registry().items()}
 
 
