@@ -1909,7 +1909,8 @@ def knn_pq_mips(corpus_df: DataFrame, queries, k: int = 10,
                 m: int = 8, ksub: int = 256, eta: float = 3.0,
                 oversample: int = 8, seed: int = 99,
                 id_col: str = "vec_id",
-                vec_col: str = "embedding") -> DataFrame:
+                vec_col: str = "embedding",
+                books: np.ndarray | None = None) -> DataFrame:
     """Approximate maximum-inner-product top-k via ANISOTROPIC product
     quantization (the score-aware ladder rung above plain PQ for
     MIPS/cosine workloads):
@@ -1926,7 +1927,10 @@ def knn_pq_mips(corpus_df: DataFrame, queries, k: int = 10,
     Same plan shape as ``knn_pq`` — no full-corpus window, no
     cross join; only the scan's 8-byte codes and the candidate ids
     move. With a corpus-scaled oversample the rerank is empirically
-    exact (brute-force ``dot_topk`` is the oracle)."""
+    exact (brute-force ``dot_topk`` is the oracle). Pass ``books``
+    from a prior ``aniso_pq_train`` (with the SAME eta — assignment
+    and training share the loss) to amortize training across query
+    batches."""
     from quake_vector_search_spark.functions.vector import topk_cols_2d
     from quake_vector_search_spark.operators.knn import (
         _collect_queries,
@@ -1937,8 +1941,9 @@ def knn_pq_mips(corpus_df: DataFrame, queries, k: int = 10,
     qids, qmat = _collect_queries(queries, "query_id", vec_col)
     if len(qids) == 0:
         return _empty_result(spark, "score")
-    books = aniso_pq_train(corpus_df, m=m, ksub=ksub, eta=eta,
-                           seed=seed, vec_col=vec_col)
+    if books is None:
+        books = aniso_pq_train(corpus_df, m=m, ksub=ksub, eta=eta,
+                               seed=seed, vec_col=vec_col)
     enc = aniso_pq_encode(corpus_df, books, eta=eta, id_col=id_col,
                           vec_col=vec_col)
     mm, _ksub, dsub = books.shape
