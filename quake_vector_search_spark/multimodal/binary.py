@@ -427,61 +427,17 @@ def synthesize_bmp_assets(docs: DataFrame) -> DataFrame:
         gen, "asset_id long, content binary")
 
 
-def decode_png(content: bytes) -> np.ndarray:
-    """REAL image decoder, COMPRESSED format (round 8, VERDICT r7 #6):
-    PNG parsed with nothing but stdlib ``zlib`` + NumPy — the first
-    format on the codec seam whose raster is not stored verbatim, so
-    it exercises decode paths the uncompressed trio (PPM/WAV/BMP)
-    cannot: chunk walking with CRC-32 verification, multi-IDAT
-    reassembly, DEFLATE inflation, and per-scanline unfiltering of all
-    five PNG filter types (None/Sub/Up/Average/Paeth). Supports 8-bit
-    truecolor (color type 2, no interlace) and returns (h, w, 3)
-    uint8. Anything else — wrong magic, bad CRC, truncated raster,
-    unsupported bit depth/color/interlace — raises instead of
-    mis-decoding. Scale note: runs inside mapInPandas like every
-    decoder on this seam; the per-row Python unfilter loop is bounded
-    by the image height, not the corpus."""
-    import struct
-    import zlib
+# Adam7 interlace pass grid: (x_start, y_start, x_step, y_step)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
-    b = bytes(content) if isinstance(content, (bytes, bytearray)) else b""
-    sig = b"\x89PNG\r\n\x1a\n"
-    if len(b) < 8 or b[:8] != sig:
-        raise ValueError("decode_png: bad signature")
-    pos, ihdr, idat, ended = 8, None, [], False
-    while pos + 8 <= len(b):
-        (length,), ctype = struct.unpack(">I", b[pos:pos + 4]), \
-            b[pos + 4:pos + 8]
-        payload = b[pos + 8:pos + 8 + length]
-        if len(payload) != length or pos + 12 + length > len(b):
-            raise ValueError(f"decode_png: truncated {ctype!r} chunk")
-        (crc,) = struct.unpack(">I", b[pos + 8 + length:pos + 12 + length])
-        if zlib.crc32(ctype + payload) & 0xFFFFFFFF != crc:
-            raise ValueError(f"decode_png: CRC mismatch in {ctype!r}")
-        if ctype == b"IHDR":
-            ihdr = payload
-        elif ctype == b"IDAT":
-            idat.append(payload)
-        elif ctype == b"IEND":
-            ended = True
-            break
-        # ancillary chunks (tEXt, pHYs, ...) are skipped
-        pos += 12 + length
-    if ihdr is None or not idat or not ended:
-        raise ValueError("decode_png: missing IHDR/IDAT/IEND")
-    w, h, depth, color, comp, filt, interlace = struct.unpack(
-        ">IIBBBBB", ihdr)
-    if depth != 8 or color != 2:
-        raise ValueError(f"decode_png: only 8-bit RGB supported "
-                         f"(depth={depth}, color={color})")
-    if comp != 0 or filt != 0 or interlace != 0:
-        raise ValueError("decode_png: unsupported compression/filter/"
-                         "interlace method")
-    raw = zlib.decompress(b"".join(idat))
+
+def _png_unfilter(raw: bytes, h: int, w: int) -> np.ndarray:
+    """Undo PNG scanline filtering for one (sub-)image: ``raw`` holds
+    h rows of (1 filter byte + w·3 sample bytes). Returns (h, w·3)
+    uint8. Shared by the sequential and Adam7 paths — each interlace
+    pass is its own independently-filtered sub-image."""
     stride = w * 3
-    if len(raw) != h * (1 + stride):
-        raise ValueError(f"decode_png: raster is {len(raw)} bytes, "
-                         f"expected {h * (1 + stride)}")
     out = np.zeros((h, stride), dtype=np.uint8)
     bpp = 3
     for y in range(h):
@@ -515,7 +471,89 @@ def decode_png(content: bytes) -> np.ndarray:
                         f"decode_png: unknown filter type {ft}")
                 cur[i] = (line[i] + pred) & 0xFF
         out[y] = cur.astype(np.uint8)
-    return out.reshape(h, w, 3)
+    return out
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    """REAL image decoder, COMPRESSED format (round 8, VERDICT r7 #6):
+    PNG parsed with nothing but stdlib ``zlib`` + NumPy — the first
+    format on the codec seam whose raster is not stored verbatim, so
+    it exercises decode paths the uncompressed trio (PPM/WAV/BMP)
+    cannot: chunk walking with CRC-32 verification, multi-IDAT
+    reassembly, DEFLATE inflation, per-scanline unfiltering of all
+    five PNG filter types (None/Sub/Up/Average/Paeth), and BOTH
+    interlace methods — sequential and Adam7 (7 independently
+    filtered sub-images scattered over the pass grid). Supports 8-bit
+    truecolor (color type 2) and returns (h, w, 3) uint8. Anything
+    else — wrong magic, bad CRC, truncated raster, unsupported bit
+    depth/color — raises instead of mis-decoding. Scale note: runs
+    inside mapInPandas like every decoder on this seam; the per-row
+    Python unfilter loop is bounded by the image height, not the
+    corpus."""
+    import struct
+    import zlib
+
+    b = bytes(content) if isinstance(content, (bytes, bytearray)) else b""
+    sig = b"\x89PNG\r\n\x1a\n"
+    if len(b) < 8 or b[:8] != sig:
+        raise ValueError("decode_png: bad signature")
+    pos, ihdr, idat, ended = 8, None, [], False
+    while pos + 8 <= len(b):
+        (length,), ctype = struct.unpack(">I", b[pos:pos + 4]), \
+            b[pos + 4:pos + 8]
+        payload = b[pos + 8:pos + 8 + length]
+        if len(payload) != length or pos + 12 + length > len(b):
+            raise ValueError(f"decode_png: truncated {ctype!r} chunk")
+        (crc,) = struct.unpack(">I", b[pos + 8 + length:pos + 12 + length])
+        if zlib.crc32(ctype + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"decode_png: CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = payload
+        elif ctype == b"IDAT":
+            idat.append(payload)
+        elif ctype == b"IEND":
+            ended = True
+            break
+        # ancillary chunks (tEXt, pHYs, ...) are skipped
+        pos += 12 + length
+    if ihdr is None or not idat or not ended:
+        raise ValueError("decode_png: missing IHDR/IDAT/IEND")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr)
+    if depth != 8 or color != 2:
+        raise ValueError(f"decode_png: only 8-bit RGB supported "
+                         f"(depth={depth}, color={color})")
+    if comp != 0 or filt != 0 or interlace not in (0, 1):
+        raise ValueError("decode_png: unsupported compression/filter/"
+                         "interlace method")
+    raw = zlib.decompress(b"".join(idat))
+    if interlace == 0:
+        stride = w * 3
+        if len(raw) != h * (1 + stride):
+            raise ValueError(f"decode_png: raster is {len(raw)} bytes,"
+                             f" expected {h * (1 + stride)}")
+        return _png_unfilter(raw, h, w).reshape(h, w, 3)
+    # Adam7: 7 passes, each an independently filtered sub-image whose
+    # pixels scatter onto the (x0 + i·xs, y0 + j·ys) grid; empty
+    # passes (grid misses the image) contribute zero bytes
+    out = np.zeros((h, w, 3), dtype=np.uint8)
+    pos = 0
+    for x0, y0, xs, ys in _ADAM7:
+        pw = (w - x0 + xs - 1) // xs
+        ph = (h - y0 + ys - 1) // ys
+        if pw <= 0 or ph <= 0:
+            continue
+        need = ph * (1 + pw * 3)
+        sub = raw[pos:pos + need]
+        if len(sub) != need:
+            raise ValueError("decode_png: truncated Adam7 pass")
+        pos += need
+        px = _png_unfilter(sub, ph, pw).reshape(ph, pw, 3)
+        out[y0::ys, x0::xs] = px
+    if pos != len(raw):
+        raise ValueError(f"decode_png: {len(raw) - pos} trailing "
+                         "bytes after the last Adam7 pass")
+    return out
 
 
 def synthesize_png_assets(docs: DataFrame) -> DataFrame:
@@ -526,7 +564,11 @@ def synthesize_png_assets(docs: DataFrame) -> DataFrame:
     PNG filters (so the decoder's Sub/Up/Average/Paeth inverses are
     exercised on every image tall enough), DEFLATE-compressed, split
     across TWO IDAT chunks (reassembly path), with a junk tEXt chunk
-    between them (ancillary skip) and real CRCs throughout.
+    between them (ancillary skip) and real CRCs throughout. ODD
+    doc_ids encode ADAM7-INTERLACED (7 independently filtered
+    sub-images) so both raster layouts run under the same oracle —
+    the pixel features are layout-invariant, so the registry row's
+    hash pins both decode paths at once.
     width = n_chars % 6 + 2, height = n_chars % 4 + 2."""
     import struct
     import zlib
@@ -536,47 +578,64 @@ def synthesize_png_assets(docs: DataFrame) -> DataFrame:
                 + struct.pack(">I", zlib.crc32(ctype + payload)
                               & 0xFFFFFFFF))
 
+    def filt_rows(px):
+        """Filter-encode one (sub-)image [h, stride] int32 with
+        cycling filter types — the exact inverse _png_unfilter
+        undoes."""
+        h, stride = px.shape
+        bpp = 3
+        raw = bytearray()
+        for y in range(h):
+            ft = y % 5
+            raw.append(ft)
+            prev = px[y - 1] if y else np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = px[y][i - bpp] if i >= bpp else 0
+                bb = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                if ft == 0:
+                    pred = 0
+                elif ft == 1:
+                    pred = a
+                elif ft == 2:
+                    pred = bb
+                elif ft == 3:
+                    pred = (a + bb) // 2
+                else:
+                    p = a + bb - c
+                    pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        bb if pb <= pc else c)
+                raw.append((int(px[y][i]) - pred) & 0xFF)
+        return bytes(raw)
+
     def gen(batches):
         for pdf in batches:
             payloads = []
-            for text in pdf["text"]:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 t = text or ""
                 w = (len(t) % 6) + 2
                 h = (len(t) % 4) + 2
-                px = np.array(
+                px3 = np.array(
                     [int(hashlib.md5(f"{t}:p:{k}".encode())
                          .hexdigest()[:15], 16) % 256
                      for k in range(w * h * 3)],
-                    dtype=np.int32).reshape(h, w * 3)
-                bpp, stride = 3, w * 3
-                raw = bytearray()
-                for y in range(h):
-                    ft = y % 5
-                    raw.append(ft)
-                    prev = px[y - 1] if y else np.zeros(stride,
-                                                        dtype=np.int32)
-                    for i in range(stride):
-                        a = px[y][i - bpp] if i >= bpp else 0
-                        bb = prev[i]
-                        c = prev[i - bpp] if i >= bpp else 0
-                        if ft == 0:
-                            pred = 0
-                        elif ft == 1:
-                            pred = a
-                        elif ft == 2:
-                            pred = bb
-                        elif ft == 3:
-                            pred = (a + bb) // 2
-                        else:
-                            p = a + bb - c
-                            pa, pb, pc = abs(p - a), abs(p - bb), \
-                                abs(p - c)
-                            pred = a if (pa <= pb and pa <= pc) else (
-                                bb if pb <= pc else c)
-                        raw.append((int(px[y][i]) - pred) & 0xFF)
-                comp = zlib.compress(bytes(raw))
+                    dtype=np.int32).reshape(h, w, 3)
+                interlace = int(doc_id) % 2
+                if interlace:
+                    raw = b"".join(
+                        filt_rows(px3[y0::ys, x0::xs]
+                                  .reshape(-1, ((w - x0 + xs - 1)
+                                                // xs) * 3))
+                        for x0, y0, xs, ys in _ADAM7
+                        if (w - x0 + xs - 1) // xs > 0
+                        and (h - y0 + ys - 1) // ys > 0)
+                else:
+                    raw = filt_rows(px3.reshape(h, w * 3))
+                comp = zlib.compress(raw)
                 cut = max(1, len(comp) // 2)
-                ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+                ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0,
+                                   interlace)
                 payloads.append(
                     b"\x89PNG\r\n\x1a\n"
                     + chunk(b"IHDR", ihdr)

@@ -267,22 +267,17 @@ def test_decode_bmp_roundtrip_property(w, h, top_down, gap, data):
     assert out.ravel().tolist() == vals
 
 
-def _png(w, h, vals, filters=None, n_idat=2, junk_chunk=True,
-         level=6):
-    """Minimal PNG encoder for tests: per-row filter types (default:
-    cycle 0-4), DEFLATE, optional IDAT split + ancillary chunk."""
-    import struct
-    import zlib
-
+def _png_filt(px, filters):
+    """Filter-encode one (sub-)image [h, stride] int32."""
     import numpy as np
 
-    px = np.asarray(vals, dtype=np.int32).reshape(h, w * 3)
+    h, stride = px.shape
     raw = bytearray()
     for y in range(h):
         ft = (y % 5) if filters is None else filters[y % len(filters)]
         raw.append(ft)
-        prev = px[y - 1] if y else np.zeros(w * 3, dtype=np.int32)
-        for i in range(w * 3):
+        prev = px[y - 1] if y else np.zeros(stride, dtype=np.int32)
+        for i in range(stride):
             a = px[y][i - 3] if i >= 3 else 0
             b = prev[i]
             c = prev[i - 3] if i >= 3 else 0
@@ -300,14 +295,39 @@ def _png(w, h, vals, filters=None, n_idat=2, junk_chunk=True,
                 pred = a if (pa <= pb and pa <= pc) else (
                     b if pb <= pc else c)
             raw.append((int(px[y][i]) - pred) & 0xFF)
-    comp = zlib.compress(bytes(raw), level)
+    return bytes(raw)
+
+
+def _png(w, h, vals, filters=None, n_idat=2, junk_chunk=True,
+         level=6, interlace=0):
+    """Minimal PNG encoder for tests: per-row filter types (default:
+    cycle 0-4), DEFLATE, optional IDAT split + ancillary chunk,
+    optional Adam7 interlacing."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px3 = np.asarray(vals, dtype=np.int32).reshape(h, w, 3)
+    if interlace:
+        from quake_vector_search_spark.multimodal.binary import _ADAM7
+        raw = b"".join(
+            _png_filt(px3[y0::ys, x0::xs]
+                      .reshape(-1, ((w - x0 + xs - 1) // xs) * 3),
+                      filters)
+            for x0, y0, xs, ys in _ADAM7
+            if (w - x0 + xs - 1) // xs > 0
+            and (h - y0 + ys - 1) // ys > 0)
+    else:
+        raw = _png_filt(px3.reshape(h, w * 3), filters)
+    comp = zlib.compress(raw, level)
 
     def chunk(ct, pl):
         return (struct.pack(">I", len(pl)) + ct + pl
                 + struct.pack(">I", zlib.crc32(ct + pl) & 0xFFFFFFFF))
 
     out = b"\x89PNG\r\n\x1a\n" + chunk(
-        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, interlace))
     if n_idat <= 1:
         out += chunk(b"IDAT", comp)
     else:
@@ -359,13 +379,17 @@ def test_decode_png_grammar_and_errors():
 @settings(max_examples=40, deadline=None)
 @given(w=st.integers(1, 7), h=st.integers(1, 6),
        ft=st.sampled_from([None, [0], [1], [2], [3], [4]]),
+       interlace=st.sampled_from([0, 1]),
        data=st.data())
-def test_decode_png_roundtrip_property(w, h, ft, data):
+def test_decode_png_roundtrip_property(w, h, ft, interlace, data):
     """Property: any 8-bit RGB raster round-trips exactly through
     filter-encode → DEFLATE → decode_png, for every single filter
-    type and the cycling mix, at any dims."""
+    type and the cycling mix, at any dims, SEQUENTIAL and ADAM7
+    (whose 7 independently filtered sub-images include every
+    empty-pass edge case at small dims)."""
     vals = data.draw(st.lists(st.integers(0, 255),
                               min_size=w * h * 3, max_size=w * h * 3))
-    out = MM.decode_png(_png(w, h, vals, filters=ft))
+    out = MM.decode_png(_png(w, h, vals, filters=ft,
+                             interlace=interlace))
     assert out.shape == (h, w, 3)
     assert out.ravel().tolist() == vals
