@@ -703,3 +703,39 @@ def test_aniso_residual_directions_beat_directionless(spark, tmp_path):
            spark.read.parquet(f"{idx.version_dir}/pq").collect()}
     i = int(np.where(ids == 7)[0][0])
     assert got[7] == [int(c) for c in c_dir[i]]
+
+
+@settings(max_examples=30, deadline=None)
+@given(n=st.integers(4, 40), m=st.sampled_from([2, 4]),
+       ksub=st.integers(2, 8), eta=st.sampled_from([1.5, 3.0, 8.0]),
+       seed=st.integers(0, 10_000))
+def test_aniso_cd_never_increases_loss(n, m, ksub, eta, seed):
+    """Property: coordinate-descent assignment monotonically improves
+    (never worsens) the anisotropic loss relative to the plain-argmin
+    init, for any data, codebooks, chunking, and weight — each CD
+    step picks the exact per-chunk minimizer of the full objective,
+    so the total can only go down."""
+    import numpy as np
+
+    from quake_vector_search_spark.operators.quantization import (
+        _aniso_encode_local,
+    )
+
+    rng = np.random.default_rng(seed)
+    d = m * 4
+    X = rng.normal(size=(n, d))
+    books = np.stack([rng.normal(size=(ksub, 4)) for _ in range(m)])
+
+    def loss(codes):
+        dec = np.concatenate([books[j][codes[:, j]] for j in range(m)],
+                             axis=1)
+        E = X - dec
+        r = np.linalg.norm(X, axis=1, keepdims=True)
+        Xh = X / np.maximum(r, 1e-12)
+        t = (E * Xh).sum(axis=1)
+        return float(((E ** 2).sum(axis=1)
+                      + (eta - 1.0) * t ** 2).sum())
+
+    init = _aniso_encode_local(X, books, 1.0)        # plain argmin
+    out = _aniso_encode_local(X, books, eta)
+    assert loss(out) <= loss(init) + 1e-9
