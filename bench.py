@@ -394,6 +394,31 @@ def ivf_scale_n400k(spark) -> dict:
             })
     policy_eval_s = time.time() - t0
 
+    # ROUTED operating point (round 8, NOTES r7 #4): two-level APS at
+    # the scale block — coarse routing to 8 of 32 cells bounds the
+    # per-query score matrix at partition counts where even the full
+    # centroid scan is a cost, and the calibration is refit UNDER the
+    # restriction (the routed softmax renormalizes; full-fit cutoffs
+    # do not transfer). Same 200 eval queries, target 0.9.
+    t0 = time.time()
+    idx.calibrate(n_queries=256, margin=0.05, route_cells=8)
+    f, m2 = idx.search((qids_xl, qmat_xl), k=K, target_recall=0.9,
+                       policy="calibrated", route_cells=8,
+                       max_probe=len(idx.part_ids))
+    f = f.cache()
+    f.count()
+    routed = {
+        "route_cells": 8, "n_coarse_cells": 32,
+        "target_recall": 0.9, "n_eval_queries": 200,
+        "avg_nprobe": round(m2["avg_nprobe"], 2),
+        "scanned_frac": round(m2["avg_scanned"] / n, 4),
+        "recall_at_10": round(avg_recall(f, exact_xl, K), 4),
+    }
+    routed_eval_s = time.time() - t0
+    # restore the FULL fit so later blocks (PQ ladder searches) see
+    # the unrestricted calibration the r7 artifact was recorded under
+    idx.calibrate(n_queries=256, margin=0.05)
+
     # PQ ladder at the same 8-byte budget. Plain-sidecar values are
     # computed BEFORE the residual build overwrites the codes files
     # (round-6 measurement bug: a cached DataFrame is a hint, not a
@@ -457,6 +482,7 @@ def ivf_scale_n400k(spark) -> dict:
             "calibrate": round(calibrate_s, 3),
             "truth": round(truth_s, 3),
             "policy_eval": round(policy_eval_s, 3),
+            "routed_eval": round(routed_eval_s, 3),
             "pq_ladder": round(pq_build_s + pq_search_s + res_build_s
                                + res_search_s + lopq_build_s
                                + lopq_search_s, 3),
@@ -464,6 +490,7 @@ def ivf_scale_n400k(spark) -> dict:
         "temperature": cal["temperature"],
         "calibration_deficits": cal.get("deficits"),
         "points": pts,
+        "routed_point": routed,
         "ivf_pq": {
             "sidecar_build_s": round(pq_build_s, 3),
             "batch50_ms": round(1000 * pq_search_s, 1),
