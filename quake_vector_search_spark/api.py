@@ -238,6 +238,18 @@ def knn_graph(emb: DataFrame, k: int = 5, block_col: str = "label",
     return fn(emb, k=k, block_col=block_col, **kwargs)
 
 
+def dsir_select(raw: DataFrame, target: DataFrame, n: int,
+                **kwargs) -> DataFrame:
+    """DSIR data selection (operators/sampling.py): the top-n raw
+    documents whose hashed-ngram distribution is most target-like —
+    importance resampling between crawl and tokenizer (Xie et al.,
+    NeurIPS'23). Exact integer microlog weights, deterministic."""
+    from quake_vector_search_spark.operators.sampling import (
+        dsir_select as _dsir,
+    )
+    return _dsir(raw, target, n, **kwargs)
+
+
 def decontaminate(train: DataFrame, eval_docs: DataFrame,
                   **kwargs) -> DataFrame:
     """GPT-3-style n-gram benchmark decontamination flags

@@ -181,3 +181,96 @@ def mixture_sample(df: DataFrame, weights: dict[str, float], n_total: int,
             .withColumn("_rk", F.row_number().over(w))
             .where(F.col("_rk") <= F.col("_quota"))
             .drop("_rk", "_quota"))
+
+
+def dsir_weights(raw: DataFrame, target: DataFrame,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 n_buckets: int = 1024,
+                 alpha: float = 1.0) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al., NeurIPS
+    2023) — the principled version of "pick raw-corpus documents that
+    look like the target distribution", the data-selection step of an
+    LLM pretraining pipeline:
+
+    1. featurize both sides as HASHED n-gram counts (unigrams +
+       bigrams → ``n_buckets`` via the engine-portable md5 hash);
+    2. fit two bag-of-buckets models with Laplace smoothing,
+       p̂(b) = (c_b + α) / (total + α·B);
+    3. score every raw document with its importance log-weight
+       Σ_b c_b(doc) · ln(p̂_target(b) / p̂_raw(b)).
+
+    Cross-engine exactness (the repo's _r6 discipline, adapted to
+    logs): the per-bucket log-ratio is frozen as an INTEGER microlog
+    L(b) = round(1e6 · ln ratio) — one libm ln per bucket, B of them,
+    agreeing across engines to 1 ulp — and each document's weight is
+    the exact integer Σ c_b·L(b). Summation order can never flip a
+    hash, unlike a float Σ of per-gram logs.
+
+    Scale: featurization is a narrow explode; the two model fits are
+    B-bounded aggregates (map-side combined — the shuffle moves
+    buckets, not occurrences); the scoring join broadcasts the B-row
+    ratio table against the doc-bucket counts. No collect touches
+    anything data-sized (two scalar totals only).
+
+    Returns (id, n_grams, w_micro) — w_micro is the integer microlog
+    weight; rank descending for target-likeness.
+    """
+    def grams(df):
+        w = F.split(F.col(text_col), " ")
+        uni = (df.select(F.col(id_col), F.explode(w).alias("g"))
+               .where(F.col("g") != ""))
+        pairs = F.expr(
+            "CASE WHEN size(_w) >= 2 THEN "
+            "transform(sequence(1, size(_w) - 1), "
+            "i -> concat(element_at(_w, i), ' ', "
+            "element_at(_w, i + 1))) ELSE array() END")
+        bi = (df.select(F.col(id_col), w.alias("_w"))
+              .select(id_col, F.explode(pairs).alias("g")))
+        both = uni.unionByName(bi)
+        return both.withColumn(
+            "bucket",
+            F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10)
+            .cast("long") % n_buckets).drop("g")
+
+    g_raw = grams(raw)
+    g_tgt = grams(target)
+    c_raw = g_raw.groupBy("bucket").agg(F.count("*").alias("c_r"))
+    c_tgt = g_tgt.groupBy("bucket").agg(F.count("*").alias("c_t"))
+    # two scalar totals (driver-side metadata, like the quota tables)
+    tot_r = c_raw.agg(F.sum("c_r")).collect()[0][0] or 0
+    tot_t = c_tgt.agg(F.sum("c_t")).collect()[0][0] or 0
+    denom_r = float(tot_r) + alpha * n_buckets
+    denom_t = float(tot_t) + alpha * n_buckets
+    # only buckets present in RAW can be scored — a raw doc never
+    # holds a bucket with c_r = 0
+    ratio = (c_raw.join(c_tgt, "bucket", "left")
+             .select("bucket",
+                     F.round(F.log(
+                         ((F.coalesce(F.col("c_t"), F.lit(0))
+                           + F.lit(alpha)) / F.lit(denom_t))
+                         / ((F.col("c_r") + F.lit(alpha))
+                            / F.lit(denom_r))) * 1e6)
+                     .cast("long").alias("l_micro")))
+    doc_b = g_raw.groupBy(id_col, "bucket").agg(
+        F.count("*").alias("c"))
+    return (doc_b.join(F.broadcast(ratio), "bucket")
+            .groupBy(id_col)
+            .agg(F.sum("c").alias("n_grams"),
+                 F.sum(F.col("c") * F.col("l_micro"))
+                 .alias("w_micro")))
+
+
+def dsir_select(raw: DataFrame, target: DataFrame, n: int,
+                id_col: str = "doc_id", text_col: str = "text",
+                **kwargs) -> DataFrame:
+    """Top-``n`` raw documents by DSIR importance weight — the
+    selected training subset. Deterministic: exact integer weights,
+    (w_micro DESC, id ASC) tie-break. orderBy().limit() compiles to
+    TakeOrderedAndProject — per-partition top-n then a driver merge
+    of n-bounded slices, never a single-task global sort (the same
+    shape as every global top-n in the engine)."""
+    wts = dsir_weights(raw, target, id_col=id_col, text_col=text_col,
+                       **kwargs)
+    return (wts.orderBy(F.col("w_micro").desc(), F.col(id_col).asc())
+            .limit(n)
+            .select(id_col, "n_grams", "w_micro"))

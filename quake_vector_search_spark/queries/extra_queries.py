@@ -4630,3 +4630,86 @@ def ivf_aniso_residual_fullprobe(spark, sf_dir):
 
 
 _ANISO_RES_IVF_CACHE: dict = {}
+
+
+@register("q_dsir_select", sql="""
+WITH tgt AS (
+  SELECT doc_id, text FROM documents WHERE lang = 'en'
+), rawd AS (
+  SELECT doc_id, text FROM documents WHERE lang <> 'en'
+), g_raw AS (
+  SELECT doc_id, g FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS g FROM rawd
+  ) WHERE g <> ''
+  UNION ALL
+  SELECT doc_id,
+         unnest(CASE WHEN len(w) >= 2
+                THEN list_transform(range(1, len(w)),
+                                    i -> w[i] || ' ' || w[i + 1])
+                ELSE [] END) AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM rawd)
+), g_tgt AS (
+  SELECT g FROM (
+    SELECT unnest(string_split(text, ' ')) AS g FROM tgt
+  ) WHERE g <> ''
+  UNION ALL
+  SELECT unnest(CASE WHEN len(w) >= 2
+                THEN list_transform(range(1, len(w)),
+                                    i -> w[i] || ' ' || w[i + 1])
+                ELSE [] END) AS g
+  FROM (SELECT string_split(text, ' ') AS w FROM tgt)
+), b_raw AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)
+           % 1024 AS bucket
+  FROM g_raw
+), c_raw AS (
+  SELECT bucket, COUNT(*) AS c_r FROM b_raw GROUP BY 1
+), c_tgt AS (
+  SELECT CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)
+           % 1024 AS bucket, COUNT(*) AS c_t
+  FROM g_tgt GROUP BY 1
+), tot AS (
+  SELECT (SELECT COALESCE(SUM(c_r), 0) FROM c_raw) AS tr,
+         (SELECT COALESCE(SUM(c_t), 0) FROM c_tgt) AS tt
+), ratio AS (
+  SELECT c_raw.bucket,
+         CAST(round(ln(((COALESCE(c_tgt.c_t, 0) + 1.0)
+                        / (tot.tt + 1024.0))
+                       / ((c_raw.c_r + 1.0) / (tot.tr + 1024.0)))
+                    * 1000000) AS BIGINT) AS l
+  FROM c_raw LEFT JOIN c_tgt USING (bucket), tot
+), docb AS (
+  SELECT doc_id, bucket, COUNT(*) AS c FROM b_raw GROUP BY 1, 2
+), w AS (
+  SELECT doc_id, SUM(c) AS n_grams, SUM(c * l) AS w_micro
+  FROM docb JOIN ratio USING (bucket) GROUP BY 1
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(w_micro AS BIGINT) AS w_micro
+FROM w ORDER BY w_micro DESC, doc_id ASC LIMIT 50
+""")
+def q_dsir_select(spark, sf_dir):
+    """DSIR data selection (round 8; Xie et al., NeurIPS'23 — "Data
+    Selection for Language Models via Importance Resampling"): pick
+    the 50 non-English documents whose hashed-ngram distribution is
+    most English-target-like — the importance-weighting step every
+    pretraining pipeline runs between crawl and tokenizer. Unigram +
+    bigram features hashed into 1024 buckets (portable md5), two
+    Laplace-smoothed bag-of-buckets models, per-doc weight
+    Σ c_b·L(b) with L(b) the INTEGER microlog round(1e6·ln ratio) —
+    the _r6 exactness discipline adapted to logs: one libm ln per
+    bucket (engines agree to 1 ulp) and pure integer arithmetic from
+    there, so summation order can never flip the hash. The oracle
+    re-derives the full pipeline (featurize → fit → score → top-n);
+    the Spark plan is explode → B-bounded aggregates → broadcast
+    ratio join → TakeOrdered."""
+    from quake_vector_search_spark.operators.sampling import (
+        dsir_select,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_select(docs.where(F.col("lang") != "en"),
+                       docs.where(F.col("lang") == "en"), n=50)
+
+

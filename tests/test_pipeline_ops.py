@@ -1403,3 +1403,39 @@ def test_bm25_index_hot_term_cap(spark, tmp_path):
     capped = query_bm25_index(spark, path, q, k=500, max_term_df=50)
     got = capped.collect()
     assert len(got) == 1 and got[0]["doc_id"] == 0
+
+
+def test_dsir_selects_target_like_docs(spark):
+    """DSIR semantics on a constructed fixture: raw docs written in
+    the target's vocabulary must out-rank raw docs written in a
+    disjoint vocabulary, exact integer weights, deterministic
+    tie-break, and n_grams = unigrams + bigrams."""
+    from quake_vector_search_spark.operators.sampling import (
+        dsir_select,
+        dsir_weights,
+    )
+
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta alpha beta")
+         for i in range(6)],
+        "doc_id long, text string")
+    raw = spark.createDataFrame(
+        [(0, "alpha beta gamma"),            # target-like
+         (1, "alpha beta"),                  # target-like, shorter
+         (2, "zig zag zug quux"),            # disjoint vocab
+         (3, "zag zug"),                     # disjoint vocab
+         (4, "alpha zig")],                  # mixed
+        "doc_id long, text string")
+    top2 = [r["doc_id"] for r in
+            dsir_select(raw, target, n=2).collect()]
+    assert set(top2) == {0, 1}
+    wts = {r["doc_id"]: (r["n_grams"], r["w_micro"])
+           for r in dsir_weights(raw, target).collect()}
+    # n_grams = unigrams + bigrams
+    assert wts[0][0] == 3 + 2 and wts[3][0] == 2 + 1
+    # target-vocabulary docs carry positive weight, disjoint negative
+    assert wts[0][1] > 0 > wts[2][1]
+    # determinism: exact integers, identical on rerun
+    wts2 = {r["doc_id"]: (r["n_grams"], r["w_micro"])
+            for r in dsir_weights(raw, target).collect()}
+    assert wts2 == wts
