@@ -274,3 +274,36 @@ def dsir_select(raw: DataFrame, target: DataFrame, n: int,
     return (wts.orderBy(F.col("w_micro").desc(), F.col(id_col).asc())
             .limit(n)
             .select(id_col, "n_grams", "w_micro"))
+
+
+def dsir_sample(raw: DataFrame, target: DataFrame, n: int,
+                temperature: float = 1.0, seed: int = 47,
+                id_col: str = "doc_id", text_col: str = "text",
+                **kwargs) -> DataFrame:
+    """DSIR's actual RESAMPLING step (Xie et al. §2: sample without
+    replacement ∝ importance weight) — the stochastic counterpart of
+    ``dsir_select``'s deterministic top-n, via the Gumbel-top-k
+    trick: key(doc) = logw/T + Gumbel(doc), take the n largest keys.
+    Sampling keeps tail diversity that greedy top-n loses — the
+    reason the paper resamples instead of thresholding.
+
+    Deterministic and engine-portable: the Gumbel noise is
+    −ln(−ln(u)) of the portable md5 uniform u(seed, id) (the same
+    hash every sampler in this module draws from), and ranking uses
+    the ROUNDED key with an id tie-break — two docs' float keys can
+    land within an ulp of each other across engines, the rounded
+    rank cannot flip. ``temperature`` sharpens (<1) or flattens (>1)
+    the weight distribution."""
+    wts = dsir_weights(raw, target, id_col=id_col, text_col=text_col,
+                       **kwargs)
+    u = ((F.conv(F.substring(F.md5(
+        F.concat_ws(":", F.lit(seed), F.col(id_col))), 1, 15),
+        16, 10).cast("long") % 1_000_000).cast("double")
+        + 0.5) / 1_000_000.0
+    gumbel = -F.log(-F.log(u))
+    key = (F.col("w_micro").cast("double") / 1e6
+           / F.lit(float(temperature)) + gumbel)
+    return (wts.withColumn("key", F.round(key, 6))
+            .orderBy(F.col("key").desc(), F.col(id_col).asc())
+            .limit(n)
+            .select(id_col, "n_grams", "w_micro", "key"))

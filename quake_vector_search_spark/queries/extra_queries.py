@@ -4713,3 +4713,87 @@ def q_dsir_select(spark, sf_dir):
                        docs.where(F.col("lang") == "en"), n=50)
 
 
+
+
+@register("q_dsir_sample", sql="""
+WITH tgt AS (
+  SELECT doc_id, text FROM documents WHERE lang = 'en'
+), rawd AS (
+  SELECT doc_id, text FROM documents WHERE lang <> 'en'
+), g_raw AS (
+  SELECT doc_id, g FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS g FROM rawd
+  ) WHERE g <> ''
+  UNION ALL
+  SELECT doc_id,
+         unnest(CASE WHEN len(w) >= 2
+                THEN list_transform(range(1, len(w)),
+                                    i -> w[i] || ' ' || w[i + 1])
+                ELSE [] END) AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM rawd)
+), g_tgt AS (
+  SELECT g FROM (
+    SELECT unnest(string_split(text, ' ')) AS g FROM tgt
+  ) WHERE g <> ''
+  UNION ALL
+  SELECT unnest(CASE WHEN len(w) >= 2
+                THEN list_transform(range(1, len(w)),
+                                    i -> w[i] || ' ' || w[i + 1])
+                ELSE [] END) AS g
+  FROM (SELECT string_split(text, ' ') AS w FROM tgt)
+), b_raw AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)
+           % 1024 AS bucket
+  FROM g_raw
+), c_raw AS (
+  SELECT bucket, COUNT(*) AS c_r FROM b_raw GROUP BY 1
+), c_tgt AS (
+  SELECT CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)
+           % 1024 AS bucket, COUNT(*) AS c_t
+  FROM g_tgt GROUP BY 1
+), tot AS (
+  SELECT (SELECT COALESCE(SUM(c_r), 0) FROM c_raw) AS tr,
+         (SELECT COALESCE(SUM(c_t), 0) FROM c_tgt) AS tt
+), ratio AS (
+  SELECT c_raw.bucket,
+         CAST(round(ln(((COALESCE(c_tgt.c_t, 0) + 1.0)
+                        / (tot.tt + 1024.0))
+                       / ((c_raw.c_r + 1.0) / (tot.tr + 1024.0)))
+                    * 1000000) AS BIGINT) AS l
+  FROM c_raw LEFT JOIN c_tgt USING (bucket), tot
+), docb AS (
+  SELECT doc_id, bucket, COUNT(*) AS c FROM b_raw GROUP BY 1, 2
+), w AS (
+  SELECT doc_id, SUM(c) AS n_grams, SUM(c * l) AS w_micro
+  FROM docb JOIN ratio USING (bucket) GROUP BY 1
+), keyed AS (
+  SELECT doc_id, n_grams, w_micro,
+         ROUND(w_micro / 1000000.0
+               - ln(-ln(((CAST(concat('0x', substr(md5(
+                     concat('47', ':', CAST(doc_id AS VARCHAR))),
+                     1, 15)) AS BIGINT) % 1000000) + 0.5)
+                   / 1000000.0)), 6) AS key
+  FROM w
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(w_micro AS BIGINT) AS w_micro, key
+FROM keyed ORDER BY key DESC, doc_id ASC LIMIT 50
+""")
+def q_dsir_sample(spark, sf_dir):
+    """DSIR's RESAMPLING step (round 8 — the paper samples without
+    replacement ∝ importance weight rather than thresholding, keeping
+    tail diversity greedy top-n loses): Gumbel-top-k over the exact
+    integer microlog weights — key = logw/T − ln(−ln(u)) with u the
+    portable md5 uniform of (seed, doc_id), temperature 1. Ranking is
+    on the ROUNDED key with an id tie-break, so an ulp of libm
+    disagreement can reorder nothing. The oracle re-derives the whole
+    chain: featurize → fit → integer weights → Gumbel keys → top-50."""
+    from quake_vector_search_spark.operators.sampling import (
+        dsir_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_sample(docs.where(F.col("lang") != "en"),
+                       docs.where(F.col("lang") == "en"),
+                       n=50, temperature=1.0, seed=47)

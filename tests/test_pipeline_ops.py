@@ -1439,3 +1439,40 @@ def test_dsir_selects_target_like_docs(spark):
     wts2 = {r["doc_id"]: (r["n_grams"], r["w_micro"])
             for r in dsir_weights(raw, target).collect()}
     assert wts2 == wts
+
+
+def test_dsir_sample_gumbel_properties(spark):
+    """Gumbel resampling vs greedy selection: deterministic across
+    reruns and seeds reproduce; different seeds can pick different
+    sets (it IS sampling); heavily target-like docs still dominate
+    the sample at temperature 1 on a separated fixture."""
+    from quake_vector_search_spark.operators.sampling import (
+        dsir_sample,
+        dsir_select,
+    )
+
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta alpha beta")
+         for i in range(6)],
+        "doc_id long, text string")
+    raw = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(4)]
+        + [(10 + i, "zig zag zug quux") for i in range(4)],
+        "doc_id long, text string")
+    s1 = sorted(r["doc_id"] for r in
+                dsir_sample(raw, target, n=4, seed=7).collect())
+    s1b = sorted(r["doc_id"] for r in
+                 dsir_sample(raw, target, n=4, seed=7).collect())
+    assert s1 == s1b                       # deterministic per seed
+    # with a huge weight gap (disjoint vocab), the Gumbel noise can't
+    # overturn it: all 4 target-like docs selected at T=1
+    assert s1 == [0, 1, 2, 3]
+    # at very high temperature the weights flatten and the hash noise
+    # decides — selection differs from the greedy one for some seed
+    greedy = sorted(r["doc_id"] for r in
+                    dsir_select(raw, target, n=4).collect())
+    flat = {tuple(sorted(r["doc_id"] for r in
+                         dsir_sample(raw, target, n=4, seed=s,
+                                     temperature=1e9).collect()))
+            for s in range(6)}
+    assert any(set(t) != set(greedy) for t in flat)
