@@ -39,12 +39,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Ordered so the round-8 rotation window (WINDOW_R8: the CDC
-    indexes, serving mirrors, quantization rungs, routed calibration,
-    WAV/BMP decoders, recall guards and the text/relational remainder
-    — the 50 rows never driver-verified through round 7) occupies the
-    first 50 entries; WINDOW_R7 and WINDOW_R6 follow at 51-100 and
-    101-150 (rounds 1-7 already driver-verified those)."""
+    Ordered so the round-9 rotation window (WINDOW_R9: the 12 rows
+    only judge-verified in round 8 — aniso rungs, capped CDC indexes,
+    PNG decoder, DSIR, routed-serving mirror, scalar-function trio —
+    plus the 38 stalest driver-verified rows re-rotated for freshness)
+    occupies the first 50 entries; WINDOW_R8/R7/R6 follow at 51-100,
+    101-150 and 151-200 (rounds 1-8 already driver-verified those)."""
     return {name: q.fn for name, q in ordered_registry().items()}
 
 

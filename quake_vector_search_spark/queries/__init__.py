@@ -55,7 +55,48 @@ def register(name: str, sql: str | None = None):
 # WINDOW_R7's rows had already been checked in round 1, so manifests
 # alone undercount; VERDICT r7 "What's wrong" #3). The 3 left out
 # (q_min_by_max_by, q_regex_funcs, q_date_funcs2) are judge-verified
-# trivially-green scalar-function rows.
+# trivially-green scalar-function rows. Round 9 rotates a FIFTH window
+# in front (VERDICT r8 #1): the 12 rows only judge-verified in round 8
+# plus the 38 STALEST driver-verified rows (the 23 surviving r1-era
+# relational rows and 15 r5-era core-vector rows), re-rotated against
+# current code so driver-grade freshness tracks the churn.
+
+# Registry renames across rounds — maps OLD report keys (as they appear
+# in committed CORRECTNESS_r0N.json files) to the CURRENT registry
+# name. Cumulative driver-verified accounting must map report keys
+# through this before intersecting with the registry (VERDICT r8
+# "What's wrong" #2: the r6 renames left 2 stale keys in the union —
+# truth is 223/235 verified, not 225/233).
+RENAME_MAP: dict[str, str] = {
+    "dedup_simhash": "dedup_simhash_oracle",                    # r6
+    "dedup_embedding_cosine": "dedup_embedding_cosine_oracle",  # r6
+}
+
+WINDOW_R9: tuple[str, ...] = (
+    # judge-only rows from round 8 (never driver-checked) (12)
+    "q_regex_funcs", "q_date_funcs2", "q_min_by_max_by",
+    "mm_extract_features_png", "dedup_lsh_index_capped",
+    "knn_aniso_mips_rerank", "sparse_bm25_index_capped",
+    "ivf_aniso_cosine_fullprobe", "ivf_aniso_residual_fullprobe",
+    "q_dsir_select", "q_dsir_sample",
+    "stream_routed_serving_after_ingest_equals_batch",
+    # stalest: r1-era relational rows, last checked round 1 (23)
+    "q_filter_project", "q_null_safe_eq", "q_anti_join",
+    "q_approx_distinct", "q_date_funcs", "q_distinct_agg",
+    "q_from_json", "q_full_outer", "q_having", "q_left_join_counts",
+    "q_math_case", "q_order_gaps", "q_rank_dense_rank", "q_right_join",
+    "q_semi_join", "q_skew_salted_agg", "q_star_join_revenue",
+    "q_stats", "q_string_funcs", "q_string_funcs2",
+    "q_top20_lineitems", "q_window_moving_avg", "q_window_running",
+    # stalest: r5-era core vector/IVF rows (15)
+    "knn_brute_l2", "knn_cosine", "knn_dot", "knn_filtered",
+    "knn_sq8_rerank", "knn_pq_rerank", "kmeans_clusters",
+    "aps_partition_scores", "aps_scores_distributed",
+    "ivf_search_fullprobe", "ivf_search_adaptive",
+    "ivf_pq_search_fullprobe", "ivf_recall_eval", "ivf_dml_roundtrip",
+    "gen_dataset_pinned",
+)
+
 WINDOW_R8: tuple[str, ...] = (
     # persisted CDC indexes: LSH + BM25 build/extend/remove/stream (6)
     "dedup_lsh_index_incremental", "dedup_lsh_index_remove_readd",
@@ -160,20 +201,21 @@ WINDOW_R6: tuple[str, ...] = (
 
 
 def ordered_registry() -> dict[str, Query]:
-    """REGISTRY re-ordered so the round-8 driver window comes first,
-    the round-7 window second (positions 51-100), round-6 third
-    (101-150).
+    """REGISTRY re-ordered so the round-9 driver window comes first,
+    the round-8 window second (positions 51-100), round-7 third
+    (101-150), round-6 fourth (151-200).
 
     Raw REGISTRY insertion order (module load order) is unchanged —
     rounds 1-5's window remains its prefix, pinned by
     tests/test_registry_window.py alongside the others.
     """
     load_all_query_modules()
-    missing = [n for n in (*WINDOW_R8, *WINDOW_R7, *WINDOW_R6)
+    missing = [n for n in (*WINDOW_R9, *WINDOW_R8, *WINDOW_R7, *WINDOW_R6)
                if n not in REGISTRY]
     if missing:
         raise ValueError(f"window names not in registry: {missing}")
-    out = {n: REGISTRY[n] for n in (*WINDOW_R8, *WINDOW_R7, *WINDOW_R6)}
+    out = {n: REGISTRY[n]
+           for n in (*WINDOW_R9, *WINDOW_R8, *WINDOW_R7, *WINDOW_R6)}
     out.update((n, q) for n, q in REGISTRY.items() if n not in out)
     return out
 

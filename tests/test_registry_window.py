@@ -1,23 +1,24 @@
 """Pin the driver's 50-entry correctness window. The external gate
 checks exactly the first 50 entries of ``__spark_entry__.queries()`` in
 dict order, so the window composition is load-bearing — a module
-reorder, an entry added to a window module, or a change to WINDOW_R6
-would silently rotate queries out of driver verification. This test
-makes that a hard failure instead.
+reorder, an entry added to a window module, or a change to a pinned
+window would silently rotate queries out of driver verification. This
+test makes that a hard failure instead.
 
 Round 6 rotated the window (VERDICT r5 #1): TPC-H battery, dedup
 family, streaming mirrors and sketch rows (WINDOW_R6). Round 7 rotated
-a THIRD 50 in front (WINDOW_R7: quantization ladder, calibrated APS,
-retrieval/graph/BPE/PCA rows, format roundtrips, the E4/E7-E9
-relational surface). Round 8 rotates a FOURTH window (WINDOW_R8): the
-50 of the 53 rows the driver had never checked through r7 — CDC
-indexes, serving mirrors, LOPQ/SQ8 rungs, routed calibration, WAV/BMP
-decoders, recall-eval guards, and the text/relational remainder.
-Disjointness for WINDOW_R8 is asserted against the UNION of actual
-CORRECTNESS_r01..r07 report keys (VERDICT r7 "What's wrong" #3: the
-pinned manifests alone undercount — 8 of WINDOW_R7's rows were already
-driver-verified in round 1). The rounds-1-5 window stays pinned as the
-raw-REGISTRY prefix so all compositions remain verified.
+a THIRD 50 in front (WINDOW_R7). Round 8 rotated a FOURTH (WINDOW_R8:
+the 50 of the 53 rows the driver had never checked through r7). Round 9
+rotates a FIFTH window (WINDOW_R9, VERDICT r8 #1) with a different
+invariant: it deliberately RE-verifies stale rows, so instead of
+disjointness-from-everything it asserts each member is either (a) one
+of the 12 rows never present in any CORRECTNESS_r01..r08 report
+(judge-verified only in r8), or (b) a row whose LATEST driver check is
+round ≤5 (r1-era relational rows + r5-era core-vector rows — the
+stalest strata). Report keys are mapped through RENAME_MAP first so the
+two r6 renames don't corrupt the accounting (VERDICT r8 "What's wrong"
+#2). The rounds-1-5 window stays pinned as the raw-REGISTRY prefix so
+all compositions remain verified.
 """
 
 import glob
@@ -26,9 +27,11 @@ import os
 
 from quake_vector_search_spark.queries import (
     REGISTRY,
+    RENAME_MAP,
     WINDOW_R6,
     WINDOW_R7,
     WINDOW_R8,
+    WINDOW_R9,
     load_all_query_modules,
     ordered_registry,
 )
@@ -61,46 +64,81 @@ WINDOW_R2R5 = [
 ]
 
 
-def _driver_verified_union():
-    """Union of query names across every committed driver correctness
-    report — the TRUE already-verified set (manifests undercount)."""
+def _latest_driver_round() -> dict[str, int]:
+    """Map each CURRENT registry name to the latest round whose
+    committed correctness report verified it. Report keys are mapped
+    through RENAME_MAP so pre-rename checks still count for the renamed
+    row (and the stale OLD keys don't pollute the accounting)."""
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    names: set[str] = set()
-    for path in glob.glob(os.path.join(root, "CORRECTNESS_r0[1-7].json")):
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r0[1-8].json"))):
+        rnd = int(os.path.basename(path)[13:15])
         with open(path) as f:
-            names |= set(json.load(f))
-    return names
+            for key in json.load(f):
+                name = RENAME_MAP.get(key, key)
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
 
 
-def test_r8_window_is_the_rotated_surface():
-    """First 50 of the driver-facing ordering = WINDOW_R8, disjoint
-    from the UNION of all rounds-1-7 driver-verified report keys
-    (pure rotation, no accidental overlap)."""
+def test_r9_window_is_the_rotated_surface():
+    """First 50 of the driver-facing ordering = WINDOW_R9; every member
+    is either never driver-verified (the 12 judge-only rows) or stale
+    (latest driver check round ≤5). No member is fresh (r6-r8)."""
+    names = list(ordered_registry())
+    assert len(WINDOW_R9) == 50
+    assert names[:50] == list(WINDOW_R9)
+    latest = _latest_driver_round()
+    assert latest, "correctness reports missing from repo root"
+    never = [n for n in WINDOW_R9 if n not in latest]
+    stale = [n for n in WINDOW_R9 if latest.get(n, 99) <= 5]
+    fresh = [n for n in WINDOW_R9 if 6 <= latest.get(n, 0) <= 8]
+    assert len(never) == 12, f"expected 12 never-verified, got {never}"
+    assert len(stale) == 38, f"expected 38 stale, got {len(stale)}"
+    assert not fresh, f"WINDOW_R9 wastes slots on fresh rows: {fresh}"
+
+
+def test_rename_map_keys_are_stale_and_values_current():
+    """Every RENAME_MAP key is an OLD key absent from the registry;
+    every value is a CURRENT registry name."""
+    load_all_query_modules()
+    for old, new in RENAME_MAP.items():
+        assert old not in REGISTRY, f"rename key {old!r} still registered"
+        assert new in REGISTRY, f"rename target {new!r} not registered"
+
+
+def test_cumulative_accounting_is_exact():
+    """The cumulative driver-verified count (union of report keys
+    mapped through RENAME_MAP, intersected with the registry) matches
+    the documented 223/235 as of end of round 8. If a round-9 report
+    lands, the count can only grow."""
+    load_all_query_modules()
+    latest = _latest_driver_round()
+    verified = set(latest) & set(REGISTRY)
+    assert len(verified) == 223, len(verified)
+    assert len(REGISTRY) >= 235
+
+
+def test_r8_window_still_pinned_at_51_100():
     names = list(ordered_registry())
     assert len(WINDOW_R8) == 50
-    assert names[:50] == list(WINDOW_R8)
-    verified = _driver_verified_union()
-    assert verified, "correctness reports missing from repo root"
-    overlap = set(WINDOW_R8) & verified
-    assert not overlap, f"WINDOW_R8 re-verifies: {sorted(overlap)}"
+    assert names[50:100] == list(WINDOW_R8)
+    assert not set(WINDOW_R8) & set(WINDOW_R9)
 
 
-def test_r7_window_still_pinned_at_51_100():
-    """The round-7 driver-verified window keeps its exact composition
-    at positions 51-100 of the driver-facing ordering."""
+def test_r7_window_still_pinned_at_101_150():
     names = list(ordered_registry())
     assert len(WINDOW_R7) == 50
-    assert names[50:100] == list(WINDOW_R7)
+    assert names[100:150] == list(WINDOW_R7)
+    assert not set(WINDOW_R7) & set(WINDOW_R9)
     assert not set(WINDOW_R7) & set(WINDOW_R6)
     assert not set(WINDOW_R7) & set(WINDOW_R2R5)
 
 
-def test_r6_window_still_pinned_at_101_150():
-    """The round-6 driver-verified window keeps its exact composition
-    at positions 101-150 of the driver-facing ordering."""
+def test_r6_window_still_pinned_at_151_200():
     names = list(ordered_registry())
     assert len(WINDOW_R6) == 50
-    assert names[100:150] == list(WINDOW_R6)
+    assert names[150:200] == list(WINDOW_R6)
+    assert not set(WINDOW_R6) & set(WINDOW_R9)
     assert not set(WINDOW_R6) & set(WINDOW_R2R5)
 
 
