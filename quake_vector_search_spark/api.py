@@ -734,8 +734,20 @@ class VectorIndexHandle(_IndexHandle):
         are driver-bounded by contract, same as IVFIndex.insert)."""
         if vecs is None:
             import numpy as np
+            # bind by the index's own column names when present — a
+            # (embedding, id)-ordered frame must not silently misbind
+            # (ADVICE r8); positional only as a last resort, and then
+            # only when the shape is unambiguous
+            cols = ids.columns
+            id_c, vec_c = self.idx.id_col, self.idx.vec_col
+            if id_c not in cols or vec_c not in cols:
+                if len(cols) != 2:
+                    raise ValueError(
+                        f"extend() DataFrame must have columns "
+                        f"({id_c!r}, {vec_c!r}) or exactly two "
+                        f"columns (id, vector); got {cols}")
+                id_c, vec_c = cols
             rows = ids.collect()
-            id_c, vec_c = ids.columns[0], ids.columns[1]
             vecs = np.array([r[vec_c] for r in rows], dtype=np.float64)
             ids = np.array([r[id_c] for r in rows], dtype=np.int64)
         return self.idx.insert(ids, vecs, **kwargs)

@@ -1665,24 +1665,30 @@ def knn_bq(corpus_df: DataFrame, queries, k: int = 10,
                 .astype(np.int64).view(np.uint64)          # [n, nwords]
             # XOR every code against every query code, popcount via a
             # 256-entry byte LUT (numpy<2 has no bitwise_count), sum
-            # the 8·nwords bytes → [nq, n] hamming matrix. The LUT
-            # gather's uint8 intermediate is 8× the XOR tensor, so
-            # popcount in query blocks of ≤64: peak extra memory is
+            # the 8·nwords bytes. Both the LUT gather AND the hamming
+            # matrix + top-k run per ≤64-query block (ADVICE r8: a
+            # full [nq, n] int64 matrix is multi-GB at 100k+ collected
+            # queries), so peak extra memory is the block's
             # 64·n·nwords·64 B ≈ 40 MB at default Arrow batch sizes,
-            # independent of the full query-block size.
-            ham = np.empty((nq, len(ids)), dtype=np.int64)
+            # independent of the collected query-set size. Per-block
+            # top-k selects the same rows as whole-matrix top-k —
+            # selection is per query row.
+            kk = min(kk_cand, len(ids))
+            out_q, out_i, out_h = [], [], []
             for q0 in range(0, nq, 64):
                 x = qw[q0:q0 + 64, None, :] ^ codes[None, :, :]
-                ham[q0:q0 + 64] = popcnt[x.view(np.uint8)].reshape(
+                ham = popcnt[x.view(np.uint8)].reshape(
                     x.shape[0], len(ids), -1).sum(axis=2,
                                                   dtype=np.int64)
-            kk = min(kk_cand, len(ids))
-            part = topk_cols_2d(ham, ids, kk)
-            hk = np.take_along_axis(ham, part, axis=1)
+                part = topk_cols_2d(ham, ids, kk)
+                hk = np.take_along_axis(ham, part, axis=1)
+                out_q.append(np.repeat(qids_l[q0:q0 + 64], kk))
+                out_i.append(ids[part].ravel())
+                out_h.append(hk.ravel())
             yield pd.DataFrame({
-                "query_id": np.repeat(qids_l, kk),
-                id_col: ids[part].ravel(),
-                "_ham": hk.ravel(),
+                "query_id": np.concatenate(out_q),
+                id_col: np.concatenate(out_i),
+                "_ham": np.concatenate(out_h),
             })
 
     local = enc.mapInPandas(

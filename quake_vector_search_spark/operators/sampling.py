@@ -216,9 +216,12 @@ def dsir_weights(raw: DataFrame, target: DataFrame,
     weight; rank descending for target-likeness.
     """
     def grams(df):
-        w = F.split(F.col(text_col), " ")
-        uni = (df.select(F.col(id_col), F.explode(w).alias("g"))
-               .where(F.col("g") != ""))
+        # empty tokens (consecutive spaces) are dropped BEFORE n-gram
+        # formation so bigrams can't contain phantom '' members
+        # (ADVICE r8: unigrams filtered but bigrams didn't)
+        w = F.filter(F.split(F.col(text_col), " "),
+                     lambda x: x != F.lit(""))
+        uni = df.select(F.col(id_col), F.explode(w).alias("g"))
         pairs = F.expr(
             "CASE WHEN size(_w) >= 2 THEN "
             "transform(sequence(1, size(_w) - 1), "

@@ -4647,7 +4647,8 @@ WITH tgt AS (
                 THEN list_transform(range(1, len(w)),
                                     i -> w[i] || ' ' || w[i + 1])
                 ELSE [] END) AS g
-  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM rawd)
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+                                 x -> x <> '') AS w FROM rawd)
 ), g_tgt AS (
   SELECT g FROM (
     SELECT unnest(string_split(text, ' ')) AS g FROM tgt
@@ -4657,7 +4658,8 @@ WITH tgt AS (
                 THEN list_transform(range(1, len(w)),
                                     i -> w[i] || ' ' || w[i + 1])
                 ELSE [] END) AS g
-  FROM (SELECT string_split(text, ' ') AS w FROM tgt)
+  FROM (SELECT list_filter(string_split(text, ' '),
+                         x -> x <> '') AS w FROM tgt)
 ), b_raw AS (
   SELECT doc_id,
          CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)
@@ -4730,7 +4732,8 @@ WITH tgt AS (
                 THEN list_transform(range(1, len(w)),
                                     i -> w[i] || ' ' || w[i + 1])
                 ELSE [] END) AS g
-  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM rawd)
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+                                 x -> x <> '') AS w FROM rawd)
 ), g_tgt AS (
   SELECT g FROM (
     SELECT unnest(string_split(text, ' ')) AS g FROM tgt
@@ -4740,7 +4743,8 @@ WITH tgt AS (
                 THEN list_transform(range(1, len(w)),
                                     i -> w[i] || ' ' || w[i + 1])
                 ELSE [] END) AS g
-  FROM (SELECT string_split(text, ' ') AS w FROM tgt)
+  FROM (SELECT list_filter(string_split(text, ' '),
+                         x -> x <> '') AS w FROM tgt)
 ), b_raw AS (
   SELECT doc_id,
          CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)

@@ -50,15 +50,31 @@ def _append_pq_codes(index: IVFIndex, ids: np.ndarray,
         cache_key = npy           # global-codebook sidecar
     else:
         return False
-    # key on path AND mtimes: a same-flavor sidecar rebuild into the
-    # same version dir (bench does plain→residual→LOPQ in one dir)
-    # must invalidate a live stream's cached books, or appended codes
-    # go inconsistent with the on-disk codebooks/meta — mirroring the
-    # query side's _load_local_sidecar_cached (ADVICE r7)
+    # key on path, mtimes, sizes AND a content hash of pq_meta.json:
+    # a same-flavor sidecar rebuild into the same version dir (bench
+    # does plain→residual→LOPQ in one dir) must invalidate a live
+    # stream's cached books, or appended codes go inconsistent with
+    # the on-disk codebooks/meta — mirroring the query side's
+    # _load_local_sidecar_cached (ADVICE r7). Two rebuilds inside the
+    # filesystem timestamp granularity defeat mtime alone (ADVICE r8),
+    # so the tag also carries the byte sizes and the md5 of the tiny
+    # meta file — flavor/params changes always rewrite pq_meta.json.
+    import hashlib
+
     meta_path = os.path.join(index.version_dir, "pq_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path, "rb") as fh:
+            meta_sig = hashlib.md5(fh.read()).hexdigest()
+    else:
+        meta_sig = None
+    # first 64 KiB of the sidecar params file: identical meta + same
+    # byte size can still hide retrained books; their leading bytes
+    # practically cannot match across retrains, and 64 KiB per
+    # micro-batch is noise next to the encode itself
+    with open(cache_key, "rb") as fh:
+        books_sig = hashlib.md5(fh.read(65536)).hexdigest()
     cache_tag = (cache_key, os.path.getmtime(cache_key),
-                 os.path.getmtime(meta_path)
-                 if os.path.exists(meta_path) else None)
+                 os.path.getsize(cache_key), books_sig, meta_sig)
     if books_cache.get("path") != cache_tag:
         from quake_vector_search_spark.operators.quantization import (
             load_local_books,

@@ -1340,6 +1340,51 @@ def test_api_index_handles_roundtrip(spark, tmp_path):
     assert "version" in summary
 
 
+def test_vector_handle_extend_binds_columns_by_name(spark, tmp_path):
+    """ADVICE r8: a (embedding, vec_id)-ordered DataFrame passed to
+    VectorIndexHandle.extend must bind by the index's own column
+    names, not positionally — the old positional bind silently
+    misread the vector column as ids. Unnamed 2-col frames still
+    bind positionally (id, vector); ambiguous frames raise."""
+    import numpy as np
+    import pytest
+
+    from quake_vector_search_spark import api
+    from quake_vector_search_spark.operators.workload import make_dataset
+
+    corpus = make_dataset(spark, 400, d=8, n_clusters=4, seed=22)
+    hv = api.index("vector", spark, str(tmp_path / "ivf_nb")).build(
+        corpus, coarse_k=2, base_k=2)
+    probe_vec = np.array(
+        corpus.where("vec_id = 5").select("embedding").head()[0],
+        dtype=np.float64)
+    far = probe_vec + 50.0
+
+    # REVERSED column order, index-native names → binds by name
+    rev = spark.createDataFrame(
+        [(far.tolist(), 7001)], "embedding array<double>, vec_id long")
+    hv.extend(rev)
+    got = hv.query((np.array([0]), far[None, :]), k=1,
+                   target_recall=1.0, max_probe=10**9).collect()
+    assert got[0]["vec_id"] == 7001
+
+    # two columns, non-native names → positional (id, vector)
+    far2 = probe_vec - 50.0
+    pos = spark.createDataFrame(
+        [(7002, far2.tolist())], "the_id long, the_vec array<double>")
+    hv.extend(pos)
+    got2 = hv.query((np.array([0]), far2[None, :]), k=1,
+                    target_recall=1.0, max_probe=10**9).collect()
+    assert got2[0]["vec_id"] == 7002
+
+    # three columns, none matching the index's names → ambiguous
+    amb = spark.createDataFrame(
+        [(7003, far2.tolist(), "x")],
+        "a long, b array<double>, c string")
+    with pytest.raises(ValueError, match="extend"):
+        hv.extend(amb)
+
+
 def test_lsh_index_hot_bucket_cap(spark, tmp_path):
     """VERDICT r7 #7 skew probe: an adversarial corpus concentrating
     hundreds of members in ONE band bucket (identical boilerplate
