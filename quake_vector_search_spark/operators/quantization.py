@@ -947,14 +947,23 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
         # ``residual=True`` composes (encode r = x − c_p, direction =
         # the ORIGINAL x̂ rebuilt from r + c_p — measured at 8 bytes,
         # η=5 on clustered unit vectors: candidate recall@50 0.832 vs
-        # 0.629 for direction-less residual codes). rotate/local/sq8
-        # remain explicit errors: those change the encode-space
-        # geometry the loss is defined in.
-        if rotate or local or sq8 or opq_iters:
+        # 0.629 for direction-less residual codes).
+        # ``rotate=True`` (round 9) composes too: for orthogonal R the
+        # anisotropic loss transports EXACTLY into the rotated space —
+        # e_orig = e_rot @ R, so training score-aware books on
+        # ``(v − mean) @ Rᵀ`` with direction x̂ @ Rᵀ minimizes the
+        # original-space loss (see aniso_pq_train). The persisted
+        # format is the standard pq_rotation.npz, so the ADC/query
+        # side is unchanged. local/sq8/opq_iters remain explicit
+        # errors: per-cell books need per-cell score-aware training,
+        # and iterative OPQ's inner alternation trains plain-loss
+        # books.
+        if local or sq8 or opq_iters:
             raise ValueError(
-                "anisotropic composes only with residual= (the "
-                "score-aware loss lives in the original vector "
-                "space; rotate/local/sq8/opq_iters change it)")
+                "anisotropic composes with residual= and rotate= "
+                "only (local/sq8/opq_iters would train plain-loss "
+                "books in a geometry the score-aware loss hasn't "
+                "been transported to)")
         if index.metric != "cosine":
             raise ValueError(
                 "anisotropic sidecars require a cosine index: on "
@@ -965,15 +974,23 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
             enc_cents = {int(p): index.centroids[i].copy()
                          for i, p in enumerate(index.part_ids)}
             enc_src = _residual_corpus(index, corpus, enc_cents)
+        rot = None
+        if rotate:
+            # OPQ non-parametric init fitted on the ENCODE source
+            # (residuals when residual=True — their distribution is
+            # what the books will model), same as the plain flavors
+            model = fit_pca(enc_src, vec_col=index.vec_col)
+            rot = {"mean": model["mean"],
+                   "components": model["components"]}
         books = aniso_pq_train(enc_src, m=m, ksub=ksub,
                                eta=float(anisotropic), seed=seed,
                                vec_col=index.vec_col,
-                               cents=enc_cents)
+                               cents=enc_cents, rot=rot)
         enc = aniso_pq_encode(enc_src, books, eta=float(anisotropic),
                               id_col=index.id_col,
                               vec_col=index.vec_col,
                               keep_cols=("partition_id",),
-                              cents=enc_cents)
+                              cents=enc_cents, rot=rot)
         path = os.path.join(index.version_dir, "pq")
         (enc.write.mode("overwrite").partitionBy("partition_id")
             .parquet(path))
@@ -981,9 +998,13 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
                 books)
         if residual:
             save_residual_snapshot(index.version_dir, enc_cents)
-        for stale in ("pq_rotation.npz", "pq_local_books.npz",
-                      "sq8_params.npz") + (
-                          () if residual else ("pq_centroids.npz",)):
+        if rotate:
+            np.savez(os.path.join(index.version_dir,
+                                  "pq_rotation.npz"),
+                     mean=rot["mean"], components=rot["components"])
+        for stale in ("pq_local_books.npz", "sq8_params.npz") + (
+                () if rotate else ("pq_rotation.npz",)) + (
+                () if residual else ("pq_centroids.npz",)):
             sp = os.path.join(index.version_dir, stale)
             if os.path.exists(sp):
                 os.unlink(sp)
@@ -991,6 +1012,7 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
                   "w") as fh:
             json.dump({"residual": bool(residual), "m": m,
                        "ksub": int(books.shape[1]),
+                       "rotate": bool(rotate),
                        "anisotropic": float(anisotropic)}, fh)
         return books
     if sq8:
@@ -1513,13 +1535,15 @@ def refresh_pq_sidecar(index, books: np.ndarray | None = None) -> bool:
         enc_cents = {int(p): index.centroids[i].copy()
                      for i, p in enumerate(index.part_ids)}
         enc_src = _residual_corpus(index, corpus, enc_cents)
-        if rot is not None:
+        if rot is not None and aniso is None:
             # rotated-residual sidecar: the carried rotation models
             # the residual distribution, which the new layout's
             # residuals still follow — codes and LUTs stay consistent
-            # because both use the carried R
+            # because both use the carried R. (The anisotropic path
+            # rotates INSIDE aniso_pq_encode — it needs the unrotated
+            # rows to rebuild the score-parallel direction.)
             enc_src = _rotate_corpus(index, enc_src, rot)
-    elif rot is not None:
+    elif rot is not None and aniso is None:
         enc_src = _rotate_corpus(index, corpus, rot)
     else:
         enc_src = corpus
@@ -1528,12 +1552,14 @@ def refresh_pq_sidecar(index, books: np.ndarray | None = None) -> bool:
         # forward like global codebooks; the re-encode must use the
         # SAME score-aware assignment the codes were built with —
         # including the residual composition's original-direction
-        # rebuild from the NEW layout's snapshot
+        # rebuild from the NEW layout's snapshot, and (round 9) the
+        # carried rotation applied through the loss transport
         enc = aniso_pq_encode(enc_src, books, eta=float(aniso),
                               id_col=index.id_col,
                               vec_col=index.vec_col,
                               keep_cols=("partition_id",),
-                              cents=enc_cents if residual else None)
+                              cents=enc_cents if residual else None,
+                              rot=rot)
     else:
         enc = pq_encode(enc_src, books, id_col=index.id_col,
                         vec_col=index.vec_col,
@@ -1551,6 +1577,7 @@ def refresh_pq_sidecar(index, books: np.ndarray | None = None) -> bool:
                 "ksub": int(books.shape[1])}
     if aniso is not None:
         meta_out["anisotropic"] = float(aniso)
+        meta_out["rotate"] = rot is not None
     with open(os.path.join(index.version_dir, "pq_meta.json"),
               "w") as fh:
         json.dump(meta_out, fh)
@@ -1780,7 +1807,8 @@ def aniso_pq_train(corpus_df: DataFrame, m: int = 8, ksub: int = 256,
                    kmeans_iters: int = 8, cd_passes: int = 2,
                    seed: int = 99, sample_n: int = 25_000,
                    vec_col: str = "embedding",
-                   cents: dict | None = None) -> np.ndarray:
+                   cents: dict | None = None,
+                   rot: dict | None = None) -> np.ndarray:
     """Anisotropic PQ codebooks: alternate score-aware assignment
     (``_aniso_encode_local``) with the closed-form weighted codeword
     update. For chunk j's codeword c over its members the stationarity
@@ -1795,7 +1823,15 @@ def aniso_pq_train(corpus_df: DataFrame, m: int = 8, ksub: int = 256,
     never collects). Measured on clustered normalized vectors at 8
     bytes/vector: candidate recall@10·oversample 0.539 vs 0.489 plain
     (oversample 10), 0.341 vs 0.301 (oversample 5) — the byte budget
-    moves to score-parallel error, which is what MIPS ranking sees."""
+    moves to score-parallel error, which is what MIPS ranking sees.
+
+    ``rot`` transports the loss through an OPQ rotation (round 9):
+    books are trained on ``(x − mean) @ Rᵀ`` with the score-parallel
+    direction rotated consistently — for orthogonal R the error maps
+    as e_orig = e_rot @ R, so e_orig·x̂ = e_rot·(x̂ @ Rᵀ) exactly: the
+    anisotropic loss in the rotated space with direction x̂ @ Rᵀ IS
+    the original-space loss, no approximation. Composes with
+    ``cents`` (rotated residuals, original-vector direction)."""
     from quake_vector_search_spark.operators.kmeans import (
         _seeded_sample, local_kmeans)
 
@@ -1818,6 +1854,12 @@ def aniso_pq_train(corpus_df: DataFrame, m: int = 8, ksub: int = 256,
         _, X = _seeded_sample(corpus_df, vec_col, id_col, sample_n,
                               seed)
         Xh = None
+    if rot is not None:
+        if Xh is None:
+            Xh = X / np.maximum(
+                np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        X = (X - rot["mean"]) @ rot["components"].T
+        Xh = Xh @ rot["components"].T   # unit-norm preserved (R orth.)
     d = X.shape[1]
     if d % m != 0:
         raise ValueError(f"d={d} not divisible by m={m}")
@@ -1869,7 +1911,8 @@ def aniso_pq_encode(corpus_df: DataFrame, books: np.ndarray,
                     vec_col: str = "embedding",
                     code_col: str = "pq_codes",
                     keep_cols: tuple = (),
-                    cents: dict | None = None) -> DataFrame:
+                    cents: dict | None = None,
+                    rot: dict | None = None) -> DataFrame:
     """Distributed score-aware encoding: books broadcast once, each
     Arrow batch coordinate-descends its own rows (row-local, so the
     result is partition-layout-independent and deterministic).
@@ -1878,13 +1921,19 @@ def aniso_pq_encode(corpus_df: DataFrame, books: np.ndarray,
     residuals r = x − c_p, and the per-row score-parallel direction
     is rebuilt as normalize(r + c_p) from the row's partition_id and
     the broadcast encode-time centroid snapshot — the direction the
-    query's score actually reads."""
+    query's score actually reads.
+
+    ``rot`` (round 9): rows are UNROTATED (residuals or raw); the
+    kernel encodes ``(v − mean) @ Rᵀ`` with the direction rotated to
+    x̂ @ Rᵀ — the exact loss transport (see ``aniso_pq_train``).
+    Always pass the unrotated source with ``rot``; pre-rotating
+    upstream would double-apply."""
     spark = corpus_df.sparkSession
-    bc = spark.sparkContext.broadcast((books, cents))
+    bc = spark.sparkContext.broadcast((books, cents, rot))
     need_pid = cents is not None and "partition_id" not in keep_cols
 
     def encode(batches):
-        bks, cnts = bc.value
+        bks, cnts, rt = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -1895,6 +1944,13 @@ def aniso_pq_encode(corpus_df: DataFrame, books: np.ndarray,
                 orig = vecs + np.stack([cnts[int(p)] for p in pids_b])
                 dirs = orig / np.maximum(
                     np.linalg.norm(orig, axis=1, keepdims=True), 1e-12)
+            if rt is not None:
+                if dirs is None:
+                    dirs = vecs / np.maximum(
+                        np.linalg.norm(vecs, axis=1, keepdims=True),
+                        1e-12)
+                vecs = (vecs - rt["mean"]) @ rt["components"].T
+                dirs = dirs @ rt["components"].T
             codes = _aniso_encode_local(vecs, bks, eta,
                                         passes=cd_passes, dirs=dirs)
             out = {id_col: pdf[id_col].to_numpy(dtype=np.int64),

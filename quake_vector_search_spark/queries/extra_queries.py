@@ -4632,6 +4632,96 @@ def ivf_aniso_residual_fullprobe(spark, sf_dir):
 _ANISO_RES_IVF_CACHE: dict = {}
 
 
+@register("ivf_aniso_rotated_fullprobe", sql="""
+-- same brute-force-cosine oracle as the other cosine fullprobe rows:
+-- fullprobe + exact rerank must equal exact search no matter how the
+-- candidate codes were assigned — this row pins the ROTATED (OPQ) ×
+-- RESIDUAL × anisotropic composition end to end (round 9: the ScaNN
+-- loss transported through the rotation — for orthogonal R,
+-- e_orig = e_rot @ R, so score-aware books trained on rotated
+-- residuals with direction x-hat @ R-transpose minimize the
+-- original-space loss exactly)
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qd
+  FROM embeddings WHERE vec_id < 5
+), qn AS (
+  SELECT query_id,
+         list_transform(qd, x -> x /
+           (sqrt(list_inner_product(qd, qd)) + 1e-12)) AS qv
+  FROM q
+), c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cd FROM embeddings
+), cn AS (
+  SELECT vec_id,
+         list_transform(cd, x -> CAST(CAST(x /
+           (sqrt(list_inner_product(cd, cd)) + 1e-12) AS REAL)
+           AS DOUBLE)) AS cv
+  FROM c
+), d AS (
+  SELECT qn.query_id, cn.vec_id, list_distance(cn.cv, qn.qv) AS dist
+  FROM cn CROSS JOIN qn
+), r AS (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist ASC, vec_id ASC) AS rank
+  FROM d
+)
+SELECT query_id, vec_id, ROUND(1 - dist * dist / 2, 6) AS sim,
+       CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 10
+""")
+def ivf_aniso_rotated_fullprobe(spark, sf_dir):
+    """ANISOTROPIC × ROTATED × RESIDUAL (round 9, VERDICT r8 #3): the
+    full OPQ→IVF→ADC recipe with score-aware assignment — previously
+    cosine serving's best rung (aniso-residual) and L2's best rung
+    (rotated) were mutually exclusive. The transport is exact, not
+    approximate: an orthogonal rotation maps the quantization error
+    linearly (e_orig = e_rot @ R), so the anisotropic loss
+    ‖e‖² + (η−1)(eᵀx̂)² evaluated in the rotated space with direction
+    x̂ @ Rᵀ IS the original-space loss — train books on
+    ((x − c_p) − mean) @ Rᵀ, rotate the per-row direction, and the
+    ADC/query side needs no change at all (standard pq_rotation.npz).
+    Streaming appends and maintenance refresh ride the same transport
+    (bit-exactness pinned in tests). Full probe + corpus-scaled
+    oversample → exact rerank equals brute-force cosine (the
+    oracle)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as FF
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+        knn_ivf_pq,
+    )
+
+    if sf_dir not in _ANISO_ROT_IVF_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        wd = os.path.join(f"/tmp/qvss_ivf_anirot_{os.getpid()}",
+                          sf_dir.strip("/").replace("/", "_"))
+        shutil.rmtree(wd, ignore_errors=True)
+        idx = IVFIndex.build(emb, wd, coarse_k=16, base_k=4,
+                             metric="cosine")
+        books = build_pq_sidecar(idx, m=8, ksub=256, seed=99,
+                                 anisotropic=3.0, residual=True,
+                                 rotate=True)
+        _ANISO_ROT_IVF_CACHE[sf_dir] = (idx, books)
+    idx, books = _ANISO_ROT_IVF_CACHE[sf_dir]
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5) \
+                 .withColumnRenamed("vec_id", "query_id")
+    n = emb.count()
+    out, _meta = knn_ivf_pq(idx, queries, k=10, target_recall=1.0,
+                            max_probe=1_000_000_000,
+                            oversample=max(16, -(-n // 20)),
+                            books=books)
+    return out.withColumn("sim", FF.round("sim", 6))
+
+
+_ANISO_ROT_IVF_CACHE: dict = {}
+
+
 @register("q_dsir_select", sql="""
 WITH tgt AS (
   SELECT doc_id, text FROM documents WHERE lang = 'en'

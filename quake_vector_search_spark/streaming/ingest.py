@@ -235,14 +235,21 @@ def _append_pq_codes(index: IVFIndex, ids: np.ndarray,
         # residual composition enc_vecs already holds r = x − c_p
         # (subtracted above) and the score-parallel direction is the
         # ORIGINAL unit vector, recomputed from the incoming batch.
+        # A rotated (round 9) sidecar already rotated enc_vecs in the
+        # generic block above; the DIRECTION must ride the same
+        # transport, x̂ @ Rᵀ (exact for orthogonal R — see
+        # aniso_pq_train), and must always be explicit: normalizing
+        # the rotated (mean-shifted) enc_vecs would NOT be x̂ @ Rᵀ.
         from quake_vector_search_spark.operators.quantization import (
             _aniso_encode_local,
         )
         dirs = None
-        if books_cache.get("residual"):
+        if books_cache.get("residual") or rot is not None:
             orig = np.asarray(vecs, dtype=np.float64)
             dirs = orig / np.maximum(
                 np.linalg.norm(orig, axis=1, keepdims=True), 1e-12)
+            if rot is not None:
+                dirs = dirs @ rot["components"].T
         codes = _aniso_encode_local(
             enc_vecs, books_cache["books"],
             float(books_cache["meta"]["anisotropic"]), dirs=dirs)

