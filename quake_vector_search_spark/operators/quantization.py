@@ -930,6 +930,16 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
     The sidecar belongs to ONE index version: maintenance (split/merge)
     publishes a new version dir, so its sidecar must be rebuilt — the
     same compaction contract any secondary structure has.
+
+    Streaming-append contract for ``anisotropic`` sidecars (round 10):
+    the batch encoder here always uses the pure score-aware
+    assignment, but STREAMED appends go through
+    ``aniso_encode_streamed``, which falls back to the plain
+    MSE-optimal code for out-of-distribution rows whose score-aware
+    code would retain <5% of their residual energy — otherwise a
+    fresh streamed vector could be unreachable through ADC candidates
+    until the next sidecar rebuild (see that function's docstring for
+    the measured failure).
     """
     import json
     import os
@@ -1799,6 +1809,45 @@ def _aniso_encode_local(X: np.ndarray, books: np.ndarray, eta: float,
             e2 = e2_other + (ej_new ** 2).sum(axis=1)
             t = t_other + (ej_new * Xhj).sum(axis=1)
             codes[:, j] = new
+    return codes
+
+
+def aniso_encode_streamed(X: np.ndarray, books: np.ndarray,
+                          eta: float,
+                          dirs: np.ndarray | None = None,
+                          min_explained: float = 0.05) -> np.ndarray:
+    """Score-aware encode with a CANDIDATE-SURFACING guard, used by
+    the STREAMING append path only (``streaming/ingest.py::
+    _append_pq_codes``) — the batch encoder never falls back.
+
+    Product contract (round 10, closing the rotated-aniso streaming
+    seam): the anisotropic loss deliberately tolerates quantization
+    error orthogonal to the datapoint — correct for the
+    in-distribution corpus the books were trained on, but a freshly
+    streamed OUT-OF-DISTRIBUTION vector can be assigned a code that
+    retains almost none of its residual energy (measured on the
+    rotated×residual composition: the streamed vector's own-code ADC
+    distance 0.942 vs 0.659 for the nearest corpus code — the vector
+    can never surface in any reasonable ADC candidate set until the
+    next sidecar rebuild re-trains on it). Guard: rows whose
+    score-aware code explains less than ``min_explained`` of the
+    encode vector's energy (err² > (1−min_explained)·‖enc‖²) are
+    re-encoded with the plain MSE-optimal per-chunk argmin (η=1),
+    which is the best reachable reconstruction under the existing
+    books, keeping the streamed vector ADC-reachable. In-distribution
+    streamed rows (the common case) take the score-aware code
+    unchanged, so streamed ≡ batch encoding still holds for them."""
+    codes = _aniso_encode_local(X, books, eta, dirs=dirs)
+    if eta == 1.0:
+        return codes
+    m = books.shape[0]
+    dec = np.concatenate([books[j][codes[:, j]] for j in range(m)],
+                         axis=1)
+    err2 = ((X - dec) ** 2).sum(axis=1)
+    e2 = (X ** 2).sum(axis=1)
+    ood = err2 > (1.0 - min_explained) * e2
+    if ood.any():
+        codes[ood] = _aniso_encode_local(X[ood], books, 1.0)
     return codes
 
 

@@ -240,8 +240,14 @@ def _append_pq_codes(index: IVFIndex, ids: np.ndarray,
         # transport, x̂ @ Rᵀ (exact for orthogonal R — see
         # aniso_pq_train), and must always be explicit: normalizing
         # the rotated (mean-shifted) enc_vecs would NOT be x̂ @ Rᵀ.
+        # Streamed appends use the GUARDED encoder: an
+        # out-of-distribution vector whose score-aware code explains
+        # <5% of its residual energy falls back to the plain
+        # MSE-optimal code so it stays ADC-reachable until the next
+        # sidecar rebuild — the contract lives on
+        # quantization.aniso_encode_streamed.
         from quake_vector_search_spark.operators.quantization import (
-            _aniso_encode_local,
+            aniso_encode_streamed,
         )
         dirs = None
         if books_cache.get("residual") or rot is not None:
@@ -250,7 +256,7 @@ def _append_pq_codes(index: IVFIndex, ids: np.ndarray,
                 np.linalg.norm(orig, axis=1, keepdims=True), 1e-12)
             if rot is not None:
                 dirs = dirs @ rot["components"].T
-        codes = _aniso_encode_local(
+        codes = aniso_encode_streamed(
             enc_vecs, books_cache["books"],
             float(books_cache["meta"]["anisotropic"]), dirs=dirs)
     else:

@@ -871,7 +871,7 @@ def test_streaming_ingest_into_aniso_cosine_sidecar(spark, tmp_path):
 
     from quake_vector_search_spark.operators.ivf import IVFIndex
     from quake_vector_search_spark.operators.quantization import (
-        _aniso_encode_local,
+        aniso_encode_streamed,
         build_pq_sidecar,
         knn_ivf_pq,
     )
@@ -906,7 +906,7 @@ def test_streaming_ingest_into_aniso_cosine_sidecar(spark, tmp_path):
     # the stream collected float32-rounded values, then normalized
     v = np.asarray(probe_vec, dtype=np.float32).astype(np.float64)
     v = v / (np.linalg.norm(v) + 1e-12)
-    want = _aniso_encode_local(v[None, :], books, 3.0)[0]
+    want = aniso_encode_streamed(v[None, :], books, 3.0)[0]
     assert list(got[0]["pq_codes"]) == [int(c) for c in want]
     found, _ = knn_ivf_pq(idx, ([1], np.array([probe_vec])), k=1,
                           target_recall=1.0, max_probe=10**9,
@@ -925,7 +925,7 @@ def test_streaming_ingest_into_aniso_residual_sidecar(spark, tmp_path):
 
     from quake_vector_search_spark.operators.ivf import IVFIndex
     from quake_vector_search_spark.operators.quantization import (
-        _aniso_encode_local,
+        aniso_encode_streamed,
         build_pq_sidecar,
         knn_ivf_pq,
         load_residual_snapshot,
@@ -971,8 +971,8 @@ def test_streaming_ingest_into_aniso_residual_sidecar(spark, tmp_path):
                   .where(f"vec_id = {probe_id}")
                   .select("partition_id").head()[0])
     r = v - snap[pid]
-    want = _aniso_encode_local(r[None, :], books, 3.0,
-                               dirs=v[None, :])[0]
+    want = aniso_encode_streamed(r[None, :], books, 3.0,
+                                 dirs=v[None, :])[0]
     assert list(got[0]["pq_codes"]) == [int(c) for c in want]
     found, _ = knn_ivf_pq(idx, ([1], np.array([probe_vec])), k=1,
                           target_recall=1.0, max_probe=10**9,
@@ -983,16 +983,21 @@ def test_streaming_ingest_into_aniso_residual_sidecar(spark, tmp_path):
 def test_streaming_ingest_into_aniso_rotated_sidecar(spark, tmp_path):
     """Streamed appends into the ROTATED × RESIDUAL anisotropic
     sidecar (round 9): the streamed code must encode
-    ((x − c_p) − mean) @ Rᵀ under the score-aware assignment whose
-    direction rides the same transport, x̂ @ Rᵀ — NOT a normalization
-    of the rotated (mean-shifted) encode vector. Pinned bit-exactly
-    against the local encoder, then behaviorally (pure-ADC top-1 on
-    the streamed vector's own query)."""
+    ((x − c_p) − mean) @ Rᵀ under the GUARDED streamed assignment
+    (round 10 contract — aniso_encode_streamed) whose direction rides
+    the same transport, x̂ @ Rᵀ — NOT a normalization of the rotated
+    (mean-shifted) encode vector. This test's streamed vectors are
+    out-of-distribution: the pure score-aware code retains ~3% of the
+    residual energy (own-code ADC 0.942 vs 0.659 for the best corpus
+    code), so the guard falls back to the plain MSE-optimal code
+    (err ratio 0.70), keeping the vector ADC-reachable. Pinned
+    bit-exactly against the guarded local encoder, then behaviorally
+    (exact rerank top-1 on the streamed vector's own query)."""
     import numpy as np
 
     from quake_vector_search_spark.operators.ivf import IVFIndex
     from quake_vector_search_spark.operators.quantization import (
-        _aniso_encode_local,
+        aniso_encode_streamed,
         build_pq_sidecar,
         knn_ivf_pq,
         load_residual_snapshot,
@@ -1039,16 +1044,14 @@ def test_streaming_ingest_into_aniso_rotated_sidecar(spark, tmp_path):
     snap = load_residual_snapshot(idx.version_dir)
     enc = (v - snap[pid] - mean0) @ R0.T
     d = v @ R0.T                      # v is already unit
-    want = _aniso_encode_local(enc[None, :], books, 3.0,
-                               dirs=d[None, :])[0]
+    want = aniso_encode_streamed(enc[None, :], books, 3.0,
+                                 dirs=d[None, :])[0]
     assert list(got[0]["pq_codes"]) == [int(c) for c in want]
     # behavioral: the exact rerank puts the streamed vector first for
-    # its own query. oversample > 1 here — with η=3 the score-aware
-    # loss deliberately tolerates orthogonal error, so an
-    # out-of-distribution streamed vector can quantize WORSE than a
-    # genuine near neighbor's ADC distance (measured: own-code ADC
-    # 0.94 vs 0.66 for the closest corpus code); the ADC stage only
-    # has to surface it as a candidate, the rerank is exact
+    # its own query. The guard's plain fallback code has err ratio
+    # 0.70 (vs 0.97 score-aware) — near the best corpus code's 0.66 —
+    # so a modest oversample surfaces it as an ADC candidate and the
+    # exact rerank does the rest
     found, _ = knn_ivf_pq(idx, ([1], np.array([probe_vec])), k=1,
                           target_recall=1.0, max_probe=10**9,
                           oversample=64, books=books)

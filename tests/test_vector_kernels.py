@@ -739,3 +739,66 @@ def test_aniso_cd_never_increases_loss(n, m, ksub, eta, seed):
     init = _aniso_encode_local(X, books, 1.0)        # plain argmin
     out = _aniso_encode_local(X, books, eta)
     assert loss(out) <= loss(init) + 1e-9
+
+
+def test_aniso_encode_streamed_guard():
+    """The round-10 streaming guard contract (aniso_encode_streamed):
+    (1) in-distribution rows whose score-aware code explains plenty of
+    energy keep the PURE score-aware code bit-for-bit; (2) an
+    out-of-distribution row whose score-aware code retains <5% of its
+    energy falls back to the plain MSE-optimal argmin code (and that
+    fallback strictly reduces reconstruction error); (3) η=1 is a
+    passthrough. No Spark needed — the guard is a NumPy kernel."""
+    import numpy as np
+
+    from quake_vector_search_spark.functions.vector import l2_batch
+    from quake_vector_search_spark.operators.quantization import (
+        _aniso_encode_local,
+        aniso_encode_streamed,
+    )
+
+    rng = np.random.default_rng(17)
+    m, ksub, dsub = 4, 16, 4
+    d = m * dsub
+    # books trained implicitly: codewords sampled from a tight cloud
+    # around axis-aligned cluster centers so in-distribution points
+    # are well explained
+    centers = rng.normal(size=(ksub, dsub))
+    books = np.stack([centers + 0.01 * rng.normal(size=(ksub, dsub))
+                      for _ in range(m)])
+    # in-distribution rows: exact codeword concatenations + tiny noise
+    picks = rng.integers(0, ksub, size=(50, m))
+    X_in = np.concatenate(
+        [books[j][picks[:, j]] for j in range(m)], axis=1)
+    X_in = X_in + 1e-6 * rng.normal(size=X_in.shape)
+    got_in = aniso_encode_streamed(X_in, books, 3.0)
+    pure_in = _aniso_encode_local(X_in, books, 3.0)
+    assert np.array_equal(got_in, pure_in)
+
+    # OOD row: craft a vector whose score-aware code explains <5% of
+    # its energy by searching random directions; skip the assertion
+    # if the geometry never produces one (deterministic seed → stable)
+    found = False
+    for _ in range(200):
+        x = rng.normal(size=d)
+        x /= np.linalg.norm(x)
+        c = _aniso_encode_local(x[None, :], books, 25.0)
+        dec = np.concatenate([books[j][c[0, j]] for j in range(m)])
+        err = ((x - dec) ** 2).sum()
+        if err > 0.95 * (x ** 2).sum():
+            found = True
+            g = aniso_encode_streamed(x[None, :], books, 25.0)[0]
+            want = np.array([np.argmin(l2_batch(
+                x[None, j * dsub:(j + 1) * dsub], books[j]), axis=1)[0]
+                for j in range(m)])
+            assert np.array_equal(g, want)
+            dec_g = np.concatenate(
+                [books[j][g[j]] for j in range(m)])
+            assert ((x - dec_g) ** 2).sum() <= err
+            break
+    assert found, "no OOD row materialized — loosen the generator"
+
+    # η=1 passthrough: guard does nothing on plain encodes
+    got1 = aniso_encode_streamed(X_in[:5], books, 1.0)
+    assert np.array_equal(got1, _aniso_encode_local(X_in[:5], books,
+                                                    1.0))
