@@ -72,6 +72,35 @@ RENAME_MAP: dict[str, str] = {
     "dedup_embedding_cosine": "dedup_embedding_cosine_oracle",  # r6
 }
 
+WINDOW_R10: tuple[str, ...] = (
+    # never driver-checked: the round-9 rotated-aniso composition,
+    # judge-verified only so far (1)
+    "ivf_aniso_rotated_fullprobe",
+    # stalest: latest driver check round 5 (35) — the raw-prefix rows
+    # WINDOW_R9 didn't re-verify
+    "knn_with_payload", "q_balanced_sample", "emb_label_centroids",
+    "emb_nearest_centroid", "mm_extract_features", "mm_frame_sample",
+    "mm_resize", "mm_dedup_by_features", "mm_training_pairs",
+    "ts_tumbling_hourly", "ts_sliding_1h_30m", "ts_sessionization",
+    "ts_trailing_1h_range", "ts_asof_join", "ts_gapfill_ffill",
+    "ts_interval_join", "ts_session_window_native", "ts_multi_rollup",
+    "ts_funnel", "ts_cohort_retention", "ts_anomaly_hours",
+    "ts_scd2_intervals", "ts_top_paths", "ts_scd2_merge",
+    "text_token_stats", "text_quality_score", "text_language_id",
+    "text_fingerprint", "text_tfidf", "q_train_test_split",
+    "text_chunking", "text_bigram_freq", "text_cms_wordcount",
+    "text_pack_sequences", "text_kgram_fingerprints",
+    # next-stalest: 14 oldest of the 50 rows last checked round 6 —
+    # the TPC-H battery defined in tpch_queries (14)
+    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+    "q9_product_type_profit", "q12_late_shipment_priority",
+    "q13_customer_order_distribution", "q14_promo_revenue",
+    "q15_top_supplier", "q16_supplier_part_count",
+    "q19_disjunctive_revenue", "q20_heavy_shippers",
+    "q21_waiting_supplier", "q2_min_balance_supplier",
+    "q11_important_parts",
+)
+
 WINDOW_R9: tuple[str, ...] = (
     # judge-only rows from round 8 (never driver-checked) (12)
     "q_regex_funcs", "q_date_funcs2", "q_min_by_max_by",
@@ -201,21 +230,31 @@ WINDOW_R6: tuple[str, ...] = (
 
 
 def ordered_registry() -> dict[str, Query]:
-    """REGISTRY re-ordered so the round-9 driver window comes first,
-    the round-8 window second (positions 51-100), round-7 third
-    (101-150), round-6 fourth (151-200).
+    """REGISTRY re-ordered so the round-10 driver window comes first,
+    the round-9 window second (positions 51-100), round-8 third
+    (101-150), round-7 fourth (151-200); WINDOW_R6's remainder (the
+    36 rows WINDOW_R10 didn't re-schedule) follows at 201+.
+
+    Round 10 rotates a SIXTH window in front (VERDICT r9 #2): the one
+    registry row the driver has never checked
+    (ivf_aniso_rotated_fullprobe, judge-verified only in r9) plus the
+    49 STALEST driver-verified rows — all 35 whose latest check is
+    round 5 and the 14 oldest of the 50 last checked in round 6 (the
+    tpch_queries battery). WINDOW_R10 members recur in WINDOW_R2R5/R6
+    by design (re-verification); the dict build dedupes on first
+    occurrence.
 
     Raw REGISTRY insertion order (module load order) is unchanged —
     rounds 1-5's window remains its prefix, pinned by
     tests/test_registry_window.py alongside the others.
     """
     load_all_query_modules()
-    missing = [n for n in (*WINDOW_R9, *WINDOW_R8, *WINDOW_R7, *WINDOW_R6)
-               if n not in REGISTRY]
+    windows = (*WINDOW_R10, *WINDOW_R9, *WINDOW_R8, *WINDOW_R7,
+               *WINDOW_R6)
+    missing = [n for n in windows if n not in REGISTRY]
     if missing:
         raise ValueError(f"window names not in registry: {missing}")
-    out = {n: REGISTRY[n]
-           for n in (*WINDOW_R9, *WINDOW_R8, *WINDOW_R7, *WINDOW_R6)}
+    out = {n: REGISTRY[n] for n in windows}
     out.update((n, q) for n, q in REGISTRY.items() if n not in out)
     return out
 

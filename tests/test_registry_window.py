@@ -18,7 +18,12 @@ round ≤5 (r1-era relational rows + r5-era core-vector rows — the
 stalest strata). Report keys are mapped through RENAME_MAP first so the
 two r6 renames don't corrupt the accounting (VERDICT r8 "What's wrong"
 #2). The rounds-1-5 window stays pinned as the raw-REGISTRY prefix so
-all compositions remain verified.
+all compositions remain verified. Round 10 rotates a SIXTH window
+(WINDOW_R10, VERDICT r9 #2): the single never-driver-checked row plus
+the 49 stalest (35 last checked r5 + the 14 TPC-H rows last checked
+r6); with it, every registry row is scheduled in some window and the
+cumulative accounting test asserts invariants instead of a hand-bumped
+scalar (ADVICE r9).
 """
 
 import glob
@@ -32,6 +37,7 @@ from quake_vector_search_spark.queries import (
     WINDOW_R7,
     WINDOW_R8,
     WINDOW_R9,
+    WINDOW_R10,
     load_all_query_modules,
     ordered_registry,
 )
@@ -71,7 +77,7 @@ def _latest_driver_round() -> dict[str, int]:
     row (and the stale OLD keys don't pollute the accounting)."""
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     latest: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r0[1-8].json"))):
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         rnd = int(os.path.basename(path)[13:15])
         with open(path) as f:
             for key in json.load(f):
@@ -80,21 +86,27 @@ def _latest_driver_round() -> dict[str, int]:
     return latest
 
 
-def test_r9_window_is_the_rotated_surface():
-    """First 50 of the driver-facing ordering = WINDOW_R9; every member
-    is either never driver-verified (the 12 judge-only rows) or stale
-    (latest driver check round ≤5). No member is fresh (r6-r8)."""
+def test_r10_window_is_the_rotated_surface():
+    """First 50 of the driver-facing ordering = WINDOW_R10; composition
+    per VERDICT r9 #2, checked against the reports AS OF END OF ROUND 9
+    (later reports excluded so the invariant doesn't dissolve once
+    CORRECTNESS_r10 lands): 1 never-driver-verified row
+    (ivf_aniso_rotated_fullprobe, judge-only in r9), all 35 rows whose
+    latest check was round 5, and 14 rows last checked round 6. No
+    member fresh (r7-r9)."""
     names = list(ordered_registry())
-    assert len(WINDOW_R9) == 50
-    assert names[:50] == list(WINDOW_R9)
-    latest = _latest_driver_round()
+    assert len(WINDOW_R10) == 50
+    assert names[:50] == list(WINDOW_R10)
+    latest = {n: r for n, r in _latest_driver_round().items() if r <= 9}
     assert latest, "correctness reports missing from repo root"
-    never = [n for n in WINDOW_R9 if n not in latest]
-    stale = [n for n in WINDOW_R9 if latest.get(n, 99) <= 5]
-    fresh = [n for n in WINDOW_R9 if 6 <= latest.get(n, 0) <= 8]
-    assert len(never) == 12, f"expected 12 never-verified, got {never}"
-    assert len(stale) == 38, f"expected 38 stale, got {len(stale)}"
-    assert not fresh, f"WINDOW_R9 wastes slots on fresh rows: {fresh}"
+    never = [n for n in WINDOW_R10 if n not in latest]
+    r5 = [n for n in WINDOW_R10 if latest.get(n, 99) == 5]
+    r6 = [n for n in WINDOW_R10 if latest.get(n, 99) == 6]
+    fresh = [n for n in WINDOW_R10 if 7 <= latest.get(n, 0) <= 9]
+    assert never == ["ivf_aniso_rotated_fullprobe"], never
+    assert len(r5) == 35, f"expected 35 r5-stale, got {len(r5)}"
+    assert len(r6) == 14, f"expected 14 r6-stale, got {len(r6)}"
+    assert not fresh, f"WINDOW_R10 wastes slots on fresh rows: {fresh}"
 
 
 def test_rename_map_keys_are_stale_and_values_current():
@@ -107,37 +119,54 @@ def test_rename_map_keys_are_stale_and_values_current():
 
 
 def test_cumulative_accounting_is_exact():
-    """The cumulative driver-verified count (union of report keys
-    mapped through RENAME_MAP, intersected with the registry) matches
-    the documented 223/235 as of end of round 8. If a round-9 report
-    lands, the count can only grow."""
+    """Cumulative driver-verified accounting, as INVARIANTS rather
+    than a hand-bumped scalar (ADVICE r9): the verified union can only
+    grow (>= the 235/236 documented at end of round 9), and any
+    registry row the driver has NEVER verified must be scheduled in
+    the current front window — otherwise it can never graduate."""
     load_all_query_modules()
     latest = _latest_driver_round()
     verified = set(latest) & set(REGISTRY)
-    assert len(verified) == 223, len(verified)
-    assert len(REGISTRY) >= 235
+    assert len(verified) >= 235, len(verified)
+    assert len(REGISTRY) >= 236
+    unverified = set(REGISTRY) - verified
+    stranded = unverified - set(WINDOW_R10)
+    assert not stranded, f"never-verified rows outside the window: {stranded}"
 
 
-def test_r8_window_still_pinned_at_51_100():
+def test_r9_window_still_pinned_at_51_100():
+    names = list(ordered_registry())
+    assert len(WINDOW_R9) == 50
+    assert names[50:100] == list(WINDOW_R9)
+    assert not set(WINDOW_R9) & set(WINDOW_R10)
+
+
+def test_r8_window_still_pinned_at_101_150():
     names = list(ordered_registry())
     assert len(WINDOW_R8) == 50
-    assert names[50:100] == list(WINDOW_R8)
+    assert names[100:150] == list(WINDOW_R8)
     assert not set(WINDOW_R8) & set(WINDOW_R9)
+    assert not set(WINDOW_R8) & set(WINDOW_R10)
 
 
-def test_r7_window_still_pinned_at_101_150():
+def test_r7_window_still_pinned_at_151_200():
     names = list(ordered_registry())
     assert len(WINDOW_R7) == 50
-    assert names[100:150] == list(WINDOW_R7)
+    assert names[150:200] == list(WINDOW_R7)
+    assert not set(WINDOW_R7) & set(WINDOW_R10)
     assert not set(WINDOW_R7) & set(WINDOW_R9)
     assert not set(WINDOW_R7) & set(WINDOW_R6)
     assert not set(WINDOW_R7) & set(WINDOW_R2R5)
 
 
-def test_r6_window_still_pinned_at_151_200():
+def test_r6_window_remainder_pinned_after_200():
+    """WINDOW_R10 deliberately re-schedules 14 WINDOW_R6 rows (the
+    TPC-H battery); the other 36 keep their relative order at 201+."""
     names = list(ordered_registry())
     assert len(WINDOW_R6) == 50
-    assert names[150:200] == list(WINDOW_R6)
+    rest = [n for n in WINDOW_R6 if n not in set(WINDOW_R10)]
+    assert len(rest) == 36
+    assert names[200:200 + 36] == rest
     assert not set(WINDOW_R6) & set(WINDOW_R9)
     assert not set(WINDOW_R6) & set(WINDOW_R2R5)
 
