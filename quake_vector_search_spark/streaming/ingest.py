@@ -29,14 +29,13 @@ from pyspark.sql import DataFrame
 from quake_vector_search_spark.operators.ivf import IVFIndex
 
 
-def _append_pq_codes(index: IVFIndex, ids: np.ndarray,
-                     vecs: np.ndarray, pids: np.ndarray,
-                     books_cache: dict) -> bool:
-    """Append PQ codes for freshly-inserted vectors to the sidecar of
-    the index's CURRENT version (no-op → False when the version has no
-    sidecar). Codebooks are cached per version dir: maintenance bumps
-    the version (and re-encodes the sidecar itself), after which the
-    next batch picks up the new version's codebooks."""
+def _load_books_cache(index: IVFIndex, books_cache: dict) -> bool:
+    """Load (or refresh) the CURRENT version's sidecar params into
+    ``books_cache`` — False when the version has no sidecar. Codebooks
+    are cached per version dir: maintenance bumps the version (and
+    re-encodes the sidecar itself), after which the next batch picks up
+    the new version's codebooks. Shared by the driver micro-batch
+    appender and the distributed backfill appender."""
     import json
 
     npy = os.path.join(index.version_dir, "pq_codebooks.npy")
@@ -132,29 +131,59 @@ def _append_pq_codes(index: IVFIndex, ids: np.ndarray,
         # version dir; drop it so the residual branch reloads (and
         # extends) the new version's snapshot
         books_cache.pop("snapshot", None)
+    return True
+
+
+def _ensure_residual_snapshot(index: IVFIndex, pids: np.ndarray,
+                              books_cache: dict) -> dict:
+    """IVFADC sidecar: codes quantize x − c_p — c_p comes from the
+    sidecar's ENCODE-TIME snapshot (the LUT side reads the same
+    snapshot); partitions born after the snapshot get their current
+    centroid ADDED to it so encode and LUT stay consistent. Driver-side
+    by design: index metadata plus a tiny npz write."""
+    from quake_vector_search_spark.operators.quantization import (
+        load_residual_snapshot, save_residual_snapshot,
+    )
+    snap = books_cache.get("snapshot")
+    if snap is None:
+        snap = load_residual_snapshot(index.version_dir) or {}
+        books_cache["snapshot"] = snap
+    pos_of = {int(p): i for i, p in enumerate(index.part_ids)}
+    new_pids = {int(p) for p in pids} - set(snap)
+    if new_pids:
+        for p in new_pids:
+            snap[p] = index.centroids[pos_of[p]].copy()
+        save_residual_snapshot(index.version_dir, snap)
+    return snap
+
+
+def _encode_with_books(vecs: np.ndarray, pids: np.ndarray,
+                       books_cache: dict,
+                       snap: dict | None) -> np.ndarray:
+    """Pure NumPy encode for GLOBAL-state sidecar flavors (plain /
+    rotated / residual / sq8 / anisotropic) — shared bit-for-bit by the
+    driver micro-batch appender and the distributed mapInPandas
+    appender, so streamed codes are identical whichever path routed the
+    batch. ``snap`` must already hold every pid in ``pids`` (callers
+    run ``_ensure_residual_snapshot`` first). LOPQ (per-cell books)
+    stays on the driver path only: its appends may TRAIN books for
+    partitions the sidecar has never seen — driver-side state.
+
+    Anisotropic sidecars: streamed codes come from the same score-aware
+    coordinate-descent assignment the batch encoder used, via the
+    GUARDED encoder (``aniso_encode_streamed`` — an out-of-distribution
+    vector whose score-aware code explains <5% of its residual energy
+    falls back to the plain MSE-optimal code so it stays
+    ADC-reachable). Under the residual composition codes quantize
+    r = x − c_p with the score-parallel direction being the ORIGINAL
+    unit vector; a rotated sidecar transports BOTH through the
+    rotation — the direction must be x̂ @ Rᵀ, NOT a normalization of
+    the rotated (mean-shifted) encode vector."""
     from quake_vector_search_spark.operators.quantization import (
         pq_encode_local,
     )
     enc_vecs = np.asarray(vecs, dtype=np.float64)
     if books_cache.get("residual"):
-        # IVFADC sidecar: codes quantize x − c_p — mirror the batch
-        # encoder for streaming appends. c_p comes from the sidecar's
-        # ENCODE-TIME snapshot (the LUT side reads the same snapshot);
-        # partitions born after the snapshot get their current
-        # centroid ADDED to it so encode and LUT stay consistent.
-        from quake_vector_search_spark.operators.quantization import (
-            load_residual_snapshot, save_residual_snapshot,
-        )
-        snap = books_cache.get("snapshot")
-        if snap is None:
-            snap = load_residual_snapshot(index.version_dir) or {}
-            books_cache["snapshot"] = snap
-        pos_of = {int(p): i for i, p in enumerate(index.part_ids)}
-        new_pids = {int(p) for p in pids} - set(snap)
-        if new_pids:
-            for p in new_pids:
-                snap[p] = index.centroids[pos_of[p]].copy()
-            save_residual_snapshot(index.version_dir, snap)
         C = np.stack([snap[int(p)] for p in pids])
         enc_vecs = enc_vecs - C
     rot = books_cache.get("rotation")
@@ -168,8 +197,43 @@ def _append_pq_codes(index: IVFIndex, ids: np.ndarray,
         )
 
         p = books_cache["sq8_params"]
-        codes = sq8_encode_local(enc_vecs, p["vmin"], p["scale"])
-    elif books_cache.get("local"):
+        return sq8_encode_local(enc_vecs, p["vmin"], p["scale"])
+    if books_cache["meta"].get("anisotropic") is not None:
+        from quake_vector_search_spark.operators.quantization import (
+            aniso_encode_streamed,
+        )
+        dirs = None
+        if books_cache.get("residual") or rot is not None:
+            orig = np.asarray(vecs, dtype=np.float64)
+            dirs = orig / np.maximum(
+                np.linalg.norm(orig, axis=1, keepdims=True), 1e-12)
+            if rot is not None:
+                dirs = dirs @ rot["components"].T
+        return aniso_encode_streamed(
+            enc_vecs, books_cache["books"],
+            float(books_cache["meta"]["anisotropic"]), dirs=dirs)
+    return pq_encode_local(enc_vecs, books_cache["books"])
+
+
+def _append_pq_codes(index: IVFIndex, ids: np.ndarray,
+                     vecs: np.ndarray, pids: np.ndarray,
+                     books_cache: dict) -> bool:
+    """Append PQ codes for freshly-inserted vectors to the sidecar of
+    the index's CURRENT version (no-op → False when the version has no
+    sidecar). Driver-side NumPy — right for streaming micro-batches;
+    backfills route through ``_append_pq_codes_distributed``."""
+    from quake_vector_search_spark.operators.quantization import (
+        pq_encode_local,
+    )
+
+    if not _load_books_cache(index, books_cache):
+        return False
+    snap = (_ensure_residual_snapshot(index, pids, books_cache)
+            if books_cache.get("residual") else None)
+    enc_vecs = np.asarray(vecs, dtype=np.float64)
+    if snap is not None:
+        enc_vecs = enc_vecs - np.stack([snap[int(p)] for p in pids])
+    if books_cache.get("local"):
         # local (LOPQ) sidecar: each row encodes against ITS
         # partition's codebooks. A partition the sidecar has never
         # seen gets books trained right here from the batch's own
@@ -227,40 +291,8 @@ def _append_pq_codes(index: IVFIndex, ids: np.ndarray,
             if rot is not None:
                 Xp = (Xp - rot["mean"]) @ rot["components"].T
             codes[mask] = pq_encode_local(Xp, books[int(p)])
-    elif books_cache["meta"].get("anisotropic") is not None:
-        # anisotropic sidecar: streamed codes must come from the SAME
-        # score-aware coordinate-descent assignment the batch encoder
-        # used — plain argmin codes are valid to decode but break the
-        # bit-exact streamed≡batch encoding contract. Under the
-        # residual composition enc_vecs already holds r = x − c_p
-        # (subtracted above) and the score-parallel direction is the
-        # ORIGINAL unit vector, recomputed from the incoming batch.
-        # A rotated (round 9) sidecar already rotated enc_vecs in the
-        # generic block above; the DIRECTION must ride the same
-        # transport, x̂ @ Rᵀ (exact for orthogonal R — see
-        # aniso_pq_train), and must always be explicit: normalizing
-        # the rotated (mean-shifted) enc_vecs would NOT be x̂ @ Rᵀ.
-        # Streamed appends use the GUARDED encoder: an
-        # out-of-distribution vector whose score-aware code explains
-        # <5% of its residual energy falls back to the plain
-        # MSE-optimal code so it stays ADC-reachable until the next
-        # sidecar rebuild — the contract lives on
-        # quantization.aniso_encode_streamed.
-        from quake_vector_search_spark.operators.quantization import (
-            aniso_encode_streamed,
-        )
-        dirs = None
-        if books_cache.get("residual") or rot is not None:
-            orig = np.asarray(vecs, dtype=np.float64)
-            dirs = orig / np.maximum(
-                np.linalg.norm(orig, axis=1, keepdims=True), 1e-12)
-            if rot is not None:
-                dirs = dirs @ rot["components"].T
-        codes = aniso_encode_streamed(
-            enc_vecs, books_cache["books"],
-            float(books_cache["meta"]["anisotropic"]), dirs=dirs)
     else:
-        codes = pq_encode_local(enc_vecs, books_cache["books"])
+        codes = _encode_with_books(vecs, pids, books_cache, snap)
     # pyarrow Table from the flat code buffer: exact types independent
     # of the session's Arrow config (pandas object columns of numpy
     # arrays fail the non-Arrow row verifier)
@@ -281,16 +313,101 @@ def _append_pq_codes(index: IVFIndex, ids: np.ndarray,
     return True
 
 
+def _append_pq_codes_distributed(index: IVFIndex, routed: DataFrame,
+                                 books_cache: dict) -> str:
+    """Distributed twin of ``_append_pq_codes`` (round 10, VERDICT r9
+    #4): encode a BACKFILL-scale routed frame (id, float64 embedding,
+    partition_id — ``IVFIndex.insert_distributed``'s return value) in
+    one mapInPandas pass with the sidecar params broadcast, and append
+    with one partitioned write. The per-row kernel is the SAME
+    ``_encode_with_books`` the driver path runs, so codes are identical
+    whichever path handled the batch. Returns "done", "no_sidecar", or
+    "local" — LOPQ appends may need to TRAIN books for never-seen
+    partitions (driver-side npz state), so the caller falls back to the
+    collected driver path for them."""
+    if not _load_books_cache(index, books_cache):
+        return "no_sidecar"
+    if books_cache.get("local"):
+        return "local"
+    if books_cache.get("residual"):
+        pids_present = np.array(
+            [int(r[0]) for r in
+             routed.select("partition_id").distinct().collect()],
+            dtype=np.int64)
+        _ensure_residual_snapshot(index, pids_present, books_cache)
+    payload = {k: books_cache.get(k)
+               for k in ("meta", "books", "rotation", "sq8",
+                         "sq8_params", "residual", "snapshot")}
+    bc = index.spark.sparkContext.broadcast(payload)
+    id_col, vec_col = index.id_col, index.vec_col
+
+    def enc(batches):
+        cache = bc.value
+        snap = cache.get("snapshot")
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            p = pdf["partition_id"].to_numpy().astype(np.int64)
+            codes = _encode_with_books(V, p, cache, snap)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].astype("int64"),
+                "pq_codes": list(codes.astype(np.int32)),
+                "partition_id": p,
+            })
+
+    sdf = routed.mapInPandas(
+        enc, f"{id_col} long, pq_codes array<int>, partition_id long")
+    (sdf.write.mode("append").partitionBy("partition_id")
+     .parquet(os.path.join(index.version_dir, "pq")))
+    return "done"
+
+
 def ingest_stream(index: IVFIndex, vectors_stream: DataFrame,
-                  checkpoint_dir: str, encode_pq: bool = True):
+                  checkpoint_dir: str, encode_pq: bool = True,
+                  distributed_threshold: int | None = None):
     """Attach a vector stream to the index. Returns the StreamingQuery;
     caller owns lifecycle (processAllAvailable/stop). With
     ``encode_pq`` (default), micro-batches also keep the version's PQ
-    sidecar current — see module docstring."""
+    sidecar current — see module docstring.
+
+    ``distributed_threshold`` (round 10, VERDICT r9 #4): batches with
+    at least that many rows route through
+    ``IVFIndex.insert_distributed`` + the mapInPandas sidecar appender
+    instead of the driver-side collect — the BACKFILL path: a replayed
+    history or bulk re-ingest arrives as one huge batch that must
+    never be collected. Default None keeps every batch on the
+    driver path (micro-batch streams: a few hundred rows beat a Spark
+    job). LOPQ sidecars fall back to the driver appender even on the
+    distributed path (their appends may train per-cell books —
+    driver-side npz state)."""
     id_col, vec_col = index.id_col, index.vec_col
     books_cache: dict = {}
 
     def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if distributed_threshold is not None:
+            n = batch_df.count()
+            if n >= distributed_threshold:
+                routed = index.insert_distributed(
+                    batch_df.select(id_col, vec_col))
+                if encode_pq:
+                    res = _append_pq_codes_distributed(
+                        index, routed, books_cache)
+                    if res == "local":
+                        # LOPQ: collect the (already written) routing
+                        # and run the driver appender, which can train
+                        # books for never-seen partitions
+                        rows = routed.collect()
+                        ids = np.array([r[0] for r in rows],
+                                       dtype=np.int64)
+                        vecs = np.array([np.asarray(r[1],
+                                                    dtype=np.float64)
+                                         for r in rows])
+                        pids = np.array([r[2] for r in rows],
+                                        dtype=np.int64)
+                        _append_pq_codes(index, ids, vecs, pids,
+                                         books_cache)
+                return
         rows = batch_df.select(id_col, vec_col).collect()
         if not rows:
             return

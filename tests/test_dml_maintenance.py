@@ -868,3 +868,96 @@ def test_maintenance_carries_aniso_rotated_sidecar(spark, tmp_path):
     want = _aniso_encode_local(r[None, :], books2, 3.0,
                                dirs=d[None, :])[0]
     assert list(row[0]["pq_codes"]) == [int(c) for c in want]
+
+
+def test_insert_distributed_matches_driver_insert(spark, tmp_path):
+    """The round-10 backfill path (VERDICT r9 #4): insert_distributed
+    must assign EXACTLY the pids the driver-side insert assigns on the
+    same batch — including new partitions born from an empty coarse
+    cell (sorted-cell sentinel remap) — with equal corpus rows, sizes,
+    and allclose centroids (summation order may differ), and its
+    routing job must be one MapInPandas with no Exchange and no
+    collect on the data path."""
+    import io
+    from contextlib import redirect_stdout
+
+    import numpy as np
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.workload import make_dataset
+
+    corpus = make_dataset(spark, 500, d=8, n_clusters=5, seed=3)
+    a = IVFIndex.build(corpus, str(tmp_path / "a"), coarse_k=3,
+                       base_k=2, metric="l2")
+    b = IVFIndex.build(corpus, str(tmp_path / "b"), coarse_k=3,
+                       base_k=2, metric="l2")
+    assert np.array_equal(a.part_ids, b.part_ids)
+    # graft an EMPTY coarse cell onto both copies identically so the
+    # batch exercises new-partition creation through both paths
+    far = np.full(8, 40.0)
+    a.coarse_centroids = np.vstack([a.coarse_centroids, far])
+    b.coarse_centroids = np.vstack([b.coarse_centroids, far])
+
+    rng = np.random.default_rng(11)
+    n_new = 120
+    vecs = rng.normal(size=(n_new, 8))
+    vecs[:10] += far  # these must land in the empty cell
+    ids = np.arange(10_000, 10_000 + n_new)
+
+    pids_a = a.insert(ids, vecs)
+
+    bdf = spark.createDataFrame(
+        [(int(i), v.tolist()) for i, v in zip(ids, vecs)],
+        "vec_id long, embedding array<float>")
+    routed = b.route_distributed(bdf)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        routed.explain("formatted")
+    plan = buf.getvalue()
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan, plan
+    out = b.insert_distributed(bdf)
+    got = {int(r[0]): int(r[2]) for r in out.collect()}
+    want = {int(i): int(p) for i, p in zip(ids, pids_a)}
+    assert got == want
+    # registered metadata agrees
+    assert np.array_equal(a.part_ids, b.part_ids)
+    assert np.array_equal(a.part_coarse, b.part_coarse)
+    assert np.array_equal(a.sizes, b.sizes)
+    assert np.allclose(a.centroids, b.centroids)
+    # corpus rows agree (id -> pid, float32 vector values)
+    rows_a = {int(r["vec_id"]): (int(r["partition_id"]),
+                                 tuple(r["embedding"]))
+              for r in a.read_corpus().collect()}
+    rows_b = {int(r["vec_id"]): (int(r["partition_id"]),
+                                 tuple(r["embedding"]))
+              for r in b.read_corpus().collect()}
+    assert rows_a == rows_b
+
+
+def test_insert_distributed_tombstone_reinsert(spark, tmp_path):
+    """Re-inserting a deleted id through the distributed path purges
+    the old physical row via the same staged publish the driver path
+    uses — exactly one live row per id afterward, tombstone cleared."""
+    import numpy as np
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.workload import make_dataset
+
+    corpus = make_dataset(spark, 300, d=8, n_clusters=3, seed=4)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf"), coarse_k=2,
+                         base_k=2, metric="l2")
+    victim = 7
+    idx.delete([victim])
+    assert victim in idx.tombstones
+    rng = np.random.default_rng(9)
+    vec = rng.normal(size=8)
+    bdf = spark.createDataFrame(
+        [(victim, vec.tolist()), (20_000, (vec + 1).tolist())],
+        "vec_id long, embedding array<float>")
+    idx.insert_distributed(bdf)
+    assert victim not in idx.tombstones
+    live = (idx.read_corpus().where(f"vec_id = {victim}").collect())
+    assert len(live) == 1
+    got = np.asarray(live[0]["embedding"], dtype=np.float64)
+    assert np.allclose(got, vec.astype(np.float32), atol=0)

@@ -19,9 +19,11 @@ stalest strata). Report keys are mapped through RENAME_MAP first so the
 two r6 renames don't corrupt the accounting (VERDICT r8 "What's wrong"
 #2). The rounds-1-5 window stays pinned as the raw-REGISTRY prefix so
 all compositions remain verified. Round 10 rotates a SIXTH window
-(WINDOW_R10, VERDICT r9 #2): the single never-driver-checked row plus
-the 49 stalest (35 last checked r5 + the 14 TPC-H rows last checked
-r6); with it, every registry row is scheduled in some window and the
+(WINDOW_R10, VERDICT r9 #2): the never-driver-checked rows (the r9
+rotated-aniso composition + the two new round-10 rows) plus the
+stalest re-verifications (35 last checked r5 + 12 TPC-H rows last
+checked r6); with it, every registry row is scheduled in some window
+and the
 cumulative accounting test asserts invariants instead of a hand-bumped
 scalar (ADVICE r9).
 """
@@ -90,10 +92,10 @@ def test_r10_window_is_the_rotated_surface():
     """First 50 of the driver-facing ordering = WINDOW_R10; composition
     per VERDICT r9 #2, checked against the reports AS OF END OF ROUND 9
     (later reports excluded so the invariant doesn't dissolve once
-    CORRECTNESS_r10 lands): 1 never-driver-verified row
-    (ivf_aniso_rotated_fullprobe, judge-only in r9), all 35 rows whose
-    latest check was round 5, and 14 rows last checked round 6. No
-    member fresh (r7-r9)."""
+    CORRECTNESS_r10 lands): 3 never-driver-verified rows
+    (ivf_aniso_rotated_fullprobe, judge-only in r9, plus the two NEW
+    round-10 rows), all 35 rows whose latest check was round 5, and 12
+    rows last checked round 6. No member fresh (r7-r9)."""
     names = list(ordered_registry())
     assert len(WINDOW_R10) == 50
     assert names[:50] == list(WINDOW_R10)
@@ -103,9 +105,11 @@ def test_r10_window_is_the_rotated_surface():
     r5 = [n for n in WINDOW_R10 if latest.get(n, 99) == 5]
     r6 = [n for n in WINDOW_R10 if latest.get(n, 99) == 6]
     fresh = [n for n in WINDOW_R10 if 7 <= latest.get(n, 0) <= 9]
-    assert never == ["ivf_aniso_rotated_fullprobe"], never
+    assert set(never) == {"ivf_aniso_rotated_fullprobe",
+                          "ivf_dml_distributed_roundtrip",
+                          "ivf_serving_stack_routed"}, never
     assert len(r5) == 35, f"expected 35 r5-stale, got {len(r5)}"
-    assert len(r6) == 14, f"expected 14 r6-stale, got {len(r6)}"
+    assert len(r6) == 12, f"expected 12 r6-stale, got {len(r6)}"
     assert not fresh, f"WINDOW_R10 wastes slots on fresh rows: {fresh}"
 
 
@@ -160,13 +164,13 @@ def test_r7_window_still_pinned_at_151_200():
 
 
 def test_r6_window_remainder_pinned_after_200():
-    """WINDOW_R10 deliberately re-schedules 14 WINDOW_R6 rows (the
-    TPC-H battery); the other 36 keep their relative order at 201+."""
+    """WINDOW_R10 deliberately re-schedules 12 WINDOW_R6 rows (the
+    TPC-H battery); the other 38 keep their relative order at 201+."""
     names = list(ordered_registry())
     assert len(WINDOW_R6) == 50
     rest = [n for n in WINDOW_R6 if n not in set(WINDOW_R10)]
-    assert len(rest) == 36
-    assert names[200:200 + 36] == rest
+    assert len(rest) == 38
+    assert names[200:200 + 38] == rest
     assert not set(WINDOW_R6) & set(WINDOW_R9)
     assert not set(WINDOW_R6) & set(WINDOW_R2R5)
 

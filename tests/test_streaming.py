@@ -1056,3 +1056,72 @@ def test_streaming_ingest_into_aniso_rotated_sidecar(spark, tmp_path):
                           target_recall=1.0, max_probe=10**9,
                           oversample=64, books=books)
     assert found.collect()[0]["vec_id"] == probe_id
+
+
+def test_streaming_ingest_distributed_path_sidecar(spark, tmp_path):
+    """Backfill-scale ingest (round 10, VERDICT r9 #4): with
+    ``distributed_threshold`` reached, the batch routes through
+    insert_distributed (mapInPandas, no driver collect of the data)
+    and the sidecar codes come from the distributed appender. The
+    per-row kernel is shared with the driver path, so the codes must
+    be bit-identical to the driver replication — checked on the
+    hardest flavor, the rotated × residual anisotropic sidecar — and
+    the streamed vectors must be visible to compressed search."""
+    import os
+
+    import numpy as np
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.quantization import (
+        aniso_encode_streamed,
+        build_pq_sidecar,
+        knn_ivf_pq,
+        load_residual_snapshot,
+    )
+    from quake_vector_search_spark.operators.workload import make_dataset
+    from quake_vector_search_spark.streaming.ingest import ingest_stream
+
+    corpus = make_dataset(spark, 600, d=16, n_clusters=6, seed=12)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_dist_stream"),
+                         coarse_k=4, base_k=2, metric="cosine")
+    books = build_pq_sidecar(idx, m=4, ksub=16, seed=7,
+                             anisotropic=3.0, residual=True,
+                             rotate=True)
+    rz = np.load(os.path.join(idx.version_dir, "pq_rotation.npz"))
+    mean0, R0 = rz["mean"], rz["components"]
+
+    rng = np.random.default_rng(44)
+    rows = [(int(87_000 + i), rng.normal(size=16).astype(float).tolist())
+            for i in range(6)]
+    vdir, ckpt = str(tmp_path / "vecs"), str(tmp_path / "ckpt")
+    (spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+     .repartition(2).write.mode("overwrite").parquet(vdir))
+    vstream = (spark.readStream
+               .schema("vec_id long, embedding array<float>")
+               .option("maxFilesPerTrigger", 1).parquet(vdir))
+    q = ingest_stream(idx, vstream, ckpt, distributed_threshold=1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    snap = load_residual_snapshot(idx.version_dir)
+    pq = (spark.read.parquet(f"{idx.version_dir}/pq")
+          .where("vec_id >= 87000").collect())
+    assert len(pq) == len(rows)
+    by_id = {int(r["vec_id"]): r for r in pq}
+    for vid, vraw in rows:
+        v = np.asarray(vraw, dtype=np.float32).astype(np.float64)
+        v = v / (np.linalg.norm(v) + 1e-12)
+        pid = int(by_id[vid]["partition_id"])
+        enc = (v - snap[pid] - mean0) @ R0.T
+        d = v @ R0.T
+        want = aniso_encode_streamed(enc[None, :], books, 3.0,
+                                     dirs=d[None, :])[0]
+        assert list(by_id[vid]["pq_codes"]) == [int(c) for c in want]
+    # behavioral: compressed search surfaces a streamed vector
+    probe_id, probe_vec = rows[3]
+    found, _ = knn_ivf_pq(idx, ([1], np.array([probe_vec])), k=1,
+                          target_recall=1.0, max_probe=10**9,
+                          oversample=64, books=books)
+    assert found.collect()[0]["vec_id"] == probe_id
