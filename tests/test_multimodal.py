@@ -267,7 +267,7 @@ def test_decode_bmp_roundtrip_property(w, h, top_down, gap, data):
     assert out.ravel().tolist() == vals
 
 
-def _png_filt(px, filters):
+def _png_filt(px, filters, bpp=3):
     """Filter-encode one (sub-)image [h, stride] int32."""
     import numpy as np
 
@@ -278,9 +278,9 @@ def _png_filt(px, filters):
         raw.append(ft)
         prev = px[y - 1] if y else np.zeros(stride, dtype=np.int32)
         for i in range(stride):
-            a = px[y][i - 3] if i >= 3 else 0
+            a = px[y][i - bpp] if i >= bpp else 0
             b = prev[i]
-            c = prev[i - 3] if i >= 3 else 0
+            c = prev[i - bpp] if i >= bpp else 0
             if ft == 0:
                 pred = 0
             elif ft == 1:
@@ -364,14 +364,14 @@ def test_decode_png_grammar_and_errors():
         bad = bytearray(_png(w, h, vals))
         bad[-5] ^= 0xFF               # corrupt IEND CRC... use IDAT:
         MM.decode_png(bytes(bad))
-    with _pytest.raises(ValueError, match="only 8-bit RGB"):
-        grey = bytearray(_png(w, h, vals))
-        grey[8 + 8 + 9] = 0           # IHDR color type byte → 0
+    with _pytest.raises(ValueError, match="only 8-bit"):
+        rgba = bytearray(_png(w, h, vals))
+        rgba[8 + 8 + 9] = 6           # IHDR color type byte → RGBA
         # re-CRC the IHDR chunk so the failure is the color check
-        ihdr = bytes(grey[8 + 8:8 + 8 + 13])
-        grey[8 + 8 + 13:8 + 8 + 17] = struct.pack(
+        ihdr = bytes(rgba[8 + 8:8 + 8 + 13])
+        rgba[8 + 8 + 13:8 + 8 + 17] = struct.pack(
             ">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
-        MM.decode_png(bytes(grey))
+        MM.decode_png(bytes(rgba))
     with _pytest.raises(ValueError, match="truncated|missing"):
         MM.decode_png(_png(w, h, vals)[:-8])
 
@@ -393,3 +393,105 @@ def test_decode_png_roundtrip_property(w, h, ft, interlace, data):
                              interlace=interlace))
     assert out.shape == (h, w, 3)
     assert out.ravel().tolist() == vals
+
+
+def _png1(w, h, vals, color, plte=None, filters=None, interlace=0):
+    """Minimal 1-byte-per-pixel PNG encoder for tests: grayscale
+    (color 0) or palette indices (color 3, with a PLTE chunk)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from quake_vector_search_spark.multimodal.binary import _ADAM7
+
+    px = np.asarray(vals, dtype=np.int32).reshape(h, w, 1)
+    if interlace:
+        raw = b"".join(
+            _png_filt(px[y0::ys, x0::xs]
+                      .reshape(-1, (w - x0 + xs - 1) // xs), filters,
+                      bpp=1)
+            for x0, y0, xs, ys in _ADAM7
+            if (w - x0 + xs - 1) // xs > 0
+            and (h - y0 + ys - 1) // ys > 0)
+    else:
+        raw = _png_filt(px.reshape(h, w), filters, bpp=1)
+    comp = zlib.compress(raw)
+
+    def chunk(ct, pl):
+        return (struct.pack(">I", len(pl)) + ct + pl
+                + struct.pack(">I", zlib.crc32(ct + pl) & 0xFFFFFFFF))
+
+    out = b"\x89PNG\r\n\x1a\n" + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0,
+                             interlace))
+    if plte is not None:
+        out += chunk(b"PLTE", plte)
+    return out + chunk(b"IDAT", comp) + chunk(b"IEND", b"")
+
+
+def test_decode_png_grayscale_and_palette():
+    """Round 10 (VERDICT r9 #6): color types 0 and 3. Grayscale
+    decodes to replicated channels; palette rows resolve through the
+    PLTE to exact RGB; a palette image without a PLTE, with a
+    non-multiple-of-3 PLTE, or with an out-of-range index refuses."""
+    import numpy as np
+    import pytest as _pytest
+
+    rng = np.random.default_rng(11)
+    w, h = 5, 6
+    g = rng.integers(0, 256, size=w * h).tolist()
+    out = MM.decode_png(_png1(w, h, g, color=0))
+    assert out.shape == (h, w, 3)
+    assert np.array_equal(out[:, :, 0].ravel(), np.asarray(g))
+    assert np.array_equal(out[:, :, 0], out[:, :, 1])
+    assert np.array_equal(out[:, :, 0], out[:, :, 2])
+
+    pal_colors = rng.integers(0, 256, size=(7, 3))
+    plte = bytes(int(v) for c in pal_colors for v in c)
+    idx = rng.integers(0, 7, size=w * h).tolist()
+    out = MM.decode_png(_png1(w, h, idx, color=3, plte=plte))
+    want = pal_colors[np.asarray(idx).reshape(h, w)]
+    assert np.array_equal(out, want)
+    # Adam7 interlaced palette round-trips identically
+    out_i = MM.decode_png(_png1(w, h, idx, color=3, plte=plte,
+                                interlace=1))
+    assert np.array_equal(out_i, want)
+
+    with _pytest.raises(ValueError, match="PLTE"):
+        MM.decode_png(_png1(w, h, idx, color=3))
+    with _pytest.raises(ValueError, match="PLTE"):
+        MM.decode_png(_png1(w, h, idx, color=3, plte=plte[:-1]))
+    with _pytest.raises(ValueError, match="out of range"):
+        MM.decode_png(_png1(w, h, [9] * (w * h), color=3,
+                            plte=plte[:9]))
+
+
+@settings(max_examples=25, deadline=None)
+@given(w=st.integers(1, 7), h=st.integers(1, 6),
+       color=st.sampled_from([0, 3]),
+       ft=st.sampled_from([None, [0], [1], [2], [3], [4]]),
+       interlace=st.sampled_from([0, 1]),
+       data=st.data())
+def test_decode_png_1bpp_roundtrip_property(w, h, color, ft,
+                                            interlace, data):
+    """Property twin of the RGB roundtrip for the 1-byte-per-pixel
+    color types: any gray raster (and any palette index raster under
+    a full 256-entry PLTE) round-trips exactly through every filter
+    type, sequential and Adam7."""
+    import numpy as np
+
+    vals = data.draw(st.lists(st.integers(0, 255),
+                              min_size=w * h, max_size=w * h))
+    if color == 0:
+        out = MM.decode_png(_png1(w, h, vals, color=0, filters=ft,
+                                  interlace=interlace))
+        assert np.array_equal(out[:, :, 0].ravel(), np.asarray(vals))
+        assert np.array_equal(out[:, :, 0], out[:, :, 2])
+    else:
+        plte = bytes(range(256)) * 3
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        out = MM.decode_png(_png1(w, h, vals, color=3, plte=plte,
+                                  filters=ft, interlace=interlace))
+        assert np.array_equal(
+            out, pal[np.asarray(vals).reshape(h, w)])
