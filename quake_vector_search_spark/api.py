@@ -736,8 +736,12 @@ class VectorIndexHandle(_IndexHandle):
             import numpy as np
             # bind by the index's own column names when present — a
             # (embedding, id)-ordered frame must not silently misbind
-            # (ADVICE r8); positional only as a last resort, and then
-            # only when the shape is unambiguous
+            # (ADVICE r8); when exactly ONE native name is present in a
+            # 2-column frame, bind it by name and give the remaining
+            # column the other role (ADVICE r9: (embedding, my_id)
+            # previously fell through to positional and read the
+            # vector column as ids); positional only when NEITHER name
+            # matches, and then only when the shape is unambiguous
             cols = ids.columns
             id_c, vec_c = self.idx.id_col, self.idx.vec_col
             if id_c not in cols or vec_c not in cols:
@@ -746,7 +750,12 @@ class VectorIndexHandle(_IndexHandle):
                         f"extend() DataFrame must have columns "
                         f"({id_c!r}, {vec_c!r}) or exactly two "
                         f"columns (id, vector); got {cols}")
-                id_c, vec_c = cols
+                if id_c in cols:
+                    vec_c = cols[0] if cols[1] == id_c else cols[1]
+                elif vec_c in cols:
+                    id_c = cols[0] if cols[1] == vec_c else cols[1]
+                else:
+                    id_c, vec_c = cols
             rows = ids.collect()
             vecs = np.array([r[vec_c] for r in rows], dtype=np.float64)
             ids = np.array([r[id_c] for r in rows], dtype=np.int64)

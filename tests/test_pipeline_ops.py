@@ -1384,6 +1384,25 @@ def test_vector_handle_extend_binds_columns_by_name(spark, tmp_path):
     with pytest.raises(ValueError, match="extend"):
         hv.extend(amb)
 
+    # EXACTLY ONE native name present (ADVICE r9): the named column
+    # binds by name and the other column takes the remaining role,
+    # regardless of position — (embedding, my_id) used to fall
+    # through to positional and read the vector column as ids
+    far3 = probe_vec + 100.0
+    one_a = spark.createDataFrame(
+        [(far3.tolist(), 7004)], "embedding array<double>, my_id long")
+    hv.extend(one_a)
+    got3 = hv.query((np.array([0]), far3[None, :]), k=1,
+                    target_recall=1.0, max_probe=10**9).collect()
+    assert got3[0]["vec_id"] == 7004
+    far4 = probe_vec - 100.0
+    one_b = spark.createDataFrame(
+        [(far4.tolist(), 7005)], "my_vec array<double>, vec_id long")
+    hv.extend(one_b)
+    got4 = hv.query((np.array([0]), far4[None, :]), k=1,
+                    target_recall=1.0, max_probe=10**9).collect()
+    assert got4[0]["vec_id"] == 7005
+
 
 def test_lsh_index_hot_bucket_cap(spark, tmp_path):
     """VERDICT r7 #7 skew probe: an adversarial corpus concentrating
