@@ -235,6 +235,58 @@ def aniso_mips_n40k(spark) -> dict:
                 [len(set(a[:10*ov]) & set(b)) / 10
                  for a, b in zip(got_ids, tru)])), 4)
         res_out[label] = entry
+
+    # STREAMED-OOD staleness cost (round 10, VERDICT r9 #8): the
+    # aniso_residual sidecar (still current in wd) receives 50
+    # freshly-streamed OUT-OF-DISTRIBUTION vectors through the real
+    # micro-batch path — insert + the GUARDED streamed encoder
+    # (aniso_encode_streamed falls back to the plain MSE code when
+    # the score-aware code retains <5% of residual energy) — then the
+    # sidecar is REBUILT (re-trained including them). Metric: each
+    # streamed vector queries for ITSELF; hit = own id inside the ADC
+    # candidate top-50, i.e. would the exact rerank even see it. The
+    # streamed−rebuilt gap is the price of serving fresh vectors from
+    # stale books, now a number instead of a comment.
+    from quake_vector_search_spark.streaming.ingest import (
+        _append_pq_codes,
+    )
+
+    rng_o = np.random.default_rng(44)
+    n_ood = 50
+    Vo = rng_o.normal(size=(n_ood, d))
+    Vo = Vo / np.linalg.norm(Vo, axis=1, keepdims=True)
+    ood_ids = np.arange(9_000_000, 9_000_000 + n_ood)
+    pids_o = idx.insert(ood_ids, Vo)
+    _append_pq_codes(idx, ood_ids, Vo, pids_o, {})
+
+    def own_hit_rate(books_x):
+        snap_x = load_residual_snapshot(idx.version_dir)
+        enc_x = (idx.spark.read.parquet(f"{idx.version_dir}/pq")
+                 .orderBy("vec_id").collect())
+        ids_x = np.array([r["vec_id"] for r in enc_x])
+        pids_x = np.array([r["partition_id"] for r in enc_x])
+        codes_x = np.vstack([r["pq_codes"] for r in enc_x])
+        dec_x = np.concatenate([books_x[j][codes_x[:, j]]
+                                for j in range(m)], axis=1)
+        approx_x = np.stack([snap_x[int(p)] for p in pids_x]) + dec_x
+        sc = Vo @ approx_x.T
+        cand = ids_x[sc.argsort(axis=1)[:, ::-1][:, :50]]
+        return round(float(np.mean(
+            [oid in set(row) for oid, row in zip(ood_ids, cand)])), 4)
+
+    streamed_hit = own_hit_rate(
+        np.load(f"{idx.version_dir}/pq_codebooks.npy"))
+    t0 = time.time()
+    books_rb = build_pq_sidecar(idx, m=m, ksub=ksub, seed=99,
+                                anisotropic=3.0, residual=True)
+    rebuild_s = time.time() - t0
+    rebuilt_hit = own_hit_rate(books_rb)
+    res_out["streamed_ood"] = {
+        "n_streamed": n_ood, "cand_k": 50,
+        "own_in_cand_streamed": streamed_hit,
+        "own_in_cand_rebuilt": rebuilt_hit,
+        "rebuild_s": round(rebuild_s, 3),
+    }
     _sh.rmtree(wd, ignore_errors=True)
 
     return {
