@@ -728,10 +728,38 @@ class VectorIndexHandle(_IndexHandle):
         out, _ = self.idx.search(queries, k=k, **kwargs)
         return out
 
-    def extend(self, ids, vecs=None, **kwargs):
+    def extend(self, ids, vecs=None, distributed: bool = False,
+               **kwargs):
         """Admit vectors: either ``extend(ids, vecs)`` arrays or a
         single (id, embedding) DataFrame (collected — insert batches
-        are driver-bounded by contract, same as IVFIndex.insert)."""
+        are driver-bounded by contract, same as IVFIndex.insert).
+        ``distributed=True`` (round 10) routes a DataFrame through
+        ``IVFIndex.insert_distributed`` instead — the BACKFILL path:
+        one mapInPandas routing pass over broadcast centroids, no
+        driver collect of the data. Column binding rules are shared
+        with the driver path."""
+        if distributed:
+            if vecs is not None:
+                raise ValueError("extend(distributed=True) takes a "
+                                 "single (id, embedding) DataFrame")
+            df = ids
+            cols = df.columns
+            id_c, vec_c = self.idx.id_col, self.idx.vec_col
+            if id_c not in cols or vec_c not in cols:
+                if len(cols) != 2:
+                    raise ValueError(
+                        f"extend() DataFrame must have columns "
+                        f"({id_c!r}, {vec_c!r}) or exactly two "
+                        f"columns (id, vector); got {cols}")
+                if id_c in cols:
+                    vec_c = cols[0] if cols[1] == id_c else cols[1]
+                elif vec_c in cols:
+                    id_c = cols[0] if cols[1] == vec_c else cols[1]
+                else:
+                    id_c, vec_c = cols
+                df = (df.withColumnRenamed(id_c, self.idx.id_col)
+                        .withColumnRenamed(vec_c, self.idx.vec_col))
+            return self.idx.insert_distributed(df, **kwargs)
         if vecs is None:
             import numpy as np
             # bind by the index's own column names when present — a

@@ -18,6 +18,10 @@ from quake_vector_search_spark.operators.maintenance import (
 )
 from quake_vector_search_spark.sources import load_table
 
+# Fast-lane exclusion (round 10, VERDICT r9 #7): this module is
+# end-to-end heavy; `pytest -m "not slow"` skips it.
+pytestmark = pytest.mark.slow
+
 SF = "/root/testdata/sf0.01"
 WORKDIR = "/tmp/qvss_test_dml"
 

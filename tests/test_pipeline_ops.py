@@ -12,6 +12,10 @@ from quake_vector_search_spark.operators.sampling import (
 )
 from quake_vector_search_spark.operators.timeseries import resample_ffill
 
+# Fast-lane exclusion (round 10, VERDICT r9 #7): this module is
+# end-to-end heavy; `pytest -m "not slow"` skips it.
+pytestmark = pytest.mark.slow
+
 
 def test_profile_counts_nulls_and_distincts(spark):
     df = spark.createDataFrame([
@@ -1540,3 +1544,31 @@ def test_dsir_sample_gumbel_properties(spark):
                                      temperature=1e9).collect()))
             for s in range(6)}
     assert any(set(t) != set(greedy) for t in flat)
+
+
+def test_vector_handle_extend_distributed(spark, tmp_path):
+    """Round 10: extend(distributed=True) routes a DataFrame through
+    insert_distributed (backfill path) with the same column-binding
+    rules as the driver path; the admitted vector is immediately
+    searchable."""
+    import numpy as np
+    import pytest
+
+    from quake_vector_search_spark import api
+    from quake_vector_search_spark.operators.workload import make_dataset
+
+    corpus = make_dataset(spark, 400, d=8, n_clusters=4, seed=23)
+    hv = api.index("vector", spark, str(tmp_path / "ivf_dist")).build(
+        corpus, coarse_k=2, base_k=2)
+    probe = np.array(
+        corpus.where("vec_id = 5").select("embedding").head()[0],
+        dtype=np.float64)
+    far = probe + 60.0
+    df = spark.createDataFrame(
+        [(far.tolist(), 8001)], "embedding array<double>, my_id long")
+    hv.extend(df, distributed=True)
+    got = hv.query((np.array([0]), far[None, :]), k=1,
+                   target_recall=1.0, max_probe=10**9).collect()
+    assert got[0]["vec_id"] == 8001
+    with pytest.raises(ValueError, match="single"):
+        hv.extend(np.array([1]), np.zeros((1, 8)), distributed=True)

@@ -403,6 +403,7 @@ def _unpartitioned_window_hits(plan: str) -> list[str]:
 _GLOBAL_WINDOW_ALLOWLIST = {"q_drift_psi", "text_zipf_fit"}
 
 
+@pytest.mark.slow
 def test_no_registry_query_has_unpartitioned_window(spark):
     """Permanent gate (round-5 VERDICT #2): no registry query may plan
     a global-window sort over an unbounded input. Catches the

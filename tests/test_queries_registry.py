@@ -12,6 +12,7 @@ from quake_vector_search_spark.queries import REGISTRY, load_all_query_modules
 load_all_query_modules()
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_query_runs(spark, sf_dir, name):
     q = REGISTRY[name]

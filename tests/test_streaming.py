@@ -11,6 +11,10 @@ from quake_vector_search_spark.operators import timeseries as TS
 from quake_vector_search_spark.sources import load_table
 from quake_vector_search_spark.streaming import windows as SW
 
+# Fast-lane exclusion (round 10, VERDICT r9 #7): this module is
+# end-to-end heavy; `pytest -m "not slow"` skips it.
+pytestmark = pytest.mark.slow
+
 SF = "/root/testdata/sf0.001"
 STREAM_DIR = "/tmp/qvss_stream_events"
 
