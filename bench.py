@@ -209,7 +209,12 @@ def aniso_mips_n40k(spark) -> dict:
     res_out = {}
     for label, kwargs in (("plain_residual", {"residual": True}),
                           ("aniso_residual",
-                           {"anisotropic": 3.0, "residual": True})):
+                           {"anisotropic": 3.0, "residual": True}),
+                          # round 10: the per-cell score-aware rung —
+                          # measured ladder top for cosine serving
+                          ("aniso_lopq",
+                           {"anisotropic": 3.0, "residual": True,
+                            "local": True})):
         t0 = time.time()
         books_r = build_pq_sidecar(idx, m=m, ksub=ksub, seed=99,
                                    **kwargs)
@@ -221,8 +226,19 @@ def aniso_mips_n40k(spark) -> dict:
         pids_r = np.array([r["partition_id"] for r in enc])
         codes_r = np.vstack([r["pq_codes"] for r in enc])
         dsub = d // m
-        dec = np.concatenate([books_r[j][codes_r[:, j]]
-                              for j in range(m)], axis=1)
+        if isinstance(books_r, dict):
+            # per-cell (LOPQ) books: decode each row against ITS
+            # partition's codebooks
+            dec = np.empty((len(ids_r), d))
+            for p in np.unique(pids_r):
+                msk = pids_r == p
+                bk = books_r[int(p)]
+                dec[msk] = np.concatenate(
+                    [bk[j][codes_r[msk, j]] for j in range(m)],
+                    axis=1)
+        else:
+            dec = np.concatenate([books_r[j][codes_r[:, j]]
+                                  for j in range(m)], axis=1)
         approx = np.stack([snap[int(p)] for p in pids_r]) + dec
         score = Q @ approx.T
         got_ids = ids_r[score.argsort(axis=1)[:, ::-1]]
@@ -251,6 +267,11 @@ def aniso_mips_n40k(spark) -> dict:
         _append_pq_codes,
     )
 
+    # the ladder loop leaves the aniso_lopq sidecar current (round
+    # 10) — restore the GLOBAL aniso-residual flavor this measurement
+    # is about before streaming into it
+    build_pq_sidecar(idx, m=m, ksub=ksub, seed=99,
+                     anisotropic=3.0, residual=True)
     rng_o = np.random.default_rng(44)
     n_ood = 50
     Vo = rng_o.normal(size=(n_ood, d))

@@ -689,7 +689,10 @@ def train_local_books(res_src: DataFrame, m: int, ksub: int,
                       seed: int, cell_sample_n: int,
                       id_col: str, vec_col: str,
                       iters: int = 8, rotate: bool = False,
-                      opq_iters: int = 1) -> tuple[dict, dict | None]:
+                      opq_iters: int = 1,
+                      anisotropic: float | None = None,
+                      cents: dict | None = None
+                      ) -> tuple[dict, dict | None]:
     """Train one PQ codebook set PER PARTITION on that cell's residuals
     — the local product quantization of Kalantidis & Avrithis (LOPQ,
     CVPR'14): a single global codebook must model the union of every
@@ -712,11 +715,27 @@ def train_local_books(res_src: DataFrame, m: int, ksub: int,
     grouped-map task, pure NumPy on the bounded sample) and
     deterministic (seeded per cell via ``_cell_book_seed``).
 
+    ``anisotropic=η`` (round 10 — the aniso × LOPQ rung): each cell
+    trains SCORE-AWARE books via the identical ``_aniso_train_local``
+    alternation the global trainer runs, with per-row directions
+    rebuilt inside the task as normalize(r + c_p) from the broadcast
+    ``cents`` snapshot — the per-cell twin of the residual
+    composition's direction rule. Mutually exclusive with ``rotate``
+    (the per-cell OPQ alternation trains plain-loss books; the
+    transport of the score-aware loss through a per-cell LEARNED
+    rotation is future work — callers refuse the combination).
+
     Returns ``(books_by_pid, rots_by_pid)`` — books {pid: [m, ksub_p,
     dsub]} with ksub_p = min(ksub, |cell sample|) (a small cell gets
     exactly as many codewords as it has distinct support for, never
     empty clusters); rots {pid: {"mean", "components"}} or None when
     ``rotate`` is off."""
+    if anisotropic is not None and rotate:
+        raise ValueError("train_local_books: anisotropic does not "
+                         "compose with per-cell rotations")
+    if anisotropic is not None and cents is None:
+        raise ValueError("train_local_books: anisotropic needs the "
+                         "encode-time centroid snapshot (cents)")
     from quake_vector_search_spark.operators.kmeans import local_kmeans
 
     def fit(key, pdf):
@@ -738,7 +757,16 @@ def train_local_books(res_src: DataFrame, m: int, ksub: int,
         dsub = d // m
         ksub_p = min(ksub, n)
         base = _cell_book_seed(seed, pid)
-        if rotate:
+        if anisotropic is not None:
+            orig = X + cents[pid]
+            dirs = orig / np.maximum(
+                np.linalg.norm(orig, axis=1, keepdims=True), 1e-12)
+            books = _aniso_train_local(X, dirs, m=m, ksub=ksub_p,
+                                       eta=float(anisotropic),
+                                       kmeans_iters=iters, seed=base)
+            rot_mean = np.zeros(0)
+            rot_comps = np.zeros(0)
+        elif rotate:
             model = opq_refine_local(X, m=m, ksub=ksub_p,
                                      opq_iters=max(1, opq_iters),
                                      kmeans_iters=iters, seed=base)
@@ -785,7 +813,9 @@ def train_local_books(res_src: DataFrame, m: int, ksub: int,
 
 def _encode_local_sidecar(res_src: DataFrame, books_by_pid: dict,
                           id_col: str, vec_col: str,
-                          rots_by_pid: dict | None = None) -> DataFrame:
+                          rots_by_pid: dict | None = None,
+                          anisotropic: float | None = None,
+                          cents: dict | None = None) -> DataFrame:
     """Encode residuals against each row's OWN partition's codebooks
     (broadcast dict, one pq_encode_local kernel call per (batch, pid)
     run) — the per-cell twin of ``pq_encode``. With ``rots_by_pid``
@@ -796,11 +826,12 @@ def _encode_local_sidecar(res_src: DataFrame, books_by_pid: dict,
     build / refresh / streaming flows, which keep the books
     exhaustive) are dropped rather than mis-encoded."""
     spark = res_src.sparkSession
-    bc = spark.sparkContext.broadcast((books_by_pid, rots_by_pid))
+    bc = spark.sparkContext.broadcast(
+        (books_by_pid, rots_by_pid, cents))
     m = next(iter(books_by_pid.values())).shape[0]
 
     def encode(batches):
-        books, rots = bc.value
+        books, rots, cnts = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -819,7 +850,19 @@ def _encode_local_sidecar(res_src: DataFrame, books_by_pid: dict,
                 rot = rots.get(int(pid)) if rots else None
                 if rot is not None:
                     Xp = (Xp - rot["mean"]) @ rot["components"].T
-                codes[mask] = pq_encode_local(Xp, bk)
+                if anisotropic is not None:
+                    # per-cell score-aware assignment with the same
+                    # original-direction rule the trainer used (batch
+                    # encode: PURE score-aware — the streamed-append
+                    # guard lives in the streaming path only)
+                    orig = Xp + cnts[int(pid)]
+                    dirs = orig / np.maximum(
+                        np.linalg.norm(orig, axis=1, keepdims=True),
+                        1e-12)
+                    codes[mask] = _aniso_encode_local(
+                        Xp, bk, float(anisotropic), dirs=dirs)
+                else:
+                    codes[mask] = pq_encode_local(Xp, bk)
             yield pd.DataFrame({
                 id_col: ids[keep],
                 "pq_codes": list(codes[keep]),
@@ -861,6 +904,64 @@ def _residual_corpus(index, corpus, cent_by_pid: dict | None = None):
     return corpus.select(id_col, "partition_id", vec_col).mapInPandas(
         gen, f"{id_col} long, partition_id long, "
              f"{vec_col} array<double>")
+
+
+def _build_aniso_global(index, corpus, m, ksub, seed,
+                        residual, rotate, anisotropic):
+    """The GLOBAL-books anisotropic sidecar build (rounds 8-9),
+    factored out of build_pq_sidecar when round 10 added the per-cell
+    (aniso × LOPQ) variant alongside it. Body unchanged."""
+    import json
+    import os
+
+    from quake_vector_search_spark.operators.pca import fit_pca
+
+    enc_src, enc_cents = corpus, None
+    if residual:
+        enc_cents = {int(p): index.centroids[i].copy()
+                     for i, p in enumerate(index.part_ids)}
+        enc_src = _residual_corpus(index, corpus, enc_cents)
+    rot = None
+    if rotate:
+        # OPQ non-parametric init fitted on the ENCODE source
+        # (residuals when residual=True — their distribution is
+        # what the books will model), same as the plain flavors
+        model = fit_pca(enc_src, vec_col=index.vec_col)
+        rot = {"mean": model["mean"],
+               "components": model["components"]}
+    books = aniso_pq_train(enc_src, m=m, ksub=ksub,
+                           eta=float(anisotropic), seed=seed,
+                           vec_col=index.vec_col,
+                           cents=enc_cents, rot=rot)
+    enc = aniso_pq_encode(enc_src, books, eta=float(anisotropic),
+                          id_col=index.id_col,
+                          vec_col=index.vec_col,
+                          keep_cols=("partition_id",),
+                          cents=enc_cents, rot=rot)
+    path = os.path.join(index.version_dir, "pq")
+    (enc.write.mode("overwrite").partitionBy("partition_id")
+        .parquet(path))
+    np.save(os.path.join(index.version_dir, "pq_codebooks.npy"),
+            books)
+    if residual:
+        save_residual_snapshot(index.version_dir, enc_cents)
+    if rotate:
+        np.savez(os.path.join(index.version_dir,
+                              "pq_rotation.npz"),
+                 mean=rot["mean"], components=rot["components"])
+    for stale in ("pq_local_books.npz", "sq8_params.npz") + (
+            () if rotate else ("pq_rotation.npz",)) + (
+            () if residual else ("pq_centroids.npz",)):
+        sp = os.path.join(index.version_dir, stale)
+        if os.path.exists(sp):
+            os.unlink(sp)
+    with open(os.path.join(index.version_dir, "pq_meta.json"),
+              "w") as fh:
+        json.dump({"residual": bool(residual), "m": m,
+                   "ksub": int(books.shape[1]),
+                   "rotate": bool(rotate),
+                   "anisotropic": float(anisotropic)}, fh)
+    return books
 
 
 def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
@@ -968,63 +1069,26 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
         # errors: per-cell books need per-cell score-aware training,
         # and iterative OPQ's inner alternation trains plain-loss
         # books.
-        if local or sq8 or opq_iters:
+        if sq8 or opq_iters or (local and rotate):
             raise ValueError(
-                "anisotropic composes with residual= and rotate= "
-                "only (local/sq8/opq_iters would train plain-loss "
-                "books in a geometry the score-aware loss hasn't "
-                "been transported to)")
+                "anisotropic composes with residual=, rotate= and "
+                "local= (round 10) — but not sq8/opq_iters, and not "
+                "local+rotate (the per-cell OPQ alternation trains "
+                "plain-loss books in a geometry the score-aware loss "
+                "hasn't been transported to)")
         if index.metric != "cosine":
             raise ValueError(
                 "anisotropic sidecars require a cosine index: on "
                 "unit vectors dot ordering == L2 ordering, which is "
                 "what the score-aware loss preserves")
-        enc_src, enc_cents = corpus, None
-        if residual:
-            enc_cents = {int(p): index.centroids[i].copy()
-                         for i, p in enumerate(index.part_ids)}
-            enc_src = _residual_corpus(index, corpus, enc_cents)
-        rot = None
-        if rotate:
-            # OPQ non-parametric init fitted on the ENCODE source
-            # (residuals when residual=True — their distribution is
-            # what the books will model), same as the plain flavors
-            model = fit_pca(enc_src, vec_col=index.vec_col)
-            rot = {"mean": model["mean"],
-                   "components": model["components"]}
-        books = aniso_pq_train(enc_src, m=m, ksub=ksub,
-                               eta=float(anisotropic), seed=seed,
-                               vec_col=index.vec_col,
-                               cents=enc_cents, rot=rot)
-        enc = aniso_pq_encode(enc_src, books, eta=float(anisotropic),
-                              id_col=index.id_col,
-                              vec_col=index.vec_col,
-                              keep_cols=("partition_id",),
-                              cents=enc_cents, rot=rot)
-        path = os.path.join(index.version_dir, "pq")
-        (enc.write.mode("overwrite").partitionBy("partition_id")
-            .parquet(path))
-        np.save(os.path.join(index.version_dir, "pq_codebooks.npy"),
-                books)
-        if residual:
-            save_residual_snapshot(index.version_dir, enc_cents)
-        if rotate:
-            np.savez(os.path.join(index.version_dir,
-                                  "pq_rotation.npz"),
-                     mean=rot["mean"], components=rot["components"])
-        for stale in ("pq_local_books.npz", "sq8_params.npz") + (
-                () if rotate else ("pq_rotation.npz",)) + (
-                () if residual else ("pq_centroids.npz",)):
-            sp = os.path.join(index.version_dir, stale)
-            if os.path.exists(sp):
-                os.unlink(sp)
-        with open(os.path.join(index.version_dir, "pq_meta.json"),
-                  "w") as fh:
-            json.dump({"residual": bool(residual), "m": m,
-                       "ksub": int(books.shape[1]),
-                       "rotate": bool(rotate),
-                       "anisotropic": float(anisotropic)}, fh)
-        return books
+        if not local:
+            return _build_aniso_global(index, corpus, m, ksub, seed,
+                                       residual, rotate,
+                                       float(anisotropic))
+        # aniso × LOPQ (round 10): per-cell SCORE-AWARE books — falls
+        # through to the local branch below, which passes η into
+        # train_local_books/_encode_local_sidecar; implies the
+        # residual encoding like every local sidecar
     if sq8:
         # IVF+SQ8 (the FAISS IVFScalarQuantizer point on the ladder):
         # one uint8 PER DIMENSION instead of m sub-codes — d bytes
@@ -1074,10 +1138,13 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
             res_src, m=m, ksub=ksub, seed=seed,
             cell_sample_n=cell_sample_n,
             id_col=index.id_col, vec_col=index.vec_col,
-            rotate=rotate, opq_iters=max(1, opq_iters))
+            rotate=rotate, opq_iters=max(1, opq_iters),
+            anisotropic=anisotropic, cents=enc_cents)
         enc = _encode_local_sidecar(res_src, books_by_pid,
                                     index.id_col, index.vec_col,
-                                    rots_by_pid=rots_by_pid)
+                                    rots_by_pid=rots_by_pid,
+                                    anisotropic=anisotropic,
+                                    cents=enc_cents)
         path = os.path.join(index.version_dir, "pq")
         (enc.write.mode("overwrite").partitionBy("partition_id")
             .parquet(path))
@@ -1091,12 +1158,15 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
                 os.unlink(sp)
         with open(os.path.join(index.version_dir, "pq_meta.json"),
                   "w") as fh:
-            json.dump({"residual": True, "local": True, "m": m,
-                       "ksub": int(ksub), "seed": int(seed),
-                       "rotate": bool(rotate),
-                       "opq_iters": (int(max(1, opq_iters))
-                                     if rotate else 0),
-                       "cell_sample_n": int(cell_sample_n)}, fh)
+            meta_loc = {"residual": True, "local": True, "m": m,
+                        "ksub": int(ksub), "seed": int(seed),
+                        "rotate": bool(rotate),
+                        "opq_iters": (int(max(1, opq_iters))
+                                      if rotate else 0),
+                        "cell_sample_n": int(cell_sample_n)}
+            if anisotropic is not None:
+                meta_loc["anisotropic"] = float(anisotropic)
+            json.dump(meta_loc, fh)
         return books_by_pid
     if rotate and residual:
         # OPQ→IVF→ADC: snapshot the encode-time centroids, form the
@@ -1512,7 +1582,8 @@ def refresh_pq_sidecar(index, books: np.ndarray | None = None) -> bool:
                                                          1)),
                              cell_sample_n=int(
                                  prev_meta.get("cell_sample_n",
-                                               20_000)))
+                                               20_000)),
+                             anisotropic=prev_meta.get("anisotropic"))
             return True
     if books is None:
         # look in the previous version dir (maintain() already bumped)
@@ -1851,6 +1922,66 @@ def aniso_encode_streamed(X: np.ndarray, books: np.ndarray,
     return codes
 
 
+def _aniso_train_local(X: np.ndarray, Xh: np.ndarray | None,
+                       m: int, ksub: int, eta: float,
+                       alts: int = 3, kmeans_iters: int = 8,
+                       cd_passes: int = 2, seed: int = 99
+                       ) -> np.ndarray:
+    """The anisotropic-training core on an in-memory sample — plain
+    per-chunk Lloyd's init, then ``alts`` alternations of score-aware
+    assignment (``_aniso_encode_local``) with the closed-form weighted
+    codeword solve. Factored out of ``aniso_pq_train`` (round 10) so
+    the PER-CELL trainer (aniso × LOPQ) can run the identical
+    procedure inside a grouped-map task: one cell's residual sample +
+    that cell's directions in, that cell's score-aware books out —
+    driver-free, deterministic for a given (X, Xh, seed)."""
+    from quake_vector_search_spark.operators.kmeans import local_kmeans
+
+    d = X.shape[1]
+    if d % m != 0:
+        raise ValueError(f"d={d} not divisible by m={m}")
+    dsub = d // m
+    ksub_eff = min(ksub, X.shape[0])
+    books = np.empty((m, ksub_eff, dsub), dtype=np.float64)
+    for j in range(m):
+        books[j], _ = local_kmeans(X[:, j * dsub:(j + 1) * dsub],
+                                   ksub_eff, kmeans_iters, seed + 1 + j)
+    if eta == 1.0:
+        return books
+    if Xh is None:
+        r = np.linalg.norm(X, axis=1, keepdims=True)
+        Xh = X / np.maximum(r, 1e-12)
+    for _ in range(alts):
+        codes = _aniso_encode_local(X, books, eta, passes=cd_passes,
+                                    dirs=Xh)
+        dec = np.concatenate([books[j][codes[:, j]] for j in range(m)],
+                             axis=1)
+        t = ((X - dec) * Xh).sum(axis=1)
+        for j in range(m):
+            Xj = X[:, j * dsub:(j + 1) * dsub]
+            Xhj = Xh[:, j * dsub:(j + 1) * dsub]
+            cur = books[j][codes[:, j]]
+            ej = Xj - cur
+            t_other = t - (ej * Xhj).sum(axis=1)
+            proj_x = (Xj * Xhj).sum(axis=1)
+            newb = books[j].copy()
+            for c in range(ksub_eff):
+                idx = np.where(codes[:, j] == c)[0]
+                if not len(idx):
+                    continue                     # keep the old codeword
+                Mh = Xhj[idx]
+                A = (len(idx) * np.eye(dsub)
+                     + (eta - 1.0) * (Mh.T @ Mh))
+                rhs = (Xj[idx].sum(axis=0)
+                       + (eta - 1.0) * ((t_other[idx] + proj_x[idx])
+                                        [:, None] * Mh).sum(axis=0))
+                newb[c] = np.linalg.solve(A, rhs)
+            ej_new = Xj - newb[codes[:, j]]
+            t = t_other + (ej_new * Xhj).sum(axis=1)
+            books[j] = newb
+    return books
+
+
 def aniso_pq_train(corpus_df: DataFrame, m: int = 8, ksub: int = 256,
                    eta: float = 3.0, alts: int = 3,
                    kmeans_iters: int = 8, cd_passes: int = 2,
@@ -1909,49 +2040,9 @@ def aniso_pq_train(corpus_df: DataFrame, m: int = 8, ksub: int = 256,
                 np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
         X = (X - rot["mean"]) @ rot["components"].T
         Xh = Xh @ rot["components"].T   # unit-norm preserved (R orth.)
-    d = X.shape[1]
-    if d % m != 0:
-        raise ValueError(f"d={d} not divisible by m={m}")
-    dsub = d // m
-    ksub_eff = min(ksub, X.shape[0])
-    books = np.empty((m, ksub_eff, dsub), dtype=np.float64)
-    for j in range(m):
-        books[j], _ = local_kmeans(X[:, j * dsub:(j + 1) * dsub],
-                                   ksub_eff, kmeans_iters, seed + 1 + j)
-    if eta == 1.0:
-        return books
-    if Xh is None:
-        r = np.linalg.norm(X, axis=1, keepdims=True)
-        Xh = X / np.maximum(r, 1e-12)
-    for _ in range(alts):
-        codes = _aniso_encode_local(X, books, eta, passes=cd_passes,
-                                    dirs=Xh)
-        dec = np.concatenate([books[j][codes[:, j]] for j in range(m)],
-                             axis=1)
-        t = ((X - dec) * Xh).sum(axis=1)
-        for j in range(m):
-            Xj = X[:, j * dsub:(j + 1) * dsub]
-            Xhj = Xh[:, j * dsub:(j + 1) * dsub]
-            cur = books[j][codes[:, j]]
-            ej = Xj - cur
-            t_other = t - (ej * Xhj).sum(axis=1)
-            proj_x = (Xj * Xhj).sum(axis=1)
-            newb = books[j].copy()
-            for c in range(ksub_eff):
-                idx = np.where(codes[:, j] == c)[0]
-                if not len(idx):
-                    continue                     # keep the old codeword
-                Mh = Xhj[idx]
-                A = (len(idx) * np.eye(dsub)
-                     + (eta - 1.0) * (Mh.T @ Mh))
-                rhs = (Xj[idx].sum(axis=0)
-                       + (eta - 1.0) * ((t_other[idx] + proj_x[idx])
-                                        [:, None] * Mh).sum(axis=0))
-                newb[c] = np.linalg.solve(A, rhs)
-            ej_new = Xj - newb[codes[:, j]]
-            t = t_other + (ej_new * Xhj).sum(axis=1)
-            books[j] = newb
-    return books
+    return _aniso_train_local(X, Xh, m=m, ksub=ksub, eta=eta,
+                              alts=alts, kmeans_iters=kmeans_iters,
+                              cd_passes=cd_passes, seed=seed)
 
 
 def aniso_pq_encode(corpus_df: DataFrame, books: np.ndarray,

@@ -5068,3 +5068,91 @@ def ivf_serving_stack_routed(spark, sf_dir):
           bool(mismatch_refused))],
         "n_corpus long, fullprobe_exact boolean, recall_floor boolean, "
         "within_routed_aps boolean, mismatch_refused boolean")
+
+
+@register("ivf_aniso_lopq_fullprobe", sql="""
+-- same brute-force-cosine oracle as the other cosine fullprobe rows:
+-- fullprobe + exact rerank must equal exact search no matter how the
+-- candidate codes were assigned — this row pins the ANISO × LOPQ
+-- pipeline end to end (PER-CELL score-aware books trained on each
+-- cell's residuals with original-vector directions, per-cell
+-- coordinate-descent codes, per-cell ADC LUTs, exact rerank)
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qd
+  FROM embeddings WHERE vec_id < 5
+), qn AS (
+  SELECT query_id,
+         list_transform(qd, x -> x /
+           (sqrt(list_inner_product(qd, qd)) + 1e-12)) AS qv
+  FROM q
+), c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cd FROM embeddings
+), cn AS (
+  SELECT vec_id,
+         list_transform(cd, x -> CAST(CAST(x /
+           (sqrt(list_inner_product(cd, cd)) + 1e-12) AS REAL)
+           AS DOUBLE)) AS cv
+  FROM c
+), d AS (
+  SELECT qn.query_id, cn.vec_id, list_distance(cn.cv, qn.qv) AS dist
+  FROM cn CROSS JOIN qn
+), r AS (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist ASC, vec_id ASC) AS rank
+  FROM d
+)
+SELECT query_id, vec_id, ROUND(1 - dist * dist / 2, 6) AS sim,
+       CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 10
+""")
+def ivf_aniso_lopq_fullprobe(spark, sf_dir):
+    """ANISO × LOPQ (round 10 — the last open quantization
+    composition): each cell trains its own SCORE-AWARE codebooks on
+    its residual cloud (``_aniso_train_local`` inside the same
+    grouped-map task the plain LOPQ trainer runs; per-row directions
+    rebuilt as normalize(r + c_p) from the broadcast snapshot — the
+    residual composition's direction rule, per cell). Combines LOPQ's
+    per-cell budget (the whole ksub models ONE cell's tight cloud)
+    with the anisotropic loss's score-parallel weighting (the byte
+    budget goes where cosine ranking actually loses). The query side
+    is the unchanged per-cell ADC; only training and assignment
+    differ, persisted as ``anisotropic: η`` in pq_meta.json and
+    honored by maintenance refresh and streaming appends (guarded
+    streamed encoder, per-cell books trained score-aware for
+    partitions born after the build). Full probe + corpus-scaled
+    oversample → exact rerank equals brute-force cosine (the oracle).
+    Per-cell rotations (full LOPQ) remain refused with anisotropic —
+    the loss transport through a LEARNED per-cell rotation is the one
+    absent rung."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as FF
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+        knn_ivf_pq,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    wd = os.path.join(f"/tmp/qvss_ivf_{os.getpid()}",
+                      "anisolopq_" + sf_dir.strip("/").replace("/", "_"))
+    if wd not in _IVF_RES_CACHE:
+        shutil.rmtree(wd, ignore_errors=True)
+        idx = IVFIndex.build(emb, wd, coarse_k=8, base_k=4,
+                             metric="cosine")
+        books = build_pq_sidecar(idx, m=8, ksub=256, seed=99,
+                                 anisotropic=3.0, residual=True,
+                                 local=True)
+        _IVF_RES_CACHE[wd] = (idx, books)
+    idx, books = _IVF_RES_CACHE[wd]
+    queries = emb.where(F.col("vec_id") < 5) \
+                 .withColumnRenamed("vec_id", "query_id")
+    n = emb.count()
+    out, _meta = knn_ivf_pq(idx, queries, k=10, target_recall=1.0,
+                            max_probe=1_000_000_000,
+                            oversample=max(16, -(-n // 20)),
+                            books=books)
+    return out.withColumn("sim", FF.round("sim", 6))

@@ -253,6 +253,7 @@ def _append_pq_codes(index: IVFIndex, ids: np.ndarray,
         meta = books_cache.get("meta", {})
         m = int(meta.get("m", 8))
         rotated = bool(meta.get("rotate", False))
+        aniso_eta = meta.get("anisotropic")
         pid_arr = np.asarray(pids, dtype=np.int64)
         missing = sorted({int(p) for p in pid_arr} - set(books))
         for p in missing:
@@ -260,7 +261,22 @@ def _append_pq_codes(index: IVFIndex, ids: np.ndarray,
             dsub = Xp.shape[1] // m
             ksub_p = min(int(meta.get("ksub", 256)), len(Xp))
             base = _cell_book_seed(int(meta.get("seed", 99)), p)
-            if rotated:
+            if aniso_eta is not None:
+                # aniso × LOPQ (round 10): a partition born after the
+                # build trains SCORE-AWARE books from the batch's own
+                # residuals with the same direction rule as the
+                # builder (normalize(r + c_p) from the snapshot)
+                from quake_vector_search_spark.operators.quantization import (  # noqa: E501
+                    _aniso_train_local,
+                )
+                orig = Xp + snap[int(p)]
+                dirs_p = orig / np.maximum(
+                    np.linalg.norm(orig, axis=1, keepdims=True),
+                    1e-12)
+                books[p] = _aniso_train_local(
+                    Xp, dirs_p, m=m, ksub=ksub_p,
+                    eta=float(aniso_eta), kmeans_iters=8, seed=base)
+            elif rotated:
                 # full-LOPQ sidecar: a partition born after the build
                 # gets its own rotation fitted from the batch's
                 # residuals, mirroring the build-time per-cell fit
@@ -290,7 +306,20 @@ def _append_pq_codes(index: IVFIndex, ids: np.ndarray,
             rot = rots.get(int(p)) if rots else None
             if rot is not None:
                 Xp = (Xp - rot["mean"]) @ rot["components"].T
-            codes[mask] = pq_encode_local(Xp, books[int(p)])
+            if aniso_eta is not None:
+                # streamed appends use the GUARDED score-aware encoder
+                # (same OOD contract as the global aniso flavors)
+                from quake_vector_search_spark.operators.quantization import (  # noqa: E501
+                    aniso_encode_streamed,
+                )
+                orig = Xp + snap[int(p)]
+                dirs_p = orig / np.maximum(
+                    np.linalg.norm(orig, axis=1, keepdims=True),
+                    1e-12)
+                codes[mask] = aniso_encode_streamed(
+                    Xp, books[int(p)], float(aniso_eta), dirs=dirs_p)
+            else:
+                codes[mask] = pq_encode_local(Xp, books[int(p)])
     else:
         codes = _encode_with_books(vecs, pids, books_cache, snap)
     # pyarrow Table from the flat code buffer: exact types independent

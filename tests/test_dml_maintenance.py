@@ -965,3 +965,52 @@ def test_insert_distributed_tombstone_reinsert(spark, tmp_path):
     assert len(live) == 1
     got = np.asarray(live[0]["embedding"], dtype=np.float64)
     assert np.allclose(got, vec.astype(np.float32), atol=0)
+
+
+def test_maintenance_retrains_aniso_lopq_sidecar(spark, tmp_path):
+    """The ANISO × LOPQ flavor (round 10) across a version publish:
+    per-cell books are LAYOUT-BOUND, so maintenance RETRAINS them on
+    the new layout with the build hyperparameters — score-aware,
+    because the meta carries ``anisotropic`` through the rebuild.
+    Spot-checked bit-exactly: a surviving row's code re-derives from
+    the NEW layout's snapshot + its cell's retrained books under the
+    per-cell direction rule."""
+    import json
+    import os
+
+    import numpy as np
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.maintenance import maintain
+    from quake_vector_search_spark.operators.quantization import (
+        _aniso_encode_local,
+        build_pq_sidecar,
+        load_local_books,
+        load_residual_snapshot,
+    )
+    from quake_vector_search_spark.operators.workload import make_dataset
+
+    corpus = make_dataset(spark, 700, d=16, n_clusters=5, seed=10)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_anisolopq_m"),
+                         coarse_k=4, base_k=2, metric="cosine")
+    build_pq_sidecar(idx, m=4, ksub=16, seed=7,
+                     anisotropic=3.0, residual=True, local=True)
+    idx.insert([92_500], np.ones((1, 16)), refresh=False)
+    maintain(idx)
+    with open(os.path.join(idx.version_dir, "pq_meta.json")) as fh:
+        meta = json.load(fh)
+    assert meta.get("anisotropic") == 3.0
+    assert meta.get("local") and meta.get("residual")
+    books2 = load_local_books(idx.version_dir)
+    snap = load_residual_snapshot(idx.version_dir)
+    row = (spark.read.parquet(f"{idx.version_dir}/pq")
+           .where("vec_id = 3")
+           .select("pq_codes", "partition_id").collect())
+    pid = int(row[0]["partition_id"])
+    v = np.array(idx.read_corpus().where("vec_id = 3")
+                 .select(idx.vec_col).head()[0], dtype=np.float64)
+    r = v - snap[pid]
+    d = v / (np.linalg.norm(v) + 1e-12)
+    want = _aniso_encode_local(r[None, :], books2[pid], 3.0,
+                               dirs=d[None, :])[0]
+    assert list(row[0]["pq_codes"]) == [int(c) for c in want]

@@ -1129,3 +1129,86 @@ def test_streaming_ingest_distributed_path_sidecar(spark, tmp_path):
                           target_recall=1.0, max_probe=10**9,
                           oversample=64, books=books)
     assert found.collect()[0]["vec_id"] == probe_id
+
+
+def test_streaming_ingest_into_aniso_lopq_sidecar(spark, tmp_path):
+    """Streamed appends into the ANISO × LOPQ sidecar (round 10): the
+    streamed code must encode r = x − c_p(snapshot) against ITS
+    partition's score-aware books under the GUARDED streamed
+    assignment, with the direction rebuilt as normalize(r + c_p) —
+    the same per-cell rule the builder used. Pinned bit-exactly
+    against the guarded local encoder, then behaviorally (exact
+    rerank top-1 on the streamed vector's own query)."""
+    import numpy as np
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.quantization import (
+        aniso_encode_streamed,
+        build_pq_sidecar,
+        knn_ivf_pq,
+        load_local_books,
+        load_residual_snapshot,
+    )
+    from quake_vector_search_spark.operators.workload import make_dataset
+    from quake_vector_search_spark.streaming.ingest import ingest_stream
+
+    corpus = make_dataset(spark, 600, d=16, n_clusters=6, seed=13)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_anisolopq"),
+                         coarse_k=4, base_k=2, metric="cosine")
+    build_pq_sidecar(idx, m=4, ksub=16, seed=7,
+                     anisotropic=3.0, residual=True, local=True)
+
+    rng = np.random.default_rng(45)
+    rows = [(int(88_000 + i), rng.normal(size=16).astype(float).tolist())
+            for i in range(6)]
+    vdir, ckpt = str(tmp_path / "vecs"), str(tmp_path / "ckpt")
+    (spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+     .repartition(2).write.mode("overwrite").parquet(vdir))
+    vstream = (spark.readStream
+               .schema("vec_id long, embedding array<float>")
+               .option("maxFilesPerTrigger", 1).parquet(vdir))
+    q = ingest_stream(idx, vstream, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    books = load_local_books(idx.version_dir)
+    snap = load_residual_snapshot(idx.version_dir)
+    probe_id, probe_vec = rows[2]
+    got = (spark.read.parquet(f"{idx.version_dir}/pq")
+           .where(f"vec_id = {probe_id}")
+           .select("pq_codes", "partition_id").collect())
+    assert len(got) == 1
+    pid = int(got[0]["partition_id"])
+    v = np.asarray(probe_vec, dtype=np.float32).astype(np.float64)
+    v = v / (np.linalg.norm(v) + 1e-12)
+    r = v - snap[pid]
+    want = aniso_encode_streamed(r[None, :], books[pid], 3.0,
+                                 dirs=v[None, :])[0]
+    assert list(got[0]["pq_codes"]) == [int(c) for c in want]
+    found, _ = knn_ivf_pq(idx, ([1], np.array([probe_vec])), k=1,
+                          target_recall=1.0, max_probe=10**9,
+                          oversample=64)
+    assert found.collect()[0]["vec_id"] == probe_id
+
+
+def test_aniso_lopq_refuses_rotate_and_sq8():
+    """The aniso × LOPQ gate (round 10): per-cell rotations and sq8
+    remain explicit refusals with anisotropic — no silent plain-loss
+    books in an untransported geometry."""
+    import pytest as _pytest
+
+    from quake_vector_search_spark.operators.quantization import (
+        train_local_books,
+    )
+
+    with _pytest.raises(ValueError, match="rotation"):
+        train_local_books(None, m=4, ksub=16, seed=1,
+                          cell_sample_n=100, id_col="vec_id",
+                          vec_col="embedding", rotate=True,
+                          anisotropic=3.0, cents={})
+    with _pytest.raises(ValueError, match="cents"):
+        train_local_books(None, m=4, ksub=16, seed=1,
+                          cell_sample_n=100, id_col="vec_id",
+                          vec_col="embedding", anisotropic=3.0)
