@@ -210,11 +210,14 @@ def aniso_mips_n40k(spark) -> dict:
     for label, kwargs in (("plain_residual", {"residual": True}),
                           ("aniso_residual",
                            {"anisotropic": 3.0, "residual": True}),
-                          # round 10: the per-cell score-aware rung —
-                          # measured ladder top for cosine serving
+                          # round 10: the per-cell score-aware rungs
+                          # — measured ladder top for cosine serving
                           ("aniso_lopq",
                            {"anisotropic": 3.0, "residual": True,
-                            "local": True})):
+                            "local": True}),
+                          ("aniso_lopq_rotated",
+                           {"anisotropic": 3.0, "residual": True,
+                            "local": True, "rotate": True})):
         t0 = time.time()
         books_r = build_pq_sidecar(idx, m=m, ksub=ksub, seed=99,
                                    **kwargs)
@@ -228,14 +231,23 @@ def aniso_mips_n40k(spark) -> dict:
         dsub = d // m
         if isinstance(books_r, dict):
             # per-cell (LOPQ) books: decode each row against ITS
-            # partition's codebooks
+            # partition's codebooks (and back through its rotation)
+            from quake_vector_search_spark.operators.quantization import (  # noqa: E501
+                load_local_rots,
+            )
+            rots_r = (load_local_rots(idx.version_dir)
+                      if kwargs.get("rotate") else None)
             dec = np.empty((len(ids_r), d))
             for p in np.unique(pids_r):
                 msk = pids_r == p
                 bk = books_r[int(p)]
-                dec[msk] = np.concatenate(
+                dp = np.concatenate(
                     [bk[j][codes_r[msk, j]] for j in range(m)],
                     axis=1)
+                if rots_r is not None:
+                    rt = rots_r[int(p)]
+                    dp = dp @ rt["components"] + rt["mean"]
+                dec[msk] = dp
         else:
             dec = np.concatenate([books_r[j][codes_r[:, j]]
                                   for j in range(m)], axis=1)

@@ -175,6 +175,40 @@ def _infer_id_col(df: DataFrame, default: str = "vec_id") -> str:
     return default if default in df.columns else df.columns[0]
 
 
+def _eigalloc_rotation(X: np.ndarray, m: int
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """PCA + EIGENVALUE ALLOCATION (the parametric OPQ of Ge et al.
+    CVPR'13 §4): plain PCA stuffs all variance into the first
+    subspace, which a fixed ksub budget quantizes terribly; greedily
+    assigning principal directions so each subspace's variance
+    PRODUCT is balanced (min log-sum bucket first) equalizes the
+    per-subspace quantization load. Returns ``(mean, R)`` with R
+    orthogonal (rows = permuted principal directions). Shared by the
+    iterative OPQ refiner (as its init) and the per-cell
+    anisotropic×rotated trainer (round 10), where it is the WHOLE
+    rotation — the iterative alternation trains plain-loss books, so
+    the score-aware flavor stops at this init (the loss transports
+    exactly through any orthogonal R, so aniso training in the
+    rotated space minimizes the original-space loss; see
+    aniso_pq_train)."""
+    n, d = X.shape
+    dsub = d // m
+    mean = X.mean(axis=0)
+    Z = X - mean
+    cov = (Z.T @ Z) / max(n - 1, 1)
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    eigvals, eigvecs = eigvals[::-1], eigvecs[:, ::-1]   # descending
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    load = np.zeros(m)
+    for i in range(d):
+        open_b = [b for b in range(m) if len(buckets[b]) < dsub]
+        b = min(open_b, key=lambda b: load[b])
+        buckets[b].append(i)
+        load[b] += np.log(max(eigvals[i], 1e-12))
+    perm = [i for b in buckets for i in b]
+    return mean, eigvecs[:, perm].T
+
+
 def opq_refine_local(samp: np.ndarray, m: int, ksub: int = 256,
                      opq_iters: int = 4, kmeans_iters: int = 4,
                      seed: int = 99) -> dict:
@@ -208,28 +242,8 @@ def opq_refine_local(samp: np.ndarray, m: int, ksub: int = 256,
         raise ValueError(f"d={d} not divisible by m={m}")
     dsub = d // m
     ksub_eff = min(ksub, n)
-    mean = X.mean(axis=0)
+    mean, R = _eigalloc_rotation(X, m)
     Z = X - mean
-    # Init = PCA + EIGENVALUE ALLOCATION (the parametric OPQ of Ge et
-    # al. §4): plain PCA stuffs all variance into the first subspace,
-    # which a fixed ksub budget quantizes terribly; greedily assigning
-    # principal directions so each subspace's variance PRODUCT is
-    # balanced (min log-sum bucket first) equalizes the per-subspace
-    # quantization load. The non-parametric alternation below then
-    # refines from an already-strong start — starting it from plain
-    # PCA is a known local-minimum trap on low-rank data.
-    cov = (Z.T @ Z) / max(n - 1, 1)
-    eigvals, eigvecs = np.linalg.eigh(cov)
-    eigvals, eigvecs = eigvals[::-1], eigvecs[:, ::-1]   # descending
-    buckets: list[list[int]] = [[] for _ in range(m)]
-    load = np.zeros(m)
-    for i in range(d):
-        open_b = [b for b in range(m) if len(buckets[b]) < dsub]
-        b = min(open_b, key=lambda b: load[b])
-        buckets[b].append(i)
-        load[b] += np.log(max(eigvals[i], 1e-12))
-    perm = [i for b in buckets for i in b]
-    R = eigvecs[:, perm].T
 
     def _books_for(Y):
         books = np.empty((m, ksub_eff, dsub), dtype=np.float64)
@@ -720,19 +734,20 @@ def train_local_books(res_src: DataFrame, m: int, ksub: int,
     alternation the global trainer runs, with per-row directions
     rebuilt inside the task as normalize(r + c_p) from the broadcast
     ``cents`` snapshot — the per-cell twin of the residual
-    composition's direction rule. Mutually exclusive with ``rotate``
-    (the per-cell OPQ alternation trains plain-loss books; the
-    transport of the score-aware loss through a per-cell LEARNED
-    rotation is future work — callers refuse the combination).
+    composition's direction rule. ``anisotropic + rotate`` (late
+    round 10) is the FULL per-cell composition: each cell fits the
+    eigenvalue-allocation rotation (``_eigalloc_rotation`` — the
+    parametric-OPQ init ONLY; the iterative alternation trains
+    plain-loss books, so it never runs under η) and aniso-trains its
+    books in its own rotated space with the direction transported
+    x̂_p @ R_pᵀ — exact for orthogonal R_p, per cell, by the same
+    argument as the global rotate flavor.
 
     Returns ``(books_by_pid, rots_by_pid)`` — books {pid: [m, ksub_p,
     dsub]} with ksub_p = min(ksub, |cell sample|) (a small cell gets
     exactly as many codewords as it has distinct support for, never
     empty clusters); rots {pid: {"mean", "components"}} or None when
     ``rotate`` is off."""
-    if anisotropic is not None and rotate:
-        raise ValueError("train_local_books: anisotropic does not "
-                         "compose with per-cell rotations")
     if anisotropic is not None and cents is None:
         raise ValueError("train_local_books: anisotropic needs the "
                          "encode-time centroid snapshot (cents)")
@@ -761,11 +776,17 @@ def train_local_books(res_src: DataFrame, m: int, ksub: int,
             orig = X + cents[pid]
             dirs = orig / np.maximum(
                 np.linalg.norm(orig, axis=1, keepdims=True), 1e-12)
+            if rotate:
+                mean_p, R_p = _eigalloc_rotation(X, m)
+                X = (X - mean_p) @ R_p.T
+                dirs = dirs @ R_p.T   # unit preserved (R_p orth.)
+                rot_mean, rot_comps = mean_p, R_p.ravel()
+            else:
+                rot_mean = np.zeros(0)
+                rot_comps = np.zeros(0)
             books = _aniso_train_local(X, dirs, m=m, ksub=ksub_p,
                                        eta=float(anisotropic),
                                        kmeans_iters=iters, seed=base)
-            rot_mean = np.zeros(0)
-            rot_comps = np.zeros(0)
         elif rotate:
             model = opq_refine_local(X, m=m, ksub=ksub_p,
                                      opq_iters=max(1, opq_iters),
@@ -848,17 +869,22 @@ def _encode_local_sidecar(res_src: DataFrame, books_by_pid: dict,
                     continue
                 Xp = X[mask]
                 rot = rots.get(int(pid)) if rots else None
-                if rot is not None:
-                    Xp = (Xp - rot["mean"]) @ rot["components"].T
+                dirs = None
                 if anisotropic is not None:
-                    # per-cell score-aware assignment with the same
-                    # original-direction rule the trainer used (batch
-                    # encode: PURE score-aware — the streamed-append
-                    # guard lives in the streaming path only)
+                    # per-cell score-aware direction from the
+                    # UNROTATED residual (the rotation transports it
+                    # below); batch encode is PURE score-aware — the
+                    # streamed-append guard lives in the streaming
+                    # path only
                     orig = Xp + cnts[int(pid)]
                     dirs = orig / np.maximum(
                         np.linalg.norm(orig, axis=1, keepdims=True),
                         1e-12)
+                if rot is not None:
+                    Xp = (Xp - rot["mean"]) @ rot["components"].T
+                    if dirs is not None:
+                        dirs = dirs @ rot["components"].T
+                if anisotropic is not None:
                     codes[mask] = _aniso_encode_local(
                         Xp, bk, float(anisotropic), dirs=dirs)
                 else:
@@ -1069,11 +1095,12 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
         # errors: per-cell books need per-cell score-aware training,
         # and iterative OPQ's inner alternation trains plain-loss
         # books.
-        if sq8 or opq_iters or (local and rotate):
+        if sq8 or opq_iters:
             raise ValueError(
                 "anisotropic composes with residual=, rotate= and "
-                "local= (round 10) — but not sq8/opq_iters, and not "
-                "local+rotate (the per-cell OPQ alternation trains "
+                "local= (round 10, incl. local+rotate: per-cell "
+                "eigalloc rotations) — but not sq8, and not "
+                "opq_iters (the iterative OPQ alternation trains "
                 "plain-loss books in a geometry the score-aware loss "
                 "hasn't been transported to)")
         if index.metric != "cosine":
@@ -1161,8 +1188,12 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
             meta_loc = {"residual": True, "local": True, "m": m,
                         "ksub": int(ksub), "seed": int(seed),
                         "rotate": bool(rotate),
-                        "opq_iters": (int(max(1, opq_iters))
-                                      if rotate else 0),
+                        # aniso×rotate carries the eigalloc INIT only
+                        # — no iterations; 0 here also lets the
+                        # maintenance rebuild pass the aniso gate
+                        "opq_iters": (0 if anisotropic is not None
+                                      else (int(max(1, opq_iters))
+                                            if rotate else 0)),
                         "cell_sample_n": int(cell_sample_n)}
             if anisotropic is not None:
                 meta_loc["anisotropic"] = float(anisotropic)

@@ -5156,3 +5156,86 @@ def ivf_aniso_lopq_fullprobe(spark, sf_dir):
                             oversample=max(16, -(-n // 20)),
                             books=books)
     return out.withColumn("sim", FF.round("sim", 6))
+
+
+@register("ivf_aniso_lopq_rotated_fullprobe", sql="""
+-- same brute-force-cosine oracle as the other cosine fullprobe rows:
+-- fullprobe + exact rerank must equal exact search no matter how the
+-- candidate codes were assigned — this row pins the FULL per-cell
+-- composition end to end (per-cell eigalloc rotations, per-cell
+-- SCORE-AWARE books trained in each cell's rotated space with
+-- transported directions, per-cell rotated ADC LUTs, exact rerank)
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qd
+  FROM embeddings WHERE vec_id < 5
+), qn AS (
+  SELECT query_id,
+         list_transform(qd, x -> x /
+           (sqrt(list_inner_product(qd, qd)) + 1e-12)) AS qv
+  FROM q
+), c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cd FROM embeddings
+), cn AS (
+  SELECT vec_id,
+         list_transform(cd, x -> CAST(CAST(x /
+           (sqrt(list_inner_product(cd, cd)) + 1e-12) AS REAL)
+           AS DOUBLE)) AS cv
+  FROM c
+), d AS (
+  SELECT qn.query_id, cn.vec_id, list_distance(cn.cv, qn.qv) AS dist
+  FROM cn CROSS JOIN qn
+), r AS (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist ASC, vec_id ASC) AS rank
+  FROM d
+)
+SELECT query_id, vec_id, ROUND(1 - dist * dist / 2, 6) AS sim,
+       CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 10
+""")
+def ivf_aniso_lopq_rotated_fullprobe(spark, sf_dir):
+    """ANISO × FULL LOPQ (late round 10 — the complete per-cell
+    composition): each cell fits its own eigenvalue-allocation
+    rotation (``_eigalloc_rotation`` — the parametric-OPQ init ONLY;
+    the iterative alternation trains plain-loss books so it never
+    runs under η) and trains SCORE-AWARE books in its own rotated
+    space, with the per-row direction transported x̂_p @ R_pᵀ — exact
+    for orthogonal R_p per cell, the same loss-transport argument as
+    the global rotated flavor. Measured at 12k/8 bytes: candidate
+    recall@50 0.925 vs 0.893 unrotated aniso-LOPQ vs 0.802 plain
+    LOPQ. The query side is the existing full-LOPQ per-cell rotated
+    ADC — only training and assignment differ. Full probe +
+    corpus-scaled oversample → exact rerank equals brute-force cosine
+    (the oracle)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as FF
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+        knn_ivf_pq,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    wd = os.path.join(f"/tmp/qvss_ivf_{os.getpid()}",
+                      "anisolopqr_" + sf_dir.strip("/").replace("/", "_"))
+    if wd not in _IVF_RES_CACHE:
+        shutil.rmtree(wd, ignore_errors=True)
+        idx = IVFIndex.build(emb, wd, coarse_k=8, base_k=4,
+                             metric="cosine")
+        books = build_pq_sidecar(idx, m=8, ksub=256, seed=99,
+                                 anisotropic=3.0, residual=True,
+                                 local=True, rotate=True)
+        _IVF_RES_CACHE[wd] = (idx, books)
+    idx, books = _IVF_RES_CACHE[wd]
+    queries = emb.where(F.col("vec_id") < 5) \
+                 .withColumnRenamed("vec_id", "query_id")
+    n = emb.count()
+    out, _meta = knn_ivf_pq(idx, queries, k=10, target_recall=1.0,
+                            max_probe=1_000_000_000,
+                            oversample=max(16, -(-n // 20)),
+                            books=books)
+    return out.withColumn("sim", FF.round("sim", 6))

@@ -265,14 +265,23 @@ def _append_pq_codes(index: IVFIndex, ids: np.ndarray,
                 # aniso × LOPQ (round 10): a partition born after the
                 # build trains SCORE-AWARE books from the batch's own
                 # residuals with the same direction rule as the
-                # builder (normalize(r + c_p) from the snapshot)
+                # builder (normalize(r + c_p) from the snapshot); a
+                # ROTATED sidecar first fits the cell's eigalloc
+                # rotation from the batch, mirroring the build
                 from quake_vector_search_spark.operators.quantization import (  # noqa: E501
-                    _aniso_train_local,
+                    _aniso_train_local, _eigalloc_rotation,
                 )
                 orig = Xp + snap[int(p)]
                 dirs_p = orig / np.maximum(
                     np.linalg.norm(orig, axis=1, keepdims=True),
                     1e-12)
+                if rotated:
+                    mean_p, R_p = _eigalloc_rotation(Xp, m)
+                    Xp = (Xp - mean_p) @ R_p.T
+                    dirs_p = dirs_p @ R_p.T
+                    if rots is None:
+                        rots = books_cache["local_rots"] = {}
+                    rots[p] = {"mean": mean_p, "components": R_p}
                 books[p] = _aniso_train_local(
                     Xp, dirs_p, m=m, ksub=ksub_p,
                     eta=float(aniso_eta), kmeans_iters=8, seed=base)
@@ -304,18 +313,24 @@ def _append_pq_codes(index: IVFIndex, ids: np.ndarray,
             mask = pid_arr == p
             Xp = enc_vecs[mask]
             rot = rots.get(int(p)) if rots else None
+            dirs_p = None
+            if aniso_eta is not None:
+                # direction from the UNROTATED residual — the cell's
+                # rotation transports it below
+                orig = Xp + snap[int(p)]
+                dirs_p = orig / np.maximum(
+                    np.linalg.norm(orig, axis=1, keepdims=True),
+                    1e-12)
             if rot is not None:
                 Xp = (Xp - rot["mean"]) @ rot["components"].T
+                if dirs_p is not None:
+                    dirs_p = dirs_p @ rot["components"].T
             if aniso_eta is not None:
                 # streamed appends use the GUARDED score-aware encoder
                 # (same OOD contract as the global aniso flavors)
                 from quake_vector_search_spark.operators.quantization import (  # noqa: E501
                     aniso_encode_streamed,
                 )
-                orig = Xp + snap[int(p)]
-                dirs_p = orig / np.maximum(
-                    np.linalg.norm(orig, axis=1, keepdims=True),
-                    1e-12)
                 codes[mask] = aniso_encode_streamed(
                     Xp, books[int(p)], float(aniso_eta), dirs=dirs_p)
             else:

@@ -1193,22 +1193,102 @@ def test_streaming_ingest_into_aniso_lopq_sidecar(spark, tmp_path):
     assert found.collect()[0]["vec_id"] == probe_id
 
 
-def test_aniso_lopq_refuses_rotate_and_sq8():
-    """The aniso × LOPQ gate (round 10): per-cell rotations and sq8
-    remain explicit refusals with anisotropic — no silent plain-loss
-    books in an untransported geometry."""
+def test_aniso_lopq_gate():
+    """The aniso × LOPQ gate (round 10): per-cell training requires
+    the centroid snapshot (the direction rule needs c_p); sq8 and
+    opq_iters remain explicit refusals with anisotropic at the build
+    level — no silent plain-loss books in an untransported geometry.
+    (Per-cell eigalloc ROTATIONS compose since late round 10.)"""
     import pytest as _pytest
 
     from quake_vector_search_spark.operators.quantization import (
         train_local_books,
     )
 
-    with _pytest.raises(ValueError, match="rotation"):
-        train_local_books(None, m=4, ksub=16, seed=1,
-                          cell_sample_n=100, id_col="vec_id",
-                          vec_col="embedding", rotate=True,
-                          anisotropic=3.0, cents={})
     with _pytest.raises(ValueError, match="cents"):
         train_local_books(None, m=4, ksub=16, seed=1,
                           cell_sample_n=100, id_col="vec_id",
                           vec_col="embedding", anisotropic=3.0)
+
+    class _FakeIdx:
+        metric = "cosine"
+
+        def read_corpus(self):
+            return None
+
+    with _pytest.raises(ValueError, match="opq_iters"):
+        from quake_vector_search_spark.operators.quantization import (
+            build_pq_sidecar,
+        )
+        build_pq_sidecar(_FakeIdx(), m=4, ksub=16,
+                         anisotropic=3.0, residual=True, local=True,
+                         rotate=True, opq_iters=2)
+
+
+def test_streaming_ingest_into_aniso_lopq_rotated_sidecar(spark,
+                                                          tmp_path):
+    """Streamed appends into the FULL per-cell composition (late
+    round 10 — aniso × LOPQ × per-cell eigalloc rotations): the
+    streamed code must encode ((r) − mean_p) @ R_pᵀ against ITS
+    cell's score-aware books under the GUARDED assignment, with the
+    direction transported through the SAME cell rotation,
+    normalize(r + c_p) @ R_pᵀ. Pinned bit-exactly, then behaviorally
+    (exact rerank top-1 on the streamed vector's own query)."""
+    import numpy as np
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.quantization import (
+        aniso_encode_streamed,
+        build_pq_sidecar,
+        knn_ivf_pq,
+        load_local_books,
+        load_local_rots,
+        load_residual_snapshot,
+    )
+    from quake_vector_search_spark.operators.workload import make_dataset
+    from quake_vector_search_spark.streaming.ingest import ingest_stream
+
+    corpus = make_dataset(spark, 600, d=16, n_clusters=6, seed=14)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_anisolopqr"),
+                         coarse_k=4, base_k=2, metric="cosine")
+    build_pq_sidecar(idx, m=4, ksub=16, seed=7,
+                     anisotropic=3.0, residual=True, local=True,
+                     rotate=True)
+
+    rng = np.random.default_rng(46)
+    rows = [(int(89_000 + i), rng.normal(size=16).astype(float).tolist())
+            for i in range(6)]
+    vdir, ckpt = str(tmp_path / "vecs"), str(tmp_path / "ckpt")
+    (spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+     .repartition(2).write.mode("overwrite").parquet(vdir))
+    vstream = (spark.readStream
+               .schema("vec_id long, embedding array<float>")
+               .option("maxFilesPerTrigger", 1).parquet(vdir))
+    q = ingest_stream(idx, vstream, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    books = load_local_books(idx.version_dir)
+    rots = load_local_rots(idx.version_dir)
+    snap = load_residual_snapshot(idx.version_dir)
+    probe_id, probe_vec = rows[4]
+    got = (spark.read.parquet(f"{idx.version_dir}/pq")
+           .where(f"vec_id = {probe_id}")
+           .select("pq_codes", "partition_id").collect())
+    assert len(got) == 1
+    pid = int(got[0]["partition_id"])
+    v = np.asarray(probe_vec, dtype=np.float32).astype(np.float64)
+    v = v / (np.linalg.norm(v) + 1e-12)
+    r = v - snap[pid]
+    rt = rots[pid]
+    enc = (r - rt["mean"]) @ rt["components"].T
+    d = v @ rt["components"].T
+    want = aniso_encode_streamed(enc[None, :], books[pid], 3.0,
+                                 dirs=d[None, :])[0]
+    assert list(got[0]["pq_codes"]) == [int(c) for c in want]
+    found, _ = knn_ivf_pq(idx, ([1], np.array([probe_vec])), k=1,
+                          target_recall=1.0, max_probe=10**9,
+                          oversample=64)
+    assert found.collect()[0]["vec_id"] == probe_id
