@@ -74,16 +74,18 @@ RENAME_MAP: dict[str, str] = {
 
 WINDOW_R10: tuple[str, ...] = (
     # never driver-checked: the round-9 rotated-aniso composition
-    # (judge-verified only so far) + the four NEW round-10 rows (the
+    # (judge-verified only so far) + the five NEW round-10 rows (the
     # distributed-insert DML roundtrip, the combined
-    # routed+calibrated+compressed serving stack, and the aniso×LOPQ
-    # rungs plain + per-cell-rotated) — new features get driver-grade
-    # verification in the round that introduces them (ADVICE r9) (5)
+    # routed+calibrated+compressed serving stack, the aniso×LOPQ
+    # rungs plain + per-cell-rotated, and the distributed-ingest
+    # streaming mirror) — new features get driver-grade verification
+    # in the round that introduces them (ADVICE r9) (6)
     "ivf_aniso_rotated_fullprobe",
     "ivf_dml_distributed_roundtrip",
     "ivf_serving_stack_routed",
     "ivf_aniso_lopq_fullprobe",
     "ivf_aniso_lopq_rotated_fullprobe",
+    "stream_ingest_distributed_equals_batch",
     # stalest: latest driver check round 5 (35) — the raw-prefix rows
     # WINDOW_R9 didn't re-verify
     "knn_with_payload", "q_balanced_sample", "emb_label_centroids",
@@ -98,13 +100,12 @@ WINDOW_R10: tuple[str, ...] = (
     "text_fingerprint", "text_tfidf", "q_train_test_split",
     "text_chunking", "text_bigram_freq", "text_cms_wordcount",
     "text_pack_sequences", "text_kgram_fingerprints",
-    # next-stalest: 10 of the TPC-H battery last checked round 6
-    # (q20/q21/q2/q19 stay scheduled in WINDOW_R6's remainder) (10)
+    # next-stalest: 9 of the TPC-H battery last checked round 6
+    # (q20/q21/q2/q19/q11 stay scheduled in WINDOW_R6's remainder) (9)
     "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
     "q9_product_type_profit", "q12_late_shipment_priority",
     "q13_customer_order_distribution", "q14_promo_revenue",
     "q15_top_supplier", "q16_supplier_part_count",
-    "q11_important_parts",
 )
 
 WINDOW_R9: tuple[str, ...] = (

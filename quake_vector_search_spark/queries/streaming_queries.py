@@ -962,3 +962,88 @@ def stream_routed_serving_after_ingest_equals_batch(spark, sf_dir):
         "n_queries long, fit_invalidated_by_ingest boolean, "
         "refit_is_routed boolean, ingested_visible boolean, "
         "stream_equals_batch boolean, no_implicit_fit boolean")
+
+
+@register("stream_ingest_distributed_equals_batch", sql="""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec
+  FROM embeddings WHERE vec_id < 5
+), d AS (
+  SELECT q.query_id, e.vec_id,
+         list_distance(CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.qvec AS DOUBLE[])) AS dist
+  FROM embeddings e CROSS JOIN q
+), r AS (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist ASC, vec_id ASC) AS rank
+  FROM d
+)
+SELECT query_id, vec_id, ROUND(dist, 6) AS dist, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 10
+""")
+def stream_ingest_distributed_equals_batch(spark, sf_dir):
+    """The BACKFILL ingest path under the oracle (round 10, VERDICT
+    r9 #4): same contract as ``stream_ingest_equals_batch`` but every
+    micro-batch routes through ``IVFIndex.insert_distributed`` (one
+    mapInPandas pass over broadcast centroid state — no driver
+    collect of the data) and the PQ sidecar appends through the
+    DISTRIBUTED appender (``_append_pq_codes_distributed``, sharing
+    the driver path's encode kernel), forced via
+    ``distributed_threshold=1``. The index carries a rotated-residual
+    sidecar, so the row then full-probes COMPRESSED search for 5
+    queries drawn FROM the streamed-in set: ADC candidates from the
+    distributed-appended codes + exact rerank must equal brute force
+    over the FULL table — which is exactly what DuckDB computes. A
+    lost, duplicated, or mis-routed vector, a wrong pid from the
+    sentinel remap, or a bad distributed encode (wrong snapshot /
+    rotation transport) flips the hash."""
+    import uuid
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+        knn_ivf_pq,
+    )
+    from quake_vector_search_spark.streaming.ingest import ingest_stream
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    run = uuid.uuid4().hex[:8]
+    workdir = f"/tmp/qvss_ingestd_idx_{os.getpid()}_{run}"
+    ckpt = f"/tmp/qvss_ingestd_ckpt_{os.getpid()}_{run}"
+    idx = IVFIndex.build(emb.where(F.col("vec_id") >= 50), workdir,
+                         coarse_k=16, base_k=4)
+    books = build_pq_sidecar(idx, m=8, ksub=64, seed=99,
+                             residual=True, rotate=True)
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    key = hashlib.md5(
+        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:8]
+    vdir = f"/tmp/qvss_ingest_v_{key}"
+    if not os.path.exists(os.path.join(vdir, "_READY")):
+        shutil.rmtree(vdir, ignore_errors=True)
+        (emb.where(F.col("vec_id") < 50)
+            .select("vec_id", "embedding")
+            .repartition(2).write.mode("overwrite").parquet(vdir))
+        with open(os.path.join(vdir, "_READY"), "w") as fh:
+            fh.write("ok")
+    vstream = (spark.readStream
+               .schema("vec_id long, embedding array<float>")
+               .option("maxFilesPerTrigger", 1).parquet(vdir))
+    q = ingest_stream(idx, vstream, ckpt, distributed_threshold=1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    queries = (emb.where(F.col("vec_id") < 5)
+               .withColumnRenamed("vec_id", "query_id"))
+    n = emb.count()
+    out, _meta = knn_ivf_pq(idx, queries, k=10, target_recall=1.0,
+                            max_probe=1_000_000_000,
+                            oversample=max(16, -(-n // 20)),
+                            books=books)
+    res = (out.select("query_id", "vec_id",
+                      F.round("dist", 6).alias("dist"), "rank")
+           .localCheckpoint())
+    shutil.rmtree(workdir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return res

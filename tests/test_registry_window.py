@@ -93,8 +93,8 @@ def test_r10_window_is_the_rotated_surface():
     per VERDICT r9 #2, checked against the reports AS OF END OF ROUND 9
     (later reports excluded so the invariant doesn't dissolve once
     CORRECTNESS_r10 lands): 3 never-driver-verified rows
-    (ivf_aniso_rotated_fullprobe, judge-only in r9, plus the four NEW
-    round-10 rows), all 35 rows whose latest check was round 5, and 10
+    (ivf_aniso_rotated_fullprobe, judge-only in r9, plus the five NEW
+    round-10 rows), all 35 rows whose latest check was round 5, and 9
     rows last checked round 6. No member fresh (r7-r9)."""
     names = list(ordered_registry())
     assert len(WINDOW_R10) == 50
@@ -109,9 +109,10 @@ def test_r10_window_is_the_rotated_surface():
                           "ivf_dml_distributed_roundtrip",
                           "ivf_serving_stack_routed",
                           "ivf_aniso_lopq_fullprobe",
-                          "ivf_aniso_lopq_rotated_fullprobe"}, never
+                          "ivf_aniso_lopq_rotated_fullprobe",
+                          "stream_ingest_distributed_equals_batch"}, never
     assert len(r5) == 35, f"expected 35 r5-stale, got {len(r5)}"
-    assert len(r6) == 10, f"expected 10 r6-stale, got {len(r6)}"
+    assert len(r6) == 9, f"expected 9 r6-stale, got {len(r6)}"
     assert not fresh, f"WINDOW_R10 wastes slots on fresh rows: {fresh}"
 
 
@@ -166,13 +167,13 @@ def test_r7_window_still_pinned_at_151_200():
 
 
 def test_r6_window_remainder_pinned_after_200():
-    """WINDOW_R10 deliberately re-schedules 10 WINDOW_R6 rows (the
-    TPC-H battery); the other 40 keep their relative order at 201+."""
+    """WINDOW_R10 deliberately re-schedules 9 WINDOW_R6 rows (the
+    TPC-H battery); the other 41 keep their relative order at 201+."""
     names = list(ordered_registry())
     assert len(WINDOW_R6) == 50
     rest = [n for n in WINDOW_R6 if n not in set(WINDOW_R10)]
-    assert len(rest) == 40
-    assert names[200:200 + 40] == rest
+    assert len(rest) == 41
+    assert names[200:200 + 41] == rest
     assert not set(WINDOW_R6) & set(WINDOW_R9)
     assert not set(WINDOW_R6) & set(WINDOW_R2R5)
 
