@@ -1292,3 +1292,63 @@ def test_streaming_ingest_into_aniso_lopq_rotated_sidecar(spark,
                           target_recall=1.0, max_probe=10**9,
                           oversample=64)
     assert found.collect()[0]["vec_id"] == probe_id
+
+
+def test_streaming_ingest_distributed_lopq_fallback(spark, tmp_path):
+    """The distributed ingest path's LOPQ seam (round 10): with a
+    LOCAL (per-cell) sidecar, the batch still routes and writes
+    through insert_distributed, but the sidecar append falls back to
+    the driver appender (per-cell books for never-seen partitions are
+    trained at append time — driver-side npz state). Codes must be
+    bit-identical to the driver replication and the streamed vector
+    searchable through compressed search."""
+    import numpy as np
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+        knn_ivf_pq,
+        load_local_books,
+        load_residual_snapshot,
+        pq_encode_local,
+    )
+    from quake_vector_search_spark.operators.workload import make_dataset
+    from quake_vector_search_spark.streaming.ingest import ingest_stream
+
+    corpus = make_dataset(spark, 600, d=16, n_clusters=6, seed=15)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_dlopq"),
+                         coarse_k=4, base_k=2)
+    build_pq_sidecar(idx, m=4, ksub=16, seed=7,
+                     residual=True, local=True)
+
+    rng = np.random.default_rng(47)
+    rows = [(int(90_000 + i), rng.normal(size=16).astype(float).tolist())
+            for i in range(6)]
+    vdir, ckpt = str(tmp_path / "vecs"), str(tmp_path / "ckpt")
+    (spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+     .repartition(2).write.mode("overwrite").parquet(vdir))
+    vstream = (spark.readStream
+               .schema("vec_id long, embedding array<float>")
+               .option("maxFilesPerTrigger", 1).parquet(vdir))
+    q = ingest_stream(idx, vstream, ckpt, distributed_threshold=1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    books = load_local_books(idx.version_dir)
+    snap = load_residual_snapshot(idx.version_dir)
+    probe_id, probe_vec = rows[1]
+    got = (spark.read.parquet(f"{idx.version_dir}/pq")
+           .where(f"vec_id = {probe_id}")
+           .select("pq_codes", "partition_id").collect())
+    assert len(got) == 1
+    pid = int(got[0]["partition_id"])
+    v = np.asarray(probe_vec, dtype=np.float32).astype(np.float64)
+    r = v - snap[pid]
+    want = pq_encode_local(r[None, :], books[pid])[0]
+    assert list(got[0]["pq_codes"]) == [int(c) for c in want]
+    found, _ = knn_ivf_pq(idx, ([1], np.array([probe_vec])), k=1,
+                          target_recall=1.0, max_probe=10**9,
+                          oversample=64)
+    assert found.collect()[0]["vec_id"] == probe_id
