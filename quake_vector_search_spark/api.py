@@ -728,6 +728,30 @@ class VectorIndexHandle(_IndexHandle):
         out, _ = self.idx.search(queries, k=k, **kwargs)
         return out
 
+    def _bind_id_vec(self, cols) -> tuple[str, str]:
+        """Column binding shared by both extend() modes: bind by the
+        index's own column names when present — a (embedding,
+        id)-ordered frame must not silently misbind (ADVICE r8); when
+        exactly ONE native name is present in a 2-column frame, bind
+        it by name and give the remaining column the other role
+        (ADVICE r9: (embedding, my_id) previously fell through to
+        positional and read the vector column as ids); positional
+        only when NEITHER name matches, and then only when the shape
+        is unambiguous."""
+        id_c, vec_c = self.idx.id_col, self.idx.vec_col
+        if id_c in cols and vec_c in cols:
+            return id_c, vec_c
+        if len(cols) != 2:
+            raise ValueError(
+                f"extend() DataFrame must have columns "
+                f"({id_c!r}, {vec_c!r}) or exactly two "
+                f"columns (id, vector); got {cols}")
+        if id_c in cols:
+            return id_c, (cols[0] if cols[1] == id_c else cols[1])
+        if vec_c in cols:
+            return (cols[0] if cols[1] == vec_c else cols[1]), vec_c
+        return cols[0], cols[1]
+
     def extend(self, ids, vecs=None, distributed: bool = False,
                **kwargs):
         """Admit vectors: either ``extend(ids, vecs)`` arrays or a
@@ -743,47 +767,14 @@ class VectorIndexHandle(_IndexHandle):
                 raise ValueError("extend(distributed=True) takes a "
                                  "single (id, embedding) DataFrame")
             df = ids
-            cols = df.columns
-            id_c, vec_c = self.idx.id_col, self.idx.vec_col
-            if id_c not in cols or vec_c not in cols:
-                if len(cols) != 2:
-                    raise ValueError(
-                        f"extend() DataFrame must have columns "
-                        f"({id_c!r}, {vec_c!r}) or exactly two "
-                        f"columns (id, vector); got {cols}")
-                if id_c in cols:
-                    vec_c = cols[0] if cols[1] == id_c else cols[1]
-                elif vec_c in cols:
-                    id_c = cols[0] if cols[1] == vec_c else cols[1]
-                else:
-                    id_c, vec_c = cols
+            id_c, vec_c = self._bind_id_vec(df.columns)
+            if (id_c, vec_c) != (self.idx.id_col, self.idx.vec_col):
                 df = (df.withColumnRenamed(id_c, self.idx.id_col)
                         .withColumnRenamed(vec_c, self.idx.vec_col))
             return self.idx.insert_distributed(df, **kwargs)
         if vecs is None:
             import numpy as np
-            # bind by the index's own column names when present — a
-            # (embedding, id)-ordered frame must not silently misbind
-            # (ADVICE r8); when exactly ONE native name is present in a
-            # 2-column frame, bind it by name and give the remaining
-            # column the other role (ADVICE r9: (embedding, my_id)
-            # previously fell through to positional and read the
-            # vector column as ids); positional only when NEITHER name
-            # matches, and then only when the shape is unambiguous
-            cols = ids.columns
-            id_c, vec_c = self.idx.id_col, self.idx.vec_col
-            if id_c not in cols or vec_c not in cols:
-                if len(cols) != 2:
-                    raise ValueError(
-                        f"extend() DataFrame must have columns "
-                        f"({id_c!r}, {vec_c!r}) or exactly two "
-                        f"columns (id, vector); got {cols}")
-                if id_c in cols:
-                    vec_c = cols[0] if cols[1] == id_c else cols[1]
-                elif vec_c in cols:
-                    id_c = cols[0] if cols[1] == vec_c else cols[1]
-                else:
-                    id_c, vec_c = cols
+            id_c, vec_c = self._bind_id_vec(ids.columns)
             rows = ids.collect()
             vecs = np.array([r[vec_c] for r in rows], dtype=np.float64)
             ids = np.array([r[id_c] for r in rows], dtype=np.int64)

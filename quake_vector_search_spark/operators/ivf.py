@@ -730,7 +730,8 @@ class IVFIndex:
             "partition_id long")
 
     def insert_distributed(self, df: DataFrame,
-                           refresh: bool = True) -> DataFrame:
+                           refresh: bool = True,
+                           unpersist: bool = True) -> DataFrame:
         """O6 at BACKFILL scale (round 10, VERDICT r9 #4): the
         driver-side ``insert`` collects the batch and routes it in
         driver NumPy — right for streaming micro-batches (hundreds of
@@ -752,7 +753,13 @@ class IVFIndex:
 
         Returns the routed frame (id, float64-normalized embedding,
         partition_id) for secondary structures — the streaming sidecar
-        appender encodes straight from it without another pass.
+        appender encodes straight from it without another pass. With
+        the default ``unpersist=True`` the routing cache is dropped
+        before returning (consuming the returned frame recomputes one
+        routing pass); callers that immediately consume it — the
+        sidecar appender — pass ``unpersist=False`` and release the
+        cache themselves via the returned frame's ``routing_cache``
+        attribute.
         """
         self._calibration = None
         routed = self.route_distributed(df).persist()
@@ -855,11 +862,16 @@ class IVFIndex:
         if staged_version is not None:
             self.version = staged_version
             self.save_meta()
-        # drop the routing cache now that the write ran — the returned
-        # frame stays usable (routing is deterministic, so a caller
-        # consuming it, e.g. the sidecar appender, recomputes one
-        # cheap argmin pass instead of holding executor memory)
-        routed.unpersist()
+        if unpersist:
+            # drop the routing cache now that the write ran — the
+            # returned frame stays usable (routing is deterministic,
+            # so consuming it recomputes one cheap argmin pass
+            # instead of holding executor memory)
+            routed.unpersist()
+        else:
+            # caller will consume the frame immediately — hand it the
+            # cache to release when done
+            out.routing_cache = routed
         self.invalidate_corpus()
         if refresh:
             self.read_corpus()

@@ -240,16 +240,16 @@ def ordered_registry() -> dict[str, Query]:
     """REGISTRY re-ordered so the round-10 driver window comes first,
     the round-9 window second (positions 51-100), round-8 third
     (101-150), round-7 fourth (151-200); WINDOW_R6's remainder (the
-    36 rows WINDOW_R10 didn't re-schedule) follows at 201+.
+    41 rows WINDOW_R10 didn't re-schedule) follows at 201+.
 
-    Round 10 rotates a SIXTH window in front (VERDICT r9 #2): the one
-    registry row the driver has never checked
-    (ivf_aniso_rotated_fullprobe, judge-verified only in r9) plus the
-    49 STALEST driver-verified rows — all 35 whose latest check is
-    round 5 and the 14 oldest of the 50 last checked in round 6 (the
-    tpch_queries battery). WINDOW_R10 members recur in WINDOW_R2R5/R6
-    by design (re-verification); the dict build dedupes on first
-    occurrence.
+    Round 10 rotates a SIXTH window in front (VERDICT r9 #2): the SIX
+    rows the driver has never checked (ivf_aniso_rotated_fullprobe,
+    judge-verified only in r9, plus the five rows round 10 added and
+    swapped in per ADVICE r9) and the 44 STALEST driver-verified rows
+    — all 35 whose latest check is round 5 and 9 of the tpch_queries
+    battery last checked round 6. WINDOW_R10 members recur in
+    WINDOW_R2R5/R6 by design (re-verification); the dict build
+    dedupes on first occurrence.
 
     Raw REGISTRY insertion order (module load order) is unchanged —
     rounds 1-5's window remains its prefix, pinned by

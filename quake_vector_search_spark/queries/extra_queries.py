@@ -5122,9 +5122,10 @@ def ivf_aniso_lopq_fullprobe(spark, sf_dir):
     streamed encoder, per-cell books trained score-aware for
     partitions born after the build). Full probe + corpus-scaled
     oversample → exact rerank equals brute-force cosine (the oracle).
-    Per-cell rotations (full LOPQ) remain refused with anisotropic —
-    the loss transport through a LEARNED per-cell rotation is the one
-    absent rung."""
+    Per-cell EIGALLOC rotations compose too (late round 10) — see
+    ``ivf_aniso_lopq_rotated_fullprobe``; only the iterative OPQ
+    alternation (which trains plain-loss books) stays refused under
+    the score-aware loss."""
     import os
     import shutil
 

@@ -230,10 +230,13 @@ def _append_pq_codes(index: IVFIndex, ids: np.ndarray,
         return False
     snap = (_ensure_residual_snapshot(index, pids, books_cache)
             if books_cache.get("residual") else None)
-    enc_vecs = np.asarray(vecs, dtype=np.float64)
-    if snap is not None:
-        enc_vecs = enc_vecs - np.stack([snap[int(p)] for p in pids])
     if books_cache.get("local"):
+        # per-cell sidecar: residual-subtract here (the non-local
+        # flavors subtract inside _encode_with_books — one place each)
+        enc_vecs = np.asarray(vecs, dtype=np.float64)
+        if snap is not None:
+            enc_vecs = enc_vecs - np.stack(
+                [snap[int(p)] for p in pids])
         # local (LOPQ) sidecar: each row encodes against ITS
         # partition's codebooks. A partition the sidecar has never
         # seen gets books trained right here from the batch's own
@@ -430,27 +433,36 @@ def ingest_stream(index: IVFIndex, vectors_stream: DataFrame,
 
     def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if distributed_threshold is not None:
-            n = batch_df.count()
-            if n >= distributed_threshold:
+            # read at most `threshold` rows to decide, not the batch
+            big = (batch_df.limit(distributed_threshold).count()
+                   >= distributed_threshold)
+            if big:
                 routed = index.insert_distributed(
-                    batch_df.select(id_col, vec_col))
-                if encode_pq:
-                    res = _append_pq_codes_distributed(
-                        index, routed, books_cache)
-                    if res == "local":
-                        # LOPQ: collect the (already written) routing
-                        # and run the driver appender, which can train
-                        # books for never-seen partitions
-                        rows = routed.collect()
-                        ids = np.array([r[0] for r in rows],
-                                       dtype=np.int64)
-                        vecs = np.array([np.asarray(r[1],
-                                                    dtype=np.float64)
-                                         for r in rows])
-                        pids = np.array([r[2] for r in rows],
-                                        dtype=np.int64)
-                        _append_pq_codes(index, ids, vecs, pids,
-                                         books_cache)
+                    batch_df.select(id_col, vec_col),
+                    unpersist=False)
+                try:
+                    if encode_pq:
+                        res = _append_pq_codes_distributed(
+                            index, routed, books_cache)
+                        if res == "local":
+                            # LOPQ: collect the (already written)
+                            # routing and run the driver appender,
+                            # which can train books for never-seen
+                            # partitions
+                            rows = routed.collect()
+                            ids = np.array([r[0] for r in rows],
+                                           dtype=np.int64)
+                            vecs = np.array(
+                                [np.asarray(r[1], dtype=np.float64)
+                                 for r in rows])
+                            pids = np.array([r[2] for r in rows],
+                                            dtype=np.int64)
+                            _append_pq_codes(index, ids, vecs, pids,
+                                             books_cache)
+                finally:
+                    # release the routing cache insert_distributed
+                    # kept alive for us (unpersist=False)
+                    routed.routing_cache.unpersist()
                 return
         rows = batch_df.select(id_col, vec_col).collect()
         if not rows:

@@ -20,8 +20,8 @@ two r6 renames don't corrupt the accounting (VERDICT r8 "What's wrong"
 #2). The rounds-1-5 window stays pinned as the raw-REGISTRY prefix so
 all compositions remain verified. Round 10 rotates a SIXTH window
 (WINDOW_R10, VERDICT r9 #2): the never-driver-checked rows (the r9
-rotated-aniso composition + the two new round-10 rows) plus the
-stalest re-verifications (35 last checked r5 + 12 TPC-H rows last
+rotated-aniso composition + the five new round-10 rows) plus the
+stalest re-verifications (35 last checked r5 + 9 TPC-H rows last
 checked r6); with it, every registry row is scheduled in some window
 and the
 cumulative accounting test asserts invariants instead of a hand-bumped
@@ -92,7 +92,7 @@ def test_r10_window_is_the_rotated_surface():
     """First 50 of the driver-facing ordering = WINDOW_R10; composition
     per VERDICT r9 #2, checked against the reports AS OF END OF ROUND 9
     (later reports excluded so the invariant doesn't dissolve once
-    CORRECTNESS_r10 lands): 3 never-driver-verified rows
+    CORRECTNESS_r10 lands): 6 never-driver-verified rows
     (ivf_aniso_rotated_fullprobe, judge-only in r9, plus the five NEW
     round-10 rows), all 35 rows whose latest check was round 5, and 9
     rows last checked round 6. No member fresh (r7-r9)."""
