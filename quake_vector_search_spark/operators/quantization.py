@@ -933,7 +933,8 @@ def _residual_corpus(index, corpus, cent_by_pid: dict | None = None):
 
 
 def _build_aniso_global(index, corpus, m, ksub, seed,
-                        residual, rotate, anisotropic):
+                        residual, rotate, anisotropic,
+                        ood_min_explained=0.05):
     """The GLOBAL-books anisotropic sidecar build (rounds 8-9),
     factored out of build_pq_sidecar when round 10 added the per-cell
     (aniso × LOPQ) variant alongside it. Body unchanged."""
@@ -986,7 +987,9 @@ def _build_aniso_global(index, corpus, m, ksub, seed,
         json.dump({"residual": bool(residual), "m": m,
                    "ksub": int(books.shape[1]),
                    "rotate": bool(rotate),
-                   "anisotropic": float(anisotropic)}, fh)
+                   "anisotropic": float(anisotropic),
+                   "ood_min_explained": float(ood_min_explained)},
+                  fh)
     return books
 
 
@@ -998,7 +1001,8 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
                      local: bool = False,
                      cell_sample_n: int = 20_000,
                      sq8: bool = False,
-                     anisotropic: float | None = None):
+                     anisotropic: float | None = None,
+                     ood_min_explained: float = 0.05):
     """Build a PQ codes *sidecar* for a published IVF index version:
     train codebooks on a bounded sample of the live corpus, encode every
     vector, and write the codes Parquet partitioned exactly like the
@@ -1063,10 +1067,15 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
     assignment, but STREAMED appends go through
     ``aniso_encode_streamed``, which falls back to the plain
     MSE-optimal code for out-of-distribution rows whose score-aware
-    code would retain <5% of their residual energy — otherwise a
-    fresh streamed vector could be unreachable through ADC candidates
-    until the next sidecar rebuild (see that function's docstring for
-    the measured failure).
+    code would retain less than ``ood_min_explained`` (default 5%) of
+    their residual energy — otherwise a fresh streamed vector could
+    be unreachable through ADC candidates until the next sidecar
+    rebuild (see that function's docstring for the measured failure).
+    The threshold persists in pq_meta.json so a serving team can tune
+    it per sidecar (0.0 = never fall back / pure score-aware; 1.0 =
+    streamed appends always take the MSE code); the
+    ``aniso_mips_n40k.streamed_ood`` bench point is the measurement
+    hook.
     """
     import json
     import os
@@ -1111,7 +1120,8 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
         if not local:
             return _build_aniso_global(index, corpus, m, ksub, seed,
                                        residual, rotate,
-                                       float(anisotropic))
+                                       float(anisotropic),
+                                       float(ood_min_explained))
         # aniso × LOPQ (round 10): per-cell SCORE-AWARE books — falls
         # through to the local branch below, which passes η into
         # train_local_books/_encode_local_sidecar; implies the
@@ -1197,6 +1207,8 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
                         "cell_sample_n": int(cell_sample_n)}
             if anisotropic is not None:
                 meta_loc["anisotropic"] = float(anisotropic)
+                meta_loc["ood_min_explained"] = float(
+                    ood_min_explained)
             json.dump(meta_loc, fh)
         return books_by_pid
     if rotate and residual:
@@ -1614,7 +1626,10 @@ def refresh_pq_sidecar(index, books: np.ndarray | None = None) -> bool:
                              cell_sample_n=int(
                                  prev_meta.get("cell_sample_n",
                                                20_000)),
-                             anisotropic=prev_meta.get("anisotropic"))
+                             anisotropic=prev_meta.get("anisotropic"),
+                             ood_min_explained=float(
+                                 prev_meta.get("ood_min_explained",
+                                               0.05)))
             return True
     if books is None:
         # look in the previous version dir (maintain() already bumped)
@@ -1690,6 +1705,8 @@ def refresh_pq_sidecar(index, books: np.ndarray | None = None) -> bool:
     if aniso is not None:
         meta_out["anisotropic"] = float(aniso)
         meta_out["rotate"] = rot is not None
+        meta_out["ood_min_explained"] = float(
+            _pm.get("ood_min_explained", 0.05))
     with open(os.path.join(index.version_dir, "pq_meta.json"),
               "w") as fh:
         json.dump(meta_out, fh)

@@ -211,7 +211,9 @@ def _encode_with_books(vecs: np.ndarray, pids: np.ndarray,
                 dirs = dirs @ rot["components"].T
         return aniso_encode_streamed(
             enc_vecs, books_cache["books"],
-            float(books_cache["meta"]["anisotropic"]), dirs=dirs)
+            float(books_cache["meta"]["anisotropic"]), dirs=dirs,
+            min_explained=float(books_cache["meta"].get(
+                "ood_min_explained", 0.05)))
     return pq_encode_local(enc_vecs, books_cache["books"])
 
 
@@ -335,7 +337,9 @@ def _append_pq_codes(index: IVFIndex, ids: np.ndarray,
                     aniso_encode_streamed,
                 )
                 codes[mask] = aniso_encode_streamed(
-                    Xp, books[int(p)], float(aniso_eta), dirs=dirs_p)
+                    Xp, books[int(p)], float(aniso_eta), dirs=dirs_p,
+                    min_explained=float(meta.get("ood_min_explained",
+                                                 0.05)))
             else:
                 codes[mask] = pq_encode_local(Xp, books[int(p)])
     else:

@@ -1352,3 +1352,69 @@ def test_streaming_ingest_distributed_lopq_fallback(spark, tmp_path):
                           target_recall=1.0, max_probe=10**9,
                           oversample=64)
     assert found.collect()[0]["vec_id"] == probe_id
+
+
+def test_ood_min_explained_knob_persists_and_binds(spark, tmp_path):
+    """The OOD-guard threshold is a PERSISTED product knob (late round
+    10): ood_min_explained rides pq_meta.json and the streamed append
+    honors it. At 0.0 the guard never fires (streamed codes are the
+    pure score-aware assignment, even for the OOD vector that
+    motivated the guard); at 1.0 streamed codes are always the
+    MSE-optimal plain assignment. Same index, same streamed vector,
+    two sidecars — the code difference IS the knob."""
+    import json
+    import os
+
+    import numpy as np
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.quantization import (
+        _aniso_encode_local,
+        build_pq_sidecar,
+        load_residual_snapshot,
+    )
+    from quake_vector_search_spark.operators.workload import make_dataset
+    from quake_vector_search_spark.streaming.ingest import (
+        _append_pq_codes,
+    )
+
+    corpus = make_dataset(spark, 600, d=16, n_clusters=6, seed=12)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_knob"),
+                         coarse_k=4, base_k=2, metric="cosine")
+    rng = np.random.default_rng(44)
+    raw = rng.normal(size=16)
+    v = raw.astype(np.float32).astype(np.float64)
+    v = v / (np.linalg.norm(v) + 1e-12)
+
+    def streamed_codes(thresh, vid):
+        books = build_pq_sidecar(idx, m=4, ksub=16, seed=7,
+                                 anisotropic=3.0, residual=True,
+                                 rotate=True,
+                                 ood_min_explained=thresh)
+        with open(os.path.join(idx.version_dir,
+                               "pq_meta.json")) as fh:
+            assert json.load(fh)["ood_min_explained"] == thresh
+        pids = idx.insert([vid], raw[None, :])
+        _append_pq_codes(idx, np.array([vid]), v[None, :],
+                         pids, {})
+        row = (spark.read.parquet(f"{idx.version_dir}/pq")
+               .where(f"vec_id = {vid}").head())
+        snap = load_residual_snapshot(idx.version_dir)
+        rz = np.load(os.path.join(idx.version_dir,
+                                  "pq_rotation.npz"))
+        enc = (v - snap[int(row["partition_id"])]
+               - rz["mean"]) @ rz["components"].T
+        d = v @ rz["components"].T
+        return (list(row["pq_codes"]), enc, d, books)
+
+    codes0, enc0, d0, books0 = streamed_codes(0.0, 95_000)
+    # threshold 0: pure score-aware, even though this vector's
+    # score-aware code retains ~3% of energy (the r9 failure case)
+    want0 = _aniso_encode_local(enc0[None, :], books0, 3.0,
+                                dirs=d0[None, :])[0]
+    assert codes0 == [int(c) for c in want0]
+
+    codes1, enc1, _d1, books1 = streamed_codes(1.0, 95_001)
+    # threshold 1: always the plain MSE assignment
+    want1 = _aniso_encode_local(enc1[None, :], books1, 1.0)[0]
+    assert codes1 == [int(c) for c in want1]
