@@ -72,15 +72,23 @@ WINDOW_R2R5 = [
 ]
 
 
-def _latest_driver_round() -> dict[str, int]:
+def _latest_driver_round(max_round: int | None = None) -> dict[str, int]:
     """Map each CURRENT registry name to the latest round whose
     committed correctness report verified it. Report keys are mapped
     through RENAME_MAP so pre-rename checks still count for the renamed
-    row (and the stale OLD keys don't pollute the accounting)."""
+    row (and the stale OLD keys don't pollute the accounting).
+
+    ``max_round`` caps which REPORTS are considered (rounds > cap are
+    skipped BEFORE the per-row max), so "as of end of round N" pins
+    stay true after later reports land in the worktree (VERDICT r10
+    What's wrong #1: filtering the global max AFTER the fact made
+    every row re-verified in r10 vanish from the accounting)."""
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     latest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         rnd = int(os.path.basename(path)[13:15])
+        if max_round is not None and rnd > max_round:
+            continue
         with open(path) as f:
             for key in json.load(f):
                 name = RENAME_MAP.get(key, key)
@@ -99,7 +107,7 @@ def test_r10_window_is_the_rotated_surface():
     names = list(ordered_registry())
     assert len(WINDOW_R10) == 50
     assert names[:50] == list(WINDOW_R10)
-    latest = {n: r for n, r in _latest_driver_round().items() if r <= 9}
+    latest = _latest_driver_round(max_round=9)
     assert latest, "correctness reports missing from repo root"
     never = [n for n in WINDOW_R10 if n not in latest]
     r5 = [n for n in WINDOW_R10 if latest.get(n, 99) == 5]
