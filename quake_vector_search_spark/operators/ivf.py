@@ -797,7 +797,15 @@ class IVFIndex:
                               "vsum array<double>")
                .collect())
         if not agg:
-            routed.unpersist()
+            # empty batch: same return contract as the normal path —
+            # honor the unpersist flag and hand callers that asked to
+            # keep the cache a routing_cache to release (ADVICE r10:
+            # the unconditional unpersist left ingest_stream's finally
+            # block reading a missing attribute)
+            if unpersist:
+                routed.unpersist()
+            else:
+                routed.routing_cache = routed
             return routed
         # remap sentinel pids for empty coarse cells that actually
         # received rows, in sorted-cell order (matches insert()'s

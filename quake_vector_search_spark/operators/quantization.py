@@ -1957,7 +1957,11 @@ def aniso_encode_streamed(X: np.ndarray, books: np.ndarray,
     streamed rows (the common case) take the score-aware code
     unchanged, so streamed ≡ batch encoding still holds for them."""
     codes = _aniso_encode_local(X, books, eta, dirs=dirs)
-    if eta == 1.0:
+    if eta == 1.0 or min_explained <= 0.0:
+        # min_explained <= 0.0 is the documented "never fall back /
+        # pure score-aware" setting; the err² > (1−0)·‖enc‖² form
+        # could still fire when the code's error exceeds the vector's
+        # energy (ADVICE r10), so skip the guard outright
         return codes
     m = books.shape[0]
     dec = np.concatenate([books[j][codes[:, j]] for j in range(m)],

@@ -4948,9 +4948,14 @@ def ivf_dml_distributed_roundtrip(spark, sf_dir):
     d = len(idx.centroids[0])
     new_ids = list(range(10_000_000, 10_000_020))
     new_vecs = rng.normal(size=(20, d))
+    # array<double>, not array<float>: the driver twin routes the raw
+    # float64 new_vecs, and the pid-parity invariant asserts exact
+    # equality — a float32-truncated batch could route a near-boundary
+    # vector differently (ADVICE r10; insert_distributed casts to
+    # float32 only at the corpus write, after routing)
     batch = spark.createDataFrame(
         [(int(i), v.tolist()) for i, v in zip(new_ids, new_vecs)],
-        f"{idx.id_col} long, {idx.vec_col} array<float>")
+        f"{idx.id_col} long, {idx.vec_col} array<double>")
     routed = idx.insert_distributed(batch)
     got_pids = {int(r[0]): int(r[2]) for r in routed.collect()}
     want_pids = {int(i): int(p) for i, p in

@@ -967,6 +967,33 @@ def test_insert_distributed_tombstone_reinsert(spark, tmp_path):
     assert np.allclose(got, vec.astype(np.float32), atol=0)
 
 
+def test_insert_distributed_empty_batch_honors_unpersist(spark,
+                                                         tmp_path):
+    """ADVICE r10: the empty-aggregate early return must keep the
+    normal path's return contract — with unpersist=False the returned
+    frame carries a releasable routing_cache (ingest_stream's finally
+    block unconditionally reads it), and index state is untouched."""
+    import numpy as np
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.workload import make_dataset
+
+    corpus = make_dataset(spark, 200, d=8, n_clusters=3, seed=5)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf"), coarse_k=2,
+                         base_k=2, metric="l2")
+    sizes_before = idx.sizes.copy()
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>")
+    out = idx.insert_distributed(empty, unpersist=False)
+    assert hasattr(out, "routing_cache")
+    out.routing_cache.unpersist()          # the ingest finally block
+    assert out.count() == 0
+    assert np.array_equal(idx.sizes, sizes_before)
+    # default unpersist=True still returns a consumable empty frame
+    out2 = idx.insert_distributed(empty)
+    assert out2.count() == 0
+
+
 def test_maintenance_retrains_aniso_lopq_sidecar(spark, tmp_path):
     """The ANISO × LOPQ flavor (round 10) across a version publish:
     per-cell books are LAYOUT-BOUND, so maintenance RETRAINS them on

@@ -804,6 +804,14 @@ def test_aniso_encode_streamed_guard():
     assert np.array_equal(got1, _aniso_encode_local(X_in[:5], books,
                                                     1.0))
 
+    # min_explained=0.0 is the documented "never fall back" setting:
+    # even the crafted OOD row (whose score-aware error EXCEEDS its
+    # energy, so err² > (1−0)·‖x‖² would still fire) keeps the pure
+    # score-aware code (ADVICE r10)
+    g0 = aniso_encode_streamed(x[None, :], books, 25.0,
+                               min_explained=0.0)
+    assert np.array_equal(g0, c)
+
 
 @pytest.mark.slow
 def test_aniso_lopq_beats_plain_lopq_on_cosine(spark, tmp_path):
