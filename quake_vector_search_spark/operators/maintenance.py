@@ -75,7 +75,9 @@ def maintain(idx: IVFIndex,
              merge_size: int = MERGE_SIZE,
              hot_window: int = HOT_WINDOW,
              hot_multiplier: float = HOT_SPLIT_MULTIPLIER,
-             recalibrate: bool | dict = False) -> dict:
+             recalibrate: bool | dict = False,
+             ood_rebuild_rate: float | None = None,
+             ood_rebuild_min_n: int = 50) -> dict:
     """Run one split+merge pass, publish a new version, return a summary
     {"splits": [...], "merges": [...], "version": N}.
 
@@ -86,7 +88,21 @@ def maintain(idx: IVFIndex,
     previous fit — it was estimated against the old geometry). Pass a
     dict instead of True to forward calibrate() kwargs — in particular
     ``{"route_cells": N}`` so a ROUTED deployment's refit keeps its
-    restriction instead of silently reverting to full scoring."""
+    restriction instead of silently reverting to full scoring.
+
+    ``ood_rebuild_rate`` (round 11, VERDICT r10 #3): when the
+    anisotropic sidecar's streamed-append OOD-fallback rate (the
+    cumulative ``ood_stats.json`` counter the ingest path keeps — see
+    ``aniso_encode_streamed``) exceeds this fraction over at least
+    ``ood_rebuild_min_n`` encoded rows, the sidecar refresh RETRAINS
+    the books on the current (drifted) corpus instead of carrying
+    them forward — a long-running stream on drifting data otherwise
+    degrades silently until someone rebuilds by hand. ``None``
+    (default) defers to the ``ood_rebuild_rate`` knob persisted in
+    the sidecar's pq_meta.json at build time; if neither is set, the
+    trigger is off and maintenance behaves as before. The summary
+    gains ``ood_rate`` (the observed rate, or None when no counter
+    exists) and ``pq_retrained``."""
     spark = idx.spark
     old_corpus = idx.corpus_path
     new_version = idx.version + 1
@@ -253,9 +269,31 @@ def maintain(idx: IVFIndex,
     # carried a PQ codes sidecar, re-encode it against the new layout
     # (codebooks unchanged — they model the data, not the partitioning)
     from quake_vector_search_spark.operators.quantization import (
+        load_ood_stats,
         refresh_pq_sidecar,
     )
-    pq_refreshed = refresh_pq_sidecar(idx)
+    # streamed-OOD drift trigger (round 11, VERDICT r10 #3): read the
+    # PREVIOUS version's cumulative fallback counter — the appends it
+    # counts went against the books the refresh would carry forward —
+    # and retrain instead when the rate crossed the knob
+    import json as _json
+    prev_dir = os.path.join(idx.workdir, f"v{new_version - 1:04d}")
+    ood_rate = None
+    force_retrain = False
+    stats = load_ood_stats(prev_dir)
+    if stats["n"] > 0:
+        ood_rate = stats["ood"] / stats["n"]
+    knob = ood_rebuild_rate
+    if knob is None:
+        meta_path = os.path.join(prev_dir, "pq_meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                knob = _json.load(fh).get("ood_rebuild_rate")
+    if (knob is not None and ood_rate is not None
+            and stats["n"] >= ood_rebuild_min_n
+            and ood_rate > float(knob)):
+        force_retrain = True
+    pq_refreshed = refresh_pq_sidecar(idx, force_retrain=force_retrain)
     # an EMPTY dict means "recalibrate with default calibrate()
     # kwargs", not "skip" — a bare truthiness test silently treated
     # recalibrate={} as False (ADVICE r7)
@@ -266,7 +304,9 @@ def maintain(idx: IVFIndex,
                          if isinstance(recalibrate, dict) else {}))
     return {"splits": [(p, child_of[p]) for p in split_parents],
             "merges": merges, "version": new_version,
-            "pq_refreshed": pq_refreshed}
+            "pq_refreshed": pq_refreshed,
+            "ood_rate": ood_rate,
+            "pq_retrained": bool(force_retrain and pq_refreshed)}
 
 
 def _refresh_partitions(idx: IVFIndex, pids: set[int],

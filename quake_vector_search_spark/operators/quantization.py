@@ -521,6 +521,52 @@ def load_residual_snapshot(version_dir: str) -> dict | None:
             for i, p in enumerate(z["part_ids"])}
 
 
+def load_ood_stats(version_dir: str) -> dict:
+    """Cumulative streamed-append OOD-fallback counter for the
+    version's anisotropic sidecar, ``{"n": encoded_rows, "ood":
+    fallback_rows}`` since the last sidecar (re)build. The ingest
+    appenders bump it per batch (round 11, VERDICT r10 #3);
+    ``maintain(ood_rebuild_rate=...)`` reads it to decide whether the
+    drift warrants RETRAINING the books instead of carrying them
+    forward — a long-running stream on drifting data otherwise
+    degrades silently until someone rebuilds by hand."""
+    import json
+    import os
+
+    path = os.path.join(version_dir, "ood_stats.json")
+    if not os.path.exists(path):
+        return {"n": 0, "ood": 0}
+    with open(path) as fh:
+        s = json.load(fh)
+    return {"n": int(s.get("n", 0)), "ood": int(s.get("ood", 0))}
+
+
+def bump_ood_stats(version_dir: str, n: int, ood: int) -> None:
+    """Add one batch's (encoded, fell-back) counts to the version's
+    cumulative OOD counter. Driver-side tiny JSON write — the counts
+    come back from the encode pass (in-process for the micro-batch
+    appender, accumulator-summed for the distributed appenders)."""
+    import json
+    import os
+
+    if n <= 0:
+        return
+    s = load_ood_stats(version_dir)
+    with open(os.path.join(version_dir, "ood_stats.json"), "w") as fh:
+        json.dump({"n": s["n"] + int(n), "ood": s["ood"] + int(ood)},
+                  fh)
+
+
+def reset_ood_stats(version_dir: str) -> None:
+    """Zero the OOD counter — every sidecar (re)build resets the
+    drift window: freshly trained/re-encoded codes start clean."""
+    import os
+
+    path = os.path.join(version_dir, "ood_stats.json")
+    if os.path.exists(path):
+        os.unlink(path)
+
+
 def save_local_books(version_dir: str, books_by_pid: dict,
                      rots_by_pid: dict | None = None) -> None:
     """Persist per-partition (local) PQ codebooks as ONE npz keyed
@@ -934,7 +980,9 @@ def _residual_corpus(index, corpus, cent_by_pid: dict | None = None):
 
 def _build_aniso_global(index, corpus, m, ksub, seed,
                         residual, rotate, anisotropic,
-                        ood_min_explained=0.05):
+                        ood_min_explained=0.05,
+                        ood_rebuild_rate=None,
+                        distributed_train=False):
     """The GLOBAL-books anisotropic sidecar build (rounds 8-9),
     factored out of build_pq_sidecar when round 10 added the per-cell
     (aniso × LOPQ) variant alongside it. Body unchanged."""
@@ -956,10 +1004,18 @@ def _build_aniso_global(index, corpus, m, ksub, seed,
         model = fit_pca(enc_src, vec_col=index.vec_col)
         rot = {"mean": model["mean"],
                "components": model["components"]}
-    books = aniso_pq_train(enc_src, m=m, ksub=ksub,
-                           eta=float(anisotropic), seed=seed,
-                           vec_col=index.vec_col,
-                           cents=enc_cents, rot=rot)
+    if distributed_train:
+        # round 11 (VERDICT r10 #4): sample and alternations stay
+        # distributed — no driver-memory bound on the training sample
+        books = aniso_pq_train_distributed(
+            enc_src, m=m, ksub=ksub, eta=float(anisotropic),
+            seed=seed, vec_col=index.vec_col,
+            cents=enc_cents, rot=rot)
+    else:
+        books = aniso_pq_train(enc_src, m=m, ksub=ksub,
+                               eta=float(anisotropic), seed=seed,
+                               vec_col=index.vec_col,
+                               cents=enc_cents, rot=rot)
     enc = aniso_pq_encode(enc_src, books, eta=float(anisotropic),
                           id_col=index.id_col,
                           vec_col=index.vec_col,
@@ -984,12 +1040,17 @@ def _build_aniso_global(index, corpus, m, ksub, seed,
             os.unlink(sp)
     with open(os.path.join(index.version_dir, "pq_meta.json"),
               "w") as fh:
-        json.dump({"residual": bool(residual), "m": m,
-                   "ksub": int(books.shape[1]),
-                   "rotate": bool(rotate),
-                   "anisotropic": float(anisotropic),
-                   "ood_min_explained": float(ood_min_explained)},
-                  fh)
+        meta_g = {"residual": bool(residual), "m": m,
+                  "ksub": int(books.shape[1]),
+                  "rotate": bool(rotate), "seed": int(seed),
+                  "anisotropic": float(anisotropic),
+                  "ood_min_explained": float(ood_min_explained)}
+        if ood_rebuild_rate is not None:
+            # persisted maintenance knob (round 11): maintain() reads
+            # it to decide when streamed-OOD drift warrants a
+            # retraining rebuild instead of carrying books forward
+            meta_g["ood_rebuild_rate"] = float(ood_rebuild_rate)
+        json.dump(meta_g, fh)
     return books
 
 
@@ -1002,7 +1063,9 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
                      cell_sample_n: int = 20_000,
                      sq8: bool = False,
                      anisotropic: float | None = None,
-                     ood_min_explained: float = 0.05):
+                     ood_min_explained: float = 0.05,
+                     ood_rebuild_rate: float | None = None,
+                     distributed_train: bool = False):
     """Build a PQ codes *sidecar* for a published IVF index version:
     train codebooks on a bounded sample of the live corpus, encode every
     vector, and write the codes Parquet partitioned exactly like the
@@ -1083,6 +1146,9 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
     from quake_vector_search_spark.operators.pca import fit_pca
 
     corpus = index.read_corpus()
+    # every (re)build resets the streamed-OOD drift window — the
+    # counter measures appends against THESE books (round 11)
+    reset_ood_stats(index.version_dir)
     enc_cents = None
     if anisotropic is not None:
         # ANISOTROPIC flavor (round 8): score-aware books + codes for
@@ -1121,7 +1187,9 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
             return _build_aniso_global(index, corpus, m, ksub, seed,
                                        residual, rotate,
                                        float(anisotropic),
-                                       float(ood_min_explained))
+                                       float(ood_min_explained),
+                                       ood_rebuild_rate,
+                                       distributed_train)
         # aniso × LOPQ (round 10): per-cell SCORE-AWARE books — falls
         # through to the local branch below, which passes η into
         # train_local_books/_encode_local_sidecar; implies the
@@ -1209,6 +1277,9 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
                 meta_loc["anisotropic"] = float(anisotropic)
                 meta_loc["ood_min_explained"] = float(
                     ood_min_explained)
+                if ood_rebuild_rate is not None:
+                    meta_loc["ood_rebuild_rate"] = float(
+                        ood_rebuild_rate)
             json.dump(meta_loc, fh)
         return books_by_pid
     if rotate and residual:
@@ -1570,13 +1641,23 @@ def knn_ivf_pq(index, queries, k: int = 10, target_recall: float = 0.9,
     return out, meta
 
 
-def refresh_pq_sidecar(index, books: np.ndarray | None = None) -> bool:
+def refresh_pq_sidecar(index, books: np.ndarray | None = None,
+                       force_retrain: bool = False) -> bool:
     """Re-encode the PQ sidecar for the index's CURRENT version using
     already-trained codebooks (maintenance moved rows between
     partitions; the codebooks — a property of the data distribution,
     not the layout — stay valid). Returns False if this index never had
     a sidecar. Called by maintenance.maintain() so the hybrid search
-    path survives split/merge without manual rebuilds."""
+    path survives split/merge without manual rebuilds.
+
+    ``force_retrain`` (round 11, VERDICT r10 #3): RETRAIN the books
+    from the current corpus instead of carrying them forward —
+    maintenance passes this when the streamed-OOD fallback rate says
+    the carried books no longer model the drifted data. Rebuild
+    hyperparameters come from the previous version's pq_meta.json;
+    parameters a flavor never persisted (e.g. a plain rotated
+    sidecar's opq_iters) fall back to defaults, with the rotation's
+    PRESENCE inferred from the persisted pq_rotation.npz."""
     import os
 
     npy = os.path.join(index.version_dir, "pq_codebooks.npy")
@@ -1584,6 +1665,27 @@ def refresh_pq_sidecar(index, books: np.ndarray | None = None) -> bool:
     import json
 
     prev_meta_path = os.path.join(prev_dir, "pq_meta.json")
+    if force_retrain and os.path.exists(prev_meta_path):
+        with open(prev_meta_path) as fh:
+            pm = json.load(fh)
+        build_pq_sidecar(
+            index, m=int(pm.get("m", 8)),
+            ksub=int(pm.get("ksub", 256)),
+            seed=int(pm.get("seed", 99)),
+            residual=bool(pm.get("residual", False)),
+            rotate=bool(pm.get(
+                "rotate",
+                os.path.exists(os.path.join(prev_dir,
+                                            "pq_rotation.npz")))),
+            opq_iters=int(pm.get("opq_iters", 0)),
+            local=bool(pm.get("local", False)),
+            cell_sample_n=int(pm.get("cell_sample_n", 20_000)),
+            sq8=bool(pm.get("sq8", False)),
+            anisotropic=pm.get("anisotropic"),
+            ood_min_explained=float(pm.get("ood_min_explained",
+                                           0.05)),
+            ood_rebuild_rate=pm.get("ood_rebuild_rate"))
+        return True
     if os.path.exists(prev_meta_path):
         with open(prev_meta_path) as fh:
             prev_meta = json.load(fh)
@@ -1607,6 +1709,7 @@ def refresh_pq_sidecar(index, books: np.ndarray | None = None) -> bool:
             with open(os.path.join(index.version_dir,
                                    "pq_meta.json"), "w") as fh:
                 json.dump(prev_meta, fh)
+            reset_ood_stats(index.version_dir)
             return True
         if prev_meta.get("local"):
             # per-cell (LOPQ) codebooks are LAYOUT-BOUND: split/merge
@@ -1629,7 +1732,9 @@ def refresh_pq_sidecar(index, books: np.ndarray | None = None) -> bool:
                              anisotropic=prev_meta.get("anisotropic"),
                              ood_min_explained=float(
                                  prev_meta.get("ood_min_explained",
-                                               0.05)))
+                                               0.05)),
+                             ood_rebuild_rate=prev_meta.get(
+                                 "ood_rebuild_rate"))
             return True
     if books is None:
         # look in the previous version dir (maintain() already bumped)
@@ -1707,9 +1812,17 @@ def refresh_pq_sidecar(index, books: np.ndarray | None = None) -> bool:
         meta_out["rotate"] = rot is not None
         meta_out["ood_min_explained"] = float(
             _pm.get("ood_min_explained", 0.05))
+        # carry the retrain hyperparams/knobs across re-encodes so a
+        # later OOD-triggered rebuild reproduces the original build
+        for k in ("seed", "ood_rebuild_rate"):
+            if k in _pm:
+                meta_out[k] = _pm[k]
     with open(os.path.join(index.version_dir, "pq_meta.json"),
               "w") as fh:
         json.dump(meta_out, fh)
+    # the re-encode re-derived every code (streamed rows included), so
+    # the streamed-OOD drift window restarts here
+    reset_ood_stats(index.version_dir)
     return True
 
 
@@ -1934,7 +2047,8 @@ def _aniso_encode_local(X: np.ndarray, books: np.ndarray, eta: float,
 def aniso_encode_streamed(X: np.ndarray, books: np.ndarray,
                           eta: float,
                           dirs: np.ndarray | None = None,
-                          min_explained: float = 0.05) -> np.ndarray:
+                          min_explained: float = 0.05,
+                          stats: dict | None = None) -> np.ndarray:
     """Score-aware encode with a CANDIDATE-SURFACING guard, used by
     the STREAMING append path only (``streaming/ingest.py::
     _append_pq_codes``) — the batch encoder never falls back.
@@ -1955,8 +2069,18 @@ def aniso_encode_streamed(X: np.ndarray, books: np.ndarray,
     which is the best reachable reconstruction under the existing
     books, keeping the streamed vector ADC-reachable. In-distribution
     streamed rows (the common case) take the score-aware code
-    unchanged, so streamed ≡ batch encoding still holds for them."""
+    unchanged, so streamed ≡ batch encoding still holds for them.
+
+    ``stats`` (round 11, VERDICT r10 #3): when given, the dict's
+    ``n``/``ood`` counters are bumped by (rows encoded, rows that
+    fell back) so the ingest path can persist a cumulative
+    OOD-fallback rate per sidecar (``bump_ood_stats``) — the signal
+    ``maintain(ood_rebuild_rate=...)`` watches to schedule a
+    retraining rebuild on drifting streams."""
     codes = _aniso_encode_local(X, books, eta, dirs=dirs)
+    if stats is not None:
+        stats["n"] = stats.get("n", 0) + len(X)
+        stats.setdefault("ood", 0)
     if eta == 1.0 or min_explained <= 0.0:
         # min_explained <= 0.0 is the documented "never fall back /
         # pure score-aware" setting; the err² > (1−0)·‖enc‖² form
@@ -1971,6 +2095,8 @@ def aniso_encode_streamed(X: np.ndarray, books: np.ndarray,
     ood = err2 > (1.0 - min_explained) * e2
     if ood.any():
         codes[ood] = _aniso_encode_local(X[ood], books, 1.0)
+        if stats is not None:
+            stats["ood"] += int(ood.sum())
     return codes
 
 
@@ -2095,6 +2221,175 @@ def aniso_pq_train(corpus_df: DataFrame, m: int = 8, ksub: int = 256,
     return _aniso_train_local(X, Xh, m=m, ksub=ksub, eta=eta,
                               alts=alts, kmeans_iters=kmeans_iters,
                               cd_passes=cd_passes, seed=seed)
+
+
+def aniso_pq_train_distributed(corpus_df: DataFrame, m: int = 8,
+                               ksub: int = 256, eta: float = 3.0,
+                               alts: int = 3, kmeans_iters: int = 8,
+                               cd_passes: int = 2, seed: int = 99,
+                               sample_n: int = 100_000,
+                               init_n: int = 20_000,
+                               vec_col: str = "embedding",
+                               cents: dict | None = None,
+                               rot: dict | None = None) -> np.ndarray:
+    """DISTRIBUTED anisotropic-PQ trainer (round 11, VERDICT r10 #4):
+    the driver trainer (``aniso_pq_train``) funnels one
+    driver-memory-bounded sample and runs every alternation in driver
+    NumPy — at 100 TB that caps both codebook quality (sample can't
+    grow past the driver) and training throughput. This twin keeps
+    the TRAINING SAMPLE distributed end-to-end:
+
+    - sample = a deterministic hash-stride filter
+      (``xxhash64(id, seed) % L == 0`` with L sized from the corpus
+      count) — a narrow FILTER, no top-n shuffle, no collect; raising
+      ``sample_n`` costs executor memory, never driver memory.
+    - each alternation is ONE mapInPandas pass: rows re-encode
+      against the broadcast books (same ``_aniso_encode_local``
+      kernel) and emit per-(chunk, codeword) sufficient statistics —
+      count, Σx_j, Σx̂_jx̂_jᵀ, Σ(t_other+x_jᵀx̂_j)·x̂_j — the exact
+      terms of the closed-form stationarity solve; a grouped combine
+      reduces them to m·ksub rows (metadata scale at any corpus
+      size) and the driver solves m·ksub dsub×dsub systems.
+    - only the INIT (plain per-chunk Lloyd's) runs on a driver-side
+      seeded subsample, capped at ``init_n`` — a fixed bound, not a
+      function of corpus size.
+
+    One deliberate variant vs the driver trainer: codeword updates
+    are JACOBI (every chunk solves from the same pre-update decode
+    state) instead of the driver's Gauss-Seidel chunk sweep, whose
+    per-chunk ``t`` update is inherently sequential — Jacobi makes
+    each alternation a single distributed pass. Books therefore
+    differ numerically from ``aniso_pq_train``'s on the same data
+    (both minimize the same score-aware loss; candidate-recall parity
+    is pinned in tests). Deterministic given the sample's task
+    layout: the combine sums each group's partials in content-sorted
+    order (the ``_refresh_partitions`` trick)."""
+    from quake_vector_search_spark.operators.kmeans import (
+        _seeded_sample, local_kmeans)
+
+    id_col = _infer_id_col(corpus_df)
+    cols = [id_col, vec_col] + (["partition_id"]
+                                if cents is not None else [])
+    src = corpus_df.select(*cols)
+    total = src.count()
+    stride = max(1, total // max(1, sample_n))
+    samp_df = (src.where(F.pmod(F.xxhash64(F.col(id_col),
+                                           F.lit(seed)),
+                                F.lit(stride)) == 0)
+               if stride > 1 else src)
+
+    # ---- init: plain per-chunk Lloyd's on a bounded driver sample
+    _, Xi = _seeded_sample(samp_df, vec_col, id_col,
+                           min(init_n, sample_n), seed)
+    if rot is not None:
+        Xi = (Xi - rot["mean"]) @ rot["components"].T
+    d = Xi.shape[1]
+    if d % m != 0:
+        raise ValueError(f"d={d} not divisible by m={m}")
+    dsub = d // m
+    ksub_eff = min(ksub, Xi.shape[0])
+    books = np.empty((m, ksub_eff, dsub), dtype=np.float64)
+    for j in range(m):
+        books[j], _ = local_kmeans(Xi[:, j * dsub:(j + 1) * dsub],
+                                   ksub_eff, kmeans_iters,
+                                   seed + 1 + j)
+    if eta == 1.0:
+        return books
+
+    spark = corpus_df.sparkSession
+    stat_width = dsub * dsub + 2 * dsub
+    for _ in range(alts):
+        bc = spark.sparkContext.broadcast((books, cents, rot))
+
+        def partials(batches):
+            bks, cnts, rt = bc.value
+            mm, kk, ds = bks.shape
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.vstack(pdf[vec_col].to_numpy()).astype(
+                    np.float64)
+                if cnts is not None:
+                    pids_b = pdf["partition_id"].to_numpy(
+                        dtype=np.int64)
+                    orig = X + np.stack([cnts[int(p)]
+                                         for p in pids_b])
+                    Xh = orig / np.maximum(
+                        np.linalg.norm(orig, axis=1, keepdims=True),
+                        1e-12)
+                else:
+                    Xh = X / np.maximum(
+                        np.linalg.norm(X, axis=1, keepdims=True),
+                        1e-12)
+                if rt is not None:
+                    X = (X - rt["mean"]) @ rt["components"].T
+                    Xh = Xh @ rt["components"].T
+                codes = _aniso_encode_local(X, bks, eta,
+                                            passes=cd_passes, dirs=Xh)
+                dec = np.concatenate(
+                    [bks[j][codes[:, j]] for j in range(mm)], axis=1)
+                t = ((X - dec) * Xh).sum(axis=1)
+                out_j, out_c, out_n, out_s = [], [], [], []
+                for j in range(mm):
+                    Xj = X[:, j * ds:(j + 1) * ds]
+                    Xhj = Xh[:, j * ds:(j + 1) * ds]
+                    cur = bks[j][codes[:, j]]
+                    ej = Xj - cur
+                    t_other = t - (ej * Xhj).sum(axis=1)
+                    w = t_other + (Xj * Xhj).sum(axis=1)
+                    for c in np.unique(codes[:, j]):
+                        sel = codes[:, j] == c
+                        Mh = Xhj[sel]
+                        stat = np.concatenate([
+                            (Mh.T @ Mh).ravel(),
+                            Xj[sel].sum(axis=0),
+                            (w[sel, None] * Mh).sum(axis=0)])
+                        out_j.append(j)
+                        out_c.append(int(c))
+                        out_n.append(int(sel.sum()))
+                        out_s.append(stat)
+                yield pd.DataFrame({"chunk": out_j, "code": out_c,
+                                    "n": out_n, "stat": out_s})
+
+        def combine(key, pdf):
+            # content-sorted summation: deterministic given the
+            # multiset of per-task partials
+            order = sorted(range(len(pdf)),
+                           key=lambda i: (int(pdf["n"].iloc[i]),
+                                          tuple(pdf["stat"].iloc[i])))
+            s = np.zeros(stat_width)
+            n = 0
+            for i in order:
+                n += int(pdf["n"].iloc[i])
+                s = s + np.asarray(pdf["stat"].iloc[i],
+                                   dtype=np.float64)
+            return pd.DataFrame({"chunk": [int(key[0])],
+                                 "code": [int(key[1])],
+                                 "n": [n], "stat": [s]})
+
+        rows = (samp_df
+                .mapInPandas(partials,
+                             "chunk int, code int, n long, "
+                             "stat array<double>")
+                .groupBy("chunk", "code")
+                .applyInPandas(combine,
+                               "chunk int, code int, n long, "
+                               "stat array<double>")
+                .collect())
+        newb = books.copy()
+        for r in sorted(rows, key=lambda r: (r["chunk"], r["code"])):
+            j, c, n = int(r["chunk"]), int(r["code"]), int(r["n"])
+            if n == 0:
+                continue
+            stat = np.asarray(r["stat"], dtype=np.float64)
+            HH = stat[:dsub * dsub].reshape(dsub, dsub)
+            sum_x = stat[dsub * dsub:dsub * dsub + dsub]
+            sum_wh = stat[dsub * dsub + dsub:]
+            A = n * np.eye(dsub) + (eta - 1.0) * HH
+            rhs = sum_x + (eta - 1.0) * sum_wh
+            newb[j][c] = np.linalg.solve(A, rhs)
+        books = newb
+    return books
 
 
 def aniso_pq_encode(corpus_df: DataFrame, books: np.ndarray,

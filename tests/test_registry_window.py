@@ -8,7 +8,11 @@ test makes that a hard failure instead.
 Round 6 rotated the window (VERDICT r5 #1): TPC-H battery, dedup
 family, streaming mirrors and sketch rows (WINDOW_R6). Round 7 rotated
 a THIRD 50 in front (WINDOW_R7). Round 8 rotated a FOURTH (WINDOW_R8:
-the 50 of the 53 rows the driver had never checked through r7). Round 9
+the 50 of the 53 rows the driver had never checked through r7).
+Round 11 rotates a SEVENTH (WINDOW_R11, VERDICT r10 #6): the two new
+round-11 rows, the six round-10 first-timers (their append path was
+refactored), the whole 41-row r6-stale stratum, and one r7 row — with
+it every registry row has been scheduled at least twice. Round 9
 rotates a FIFTH window (WINDOW_R9, VERDICT r8 #1) with a different
 invariant: it deliberately RE-verifies stale rows, so instead of
 disjointness-from-everything it asserts each member is either (a) one
@@ -40,6 +44,7 @@ from quake_vector_search_spark.queries import (
     WINDOW_R8,
     WINDOW_R9,
     WINDOW_R10,
+    WINDOW_R11,
     load_all_query_modules,
     ordered_registry,
 )
@@ -96,29 +101,55 @@ def _latest_driver_round(max_round: int | None = None) -> dict[str, int]:
     return latest
 
 
-def test_r10_window_is_the_rotated_surface():
-    """First 50 of the driver-facing ordering = WINDOW_R10; composition
-    per VERDICT r9 #2, checked against the reports AS OF END OF ROUND 9
-    (later reports excluded so the invariant doesn't dissolve once
-    CORRECTNESS_r10 lands): 6 never-driver-verified rows
-    (ivf_aniso_rotated_fullprobe, judge-only in r9, plus the five NEW
-    round-10 rows), all 35 rows whose latest check was round 5, and 9
-    rows last checked round 6. No member fresh (r7-r9)."""
+R10_FIRST_TIMERS = (
+    "ivf_aniso_rotated_fullprobe",
+    "ivf_dml_distributed_roundtrip",
+    "ivf_serving_stack_routed",
+    "ivf_aniso_lopq_fullprobe",
+    "ivf_aniso_lopq_rotated_fullprobe",
+    "stream_ingest_distributed_equals_batch",
+)
+
+
+def test_r11_window_is_the_rotated_surface():
+    """First 50 of the driver-facing ordering = WINDOW_R11;
+    composition per VERDICT r10 #6, checked against the reports AS OF
+    END OF ROUND 10 (later reports excluded so the invariant doesn't
+    dissolve once CORRECTNESS_r11 lands): the 3 never-driver-verified
+    round-11 rows, the 6 round-10 first-timers (re-verified because
+    round 11 refactored the append path they pin), and ALL 41 rows
+    whose latest check is round 6 — the stalest stratum. No slot
+    wasted on anything fresher."""
     names = list(ordered_registry())
+    assert len(WINDOW_R11) == 50
+    assert names[:50] == list(WINDOW_R11)
+    latest = _latest_driver_round(max_round=10)
+    assert latest, "correctness reports missing from repo root"
+    never = [n for n in WINDOW_R11 if n not in latest]
+    r6 = [n for n in WINDOW_R11 if latest.get(n, 99) == 6]
+    r10 = [n for n in WINDOW_R11 if latest.get(n, 0) == 10]
+    fresh = [n for n in WINDOW_R11 if 7 <= latest.get(n, 0) <= 9]
+    assert set(never) == {"ivf_dml_distributed_lopq_roundtrip",
+                          "stream_ood_rebuild_maintenance",
+                          "ivf_aniso_distributed_fullprobe"}, never
+    assert len(r6) == 41, f"expected 41 r6-stale, got {len(r6)}"
+    assert sorted(r10) == sorted(R10_FIRST_TIMERS), r10
+    assert not fresh, f"WINDOW_R11 wastes slots on fresh rows: {fresh}"
+
+
+def test_r10_window_composition_still_pinned():
+    """WINDOW_R10's composition stays as verified in round 10 (its 6
+    first-timers recur in WINDOW_R11 by design — re-verification);
+    checked against reports as of end of round 9, exactly the pin
+    that held when the driver ran it."""
     assert len(WINDOW_R10) == 50
-    assert names[:50] == list(WINDOW_R10)
     latest = _latest_driver_round(max_round=9)
     assert latest, "correctness reports missing from repo root"
     never = [n for n in WINDOW_R10 if n not in latest]
     r5 = [n for n in WINDOW_R10 if latest.get(n, 99) == 5]
     r6 = [n for n in WINDOW_R10 if latest.get(n, 99) == 6]
     fresh = [n for n in WINDOW_R10 if 7 <= latest.get(n, 0) <= 9]
-    assert set(never) == {"ivf_aniso_rotated_fullprobe",
-                          "ivf_dml_distributed_roundtrip",
-                          "ivf_serving_stack_routed",
-                          "ivf_aniso_lopq_fullprobe",
-                          "ivf_aniso_lopq_rotated_fullprobe",
-                          "stream_ingest_distributed_equals_batch"}, never
+    assert set(never) == set(R10_FIRST_TIMERS), never
     assert len(r5) == 35, f"expected 35 r5-stale, got {len(r5)}"
     assert len(r6) == 9, f"expected 9 r6-stale, got {len(r6)}"
     assert not fresh, f"WINDOW_R10 wastes slots on fresh rows: {fresh}"
@@ -133,55 +164,92 @@ def test_rename_map_keys_are_stale_and_values_current():
         assert new in REGISTRY, f"rename target {new!r} not registered"
 
 
+def test_every_report_key_maps_into_the_registry():
+    """Every key in every committed correctness report resolves —
+    through RENAME_MAP — to a CURRENT registry row (VERDICT r10 #8):
+    a future rename that forgets its RENAME_MAP entry would otherwise
+    silently orphan that row's verification history (the two r6
+    renames did exactly this until round 8 caught it)."""
+    load_all_query_modules()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    orphans = {}
+    for path in sorted(glob.glob(os.path.join(root,
+                                              "CORRECTNESS_r*.json"))):
+        with open(path) as f:
+            for key in json.load(f):
+                name = RENAME_MAP.get(key, key)
+                if name not in REGISTRY:
+                    orphans.setdefault(os.path.basename(path),
+                                       []).append(key)
+    assert not orphans, (
+        f"report keys with no current registry row (add RENAME_MAP "
+        f"entries): {orphans}")
+
+
 def test_cumulative_accounting_is_exact():
     """Cumulative driver-verified accounting, as INVARIANTS rather
     than a hand-bumped scalar (ADVICE r9): the verified union can only
-    grow (>= the 235/236 documented at end of round 9), and any
-    registry row the driver has NEVER verified must be scheduled in
-    the current front window — otherwise it can never graduate."""
+    grow (>= the 241 documented at end of round 10), and any registry
+    row the driver has NEVER verified must be scheduled in the current
+    front window — otherwise it can never graduate."""
     load_all_query_modules()
     latest = _latest_driver_round()
     verified = set(latest) & set(REGISTRY)
-    assert len(verified) >= 235, len(verified)
-    assert len(REGISTRY) >= 236
+    assert len(verified) >= 241, len(verified)
+    assert len(REGISTRY) >= 243
     unverified = set(REGISTRY) - verified
-    stranded = unverified - set(WINDOW_R10)
+    stranded = unverified - set(WINDOW_R11)
     assert not stranded, f"never-verified rows outside the window: {stranded}"
 
 
-def test_r9_window_still_pinned_at_51_100():
+def test_r10_window_remainder_pinned_at_51_94():
+    """WINDOW_R11 re-schedules WINDOW_R10's 6 first-timers; the other
+    44 keep their relative order right behind the front window."""
+    names = list(ordered_registry())
+    assert len(WINDOW_R10) == 50
+    rest = [n for n in WINDOW_R10 if n not in set(WINDOW_R11)]
+    assert len(rest) == 44
+    assert names[50:94] == rest
+
+
+def test_r9_window_still_pinned_at_95_144():
     names = list(ordered_registry())
     assert len(WINDOW_R9) == 50
-    assert names[50:100] == list(WINDOW_R9)
+    assert names[94:144] == list(WINDOW_R9)
     assert not set(WINDOW_R9) & set(WINDOW_R10)
+    assert not set(WINDOW_R9) & set(WINDOW_R11)
 
 
-def test_r8_window_still_pinned_at_101_150():
+def test_r8_window_still_pinned_at_145_194():
     names = list(ordered_registry())
     assert len(WINDOW_R8) == 50
-    assert names[100:150] == list(WINDOW_R8)
+    assert names[144:194] == list(WINDOW_R8)
     assert not set(WINDOW_R8) & set(WINDOW_R9)
     assert not set(WINDOW_R8) & set(WINDOW_R10)
+    assert not set(WINDOW_R8) & set(WINDOW_R11)
 
 
-def test_r7_window_still_pinned_at_151_200():
+def test_r7_window_still_pinned_at_195_244():
     names = list(ordered_registry())
     assert len(WINDOW_R7) == 50
-    assert names[150:200] == list(WINDOW_R7)
+    assert names[194:244] == list(WINDOW_R7)
+    assert not set(WINDOW_R7) & set(WINDOW_R11)
     assert not set(WINDOW_R7) & set(WINDOW_R10)
     assert not set(WINDOW_R7) & set(WINDOW_R9)
     assert not set(WINDOW_R7) & set(WINDOW_R6)
     assert not set(WINDOW_R7) & set(WINDOW_R2R5)
 
 
-def test_r6_window_remainder_pinned_after_200():
-    """WINDOW_R10 deliberately re-schedules 9 WINDOW_R6 rows (the
-    TPC-H battery); the other 41 keep their relative order at 201+."""
+def test_r6_window_fully_rescheduled():
+    """Every WINDOW_R6 row now recurs in a fresher window (9 TPC-H
+    rows in WINDOW_R10, the other 41 in WINDOW_R11) — the stalest
+    stratum is drained, so WINDOW_R6 contributes nothing after
+    dedupe and the five windows cover the registry exactly."""
+    load_all_query_modules()
     names = list(ordered_registry())
     assert len(WINDOW_R6) == 50
-    rest = [n for n in WINDOW_R6 if n not in set(WINDOW_R10)]
-    assert len(rest) == 41
-    assert names[200:200 + 41] == rest
+    assert set(WINDOW_R6) <= set(WINDOW_R10) | set(WINDOW_R11)
+    assert len(names) == len(REGISTRY)
     assert not set(WINDOW_R6) & set(WINDOW_R9)
     assert not set(WINDOW_R6) & set(WINDOW_R2R5)
 

@@ -1295,13 +1295,12 @@ def test_streaming_ingest_into_aniso_lopq_rotated_sidecar(spark,
 
 
 def test_streaming_ingest_distributed_lopq_fallback(spark, tmp_path):
-    """The distributed ingest path's LOPQ seam (round 10): with a
-    LOCAL (per-cell) sidecar, the batch still routes and writes
-    through insert_distributed, but the sidecar append falls back to
-    the driver appender (per-cell books for never-seen partitions are
-    trained at append time — driver-side npz state). Codes must be
-    bit-identical to the driver replication and the streamed vector
-    searchable through compressed search."""
+    """The distributed ingest path over a LOCAL (per-cell) sidecar
+    (round 11 — no more driver fallback, VERDICT r10 #2): the batch
+    routes and writes through insert_distributed and the sidecar
+    append runs the DISTRIBUTED per-cell encoder. Codes must match
+    the persisted books exactly and the streamed vector be searchable
+    through compressed search."""
     import numpy as np
 
     from quake_vector_search_spark.operators.ivf import IVFIndex
@@ -1352,6 +1351,188 @@ def test_streaming_ingest_distributed_lopq_fallback(spark, tmp_path):
                           target_recall=1.0, max_probe=10**9,
                           oversample=64)
     assert found.collect()[0]["vec_id"] == probe_id
+
+
+def test_ood_rate_triggered_sidecar_rebuild(spark, tmp_path):
+    """The OOD-drift maintenance trigger (round 11, VERDICT r10 #3):
+    a long-running stream of out-of-distribution vectors (1) bumps
+    the persisted per-sidecar fallback counter past the knob rate,
+    (2) makes the next ``maintain()`` RETRAIN the books on the
+    drifted corpus instead of carrying them forward, after which
+    (3) every streamed vector surfaces as its own pure-ADC top-1
+    candidate (the bench's streamed_ood endpoint, restored to 1.0)
+    and (4) the drift window resets. The knob rides pq_meta.json
+    (build-time), with a maintain() override."""
+    import json
+    import os
+
+    import numpy as np
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.maintenance import maintain
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+        knn_ivf_pq,
+        load_ood_stats,
+    )
+    from quake_vector_search_spark.operators.workload import make_dataset
+    from quake_vector_search_spark.streaming.ingest import ingest_stream
+
+    corpus = make_dataset(spark, 600, d=16, n_clusters=6, seed=33)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_oodr"),
+                         coarse_k=4, base_k=2, metric="cosine")
+    build_pq_sidecar(idx, m=4, ksub=16, seed=7, anisotropic=3.0,
+                     residual=True, rotate=True,
+                     # strict guard (fall back under 50% retained
+                     # energy) so the drifted stream reliably counts
+                     # as OOD; the rate knob is what's under test
+                     ood_min_explained=0.5,
+                     ood_rebuild_rate=0.3)
+    with open(os.path.join(idx.version_dir, "pq_meta.json")) as fh:
+        assert json.load(fh)["ood_rebuild_rate"] == 0.3
+    assert load_ood_stats(idx.version_dir) == {"n": 0, "ood": 0}
+
+    # stream OOD vectors: unclustered random directions are far from
+    # every codeword of books trained on the 6-cluster corpus (the
+    # rotated composition measured ~3% retained energy in r10)
+    rng = np.random.default_rng(53)
+    rows = [(int(95_000 + i),
+             rng.normal(size=16).astype(float).tolist())
+            for i in range(8)]
+    vdir, ckpt = str(tmp_path / "vecs"), str(tmp_path / "ckpt")
+    (spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+     .repartition(2).write.mode("overwrite").parquet(vdir))
+    vstream = (spark.readStream
+               .schema("vec_id long, embedding array<float>")
+               .option("maxFilesPerTrigger", 1).parquet(vdir))
+    q = ingest_stream(idx, vstream, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    stats = load_ood_stats(idx.version_dir)
+    assert stats["n"] == 8
+    assert stats["ood"] / stats["n"] > 0.3, stats
+
+    def own_candidate_rate():
+        hits = 0
+        for vid, vec in rows:
+            found, _ = knn_ivf_pq(idx, ([1], np.array([vec])), k=1,
+                                  target_recall=1.0, max_probe=10**9,
+                                  oversample=1)
+            hits += int(found.collect()[0]["vec_id"] == vid)
+        return hits / len(rows)
+
+    pre = own_candidate_rate()
+
+    summary = maintain(idx, ood_rebuild_min_n=5)
+    assert summary["ood_rate"] == stats["ood"] / stats["n"]
+    assert summary["pq_retrained"] is True
+    assert summary["pq_refreshed"] is True
+
+    post = own_candidate_rate()
+    assert post == 1.0, (pre, post)
+    assert post >= pre
+    # drift window reset with the rebuild
+    assert load_ood_stats(idx.version_dir) == {"n": 0, "ood": 0}
+    # the retrained meta carries the knob forward
+    with open(os.path.join(idx.version_dir, "pq_meta.json")) as fh:
+        assert json.load(fh)["ood_rebuild_rate"] == 0.3
+    # and a second maintain with a clean counter does NOT retrain
+    summary2 = maintain(idx)
+    assert summary2["pq_retrained"] is False
+    assert summary2["ood_rate"] is None
+
+
+def test_distributed_lopq_append_parity_with_driver(spark, tmp_path):
+    """The distributed LOPQ appender (round 11, VERDICT r10 #2) must
+    be BIT-IDENTICAL to the driver appender on the same batch — codes
+    AND the books/rotations it trains for a never-seen cell — on the
+    full per-cell composition (aniso × LOPQ × per-cell rotations),
+    and it must return "done" (the round-10 "local" fallback seam is
+    gone). Twin indexes, one batch aimed at a cell whose books were
+    dropped from the npz, both appenders run, sidecars compared."""
+    import numpy as np
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+        load_local_books,
+        load_local_rots,
+        save_local_books,
+    )
+    from quake_vector_search_spark.operators.workload import make_dataset
+    from quake_vector_search_spark.streaming.ingest import (
+        _append_pq_codes,
+        _append_pq_codes_distributed,
+    )
+
+    corpus = make_dataset(spark, 600, d=16, n_clusters=6, seed=21)
+    twins = []
+    for tag in ("a", "b"):
+        idx = IVFIndex.build(corpus, str(tmp_path / f"tw_{tag}"),
+                             coarse_k=4, base_k=2, metric="cosine")
+        build_pq_sidecar(idx, m=4, ksub=16, seed=7, anisotropic=3.0,
+                         residual=True, local=True, rotate=True)
+        # simulate a sidecar predating one partition: drop its books
+        books = load_local_books(idx.version_dir)
+        rots = load_local_rots(idx.version_dir)
+        victim = int(sorted(books)[0])
+        del books[victim]
+        if rots and victim in rots:
+            del rots[victim]
+        save_local_books(idx.version_dir, books, rots_by_pid=rots)
+        twins.append((idx, victim))
+    (a, victim_a), (b, victim_b) = twins
+    assert victim_a == victim_b
+
+    # batch aimed at the victim cell plus a couple of covered cells
+    pos = {int(p): i for i, p in enumerate(a.part_ids)}
+    c = a.centroids[pos[victim_a]]
+    rng = np.random.default_rng(23)
+    vecs = np.vstack([c + 0.05 * rng.normal(size=(8, 16)),
+                      rng.normal(size=(4, 16))])
+    ids = np.arange(70_000, 70_012, dtype=np.int64)
+
+    # driver path on twin A
+    pids_a = a.insert(ids, vecs)
+    assert victim_a in {int(p) for p in pids_a}
+    va = vecs / (np.linalg.norm(vecs, axis=1, keepdims=True) + 1e-12)
+    assert _append_pq_codes(a, ids, va, pids_a, {})
+
+    # distributed path on twin B (same raw values: array<double>)
+    bdf = spark.createDataFrame(
+        [(int(i), v.tolist()) for i, v in zip(ids, vecs)],
+        "vec_id long, embedding array<double>")
+    routed = b.insert_distributed(bdf, unpersist=False)
+    try:
+        res = _append_pq_codes_distributed(b, routed, {})
+    finally:
+        routed.routing_cache.unpersist()
+    assert res == "done"
+
+    # identical trained books + rotations for the never-seen cell
+    books_a = load_local_books(a.version_dir)
+    books_b = load_local_books(b.version_dir)
+    assert np.array_equal(books_a[victim_a], books_b[victim_b])
+    rots_a = load_local_rots(a.version_dir)
+    rots_b = load_local_rots(b.version_dir)
+    assert np.array_equal(rots_a[victim_a]["mean"],
+                          rots_b[victim_b]["mean"])
+    assert np.array_equal(rots_a[victim_a]["components"],
+                          rots_b[victim_b]["components"])
+    # identical codes row-by-row
+    rows_a = {int(r["vec_id"]): (list(r["pq_codes"]),
+                                 int(r["partition_id"]))
+              for r in spark.read.parquet(f"{a.version_dir}/pq")
+              .where("vec_id >= 70000").collect()}
+    rows_b = {int(r["vec_id"]): (list(r["pq_codes"]),
+                                 int(r["partition_id"]))
+              for r in spark.read.parquet(f"{b.version_dir}/pq")
+              .where("vec_id >= 70000").collect()}
+    assert rows_a == rows_b
+    assert set(rows_a) == set(int(i) for i in ids)
 
 
 def test_ood_min_explained_knob_persists_and_binds(spark, tmp_path):
