@@ -92,6 +92,57 @@ N_WORKLOAD_QUERIES = 200
 QUERY_BATCH = 50          # the Spark-idiomatic unit: one job per batch
 K = 10
 
+# --reuse-sidecars (round 11, VERDICT r10 #7): ITERATION mode — skip
+# retraining unchanged codebook rungs by caching trained books per
+# (block, rung) fingerprint across runs. Every bench corpus is
+# seeded-deterministic, so the (tag, params) key identifies the
+# training input exactly. Decision metrics (recall, scanned_frac) are
+# identical by construction — the cached books ARE the books a fresh
+# run would train; only *_train_s / sidecar_build_s drop. The default
+# run retrains everything (certification mode), and the cache lives
+# in /tmp (wiped on reboot, never committed).
+REUSE_SIDECARS = (os.environ.get("SPARK_GRAFT_REUSE_SIDECARS") == "1"
+                  or "--reuse-sidecars" in sys.argv)
+BOOKCACHE_DIR = "/tmp/qvss_bench_bookcache"
+
+
+def _cached_train(tag: str, train_fn):
+    """Trained-books cache for bare trainer calls. Returns
+    (books, seconds) — 0.0 s on a cache hit."""
+    path = os.path.join(BOOKCACHE_DIR, f"{tag}.npy")
+    if REUSE_SIDECARS and os.path.exists(path):
+        return np.load(path), 0.0
+    t0 = time.time()
+    books = train_fn()
+    dt = time.time() - t0
+    if REUSE_SIDECARS:
+        os.makedirs(BOOKCACHE_DIR, exist_ok=True)
+        np.save(path, books)
+    return books, dt
+
+
+def _build_sidecar_cached(idx, tag: str, **kwargs):
+    """build_pq_sidecar with trained-books reuse under
+    --reuse-sidecars. Cacheable flavors = unrotated GLOBAL only (the
+    pretrained_books contract); local/rotated/sq8 rungs fall through
+    to a full build. Callers must NOT use this where the corpus
+    mutates between runs (e.g. the post-insert streamed_ood rebuild)."""
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+    )
+    cacheable = (REUSE_SIDECARS and not kwargs.get("local")
+                 and not kwargs.get("rotate") and not kwargs.get("sq8"))
+    if cacheable:
+        path = os.path.join(BOOKCACHE_DIR, f"{tag}.npy")
+        if os.path.exists(path):
+            return build_pq_sidecar(idx, pretrained_books=np.load(path),
+                                    **kwargs)
+        books = build_pq_sidecar(idx, **kwargs)
+        os.makedirs(BOOKCACHE_DIR, exist_ok=True)
+        np.save(path, books)
+        return books
+    return build_pq_sidecar(idx, **kwargs)
+
 
 def run_df(df) -> None:
     df.write.mode("overwrite").format("noop").save()
@@ -180,12 +231,13 @@ def aniso_mips_n40k(spark) -> dict:
         out["encode_s"] = round(enc_s, 3)
         return out
 
-    t0 = time.time()
-    books_p = pq_train(embn, m=m, ksub=ksub, seed=99)
-    plain_train_s = time.time() - t0
-    t0 = time.time()
-    books_a = aniso_pq_train(embn, m=m, ksub=ksub, eta=3.0, seed=99)
-    aniso_train_s = time.time() - t0
+    books_p, plain_train_s = _cached_train(
+        f"aniso40k_plain_m{m}k{ksub}",
+        lambda: pq_train(embn, m=m, ksub=ksub, seed=99))
+    books_a, aniso_train_s = _cached_train(
+        f"aniso40k_eta3_m{m}k{ksub}",
+        lambda: aniso_pq_train(embn, m=m, ksub=ksub, eta=3.0,
+                               seed=99))
 
     # RESIDUAL composition at the same byte budget: IVFADC codes with
     # score-aware directions (normalize(r + c_p)) vs direction-less
@@ -219,8 +271,9 @@ def aniso_mips_n40k(spark) -> dict:
                            {"anisotropic": 3.0, "residual": True,
                             "local": True, "rotate": True})):
         t0 = time.time()
-        books_r = build_pq_sidecar(idx, m=m, ksub=ksub, seed=99,
-                                   **kwargs)
+        books_r = _build_sidecar_cached(idx, f"aniso40k_{label}",
+                                        m=m, ksub=ksub, seed=99,
+                                        **kwargs)
         build_s = time.time() - t0
         snap = load_residual_snapshot(idx.version_dir)
         enc = (idx.spark.read.parquet(f"{idx.version_dir}/pq")
@@ -281,9 +334,11 @@ def aniso_mips_n40k(spark) -> dict:
 
     # the ladder loop leaves the aniso_lopq_rotated sidecar current
     # (round 10) — restore the GLOBAL aniso-residual flavor this
-    # measurement is about before streaming into it
-    build_pq_sidecar(idx, m=m, ksub=ksub, seed=99,
-                     anisotropic=3.0, residual=True)
+    # measurement is about before streaming into it (same
+    # corpus/params as the aniso_residual rung → same cache tag)
+    _build_sidecar_cached(idx, "aniso40k_aniso_residual",
+                          m=m, ksub=ksub, seed=99,
+                          anisotropic=3.0, residual=True)
     rng_o = np.random.default_rng(44)
     n_ood = 50
     Vo = rng_o.normal(size=(n_ood, d))
@@ -310,6 +365,9 @@ def aniso_mips_n40k(spark) -> dict:
     streamed_hit = own_hit_rate(
         np.load(f"{idx.version_dir}/pq_codebooks.npy"))
     t0 = time.time()
+    # NEVER cached: the corpus now includes the streamed OOD rows —
+    # the whole point is retraining ON them (rebuild_s stays a real
+    # retrain measurement even under --reuse-sidecars)
     books_rb = build_pq_sidecar(idx, m=m, ksub=ksub, seed=99,
                                 anisotropic=3.0, residual=True)
     rebuild_s = time.time() - t0
@@ -509,7 +567,8 @@ def ivf_scale_n400k(spark) -> dict:
     # (round-6 measurement bug: a cached DataFrame is a hint, not a
     # snapshot).
     t1 = time.time()
-    books = build_pq_sidecar(idx, m=8, ksub=256, seed=99)
+    books = _build_sidecar_cached(idx, "scale400k_plain",
+                                  m=8, ksub=256, seed=99)
     pq_build_s = time.time() - t1
     t1 = time.time()
     fpq, _ = knn_ivf_pq(idx, (qids, qmat), k=K, target_recall=0.9,
@@ -519,8 +578,9 @@ def ivf_scale_n400k(spark) -> dict:
     pq_search_s = time.time() - t1
     plain_recall = round(avg_recall(fpq, exact, K), 4)
     t1 = time.time()
-    books_res = build_pq_sidecar(idx, m=8, ksub=256, seed=99,
-                                 residual=True)
+    books_res = _build_sidecar_cached(idx, "scale400k_residual",
+                                      m=8, ksub=256, seed=99,
+                                      residual=True)
     res_build_s = time.time() - t1
     t1 = time.time()
     fres, _ = knn_ivf_pq(idx, (qids, qmat), k=K, target_recall=0.9,
@@ -923,6 +983,10 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        # iteration mode marker: trained-books cache was live, so
+        # *_train_s / sidecar_build_s are not certification numbers
+        # (decision metrics are unaffected — same books either way)
+        **({"reuse_sidecars": True} if REUSE_SIDECARS else {}),
         "ivf": ivf,
         "ivf_n40k_reference_config": ivf40k,
         "ivf_calibrated_n40k": cal40k,

@@ -982,7 +982,8 @@ def _build_aniso_global(index, corpus, m, ksub, seed,
                         residual, rotate, anisotropic,
                         ood_min_explained=0.05,
                         ood_rebuild_rate=None,
-                        distributed_train=False):
+                        distributed_train=False,
+                        pretrained_books=None):
     """The GLOBAL-books anisotropic sidecar build (rounds 8-9),
     factored out of build_pq_sidecar when round 10 added the per-cell
     (aniso × LOPQ) variant alongside it. Body unchanged."""
@@ -1004,7 +1005,12 @@ def _build_aniso_global(index, corpus, m, ksub, seed,
         model = fit_pca(enc_src, vec_col=index.vec_col)
         rot = {"mean": model["mean"],
                "components": model["components"]}
-    if distributed_train:
+    if pretrained_books is not None:
+        # --reuse-sidecars iteration mode (round 11, VERDICT r10 #7):
+        # skip training, encode with the caller's books — identical
+        # codes/meta/snapshot as a fresh build with these books
+        books = pretrained_books
+    elif distributed_train:
         # round 11 (VERDICT r10 #4): sample and alternations stay
         # distributed — no driver-memory bound on the training sample
         books = aniso_pq_train_distributed(
@@ -1065,7 +1071,8 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
                      anisotropic: float | None = None,
                      ood_min_explained: float = 0.05,
                      ood_rebuild_rate: float | None = None,
-                     distributed_train: bool = False):
+                     distributed_train: bool = False,
+                     pretrained_books: np.ndarray | None = None):
     """Build a PQ codes *sidecar* for a published IVF index version:
     train codebooks on a bounded sample of the live corpus, encode every
     vector, and write the codes Parquet partitioned exactly like the
@@ -1149,6 +1156,15 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
     # every (re)build resets the streamed-OOD drift window — the
     # counter measures appends against THESE books (round 11)
     reset_ood_stats(index.version_dir)
+    if pretrained_books is not None and (local or sq8 or rotate):
+        # pretrained-books injection (round 11, VERDICT r10 #7 — the
+        # bench's --reuse-sidecars iteration mode) is supported for
+        # the UNROTATED GLOBAL flavors only: a rotated sidecar's
+        # rotation, a local sidecar's per-cell dict and sq8's bounds
+        # are part of what training produces — reusing books without
+        # them would silently mispair
+        raise ValueError("pretrained_books supports unrotated global "
+                         "flavors only (not local/sq8/rotate)")
     enc_cents = None
     if anisotropic is not None:
         # ANISOTROPIC flavor (round 8): score-aware books + codes for
@@ -1189,7 +1205,8 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
                                        float(anisotropic),
                                        float(ood_min_explained),
                                        ood_rebuild_rate,
-                                       distributed_train)
+                                       distributed_train,
+                                       pretrained_books)
         # aniso × LOPQ (round 10): per-cell SCORE-AWARE books — falls
         # through to the local branch below, which passes η into
         # train_local_books/_encode_local_sidecar; implies the
@@ -1334,8 +1351,19 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
         rot, enc_src = None, _residual_corpus(index, corpus, enc_cents)
     else:
         rot, enc_src = None, corpus
-    books = pq_train(enc_src, m=m, ksub=ksub, seed=seed,
-                     sample_n=sample_n, vec_col=index.vec_col)
+    if pretrained_books is not None:
+        # --reuse-sidecars iteration mode (round 11, VERDICT r10 #7)
+        books = pretrained_books
+    elif distributed_train:
+        # round 11 (VERDICT r10 #4): Lloyd's over a distributed
+        # sample — no driver-memory bound; works on the rotated
+        # enc_src too (the rotation is applied upstream)
+        books = pq_train_distributed(enc_src, m=m, ksub=ksub,
+                                     seed=seed, sample_n=sample_n,
+                                     vec_col=index.vec_col)
+    else:
+        books = pq_train(enc_src, m=m, ksub=ksub, seed=seed,
+                         sample_n=sample_n, vec_col=index.vec_col)
     enc = pq_encode(enc_src, books, id_col=index.id_col,
                     vec_col=index.vec_col, keep_cols=("partition_id",))
     path = os.path.join(index.version_dir, "pq")
@@ -2221,6 +2249,110 @@ def aniso_pq_train(corpus_df: DataFrame, m: int = 8, ksub: int = 256,
     return _aniso_train_local(X, Xh, m=m, ksub=ksub, eta=eta,
                               alts=alts, kmeans_iters=kmeans_iters,
                               cd_passes=cd_passes, seed=seed)
+
+
+def pq_train_distributed(corpus_df: DataFrame, m: int = 8,
+                         ksub: int = 256, iters: int = 10,
+                         seed: int = 99, sample_n: int = 100_000,
+                         init_n: int = 20_000,
+                         vec_col: str = "embedding") -> np.ndarray:
+    """DISTRIBUTED plain-PQ trainer (round 11, extending VERDICT r10
+    #4 beyond the aniso flavor): per-chunk Lloyd's where the sample
+    never collects to the driver. Same shape as
+    ``aniso_pq_train_distributed`` — hash-stride sample (a FILTER, no
+    top-n shuffle), init from a bounded ``init_n`` driver subsample,
+    then ``iters`` passes, each ONE mapInPandas over the sample
+    emitting per-(chunk, codeword) (count, Σx) partials for ALL m
+    chunks at once (plain Lloyd's update is already Jacobi — the mean
+    of members — so one pass per iteration is the exact driver
+    algorithm, just on a sample the driver could never hold). Empty
+    codewords keep their previous position, matching
+    ``local_kmeans``'s keep-old rule. Deterministic given the
+    sample's task layout (content-sorted combine)."""
+    from quake_vector_search_spark.operators.kmeans import (
+        _seeded_sample, local_kmeans)
+
+    id_col = _infer_id_col(corpus_df)
+    src = corpus_df.select(id_col, vec_col)
+    total = src.count()
+    stride = max(1, total // max(1, sample_n))
+    samp_df = (src.where(F.pmod(F.xxhash64(F.col(id_col),
+                                           F.lit(seed)),
+                                F.lit(stride)) == 0)
+               if stride > 1 else src)
+    _, Xi = _seeded_sample(samp_df, vec_col, id_col,
+                           min(init_n, sample_n), seed)
+    d = Xi.shape[1]
+    if d % m != 0:
+        raise ValueError(f"d={d} not divisible by m={m}")
+    dsub = d // m
+    ksub_eff = min(ksub, Xi.shape[0])
+    books = np.empty((m, ksub_eff, dsub), dtype=np.float64)
+    for j in range(m):
+        # 0 refinement iters: seeded init only — the distributed
+        # passes below ARE the Lloyd iterations
+        books[j], _ = local_kmeans(Xi[:, j * dsub:(j + 1) * dsub],
+                                   ksub_eff, 0, seed + 1 + j)
+
+    spark = corpus_df.sparkSession
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(books)
+
+        def partials(batches):
+            from quake_vector_search_spark.functions.vector import (
+                l2_batch,
+            )
+            bks = bc.value
+            mm, kk, ds = bks.shape
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.vstack(pdf[vec_col].to_numpy()).astype(
+                    np.float64)
+                out_j, out_c, out_n, out_s = [], [], [], []
+                for j in range(mm):
+                    Xj = X[:, j * ds:(j + 1) * ds]
+                    a = np.argmin(l2_batch(Xj, bks[j]), axis=1)
+                    for c in np.unique(a):
+                        sel = a == c
+                        out_j.append(j)
+                        out_c.append(int(c))
+                        out_n.append(int(sel.sum()))
+                        out_s.append(Xj[sel].sum(axis=0))
+                yield pd.DataFrame({"chunk": out_j, "code": out_c,
+                                    "n": out_n, "stat": out_s})
+
+        def combine(key, pdf):
+            order = sorted(range(len(pdf)),
+                           key=lambda i: (int(pdf["n"].iloc[i]),
+                                          tuple(pdf["stat"].iloc[i])))
+            s = np.zeros(dsub)
+            n = 0
+            for i in order:
+                n += int(pdf["n"].iloc[i])
+                s = s + np.asarray(pdf["stat"].iloc[i],
+                                   dtype=np.float64)
+            return pd.DataFrame({"chunk": [int(key[0])],
+                                 "code": [int(key[1])],
+                                 "n": [n], "stat": [s]})
+
+        rows = (samp_df
+                .mapInPandas(partials,
+                             "chunk int, code int, n long, "
+                             "stat array<double>")
+                .groupBy("chunk", "code")
+                .applyInPandas(combine,
+                               "chunk int, code int, n long, "
+                               "stat array<double>")
+                .collect())
+        newb = books.copy()
+        for r in sorted(rows, key=lambda r: (r["chunk"], r["code"])):
+            if int(r["n"]) > 0:
+                newb[int(r["chunk"])][int(r["code"])] = (
+                    np.asarray(r["stat"], dtype=np.float64)
+                    / int(r["n"]))
+        books = newb
+    return books
 
 
 def aniso_pq_train_distributed(corpus_df: DataFrame, m: int = 8,

@@ -813,6 +813,93 @@ def test_aniso_encode_streamed_guard():
     assert np.array_equal(g0, c)
 
 
+def test_pq_train_distributed_parity(spark):
+    """The distributed plain-PQ trainer (round 11): books trained
+    with the sample kept distributed reach reconstruction parity with
+    the driver trainer on the same corpus (within 20% MSE — different
+    sample rule and init subsample, same Lloyd's), and both beat a
+    random-codeword baseline by a wide margin."""
+    import numpy as np
+
+    from quake_vector_search_spark.operators.quantization import (
+        pq_encode_local,
+        pq_train,
+        pq_train_distributed,
+    )
+    from quake_vector_search_spark.operators.workload import make_dataset
+
+    n, d, m, ksub = 4_000, 16, 4, 16
+    emb = make_dataset(spark, n, d=d, n_clusters=8, seed=11)
+    X = np.vstack([np.asarray(r["embedding"], dtype=np.float64)
+                   for r in emb.collect()])
+
+    def mse(books):
+        codes = pq_encode_local(X, books)
+        dec = np.concatenate([books[j][codes[:, j]]
+                              for j in range(m)], axis=1)
+        return float(((X - dec) ** 2).sum(axis=1).mean())
+
+    b_driver = pq_train(emb, m=m, ksub=ksub, seed=99)
+    b_dist = pq_train_distributed(emb, m=m, ksub=ksub, seed=99)
+    assert b_dist.shape == b_driver.shape
+    e_driver, e_dist = mse(b_driver), mse(b_dist)
+    assert e_dist <= 1.2 * e_driver, (e_dist, e_driver)
+    rng = np.random.default_rng(0)
+    b_rand = rng.normal(size=b_driver.shape)
+    assert e_dist < 0.5 * mse(b_rand)
+
+
+def test_pretrained_books_rebuild_is_bit_identical(spark, tmp_path):
+    """The --reuse-sidecars contract (round 11, VERDICT r10 #7):
+    rebuilding a global sidecar with ``pretrained_books`` (the books
+    a previous build trained) produces bit-identical codes, meta and
+    snapshot — so the bench's cached-books iteration mode cannot move
+    decision metrics, only training seconds. Unsupported flavors
+    (local / rotate / sq8, whose training produces more state than
+    books) refuse loudly."""
+    import json
+    import os
+
+    import numpy as np
+    import pytest as _pytest
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+    )
+    from quake_vector_search_spark.operators.workload import make_dataset
+
+    corpus = make_dataset(spark, 400, d=16, n_clusters=4, seed=9)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_pre"),
+                         coarse_k=2, base_k=2)
+
+    def snapshot_sidecar():
+        rows = {int(r["vec_id"]): (tuple(r["pq_codes"]),
+                                   int(r["partition_id"]))
+                for r in spark.read
+                .parquet(f"{idx.version_dir}/pq").collect()}
+        with open(os.path.join(idx.version_dir,
+                               "pq_meta.json")) as fh:
+            return rows, json.load(fh)
+
+    books = build_pq_sidecar(idx, m=4, ksub=16, seed=7,
+                             residual=True)
+    rows1, meta1 = snapshot_sidecar()
+    books2 = build_pq_sidecar(idx, m=4, ksub=16, seed=7,
+                              residual=True, pretrained_books=books)
+    rows2, meta2 = snapshot_sidecar()
+    assert np.array_equal(books, books2)
+    assert rows1 == rows2
+    assert meta1 == meta2
+
+    with _pytest.raises(ValueError, match="unrotated global"):
+        build_pq_sidecar(idx, m=4, ksub=16, residual=True,
+                         local=True, pretrained_books=books)
+    with _pytest.raises(ValueError, match="unrotated global"):
+        build_pq_sidecar(idx, m=4, ksub=16, rotate=True,
+                         pretrained_books=books)
+
+
 @pytest.mark.slow
 def test_aniso_distributed_trainer_parity(spark, tmp_path):
     """The DISTRIBUTED global aniso trainer (round 11, VERDICT r10
