@@ -262,6 +262,14 @@ def aniso_mips_n40k(spark) -> dict:
     for label, kwargs in (("plain_residual", {"residual": True}),
                           ("aniso_residual",
                            {"anisotropic": 3.0, "residual": True}),
+                          # round 11 (VERDICT r10 #4): the same rung
+                          # with the DISTRIBUTED trainer — the sample
+                          # never collects to the driver; quality
+                          # should track aniso_residual (Jacobi vs
+                          # Gauss-Seidel updates, same loss)
+                          ("aniso_residual_distributed",
+                           {"anisotropic": 3.0, "residual": True,
+                            "distributed_train": True}),
                           # round 10: the per-cell score-aware rungs
                           # — measured ladder top for cosine serving
                           ("aniso_lopq",

@@ -1153,9 +1153,6 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
     from quake_vector_search_spark.operators.pca import fit_pca
 
     corpus = index.read_corpus()
-    # every (re)build resets the streamed-OOD drift window — the
-    # counter measures appends against THESE books (round 11)
-    reset_ood_stats(index.version_dir)
     if pretrained_books is not None and (local or sq8 or rotate):
         # pretrained-books injection (round 11, VERDICT r10 #7 — the
         # bench's --reuse-sidecars iteration mode) is supported for
@@ -1200,6 +1197,10 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
                 "unit vectors dot ordering == L2 ordering, which is "
                 "what the score-aware loss preserves")
         if not local:
+            # past every validation gate: the (re)build is definitely
+            # happening — reset the streamed-OOD drift window (the
+            # counter measures appends against THESE books; round 11)
+            reset_ood_stats(index.version_dir)
             return _build_aniso_global(index, corpus, m, ksub, seed,
                                        residual, rotate,
                                        float(anisotropic),
@@ -1211,6 +1212,10 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
         # through to the local branch below, which passes η into
         # train_local_books/_encode_local_sidecar; implies the
         # residual encoding like every local sidecar
+    # every (re)build resets the streamed-OOD drift window (idempotent
+    # — placed after the aniso gates so refusals don't touch the
+    # index state; round 11)
+    reset_ood_stats(index.version_dir)
     if sq8:
         # IVF+SQ8 (the FAISS IVFScalarQuantizer point on the ladder):
         # one uint8 PER DIMENSION instead of m sub-codes — d bytes
