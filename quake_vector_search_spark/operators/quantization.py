@@ -716,26 +716,58 @@ def load_sq8_params(version_dir: str) -> dict | None:
 _LOCAL_SIDECAR_CACHE: dict = {}
 
 
-def _load_local_sidecar_cached(version_dir: str):
+def _load_local_sidecar_cached(version_dir: str, pids=None):
     """(books, rots) for a local sidecar, cached per version dir and
     keyed by the npz's mtime — serving loops (and any repeated
     ``knn_ivf_pq`` calls against one version) stop re-reading the
     whole books file per call, while streaming appends, which rewrite
     the npz, still invalidate on the mtime change. Bounded: the cache
-    keeps only the few most recent version dirs."""
+    keeps only the few most recent version dirs.
+
+    ``pids`` (round 11): materialize ONLY those cells' books and
+    rotations — npz entries decompress lazily per key, so the query
+    path's driver memory is proportional to the PROBED cells, not the
+    index's cell count (the ≥10⁵-partition regime where loading every
+    cell's books is itself the bottleneck — save_local_books'
+    documented limit). The cache accumulates cells across calls, so a
+    serving loop converges to touching only cold cells. ``pids=None``
+    keeps the old load-everything behavior (bench decodes, tests).
+    Returns rots=None when the npz carries no rotations at all."""
     import os
 
-    npz = os.path.join(version_dir, "pq_local_books.npz")
-    mt = os.path.getmtime(npz)
+    npz_path = os.path.join(version_dir, "pq_local_books.npz")
+    mt = os.path.getmtime(npz_path)
     hit = _LOCAL_SIDECAR_CACHE.get(version_dir)
-    if hit is not None and hit[0] == mt:
-        return hit[1], hit[2]
-    books = load_local_books(version_dir)
-    rots = load_local_rots(version_dir)
-    while len(_LOCAL_SIDECAR_CACHE) >= 4:
-        _LOCAL_SIDECAR_CACHE.pop(next(iter(_LOCAL_SIDECAR_CACHE)))
-    _LOCAL_SIDECAR_CACHE[version_dir] = (mt, books, rots)
-    return books, rots
+    if hit is None or hit["mt"] != mt:
+        while len(_LOCAL_SIDECAR_CACHE) >= 4:
+            _LOCAL_SIDECAR_CACHE.pop(next(iter(_LOCAL_SIDECAR_CACHE)))
+        hit = {"mt": mt, "books": {}, "rots": {}, "loaded": set(),
+               "full": False, "has_rots": None}
+        _LOCAL_SIDECAR_CACHE[version_dir] = hit
+    if pids is None:
+        if not hit["full"]:
+            hit["books"] = load_local_books(version_dir)
+            hit["rots"] = load_local_rots(version_dir) or {}
+            hit["has_rots"] = bool(hit["rots"])
+            hit["full"] = True
+    else:
+        need = {int(p) for p in pids} - hit["loaded"]
+        if need and not hit["full"]:
+            z = np.load(npz_path)
+            files = set(z.files)
+            if hit["has_rots"] is None:
+                hit["has_rots"] = any(k.startswith("rotm_")
+                                      for k in files)
+            for p in need:
+                bk = f"books_{p}"
+                if bk in files:
+                    hit["books"][p] = z[bk]
+                rk = f"rotm_{p}"
+                if rk in files:
+                    hit["rots"][p] = {"mean": z[rk],
+                                      "components": z[f"rotc_{p}"]}
+            hit["loaded"] |= need
+    return hit["books"], (hit["rots"] if hit["has_rots"] else None)
 
 
 def _cell_book_seed(seed: int, pid: int) -> int:
@@ -1461,11 +1493,11 @@ def knn_ivf_pq(index, queries, k: int = 10, target_recall: float = 0.9,
         sq8_params = load_sq8_params(index.version_dir)
         books = None
     elif local:
-        if not isinstance(books, dict):
-            books, _cached_rots = _load_local_sidecar_cached(
-                index.version_dir)
-        else:
+        if isinstance(books, dict):
             _cached_rots = load_local_rots(index.version_dir)
+        # else: defer — only the PROBED cells' books are loaded, after
+        # the probe set is known (round 11: driver memory ∝ probed
+        # cells, never the index's cell count)
     elif books is None:
         books = np.load(os.path.join(index.version_dir,
                                      "pq_codebooks.npy"))
@@ -1528,6 +1560,11 @@ def knn_ivf_pq(index, queries, k: int = 10, target_recall: float = 0.9,
     if sq8:
         mm = dsub = None          # no sub-codes: codes are per-dim
     elif local:
+        if not isinstance(books, dict):
+            # probed-cells-only load (round 11): npz keys decompress
+            # lazily, so only the probe set's books ever materialize
+            books, _cached_rots = _load_local_sidecar_cached(
+                index.version_dir, pids=set(probe_map))
         _any = next(iter(books.values()))
         mm, dsub = _any.shape[0], _any.shape[2]
         books = {p: b for p, b in books.items() if p in probe_map}

@@ -813,6 +813,54 @@ def test_aniso_encode_streamed_guard():
     assert np.array_equal(g0, c)
 
 
+def test_local_sidecar_lazy_load_is_probe_proportional(spark,
+                                                       tmp_path):
+    """The probed-cells-only books load (round 11): the query path's
+    driver memory must be proportional to the PROBED cells, never the
+    index's cell count. Pins: a pids= load materializes exactly those
+    cells (books AND rotations), accumulates across calls, matches
+    the full load bit-for-bit, and an unrotated sidecar still reports
+    rots=None through the lazy path."""
+    import numpy as np
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.quantization import (
+        _LOCAL_SIDECAR_CACHE,
+        _load_local_sidecar_cached,
+        build_pq_sidecar,
+        load_local_books,
+    )
+    from quake_vector_search_spark.operators.workload import make_dataset
+
+    corpus = make_dataset(spark, 400, d=16, n_clusters=4, seed=19)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_lazy"),
+                         coarse_k=2, base_k=2)
+    build_pq_sidecar(idx, m=4, ksub=16, seed=7, residual=True,
+                     local=True, rotate=True)
+    pids = sorted(int(p) for p in idx.part_ids)
+    _LOCAL_SIDECAR_CACHE.clear()
+    b1, r1 = _load_local_sidecar_cached(idx.version_dir,
+                                        pids={pids[0]})
+    assert set(b1) == {pids[0]}
+    assert set(r1) == {pids[0]}
+    b2, r2 = _load_local_sidecar_cached(idx.version_dir,
+                                        pids={pids[0], pids[1]})
+    assert set(b2) == {pids[0], pids[1]}          # accumulates
+    full = load_local_books(idx.version_dir)
+    assert np.array_equal(b2[pids[1]], full[pids[1]])
+    # full load after lazy loads still returns everything
+    b3, _ = _load_local_sidecar_cached(idx.version_dir)
+    assert set(b3) == set(full)
+    # unrotated sidecar: lazy path must still report rots=None
+    build_pq_sidecar(idx, m=4, ksub=16, seed=7, residual=True,
+                     local=True)
+    _LOCAL_SIDECAR_CACHE.clear()
+    b4, r4 = _load_local_sidecar_cached(idx.version_dir,
+                                        pids={pids[0]})
+    assert set(b4) == {pids[0]}
+    assert r4 is None
+
+
 def test_pq_train_distributed_parity(spark):
     """The distributed plain-PQ trainer (round 11): books trained
     with the sample kept distributed reach reconstruction parity with
