@@ -758,15 +758,25 @@ def _load_local_sidecar_cached(version_dir: str, pids=None):
             if hit["has_rots"] is None:
                 hit["has_rots"] = any(k.startswith("rotm_")
                                       for k in files)
-            for p in need:
-                bk = f"books_{p}"
-                if bk in files:
-                    hit["books"][p] = z[bk]
-                rk = f"rotm_{p}"
-                if rk in files:
-                    hit["rots"][p] = {"mean": z[rk],
-                                      "components": z[f"rotc_{p}"]}
-            hit["loaded"] |= need
+            n_cells = sum(1 for k in files if k.startswith("books_"))
+            if len(need) >= max(1, n_cells // 2):
+                # wide probe set (a big query batch touching most
+                # cells): one bulk read beats per-key zip-member
+                # opens (~ms each — measured +0.6 s at 251 cells on
+                # the 400k serving stack)
+                hit["books"] = load_local_books(version_dir)
+                hit["rots"] = load_local_rots(version_dir) or {}
+                hit["full"] = True
+            else:
+                for p in need:
+                    bk = f"books_{p}"
+                    if bk in files:
+                        hit["books"][p] = z[bk]
+                    rk = f"rotm_{p}"
+                    if rk in files:
+                        hit["rots"][p] = {"mean": z[rk],
+                                          "components": z[f"rotc_{p}"]}
+                hit["loaded"] |= need
     return hit["books"], (hit["rots"] if hit["has_rots"] else None)
 
 
