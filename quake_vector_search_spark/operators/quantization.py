@@ -567,23 +567,157 @@ def reset_ood_stats(version_dir: str) -> None:
         os.unlink(path)
 
 
-def save_local_books(version_dir: str, books_by_pid: dict,
-                     rots_by_pid: dict | None = None) -> None:
-    """Persist per-partition (local) PQ codebooks as ONE npz keyed
-    ``books_{pid}``. Size is P · m · ksub · dsub doubles — metadata
-    scale at the partition counts this engine targets per index
-    version (same boundedness class as the centroid table). For a
-    ≥10⁵-partition deployment the local books would graduate to a
-    parquet sidecar keyed by partition_id and map-side-join into the
-    ADC kernel; the npz keeps the format trivially seekable here.
+_BOOKS_TBL = "pq_local_books_tbl"
 
-    ``rots_by_pid`` (full LOPQ): per-cell OPQ rotations stored in the
-    SAME npz as ``rotm_{pid}`` (mean, (d,)) and ``rotc_{pid}``
-    (components, (d, d)) — one file keeps the books/rotations
-    lifecycle atomic (a rotation without its books, or vice versa,
-    can never be observed)."""
+
+def _books_table_dir(version_dir: str) -> str:
     import os
 
+    return os.path.join(version_dir, _BOOKS_TBL)
+
+
+def _books_table_files(version_dir: str) -> list[str]:
+    import os
+
+    d = _books_table_dir(version_dir)
+    if not os.path.isdir(d):
+        return []
+    return sorted(os.path.join(d, f) for f in os.listdir(d)
+                  if f.endswith(".parquet"))
+
+
+def _save_books_table(version_dir: str, books_by_pid: dict,
+                      rots_by_pid: dict | None,
+                      append: bool = False) -> None:
+    """Write per-cell books (+rotations) as ONE new parquet file in
+    the version's books TABLE (columns: partition_id, m, ksub, books
+    flat, rot_mean, rot_comps), rows sorted by partition_id so
+    row-group min/max stats prune probe-set reads. ``append=False``
+    replaces the table; ``append=True`` only ADDS a file — the
+    format's whole point: a streamed append of a never-seen cell's
+    books is O(new cells), never a rewrite of every existing cell
+    (the npz format's ≥10⁵-cell write-path limit). Appends must carry
+    only never-seen pids (both appenders do by construction)."""
+    import os
+    import shutil
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = _books_table_dir(version_dir)
+    if not append:
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    pids = sorted(int(p) for p in books_by_pid)
+    rows_m, rows_k, rows_b, rows_rm, rows_rc = [], [], [], [], []
+    for p in pids:
+        b = np.asarray(books_by_pid[p], dtype=np.float64)
+        rows_m.append(int(b.shape[0]))
+        rows_k.append(int(b.shape[1]))
+        rows_b.append(b.ravel())
+        r = (rots_by_pid or {}).get(p)
+        rows_rm.append(np.asarray(r["mean"], dtype=np.float64)
+                       if r is not None else np.zeros(0))
+        rows_rc.append(np.asarray(r["components"],
+                                  dtype=np.float64).ravel()
+                       if r is not None else np.zeros(0))
+    tbl = pa.table({
+        "partition_id": pa.array(pids, type=pa.int64()),
+        "m": pa.array(rows_m, type=pa.int32()),
+        "ksub": pa.array(rows_k, type=pa.int32()),
+        "books": pa.array([x.tolist() for x in rows_b],
+                          type=pa.list_(pa.float64())),
+        "rot_mean": pa.array([x.tolist() for x in rows_rm],
+                             type=pa.list_(pa.float64())),
+        "rot_comps": pa.array([x.tolist() for x in rows_rc],
+                              type=pa.list_(pa.float64())),
+    })
+    pq.write_table(tbl, os.path.join(d, f"books-{uuid.uuid4().hex}"
+                                        ".parquet"))
+
+
+def _load_books_table(version_dir: str, pids=None
+                      ) -> tuple[dict, dict] | None:
+    """(books_by_pid, rots_by_pid) from the parquet books table, or
+    None when the version has no table. ``pids`` pushes a
+    partition_id IN (...) filter into the parquet read — row groups
+    whose min/max miss the probe set are never decompressed, so a
+    narrow probe over a huge table reads only its cells."""
+    import pyarrow.parquet as pq
+
+    files = _books_table_files(version_dir)
+    if not files:
+        return None
+    filters = None
+    if pids is not None:
+        filters = [("partition_id", "in",
+                    [int(p) for p in pids])]
+    books: dict = {}
+    rots: dict = {}
+    for f in files:
+        t = pq.read_table(f, filters=filters)
+        for i in range(t.num_rows):
+            p = int(t["partition_id"][i].as_py())
+            m = int(t["m"][i].as_py())
+            k = int(t["ksub"][i].as_py())
+            flat = np.asarray(t["books"][i].as_py(),
+                              dtype=np.float64)
+            books[p] = flat.reshape(m, k, flat.size // (m * k))
+            rm = np.asarray(t["rot_mean"][i].as_py(),
+                            dtype=np.float64)
+            if rm.size:
+                rc = np.asarray(t["rot_comps"][i].as_py(),
+                                dtype=np.float64)
+                rots[p] = {"mean": rm,
+                           "components": rc.reshape(rm.size,
+                                                    rm.size)}
+    return books, rots
+
+
+def save_local_books(version_dir: str, books_by_pid: dict,
+                     rots_by_pid: dict | None = None,
+                     fmt: str | None = None,
+                     new_pids=None) -> None:
+    """Persist per-partition (local) PQ codebooks. Two formats:
+
+    ``npz`` (default for new sidecars): ONE npz keyed ``books_{pid}``
+    — size is P · m · ksub · dsub doubles, metadata scale at moderate
+    partition counts, trivially seekable, atomic with the rotations
+    (``rotm_{pid}``/``rotc_{pid}`` ride the same file).
+
+    ``table`` (round 11 — the ≥10⁵-cell write path): a parquet table
+    keyed by partition_id. Streamed appends of never-seen cells pass
+    ``new_pids`` and only ADD a file holding those cells — existing
+    files are never rewritten — while the npz format rewrites the
+    whole archive per append. Reads push the probe set into the
+    parquet filter (row-group pruning), so the query side is
+    probe-proportional in both formats.
+
+    ``fmt=None`` auto-detects: whichever format the version already
+    persists wins (so every existing call site — appenders,
+    maintenance — keeps the sidecar's build-time format); a fresh
+    sidecar defaults to npz."""
+    import os
+
+    if fmt is None:
+        fmt = ("table" if _books_table_files(version_dir)
+               else "npz")
+    if fmt == "table":
+        if new_pids is not None and _books_table_files(version_dir):
+            newb = {int(p): books_by_pid[int(p)] for p in new_pids}
+            newr = ({int(p): rots_by_pid[int(p)] for p in new_pids
+                     if rots_by_pid and int(p) in rots_by_pid}
+                    or None)
+            _save_books_table(version_dir, newb, newr, append=True)
+        else:
+            _save_books_table(version_dir, books_by_pid, rots_by_pid,
+                              append=False)
+        # a stale npz from a previous format must never shadow
+        npz = os.path.join(version_dir, "pq_local_books.npz")
+        if os.path.exists(npz):
+            os.unlink(npz)
+        return
     payload = {f"books_{int(p)}": b for p, b in books_by_pid.items()}
     if rots_by_pid:
         for p, r in rots_by_pid.items():
@@ -591,27 +725,42 @@ def save_local_books(version_dir: str, books_by_pid: dict,
             payload[f"rotc_{int(p)}"] = r["components"]
     np.savez(os.path.join(version_dir, "pq_local_books.npz"),
              **payload)
+    import shutil
+
+    shutil.rmtree(_books_table_dir(version_dir), ignore_errors=True)
 
 
-def load_local_books(version_dir: str) -> dict | None:
+def load_local_books(version_dir: str, pids=None) -> dict | None:
     """Per-partition codebooks of a local (LOPQ) sidecar as
-    {pid: [m, ksub_p, dsub]}; None when the version has none."""
+    {pid: [m, ksub_p, dsub]}; None when the version has none.
+    ``pids`` restricts the load (parquet filter pushdown for the
+    table format; lazy per-key npz access otherwise)."""
     import os
 
+    tbl = _load_books_table(version_dir, pids=pids)
+    if tbl is not None:
+        return tbl[0]
     path = os.path.join(version_dir, "pq_local_books.npz")
     if not os.path.exists(path):
         return None
     z = np.load(path)
+    if pids is not None:
+        want = {f"books_{int(p)}" for p in pids}
+        return {int(k.split("_", 1)[1]): z[k] for k in z.files
+                if k in want}
     return {int(k.split("_", 1)[1]): z[k] for k in z.files
             if k.startswith("books_")}
 
 
-def load_local_rots(version_dir: str) -> dict | None:
+def load_local_rots(version_dir: str, pids=None) -> dict | None:
     """Per-cell rotations of a full-LOPQ sidecar as
     {pid: {"mean", "components"}}; None when the sidecar is unrotated
     (plain per-cell books) or absent."""
     import os
 
+    tbl = _load_books_table(version_dir, pids=pids)
+    if tbl is not None:
+        return tbl[1] or None
     path = os.path.join(version_dir, "pq_local_books.npz")
     if not os.path.exists(path):
         return None
@@ -620,6 +769,8 @@ def load_local_rots(version_dir: str) -> dict | None:
     for k in z.files:
         if k.startswith("rotm_"):
             pid = int(k.split("_", 1)[1])
+            if pids is not None and pid not in {int(p) for p in pids}:
+                continue
             out[pid] = {"mean": z[k], "components": z[f"rotc_{pid}"]}
     return out or None
 
@@ -735,8 +886,15 @@ def _load_local_sidecar_cached(version_dir: str, pids=None):
     Returns rots=None when the npz carries no rotations at all."""
     import os
 
-    npz_path = os.path.join(version_dir, "pq_local_books.npz")
-    mt = os.path.getmtime(npz_path)
+    tbl_files = _books_table_files(version_dir)
+    if tbl_files:
+        # table format: staleness tag = the file set + sizes (appends
+        # add files; rebuilds replace the set)
+        mt = tuple((os.path.basename(f), os.path.getsize(f))
+                   for f in tbl_files)
+    else:
+        mt = os.path.getmtime(os.path.join(version_dir,
+                                           "pq_local_books.npz"))
     hit = _LOCAL_SIDECAR_CACHE.get(version_dir)
     if hit is None or hit["mt"] != mt:
         while len(_LOCAL_SIDECAR_CACHE) >= 4:
@@ -753,6 +911,24 @@ def _load_local_sidecar_cached(version_dir: str, pids=None):
     else:
         need = {int(p) for p in pids} - hit["loaded"]
         if need and not hit["full"]:
+            if tbl_files:
+                # parquet filter pushdown: row groups outside the
+                # probe set never decompress — probe-proportional by
+                # construction, no per-key-open penalty to special-
+                # case (unlike the npz's zip members)
+                bks, rts = _load_books_table(version_dir, pids=need)
+                hit["books"].update(bks)
+                hit["rots"].update(rts)
+                if hit["has_rots"] is None:
+                    # rotation presence is a whole-sidecar property;
+                    # any loaded cell answers it (every cell of a
+                    # rotated sidecar has one)
+                    hit["has_rots"] = bool(rts) or None
+                hit["loaded"] |= need
+                return (hit["books"],
+                        (hit["rots"] if hit["has_rots"] else None))
+            npz_path = os.path.join(version_dir,
+                                    "pq_local_books.npz")
             z = np.load(npz_path)
             files = set(z.files)
             if hit["has_rots"] is None:
@@ -1086,6 +1262,10 @@ def _build_aniso_global(index, corpus, m, ksub, seed,
         sp = os.path.join(index.version_dir, stale)
         if os.path.exists(sp):
             os.unlink(sp)
+    import shutil as _shutil
+
+    _shutil.rmtree(_books_table_dir(index.version_dir),
+                   ignore_errors=True)
     with open(os.path.join(index.version_dir, "pq_meta.json"),
               "w") as fh:
         meta_g = {"residual": bool(residual), "m": m,
@@ -1114,7 +1294,8 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
                      ood_min_explained: float = 0.05,
                      ood_rebuild_rate: float | None = None,
                      distributed_train: bool = False,
-                     pretrained_books: np.ndarray | None = None):
+                     pretrained_books: np.ndarray | None = None,
+                     books_format: str = "npz"):
     """Build a PQ codes *sidecar* for a published IVF index version:
     train codebooks on a bounded sample of the live corpus, encode every
     vector, and write the codes Parquet partitioned exactly like the
@@ -1195,6 +1376,13 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
     from quake_vector_search_spark.operators.pca import fit_pca
 
     corpus = index.read_corpus()
+    if books_format not in ("npz", "table"):
+        raise ValueError(f"books_format must be 'npz' or 'table', "
+                         f"got {books_format!r}")
+    if books_format == "table" and not local:
+        raise ValueError("books_format='table' applies to LOCAL "
+                         "(per-cell) sidecars — global flavors keep "
+                         "one broadcast-scale codebook file")
     if pretrained_books is not None and (local or sq8 or rotate):
         # pretrained-books injection (round 11, VERDICT r10 #7 — the
         # bench's --reuse-sidecars iteration mode) is supported for
@@ -1288,6 +1476,10 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
             sp = os.path.join(index.version_dir, stale)
             if os.path.exists(sp):
                 os.unlink(sp)
+        import shutil as _shutil
+
+        _shutil.rmtree(_books_table_dir(index.version_dir),
+                       ignore_errors=True)
         with open(os.path.join(index.version_dir, "pq_meta.json"),
                   "w") as fh:
             json.dump({"residual": True, "sq8": True,
@@ -1318,7 +1510,7 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
         (enc.write.mode("overwrite").partitionBy("partition_id")
             .parquet(path))
         save_local_books(index.version_dir, books_by_pid,
-                         rots_by_pid=rots_by_pid)
+                         rots_by_pid=rots_by_pid, fmt=books_format)
         save_residual_snapshot(index.version_dir, enc_cents)
         for stale in ("pq_rotation.npz", "pq_codebooks.npy",
                       "sq8_params.npz"):
@@ -1336,7 +1528,8 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
                         "opq_iters": (0 if anisotropic is not None
                                       else (int(max(1, opq_iters))
                                             if rotate else 0)),
-                        "cell_sample_n": int(cell_sample_n)}
+                        "cell_sample_n": int(cell_sample_n),
+                        "books_format": books_format}
             if anisotropic is not None:
                 meta_loc["anisotropic"] = float(anisotropic)
                 meta_loc["ood_min_explained"] = float(
@@ -1432,6 +1625,10 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
         sp = os.path.join(index.version_dir, stale)
         if os.path.exists(sp):
             os.unlink(sp)     # global rebuild replaces local/sq8
+    import shutil as _shutil
+
+    _shutil.rmtree(_books_table_dir(index.version_dir),
+                   ignore_errors=True)
     with open(os.path.join(index.version_dir, "pq_meta.json"),
               "w") as fh:
         json.dump({"residual": bool(residual), "m": m,
@@ -1764,7 +1961,9 @@ def refresh_pq_sidecar(index, books: np.ndarray | None = None,
             anisotropic=pm.get("anisotropic"),
             ood_min_explained=float(pm.get("ood_min_explained",
                                            0.05)),
-            ood_rebuild_rate=pm.get("ood_rebuild_rate"))
+            ood_rebuild_rate=pm.get("ood_rebuild_rate"),
+            books_format=pm.get("books_format", "npz")
+            if pm.get("local") else "npz")
         return True
     if os.path.exists(prev_meta_path):
         with open(prev_meta_path) as fh:
@@ -1814,7 +2013,9 @@ def refresh_pq_sidecar(index, books: np.ndarray | None = None,
                                  prev_meta.get("ood_min_explained",
                                                0.05)),
                              ood_rebuild_rate=prev_meta.get(
-                                 "ood_rebuild_rate"))
+                                 "ood_rebuild_rate"),
+                             books_format=prev_meta.get(
+                                 "books_format", "npz"))
             return True
     if books is None:
         # look in the previous version dir (maintain() already bumped)

@@ -73,15 +73,16 @@ RENAME_MAP: dict[str, str] = {
 }
 
 WINDOW_R11: tuple[str, ...] = (
-    # never driver-checked: the THREE new round-11 rows — the
+    # never driver-checked: the FOUR new round-11 rows — the
     # distributed LOPQ sidecar-append roundtrip (VERDICT r10 #2), the
-    # OOD-rate-triggered maintenance rebuild (VERDICT r10 #3), and
-    # the distributed-trained aniso rung (VERDICT r10 #4); new
-    # features get driver-grade verification in the round that
-    # introduces them (ADVICE r9) (3)
+    # OOD-rate-triggered maintenance rebuild (VERDICT r10 #3), the
+    # distributed-trained aniso rung (VERDICT r10 #4), and the
+    # parquet books-table lifecycle; new features get driver-grade
+    # verification in the round that introduces them (ADVICE r9) (4)
     "ivf_dml_distributed_lopq_roundtrip",
     "stream_ood_rebuild_maintenance",
     "ivf_aniso_distributed_fullprobe",
+    "ivf_lopq_table_fullprobe",
     # round-10 first-timers, re-verified once more against the
     # round-11 code (VERDICT r10 #6) — the distributed append path
     # they pin was refactored this round (shared per-cell kernels) (6)
@@ -113,7 +114,8 @@ WINDOW_R11: tuple[str, ...] = (
     "stream_cms_equals_batch", "stream_stateful_totals_equals_batch",
     "stream_interval_join_equals_batch", "stream_serving_equals_batch",
     "stream_ingest_equals_batch", "stream_curation_filter_equals_batch",
-    "stream_tokenize_equals_batch",
+    # (stream_tokenize_equals_batch stays in WINDOW_R6's remainder —
+    # displaced to make room for the fourth round-11 row)
     "q_kmv_by_group", "q_heavy_hitters", "q_bloom_prefilter_join",
 )
 

@@ -5451,3 +5451,86 @@ def ivf_aniso_distributed_fullprobe(spark, sf_dir):
 
 
 _ANISO_DIST_IVF_CACHE: dict = {}
+
+
+@register("ivf_lopq_table_fullprobe", sql="""
+-- brute-force L2 oracle over the FULL embeddings table: fullprobe +
+-- exact rerank through a TABLE-format LOPQ sidecar -- including rows
+-- streamed in through the distributed appender AFTER the build, whose
+-- born cell's books live in an APPENDED parquet file -- must equal
+-- exact search (round 11: the parquet books table is storage, never
+-- semantics)
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec
+  FROM embeddings WHERE vec_id < 5
+), d AS (
+  SELECT q.query_id, e.vec_id,
+         list_distance(CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.qvec AS DOUBLE[])) AS dist
+  FROM embeddings e CROSS JOIN q
+), r AS (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist ASC, vec_id ASC) AS rank
+  FROM d
+)
+SELECT query_id, vec_id, ROUND(dist, 6) AS dist, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 10
+""")
+def ivf_lopq_table_fullprobe(spark, sf_dir):
+    """The parquet books TABLE under the oracle (round 11 — the
+    >=1e5-cell write path SCALING.md committed to): per-cell books
+    persist as a parquet table keyed by partition_id instead of one
+    npz. Reads push the probe set into the parquet filter (row-group
+    pruning — probe-proportional like the npz's lazy keys), and
+    APPENDS of never-seen cells' books only ADD a file — the npz
+    rewrites its whole archive per append, which is the format's
+    documented limit at large cell counts. This row drives the whole
+    lifecycle under the oracle: build (books_format='table'), a
+    backfill batch through insert_distributed + the DISTRIBUTED
+    LOPQ appender (born cells' books trained in grouped-map tasks,
+    appended as one new file), then fullprobe compressed search with
+    5 queries drawn FROM the streamed set vs DuckDB brute force over
+    the full table. A wrong filter pushdown, a lost appended file, a
+    mispaired cell's books, or any table/npz semantic difference
+    flips the hash."""
+    import os
+    import shutil
+    import uuid
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+        knn_ivf_pq,
+    )
+    from quake_vector_search_spark.streaming.ingest import (
+        _append_pq_codes_distributed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    run = uuid.uuid4().hex[:8]
+    wd = f"/tmp/qvss_lopq_tbl_{os.getpid()}_{run}"
+    idx = IVFIndex.build(emb.where(F.col("vec_id") >= 50), wd,
+                         coarse_k=16, base_k=4)
+    build_pq_sidecar(idx, m=8, ksub=64, seed=99, residual=True,
+                     local=True, books_format="table")
+    batch = (emb.where(F.col("vec_id") < 50)
+             .select("vec_id", F.col("embedding")
+                     .cast("array<double>").alias("embedding")))
+    routed = idx.insert_distributed(batch, unpersist=False)
+    try:
+        res = _append_pq_codes_distributed(idx, routed, {})
+    finally:
+        routed.routing_cache.unpersist()
+    assert res == "done", res
+    queries = (emb.where(F.col("vec_id") < 5)
+               .withColumnRenamed("vec_id", "query_id"))
+    n = emb.count()
+    out, _meta = knn_ivf_pq(idx, queries, k=10, target_recall=1.0,
+                            max_probe=1_000_000_000,
+                            oversample=max(16, -(-n // 20)))
+    res_df = (out.select("query_id", "vec_id",
+                         F.round("dist", 6).alias("dist"), "rank")
+              .localCheckpoint())
+    shutil.rmtree(wd, ignore_errors=True)
+    return res_df

@@ -38,11 +38,18 @@ def _load_books_cache(index: IVFIndex, books_cache: dict) -> bool:
     appender and the distributed backfill appender."""
     import json
 
+    from quake_vector_search_spark.operators.quantization import (
+        _books_table_files,
+    )
+
     npy = os.path.join(index.version_dir, "pq_codebooks.npy")
     local_npz = os.path.join(index.version_dir, "pq_local_books.npz")
     sq8_npz = os.path.join(index.version_dir, "sq8_params.npz")
+    tbl_files = _books_table_files(index.version_dir)
     if os.path.exists(sq8_npz):
         cache_key = sq8_npz       # scalar-quantizer sidecar
+    elif tbl_files:
+        cache_key = tbl_files     # local (LOPQ) sidecar, table format
     elif os.path.exists(local_npz):
         cache_key = local_npz     # local (LOPQ) sidecar
     elif os.path.exists(npy):
@@ -69,11 +76,19 @@ def _load_books_cache(index: IVFIndex, books_cache: dict) -> bool:
     # first 64 KiB of the sidecar params file: identical meta + same
     # byte size can still hide retrained books; their leading bytes
     # practically cannot match across retrains, and 64 KiB per
-    # micro-batch is noise next to the encode itself
-    with open(cache_key, "rb") as fh:
-        books_sig = hashlib.md5(fh.read(65536)).hexdigest()
-    cache_tag = (cache_key, os.path.getmtime(cache_key),
-                 os.path.getsize(cache_key), books_sig, meta_sig)
+    # micro-batch is noise next to the encode itself. A TABLE-format
+    # sidecar's tag is its file set + sizes + the first file's head
+    # (appends add files; rebuilds replace the set).
+    if isinstance(cache_key, list):
+        with open(cache_key[0], "rb") as fh:
+            books_sig = hashlib.md5(fh.read(65536)).hexdigest()
+        cache_tag = (tuple((os.path.basename(f), os.path.getsize(f))
+                           for f in cache_key), books_sig, meta_sig)
+    else:
+        with open(cache_key, "rb") as fh:
+            books_sig = hashlib.md5(fh.read(65536)).hexdigest()
+        cache_tag = (cache_key, os.path.getmtime(cache_key),
+                     os.path.getsize(cache_key), books_sig, meta_sig)
     if books_cache.get("path") != cache_tag:
         from quake_vector_search_spark.operators.quantization import (
             load_local_books,
@@ -424,8 +439,11 @@ def _append_pq_codes(index: IVFIndex, ids: np.ndarray,
                     rots = books_cache["local_rots"] = {}
                 rots[p] = rot_p
         if missing:
+            # table-format sidecars append ONLY the new cells (one
+            # new parquet file); npz rewrites the archive (its
+            # documented limit — the reason the table format exists)
             save_local_books(index.version_dir, books,
-                             rots_by_pid=rots)
+                             rots_by_pid=rots, new_pids=missing)
         codes = _encode_local_cells(ids_arr, enc_vecs, pid_arr, books,
                                     rots, meta, snap,
                                     stats=ood_stats)
@@ -551,7 +569,10 @@ def _append_local_codes_distributed(index: IVFIndex, routed: DataFrame,
         from quake_vector_search_spark.operators.quantization import (
             save_local_books,
         )
-        save_local_books(index.version_dir, books, rots_by_pid=rots)
+        # table format: append-only file of the new cells; npz: full
+        # rewrite (the format's documented limit)
+        save_local_books(index.version_dir, books, rots_by_pid=rots,
+                         new_pids=missing)
     payload = (meta,
                {p: books[p] for p in present},
                ({p: rots[p] for p in present if p in rots}

@@ -1353,6 +1353,252 @@ def test_streaming_ingest_distributed_lopq_fallback(spark, tmp_path):
     assert found.collect()[0]["vec_id"] == probe_id
 
 
+def test_books_table_format_matches_npz(spark, tmp_path):
+    """The parquet books TABLE (round 11 — the ≥10⁵-cell write path
+    SCALING.md committed to): a table-format LOPQ sidecar must be
+    bit-identical to the npz twin in books, rotations, codes and
+    search results — storage only, never semantics. Meta records the
+    format so maintenance rebuilds keep it."""
+    import json
+    import os
+
+    import numpy as np
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+        knn_ivf_pq,
+        load_local_books,
+        load_local_rots,
+    )
+    from quake_vector_search_spark.operators.workload import make_dataset
+
+    corpus = make_dataset(spark, 500, d=16, n_clusters=5, seed=25)
+    idxs = {}
+    for fmt in ("npz", "table"):
+        idx = IVFIndex.build(corpus, str(tmp_path / f"tf_{fmt}"),
+                             coarse_k=3, base_k=2, metric="cosine")
+        build_pq_sidecar(idx, m=4, ksub=16, seed=7, anisotropic=3.0,
+                         residual=True, local=True, rotate=True,
+                         books_format=fmt)
+        idxs[fmt] = idx
+    a, b = idxs["npz"], idxs["table"]
+    assert os.path.exists(os.path.join(a.version_dir,
+                                       "pq_local_books.npz"))
+    assert not os.path.exists(os.path.join(b.version_dir,
+                                           "pq_local_books.npz"))
+    assert os.path.isdir(os.path.join(b.version_dir,
+                                      "pq_local_books_tbl"))
+    with open(os.path.join(b.version_dir, "pq_meta.json")) as fh:
+        assert json.load(fh)["books_format"] == "table"
+    ba, bb = (load_local_books(a.version_dir),
+              load_local_books(b.version_dir))
+    assert set(ba) == set(bb)
+    for p in ba:
+        assert np.array_equal(ba[p], bb[p])
+    ra, rb = (load_local_rots(a.version_dir),
+              load_local_rots(b.version_dir))
+    for p in ra:
+        assert np.array_equal(ra[p]["mean"], rb[p]["mean"])
+        assert np.array_equal(ra[p]["components"],
+                              rb[p]["components"])
+    # pid-restricted load pushes the filter (subset only)
+    some = sorted(bb)[:2]
+    part = load_local_books(b.version_dir, pids=some)
+    assert set(part) == set(some)
+    # identical codes on disk and identical search results
+    rows_a = {int(r["vec_id"]): tuple(r["pq_codes"]) for r in
+              spark.read.parquet(f"{a.version_dir}/pq").collect()}
+    rows_b = {int(r["vec_id"]): tuple(r["pq_codes"]) for r in
+              spark.read.parquet(f"{b.version_dir}/pq").collect()}
+    assert rows_a == rows_b
+    rng = np.random.default_rng(3)
+    q = rng.normal(size=(3, 16))
+    fa, _ = knn_ivf_pq(a, (np.arange(3), q), k=5, target_recall=1.0,
+                       max_probe=10**9, oversample=100)
+    fb, _ = knn_ivf_pq(b, (np.arange(3), q), k=5, target_recall=1.0,
+                       max_probe=10**9, oversample=100)
+    got_a = {(int(r["query_id"]), int(r["rank"])): int(r["vec_id"])
+             for r in fa.collect()}
+    got_b = {(int(r["query_id"]), int(r["rank"])): int(r["vec_id"])
+             for r in fb.collect()}
+    assert got_a == got_b
+
+
+def test_books_table_append_is_append_only(spark, tmp_path):
+    """The table format's reason to exist: a streamed append of a
+    never-seen cell's books ADDS one parquet file — every existing
+    file stays byte-identical (name + size + mtime) — while the npz
+    format rewrites its whole archive. Appended books must match the
+    npz twin bit-for-bit (shared _train_local_cell kernel), stay
+    loadable, and keep the streamed rows searchable; a maintenance
+    rebuild preserves the format."""
+    import os
+
+    import numpy as np
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.maintenance import maintain
+    from quake_vector_search_spark.operators.quantization import (
+        _books_table_files,
+        build_pq_sidecar,
+        knn_ivf_pq,
+        load_local_books,
+    )
+    from quake_vector_search_spark.operators.workload import make_dataset
+    from quake_vector_search_spark.streaming.ingest import _append_pq_codes
+
+    corpus = make_dataset(spark, 500, d=16, n_clusters=5, seed=26)
+    far = np.full(16, 40.0)
+    twins = {}
+    for fmt in ("npz", "table"):
+        idx = IVFIndex.build(corpus, str(tmp_path / f"ap_{fmt}"),
+                             coarse_k=3, base_k=2)
+        # graft an EMPTY coarse cell: the batch below births a new
+        # partition AFTER the sidecar build — the PRODUCTION
+        # never-seen-cell scenario (no pre-existing codes)
+        idx.coarse_centroids = np.vstack([idx.coarse_centroids, far])
+        build_pq_sidecar(idx, m=4, ksub=16, seed=7, residual=True,
+                         local=True, books_format=fmt)
+        twins[fmt] = idx
+    a, b = twins["npz"], twins["table"]
+    books_before = set(load_local_books(b.version_dir))
+
+    files_before = {(os.path.basename(f), os.path.getsize(f),
+                     os.path.getmtime(f))
+                    for f in _books_table_files(b.version_dir)}
+    rng = np.random.default_rng(27)
+    vecs = far + 0.02 * rng.normal(size=(6, 16))
+    ids = np.arange(77_000, 77_006, dtype=np.int64)
+    new_pid = {}
+    for tag, idx in (("a", a), ("b", b)):
+        pids = idx.insert(ids, vecs)
+        born = set(int(p) for p in pids) - books_before
+        assert born, "batch should have birthed a new partition"
+        new_pid[tag] = born
+        assert _append_pq_codes(idx, ids, vecs, pids, {})
+    assert new_pid["a"] == new_pid["b"]
+    victim = next(iter(new_pid["b"]))
+    files_after = {(os.path.basename(f), os.path.getsize(f),
+                    os.path.getmtime(f))
+                   for f in _books_table_files(b.version_dir)}
+    assert files_before < files_after            # strictly grew
+    assert len(files_after) == len(files_before) + 1
+    # trained books identical across formats (shared kernel)
+    ba = load_local_books(a.version_dir)
+    bb = load_local_books(b.version_dir)
+    assert victim in bb
+    assert np.array_equal(ba[victim], bb[victim])
+    # streamed rows searchable through the table-format sidecar
+    found, _ = knn_ivf_pq(b, ([1], vecs[:1]), k=1, target_recall=1.0,
+                          max_probe=10**9, oversample=64)
+    assert found.collect()[0]["vec_id"] == int(ids[0])
+    # maintenance rebuild keeps the format
+    maintain(b)
+    assert _books_table_files(b.version_dir)
+    assert not os.path.exists(os.path.join(b.version_dir,
+                                           "pq_local_books.npz"))
+    found2, _ = knn_ivf_pq(b, ([1], vecs[:1]), k=1, target_recall=1.0,
+                           max_probe=10**9, oversample=64)
+    assert found2.collect()[0]["vec_id"] == int(ids[0])
+
+
+def test_books_table_distributed_append_parity(spark, tmp_path):
+    """Format × path orthogonality: a TABLE-format sidecar appended
+    through the DISTRIBUTED appender must produce books and codes
+    bit-identical to an npz twin appended on the driver path — the
+    storage format and the execution path are independent axes, and
+    the distributed table append is still append-only (one new
+    file)."""
+    import os
+
+    import numpy as np
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.quantization import (
+        _books_table_files,
+        build_pq_sidecar,
+        load_local_books,
+    )
+    from quake_vector_search_spark.operators.workload import make_dataset
+    from quake_vector_search_spark.streaming.ingest import (
+        _append_pq_codes,
+        _append_pq_codes_distributed,
+    )
+
+    corpus = make_dataset(spark, 500, d=16, n_clusters=5, seed=28)
+    far = np.full(16, 40.0)
+    twins = {}
+    for tag, fmt in (("a", "npz"), ("b", "table")):
+        idx = IVFIndex.build(corpus, str(tmp_path / f"dp_{tag}"),
+                             coarse_k=3, base_k=2)
+        idx.coarse_centroids = np.vstack([idx.coarse_centroids, far])
+        build_pq_sidecar(idx, m=4, ksub=16, seed=7, residual=True,
+                         local=True, books_format=fmt)
+        twins[tag] = idx
+    a, b = twins["a"], twins["b"]
+
+    rng = np.random.default_rng(29)
+    vecs = np.vstack([far + 0.02 * rng.normal(size=(6, 16)),
+                      rng.normal(size=(4, 16))])
+    ids = np.arange(78_000, 78_010, dtype=np.int64)
+
+    pids_a = a.insert(ids, vecs)
+    assert _append_pq_codes(a, ids, vecs, pids_a, {})
+
+    files_before = {os.path.basename(f)
+                    for f in _books_table_files(b.version_dir)}
+    bdf = spark.createDataFrame(
+        [(int(i), v.tolist()) for i, v in zip(ids, vecs)],
+        "vec_id long, embedding array<double>")
+    routed = b.insert_distributed(bdf, unpersist=False)
+    try:
+        res = _append_pq_codes_distributed(b, routed, {})
+    finally:
+        routed.routing_cache.unpersist()
+    assert res == "done"
+    files_after = {os.path.basename(f)
+                   for f in _books_table_files(b.version_dir)}
+    assert files_before < files_after
+    assert len(files_after) == len(files_before) + 1
+
+    ba, bb = (load_local_books(a.version_dir),
+              load_local_books(b.version_dir))
+    assert set(ba) == set(bb)
+    # cross-TWIN book values agree only to ulps here: build-time books
+    # depend on grouped-map task arrival order, and the BORN cell's
+    # snapshot centroid comes from insert-time means, which agree
+    # across insert paths only up to float summation order. The exact
+    # driver-vs-distributed pin (same snapshot, same row set) is
+    # test_distributed_lopq_append_parity_with_driver; this test pins
+    # the FORMAT axis: table storage changes nothing semantically.
+    for p in bb:
+        assert np.allclose(ba[p], bb[p]), p
+    built_pids = {int(r["partition_id"]) for r in
+                  spark.read.parquet(f"{b.version_dir}/pq")
+                  .where("vec_id < 78000")
+                  .select("partition_id").distinct().collect()}
+    born = set(bb) - built_pids
+    assert born, "no partition was born after the build"
+    # every batch row coded exactly once, pids matching the driver twin
+    rows_a = {int(r["vec_id"]): int(r["partition_id"])
+              for r in spark.read.parquet(f"{a.version_dir}/pq")
+              .where("vec_id >= 78000").collect()}
+    rows_b = {int(r["vec_id"]): int(r["partition_id"])
+              for r in spark.read.parquet(f"{b.version_dir}/pq")
+              .where("vec_id >= 78000").collect()}
+    assert len(rows_b) == len(ids)
+    assert rows_a == rows_b
+    # within-twin consistency: codes searchable through the appended
+    # table (covers the born cell's books + rows end-to-end)
+    from quake_vector_search_spark.operators.quantization import (
+        knn_ivf_pq,
+    )
+    found, _ = knn_ivf_pq(b, ([1], vecs[:1]), k=1, target_recall=1.0,
+                          max_probe=10**9, oversample=64)
+    assert found.collect()[0]["vec_id"] == int(ids[0])
+
+
 def test_ood_rate_triggered_sidecar_rebuild(spark, tmp_path):
     """The OOD-drift maintenance trigger (round 11, VERDICT r10 #3):
     a long-running stream of out-of-distribution vectors (1) bumps
