@@ -718,6 +718,20 @@ def save_local_books(version_dir: str, books_by_pid: dict,
         if os.path.exists(npz):
             os.unlink(npz)
         return
+    if new_pids is not None:
+        # append semantics on the npz = merge-and-rewrite (its
+        # documented limit): the caller's dict may be a LAZY cache
+        # holding only the batch's cells, so fold the new cells into
+        # the persisted archive rather than trusting the dict to be
+        # exhaustive
+        existing = load_local_books(version_dir) or {}
+        existing_rots = load_local_rots(version_dir) or {}
+        for p in new_pids:
+            existing[int(p)] = books_by_pid[int(p)]
+            if rots_by_pid and int(p) in rots_by_pid:
+                existing_rots[int(p)] = rots_by_pid[int(p)]
+        books_by_pid = existing
+        rots_by_pid = existing_rots or None
     payload = {f"books_{int(p)}": b for p, b in books_by_pid.items()}
     if rots_by_pid:
         for p, r in rots_by_pid.items():
@@ -728,6 +742,31 @@ def save_local_books(version_dir: str, books_by_pid: dict,
     import shutil
 
     shutil.rmtree(_books_table_dir(version_dir), ignore_errors=True)
+
+
+def load_local_book_pids(version_dir: str) -> set | None:
+    """The SET of cells the local sidecar has books for — without
+    loading any books. Table format: a single-column read of
+    partition_id; npz: the key listing (no decompression). Lets the
+    appenders detect never-seen cells at O(cells) bytes of pids
+    instead of O(cells) books (round 11)."""
+    import os
+
+    files = _books_table_files(version_dir)
+    if files:
+        import pyarrow.parquet as pq
+
+        out: set = set()
+        for f in files:
+            t = pq.read_table(f, columns=["partition_id"])
+            out.update(int(x) for x in t["partition_id"].to_pylist())
+        return out
+    path = os.path.join(version_dir, "pq_local_books.npz")
+    if not os.path.exists(path):
+        return None
+    z = np.load(path)
+    return {int(k.split("_", 1)[1]) for k in z.files
+            if k.startswith("books_")}
 
 
 def load_local_books(version_dir: str, pids=None) -> dict | None:

@@ -114,17 +114,22 @@ def _load_books_cache(index: IVFIndex, books_cache: dict) -> bool:
             books_cache["rotation"] = None
             books_cache["local_rots"] = None
         elif books_cache["local"]:
-            # per-cell books; a GLOBAL rotation never applies to a
+            # per-cell books, loaded LAZILY (round 11): the appender
+            # only ever needs the batch's cells — book_pids (a
+            # books-free pid-set read) answers never-seen detection,
+            # and _ensure_local_books materializes just the cells a
+            # batch touches. A GLOBAL rotation never applies to a
             # local sidecar — full-LOPQ rotations are per-cell and
-            # ride in the same npz as the books
+            # ride with the books.
             from quake_vector_search_spark.operators.quantization import (  # noqa: E501
-                load_local_rots,
+                load_local_book_pids,
             )
 
-            books_cache["books"] = load_local_books(index.version_dir)
-            books_cache["local_rots"] = (
-                load_local_rots(index.version_dir)
-                if meta.get("rotate") else None)
+            books_cache["book_pids"] = load_local_book_pids(
+                index.version_dir)
+            books_cache["books"] = {}
+            books_cache["local_rots"] = ({} if meta.get("rotate")
+                                         else None)
             books_cache["rotation"] = None
         else:
             books_cache["books"] = np.load(npy)
@@ -232,6 +237,28 @@ def _encode_with_books(vecs: np.ndarray, pids: np.ndarray,
                 "ood_min_explained", 0.05)),
             stats=stats)
     return pq_encode_local(enc_vecs, books_cache["books"])
+
+
+def _ensure_local_books(index: IVFIndex, books_cache: dict,
+                        pids) -> None:
+    """Materialize the given cells' books (and rotations) into the
+    lazy local-books cache — only cells the sidecar HAS books for are
+    loaded (the rest are the appender's never-seen set). Batch-pid-
+    proportional: a micro-batch touching 3 of 10⁶ cells reads 3
+    cells' books (parquet filter / npz keys), not the index's."""
+    from quake_vector_search_spark.operators.quantization import (
+        load_local_books, load_local_rots,
+    )
+
+    have = set(books_cache["books"])
+    need = ({int(p) for p in pids} & books_cache["book_pids"]) - have
+    if not need:
+        return
+    loaded = load_local_books(index.version_dir, pids=need) or {}
+    books_cache["books"].update(loaded)
+    if books_cache.get("local_rots") is not None:
+        rots = load_local_rots(index.version_dir, pids=need) or {}
+        books_cache["local_rots"].update(rots)
 
 
 def _train_local_cell(ids: np.ndarray, Xres: np.ndarray,
@@ -421,12 +448,17 @@ def _append_pq_codes(index: IVFIndex, ids: np.ndarray,
             save_local_books,
         )
 
-        books = books_cache["books"]
-        rots = books_cache.get("local_rots")
         meta = books_cache.get("meta", {})
         pid_arr = np.asarray(pids, dtype=np.int64)
         ids_arr = np.asarray(ids, dtype=np.int64)
-        missing = sorted({int(p) for p in pid_arr} - set(books))
+        batch_pids = {int(p) for p in pid_arr}
+        # batch-pid-proportional load (round 11): materialize only
+        # the cells THIS batch touches; never-seen detection uses the
+        # books-free pid-set
+        _ensure_local_books(index, books_cache, batch_pids)
+        books = books_cache["books"]
+        rots = books_cache.get("local_rots")
+        missing = sorted(batch_pids - books_cache["book_pids"])
         for p in missing:
             mask = pid_arr == p
             cent = (snap[int(p)] if snap is not None
@@ -434,14 +466,16 @@ def _append_pq_codes(index: IVFIndex, ids: np.ndarray,
             books_p, rot_p = _train_local_cell(
                 ids_arr[mask], enc_vecs[mask], cent, meta, p)
             books[p] = books_p
+            books_cache["book_pids"].add(int(p))
             if rot_p is not None:
                 if rots is None:
                     rots = books_cache["local_rots"] = {}
                 rots[p] = rot_p
         if missing:
             # table-format sidecars append ONLY the new cells (one
-            # new parquet file); npz rewrites the archive (its
-            # documented limit — the reason the table format exists)
+            # new parquet file); npz merges-and-rewrites the archive
+            # (its documented limit — the reason the table format
+            # exists)
             save_local_books(index.version_dir, books,
                              rots_by_pid=rots, new_pids=missing)
         codes = _encode_local_cells(ids_arr, enc_vecs, pid_arr, books,
@@ -502,14 +536,17 @@ def _append_local_codes_distributed(index: IVFIndex, routed: DataFrame,
        per-cell rotation transport) and one partitioned append."""
     from pyspark.sql import functions as F
 
-    books = books_cache["books"]
-    rots = books_cache.get("local_rots")
     meta = books_cache.get("meta", {})
     snap = (books_cache.get("snapshot")
             if books_cache.get("residual") else None)
     id_col, vec_col = index.id_col, index.vec_col
     present = sorted(int(p) for p in pids_present)
-    missing = sorted(set(present) - set(books))
+    # batch-footprint-proportional load (round 11): only the present
+    # cells' books materialize; never-seen detection is books-free
+    _ensure_local_books(index, books_cache, present)
+    books = books_cache["books"]
+    rots = books_cache.get("local_rots")
+    missing = sorted(set(present) - books_cache["book_pids"])
     if missing:
         snap_missing = {p: (snap[p] if snap is not None
                             else np.zeros(len(index.centroids[0])))
@@ -557,6 +594,7 @@ def _append_local_codes_distributed(index: IVFIndex, routed: DataFrame,
             flat = np.asarray(r["books"], dtype=np.float64)
             dsub = flat.size // (m * int(r["ksub"]))
             books[pid] = flat.reshape(m, int(r["ksub"]), dsub)
+            books_cache["book_pids"].add(pid)
             mean = np.asarray(r["rot_mean"], dtype=np.float64)
             if mean.size:
                 if rots is None:
