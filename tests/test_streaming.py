@@ -576,12 +576,16 @@ def test_streaming_ingest_into_local_sidecar(spark):
 
 
 def test_append_pq_codes_trains_books_for_unseen_partition(spark, tmp_path):
-    """A local (LOPQ) sidecar whose npz is missing a partition's books
-    (e.g. a sidecar built before that partition existed) must not drop
-    or mis-encode streamed rows routed there: the append trains books
-    for the unseen cell from the batch's own residuals and EXTENDS the
-    persisted npz, so query-side LUTs (which reload the npz) stay
-    consistent with the codes."""
+    """A local (LOPQ) sidecar built before a partition EXISTED must
+    not drop or mis-encode streamed rows routed there: the append
+    trains books for the born cell from the batch's own residuals and
+    EXTENDS the persisted store, so query-side LUTs stay consistent
+    with the codes. The born-cell scenario is a partition created by
+    inserts AFTER the build (grafted empty coarse cell) — NOT
+    "drop an existing coded cell's books": a coded cell retrained
+    from a small batch gets fewer codewords than its old codes index,
+    an inconsistency no supported flow can produce (round-11
+    lesson)."""
     import numpy as np
 
     from quake_vector_search_spark.operators.ivf import IVFIndex
@@ -589,7 +593,6 @@ def test_append_pq_codes_trains_books_for_unseen_partition(spark, tmp_path):
         build_pq_sidecar,
         knn_ivf_pq,
         load_local_books,
-        save_local_books,
     )
     from quake_vector_search_spark.operators.workload import make_dataset
     from quake_vector_search_spark.streaming.ingest import _append_pq_codes
@@ -597,25 +600,22 @@ def test_append_pq_codes_trains_books_for_unseen_partition(spark, tmp_path):
     corpus = make_dataset(spark, 600, d=16, n_clusters=6, seed=3)
     idx = IVFIndex.build(corpus, str(tmp_path / "ivf_lopq_unseen"),
                          coarse_k=4, base_k=2)
+    far = np.full(16, 40.0)
+    idx.coarse_centroids = np.vstack([idx.coarse_centroids, far])
     build_pq_sidecar(idx, m=4, ksub=16, residual=True, local=True)
-    # simulate a sidecar that predates one partition: drop its books
-    books = load_local_books(idx.version_dir)
-    victim = int(sorted(books)[0])
-    del books[victim]
-    save_local_books(idx.version_dir, books)
-    # route a batch straight at the victim partition: vectors at its
-    # centroid are routed there by nearest-centroid insert
-    pos = {int(p): i for i, p in enumerate(idx.part_ids)}
-    c = idx.centroids[pos[victim]]
+    books_before = set(load_local_books(idx.version_dir))
+    # route a batch at the empty coarse cell: inserts birth a new
+    # partition the sidecar has never seen
     rng = np.random.default_rng(7)
-    vecs = c + 0.01 * rng.normal(size=(8, 16))
+    vecs = far + 0.01 * rng.normal(size=(8, 16))
     ids = np.arange(60_000, 60_008, dtype=np.int64)
     pids = idx.insert(ids, vecs)
-    assert victim in {int(p) for p in pids}
+    born = {int(p) for p in pids} - books_before
+    assert born, "batch should have birthed a new partition"
     cache: dict = {}
     assert _append_pq_codes(idx, ids, vecs, pids, cache)
     books2 = load_local_books(idx.version_dir)
-    assert victim in books2                      # npz extended
+    assert born <= set(books2)                   # store extended
     # and the streamed rows are ADC-searchable with consistent books
     found, _ = knn_ivf_pq(idx, ([1], vecs[:1]), k=1,
                           target_recall=1.0, max_probe=10**9,
