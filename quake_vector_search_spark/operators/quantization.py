@@ -597,7 +597,11 @@ def _save_books_table(version_dir: str, books_by_pid: dict,
     format's whole point: a streamed append of a never-seen cell's
     books is O(new cells), never a rewrite of every existing cell
     (the npz format's ≥10⁵-cell write-path limit). Appends must carry
-    only never-seen pids (both appenders do by construction)."""
+    only never-seen pids (both appenders do by construction) —
+    enforced here with one single-column read (ADVICE r11): a
+    duplicate pid would otherwise shadow nondeterministically at read
+    time (``_load_books_table`` folds files in uuid-sorted filename
+    order), so the contract violation fails LOUDLY at write time."""
     import os
     import shutil
     import uuid
@@ -610,6 +614,19 @@ def _save_books_table(version_dir: str, books_by_pid: dict,
         shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d, exist_ok=True)
     pids = sorted(int(p) for p in books_by_pid)
+    if append:
+        existing: set = set()
+        for f in _books_table_files(version_dir):
+            t = pq.read_table(f, columns=["partition_id"])
+            existing.update(
+                int(x) for x in t["partition_id"].to_pylist())
+        dup = existing & set(pids)
+        if dup:
+            raise ValueError(
+                "books-table append carries pids the table already "
+                f"holds ({sorted(dup)[:8]}…): appends must be "
+                "never-seen cells only — a duplicate would shadow "
+                "nondeterministically at read time")
     rows_m, rows_k, rows_b, rows_rm, rows_rc = [], [], [], [], []
     for p in pids:
         b = np.asarray(books_by_pid[p], dtype=np.float64)
@@ -653,22 +670,35 @@ def _load_books_table(version_dir: str, pids=None
     if pids is not None:
         filters = [("partition_id", "in",
                     [int(p) for p in pids])]
+
+    def _list_col(t, name):
+        # columnar decode (ADVICE r11): one zero-copy flat buffer +
+        # offsets per column per file, never a per-row .as_py()
+        arr = t.column(name).combine_chunks()
+        flat = arr.values.to_numpy(zero_copy_only=False).astype(
+            np.float64, copy=False)
+        offs = arr.offsets.to_numpy()
+        return flat, offs
+
     books: dict = {}
     rots: dict = {}
     for f in files:
         t = pq.read_table(f, filters=filters)
+        if not t.num_rows:
+            continue
+        pid_a = t.column("partition_id").to_numpy()
+        m_a = t.column("m").to_numpy()
+        k_a = t.column("ksub").to_numpy()
+        b_flat, b_off = _list_col(t, "books")
+        rm_flat, rm_off = _list_col(t, "rot_mean")
+        rc_flat, rc_off = _list_col(t, "rot_comps")
         for i in range(t.num_rows):
-            p = int(t["partition_id"][i].as_py())
-            m = int(t["m"][i].as_py())
-            k = int(t["ksub"][i].as_py())
-            flat = np.asarray(t["books"][i].as_py(),
-                              dtype=np.float64)
+            p, m, k = int(pid_a[i]), int(m_a[i]), int(k_a[i])
+            flat = b_flat[b_off[i]:b_off[i + 1]]
             books[p] = flat.reshape(m, k, flat.size // (m * k))
-            rm = np.asarray(t["rot_mean"][i].as_py(),
-                            dtype=np.float64)
+            rm = rm_flat[rm_off[i]:rm_off[i + 1]]
             if rm.size:
-                rc = np.asarray(t["rot_comps"][i].as_py(),
-                                dtype=np.float64)
+                rc = rc_flat[rc_off[i]:rc_off[i + 1]]
                 rots[p] = {"mean": rm,
                            "components": rc.reshape(rm.size,
                                                     rm.size)}

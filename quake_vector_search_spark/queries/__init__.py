@@ -92,10 +92,11 @@ WINDOW_R11: tuple[str, ...] = (
     "ivf_aniso_lopq_fullprobe",
     "ivf_aniso_lopq_rotated_fullprobe",
     "stream_ingest_distributed_equals_batch",
-    # stalest stratum: ALL 41 rows whose latest driver check is round
-    # 6 (the WINDOW_R6 remainder — TPC-H battery defined in
+    # stalest stratum: 40 of the 41 rows whose latest driver check is
+    # round 6 (the WINDOW_R6 remainder — TPC-H battery defined in
     # relational_queries, the dedup family, streaming mirrors,
-    # sketches) (41)
+    # sketches); stream_tokenize_equals_batch is the one displaced
+    # row, left as WINDOW_R6's ordered tail (40)
     "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
     "q5_local_supplier_volume", "q10_returned_items",
     "q11_important_parts", "q17_small_quantity_revenue",
@@ -290,13 +291,14 @@ def ordered_registry() -> dict[str, Query]:
     re-verification is the point of the rotation).
 
     Round 11 rotates a SEVENTH window in front (VERDICT r10 #6): the
-    TWO rows round 11 added (distributed LOPQ append, OOD-rate
-    rebuild), the SIX round-10 first-timers re-verified against the
-    refactored append path, ALL 41 rows whose latest driver check is
-    round 6 (the WINDOW_R6 remainder — the stalest stratum), and one
-    round-7 row. With it every WINDOW_R6 member is re-scheduled, so
-    the dedup leaves no tail: the five windows cover the whole
-    registry.
+    FOUR rows round 11 added (distributed LOPQ append, OOD-rate
+    rebuild, distributed-trained aniso rung, books-table lifecycle),
+    the SIX round-10 first-timers re-verified against the refactored
+    append path, and 40 of the 41 rows whose latest driver check is
+    round 6 (the WINDOW_R6 remainder — the stalest stratum). One row
+    (stream_tokenize_equals_batch) was displaced to make room and
+    remains as WINDOW_R6's ordered tail at position 245 (ADVICE r11
+    fixed this accounting).
 
     Raw REGISTRY insertion order (module load order) is unchanged —
     rounds 1-5's window remains its prefix, pinned by

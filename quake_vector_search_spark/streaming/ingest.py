@@ -247,12 +247,21 @@ def _ensure_local_books(index: IVFIndex, books_cache: dict,
     proportional: a micro-batch touching 3 of 10⁶ cells reads 3
     cells' books (parquet filter / npz keys), not the index's."""
     from quake_vector_search_spark.operators.quantization import (
-        load_local_books, load_local_rots,
+        _load_books_table, load_local_books, load_local_rots,
     )
 
     have = set(books_cache["books"])
     need = ({int(p) for p in pids} & books_cache["book_pids"]) - have
     if not need:
+        return
+    # table format: ONE filtered scan yields both books and rotations
+    # (ADVICE r11 — load_local_books + load_local_rots would each
+    # re-scan every file); npz stays two lazy per-key reads
+    tbl = _load_books_table(index.version_dir, pids=need)
+    if tbl is not None:
+        books_cache["books"].update(tbl[0])
+        if books_cache.get("local_rots") is not None and tbl[1]:
+            books_cache["local_rots"].update(tbl[1])
         return
     loaded = load_local_books(index.version_dir, pids=need) or {}
     books_cache["books"].update(loaded)

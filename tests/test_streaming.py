@@ -1845,3 +1845,31 @@ def test_ood_min_explained_knob_persists_and_binds(spark, tmp_path):
     # threshold 1: always the plain MSE assignment
     want1 = _aniso_encode_local(enc1[None, :], books1, 1.0)[0]
     assert codes1 == [int(c) for c in want1]
+
+
+def test_books_table_append_rejects_duplicate_pid(tmp_path):
+    """ADVICE r11: ``_save_books_table(append=True)`` must refuse pids
+    the table already holds. ``_load_books_table`` folds files in
+    uuid-sorted filename order with dict overwrite, so a duplicate pid
+    would shadow nondeterministically at read time — the 'appends
+    carry only never-seen pids' contract has to fail LOUDLY at write
+    time instead."""
+    import numpy as np
+
+    from quake_vector_search_spark.operators.quantization import (
+        _load_books_table,
+        _save_books_table,
+    )
+
+    d = str(tmp_path)
+    _save_books_table(d, {1: np.zeros((2, 4, 3)),
+                          2: np.ones((2, 4, 3))}, None)
+    _save_books_table(d, {3: np.full((2, 4, 3), 2.0)}, None,
+                      append=True)
+    with pytest.raises(ValueError, match="never-seen"):
+        _save_books_table(d, {2: np.zeros((2, 4, 3)),
+                              4: np.zeros((2, 4, 3))}, None,
+                          append=True)
+    books, _ = _load_books_table(d)
+    assert set(books) == {1, 2, 3}          # rejected append wrote nothing
+    assert np.array_equal(books[2], np.ones((2, 4, 3)))
