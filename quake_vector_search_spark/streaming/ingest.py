@@ -270,6 +270,39 @@ def _ensure_local_books(index: IVFIndex, books_cache: dict,
         books_cache["local_rots"].update(rots)
 
 
+def _assert_cells_uncoded(index: IVFIndex, pids) -> None:
+    """Books/codes invariant of the local-sidecar appenders (VERDICT
+    r11 #2): a cell absent from the books pid-set must also hold NO
+    persisted codes. No supported flow produces "codes but no books"
+    — books and codes are written together at build time, and the
+    appenders extend both together for born cells — so finding codes
+    here means the sidecar store was corrupted (e.g. books dropped by
+    hand). Training fresh books for such a cell from a small batch is
+    WORSE than failing: the new ksub is capped by the batch size, the
+    old codes index codewords beyond it, and the ADC gather
+    IndexErrors at query time — far from the cause. Fail loudly at
+    append time instead. O(cells-to-check) directory stats against
+    the partitioned codes layout; no data is read."""
+    import os
+
+    base = os.path.join(index.version_dir, "pq")
+    bad = []
+    for p in pids:
+        d = os.path.join(base, f"partition_id={int(p)}")
+        if os.path.isdir(d) and any(f.endswith(".parquet")
+                                    for f in os.listdir(d)):
+            bad.append(int(p))
+    if bad:
+        raise ValueError(
+            f"cells {bad[:8]} have persisted PQ codes but no books: "
+            "the sidecar store is inconsistent (books and codes are "
+            "always written together). Retraining these cells' books "
+            "from a batch would strand the old codes beyond the new "
+            "ksub and crash the ADC gather at query time — rebuild "
+            "the sidecar from the corpus (refresh_pq_sidecar / "
+            "build_pq_sidecar) instead")
+
+
 def _train_local_cell(ids: np.ndarray, Xres: np.ndarray,
                       cent: np.ndarray, meta: dict,
                       pid: int) -> tuple[np.ndarray, dict | None]:
@@ -468,6 +501,10 @@ def _append_pq_codes(index: IVFIndex, ids: np.ndarray,
         books = books_cache["books"]
         rots = books_cache.get("local_rots")
         missing = sorted(batch_pids - books_cache["book_pids"])
+        if missing:
+            # books/codes invariant (VERDICT r11 #2): "never-seen"
+            # must mean never-coded too
+            _assert_cells_uncoded(index, missing)
         for p in missing:
             mask = pid_arr == p
             cent = (snap[int(p)] if snap is not None
@@ -557,6 +594,9 @@ def _append_local_codes_distributed(index: IVFIndex, routed: DataFrame,
     rots = books_cache.get("local_rots")
     missing = sorted(set(present) - books_cache["book_pids"])
     if missing:
+        # books/codes invariant (VERDICT r11 #2): "never-seen" must
+        # mean never-coded too — same guard as the driver appender
+        _assert_cells_uncoded(index, missing)
         snap_missing = {p: (snap[p] if snap is not None
                             else np.zeros(len(index.centroids[0])))
                         for p in missing}
