@@ -524,12 +524,18 @@ def load_residual_snapshot(version_dir: str) -> dict | None:
 def load_ood_stats(version_dir: str) -> dict:
     """Cumulative streamed-append OOD-fallback counter for the
     version's anisotropic sidecar, ``{"n": encoded_rows, "ood":
-    fallback_rows}`` since the last sidecar (re)build. The ingest
+    fallback_rows}`` since the last sidecar reTRAIN. The ingest
     appenders bump it per batch (round 11, VERDICT r10 #3);
     ``maintain(ood_rebuild_rate=...)`` reads it to decide whether the
     drift warrants RETRAINING the books instead of carrying them
     forward — a long-running stream on drifting data otherwise
-    degrades silently until someone rebuilds by hand."""
+    degrades silently until someone rebuilds by hand. Carry-books
+    refreshes (split/merge maintenance that re-encodes against the
+    SAME books) carry the window forward (round 13, ADVICE r11 #1):
+    drift is measured against the books, not the layout, so
+    sub-threshold drift keeps accumulating toward the rate trigger
+    across maintenance cycles; only an actual retrain
+    (``build_pq_sidecar``) starts a clean window."""
     import json
     import os
 
@@ -558,13 +564,33 @@ def bump_ood_stats(version_dir: str, n: int, ood: int) -> None:
 
 
 def reset_ood_stats(version_dir: str) -> None:
-    """Zero the OOD counter — every sidecar (re)build resets the
-    drift window: freshly trained/re-encoded codes start clean."""
+    """Zero the OOD counter — every sidecar reTRAIN resets the
+    drift window: freshly trained codes start clean."""
     import os
 
     path = os.path.join(version_dir, "ood_stats.json")
     if os.path.exists(path):
         os.unlink(path)
+
+
+def carry_ood_stats(prev_dir: str, version_dir: str) -> None:
+    """Carry the streamed-OOD drift window across a CARRY-BOOKS
+    refresh (round 13, ADVICE r11 #1): the refreshed sidecar encodes
+    against the same books, so drift measured against them is still
+    live signal. Resetting here — the pre-round-13 behavior — leaked
+    sub-threshold drift out of the window at every split/merge, so
+    the ``ood_rebuild_rate`` trigger could never accumulate across
+    maintenance cycles (contradicting ``load_ood_stats``'s contract).
+    Retrain paths don't call this — ``build_pq_sidecar`` resets."""
+    import os
+    import shutil
+
+    src = os.path.join(prev_dir, "ood_stats.json")
+    dst = os.path.join(version_dir, "ood_stats.json")
+    if os.path.exists(src):
+        shutil.copyfile(src, dst)
+    elif os.path.exists(dst):
+        os.unlink(dst)
 
 
 _BOOKS_TBL = "pq_local_books_tbl"
@@ -2057,7 +2083,8 @@ def refresh_pq_sidecar(index, books: np.ndarray | None = None,
             with open(os.path.join(index.version_dir,
                                    "pq_meta.json"), "w") as fh:
                 json.dump(prev_meta, fh)
-            reset_ood_stats(index.version_dir)
+            # carried bounds → carried drift window (ADVICE r11 #1)
+            carry_ood_stats(prev_dir, index.version_dir)
             return True
         if prev_meta.get("local"):
             # per-cell (LOPQ) codebooks are LAYOUT-BOUND: split/merge
@@ -2170,9 +2197,14 @@ def refresh_pq_sidecar(index, books: np.ndarray | None = None,
     with open(os.path.join(index.version_dir, "pq_meta.json"),
               "w") as fh:
         json.dump(meta_out, fh)
-    # the re-encode re-derived every code (streamed rows included), so
-    # the streamed-OOD drift window restarts here
-    reset_ood_stats(index.version_dir)
+    # carried books → carried drift window (round 13, ADVICE r11 #1):
+    # the re-encode re-derived every code, but against the SAME books
+    # the drift was measured against — and the batch re-encoder is
+    # unguarded (no per-row fallback counting), so resetting here
+    # silently discarded accumulated sub-threshold drift and the
+    # ood_rebuild_rate trigger could never fire across maintenance
+    # cycles. Only a retrain (build_pq_sidecar) starts a clean window.
+    carry_ood_stats(prev_dir, index.version_dir)
     return True
 
 

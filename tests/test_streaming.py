@@ -1799,6 +1799,72 @@ def test_distributed_lopq_append_parity_with_driver(spark, tmp_path):
     assert set(rows_a) == set(int(i) for i in ids)
 
 
+def test_ood_drift_window_survives_carry_books_maintenance(
+        spark, tmp_path):
+    """The streamed-OOD drift window survives NON-retrain maintenance
+    (round 13, ADVICE r11 #1): a carry-books refresh re-encodes
+    against the SAME books the drift was measured against, so
+    ``refresh_pq_sidecar`` must carry ``ood_stats.json`` into the new
+    version dir instead of resetting it — otherwise sub-threshold
+    drift leaks out of the window at every split/merge and the
+    ``ood_rebuild_rate`` trigger can never accumulate. Here drift
+    below the min-n floor accumulates ACROSS two maintenance cycles
+    and still triggers the rate rebuild on the second; only the
+    actual retrain resets the window."""
+    import numpy as np
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.maintenance import maintain
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+        load_ood_stats,
+    )
+    from quake_vector_search_spark.operators.workload import make_dataset
+    from quake_vector_search_spark.streaming.ingest import (
+        _append_pq_codes,
+    )
+
+    corpus = make_dataset(spark, 600, d=16, n_clusters=6, seed=33)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_oodc"),
+                         coarse_k=4, base_k=2, metric="cosine")
+    build_pq_sidecar(idx, m=4, ksub=16, seed=7, anisotropic=3.0,
+                     residual=True, rotate=True,
+                     ood_min_explained=0.5, ood_rebuild_rate=0.3)
+
+    rng = np.random.default_rng(53)
+    books_cache: dict = {}
+
+    def stream_ood(ids):
+        vecs = rng.normal(size=(len(ids), 16))
+        pids = idx.insert(np.asarray(ids, dtype=np.int64), vecs)
+        nv = vecs / (np.linalg.norm(vecs, axis=1, keepdims=True)
+                     + 1e-12)
+        _append_pq_codes(idx, np.asarray(ids, dtype=np.int64), nv,
+                         pids, books_cache)
+
+    # cycle 1: drift below the min-n floor, then carry-books maintain
+    stream_ood(range(95_000, 95_004))
+    pre = load_ood_stats(idx.version_dir)
+    assert pre["n"] == 4 and pre["ood"] > 0, pre
+    summary1 = maintain(idx, ood_rebuild_min_n=9)
+    assert summary1["pq_refreshed"] is True
+    assert summary1["pq_retrained"] is False
+    # the window CARRIED into the new version — not reset
+    assert load_ood_stats(idx.version_dir) == pre
+
+    # cycle 2: more sub-threshold drift tops the accumulated window
+    # over the floor; the rate trigger fires on the CUMULATIVE counts
+    books_cache.clear()  # version changed — drop the stale cache
+    stream_ood(range(95_004, 95_010))
+    acc = load_ood_stats(idx.version_dir)
+    assert acc["n"] == 10 and acc["ood"] >= pre["ood"], acc
+    summary2 = maintain(idx, ood_rebuild_min_n=9)
+    assert summary2["ood_rate"] == acc["ood"] / acc["n"]
+    assert summary2["pq_retrained"] is True
+    # only the actual retrain starts a clean window
+    assert load_ood_stats(idx.version_dir) == {"n": 0, "ood": 0}
+
+
 def test_ood_min_explained_knob_persists_and_binds(spark, tmp_path):
     """The OOD-guard threshold is a PERSISTED product knob (late round
     10): ood_min_explained rides pq_meta.json and the streamed append
