@@ -624,10 +624,18 @@ def _save_books_table(version_dir: str, books_by_pid: dict,
     books is O(new cells), never a rewrite of every existing cell
     (the npz format's ≥10⁵-cell write-path limit). Appends must carry
     only never-seen pids (both appenders do by construction) —
-    enforced here with one single-column read (ADVICE r11): a
+    enforced here FOOTER-ONLY (round 13, VERDICT r12 perf #2): a
     duplicate pid would otherwise shadow nondeterministically at read
     time (``_load_books_table`` folds files in uuid-sorted filename
-    order), so the contract violation fails LOUDLY at write time."""
+    order), so the contract violation fails LOUDLY at write time.
+    The check reads only parquet row-group min/max statistics of the
+    existing files (rows are sorted by partition_id, so the stats are
+    tight); a pid-COLUMN read happens only for files whose stats
+    range actually overlaps the batch — i.e. on the error path or a
+    genuine pid interleave, never on the healthy monotone-pid append
+    stream. Per-append cost is O(existing files) footers + O(new
+    cells) data, not O(total cells) data (which re-made the
+    append-only format quadratic over a stream's lifetime)."""
     import os
     import shutil
     import uuid
@@ -640,13 +648,29 @@ def _save_books_table(version_dir: str, books_by_pid: dict,
         shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d, exist_ok=True)
     pids = sorted(int(p) for p in books_by_pid)
-    if append:
-        existing: set = set()
+    if append and pids:
+        lo, hi = pids[0], pids[-1]
+        overlapping = []
         for f in _books_table_files(version_dir):
-            t = pq.read_table(f, columns=["partition_id"])
-            existing.update(
-                int(x) for x in t["partition_id"].to_pylist())
-        dup = existing & set(pids)
+            md = pq.ParquetFile(f).metadata
+            pid_leaf = next(
+                i for i in range(len(md.schema))
+                if md.schema.column(i).path == "partition_id")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(pid_leaf).statistics
+                if (st is None or not st.has_min_max
+                        or (int(st.min) <= hi and lo <= int(st.max))):
+                    overlapping.append(f)
+                    break
+        dup: set = set()
+        if overlapping:
+            pid_set = set(pids)
+            for f in overlapping:
+                t = pq.read_table(
+                    f, columns=["partition_id"],
+                    filters=[("partition_id", "in", sorted(pid_set))])
+                dup.update(int(x)
+                           for x in t["partition_id"].to_pylist())
         if dup:
             raise ValueError(
                 "books-table append carries pids the table already "

@@ -1959,6 +1959,58 @@ def test_books_table_append_rejects_duplicate_pid(tmp_path):
     assert np.array_equal(books[2], np.ones((2, 4, 3)))
 
 
+def test_books_table_append_guard_is_footer_only(tmp_path,
+                                                 monkeypatch):
+    """The append-time duplicate-pid guard must be O(new cells) data
+    (round 13, VERDICT r12 perf #2): on the healthy monotone-pid
+    append stream it checks only parquet row-group min/max statistics
+    — ZERO pid-column reads of existing files, however many there are
+    — so total guard work over a long stream's lifetime stays linear,
+    not quadratic. A data read is allowed only for files whose stats
+    range genuinely overlaps the batch (the error path)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from quake_vector_search_spark.operators.quantization import (
+        _load_books_table,
+        _save_books_table,
+    )
+
+    d = str(tmp_path)
+    _save_books_table(d, {0: np.zeros((2, 4, 3)),
+                          1: np.ones((2, 4, 3))}, None)
+    for p in range(2, 12):                  # 10 more files, pids 2..11
+        _save_books_table(d, {p: np.full((2, 4, 3), float(p))},
+                          None, append=True)
+
+    calls = []
+    real_read_table = pq.read_table
+
+    def counting_read_table(*a, **kw):
+        calls.append(a)
+        return real_read_table(*a, **kw)
+
+    monkeypatch.setattr(pq, "read_table", counting_read_table)
+
+    # monotone append (the production stream): footers only
+    _save_books_table(d, {12: np.full((2, 4, 3), 12.0)}, None,
+                      append=True)
+    assert calls == [], (
+        f"guard read pid columns of {len(calls)} existing files on a "
+        "non-overlapping append — must be footer-stats only")
+
+    # overlapping pid: the guard may read, and must still refuse
+    with pytest.raises(ValueError, match="never-seen"):
+        _save_books_table(d, {5: np.zeros((2, 4, 3))}, None,
+                          append=True)
+    assert calls, "duplicate pid must be confirmed by a data read"
+
+    monkeypatch.undo()
+    books, _ = _load_books_table(d)
+    assert set(books) == set(range(13))
+    assert np.array_equal(books[12], np.full((2, 4, 3), 12.0))
+
+
 def test_append_refuses_coded_cell_without_books(spark, tmp_path):
     """Product-side books/codes invariant (VERDICT r11 #2): a cell
     that already holds persisted PQ codes but is missing from the
