@@ -1149,3 +1149,109 @@ def stream_ood_rebuild_maintenance(spark, sf_dir):
     shutil.rmtree(ckpt, ignore_errors=True)
     shutil.rmtree(vdir, ignore_errors=True)
     return spark.createDataFrame(checks, ["invariant", "value"])
+
+
+@register("stream_auto_maintenance_cadence", sql="""
+SELECT 'two_cycles_ran' AS invariant, CAST(1 AS BIGINT) AS value
+UNION ALL SELECT 'first_cycle_carried_window', 1
+UNION ALL SELECT 'auto_retrained_no_manual_maintain', 1
+UNION ALL SELECT 'own_candidate_rate_restored', 1
+UNION ALL SELECT 'drift_window_reset', 1
+UNION ALL SELECT 'knob_survives_rebuild', 1
+""")
+def stream_auto_maintenance_cadence(spark, sf_dir):
+    """Streaming auto-maintenance cadence (round 13, VERDICT r12
+    missing #2): ``ingest_stream(maintain_every_n_batches=…)`` runs
+    ``maintain()`` inside the foreachBatch loop — the Spark twin of
+    the reference driver's every-50-queries maintain
+    (QUAKE_working_demo.ipynb c2:80-81) — so a drifting stream heals
+    itself with NO operator in the loop. The row also pins the
+    cadence × drift-carry composition (ADVICE r11 #1, fixed this
+    round): the first scheduled cycle sees drift below the min-n
+    floor and must CARRY the window through its carry-books refresh;
+    the second sees the accumulated rate over the knob and retrains.
+    Invariants: two maintenance cycles ran (version advanced twice
+    past the build); the first cycle preserved the drift counter (its
+    post-refresh version dir still holds the pre-maintenance counts);
+    the stream alone retrained the books; every streamed vector then
+    surfaces as its own pure-ADC top-1 candidate; the window reset
+    with the retrain; the knob rides the rebuilt meta."""
+    import json
+    import uuid
+
+    import numpy as np
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+        knn_ivf_pq,
+        load_ood_stats,
+    )
+    from quake_vector_search_spark.streaming.ingest import ingest_stream
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    run = uuid.uuid4().hex[:8]
+    workdir = f"/tmp/qvss_cad_idx_{os.getpid()}_{run}"
+    ckpt = f"/tmp/qvss_cad_ckpt_{os.getpid()}_{run}"
+    vdir = f"/tmp/qvss_cad_v_{os.getpid()}_{run}"
+    idx = IVFIndex.build(emb, workdir, coarse_k=8, base_k=4,
+                         metric="cosine")
+    build_pq_sidecar(idx, m=8, ksub=32, seed=7, anisotropic=3.0,
+                     residual=True, rotate=True,
+                     ood_min_explained=0.5, ood_rebuild_rate=0.3)
+    v0 = idx.version
+
+    rng = np.random.default_rng(59)
+    d = len(idx.centroids[0])
+    rows = [(int(12_500_000 + i),
+             rng.normal(size=d).astype(float).tolist())
+            for i in range(8)]
+    os.makedirs(vdir, exist_ok=True)
+    for r in rows:      # one file per row → exactly 8 micro-batches
+        (spark.createDataFrame([r], "vec_id long, "
+                                    "embedding array<float>")
+         .coalesce(1).write.mode("append").parquet(vdir))
+    vstream = (spark.readStream
+               .schema("vec_id long, embedding array<float>")
+               .option("maxFilesPerTrigger", 1).parquet(vdir))
+    q = ingest_stream(idx, vstream, ckpt,
+                      maintain_every_n_batches=4,
+                      maintain_kwargs={"ood_rebuild_min_n": 5})
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    two_cycles = idx.version >= v0 + 2
+    # cycle 1 (after batch 4, n=4 < floor 5) was a carry-books
+    # refresh: its version dir's final counter is the 4 CARRIED rows
+    # plus the 4 streamed after the refresh = 8 — the pre-round-13
+    # reset would leave it at 4 (and cycle 2 would never fire, since
+    # 4 < the min-n floor)
+    mid = load_ood_stats(os.path.join(workdir, f"v{v0 + 1:04d}"))
+    carried = mid["n"] == 8 and mid["ood"] > 4
+
+    hits = 0
+    for vid, vec in rows:
+        found, _ = knn_ivf_pq(idx, ([1], np.array([vec])), k=1,
+                              target_recall=1.0, max_probe=10**9,
+                              oversample=1)
+        hits += int(found.collect()[0]["vec_id"] == vid)
+    with open(os.path.join(idx.version_dir, "pq_meta.json")) as fh:
+        knob_after = json.load(fh).get("ood_rebuild_rate")
+    reset_after = load_ood_stats(idx.version_dir)
+
+    checks = [
+        ("two_cycles_ran", int(two_cycles)),
+        ("first_cycle_carried_window", int(carried)),
+        ("auto_retrained_no_manual_maintain",
+         int(two_cycles and reset_after == {"n": 0, "ood": 0})),
+        ("own_candidate_rate_restored", int(hits == len(rows))),
+        ("drift_window_reset",
+         int(reset_after == {"n": 0, "ood": 0})),
+        ("knob_survives_rebuild", int(knob_after == 0.3)),
+    ]
+    shutil.rmtree(workdir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(vdir, ignore_errors=True)
+    return spark.createDataFrame(checks, ["invariant", "value"])
