@@ -39,12 +39,13 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Ordered so the round-9 rotation window (WINDOW_R9: the 12 rows
-    only judge-verified in round 8 — aniso rungs, capped CDC indexes,
-    PNG decoder, DSIR, routed-serving mirror, scalar-function trio —
-    plus the 38 stalest driver-verified rows re-rotated for freshness)
-    occupies the first 50 entries; WINDOW_R8/R7/R6 follow at 51-100,
-    101-150 and 151-200 (rounds 1-8 already driver-verified those)."""
+    Ordered so the round-13 rotation window (WINDOW_R13: the new
+    auto-maintenance-cadence row, the rebuilt distributed-LOPQ
+    roundtrip, and the 48 stalest driver-verified rows — the r6
+    straggler + 47 r7-era rows) occupies the first 50 entries; the
+    earlier windows' remainders follow in pinned order (see
+    quake_vector_search_spark/queries/__init__.py and
+    tests/test_registry_window.py)."""
     return {name: q.fn for name, q in ordered_registry().items()}
 
 

@@ -535,7 +535,16 @@ def load_ood_stats(version_dir: str) -> dict:
     drift is measured against the books, not the layout, so
     sub-threshold drift keeps accumulating toward the rate trigger
     across maintenance cycles; only an actual retrain
-    (``build_pq_sidecar``) starts a clean window."""
+    (``build_pq_sidecar``) starts a clean window.
+
+    APPROXIMATE on the distributed appenders (documented, round 13,
+    ADVICE r11 #2): their counts come back through Spark
+    accumulators inside transformations, which can over-count when a
+    task retries or runs speculatively. The driver micro-batch
+    appender counts in-process (exact). The consumer is a coarse
+    rate threshold (``ood_rebuild_rate``, typically ~0.3 over ≥50
+    rows), so a rare retry-inflated count can only HASTEN a retrain
+    the drift already warranted — it cannot suppress one."""
     import json
     import os
 
@@ -710,7 +719,15 @@ def _load_books_table(version_dir: str, pids=None
     None when the version has no table. ``pids`` pushes a
     partition_id IN (...) filter into the parquet read — row groups
     whose min/max miss the probe set are never decompressed, so a
-    narrow probe over a huge table reads only its cells."""
+    narrow probe over a huge table reads only its cells.
+
+    READ-ONLY / ALIASING contract (ADVICE r12): the returned arrays
+    are zero-copy views into Arrow buffers — ``flags.writeable`` is
+    False, and every cell loaded from one file aliases one backing
+    buffer. Callers must treat loaded books/rotations as immutable
+    (all current ones do — encode/ADC paths only read); a mutation
+    site must ``.copy()`` first or NumPy raises "assignment
+    destination is read-only" far from the cause."""
     import pyarrow.parquet as pq
 
     files = _books_table_files(version_dir)

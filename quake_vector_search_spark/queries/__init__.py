@@ -72,6 +72,48 @@ RENAME_MAP: dict[str, str] = {
     "dedup_embedding_cosine": "dedup_embedding_cosine_oracle",  # r6
 }
 
+WINDOW_R13: tuple[str, ...] = (
+    # never driver-checked: the new round-13 row — the streaming
+    # auto-maintenance cadence (VERDICT r12 missing #2); new features
+    # get driver-grade verification in the round that introduces
+    # them (ADVICE r9) (1)
+    "stream_auto_maintenance_cadence",
+    # REBUILT this round (VERDICT r12 #1): the distributed-LOPQ
+    # append roundtrip, re-based on the born-cell fixture after the
+    # r12 books/codes guard correctly outlawed its old dropped-books
+    # setup — red in CORRECTNESS_r12, so it re-earns driver-grade
+    # verification against the rewritten body (1)
+    "ivf_dml_distributed_lopq_roundtrip",
+    # stalest stratum, part 1: the one row whose latest driver check
+    # is round 6 — displaced from WINDOW_R11 two rounds ago, now at
+    # the head of the queue (1)
+    "stream_tokenize_equals_batch",
+    # stalest stratum, part 2: 47 of the 50 rows whose latest driver
+    # check is round 7, in WINDOW_R7's pinned order (the last 3 —
+    # q_training_corpus_pipeline, ivf_index_stats, q_salted_join —
+    # stay as WINDOW_R7's ordered remainder, the next-stalest
+    # stratum for round 14) (47)
+    "knn_bq_rerank", "knn_opq_rerank", "ivf_pq_residual_fullprobe",
+    "ivf_opq_search_fullprobe", "ivf_pq_cosine_fullprobe",
+    "knn_pq_recall_guard", "ivf_search_calibrated",
+    "ivf_search_filtered_fullprobe", "knn_range_search",
+    "ivf_range_search",
+    "sparse_tfidf_topk", "sparse_bm25_topk", "hybrid_rrf_topk",
+    "text_semantic_search",
+    "emb_pagerank", "emb_label_propagation", "emb_knn_graph",
+    "text_bpe_merges", "text_bpe_encode", "text_bpe_vocab",
+    "emb_pca_whiten", "emb_decontaminate", "emb_hard_negatives",
+    "knn_multivector_maxsim", "dedup_embedding_clusters",
+    "q_entity_resolution", "mm_extract_features_ppm",
+    "stream_semantic_decontaminate_equals_batch", "dedup_incremental",
+    "text_decontaminate",
+    "q_jsonl_roundtrip", "q_csv_roundtrip", "q_orc_roundtrip",
+    "q_rollup", "q_cube", "q_grouping_sets", "q_pivot", "q_unpivot",
+    "q_set_ops", "q_array_ops", "q_json_extract", "q_map_ops",
+    "q_window_extras", "q_topn_per_group", "q_approx_percentile",
+    "q_zorder_values", "ts_m4_downsample",
+)
+
 WINDOW_R11: tuple[str, ...] = (
     # never driver-checked: the FOUR new round-11 rows — the
     # distributed LOPQ sidecar-append roundtrip (VERDICT r10 #2), the
@@ -285,28 +327,27 @@ WINDOW_R6: tuple[str, ...] = (
 
 
 def ordered_registry() -> dict[str, Query]:
-    """REGISTRY re-ordered so the round-11 driver window comes first;
+    """REGISTRY re-ordered so the round-13 driver window comes first;
     earlier windows follow with duplicates collapsed to first
     occurrence (a row recurring in a later window was re-scheduled —
     re-verification is the point of the rotation).
 
-    Round 11 rotates a SEVENTH window in front (VERDICT r10 #6): the
-    FOUR rows round 11 added (distributed LOPQ append, OOD-rate
-    rebuild, distributed-trained aniso rung, books-table lifecycle),
-    the SIX round-10 first-timers re-verified against the refactored
-    append path, and 40 of the 41 rows whose latest driver check is
-    round 6 (the WINDOW_R6 remainder — the stalest stratum). One row
-    (stream_tokenize_equals_batch) was displaced to make room and
-    remains as WINDOW_R6's ordered tail at position 245 (ADVICE r11
-    fixed this accounting).
+    Round 13 rotates a NINTH window in front (VERDICT r12 #3 — the
+    r12 round shipped without rotating): the ONE new round-13 row
+    (streaming auto-maintenance cadence), the REBUILT
+    ivf_dml_distributed_lopq_roundtrip (red in CORRECTNESS_r12; its
+    body was rewritten on the born-cell fixture this round), the one
+    round-6-stale row (stream_tokenize_equals_batch), and 47 of the
+    50 rows whose latest driver check is round 7 — the stalest
+    stratum. WINDOW_R7's last 3 rows remain as its ordered remainder.
 
     Raw REGISTRY insertion order (module load order) is unchanged —
     rounds 1-5's window remains its prefix, pinned by
     tests/test_registry_window.py alongside the others.
     """
     load_all_query_modules()
-    windows = (*WINDOW_R11, *WINDOW_R10, *WINDOW_R9, *WINDOW_R8,
-               *WINDOW_R7, *WINDOW_R6)
+    windows = (*WINDOW_R13, *WINDOW_R11, *WINDOW_R10, *WINDOW_R9,
+               *WINDOW_R8, *WINDOW_R7, *WINDOW_R6)
     missing = [n for n in windows if n not in REGISTRY]
     if missing:
         raise ValueError(f"window names not in registry: {missing}")

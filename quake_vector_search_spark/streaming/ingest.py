@@ -668,6 +668,10 @@ def _append_local_codes_distributed(index: IVFIndex, routed: DataFrame,
                 if snap is not None else None))
     bc = index.spark.sparkContext.broadcast(payload)
     is_aniso = meta.get("anisotropic") is not None
+    # accumulators inside a transformation: APPROXIMATE under task
+    # retry/speculation (documented in load_ood_stats, ADVICE r11 #2)
+    # — the consumer is a coarse rate threshold, so over-count can
+    # only hasten a retrain the drift already warranted
     acc_n = (index.spark.sparkContext.accumulator(0)
              if is_aniso else None)
     acc_ood = (index.spark.sparkContext.accumulator(0)
@@ -753,6 +757,8 @@ def _append_pq_codes_distributed(index: IVFIndex, routed: DataFrame,
     id_col, vec_col = index.id_col, index.vec_col
     is_aniso = (books_cache.get("meta") or {}).get(
         "anisotropic") is not None
+    # accumulators inside a transformation: APPROXIMATE under task
+    # retry/speculation (documented in load_ood_stats, ADVICE r11 #2)
     acc_n = (index.spark.sparkContext.accumulator(0)
              if is_aniso else None)
     acc_ood = (index.spark.sparkContext.accumulator(0)

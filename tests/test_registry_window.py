@@ -45,6 +45,7 @@ from quake_vector_search_spark.queries import (
     WINDOW_R9,
     WINDOW_R10,
     WINDOW_R11,
+    WINDOW_R13,
     load_all_query_modules,
     ordered_registry,
 )
@@ -87,7 +88,13 @@ def _latest_driver_round(max_round: int | None = None) -> dict[str, int]:
     skipped BEFORE the per-row max), so "as of end of round N" pins
     stay true after later reports land in the worktree (VERDICT r10
     What's wrong #1: filtering the global max AFTER the fact made
-    every row re-verified in r10 vanish from the accounting)."""
+    every row re-verified in r10 vanish from the accounting).
+
+    Only SUCCESSFUL checks count (round 13): a report entry with an
+    err, or a failed hash/row match, did not verify the row —
+    CORRECTNESS_r12's one red entry (the pre-rewrite
+    ivf_dml_distributed_lopq_roundtrip) must not read as "fresh as of
+    r12" when scheduling staleness rotations."""
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     latest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
@@ -95,7 +102,13 @@ def _latest_driver_round(max_round: int | None = None) -> dict[str, int]:
         if max_round is not None and rnd > max_round:
             continue
         with open(path) as f:
-            for key in json.load(f):
+            for key, v in json.load(f).items():
+                if not isinstance(v, dict) or v.get("err"):
+                    continue
+                if (v.get("hash_match") is False
+                        or v.get("rows_match") is False
+                        or v.get("schema_match") is False):
+                    continue
                 name = RENAME_MAP.get(key, key)
                 latest[name] = max(latest.get(name, 0), rnd)
     return latest
@@ -111,20 +124,46 @@ R10_FIRST_TIMERS = (
 )
 
 
-def test_r11_window_is_the_rotated_surface():
-    """First 50 of the driver-facing ordering = WINDOW_R11;
-    composition per VERDICT r10 #6, checked against the reports AS OF
-    END OF ROUND 10 (later reports excluded so the invariant doesn't
-    dissolve once CORRECTNESS_r11 lands): the 4 never-driver-verified
-    round-11 rows, the 6 round-10 first-timers (re-verified because
-    round 11 refactored the append path they pin), and 40 of the 41
-    rows whose latest check is round 6 — the stalest stratum
-    (stream_tokenize_equals_batch stays in WINDOW_R6's remainder to
-    make room for the fourth new row). No slot wasted on anything
-    fresher."""
+def test_r13_window_is_the_rotated_surface():
+    """First 50 of the driver-facing ordering = WINDOW_R13;
+    composition per VERDICT r12 #3, checked against the reports AS OF
+    END OF ROUND 12 (later reports excluded so the invariant doesn't
+    dissolve once CORRECTNESS_r13 lands): the 1 never-driver-verified
+    round-13 row (streaming auto-maintenance cadence), the REBUILT
+    ivf_dml_distributed_lopq_roundtrip (red in r12 — success-only
+    accounting dates its last good check to r11; its body was
+    rewritten this round so it re-earns verification), the one
+    round-6-stale row, and 47 of the 50 round-7-stale rows. No slot
+    wasted on anything fresher."""
+    names = list(ordered_registry())
+    assert len(WINDOW_R13) == 50
+    assert names[:50] == list(WINDOW_R13)
+    latest = _latest_driver_round(max_round=12)
+    assert latest, "correctness reports missing from repo root"
+    never = [n for n in WINDOW_R13 if n not in latest]
+    r6 = [n for n in WINDOW_R13 if latest.get(n, 99) == 6]
+    r7 = [n for n in WINDOW_R13 if latest.get(n, 99) == 7]
+    rebuilt = [n for n in WINDOW_R13 if latest.get(n, 0) == 11]
+    fresh = [n for n in WINDOW_R13 if 8 <= latest.get(n, 0) <= 10
+             or latest.get(n, 0) == 12]
+    assert never == ["stream_auto_maintenance_cadence"], never
+    assert rebuilt == ["ivf_dml_distributed_lopq_roundtrip"], rebuilt
+    assert r6 == ["stream_tokenize_equals_batch"], r6
+    assert len(r7) == 47, f"expected 47 r7-stale, got {len(r7)}"
+    assert not fresh, f"WINDOW_R13 wastes slots on fresh rows: {fresh}"
+
+
+def test_r11_window_composition_still_pinned():
+    """WINDOW_R11's composition stays as verified in round 11 (its
+    rebuilt lopq-roundtrip row recurs in WINDOW_R13 by design);
+    checked against reports as of end of round 10, exactly the pin
+    that held when the driver ran it. Its remainder keeps its
+    relative order right behind the front window."""
     names = list(ordered_registry())
     assert len(WINDOW_R11) == 50
-    assert names[:50] == list(WINDOW_R11)
+    rest = [n for n in WINDOW_R11 if n not in set(WINDOW_R13)]
+    assert len(rest) == 49
+    assert names[50:99] == rest
     latest = _latest_driver_round(max_round=10)
     assert latest, "correctness reports missing from repo root"
     never = [n for n in WINDOW_R11 if n not in latest]
@@ -201,41 +240,50 @@ def test_cumulative_accounting_is_exact():
     assert len(verified) >= 241, len(verified)
     assert len(REGISTRY) >= 243
     unverified = set(REGISTRY) - verified
-    stranded = unverified - set(WINDOW_R11)
+    stranded = unverified - set(WINDOW_R13)
     assert not stranded, f"never-verified rows outside the window: {stranded}"
 
 
-def test_r10_window_remainder_pinned_at_51_94():
+def test_r10_window_remainder_pinned_at_100_143():
     """WINDOW_R11 re-schedules WINDOW_R10's 6 first-timers; the other
-    44 keep their relative order right behind the front window."""
+    44 keep their relative order behind the R11 remainder."""
     names = list(ordered_registry())
     assert len(WINDOW_R10) == 50
-    rest = [n for n in WINDOW_R10 if n not in set(WINDOW_R11)]
+    rest = [n for n in WINDOW_R10
+            if n not in set(WINDOW_R11) | set(WINDOW_R13)]
     assert len(rest) == 44
-    assert names[50:94] == rest
+    assert names[99:143] == rest
 
 
-def test_r9_window_still_pinned_at_95_144():
+def test_r9_window_still_pinned_at_144_193():
     names = list(ordered_registry())
     assert len(WINDOW_R9) == 50
-    assert names[94:144] == list(WINDOW_R9)
+    assert names[143:193] == list(WINDOW_R9)
     assert not set(WINDOW_R9) & set(WINDOW_R10)
     assert not set(WINDOW_R9) & set(WINDOW_R11)
+    assert not set(WINDOW_R9) & set(WINDOW_R13)
 
 
-def test_r8_window_still_pinned_at_145_194():
+def test_r8_window_still_pinned_at_194_243():
     names = list(ordered_registry())
     assert len(WINDOW_R8) == 50
-    assert names[144:194] == list(WINDOW_R8)
+    assert names[193:243] == list(WINDOW_R8)
     assert not set(WINDOW_R8) & set(WINDOW_R9)
     assert not set(WINDOW_R8) & set(WINDOW_R10)
     assert not set(WINDOW_R8) & set(WINDOW_R11)
+    assert not set(WINDOW_R8) & set(WINDOW_R13)
 
 
-def test_r7_window_still_pinned_at_195_244():
+def test_r7_window_remainder_is_three_rows():
+    """WINDOW_R13 re-schedules 47 of WINDOW_R7's rows; the 3 left out
+    keep their relative order at the ordered tail — the next-stalest
+    stratum for the round-14 rotation."""
     names = list(ordered_registry())
     assert len(WINDOW_R7) == 50
-    assert names[194:244] == list(WINDOW_R7)
+    rest = [n for n in WINDOW_R7 if n not in set(WINDOW_R13)]
+    assert rest == ["q_training_corpus_pipeline", "ivf_index_stats",
+                    "q_salted_join"]
+    assert names[243:246] == rest
     assert not set(WINDOW_R7) & set(WINDOW_R11)
     assert not set(WINDOW_R7) & set(WINDOW_R10)
     assert not set(WINDOW_R7) & set(WINDOW_R9)
@@ -243,18 +291,18 @@ def test_r7_window_still_pinned_at_195_244():
     assert not set(WINDOW_R7) & set(WINDOW_R2R5)
 
 
-def test_r6_window_remainder_is_one_row():
-    """WINDOW_R6 is re-scheduled in fresher windows except ONE row
-    (stream_tokenize_equals_batch, displaced from WINDOW_R11 to make
-    room for the fourth round-11 row) — it keeps its slot at the
-    ordered tail, so every registry row stays scheduled somewhere."""
+def test_r6_window_fully_rescheduled():
+    """Every WINDOW_R6 row is re-scheduled in a fresher window —
+    stream_tokenize_equals_batch (the last r6-era straggler) moved
+    into WINDOW_R13, so WINDOW_R6 contributes no ordered remainder
+    and every registry row stays scheduled somewhere."""
     load_all_query_modules()
     names = list(ordered_registry())
     assert len(WINDOW_R6) == 50
     rest = [n for n in WINDOW_R6
-            if n not in set(WINDOW_R10) | set(WINDOW_R11)]
-    assert rest == ["stream_tokenize_equals_batch"]
-    assert names[244:] == rest
+            if n not in set(WINDOW_R10) | set(WINDOW_R11)
+            | set(WINDOW_R13)]
+    assert rest == []
     assert len(names) == len(REGISTRY)
     assert not set(WINDOW_R6) & set(WINDOW_R9)
     assert not set(WINDOW_R6) & set(WINDOW_R2R5)
