@@ -2129,6 +2129,61 @@ def test_scale_defaults_auto_select_boundary():
             0, 0, True, True, "table") == (True, "table")
 
 
+def test_scale_defaults_engage_end_to_end(spark, tmp_path,
+                                          monkeypatch):
+    """The auto-selected scale paths are WIRED, not just resolved
+    (round 13): with the boundaries lowered to toy scale, a default
+    build_pq_sidecar call (no flags) persists the books TABLE (not
+    npz) and routes training through the distributed trainer — and
+    the resulting sidecar searches correctly."""
+    import os
+
+    import numpy as np
+
+    from quake_vector_search_spark.operators import quantization as qz
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.workload import make_dataset
+
+    corpus = make_dataset(spark, 400, d=16, n_clusters=4, seed=11)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_auto"),
+                         coarse_k=4, base_k=2, metric="cosine")
+
+    monkeypatch.setattr(qz, "AUTO_BOOKS_TABLE_CELLS", 2)
+    monkeypatch.setattr(qz, "AUTO_DISTRIBUTED_TRAIN_ROWS", 100)
+    calls = []
+    real = qz.aniso_pq_train_distributed
+
+    def spying(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(qz, "aniso_pq_train_distributed", spying)
+
+    # a LOCAL sidecar with defaults → table format engages
+    import pytest as _pytest
+
+    with _pytest.warns(UserWarning, match="books_format='table'"):
+        qz.build_pq_sidecar(idx, m=4, ksub=16, seed=7,
+                            anisotropic=3.0, residual=True,
+                            local=True, rotate=True)
+    assert qz._books_table_files(idx.version_dir), (
+        "auto-selected table format must persist table files")
+    assert not os.path.exists(os.path.join(idx.version_dir,
+                                           "pq_local_books.npz"))
+    found, _ = qz.knn_ivf_pq(
+        idx, ([1], np.array([idx.centroids[0]])), k=1,
+        target_recall=1.0, max_probe=10**9, oversample=4)
+    assert len(found.collect()) == 1
+
+    # a GLOBAL aniso sidecar with defaults → distributed trainer
+    idx2 = IVFIndex.build(corpus, str(tmp_path / "ivf_auto2"),
+                          coarse_k=4, base_k=2, metric="cosine")
+    with _pytest.warns(UserWarning, match="distributed_train=True"):
+        qz.build_pq_sidecar(idx2, m=4, ksub=16, seed=7,
+                            anisotropic=3.0, residual=True)
+    assert calls, "auto-selected distributed trainer was not invoked"
+
+
 def test_append_refuses_coded_cell_without_books(spark, tmp_path):
     """Product-side books/codes invariant (VERDICT r11 #2): a cell
     that already holds persisted PQ codes but is missing from the
