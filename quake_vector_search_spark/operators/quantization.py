@@ -2155,7 +2155,9 @@ def refresh_pq_sidecar(index, books: np.ndarray | None = None,
             ood_min_explained=float(pm.get("ood_min_explained",
                                            0.05)),
             ood_rebuild_rate=pm.get("ood_rebuild_rate"),
-            books_format=pm.get("books_format", "npz")
+            # a recorded format carries forward exactly; absent
+            # (pre-table-era meta) → None = the scale auto-select
+            books_format=pm.get("books_format")
             if pm.get("local") else "npz")
         return True
     if os.path.exists(prev_meta_path):
@@ -2208,8 +2210,9 @@ def refresh_pq_sidecar(index, books: np.ndarray | None = None,
                                                0.05)),
                              ood_rebuild_rate=prev_meta.get(
                                  "ood_rebuild_rate"),
+                             # recorded format carries; absent → auto
                              books_format=prev_meta.get(
-                                 "books_format", "npz"))
+                                 "books_format"))
             return True
     if books is None:
         # look in the previous version dir (maintain() already bumped)
