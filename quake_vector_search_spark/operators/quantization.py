@@ -1337,7 +1337,8 @@ def _build_aniso_global(index, corpus, m, ksub, seed,
                         ood_min_explained=0.05,
                         ood_rebuild_rate=None,
                         distributed_train=False,
-                        pretrained_books=None):
+                        pretrained_books=None,
+                        distributed_train_intent=None):
     """The GLOBAL-books anisotropic sidecar build (rounds 8-9),
     factored out of build_pq_sidecar when round 10 added the per-cell
     (aniso × LOPQ) variant alongside it. Body unchanged."""
@@ -1409,6 +1410,12 @@ def _build_aniso_global(index, corpus, m, ksub, seed,
                   "rotate": bool(rotate), "seed": int(seed),
                   "anisotropic": float(anisotropic),
                   "ood_min_explained": float(ood_min_explained)}
+        if distributed_train_intent is not None:
+            # EXPLICIT trainer choice carries through maintenance
+            # retrains; auto (no key) re-resolves against the grown
+            # corpus at retrain time
+            meta_g["distributed_train"] = bool(
+                distributed_train_intent)
         if ood_rebuild_rate is not None:
             # persisted maintenance knob (round 11): maintain() reads
             # it to decide when streamed-OOD drift warrants a
@@ -1430,7 +1437,8 @@ AUTO_BOOKS_TABLE_CELLS = 10_000           # npz rewrites whole archive
 
 def _resolve_scale_defaults(n_rows: int, n_cells: int, local: bool,
                             distributed_train: bool | None,
-                            books_format: str | None
+                            books_format: str | None,
+                            trains_global_books: bool = True
                             ) -> tuple[bool, str]:
     """Resolve the two scale-sensitive ``build_pq_sidecar`` knobs when
     the caller left them at ``None`` (= auto). Explicit values are
@@ -1439,12 +1447,17 @@ def _resolve_scale_defaults(n_rows: int, n_cells: int, local: bool,
     represent well (``AUTO_DISTRIBUTED_TRAIN_ROWS``), and the
     append-only parquet books table once a LOCAL sidecar's cell count
     makes npz archive rewrites the dominant append cost
-    (``AUTO_BOOKS_TABLE_CELLS``). Pure function — the boundary is
-    pinned by tests without building threshold-sized indexes."""
+    (``AUTO_BOOKS_TABLE_CELLS``). ``trains_global_books=False``
+    (local/sq8/pretrained flavors — nothing downstream reads the
+    flag) suppresses the distributed auto-select and its advisory: a
+    warning about a trainer that never runs is noise. Pure function —
+    the boundary is pinned by tests without building threshold-sized
+    indexes."""
     import warnings
 
     if distributed_train is None:
-        distributed_train = n_rows >= AUTO_DISTRIBUTED_TRAIN_ROWS
+        distributed_train = (trains_global_books
+                             and n_rows >= AUTO_DISTRIBUTED_TRAIN_ROWS)
         if distributed_train:
             warnings.warn(
                 f"build_pq_sidecar: corpus has {n_rows} rows ≥ "
@@ -1564,11 +1577,17 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
     # values always win. Row/cell counts come from the index's own
     # driver-side bookkeeping — no extra scan. (getattr: the
     # validation-gate tests drive this with a bare fake index.)
+    # The caller's INTENT (None vs explicit) is recorded in pq_meta
+    # so maintenance retrains re-resolve auto against the GROWN
+    # corpus instead of pinning the build-time resolution forever.
+    _dt_intent, _fmt_intent = distributed_train, books_format
     _sizes = getattr(index, "sizes", ())
     distributed_train, books_format = _resolve_scale_defaults(
         int(np.sum(_sizes)) if len(_sizes) else 0,
         len(getattr(index, "part_ids", ())),
-        local, distributed_train, books_format)
+        local, distributed_train, books_format,
+        trains_global_books=(not local and not sq8
+                             and pretrained_books is None))
     if books_format not in ("npz", "table"):
         raise ValueError(f"books_format must be 'npz' or 'table', "
                          f"got {books_format!r}")
@@ -1630,7 +1649,8 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
                                        float(ood_min_explained),
                                        ood_rebuild_rate,
                                        distributed_train,
-                                       pretrained_books)
+                                       pretrained_books,
+                                       _dt_intent)
         # aniso × LOPQ (round 10): per-cell SCORE-AWARE books — falls
         # through to the local branch below, which passes η into
         # train_local_books/_encode_local_sidecar; implies the
@@ -1722,7 +1742,11 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
                                       else (int(max(1, opq_iters))
                                             if rotate else 0)),
                         "cell_sample_n": int(cell_sample_n),
-                        "books_format": books_format}
+                        "books_format": books_format,
+                        # auto intent: maintenance retrains re-run
+                        # the scale auto-select on the grown index
+                        # instead of pinning this build's resolution
+                        "books_format_auto": _fmt_intent is None}
             if anisotropic is not None:
                 meta_loc["anisotropic"] = float(anisotropic)
                 meta_loc["ood_min_explained"] = float(
@@ -1824,8 +1848,13 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
                    ignore_errors=True)
     with open(os.path.join(index.version_dir, "pq_meta.json"),
               "w") as fh:
-        json.dump({"residual": bool(residual), "m": m,
-                   "ksub": int(books.shape[1])}, fh)
+        meta_pl = {"residual": bool(residual), "m": m,
+                   "ksub": int(books.shape[1])}
+        if _dt_intent is not None:
+            # explicit trainer choice carries through retrains;
+            # auto (no key) re-resolves against the grown corpus
+            meta_pl["distributed_train"] = bool(_dt_intent)
+        json.dump(meta_pl, fh)
     return books
 
 
@@ -2155,9 +2184,13 @@ def refresh_pq_sidecar(index, books: np.ndarray | None = None,
             ood_min_explained=float(pm.get("ood_min_explained",
                                            0.05)),
             ood_rebuild_rate=pm.get("ood_rebuild_rate"),
-            # a recorded format carries forward exactly; absent
-            # (pre-table-era meta) → None = the scale auto-select
-            books_format=pm.get("books_format")
+            # EXPLICIT build-time choices carry forward exactly;
+            # auto intent re-resolves against the corpus as it is
+            # NOW (an index that grew past a scale boundary since
+            # the build picks the scale path on retrain)
+            distributed_train=pm.get("distributed_train"),
+            books_format=(None if pm.get("books_format_auto")
+                          else pm.get("books_format"))
             if pm.get("local") else "npz")
         return True
     if os.path.exists(prev_meta_path):
@@ -2210,9 +2243,12 @@ def refresh_pq_sidecar(index, books: np.ndarray | None = None,
                                                0.05)),
                              ood_rebuild_rate=prev_meta.get(
                                  "ood_rebuild_rate"),
-                             # recorded format carries; absent → auto
-                             books_format=prev_meta.get(
-                                 "books_format"))
+                             # explicit format carries; auto intent
+                             # re-resolves on the grown cell count
+                             books_format=(
+                                 None
+                                 if prev_meta.get("books_format_auto")
+                                 else prev_meta.get("books_format")))
             return True
     if books is None:
         # look in the previous version dir (maintain() already bumped)
@@ -2285,6 +2321,12 @@ def refresh_pq_sidecar(index, books: np.ndarray | None = None,
         save_residual_snapshot(index.version_dir, enc_cents)
     meta_out = {"residual": residual, "m": int(books.shape[0]),
                 "ksub": int(books.shape[1])}
+    if os.path.exists(prev_meta_path):
+        # carry an EXPLICIT distributed_train choice across every
+        # carry-books re-encode (auto has no key and re-resolves at
+        # retrain time against the corpus as it is then)
+        if "distributed_train" in _pm:
+            meta_out["distributed_train"] = _pm["distributed_train"]
     if aniso is not None:
         meta_out["anisotropic"] = float(aniso)
         meta_out["rotate"] = rot is not None

@@ -830,6 +830,14 @@ def ingest_stream(index: IVFIndex, vectors_stream: DataFrame,
     The books cache self-invalidates on the version bump (it keys on
     the version dir's sidecar file paths), so post-maintenance
     batches encode against the refreshed books automatically."""
+    if (maintain_every_n_batches is not None
+            and int(maintain_every_n_batches) < 1):
+        # fail at the call site, not as a ZeroDivisionError inside
+        # foreachBatch on the first non-empty batch
+        raise ValueError(
+            "maintain_every_n_batches must be a positive int, got "
+            f"{maintain_every_n_batches!r} (None = caller schedules "
+            "maintenance)")
     id_col, vec_col = index.id_col, index.vec_col
     books_cache: dict = {}
     batch_counter = {"n": 0}

@@ -1931,6 +1931,18 @@ def test_streaming_auto_maintenance_cadence(spark, tmp_path):
     assert hits == len(rows), hits
 
 
+def test_maintain_cadence_rejects_non_positive():
+    """``maintain_every_n_batches`` must fail at the CALL SITE, not
+    as a ZeroDivisionError inside foreachBatch on the first non-empty
+    batch (round 13 review)."""
+    from quake_vector_search_spark.streaming.ingest import ingest_stream
+
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="positive"):
+            ingest_stream(None, None, "ckpt",
+                          maintain_every_n_batches=bad)
+
+
 def test_ood_min_explained_knob_persists_and_binds(spark, tmp_path):
     """The OOD-guard threshold is a PERSISTED product knob (late round
     10): ood_min_explained rides pq_meta.json and the streamed append
@@ -2118,6 +2130,18 @@ def test_scale_defaults_auto_select_boundary():
         0, AUTO_BOOKS_TABLE_CELLS, False, None, None) == (
         False, "npz")
 
+    # flavors that never read the flag (local/sq8/pretrained) don't
+    # auto-select the distributed trainer — no advisory about a
+    # trainer that doesn't run
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert _resolve_scale_defaults(
+            AUTO_DISTRIBUTED_TRAIN_ROWS * 10, AUTO_BOOKS_TABLE_CELLS,
+            True, None, None, trains_global_books=False) == (
+            False, "table")
+        assert len(w) == 1
+        assert "books_format='table'" in str(w[0].message)
+
     # explicit values always win, silently — above the boundary too
     with warnings.catch_warnings():
         warnings.simplefilter("error")
@@ -2182,6 +2206,86 @@ def test_scale_defaults_engage_end_to_end(spark, tmp_path,
         qz.build_pq_sidecar(idx2, m=4, ksub=16, seed=7,
                             anisotropic=3.0, residual=True)
     assert calls, "auto-selected distributed trainer was not invoked"
+
+
+def test_scale_intent_carries_through_maintenance_retrains(
+        spark, tmp_path, monkeypatch):
+    """The scale knobs' INTENT — explicit choice vs auto — survives
+    maintenance (round 13 review): an EXPLICIT distributed_train=True
+    rides pq_meta through carry-books refreshes and binds at the
+    OOD-triggered retrain; an AUTO books_format re-resolves against
+    the index as it is at retrain time, so a local sidecar that GREW
+    past the cell boundary after an npz-era build retrains into the
+    table format instead of pinning npz forever."""
+    import json
+    import os
+
+    import numpy as np
+
+    from quake_vector_search_spark.operators import quantization as qz
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.maintenance import maintain
+    from quake_vector_search_spark.operators.workload import make_dataset
+    from quake_vector_search_spark.streaming.ingest import (
+        _append_pq_codes,
+    )
+
+    corpus = make_dataset(spark, 600, d=16, n_clusters=6, seed=33)
+
+    # --- explicit distributed_train=True on a toy-scale aniso global
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_int"),
+                         coarse_k=4, base_k=2, metric="cosine")
+    calls = []
+    real = qz.aniso_pq_train_distributed
+
+    def spying(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(qz, "aniso_pq_train_distributed", spying)
+    qz.build_pq_sidecar(idx, m=4, ksub=16, seed=7, anisotropic=3.0,
+                        residual=True, rotate=True,
+                        distributed_train=True,
+                        ood_min_explained=0.5, ood_rebuild_rate=0.3)
+    assert calls == [1]
+    with open(os.path.join(idx.version_dir, "pq_meta.json")) as fh:
+        assert json.load(fh)["distributed_train"] is True
+
+    # carry-books maintenance keeps the explicit intent in meta
+    summary = maintain(idx)
+    assert summary["pq_refreshed"] and not summary["pq_retrained"]
+    with open(os.path.join(idx.version_dir, "pq_meta.json")) as fh:
+        assert json.load(fh)["distributed_train"] is True
+
+    # drifted stream trips the knob → the RETRAIN uses the explicit
+    # distributed trainer (toy scale — auto would pick the driver)
+    rng = np.random.default_rng(53)
+    ids = np.arange(96_000, 96_008, dtype=np.int64)
+    vecs = rng.normal(size=(8, 16))
+    pids = idx.insert(ids, vecs)
+    nv = vecs / (np.linalg.norm(vecs, axis=1, keepdims=True) + 1e-12)
+    _append_pq_codes(idx, ids, nv, pids, {})
+    summary2 = maintain(idx, ood_rebuild_min_n=5)
+    assert summary2["pq_retrained"] is True
+    assert calls == [1, 1], "explicit distributed_train must bind "
+    "at the OOD retrain"
+
+    # --- auto books_format re-resolves on the GROWN index
+    idx2 = IVFIndex.build(corpus, str(tmp_path / "ivf_grow"),
+                          coarse_k=4, base_k=2, metric="cosine")
+    qz.build_pq_sidecar(idx2, m=4, ksub=16, seed=7, anisotropic=3.0,
+                        residual=True, local=True, rotate=True)
+    with open(os.path.join(idx2.version_dir, "pq_meta.json")) as fh:
+        m2 = json.load(fh)
+    assert m2["books_format"] == "npz" and m2["books_format_auto"]
+    assert not qz._books_table_files(idx2.version_dir)
+    # the index "grew" past the boundary: retrain picks the table
+    monkeypatch.setattr(qz, "AUTO_BOOKS_TABLE_CELLS", 1)
+    summary3 = maintain(idx2)
+    assert summary3["pq_refreshed"]
+    assert qz._books_table_files(idx2.version_dir), (
+        "auto books_format must re-resolve to 'table' on the grown "
+        "index at the maintenance retrain")
 
 
 def test_append_refuses_coded_cell_without_books(spark, tmp_path):
