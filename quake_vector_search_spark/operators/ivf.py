@@ -69,7 +69,8 @@ class IVFIndex:
                  query_counter: int = 0,
                  tombstones: set[int] | None = None,
                  metric: str = "l2",
-                 calibration: dict | None = None):
+                 calibration: dict | None = None,
+                 maintain_every_n_batches: int | None = None):
         self.spark = spark
         self.metric = metric          # "l2" | "cosine" (unit-normalized)
         self.workdir = workdir
@@ -90,6 +91,16 @@ class IVFIndex:
         # maintenance via invalidate_corpus(); persisted in stats.json
         # so a reloaded index keeps its fit
         self._calibration: dict | None = calibration
+        # streaming self-maintenance cadence (round 13 candidate #5):
+        # first persisted by ingest_stream(maintain_every_n_batches=N)
+        # and carried through every save_meta republish, so a
+        # RESTARTED stream (ingest_stream with the arg left None)
+        # keeps the cadence its index was configured with — the same
+        # contract as ood_rebuild_rate in pq_meta.json. None = the
+        # caller schedules maintenance (the historical default).
+        self.maintain_every_n_batches: int | None = (
+            None if maintain_every_n_batches is None
+            else int(maintain_every_n_batches))
         # lazily-built base corpus DataFrame for the CURRENT file set:
         # spark.read.parquet re-lists files + re-infers schema on every
         # call (hundreds of ms locally, worse with many files) — reuse
@@ -466,6 +477,9 @@ class IVFIndex:
                 # BEFORE the republish, so a saved fit always matches
                 # its corpus
                 "calibration": self._calibration,
+                # streaming cadence knob: rides every republish so a
+                # restarted stream keeps it (see __init__)
+                "maintain_every_n_batches": self.maintain_every_n_batches,
             }, f)
 
     @classmethod
@@ -498,7 +512,9 @@ class IVFIndex:
                                   for k, v in stats["last_split_at"].items()},
                    query_counter=stats["query_counter"],
                    tombstones=set(stats["tombstones"]),
-                   calibration=stats.get("calibration"))
+                   calibration=stats.get("calibration"),
+                   maintain_every_n_batches=stats.get(
+                       "maintain_every_n_batches"))
 
     # ------------------------------------------------------------- read
     def invalidate_corpus(self) -> None:

@@ -1255,3 +1255,109 @@ def stream_auto_maintenance_cadence(spark, sf_dir):
     shutil.rmtree(ckpt, ignore_errors=True)
     shutil.rmtree(vdir, ignore_errors=True)
     return spark.createDataFrame(checks, ["invariant", "value"])
+
+
+@register("stream_maintenance_cadence_restart", sql="""
+SELECT 'explicit_cadence_ran_cycle' AS invariant, CAST(1 AS BIGINT) AS value
+UNION ALL SELECT 'knob_persisted_in_stats', 1
+UNION ALL SELECT 'reloaded_handle_carries_knob', 1
+UNION ALL SELECT 'restarted_stream_resumed_cadence', 1
+UNION ALL SELECT 'explicit_off_clears_knob', 1
+UNION ALL SELECT 'cleared_stream_schedules_nothing', 1
+""")
+def stream_maintenance_cadence_restart(spark, sf_dir):
+    """Persisted streaming-maintenance cadence (round 13, continuity
+    note #5 — the knob twin of ``ood_rebuild_rate``): an explicit
+    ``ingest_stream(maintain_every_n_batches=N)`` records N in the
+    index's stats.json (riding every ``save_meta`` republish), so a
+    RESTARTED stream — ``IVFIndex.load`` on the workdir, then
+    ``ingest_stream`` with the arg left ``None`` — resumes the cadence
+    the index was configured with, no operator re-passing config on
+    every deploy. ``set_maintenance_cadence(idx, None)`` is the
+    explicit off. Reference parity: the driver's every-50-queries
+    ``maintain()`` loop (QUAKE_working_demo.ipynb c2:80-81) is driver
+    -process state; at cluster scale the cadence must live WITH the
+    index so any worker that re-attaches the stream keeps it.
+    Invariants: the explicit-cadence stream ran one cycle per N
+    batches; the knob landed in stats.json; a fresh ``load`` carries
+    it; a None-arg re-attach resumed the cycle; clearing works and a
+    cleared index schedules nothing."""
+    import json
+    import uuid
+
+    import numpy as np
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.streaming.ingest import (
+        ingest_stream,
+        set_maintenance_cadence,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    run = uuid.uuid4().hex[:8]
+    workdir = f"/tmp/qvss_cadr_idx_{os.getpid()}_{run}"
+    base = f"/tmp/qvss_cadr_{os.getpid()}_{run}"
+    idx = IVFIndex.build(emb, workdir, coarse_k=4, base_k=2)
+    d = len(idx.centroids[0])
+
+    rng = np.random.default_rng(41)
+
+    def feed(tag: str, ids: list[int]):
+        vdir = os.path.join(base, f"vecs_{tag}")
+        os.makedirs(vdir, exist_ok=True)
+        for i in ids:   # one file per row -> one micro-batch per row
+            row = (int(i), rng.normal(size=d).astype(float).tolist())
+            (spark.createDataFrame([row], "vec_id long, "
+                                         "embedding array<float>")
+             .coalesce(1).write.mode("append").parquet(vdir))
+        return (spark.readStream
+                .schema("vec_id long, embedding array<float>")
+                .option("maxFilesPerTrigger", 1).parquet(vdir))
+
+    def drain(q):
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # explicit cadence=2 over 2 single-row batches -> exactly 1 cycle
+    v0 = idx.version
+    drain(ingest_stream(idx, feed("a", [13_500_000, 13_500_001]),
+                        os.path.join(base, "ckpt_a"), encode_pq=False,
+                        maintain_every_n_batches=2))
+    ran_cycle = idx.version == v0 + 1
+    with open(os.path.join(idx.version_dir, "stats.json")) as fh:
+        persisted = json.load(fh).get("maintain_every_n_batches") == 2
+
+    # restart: fresh handle from disk carries the knob, and a re-
+    # attached stream with the arg left None resumes the cadence
+    idx2 = IVFIndex.load(spark, workdir)
+    carried = idx2.maintain_every_n_batches == 2
+    v1 = idx2.version
+    drain(ingest_stream(idx2, feed("b", [13_500_002, 13_500_003]),
+                        os.path.join(base, "ckpt_b"),
+                        encode_pq=False))
+    resumed = idx2.version == v1 + 1
+
+    # explicit off: clears the persisted knob; a third None-arg
+    # stream schedules nothing
+    set_maintenance_cadence(idx2, None)
+    cleared = (IVFIndex.load(spark, workdir).maintain_every_n_batches
+               is None)
+    v2 = idx2.version
+    drain(ingest_stream(idx2, feed("c", [13_500_004, 13_500_005]),
+                        os.path.join(base, "ckpt_c"),
+                        encode_pq=False))
+    off = idx2.version == v2
+
+    checks = [
+        ("explicit_cadence_ran_cycle", int(ran_cycle)),
+        ("knob_persisted_in_stats", int(persisted)),
+        ("reloaded_handle_carries_knob", int(carried)),
+        ("restarted_stream_resumed_cadence", int(resumed)),
+        ("explicit_off_clears_knob", int(cleared)),
+        ("cleared_stream_schedules_nothing", int(off)),
+    ]
+    shutil.rmtree(workdir, ignore_errors=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(checks, ["invariant", "value"])

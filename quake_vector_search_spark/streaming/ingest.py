@@ -795,6 +795,20 @@ def _append_pq_codes_distributed(index: IVFIndex, routed: DataFrame,
     return "done"
 
 
+def set_maintenance_cadence(index: IVFIndex, n: int | None) -> None:
+    """Record (``n`` ≥ 1) or clear (``n=None``) the persisted
+    streaming self-maintenance cadence on the index. ``ingest_stream``
+    records an explicit cadence itself; this is the explicit-off / out
+    -of-band knob editor (the stats.json twin of setting
+    ``ood_rebuild_rate`` at sidecar build)."""
+    if n is not None and int(n) < 1:
+        raise ValueError(
+            f"maintenance cadence must be a positive int or None, "
+            f"got {n!r}")
+    index.maintain_every_n_batches = None if n is None else int(n)
+    index.save_meta()
+
+
 def ingest_stream(index: IVFIndex, vectors_stream: DataFrame,
                   checkpoint_dir: str, encode_pq: bool = True,
                   distributed_threshold: int | None = None,
@@ -829,7 +843,18 @@ def ingest_stream(index: IVFIndex, vectors_stream: DataFrame,
     keeps the historical behavior (caller schedules maintenance).
     The books cache self-invalidates on the version bump (it keys on
     the version dir's sidecar file paths), so post-maintenance
-    batches encode against the refreshed books automatically."""
+    batches encode against the refreshed books automatically.
+
+    The cadence is a PERSISTED index knob (round 13, continuity note
+    #5): an explicit ``maintain_every_n_batches`` is recorded in the
+    index's stats.json (riding every ``save_meta`` republish, like
+    ``ood_rebuild_rate`` rides pq_meta.json), and a later
+    ``ingest_stream`` call that leaves the arg ``None`` — e.g. a
+    restarted stream re-attaching after ``IVFIndex.load`` — resumes
+    that cadence without the caller re-passing it. Only an explicit
+    value writes; ``None`` reads. There is no "explicit off": pass
+    the index through ``set_maintenance_cadence(index, None)`` to
+    clear a recorded cadence."""
     if (maintain_every_n_batches is not None
             and int(maintain_every_n_batches) < 1):
         # fail at the call site, not as a ZeroDivisionError inside
@@ -838,6 +863,16 @@ def ingest_stream(index: IVFIndex, vectors_stream: DataFrame,
             "maintain_every_n_batches must be a positive int, got "
             f"{maintain_every_n_batches!r} (None = caller schedules "
             "maintenance)")
+    if maintain_every_n_batches is None:
+        # resume the cadence the index was configured with (persisted
+        # by a previous ingest_stream on this workdir)
+        maintain_every_n_batches = index.maintain_every_n_batches
+    elif (int(maintain_every_n_batches)
+          != index.maintain_every_n_batches):
+        # record the knob on the CURRENT version so a restart resumes
+        # it; save_meta is metadata-scale (centroid tables + stats)
+        index.maintain_every_n_batches = int(maintain_every_n_batches)
+        index.save_meta()
     id_col, vec_col = index.id_col, index.vec_col
     books_cache: dict = {}
     batch_counter = {"n": 0}

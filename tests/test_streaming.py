@@ -1931,6 +1931,82 @@ def test_streaming_auto_maintenance_cadence(spark, tmp_path):
     assert hits == len(rows), hits
 
 
+def test_maintenance_cadence_persists_across_restart(spark, tmp_path):
+    """The cadence is a PERSISTED index knob (round 13 continuity #5):
+    an explicit ``maintain_every_n_batches`` rides stats.json, a
+    RESTARTED stream — ``IVFIndex.load`` + ``ingest_stream`` with the
+    arg left None — resumes it without the caller re-passing it, and
+    ``set_maintenance_cadence(idx, None)`` is the explicit off."""
+    import os
+
+    import numpy as np
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.workload import make_dataset
+    from quake_vector_search_spark.streaming.ingest import (
+        ingest_stream,
+        set_maintenance_cadence,
+    )
+
+    corpus = make_dataset(spark, 200, d=8, n_clusters=4, seed=11)
+    workdir = str(tmp_path / "ivf_cadp")
+    idx = IVFIndex.build(corpus, workdir, coarse_k=2, base_k=2)
+
+    rng = np.random.default_rng(17)
+
+    def feed(tag: str, ids: range) -> "DataFrame":
+        vdir = str(tmp_path / f"vecs_{tag}")
+        os.makedirs(vdir, exist_ok=True)
+        for i in ids:    # one file per row → one micro-batch per row
+            row = (int(i), rng.normal(size=8).astype(float).tolist())
+            (spark.createDataFrame([row], "vec_id long, "
+                                         "embedding array<float>")
+             .coalesce(1).write.mode("append").parquet(vdir))
+        return (spark.readStream
+                .schema("vec_id long, embedding array<float>")
+                .option("maxFilesPerTrigger", 1).parquet(vdir))
+
+    # stream 1: explicit cadence=2 over 2 batches → exactly 1 cycle
+    v0 = idx.version
+    q = ingest_stream(idx, feed("a", range(70_000, 70_002)),
+                      str(tmp_path / "ckpt_a"), encode_pq=False,
+                      maintain_every_n_batches=2)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert idx.version == v0 + 1
+
+    # restart: a fresh handle from disk carries the knob...
+    idx2 = IVFIndex.load(spark, workdir)
+    assert idx2.maintain_every_n_batches == 2
+    # ...and a re-attached stream with the arg left None resumes it
+    v1 = idx2.version
+    q = ingest_stream(idx2, feed("b", range(70_002, 70_004)),
+                      str(tmp_path / "ckpt_b"), encode_pq=False)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert idx2.version == v1 + 1
+
+    # explicit off: clears the persisted knob; a third stream with the
+    # arg left None schedules nothing
+    set_maintenance_cadence(idx2, None)
+    assert IVFIndex.load(spark, workdir).maintain_every_n_batches is None
+    v2 = idx2.version
+    q = ingest_stream(idx2, feed("c", range(70_004, 70_006)),
+                      str(tmp_path / "ckpt_c"), encode_pq=False)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert idx2.version == v2
+
+    with pytest.raises(ValueError, match="positive"):
+        set_maintenance_cadence(idx2, 0)
+
+
 def test_maintain_cadence_rejects_non_positive():
     """``maintain_every_n_batches`` must fail at the CALL SITE, not
     as a ZeroDivisionError inside foreachBatch on the first non-empty
