@@ -1376,10 +1376,16 @@ def _build_aniso_global(index, corpus, m, ksub, seed,
                         ood_rebuild_rate=None,
                         distributed_train=False,
                         pretrained_books=None,
-                        distributed_train_intent=None):
+                        distributed_train_intent=None,
+                        opq_iters=0):
     """The GLOBAL-books anisotropic sidecar build (rounds 8-9),
     factored out of build_pq_sidecar when round 10 added the per-cell
-    (aniso × LOPQ) variant alongside it. Body unchanged."""
+    (aniso × LOPQ) variant alongside it. ``opq_iters > 0`` (round 13)
+    replaces the one-shot PCA rotation with the SCORE-AWARE iterative
+    OPQ alternation (``aniso_opq_refine_local`` — eigalloc init, then
+    aniso-books ↔ MM-Procrustes rounds); the refined rotation
+    persists in the standard pq_rotation.npz, so the ADC/query/
+    streaming sides are unchanged."""
     import json
     import os
 
@@ -1391,7 +1397,21 @@ def _build_aniso_global(index, corpus, m, ksub, seed,
                      for i, p in enumerate(index.part_ids)}
         enc_src = _residual_corpus(index, corpus, enc_cents)
     rot = None
-    if rotate:
+    joint_books = None
+    if rotate and opq_iters:
+        # joint rotation+books refinement on the bounded driver
+        # sample (a d×d rotation needs a representative sample, not
+        # the corpus — the same argument as the coarse quantizer)
+        Xs, Xhs = _aniso_sample(enc_src, index.vec_col, seed,
+                                25_000, enc_cents)
+        model = aniso_opq_refine_local(Xs, Xhs, m=m, ksub=ksub,
+                                       eta=float(anisotropic),
+                                       opq_iters=int(opq_iters),
+                                       seed=seed)
+        rot = {"mean": model["mean"],
+               "components": model["components"]}
+        joint_books = model["books"]
+    elif rotate:
         # OPQ non-parametric init fitted on the ENCODE source
         # (residuals when residual=True — their distribution is
         # what the books will model), same as the plain flavors
@@ -1405,11 +1425,19 @@ def _build_aniso_global(index, corpus, m, ksub, seed,
         books = pretrained_books
     elif distributed_train:
         # round 11 (VERDICT r10 #4): sample and alternations stay
-        # distributed — no driver-memory bound on the training sample
+        # distributed — no driver-memory bound on the training sample.
+        # With opq_iters the REFINED rotation (broadcast-scale,
+        # sample-fitted above) is held fixed and the books retrain
+        # distributed in its space — the loss transport is exact for
+        # any orthogonal R, refined or PCA.
         books = aniso_pq_train_distributed(
             enc_src, m=m, ksub=ksub, eta=float(anisotropic),
             seed=seed, vec_col=index.vec_col,
             cents=enc_cents, rot=rot)
+    elif joint_books is not None:
+        # the joint refinement already trained books on the same
+        # bounded sample aniso_pq_train would draw
+        books = joint_books
     else:
         books = aniso_pq_train(enc_src, m=m, ksub=ksub,
                                eta=float(anisotropic), seed=seed,
@@ -1448,6 +1476,11 @@ def _build_aniso_global(index, corpus, m, ksub, seed,
                   "rotate": bool(rotate), "seed": int(seed),
                   "anisotropic": float(anisotropic),
                   "ood_min_explained": float(ood_min_explained)}
+        if opq_iters:
+            # maintenance retrains re-read this and re-run the
+            # score-aware alternation (refresh_pq_sidecar passes
+            # pm["opq_iters"] back into build_pq_sidecar)
+            meta_g["opq_iters"] = int(opq_iters)
         if distributed_train_intent is not None:
             # EXPLICIT trainer choice carries through maintenance
             # retrains; auto (no key) re-resolves against the grown
@@ -1659,18 +1692,29 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
         # ``(v − mean) @ Rᵀ`` with direction x̂ @ Rᵀ minimizes the
         # original-space loss (see aniso_pq_train). The persisted
         # format is the standard pq_rotation.npz, so the ADC/query
-        # side is unchanged. local/sq8/opq_iters remain explicit
-        # errors: per-cell books need per-cell score-aware training,
-        # and iterative OPQ's inner alternation trains plain-loss
-        # books.
-        if sq8 or opq_iters:
+        # side is unchanged. ``opq_iters`` (round 13) now composes on
+        # the GLOBAL rotated flavor too: aniso_opq_refine_local
+        # alternates score-aware books with an MM-Procrustes rotation
+        # update that descends the anisotropic loss itself — the
+        # "score-aware Procrustes step" the old refusal named as
+        # missing. sq8 stays an explicit error, and opq_iters × local
+        # stays one (per-cell iterative refinement would run the
+        # alternation inside every grouped-map task — unimplemented,
+        # eigalloc init remains each cell's rotation).
+        if sq8:
             raise ValueError(
-                "anisotropic composes with residual=, rotate= and "
-                "local= (round 10, incl. local+rotate: per-cell "
-                "eigalloc rotations) — but not sq8, and not "
-                "opq_iters (the iterative OPQ alternation trains "
-                "plain-loss books in a geometry the score-aware loss "
-                "hasn't been transported to)")
+                "anisotropic composes with residual=, rotate=, "
+                "local= and opq_iters (global rotate) — but not "
+                "sq8: a scalar quantizer has no codebooks for the "
+                "score-aware alternation to train")
+        if opq_iters and (local or not rotate):
+            raise ValueError(
+                "anisotropic × opq_iters requires the GLOBAL rotated "
+                "flavor (rotate=True, local=False): the score-aware "
+                "Procrustes alternation refines ONE rotation against "
+                "global books; per-cell iterative refinement is not "
+                "implemented (per-cell rotations keep the eigalloc "
+                "init)")
         if index.metric != "cosine":
             raise ValueError(
                 "anisotropic sidecars require a cosine index: on "
@@ -1688,7 +1732,8 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
                                        ood_rebuild_rate,
                                        distributed_train,
                                        pretrained_books,
-                                       _dt_intent)
+                                       _dt_intent,
+                                       opq_iters=int(opq_iters))
         # aniso × LOPQ (round 10): per-cell SCORE-AWARE books — falls
         # through to the local branch below, which passes η into
         # train_local_books/_encode_local_sidecar; implies the
@@ -2372,7 +2417,7 @@ def refresh_pq_sidecar(index, books: np.ndarray | None = None,
             _pm.get("ood_min_explained", 0.05))
         # carry the retrain hyperparams/knobs across re-encodes so a
         # later OOD-triggered rebuild reproduces the original build
-        for k in ("seed", "ood_rebuild_rate"):
+        for k in ("seed", "ood_rebuild_rate", "opq_iters"):
             if k in _pm:
                 meta_out[k] = _pm[k]
     with open(os.path.join(index.version_dir, "pq_meta.json"),
@@ -2723,6 +2768,120 @@ def _aniso_train_local(X: np.ndarray, Xh: np.ndarray | None,
     return books
 
 
+def _aniso_sample(corpus_df: DataFrame, vec_col: str, seed: int,
+                  sample_n: int, cents: dict | None
+                  ) -> tuple[np.ndarray, np.ndarray | None]:
+    """Bounded xxhash64-seeded driver sample for the anisotropic
+    trainers: encode-space rows X plus their score-parallel unit
+    directions Xh. With ``cents`` (the residual composition) the
+    sampled rows are RESIDUALS and the direction is the ORIGINAL
+    vector x = r + c_p (unit on cosine indexes), reconstructed from
+    the row's own partition — so the sample carries partition_id
+    along. Without it, Xh is None (callers normalize X on demand)."""
+    from quake_vector_search_spark.operators.kmeans import (
+        _seeded_sample,
+    )
+
+    id_col = _infer_id_col(corpus_df)
+    if cents is not None:
+        rows = (corpus_df.select(id_col, vec_col, "partition_id")
+                .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+                .limit(sample_n).collect())
+        X = np.array([r_[vec_col] for r_ in rows], dtype=np.float64)
+        pid_s = np.array([r_["partition_id"] for r_ in rows],
+                         dtype=np.int64)
+        orig = X + np.stack([cents[int(p)] for p in pid_s])
+        Xh = orig / np.maximum(
+            np.linalg.norm(orig, axis=1, keepdims=True), 1e-12)
+        return X, Xh
+    _, X = _seeded_sample(corpus_df, vec_col, id_col, sample_n, seed)
+    return X, None
+
+
+def aniso_opq_refine_local(X: np.ndarray, Xh: np.ndarray | None,
+                           m: int, ksub: int, eta: float,
+                           opq_iters: int = 3, alts: int = 2,
+                           kmeans_iters: int = 8, cd_passes: int = 2,
+                           mm_steps: int = 2, seed: int = 99) -> dict:
+    """Score-aware OPQ (round 13 — closes the aniso × opq_iters
+    refusal): jointly refine an orthogonal rotation AND anisotropic
+    codebooks against the anisotropic loss itself, alternating
+
+      1. score-aware books in the current rotated space
+         (``_aniso_train_local`` — Guo et al., ICML'20) and their
+         coordinate-descent assignment, then
+      2. a SCORE-AWARE Procrustes rotation update (the step iterative
+         OPQ was missing under η): for fixed codes/books, descend
+
+           f(R) = Σᵢ ‖eᵢ‖² + (η−1)(eᵢᵀx̂ᵢ)² ,  eᵢ = zᵢ − ŷᵢR
+
+         over orthogonal R. The (η−1) term breaks the classic SVD
+         solution (per-sample weights Wᵢ = I + (η−1)x̂ᵢx̂ᵢᵀ don't
+         factor out), so the update is majorize-minimize: since
+         ηI − Wᵢ = (η−1)(I − x̂ᵢx̂ᵢᵀ) ⪰ 0, the concave part is
+         linearized at the current error e⁰ᵢ, giving the surrogate
+
+           f(R) ≤ Σᵢ η‖zᵢ − ŷᵢR‖² − 2uᵢᵀ(zᵢ − ŷᵢR) + const,
+           uᵢ = (η−1)(e⁰ᵢ − (e⁰ᵢᵀx̂ᵢ)x̂ᵢ)
+
+         whose orthogonal minimizer IS a Procrustes problem:
+         R = ŪV̄ᵀ from the SVD of M = Ŷᵀ(ηZ − U). Each MM step
+         monotonically non-increases f for the fixed codes; at η=1,
+         u = 0 and M = ŶᵀZ — exactly the plain OPQ update
+         (``opq_refine_local``, Ge et al., CVPR'13).
+
+    Driver-side on the bounded sample like every trainer here.
+    Seeded Lloyd's restarts make per-iteration loss non-monotone
+    across alternations (same caveat as ``opq_refine_local``), so
+    the running BEST (rotation, books) by measured original-space
+    anisotropic loss is returned — the refinement can only match or
+    beat the eigenvalue-allocation init that the non-iterative
+    rotate flavor uses. Returns {"mean", "components", "books",
+    "losses", "best_loss"}; ``losses[0]`` is the init's loss."""
+    X = np.asarray(X, dtype=np.float64)
+    n, d = X.shape
+    if Xh is None:
+        Xh = X / np.maximum(
+            np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    else:
+        Xh = np.asarray(Xh, dtype=np.float64)
+    mean, R = _eigalloc_rotation(X, m)
+    Z = X - mean
+
+    best = None
+    losses = []
+    for _ in range(max(1, opq_iters)):
+        Y = Z @ R.T
+        XhR = Xh @ R.T          # unit-norm preserved (R orthogonal)
+        books = _aniso_train_local(Y, XhR, m=m, ksub=ksub, eta=eta,
+                                   alts=alts,
+                                   kmeans_iters=kmeans_iters,
+                                   cd_passes=cd_passes, seed=seed)
+        codes = _aniso_encode_local(Y, books, eta, passes=cd_passes,
+                                    dirs=XhR)
+        mm = books.shape[0]
+        Yhat = np.concatenate([books[j][codes[:, j]]
+                               for j in range(mm)], axis=1)
+        # original-space anisotropic loss (e_orig = e_rot @ R exactly
+        # for orthogonal R — same transport as aniso_pq_train)
+        E = Z - Yhat @ R
+        t = (E * Xh).sum(axis=1)
+        loss = float(((E ** 2).sum() + (eta - 1.0) * (t ** 2).sum())
+                     / n)
+        losses.append(loss)
+        if best is None or loss < best[0]:
+            best = (loss, R.copy(), books.copy())
+        for _ in range(max(1, mm_steps)):
+            E0 = Z - Yhat @ R
+            U_mat = (eta - 1.0) * (
+                E0 - (E0 * Xh).sum(axis=1, keepdims=True) * Xh)
+            M = Yhat.T @ (eta * Z - U_mat)
+            Us, _s, Vt = np.linalg.svd(M)
+            R = Us @ Vt
+    return {"mean": mean, "components": best[1], "books": best[2],
+            "losses": losses, "best_loss": best[0]}
+
+
 def aniso_pq_train(corpus_df: DataFrame, m: int = 8, ksub: int = 256,
                    eta: float = 3.0, alts: int = 3,
                    kmeans_iters: int = 8, cd_passes: int = 2,
@@ -2753,28 +2912,7 @@ def aniso_pq_train(corpus_df: DataFrame, m: int = 8, ksub: int = 256,
     anisotropic loss in the rotated space with direction x̂ @ Rᵀ IS
     the original-space loss, no approximation. Composes with
     ``cents`` (rotated residuals, original-vector direction)."""
-    from quake_vector_search_spark.operators.kmeans import (
-        _seeded_sample, local_kmeans)
-
-    id_col = _infer_id_col(corpus_df)
-    if cents is not None:
-        # residual composition: the sampled rows are RESIDUALS; the
-        # score-parallel direction is the ORIGINAL vector x = r + c_p
-        # (unit on cosine indexes), reconstructed from the row's own
-        # partition — so the sample carries partition_id along
-        rows = (corpus_df.select(id_col, vec_col, "partition_id")
-                .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
-                .limit(sample_n).collect())
-        X = np.array([r_[vec_col] for r_ in rows], dtype=np.float64)
-        pid_s = np.array([r_["partition_id"] for r_ in rows],
-                         dtype=np.int64)
-        orig = X + np.stack([cents[int(p)] for p in pid_s])
-        Xh = orig / np.maximum(
-            np.linalg.norm(orig, axis=1, keepdims=True), 1e-12)
-    else:
-        _, X = _seeded_sample(corpus_df, vec_col, id_col, sample_n,
-                              seed)
-        Xh = None
+    X, Xh = _aniso_sample(corpus_df, vec_col, seed, sample_n, cents)
     if rot is not None:
         if Xh is None:
             Xh = X / np.maximum(

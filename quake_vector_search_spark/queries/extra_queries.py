@@ -5577,3 +5577,93 @@ def ivf_lopq_table_fullprobe(spark, sf_dir):
               .localCheckpoint())
     shutil.rmtree(wd, ignore_errors=True)
     return res_df
+
+
+@register("ivf_aniso_opq_fullprobe", sql="""
+-- same brute-force-cosine oracle as every cosine fullprobe row:
+-- fullprobe + exact rerank must equal exact search no matter how the
+-- candidate codes were assigned — this row pins the SCORE-AWARE
+-- ITERATIVE-OPQ composition (round 13: anisotropic x rotated x
+-- residual with opq_iters > 0, the jointly refined rotation via the
+-- MM-Procrustes alternation) end to end
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qd
+  FROM embeddings WHERE vec_id < 5
+), qn AS (
+  SELECT query_id,
+         list_transform(qd, x -> x /
+           (sqrt(list_inner_product(qd, qd)) + 1e-12)) AS qv
+  FROM q
+), c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cd FROM embeddings
+), cn AS (
+  SELECT vec_id,
+         list_transform(cd, x -> CAST(CAST(x /
+           (sqrt(list_inner_product(cd, cd)) + 1e-12) AS REAL)
+           AS DOUBLE)) AS cv
+  FROM c
+), d AS (
+  SELECT qn.query_id, cn.vec_id, list_distance(cn.cv, qn.qv) AS dist
+  FROM cn CROSS JOIN qn
+), r AS (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist ASC, vec_id ASC) AS rank
+  FROM d
+)
+SELECT query_id, vec_id, ROUND(1 - dist * dist / 2, 6) AS sim,
+       CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 10
+""")
+def ivf_aniso_opq_fullprobe(spark, sf_dir):
+    """ANISOTROPIC × ITERATIVE OPQ (round 13 — closes the build
+    gate's last rotation refusal): ``build_pq_sidecar(anisotropic=η,
+    rotate=True, residual=True, opq_iters=N)`` refines the rotation
+    AND the score-aware books jointly against the anisotropic loss
+    itself — ``aniso_opq_refine_local`` alternates score-aware books
+    (Guo et al., ICML'20) with a majorize-minimize Procrustes update
+    (the SVD solution of the linearized surrogate; at η=1 it IS
+    Ge et al.'s iterative OPQ), returning the best measured
+    configuration, which can only match or beat the one-shot
+    eigenvalue-allocation rotation the non-iterative flavor uses.
+    The refined rotation ships in the standard pq_rotation.npz, so
+    ADC, streaming appends, and maintenance carry/retrain paths are
+    unchanged (pq_meta additionally records opq_iters so OOD-
+    triggered retrains re-run the alternation). Full probe +
+    corpus-scaled oversample → exact rerank equals brute-force cosine
+    (the oracle)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as FF
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+        knn_ivf_pq,
+    )
+
+    if sf_dir not in _ANISO_OPQ_IVF_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        wd = os.path.join(f"/tmp/qvss_ivf_aniopq_{os.getpid()}",
+                          sf_dir.strip("/").replace("/", "_"))
+        shutil.rmtree(wd, ignore_errors=True)
+        idx = IVFIndex.build(emb, wd, coarse_k=16, base_k=4,
+                             metric="cosine")
+        books = build_pq_sidecar(idx, m=8, ksub=256, seed=99,
+                                 anisotropic=3.0, residual=True,
+                                 rotate=True, opq_iters=2)
+        _ANISO_OPQ_IVF_CACHE[sf_dir] = (idx, books)
+    idx, books = _ANISO_OPQ_IVF_CACHE[sf_dir]
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5) \
+                 .withColumnRenamed("vec_id", "query_id")
+    n = emb.count()
+    out, _meta = knn_ivf_pq(idx, queries, k=10, target_recall=1.0,
+                            max_probe=1_000_000_000,
+                            oversample=max(16, -(-n // 20)),
+                            books=books)
+    return out.withColumn("sim", FF.round("sim", 6))
+
+
+_ANISO_OPQ_IVF_CACHE: dict = {}

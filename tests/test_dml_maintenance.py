@@ -1041,3 +1041,89 @@ def test_maintenance_retrains_aniso_lopq_sidecar(spark, tmp_path):
     want = _aniso_encode_local(r[None, :], books2[pid], 3.0,
                                dirs=d[None, :])[0]
     assert list(row[0]["pq_codes"]) == [int(c) for c in want]
+
+
+def test_aniso_opq_sidecar_end_to_end(spark, tmp_path):
+    """aniso × opq_iters (round 13 — the GLOBAL score-aware OPQ
+    alternation, closing the old refusal): build the full
+    anisotropic × rotated × residual composition with the jointly
+    refined rotation, and pin (1) fullprobe + exact rerank ≡ exact
+    search, (2) pq_meta records opq_iters, (3) a maintenance
+    republish carries books, rotation AND the knob (so a later
+    OOD-triggered retrain re-runs the alternation), with accuracy
+    holding on the new layout."""
+    import json
+    import os
+
+    from quake_vector_search_spark.operators.evaluation import avg_recall
+    from quake_vector_search_spark.operators.knn import knn_bruteforce
+    from quake_vector_search_spark.operators.maintenance import maintain
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+        knn_ivf_pq,
+    )
+    from quake_vector_search_spark.operators.workload import make_dataset
+
+    corpus = make_dataset(spark, 800, d=16, n_clusters=10, seed=5)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_aopq"),
+                         coarse_k=4, base_k=2, metric="cosine")
+    build_pq_sidecar(idx, m=4, ksub=32, seed=99, anisotropic=3.0,
+                     residual=True, rotate=True, opq_iters=2)
+    with open(os.path.join(idx.version_dir, "pq_meta.json")) as fh:
+        meta = json.load(fh)
+    assert meta["anisotropic"] == 3.0 and meta["rotate"]
+    assert meta["opq_iters"] == 2
+    assert os.path.exists(os.path.join(idx.version_dir,
+                                       "pq_rotation.npz"))
+
+    rows = corpus.where("vec_id < 5").collect()
+    qmat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    # cosine: the built corpus is unit-normalized and knn_ivf_pq
+    # normalizes queries itself, so the exact-L2 oracle must rank
+    # with normalized queries too
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qids = np.arange(5)
+    exact = knn_bruteforce(idx.read_corpus(), (qids, qmat),
+                           k=5).localCheckpoint()
+    found, _ = knn_ivf_pq(idx, (qids, qmat), k=5, target_recall=1.0,
+                          max_probe=64, oversample=40)
+    assert avg_recall(found, exact, 5) >= 0.95
+
+    # maintenance republish: global aniso books + rotation + knobs
+    # all carry (the rotation models the residual distribution, not
+    # the layout)
+    rng = np.random.default_rng(2)
+    idx.insert([21_000], rng.normal(size=(1, 16)), refresh=False)
+    maintain(idx, split_size=48, merge_size=0)
+    with open(os.path.join(idx.version_dir, "pq_meta.json")) as fh:
+        meta2 = json.load(fh)
+    assert meta2["anisotropic"] == 3.0 and meta2["rotate"]
+    assert meta2["opq_iters"] == 2
+    exact2 = knn_bruteforce(idx.read_corpus(), (qids, qmat),
+                            k=5).localCheckpoint()
+    found2, _ = knn_ivf_pq(idx, (qids, qmat), k=5, target_recall=1.0,
+                           max_probe=64, oversample=40)
+    assert avg_recall(found2, exact2, 5) >= 0.95
+
+
+def test_aniso_opq_requires_global_rotate():
+    """The narrowed aniso gates (round 13): sq8 still refuses under
+    η; opq_iters under η refuses for local and for unrotated global —
+    the score-aware Procrustes alternation refines ONE global
+    rotation."""
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+    )
+
+    class _FakeIdx:
+        metric = "cosine"
+
+        def read_corpus(self):
+            return None
+
+    with pytest.raises(ValueError, match="sq8"):
+        build_pq_sidecar(_FakeIdx(), m=4, ksub=16, anisotropic=3.0,
+                         sq8=True)
+    with pytest.raises(ValueError, match="GLOBAL rotated"):
+        build_pq_sidecar(_FakeIdx(), m=4, ksub=16, anisotropic=3.0,
+                         residual=True, rotate=False, opq_iters=2)

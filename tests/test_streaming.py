@@ -1197,9 +1197,10 @@ def test_streaming_ingest_into_aniso_lopq_sidecar(spark, tmp_path):
 
 def test_aniso_lopq_gate():
     """The aniso × LOPQ gate (round 10): per-cell training requires
-    the centroid snapshot (the direction rule needs c_p); sq8 and
-    opq_iters remain explicit refusals with anisotropic at the build
-    level — no silent plain-loss books in an untransported geometry.
+    the centroid snapshot (the direction rule needs c_p); sq8 stays
+    an explicit refusal, and opq_iters × LOCAL stays one (round 13
+    added the GLOBAL score-aware alternation — per-cell iterative
+    refinement remains unimplemented, cells keep the eigalloc init).
     (Per-cell eigalloc ROTATIONS compose since late round 10.)"""
     import pytest as _pytest
 

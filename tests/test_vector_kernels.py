@@ -1113,3 +1113,116 @@ def test_aniso_lopq_beats_plain_lopq_on_cosine(spark, tmp_path):
     # too (measured 0.925 vs 0.802 at authoring time)
     r_rot = cand_recall(anisotropic=3.0, rotate=True)
     assert r_rot > r_plain, (r_rot, r_plain)
+
+
+def test_aniso_opq_refine_reduces_to_plain_at_eta_one():
+    """``aniso_opq_refine_local`` at η=1 IS iterative OPQ: the
+    score-aware books trainer returns plain Lloyd's books, coordinate
+    descent returns the plain per-chunk argmin, and the MM-Procrustes
+    surrogate collapses to the classic SVD update (u = 0, M = ŶᵀZ) —
+    so the refined rotation and books must equal
+    ``opq_refine_local``'s bit for bit given the same seed."""
+    import numpy as np
+
+    from quake_vector_search_spark.operators.quantization import (
+        aniso_opq_refine_local,
+        opq_refine_local,
+    )
+
+    rng = np.random.RandomState(23)
+    Z = rng.randn(1500, 4)
+    A = rng.randn(4, 16)
+    X = Z @ A + 0.05 * rng.randn(1500, 16)
+
+    # opq_refine_local runs ONE Procrustes update per alternation and
+    # retrains with kmeans_iters=4 by default; mirror both knobs
+    plain = opq_refine_local(X, m=4, ksub=32, opq_iters=4,
+                             kmeans_iters=4, seed=7)
+    aniso = aniso_opq_refine_local(X, None, m=4, ksub=32, eta=1.0,
+                                   opq_iters=4, kmeans_iters=4,
+                                   mm_steps=1, seed=7)
+    # allclose, not equal: the plain path takes the SVD of ZᵀŶ and
+    # transposes, this path the SVD of ŶᵀZ — same rotation up to
+    # ~1e-11 float noise
+    np.testing.assert_allclose(aniso["components"],
+                               plain["components"], atol=1e-8)
+    np.testing.assert_allclose(aniso["books"], plain["books"],
+                               atol=1e-8)
+    # at η=1 the anisotropic loss IS the reconstruction MSE
+    np.testing.assert_allclose(aniso["best_loss"],
+                               plain["best_error"], rtol=1e-7)
+
+
+def test_aniso_opq_mm_procrustes_step_descends():
+    """The MM rotation update must monotonically non-increase the
+    anisotropic loss for FIXED codes and books — the property the
+    majorize-minimize derivation guarantees and the reason the
+    alternation is sound. Checked step by step from a random
+    orthogonal start, η=5."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    n, d, eta = 800, 16, 5.0
+    X = rng.randn(n, d)
+    Xh = X / np.linalg.norm(X, axis=1, keepdims=True)
+    Z = X - X.mean(axis=0)
+    Yhat = Z + 0.3 * rng.randn(n, d)      # any fixed reconstruction
+    q, _ = np.linalg.qr(rng.randn(d, d))
+    R = q                                  # random orthogonal start
+
+    def loss(R_):
+        E = Z - Yhat @ R_
+        t = (E * Xh).sum(axis=1)
+        return float(((E ** 2).sum() + (eta - 1.0) * (t ** 2).sum())
+                     / n)
+
+    prev = loss(R)
+    for _ in range(6):
+        E0 = Z - Yhat @ R
+        U_mat = (eta - 1.0) * (
+            E0 - (E0 * Xh).sum(axis=1, keepdims=True) * Xh)
+        M = Yhat.T @ (eta * Z - U_mat)
+        Us, _s, Vt = np.linalg.svd(M)
+        R = Us @ Vt
+        cur = loss(R)
+        assert cur <= prev + 1e-9, (cur, prev)
+        prev = cur
+    np.testing.assert_allclose(R @ R.T, np.eye(d), atol=1e-8)
+
+
+def test_aniso_opq_refine_beats_eigalloc_init():
+    """The refined configuration can only match or beat the
+    eigenvalue-allocation init — which is exactly what the
+    non-iterative ``rotate=True, anisotropic=η`` flavor ships — on
+    the ORIGINAL-SPACE anisotropic loss. On clustered unit vectors
+    (the realistic cosine-ANN corpus, where the score-parallel
+    directions have structure the weighting can exploit) the
+    alternation must make a measurable cut; gains are data-dependent
+    and modest by nature (like iterative OPQ's own), so the threshold
+    is the measured ~1.4% at this seed, asserted at 1%.
+    Deterministic for a given seed."""
+    import numpy as np
+
+    from quake_vector_search_spark.operators.quantization import (
+        aniso_opq_refine_local,
+    )
+
+    rng = np.random.RandomState(3)
+    k, d, n = 8, 16, 3000
+    cents = rng.randn(k, d)
+    X = cents[rng.randint(0, k, n)] + 0.3 * rng.randn(n, d)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)   # cosine corpus
+
+    out = aniso_opq_refine_local(X, None, m=4, ksub=32, eta=4.0,
+                                 opq_iters=6, mm_steps=3, seed=7)
+    R = out["components"]
+    np.testing.assert_allclose(R @ R.T, np.eye(16), atol=1e-8)
+    assert out["best_loss"] == min(out["losses"])
+    # losses[0] is the eigalloc init's loss (the production
+    # non-iterative composition); the alternation must cut it
+    assert out["best_loss"] < 0.99 * out["losses"][0], out["losses"]
+    # determinism
+    again = aniso_opq_refine_local(X, None, m=4, ksub=32, eta=4.0,
+                                   opq_iters=6, mm_steps=3, seed=7)
+    np.testing.assert_array_equal(again["components"], R)
+    np.testing.assert_array_equal(again["books"], out["books"])
