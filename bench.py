@@ -270,6 +270,14 @@ def aniso_mips_n40k(spark) -> dict:
                           ("aniso_residual_distributed",
                            {"anisotropic": 3.0, "residual": True,
                             "distributed_train": True}),
+                          # round 13: global score-aware ITERATIVE
+                          # OPQ (aniso_opq_refine_local — the MM-
+                          # Procrustes alternation); the delta vs
+                          # aniso_residual is what the jointly
+                          # refined rotation buys at the same bytes
+                          ("aniso_opq_rotated",
+                           {"anisotropic": 3.0, "residual": True,
+                            "rotate": True, "opq_iters": 2}),
                           # round 10: the per-cell score-aware rungs
                           # — measured ladder top for cosine serving
                           ("aniso_lopq",
@@ -312,6 +320,12 @@ def aniso_mips_n40k(spark) -> dict:
         else:
             dec = np.concatenate([books_r[j][codes_r[:, j]]
                                   for j in range(m)], axis=1)
+            if kwargs.get("rotate"):
+                # global rotated sidecar: codes live in the rotated
+                # residual space — decode back through the rotation
+                # (same transport as the per-cell branch above)
+                rz = np.load(f"{idx.version_dir}/pq_rotation.npz")
+                dec = dec @ rz["components"] + rz["mean"]
         approx = np.stack([snap[int(p)] for p in pids_r]) + dec
         score = Q @ approx.T
         got_ids = ids_r[score.argsort(axis=1)[:, ::-1]]
