@@ -1174,12 +1174,15 @@ def train_local_books(res_src: DataFrame, m: int, ksub: int,
     ``cents`` snapshot — the per-cell twin of the residual
     composition's direction rule. ``anisotropic + rotate`` (late
     round 10) is the FULL per-cell composition: each cell fits the
-    eigenvalue-allocation rotation (``_eigalloc_rotation`` — the
-    parametric-OPQ init ONLY; the iterative alternation trains
-    plain-loss books, so it never runs under η) and aniso-trains its
-    books in its own rotated space with the direction transported
-    x̂_p @ R_pᵀ — exact for orthogonal R_p, per cell, by the same
-    argument as the global rotate flavor.
+    eigenvalue-allocation rotation (``_eigalloc_rotation``) and
+    aniso-trains its books in its own rotated space with the
+    direction transported x̂_p @ R_pᵀ — exact for orthogonal R_p, per
+    cell, by the same argument as the global rotate flavor. With
+    ``opq_iters ≥ 2`` (round 13) each cell instead runs the
+    SCORE-AWARE iterative alternation (``aniso_opq_refine_local`` —
+    aniso books ↔ MM-Procrustes) inside its grouped-map task,
+    refining the cell's rotation against the anisotropic loss itself;
+    ``opq_iters ≤ 1`` keeps the historical init-only fit bit-for-bit.
 
     Returns ``(books_by_pid, rots_by_pid)`` — books {pid: [m, ksub_p,
     dsub]} with ksub_p = min(ksub, |cell sample|) (a small cell gets
@@ -1214,17 +1217,35 @@ def train_local_books(res_src: DataFrame, m: int, ksub: int,
             orig = X + cents[pid]
             dirs = orig / np.maximum(
                 np.linalg.norm(orig, axis=1, keepdims=True), 1e-12)
-            if rotate:
-                mean_p, R_p = _eigalloc_rotation(X, m)
-                X = (X - mean_p) @ R_p.T
-                dirs = dirs @ R_p.T   # unit preserved (R_p orth.)
-                rot_mean, rot_comps = mean_p, R_p.ravel()
+            if rotate and opq_iters > 1:
+                # per-cell SCORE-AWARE iterative OPQ (round 13): the
+                # same aniso_opq_refine_local alternation the global
+                # flavor runs, on this cell's residual sample — the
+                # cell's rotation is refined against the anisotropic
+                # loss instead of staying at the eigalloc init
+                # (opq_iters ≤ 1 keeps the historical init-only path
+                # bit-for-bit)
+                model = aniso_opq_refine_local(
+                    X, dirs, m=m, ksub=ksub_p,
+                    eta=float(anisotropic),
+                    opq_iters=int(opq_iters),
+                    kmeans_iters=iters, seed=base)
+                books = model["books"]
+                rot_mean = model["mean"]
+                rot_comps = model["components"].ravel()
             else:
-                rot_mean = np.zeros(0)
-                rot_comps = np.zeros(0)
-            books = _aniso_train_local(X, dirs, m=m, ksub=ksub_p,
-                                       eta=float(anisotropic),
-                                       kmeans_iters=iters, seed=base)
+                if rotate:
+                    mean_p, R_p = _eigalloc_rotation(X, m)
+                    X = (X - mean_p) @ R_p.T
+                    dirs = dirs @ R_p.T   # unit preserved (R_p orth.)
+                    rot_mean, rot_comps = mean_p, R_p.ravel()
+                else:
+                    rot_mean = np.zeros(0)
+                    rot_comps = np.zeros(0)
+                books = _aniso_train_local(X, dirs, m=m, ksub=ksub_p,
+                                           eta=float(anisotropic),
+                                           kmeans_iters=iters,
+                                           seed=base)
         elif rotate:
             model = opq_refine_local(X, m=m, ksub=ksub_p,
                                      opq_iters=max(1, opq_iters),
@@ -1707,14 +1728,14 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
                 "local= and opq_iters (global rotate) — but not "
                 "sq8: a scalar quantizer has no codebooks for the "
                 "score-aware alternation to train")
-        if opq_iters and (local or not rotate):
+        if opq_iters and not rotate:
             raise ValueError(
-                "anisotropic × opq_iters requires the GLOBAL rotated "
-                "flavor (rotate=True, local=False): the score-aware "
-                "Procrustes alternation refines ONE rotation against "
-                "global books; per-cell iterative refinement is not "
-                "implemented (per-cell rotations keep the eigalloc "
-                "init)")
+                "anisotropic × opq_iters requires rotate=True: the "
+                "score-aware Procrustes alternation refines a "
+                "rotation — without one the parameter would be "
+                "silently ignored (global: one rotation; local: one "
+                "per cell, opq_iters ≥ 2 runs the alternation inside "
+                "each cell's grouped-map fit)")
         if index.metric != "cosine":
             raise ValueError(
                 "anisotropic sidecars require a cosine index: on "
@@ -1818,10 +1839,14 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
             meta_loc = {"residual": True, "local": True, "m": m,
                         "ksub": int(ksub), "seed": int(seed),
                         "rotate": bool(rotate),
-                        # aniso×rotate carries the eigalloc INIT only
-                        # — no iterations; 0 here also lets the
-                        # maintenance rebuild pass the aniso gate
-                        "opq_iters": (0 if anisotropic is not None
+                        # aniso×rotate: ≥2 = the per-cell score-aware
+                        # alternation (round 13); ≤1 records 0 — the
+                        # eigalloc-init-only flavor, which also lets
+                        # the maintenance rebuild pass the aniso gate
+                        "opq_iters": ((int(opq_iters)
+                                       if rotate and int(opq_iters) > 1
+                                       else 0)
+                                      if anisotropic is not None
                                       else (int(max(1, opq_iters))
                                             if rotate else 0)),
                         "cell_sample_n": int(cell_sample_n),

@@ -76,12 +76,13 @@ WINDOW_R13: tuple[str, ...] = (
     # never driver-checked: the new round-13 rows — the streaming
     # auto-maintenance cadence (VERDICT r12 missing #2), the
     # persisted-cadence restart contract (continuity #5), and the
-    # score-aware iterative-OPQ composition (continuity #3); new
-    # features get driver-grade verification in the round that
-    # introduces them (ADVICE r9) (3)
+    # score-aware iterative-OPQ compositions, global + per-cell
+    # (continuity #3); new features get driver-grade verification
+    # in the round that introduces them (ADVICE r9) (4)
     "stream_auto_maintenance_cadence",
     "stream_maintenance_cadence_restart",
     "ivf_aniso_opq_fullprobe",
+    "ivf_aniso_lopq_opq_fullprobe",
     # REBUILT this round (VERDICT r12 #1): the distributed-LOPQ
     # append roundtrip, re-based on the born-cell fixture after the
     # r12 books/codes guard correctly outlawed its old dropped-books
@@ -92,13 +93,13 @@ WINDOW_R13: tuple[str, ...] = (
     # is round 6 — displaced from WINDOW_R11 two rounds ago, now at
     # the head of the queue (1)
     "stream_tokenize_equals_batch",
-    # stalest stratum, part 2: 45 of the 50 rows whose latest driver
-    # check is round 7, in WINDOW_R7's pinned order (the last 5 —
-    # q_zorder_values, ts_m4_downsample, q_training_corpus_pipeline,
-    # ivf_index_stats, q_salted_join — stay as WINDOW_R7's ordered
-    # remainder, the next-stalest stratum for round 14;
-    # ts_m4_downsample and q_zorder_values were displaced mid-round
-    # to make room for the second and third new r13 rows) (45)
+    # stalest stratum, part 2: 44 of the 50 rows whose latest driver
+    # check is round 7, in WINDOW_R7's pinned order (the last 6 —
+    # q_approx_percentile, q_zorder_values, ts_m4_downsample,
+    # q_training_corpus_pipeline, ivf_index_stats, q_salted_join —
+    # stay as WINDOW_R7's ordered remainder, the next-stalest
+    # stratum for round 14; the first three were displaced mid-round
+    # to make room for the 2nd-4th new r13 rows) (44)
     "knn_bq_rerank", "knn_opq_rerank", "ivf_pq_residual_fullprobe",
     "ivf_opq_search_fullprobe", "ivf_pq_cosine_fullprobe",
     "knn_pq_recall_guard", "ivf_search_calibrated",
@@ -116,7 +117,7 @@ WINDOW_R13: tuple[str, ...] = (
     "q_jsonl_roundtrip", "q_csv_roundtrip", "q_orc_roundtrip",
     "q_rollup", "q_cube", "q_grouping_sets", "q_pivot", "q_unpivot",
     "q_set_ops", "q_array_ops", "q_json_extract", "q_map_ops",
-    "q_window_extras", "q_topn_per_group", "q_approx_percentile",
+    "q_window_extras", "q_topn_per_group",
 )
 
 WINDOW_R11: tuple[str, ...] = (

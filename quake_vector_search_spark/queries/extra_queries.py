@@ -5667,3 +5667,91 @@ def ivf_aniso_opq_fullprobe(spark, sf_dir):
 
 
 _ANISO_OPQ_IVF_CACHE: dict = {}
+
+
+@register("ivf_aniso_lopq_opq_fullprobe", sql="""
+-- same brute-force-cosine oracle as every cosine fullprobe row:
+-- fullprobe + exact rerank must equal exact search no matter how the
+-- candidate codes were assigned — this row pins the PER-CELL
+-- score-aware iterative-OPQ composition (round 13: anisotropic x
+-- LOPQ x per-cell rotations with opq_iters >= 2, each cell's
+-- rotation refined by the MM-Procrustes alternation inside its
+-- grouped-map fit)
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qd
+  FROM embeddings WHERE vec_id < 5
+), qn AS (
+  SELECT query_id,
+         list_transform(qd, x -> x /
+           (sqrt(list_inner_product(qd, qd)) + 1e-12)) AS qv
+  FROM q
+), c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cd FROM embeddings
+), cn AS (
+  SELECT vec_id,
+         list_transform(cd, x -> CAST(CAST(x /
+           (sqrt(list_inner_product(cd, cd)) + 1e-12) AS REAL)
+           AS DOUBLE)) AS cv
+  FROM c
+), d AS (
+  SELECT qn.query_id, cn.vec_id, list_distance(cn.cv, qn.qv) AS dist
+  FROM cn CROSS JOIN qn
+), r AS (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist ASC, vec_id ASC) AS rank
+  FROM d
+)
+SELECT query_id, vec_id, ROUND(1 - dist * dist / 2, 6) AS sim,
+       CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 10
+""")
+def ivf_aniso_lopq_opq_fullprobe(spark, sf_dir):
+    """ANISOTROPIC × LOPQ × per-cell ITERATIVE OPQ (round 13 — the
+    per-cell twin of ``ivf_aniso_opq_fullprobe``): with
+    ``opq_iters ≥ 2`` every cell's grouped-map fit runs the
+    score-aware alternation (``aniso_opq_refine_local``) on its own
+    residual sample, refining the cell's rotation against the
+    anisotropic loss instead of keeping the eigalloc init — the
+    LOPQ argument (residual clouds are locally oriented) applied to
+    the score-aware refinement itself. Streamed appends into BORN
+    cells run the identical alternation through the shared kernel
+    (meta's opq_iters), and maintenance retrains re-run it (per-cell
+    books are layout-bound). Full probe + corpus-scaled oversample →
+    exact rerank equals brute-force cosine (the oracle)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as FF
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+        knn_ivf_pq,
+    )
+
+    if sf_dir not in _ANISO_LOPQ_OPQ_IVF_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        wd = os.path.join(f"/tmp/qvss_ivf_anilopqopq_{os.getpid()}",
+                          sf_dir.strip("/").replace("/", "_"))
+        shutil.rmtree(wd, ignore_errors=True)
+        idx = IVFIndex.build(emb, wd, coarse_k=16, base_k=4,
+                             metric="cosine")
+        books = build_pq_sidecar(idx, m=8, ksub=256, seed=99,
+                                 anisotropic=3.0, residual=True,
+                                 local=True, rotate=True,
+                                 opq_iters=2)
+        _ANISO_LOPQ_OPQ_IVF_CACHE[sf_dir] = (idx, books)
+    idx, books = _ANISO_LOPQ_OPQ_IVF_CACHE[sf_dir]
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5) \
+                 .withColumnRenamed("vec_id", "query_id")
+    n = emb.count()
+    out, _meta = knn_ivf_pq(idx, queries, k=10, target_recall=1.0,
+                            max_probe=1_000_000_000,
+                            oversample=max(16, -(-n // 20)),
+                            books=books)
+    return out.withColumn("sim", FF.round("sim", 6))
+
+
+_ANISO_LOPQ_OPQ_IVF_CACHE: dict = {}

@@ -358,18 +358,32 @@ def _train_local_cell(ids: np.ndarray, Xres: np.ndarray,
         # mirroring the build
         from quake_vector_search_spark.operators.quantization import (
             _aniso_train_local, _eigalloc_rotation,
+            aniso_opq_refine_local,
         )
         orig = Xp + cent
         dirs_p = orig / np.maximum(
             np.linalg.norm(orig, axis=1, keepdims=True), 1e-12)
-        if rotated:
-            mean_p, R_p = _eigalloc_rotation(Xp, m)
-            Xp = (Xp - mean_p) @ R_p.T
-            dirs_p = dirs_p @ R_p.T
-            rot_p = {"mean": mean_p, "components": R_p}
-        books_p = _aniso_train_local(
-            Xp, dirs_p, m=m, ksub=ksub_p, eta=float(aniso_eta),
-            kmeans_iters=8, seed=base)
+        opq_n = int(meta.get("opq_iters", 0))
+        if rotated and opq_n > 1:
+            # per-cell score-aware iterative OPQ (round 13): a born
+            # cell refines its rotation with the same alternation the
+            # builder ran — meta's opq_iters keeps streamed and build
+            # fits the same procedure
+            model = aniso_opq_refine_local(
+                Xp, dirs_p, m=m, ksub=ksub_p, eta=float(aniso_eta),
+                opq_iters=opq_n, kmeans_iters=8, seed=base)
+            books_p = model["books"]
+            rot_p = {"mean": model["mean"],
+                     "components": model["components"]}
+        else:
+            if rotated:
+                mean_p, R_p = _eigalloc_rotation(Xp, m)
+                Xp = (Xp - mean_p) @ R_p.T
+                dirs_p = dirs_p @ R_p.T
+                rot_p = {"mean": mean_p, "components": R_p}
+            books_p = _aniso_train_local(
+                Xp, dirs_p, m=m, ksub=ksub_p, eta=float(aniso_eta),
+                kmeans_iters=8, seed=base)
     elif rotated:
         # full-LOPQ sidecar: a partition born after the build gets
         # its own rotation fitted from the batch's residuals,

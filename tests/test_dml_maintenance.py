@@ -1106,11 +1106,11 @@ def test_aniso_opq_sidecar_end_to_end(spark, tmp_path):
     assert avg_recall(found2, exact2, 5) >= 0.95
 
 
-def test_aniso_opq_requires_global_rotate():
+def test_aniso_opq_requires_rotate():
     """The narrowed aniso gates (round 13): sq8 still refuses under
-    η; opq_iters under η refuses for local and for unrotated global —
-    the score-aware Procrustes alternation refines ONE global
-    rotation."""
+    η; opq_iters under η refuses only WITHOUT a rotation (the
+    score-aware Procrustes alternation refines a rotation — global
+    or per-cell — and would otherwise be silently ignored)."""
     from quake_vector_search_spark.operators.quantization import (
         build_pq_sidecar,
     )
@@ -1124,6 +1124,97 @@ def test_aniso_opq_requires_global_rotate():
     with pytest.raises(ValueError, match="sq8"):
         build_pq_sidecar(_FakeIdx(), m=4, ksub=16, anisotropic=3.0,
                          sq8=True)
-    with pytest.raises(ValueError, match="GLOBAL rotated"):
+    with pytest.raises(ValueError, match="rotate"):
         build_pq_sidecar(_FakeIdx(), m=4, ksub=16, anisotropic=3.0,
                          residual=True, rotate=False, opq_iters=2)
+
+
+def test_aniso_opq_local_sidecar_end_to_end(spark, tmp_path):
+    """aniso × LOPQ × per-cell score-aware OPQ (round 13 — opq_iters
+    now composes with the per-cell flavor too): each cell's rotation
+    is refined by the aniso_opq_refine_local alternation inside its
+    grouped-map fit. Pin (1) fullprobe + exact rerank accuracy, (2)
+    pq_meta records opq_iters=2 (so a maintenance retrain — per-cell
+    books are layout-bound — re-runs the alternation), (3) the
+    post-maintenance retrain keeps the knob and accuracy, and (4) a
+    streamed batch into a BORN cell trains refined books through the
+    shared kernel and the vector is immediately searchable."""
+    import json
+    import os
+
+    from quake_vector_search_spark.operators.evaluation import avg_recall
+    from quake_vector_search_spark.operators.knn import knn_bruteforce
+    from quake_vector_search_spark.operators.maintenance import maintain
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+        knn_ivf_pq,
+        load_local_rots,
+    )
+    from quake_vector_search_spark.operators.workload import make_dataset
+    from quake_vector_search_spark.streaming.ingest import (
+        _append_pq_codes,
+    )
+
+    corpus = make_dataset(spark, 800, d=16, n_clusters=10, seed=5)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_alopq"),
+                         coarse_k=4, base_k=2, metric="cosine")
+    build_pq_sidecar(idx, m=4, ksub=32, seed=99, anisotropic=3.0,
+                     residual=True, local=True, rotate=True,
+                     opq_iters=2)
+    with open(os.path.join(idx.version_dir, "pq_meta.json")) as fh:
+        meta = json.load(fh)
+    assert meta["local"] and meta["rotate"]
+    assert meta["anisotropic"] == 3.0 and meta["opq_iters"] == 2
+    rots = load_local_rots(idx.version_dir)
+    assert set(rots) == {int(p) for p in idx.part_ids}
+
+    rows = corpus.where("vec_id < 5").collect()
+    qmat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qids = np.arange(5)
+    exact = knn_bruteforce(idx.read_corpus(), (qids, qmat),
+                           k=5).localCheckpoint()
+    found, _ = knn_ivf_pq(idx, (qids, qmat), k=5, target_recall=1.0,
+                          max_probe=64, oversample=40)
+    assert avg_recall(found, exact, 5) >= 0.95
+
+    # maintenance: per-cell books are layout-bound → RETRAIN, which
+    # must re-run the alternation with the recorded opq_iters
+    rng = np.random.default_rng(2)
+    idx.insert([21_000], rng.normal(size=(1, 16)), refresh=False)
+    maintain(idx, split_size=48, merge_size=0)
+    with open(os.path.join(idx.version_dir, "pq_meta.json")) as fh:
+        meta2 = json.load(fh)
+    assert meta2["anisotropic"] == 3.0 and meta2["opq_iters"] == 2
+    exact2 = knn_bruteforce(idx.read_corpus(), (qids, qmat),
+                            k=5).localCheckpoint()
+    found2, _ = knn_ivf_pq(idx, (qids, qmat), k=5, target_recall=1.0,
+                           max_probe=64, oversample=40)
+    assert avg_recall(found2, exact2, 5) >= 0.95
+
+    # born cell: graft an empty coarse cell, stream a batch at it —
+    # the shared streamed kernel must run the same per-cell
+    # alternation (meta's opq_iters) and leave the vector searchable
+    d = 16
+    direction = np.zeros(d)
+    direction[0] = -1.0     # unit vector far from the data clusters
+    new_coarse = len(idx.coarse_centroids)
+    idx.coarse_centroids = np.vstack([idx.coarse_centroids,
+                                      direction])
+    idx.save_meta()
+    n_new = 12
+    vecs = direction + 0.05 * rng.normal(size=(n_new, d))
+    vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    ids_new = np.arange(22_000, 22_000 + n_new)
+    pids_new = idx.insert(ids_new, vecs)
+    assert (idx.part_coarse[np.searchsorted(idx.part_ids,
+                                            pids_new)]
+            == new_coarse).all()
+    _append_pq_codes(idx, ids_new, vecs, pids_new, {})
+    rots3 = load_local_rots(idx.version_dir)
+    born = {int(p) for p in pids_new}
+    assert born <= set(rots3)
+    found3, _ = knn_ivf_pq(idx, ([1], vecs[:1]), k=1,
+                           target_recall=1.0, max_probe=10**9,
+                           oversample=8)
+    assert found3.collect()[0]["vec_id"] == ids_new[0]

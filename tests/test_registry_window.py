@@ -133,12 +133,12 @@ def test_r13_window_is_the_rotated_surface():
     ivf_dml_distributed_lopq_roundtrip (red in r12 — success-only
     accounting dates its last good check to r11; its body was
     rewritten this round so it re-earns verification), the one
-    round-6-stale row, and 45 of the 50 round-7-stale rows (47 at
-    rotation time; ts_m4_downsample and q_zorder_values were
-    displaced mid-round for the second and third new r13 rows — the
-    persisted-cadence restart contract and the score-aware
-    iterative-OPQ composition). No slot wasted on anything
-    fresher."""
+    round-6-stale row, and 44 of the 50 round-7-stale rows (47 at
+    rotation time; ts_m4_downsample, q_zorder_values and
+    q_approx_percentile were displaced mid-round for the 2nd-4th new
+    r13 rows — the persisted-cadence restart contract and the two
+    score-aware iterative-OPQ compositions). No slot wasted on
+    anything fresher."""
     names = list(ordered_registry())
     assert len(WINDOW_R13) == 50
     assert names[:50] == list(WINDOW_R13)
@@ -152,10 +152,11 @@ def test_r13_window_is_the_rotated_surface():
              or latest.get(n, 0) == 12]
     assert never == ["stream_auto_maintenance_cadence",
                      "stream_maintenance_cadence_restart",
-                     "ivf_aniso_opq_fullprobe"], never
+                     "ivf_aniso_opq_fullprobe",
+                     "ivf_aniso_lopq_opq_fullprobe"], never
     assert rebuilt == ["ivf_dml_distributed_lopq_roundtrip"], rebuilt
     assert r6 == ["stream_tokenize_equals_batch"], r6
-    assert len(r7) == 45, f"expected 45 r7-stale, got {len(r7)}"
+    assert len(r7) == 44, f"expected 44 r7-stale, got {len(r7)}"
     assert not fresh, f"WINDOW_R13 wastes slots on fresh rows: {fresh}"
 
 
@@ -280,19 +281,19 @@ def test_r8_window_still_pinned_at_194_243():
     assert not set(WINDOW_R8) & set(WINDOW_R13)
 
 
-def test_r7_window_remainder_is_five_rows():
-    """WINDOW_R13 re-schedules 45 of WINDOW_R7's rows; the 5 left out
-    (ts_m4_downsample and q_zorder_values were displaced mid-round to
-    make room for the second and third new r13 rows) keep their
-    relative order at the ordered tail — the next-stalest stratum
-    for the round-14 rotation."""
+def test_r7_window_remainder_is_six_rows():
+    """WINDOW_R13 re-schedules 44 of WINDOW_R7's rows; the 6 left out
+    (ts_m4_downsample, q_zorder_values and q_approx_percentile were
+    displaced mid-round to make room for the 2nd-4th new r13 rows)
+    keep their relative order at the ordered tail — the next-stalest
+    stratum for the round-14 rotation."""
     names = list(ordered_registry())
     assert len(WINDOW_R7) == 50
     rest = [n for n in WINDOW_R7 if n not in set(WINDOW_R13)]
-    assert rest == ["q_zorder_values", "ts_m4_downsample",
-                    "q_training_corpus_pipeline", "ivf_index_stats",
-                    "q_salted_join"]
-    assert names[243:248] == rest
+    assert rest == ["q_approx_percentile", "q_zorder_values",
+                    "ts_m4_downsample", "q_training_corpus_pipeline",
+                    "ivf_index_stats", "q_salted_join"]
+    assert names[243:249] == rest
     assert not set(WINDOW_R7) & set(WINDOW_R11)
     assert not set(WINDOW_R7) & set(WINDOW_R10)
     assert not set(WINDOW_R7) & set(WINDOW_R9)

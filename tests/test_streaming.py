@@ -1198,10 +1198,10 @@ def test_streaming_ingest_into_aniso_lopq_sidecar(spark, tmp_path):
 def test_aniso_lopq_gate():
     """The aniso × LOPQ gate (round 10): per-cell training requires
     the centroid snapshot (the direction rule needs c_p); sq8 stays
-    an explicit refusal, and opq_iters × LOCAL stays one (round 13
-    added the GLOBAL score-aware alternation — per-cell iterative
-    refinement remains unimplemented, cells keep the eigalloc init).
-    (Per-cell eigalloc ROTATIONS compose since late round 10.)"""
+    an explicit refusal, and opq_iters without a rotation stays one
+    (round 13 made opq_iters compose with BOTH rotated aniso flavors
+    — global and per-cell — so only the rotation-less form, where
+    the parameter would be silently ignored, refuses)."""
     import pytest as _pytest
 
     from quake_vector_search_spark.operators.quantization import (
@@ -1219,13 +1219,13 @@ def test_aniso_lopq_gate():
         def read_corpus(self):
             return None
 
-    with _pytest.raises(ValueError, match="opq_iters"):
+    with _pytest.raises(ValueError, match="rotate"):
         from quake_vector_search_spark.operators.quantization import (
             build_pq_sidecar,
         )
         build_pq_sidecar(_FakeIdx(), m=4, ksub=16,
                          anisotropic=3.0, residual=True, local=True,
-                         rotate=True, opq_iters=2)
+                         rotate=False, opq_iters=2)
 
 
 def test_streaming_ingest_into_aniso_lopq_rotated_sidecar(spark,
