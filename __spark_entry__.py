@@ -39,10 +39,11 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Ordered so the round-13 rotation window (WINDOW_R13: the two new
-    r13 rows — auto-maintenance cadence + persisted-cadence restart —
-    the rebuilt distributed-LOPQ roundtrip, and the 47 stalest
-    driver-verified rows — the r6 straggler + 46 r7-era rows)
+    Ordered so the round-13 rotation window (WINDOW_R13: the four
+    new r13 rows — auto-maintenance cadence, persisted-cadence
+    restart, and the global + per-cell aniso×OPQ fullprobes — the
+    rebuilt distributed-LOPQ roundtrip, and the 45 stalest
+    driver-verified rows — the r6 straggler + 44 r7-era rows)
     occupies the first 50 entries; the
     earlier windows' remainders follow in pinned order (see
     quake_vector_search_spark/queries/__init__.py and

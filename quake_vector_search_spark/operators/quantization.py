@@ -184,13 +184,14 @@ def _eigalloc_rotation(X: np.ndarray, m: int
     PRODUCT is balanced (min log-sum bucket first) equalizes the
     per-subspace quantization load. Returns ``(mean, R)`` with R
     orthogonal (rows = permuted principal directions). Shared by the
-    iterative OPQ refiner (as its init) and the per-cell
-    anisotropic×rotated trainer (round 10), where it is the WHOLE
-    rotation — the iterative alternation trains plain-loss books, so
-    the score-aware flavor stops at this init (the loss transports
-    exactly through any orthogonal R, so aniso training in the
-    rotated space minimizes the original-space loss; see
-    aniso_pq_train)."""
+    iterative OPQ refiners — plain (``opq_refine_local``) and
+    score-aware (``aniso_opq_refine_local``, round 13) — as their
+    init, and by the per-cell anisotropic×rotated trainer (round 10)
+    where with ``opq_iters = 0`` it is the WHOLE rotation (the loss
+    transports exactly through any orthogonal R, so aniso training
+    in the rotated space minimizes the original-space loss; see
+    aniso_pq_train). With ``opq_iters ≥ 1`` the score-aware
+    alternation refines past this init."""
     n, d = X.shape
     dsub = d // m
     mean = X.mean(axis=0)
@@ -677,14 +678,19 @@ def _save_books_table(version_dir: str, books_by_pid: dict,
             if not os.path.exists(man):
                 legacy.append(f)
                 continue
-            existing = np.load(man)
-            # manifests are sorted: the range short-circuit mirrors
-            # the footer min/max stats, the exact check is one
-            # in-memory intersect — zero parquet reads of any kind
+            # mmap: the sorted manifest's ends are the min/max stats
+            # — the healthy monotone-append range check touches two
+            # pages, not the whole file (a 10⁷-cell base manifest is
+            # ~80 MB; reading it per append would re-make the guard
+            # O(total cells))
+            existing = np.load(man, mmap_mode="r")
             if (existing.size and int(existing[0]) <= hi
                     and lo <= int(existing[-1])):
+                # genuine range overlap (error path or interleave):
+                # NOW read the manifest and intersect exactly
                 dup.update(int(x)
-                           for x in np.intersect1d(existing, batch))
+                           for x in np.intersect1d(np.asarray(existing),
+                                                   batch))
         overlapping = []
         for f in legacy:
             md = pq.ParquetFile(f).metadata
@@ -736,10 +742,15 @@ def _save_books_table(version_dir: str, books_by_pid: dict,
     })
     out = os.path.join(d, f"books-{uuid.uuid4().hex}.parquet")
     pq.write_table(tbl, out)
-    # sibling pid manifest, parquet first: a crash in between leaves
-    # a manifest-less file the readers handle via the legacy fallback
-    np.save(_pids_manifest_path(out),
-            np.asarray(pids, dtype=np.int64))
+    # sibling pid manifest, parquet first and RENAMED into place: a
+    # crash before the write leaves a manifest-less file (readers
+    # fall back to the legacy pid-column path), and a crash MID-write
+    # leaves only the temp name — never a truncated .pids.npy that
+    # os.path.exists would route np.load onto
+    man = _pids_manifest_path(out)
+    tmp = man + ".tmp.npy"
+    np.save(tmp, np.asarray(pids, dtype=np.int64))
+    os.replace(tmp, man)
 
 
 def _load_books_table(version_dir: str, pids=None
@@ -1178,11 +1189,13 @@ def train_local_books(res_src: DataFrame, m: int, ksub: int,
     aniso-trains its books in its own rotated space with the
     direction transported x̂_p @ R_pᵀ — exact for orthogonal R_p, per
     cell, by the same argument as the global rotate flavor. With
-    ``opq_iters ≥ 2`` (round 13) each cell instead runs the
+    ``opq_iters ≥ 1`` (round 13) each cell instead runs the
     SCORE-AWARE iterative alternation (``aniso_opq_refine_local`` —
     aniso books ↔ MM-Procrustes) inside its grouped-map task,
     refining the cell's rotation against the anisotropic loss itself;
-    ``opq_iters ≤ 1`` keeps the historical init-only fit bit-for-bit.
+    ``opq_iters = 0`` keeps the historical init-only fit bit-for-bit
+    (the engagement rule matches the global aniso flavor's, so an
+    explicit 1 is never silently ignored).
 
     Returns ``(books_by_pid, rots_by_pid)`` — books {pid: [m, ksub_p,
     dsub]} with ksub_p = min(ksub, |cell sample|) (a small cell gets
@@ -1217,14 +1230,15 @@ def train_local_books(res_src: DataFrame, m: int, ksub: int,
             orig = X + cents[pid]
             dirs = orig / np.maximum(
                 np.linalg.norm(orig, axis=1, keepdims=True), 1e-12)
-            if rotate and opq_iters > 1:
+            if rotate and opq_iters >= 1:
                 # per-cell SCORE-AWARE iterative OPQ (round 13): the
                 # same aniso_opq_refine_local alternation the global
                 # flavor runs, on this cell's residual sample — the
                 # cell's rotation is refined against the anisotropic
                 # loss instead of staying at the eigalloc init
-                # (opq_iters ≤ 1 keeps the historical init-only path
-                # bit-for-bit)
+                # (opq_iters = 0 keeps the historical init-only path
+                # bit-for-bit — what pre-round-13 metas retrain into;
+                # ≥ 1 engages, matching the global flavor's rule)
                 model = aniso_opq_refine_local(
                     X, dirs, m=m, ksub=ksub_p,
                     eta=float(anisotropic),
@@ -1816,7 +1830,16 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
             res_src, m=m, ksub=ksub, seed=seed,
             cell_sample_n=cell_sample_n,
             id_col=index.id_col, vec_col=index.vec_col,
-            rotate=rotate, opq_iters=max(1, opq_iters),
+            rotate=rotate,
+            # aniso semantics (round 13): opq_iters N ≥ 1 = run the
+            # score-aware alternation with N outer iterations, 0 =
+            # the flavor-native init (per-cell eigalloc) — same
+            # engagement rule as the global aniso flavor, so an
+            # explicit 1 is never silently ignored. The non-aniso
+            # full-LOPQ path keeps its historical ≥1 coercion
+            # (opq_refine_local's 1 = eigalloc-init-only contract).
+            opq_iters=(int(opq_iters) if anisotropic is not None
+                       else max(1, opq_iters)),
             anisotropic=anisotropic, cents=enc_cents)
         enc = _encode_local_sidecar(res_src, books_by_pid,
                                     index.id_col, index.vec_col,
@@ -1839,12 +1862,12 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
             meta_loc = {"residual": True, "local": True, "m": m,
                         "ksub": int(ksub), "seed": int(seed),
                         "rotate": bool(rotate),
-                        # aniso×rotate: ≥2 = the per-cell score-aware
-                        # alternation (round 13); ≤1 records 0 — the
-                        # eigalloc-init-only flavor, which also lets
-                        # the maintenance rebuild pass the aniso gate
+                        # aniso×rotate: ≥1 = the per-cell score-aware
+                        # alternation (round 13), recorded verbatim
+                        # so retrains and streamed born cells re-run
+                        # it; 0 = the eigalloc-init-only flavor
                         "opq_iters": ((int(opq_iters)
-                                       if rotate and int(opq_iters) > 1
+                                       if rotate and int(opq_iters) >= 1
                                        else 0)
                                       if anisotropic is not None
                                       else (int(max(1, opq_iters))
@@ -2875,7 +2898,8 @@ def aniso_opq_refine_local(X: np.ndarray, Xh: np.ndarray | None,
 
     best = None
     losses = []
-    for _ in range(max(1, opq_iters)):
+    n_it = max(1, opq_iters)
+    for it in range(n_it):
         Y = Z @ R.T
         XhR = Xh @ R.T          # unit-norm preserved (R orthogonal)
         books = _aniso_train_local(Y, XhR, m=m, ksub=ksub, eta=eta,
@@ -2896,6 +2920,12 @@ def aniso_opq_refine_local(X: np.ndarray, Xh: np.ndarray | None,
         losses.append(loss)
         if best is None or loss < best[0]:
             best = (loss, R.copy(), books.copy())
+        if it == n_it - 1:
+            # the best config is already tracked; a rotation update
+            # here would feed no further alternation — skip the
+            # mm_steps SVDs (they'd be discarded; per-cell this runs
+            # inside every grouped-map fit)
+            break
         for _ in range(max(1, mm_steps)):
             E0 = Z - Yhat @ R
             U_mat = (eta - 1.0) * (

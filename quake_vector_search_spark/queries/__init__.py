@@ -339,13 +339,15 @@ def ordered_registry() -> dict[str, Query]:
     re-verification is the point of the rotation).
 
     Round 13 rotates a NINTH window in front (VERDICT r12 #3 — the
-    r12 round shipped without rotating): the ONE new round-13 row
-    (streaming auto-maintenance cadence), the REBUILT
+    r12 round shipped without rotating): the FOUR new round-13 rows
+    (streaming auto-maintenance cadence, persisted-cadence restart,
+    and the global + per-cell aniso×OPQ fullprobes — the last three
+    swapped in mid-round as their features landed), the REBUILT
     ivf_dml_distributed_lopq_roundtrip (red in CORRECTNESS_r12; its
     body was rewritten on the born-cell fixture this round), the one
-    round-6-stale row (stream_tokenize_equals_batch), and 47 of the
+    round-6-stale row (stream_tokenize_equals_batch), and 44 of the
     50 rows whose latest driver check is round 7 — the stalest
-    stratum. WINDOW_R7's last 3 rows remain as its ordered remainder.
+    stratum. WINDOW_R7's last 6 rows remain as its ordered remainder.
 
     Raw REGISTRY insertion order (module load order) is unchanged —
     rounds 1-5's window remains its prefix, pinned by

@@ -364,7 +364,7 @@ def _train_local_cell(ids: np.ndarray, Xres: np.ndarray,
         dirs_p = orig / np.maximum(
             np.linalg.norm(orig, axis=1, keepdims=True), 1e-12)
         opq_n = int(meta.get("opq_iters", 0))
-        if rotated and opq_n > 1:
+        if rotated and opq_n >= 1:
             # per-cell score-aware iterative OPQ (round 13): a born
             # cell refines its rotation with the same alternation the
             # builder ran — meta's opq_iters keeps streamed and build

@@ -1218,3 +1218,37 @@ def test_aniso_opq_local_sidecar_end_to_end(spark, tmp_path):
                            target_recall=1.0, max_probe=10**9,
                            oversample=8)
     assert found3.collect()[0]["vec_id"] == ids_new[0]
+
+
+def test_aniso_opq_local_engages_at_one(spark, tmp_path):
+    """opq_iters=1 on the per-cell aniso flavor must ENGAGE the
+    alternation (recorded verbatim in pq_meta), not be silently
+    coerced into the init-only fit — the engagement rule matches the
+    global flavor's (≥ 1 runs, 0 = flavor-native init), which is the
+    whole point of the rotate gate's error message."""
+    import json
+    import os
+
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+        load_local_rots,
+    )
+    from quake_vector_search_spark.operators.workload import make_dataset
+
+    corpus = make_dataset(spark, 400, d=16, n_clusters=5, seed=9)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_a1"),
+                         coarse_k=2, base_k=2, metric="cosine")
+    build_pq_sidecar(idx, m=4, ksub=16, seed=99, anisotropic=3.0,
+                     residual=True, local=True, rotate=True,
+                     opq_iters=1)
+    with open(os.path.join(idx.version_dir, "pq_meta.json")) as fh:
+        meta = json.load(fh)
+    assert meta["opq_iters"] == 1
+    assert set(load_local_rots(idx.version_dir)) == {
+        int(p) for p in idx.part_ids}
+
+    # 0 stays the init-only flavor old metas retrain into
+    build_pq_sidecar(idx, m=4, ksub=16, seed=99, anisotropic=3.0,
+                     residual=True, local=True, rotate=True)
+    with open(os.path.join(idx.version_dir, "pq_meta.json")) as fh:
+        assert json.load(fh)["opq_iters"] == 0
