@@ -70,7 +70,8 @@ class IVFIndex:
                  tombstones: set[int] | None = None,
                  metric: str = "l2",
                  calibration: dict | None = None,
-                 maintain_every_n_batches: int | None = None):
+                 maintain_every_n_batches: int | None = None,
+                 maintain_kwargs: dict | None = None):
         self.spark = spark
         self.metric = metric          # "l2" | "cosine" (unit-normalized)
         self.workdir = workdir
@@ -101,6 +102,13 @@ class IVFIndex:
         self.maintain_every_n_batches: int | None = (
             None if maintain_every_n_batches is None
             else int(maintain_every_n_batches))
+        # the scheduled maintain() call's kwargs ride along (round 13
+        # follow-through): a restarted stream that resumes the cadence
+        # must also resume e.g. its ood_rebuild_min_n, or the resumed
+        # maintenance silently runs with defaults. JSON-serializable
+        # only — ingest_stream warns and skips persisting otherwise.
+        self.maintain_kwargs: dict | None = (
+            dict(maintain_kwargs) if maintain_kwargs else None)
         # lazily-built base corpus DataFrame for the CURRENT file set:
         # spark.read.parquet re-lists files + re-infers schema on every
         # call (hundreds of ms locally, worse with many files) — reuse
@@ -477,9 +485,10 @@ class IVFIndex:
                 # BEFORE the republish, so a saved fit always matches
                 # its corpus
                 "calibration": self._calibration,
-                # streaming cadence knob: rides every republish so a
-                # restarted stream keeps it (see __init__)
+                # streaming cadence knobs: ride every republish so a
+                # restarted stream keeps them (see __init__)
                 "maintain_every_n_batches": self.maintain_every_n_batches,
+                "maintain_kwargs": self.maintain_kwargs,
             }, f)
 
     @classmethod
@@ -514,7 +523,8 @@ class IVFIndex:
                    tombstones=set(stats["tombstones"]),
                    calibration=stats.get("calibration"),
                    maintain_every_n_batches=stats.get(
-                       "maintain_every_n_batches"))
+                       "maintain_every_n_batches"),
+                   maintain_kwargs=stats.get("maintain_kwargs"))
 
     # ------------------------------------------------------------- read
     def invalidate_corpus(self) -> None:

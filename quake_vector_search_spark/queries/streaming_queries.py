@@ -1260,6 +1260,7 @@ def stream_auto_maintenance_cadence(spark, sf_dir):
 @register("stream_maintenance_cadence_restart", sql="""
 SELECT 'explicit_cadence_ran_cycle' AS invariant, CAST(1 AS BIGINT) AS value
 UNION ALL SELECT 'knob_persisted_in_stats', 1
+UNION ALL SELECT 'kwargs_persisted_in_stats', 1
 UNION ALL SELECT 'reloaded_handle_carries_knob', 1
 UNION ALL SELECT 'restarted_stream_resumed_cadence', 1
 UNION ALL SELECT 'explicit_off_clears_knob', 1
@@ -1272,9 +1273,10 @@ def stream_maintenance_cadence_restart(spark, sf_dir):
     index's stats.json (riding every ``save_meta`` republish), so a
     RESTARTED stream — ``IVFIndex.load`` on the workdir, then
     ``ingest_stream`` with the arg left ``None`` — resumes the cadence
-    the index was configured with, no operator re-passing config on
-    every deploy. ``set_maintenance_cadence(idx, None)`` is the
-    explicit off. Reference parity: the driver's every-50-queries
+    the index was configured with — ``maintain_kwargs`` riding along
+    under the same rule — no operator re-passing config on every
+    deploy. ``set_maintenance_cadence(idx, None)`` is the explicit
+    off, clearing the kwargs too. Reference parity: the driver's every-50-queries
     ``maintain()`` loop (QUAKE_working_demo.ipynb c2:80-81) is driver
     -process state; at cluster scale the cadence must live WITH the
     index so any worker that re-attaches the stream keeps it.
@@ -1320,30 +1322,36 @@ def stream_maintenance_cadence_restart(spark, sf_dir):
         finally:
             q.stop()
 
-    # explicit cadence=2 over 2 single-row batches -> exactly 1 cycle
+    # explicit cadence=2 (+ kwargs) over 2 single-row batches ->
+    # exactly 1 cycle
     v0 = idx.version
     drain(ingest_stream(idx, feed("a", [13_500_000, 13_500_001]),
                         os.path.join(base, "ckpt_a"), encode_pq=False,
-                        maintain_every_n_batches=2))
+                        maintain_every_n_batches=2,
+                        maintain_kwargs={"merge_size": 0}))
     ran_cycle = idx.version == v0 + 1
     with open(os.path.join(idx.version_dir, "stats.json")) as fh:
-        persisted = json.load(fh).get("maintain_every_n_batches") == 2
+        st = json.load(fh)
+    persisted = st.get("maintain_every_n_batches") == 2
+    kwargs_persisted = st.get("maintain_kwargs") == {"merge_size": 0}
 
-    # restart: fresh handle from disk carries the knob, and a re-
-    # attached stream with the arg left None resumes the cadence
+    # restart: fresh handle from disk carries the knobs, and a re-
+    # attached stream with the args left None resumes the cadence
     idx2 = IVFIndex.load(spark, workdir)
-    carried = idx2.maintain_every_n_batches == 2
+    carried = (idx2.maintain_every_n_batches == 2
+               and idx2.maintain_kwargs == {"merge_size": 0})
     v1 = idx2.version
     drain(ingest_stream(idx2, feed("b", [13_500_002, 13_500_003]),
                         os.path.join(base, "ckpt_b"),
                         encode_pq=False))
     resumed = idx2.version == v1 + 1
 
-    # explicit off: clears the persisted knob; a third None-arg
+    # explicit off: clears the persisted knobs; a third None-arg
     # stream schedules nothing
     set_maintenance_cadence(idx2, None)
-    cleared = (IVFIndex.load(spark, workdir).maintain_every_n_batches
-               is None)
+    _rl = IVFIndex.load(spark, workdir)
+    cleared = (_rl.maintain_every_n_batches is None
+               and _rl.maintain_kwargs is None)
     v2 = idx2.version
     drain(ingest_stream(idx2, feed("c", [13_500_004, 13_500_005]),
                         os.path.join(base, "ckpt_c"),
@@ -1353,6 +1361,7 @@ def stream_maintenance_cadence_restart(spark, sf_dir):
     checks = [
         ("explicit_cadence_ran_cycle", int(ran_cycle)),
         ("knob_persisted_in_stats", int(persisted)),
+        ("kwargs_persisted_in_stats", int(kwargs_persisted)),
         ("reloaded_handle_carries_knob", int(carried)),
         ("restarted_stream_resumed_cadence", int(resumed)),
         ("explicit_off_clears_knob", int(cleared)),

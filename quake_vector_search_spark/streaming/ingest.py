@@ -809,17 +809,29 @@ def _append_pq_codes_distributed(index: IVFIndex, routed: DataFrame,
     return "done"
 
 
-def set_maintenance_cadence(index: IVFIndex, n: int | None) -> None:
+def set_maintenance_cadence(index: IVFIndex, n: int | None,
+                            maintain_kwargs: dict | None = None
+                            ) -> None:
     """Record (``n`` ≥ 1) or clear (``n=None``) the persisted
     streaming self-maintenance cadence on the index. ``ingest_stream``
     records an explicit cadence itself; this is the explicit-off / out
     -of-band knob editor (the stats.json twin of setting
-    ``ood_rebuild_rate`` at sidecar build)."""
+    ``ood_rebuild_rate`` at sidecar build). Clearing the cadence also
+    clears the recorded ``maintain_kwargs`` (they only apply to
+    scheduled maintenance); with ``n`` set, ``maintain_kwargs``
+    replaces the recorded kwargs (None here = clear them)."""
     if n is not None and int(n) < 1:
         raise ValueError(
             f"maintenance cadence must be a positive int or None, "
             f"got {n!r}")
+    if maintain_kwargs is not None:
+        import json as _json
+
+        _json.dumps(maintain_kwargs)   # persisted: must serialize
     index.maintain_every_n_batches = None if n is None else int(n)
+    index.maintain_kwargs = (dict(maintain_kwargs)
+                             if n is not None and maintain_kwargs
+                             else None)
     index.save_meta()
 
 
@@ -865,10 +877,14 @@ def ingest_stream(index: IVFIndex, vectors_stream: DataFrame,
     ``ood_rebuild_rate`` rides pq_meta.json), and a later
     ``ingest_stream`` call that leaves the arg ``None`` — e.g. a
     restarted stream re-attaching after ``IVFIndex.load`` — resumes
-    that cadence without the caller re-passing it. Only an explicit
-    value writes; ``None`` reads. There is no "explicit off": pass
-    the index through ``set_maintenance_cadence(index, None)`` to
-    clear a recorded cadence."""
+    that cadence without the caller re-passing it. ``maintain_kwargs``
+    rides along under the same rule (a resumed cadence without its
+    ood_rebuild_min_n etc. would silently maintain with defaults);
+    non-JSON-serializable kwargs apply to this stream only, with a
+    warning. Only explicit values write; ``None`` reads. There is no
+    "explicit off": pass the index through
+    ``set_maintenance_cadence(index, None)`` to clear the recorded
+    cadence (and its kwargs)."""
     if (maintain_every_n_batches is not None
             and int(maintain_every_n_batches) < 1):
         # fail at the call site, not as a ZeroDivisionError inside
@@ -877,6 +893,7 @@ def ingest_stream(index: IVFIndex, vectors_stream: DataFrame,
             "maintain_every_n_batches must be a positive int, got "
             f"{maintain_every_n_batches!r} (None = caller schedules "
             "maintenance)")
+    _dirty = False
     if maintain_every_n_batches is None:
         # resume the cadence the index was configured with (persisted
         # by a previous ingest_stream on this workdir)
@@ -886,6 +903,27 @@ def ingest_stream(index: IVFIndex, vectors_stream: DataFrame,
         # record the knob on the CURRENT version so a restart resumes
         # it; save_meta is metadata-scale (centroid tables + stats)
         index.maintain_every_n_batches = int(maintain_every_n_batches)
+        _dirty = True
+    if maintain_kwargs is None:
+        # the kwargs ride with the cadence: a resumed cadence without
+        # its ood_rebuild_min_n (etc.) would silently maintain with
+        # defaults
+        maintain_kwargs = index.maintain_kwargs
+    elif maintain_kwargs != index.maintain_kwargs:
+        import json as _json
+        import warnings as _warnings
+
+        try:
+            _json.dumps(maintain_kwargs)
+        except (TypeError, ValueError):
+            _warnings.warn(
+                "ingest_stream: maintain_kwargs is not "
+                "JSON-serializable — it applies to THIS stream but "
+                "will not persist for a restarted one")
+        else:
+            index.maintain_kwargs = dict(maintain_kwargs)
+            _dirty = True
+    if _dirty:
         index.save_meta()
     id_col, vec_col = index.id_col, index.vec_col
     books_cache: dict = {}

@@ -1934,14 +1934,18 @@ def test_streaming_auto_maintenance_cadence(spark, tmp_path):
 
 def test_maintenance_cadence_persists_across_restart(spark, tmp_path):
     """The cadence is a PERSISTED index knob (round 13 continuity #5):
-    an explicit ``maintain_every_n_batches`` rides stats.json, a
+    an explicit ``maintain_every_n_batches`` rides stats.json — WITH
+    its ``maintain_kwargs`` (a resumed cadence without its
+    ood_rebuild_min_n would silently maintain with defaults) — a
     RESTARTED stream — ``IVFIndex.load`` + ``ingest_stream`` with the
-    arg left None — resumes it without the caller re-passing it, and
-    ``set_maintenance_cadence(idx, None)`` is the explicit off."""
+    args left None — resumes both without the caller re-passing them,
+    and ``set_maintenance_cadence(idx, None)`` is the explicit off
+    (clearing the kwargs too)."""
     import os
 
     import numpy as np
 
+    import quake_vector_search_spark.operators.maintenance as maint_mod
     from quake_vector_search_spark.operators.ivf import IVFIndex
     from quake_vector_search_spark.operators.workload import make_dataset
     from quake_vector_search_spark.streaming.ingest import (
@@ -1967,34 +1971,51 @@ def test_maintenance_cadence_persists_across_restart(spark, tmp_path):
                 .schema("vec_id long, embedding array<float>")
                 .option("maxFilesPerTrigger", 1).parquet(vdir))
 
-    # stream 1: explicit cadence=2 over 2 batches → exactly 1 cycle
+    # stream 1: explicit cadence=2 + kwargs over 2 batches → 1 cycle
     v0 = idx.version
     q = ingest_stream(idx, feed("a", range(70_000, 70_002)),
                       str(tmp_path / "ckpt_a"), encode_pq=False,
-                      maintain_every_n_batches=2)
+                      maintain_every_n_batches=2,
+                      maintain_kwargs={"ood_rebuild_min_n": 7})
     try:
         q.processAllAvailable()
     finally:
         q.stop()
     assert idx.version == v0 + 1
 
-    # restart: a fresh handle from disk carries the knob...
+    # restart: a fresh handle from disk carries BOTH knobs...
     idx2 = IVFIndex.load(spark, workdir)
     assert idx2.maintain_every_n_batches == 2
-    # ...and a re-attached stream with the arg left None resumes it
-    v1 = idx2.version
-    q = ingest_stream(idx2, feed("b", range(70_002, 70_004)),
-                      str(tmp_path / "ckpt_b"), encode_pq=False)
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    assert idx2.version == v1 + 1
+    assert idx2.maintain_kwargs == {"ood_rebuild_min_n": 7}
+    # ...and a re-attached stream with the args left None resumes
+    # them — the resumed maintain() must receive the recorded kwargs
+    seen_kwargs = []
+    real_maintain = maint_mod.maintain
 
-    # explicit off: clears the persisted knob; a third stream with the
-    # arg left None schedules nothing
+    def recording_maintain(index_, **kw):
+        seen_kwargs.append(kw)
+        return real_maintain(index_, **kw)
+
+    maint_mod.maintain = recording_maintain
+    try:
+        v1 = idx2.version
+        q = ingest_stream(idx2, feed("b", range(70_002, 70_004)),
+                          str(tmp_path / "ckpt_b"), encode_pq=False)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        maint_mod.maintain = real_maintain
+    assert idx2.version == v1 + 1
+    assert seen_kwargs == [{"ood_rebuild_min_n": 7}]
+
+    # explicit off: clears the persisted knobs; a third stream with
+    # the args left None schedules nothing
     set_maintenance_cadence(idx2, None)
-    assert IVFIndex.load(spark, workdir).maintain_every_n_batches is None
+    reloaded = IVFIndex.load(spark, workdir)
+    assert reloaded.maintain_every_n_batches is None
+    assert reloaded.maintain_kwargs is None
     v2 = idx2.version
     q = ingest_stream(idx2, feed("c", range(70_004, 70_006)),
                       str(tmp_path / "ckpt_c"), encode_pq=False)
