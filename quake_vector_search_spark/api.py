@@ -503,7 +503,15 @@ def compress_index(index: IVFIndex, method: str = "pq", **kwargs):
     ``"aniso_ivfadc"`` (round 8, COSINE indexes only: score-aware
     ScaNN-loss books + coordinate-descent codes, plain or
     residual-composed — the strongest 8-byte rungs for cosine
-    serving; ``anisotropic=η`` overrides the default weight 3.0).
+    serving; ``anisotropic=η`` overrides the default weight 3.0),
+    ``"aniso_opq_ivfadc"`` (round 9: the score-aware loss transported
+    through an OPQ rotation; ``opq_iters=N`` — round 13 — refines the
+    rotation against the anisotropic loss itself, the score-aware
+    iterative OPQ), ``"aniso_lopq"`` / ``"aniso_lopq_rotated"``
+    (round 10: per-cell score-aware books, optionally with per-cell
+    rotations — the measured ladder top for cosine serving;
+    ``opq_iters=N`` on the rotated form runs the score-aware
+    alternation inside each cell's fit).
     Returns the trained codebooks (per-pid dict for lopq,
     {vmin, scale} for ivf_sq8). Maintenance keeps whichever flavor
     was built current across split/merge republishes."""
@@ -521,6 +529,12 @@ def compress_index(index: IVFIndex, method: str = "pq", **kwargs):
         "ivf_sq8": {"sq8": True},
         "aniso": {"anisotropic": 3.0},
         "aniso_ivfadc": {"anisotropic": 3.0, "residual": True},
+        "aniso_opq_ivfadc": {"anisotropic": 3.0, "residual": True,
+                             "rotate": True},
+        "aniso_lopq": {"anisotropic": 3.0, "residual": True,
+                       "local": True},
+        "aniso_lopq_rotated": {"anisotropic": 3.0, "residual": True,
+                               "local": True, "rotate": True},
     }
     if method not in flavors:
         raise ValueError(f"unknown method {method!r} "

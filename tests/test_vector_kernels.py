@@ -1226,3 +1226,38 @@ def test_aniso_opq_refine_beats_eigalloc_init():
                                    opq_iters=6, mm_steps=3, seed=7)
     np.testing.assert_array_equal(again["components"], R)
     np.testing.assert_array_equal(again["books"], out["books"])
+
+
+def test_api_compress_index_aniso_flavor_names(spark, tmp_path):
+    """The facade names every aniso composition (round 13: the
+    round-9/10 rungs and the score-aware iterative-OPQ flavor were
+    reachable only via raw kwargs): aniso_opq_ivfadc with
+    opq_iters=2 builds the jointly refined rotation, records the
+    knob, and serves exact self-queries at full probe."""
+    import json
+    import os
+
+    import numpy as np
+
+    from quake_vector_search_spark import api
+    from quake_vector_search_spark.operators.workload import make_dataset
+
+    corpus = make_dataset(spark, 500, d=16, n_clusters=6, seed=13)
+    idx = api.build_index(corpus, str(tmp_path / "api_aopq"),
+                          coarse_k=4, base_k=2, metric="cosine")
+    api.compress_index(idx, method="aniso_opq_ivfadc", m=4, ksub=16,
+                       opq_iters=2)
+    with open(os.path.join(idx.version_dir, "pq_meta.json")) as fh:
+        meta = json.load(fh)
+    assert meta["anisotropic"] == 3.0 and meta["rotate"]
+    assert meta["opq_iters"] == 2
+    assert os.path.exists(os.path.join(idx.version_dir,
+                                       "pq_rotation.npz"))
+    rows = corpus.where("vec_id < 4").collect()
+    qmat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    qids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    found = api.knn_hybrid(idx, (qids, qmat), k=1, target_recall=1.0,
+                           max_probe=10**9, oversample=40)
+    got = {int(r["query_id"]): int(r["vec_id"])
+           for r in found.collect()}
+    assert got == {int(q): int(q) for q in qids}
