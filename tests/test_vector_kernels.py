@@ -1261,3 +1261,42 @@ def test_api_compress_index_aniso_flavor_names(spark, tmp_path):
     got = {int(r["query_id"]): int(r["vec_id"])
            for r in found.collect()}
     assert got == {int(q): int(q) for q in qids}
+
+
+@settings(max_examples=25, deadline=None)
+@given(seed=st.integers(0, 10_000),
+       eta=st.floats(min_value=1.0, max_value=20.0),
+       d=st.sampled_from([8, 16]))
+def test_aniso_mm_procrustes_descends_property(seed, eta, d):
+    """Property form of the MM-Procrustes guarantee (round 13): for
+    ANY data, direction set, fixed reconstruction, random orthogonal
+    start and any η ≥ 1, each majorize-minimize rotation update is
+    non-increasing in the anisotropic loss and stays orthogonal —
+    the derivation's claim, not just one seed's instance."""
+    rng = np.random.default_rng(seed)
+    n = 60
+    X = rng.normal(size=(n, d))
+    Xh = X / np.linalg.norm(X, axis=1, keepdims=True)
+    Z = X - X.mean(axis=0)
+    Yhat = Z + 0.5 * rng.normal(size=(n, d))
+    q, _ = np.linalg.qr(rng.normal(size=(d, d)))
+    R = q
+
+    def loss(R_):
+        E = Z - Yhat @ R_
+        t = (E * Xh).sum(axis=1)
+        return float(((E ** 2).sum()
+                      + (eta - 1.0) * (t ** 2).sum()) / n)
+
+    prev = loss(R)
+    for _ in range(4):
+        E0 = Z - Yhat @ R
+        U_mat = (eta - 1.0) * (
+            E0 - (E0 * Xh).sum(axis=1, keepdims=True) * Xh)
+        M = Yhat.T @ (eta * Z - U_mat)
+        Us, _s, Vt = np.linalg.svd(M)
+        R = Us @ Vt
+        cur = loss(R)
+        assert cur <= prev + 1e-8 * max(1.0, prev), (cur, prev)
+        prev = cur
+    np.testing.assert_allclose(R @ R.T, np.eye(d), atol=1e-8)
