@@ -1728,14 +1728,14 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
         # original-space loss (see aniso_pq_train). The persisted
         # format is the standard pq_rotation.npz, so the ADC/query
         # side is unchanged. ``opq_iters`` (round 13) now composes on
-        # the GLOBAL rotated flavor too: aniso_opq_refine_local
+        # BOTH rotated flavors: globally, aniso_opq_refine_local
         # alternates score-aware books with an MM-Procrustes rotation
         # update that descends the anisotropic loss itself — the
         # "score-aware Procrustes step" the old refusal named as
-        # missing. sq8 stays an explicit error, and opq_iters × local
-        # stays one (per-cell iterative refinement would run the
-        # alternation inside every grouped-map task — unimplemented,
-        # eigalloc init remains each cell's rotation).
+        # missing; with ``local=True`` the same alternation runs
+        # inside each cell's grouped-map fit (``train_local_books``,
+        # opq_iters ≥ 1 engages — ≤ 0 keeps the eigalloc-init-only
+        # fit bit-for-bit). sq8 stays an explicit error.
         if sq8:
             raise ValueError(
                 "anisotropic composes with residual=, rotate=, "
@@ -1748,7 +1748,7 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
                 "score-aware Procrustes alternation refines a "
                 "rotation — without one the parameter would be "
                 "silently ignored (global: one rotation; local: one "
-                "per cell, opq_iters ≥ 2 runs the alternation inside "
+                "per cell, opq_iters ≥ 1 runs the alternation inside "
                 "each cell's grouped-map fit)")
         if index.metric != "cosine":
             raise ValueError(
@@ -2885,7 +2885,23 @@ def aniso_opq_refine_local(X: np.ndarray, Xh: np.ndarray | None,
     anisotropic loss is returned — the refinement can only match or
     beat the eigenvalue-allocation init that the non-iterative
     rotate flavor uses. Returns {"mean", "components", "books",
-    "losses", "best_loss"}; ``losses[0]`` is the init's loss."""
+    "losses", "best_loss"}; ``losses[0]`` is the init's loss.
+
+    Requires ``eta >= 1`` (ADVICE r13): the MM surrogate is a bound
+    only because ηI − Wᵢ = (η−1)(I − x̂ᵢx̂ᵢᵀ) ⪰ 0 — with η < 1 the
+    inequality flips and the "descent" step can ascend, so the
+    composition is refused here rather than silently degrading to
+    whatever the best-loss tracking salvages (η < 1 also de-weights
+    the score-parallel error, the opposite of what an anisotropic
+    sidecar is for — the plain flavors tolerate it, the iterative
+    rotation refinement does not)."""
+    if float(eta) < 1.0:
+        raise ValueError(
+            f"aniso_opq_refine_local requires eta >= 1, got {eta!r}: "
+            "the MM-Procrustes surrogate bound needs etaI - W_i PSD "
+            "(eta - 1 >= 0); with eta < 1 the rotation update is not "
+            "a descent step — use the non-iterative rotate flavor "
+            "(opq_iters=0, eigenvalue-allocation init) instead")
     X = np.asarray(X, dtype=np.float64)
     n, d = X.shape
     if Xh is None:

@@ -1228,6 +1228,32 @@ def test_aniso_opq_refine_beats_eigalloc_init():
     np.testing.assert_array_equal(again["books"], out["books"])
 
 
+def test_aniso_opq_refine_rejects_eta_below_one():
+    """ADVICE r13 #2: the MM-Procrustes surrogate is an upper bound
+    only because ηI − Wᵢ = (η−1)(I − x̂x̂ᵀ) ⪰ 0 — with η < 1 the
+    inequality flips and the "descent" step can ascend, so the
+    trainer refuses up front instead of silently degrading to
+    whatever the best-loss tracking salvages. η = 1 (plain OPQ, the
+    boundary case) stays accepted."""
+    import numpy as np
+    import pytest as _pytest
+
+    from quake_vector_search_spark.operators.quantization import (
+        aniso_opq_refine_local,
+    )
+
+    rng = np.random.RandomState(5)
+    X = rng.randn(200, 8)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    for bad in (0.99, 0.5, 0.0):
+        with _pytest.raises(ValueError, match="eta >= 1"):
+            aniso_opq_refine_local(X, None, m=2, ksub=8, eta=bad,
+                                   opq_iters=1, seed=3)
+    out = aniso_opq_refine_local(X, None, m=2, ksub=8, eta=1.0,
+                                 opq_iters=1, seed=3)
+    assert out["best_loss"] == min(out["losses"])
+
+
 def test_api_compress_index_aniso_flavor_names(spark, tmp_path):
     """The facade names every aniso composition (round 13: the
     round-9/10 rungs and the score-aware iterative-OPQ flavor were
