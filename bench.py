@@ -121,27 +121,62 @@ def _cached_train(tag: str, train_fn):
     return books, dt
 
 
+def _harvest_sidecar_params(version_dir: str, kwargs: dict) -> dict:
+    """Collect EVERY trained artifact of the sidecar just built into
+    the dict-payload form build_pq_sidecar re-accepts (round 14,
+    VERDICT r13 #4): global books + rotation, per-cell books (+
+    per-cell rotations), or sq8 bounds — straight off the version
+    dir, so the payload IS what a fresh build trained."""
+    from quake_vector_search_spark.operators.quantization import (
+        load_local_books,
+        load_local_rots,
+        load_sq8_params,
+    )
+    if kwargs.get("sq8"):
+        return {"sq8_params": load_sq8_params(version_dir)}
+    if kwargs.get("local"):
+        payload = {"local_books": load_local_books(version_dir)}
+        if kwargs.get("rotate"):
+            payload["local_rots"] = load_local_rots(version_dir)
+        return payload
+    payload = {"books": np.load(os.path.join(version_dir,
+                                             "pq_codebooks.npy"))}
+    if kwargs.get("rotate"):
+        rz = np.load(os.path.join(version_dir, "pq_rotation.npz"))
+        payload["rotation"] = {"mean": rz["mean"],
+                               "components": rz["components"]}
+    return payload
+
+
 def _build_sidecar_cached(idx, tag: str, **kwargs):
-    """build_pq_sidecar with trained-books reuse under
-    --reuse-sidecars. Cacheable flavors = unrotated GLOBAL only (the
-    pretrained_books contract); local/rotated/sq8 rungs fall through
-    to a full build. Callers must NOT use this where the corpus
-    mutates between runs (e.g. the post-insert streamed_ood rebuild)."""
+    """build_pq_sidecar with trained-params reuse under
+    --reuse-sidecars. Round 14 (VERDICT r13 #4): ALL flavors cache —
+    rotated/local/sq8 rungs ride the dict payload (rotations and
+    per-cell books persist alongside global books), so iteration
+    runs skip the aniso×OPQ alternation and the per-cell fits too.
+    Valid ONLY because every bench corpus AND index build is
+    seeded-deterministic (per-cell books are layout-bound). Callers
+    must NOT use this where the corpus mutates between runs (e.g.
+    the post-insert streamed_ood rebuild)."""
     from quake_vector_search_spark.operators.quantization import (
         build_pq_sidecar,
     )
-    cacheable = (REUSE_SIDECARS and not kwargs.get("local")
-                 and not kwargs.get("rotate") and not kwargs.get("sq8"))
-    if cacheable:
-        path = os.path.join(BOOKCACHE_DIR, f"{tag}.npy")
-        if os.path.exists(path):
-            return build_pq_sidecar(idx, pretrained_books=np.load(path),
-                                    **kwargs)
-        books = build_pq_sidecar(idx, **kwargs)
-        os.makedirs(BOOKCACHE_DIR, exist_ok=True)
-        np.save(path, books)
-        return books
-    return build_pq_sidecar(idx, **kwargs)
+    if not REUSE_SIDECARS:
+        return build_pq_sidecar(idx, **kwargs)
+    import pickle
+
+    path = os.path.join(BOOKCACHE_DIR, f"{tag}.params.pkl")
+    if os.path.exists(path):
+        with open(path, "rb") as fh:
+            payload = pickle.load(fh)
+        return build_pq_sidecar(idx, pretrained_books=payload,
+                                **kwargs)
+    out = build_pq_sidecar(idx, **kwargs)
+    os.makedirs(BOOKCACHE_DIR, exist_ok=True)
+    payload = _harvest_sidecar_params(idx.version_dir, kwargs)
+    with open(path, "wb") as fh:
+        pickle.dump(payload, fh)
+    return out
 
 
 def run_df(df) -> None:
@@ -623,9 +658,10 @@ def ivf_scale_n400k(spark) -> dict:
     # tests/test_vector_kernels.py::test_local_books_beat_global_
     # residual_adc (0.714 vs 0.642 ADC-only).
     t1 = time.time()
-    books_lopq = build_pq_sidecar(idx, m=8, ksub=256, seed=99,
-                                  residual=True, local=True,
-                                  rotate=True)
+    books_lopq = _build_sidecar_cached(idx, "scale400k_lopq_rotated",
+                                       m=8, ksub=256, seed=99,
+                                       residual=True, local=True,
+                                       rotate=True)
     lopq_build_s = time.time() - t1
     t1 = time.time()
     flop, _ = knn_ivf_pq(idx, (qids, qmat), k=K, target_recall=0.9,

@@ -1412,7 +1412,8 @@ def _build_aniso_global(index, corpus, m, ksub, seed,
                         distributed_train=False,
                         pretrained_books=None,
                         distributed_train_intent=None,
-                        opq_iters=0):
+                        opq_iters=0,
+                        pretrained_rot=None):
     """The GLOBAL-books anisotropic sidecar build (rounds 8-9),
     factored out of build_pq_sidecar when round 10 added the per-cell
     (aniso × LOPQ) variant alongside it. ``opq_iters > 0`` (round 13)
@@ -1433,7 +1434,15 @@ def _build_aniso_global(index, corpus, m, ksub, seed,
         enc_src = _residual_corpus(index, corpus, enc_cents)
     rot = None
     joint_books = None
-    if rotate and opq_iters:
+    if pretrained_rot is not None:
+        # --reuse-sidecars dict payload (round 14, VERDICT r13 #4):
+        # the refined/fitted rotation rides in with the books, so the
+        # alternation (the expensive part of the aniso×OPQ rung) is
+        # skipped entirely — codes are identical because both come
+        # from an identical prior build
+        rot = {"mean": np.asarray(pretrained_rot["mean"]),
+               "components": np.asarray(pretrained_rot["components"])}
+    elif rotate and opq_iters:
         # joint rotation+books refinement on the bounded driver
         # sample (a d×d rotation needs a representative sample, not
         # the corpus — the same argument as the coarse quantizer)
@@ -1597,7 +1606,7 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
                      ood_min_explained: float = 0.05,
                      ood_rebuild_rate: float | None = None,
                      distributed_train: bool | None = None,
-                     pretrained_books: np.ndarray | None = None,
+                     pretrained_books: np.ndarray | dict | None = None,
                      books_format: str | None = None):
     """Build a PQ codes *sidecar* for a published IVF index version:
     train codebooks on a bounded sample of the live corpus, encode every
@@ -1672,6 +1681,19 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
     streamed appends always take the MSE code); the
     ``aniso_mips_n40k.streamed_ood`` bench point is the measurement
     hook.
+
+    ``pretrained_books`` (iteration mode, rounds 11/14): a bare
+    ndarray injects global codebooks for the UNROTATED global
+    flavors; a dict payload extends the skip-training contract to
+    every flavor — ``{"books", "rotation"}`` for rotated globals
+    (incl. anisotropic × opq_iters — the alternation is skipped),
+    ``{"local_books"[, "local_rots"]}`` for LOPQ, ``{"sq8_params"}``
+    for sq8. The payload must be harvested from an identical prior
+    build: per-cell books are layout-bound (coverage of every
+    populated cell is validated), the rest are distribution-bound
+    (the caller asserts the corpus is unchanged — the bench's
+    seeded datasets). Codes, meta and snapshot come out identical
+    to a fresh build; only training time drops.
     """
     import json
     import os
@@ -1701,15 +1723,57 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
         raise ValueError("books_format='table' applies to LOCAL "
                          "(per-cell) sidecars — global flavors keep "
                          "one broadcast-scale codebook file")
-    if pretrained_books is not None and (local or sq8 or rotate):
-        # pretrained-books injection (round 11, VERDICT r10 #7 — the
-        # bench's --reuse-sidecars iteration mode) is supported for
-        # the UNROTATED GLOBAL flavors only: a rotated sidecar's
-        # rotation, a local sidecar's per-cell dict and sq8's bounds
-        # are part of what training produces — reusing books without
-        # them would silently mispair
-        raise ValueError("pretrained_books supports unrotated global "
-                         "flavors only (not local/sq8/rotate)")
+    _pre = None
+    if pretrained_books is not None:
+        if isinstance(pretrained_books, dict):
+            # round 14 (VERDICT r13 #4): a DICT payload extends the
+            # iteration-mode injection to every flavor by carrying
+            # ALL of what training produces — global books + their
+            # rotation, a local sidecar's per-cell books (+ per-cell
+            # rotations), sq8's bounds. The bare-array form keeps the
+            # round-11 contract (unrotated global only); the dict is
+            # validated here so a flavor/payload mispair fails at the
+            # call site, not as silently garbage codes.
+            if sq8:
+                need = ("sq8_params",)
+            elif local:
+                need = (("local_books", "local_rots") if rotate
+                        else ("local_books",))
+            else:
+                need = (("books", "rotation") if rotate
+                        else ("books",))
+            missing = [k for k in need
+                       if pretrained_books.get(k) is None]
+            if missing:
+                raise ValueError(
+                    f"pretrained payload for this flavor needs "
+                    f"{list(need)}, missing {missing} — harvest it "
+                    "from an identical prior build (books/rotations/"
+                    "bounds are what training produces; a partial "
+                    "payload would silently mispair codes and "
+                    "params)")
+            if not sq8 and not local:
+                _b = np.asarray(pretrained_books["books"])
+                if _b.shape[0] != m:
+                    raise ValueError(
+                        f"pretrained books have m={_b.shape[0]}, "
+                        f"build asked m={m}")
+            _pre = pretrained_books
+            # global paths consume the plain array from here on;
+            # local/sq8 branches read their artifacts from _pre
+            pretrained_books = _pre.get("books")
+        elif local or sq8 or rotate:
+            # bare-array injection (round 11, VERDICT r10 #7) covers
+            # the UNROTATED GLOBAL flavors only: a rotated sidecar's
+            # rotation, a local sidecar's per-cell dict and sq8's
+            # bounds are part of what training produces — reusing
+            # books without them would silently mispair. Pass the
+            # dict payload form for those flavors.
+            raise ValueError(
+                "bare pretrained_books supports unrotated global "
+                "flavors only (not local/sq8/rotate) — pass a dict "
+                "payload with the flavor's full trained artifacts "
+                "instead")
     enc_cents = None
     if anisotropic is not None:
         # ANISOTROPIC flavor (round 8): score-aware books + codes for
@@ -1768,7 +1832,10 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
                                        distributed_train,
                                        pretrained_books,
                                        _dt_intent,
-                                       opq_iters=int(opq_iters))
+                                       opq_iters=int(opq_iters),
+                                       pretrained_rot=(
+                                           _pre.get("rotation")
+                                           if _pre else None))
         # aniso × LOPQ (round 10): per-cell SCORE-AWARE books — falls
         # through to the local branch below, which passes η into
         # train_local_books/_encode_local_sidecar; implies the
@@ -1794,7 +1861,8 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
         enc_cents = {int(p): index.centroids[i].copy()
                      for i, p in enumerate(index.part_ids)}
         res_src = _residual_corpus(index, corpus, enc_cents)
-        params = fit_sq8_params(res_src, index.vec_col)
+        params = (_pre["sq8_params"] if _pre is not None
+                  else fit_sq8_params(res_src, index.vec_col))
         enc = _encode_sq8_sidecar(res_src, params,
                                   index.id_col, index.vec_col)
         path = os.path.join(index.version_dir, "pq")
@@ -1826,11 +1894,29 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
         enc_cents = {int(p): index.centroids[i].copy()
                      for i, p in enumerate(index.part_ids)}
         res_src = _residual_corpus(index, corpus, enc_cents)
-        books_by_pid, rots_by_pid = train_local_books(
-            res_src, m=m, ksub=ksub, seed=seed,
-            cell_sample_n=cell_sample_n,
-            id_col=index.id_col, vec_col=index.vec_col,
-            rotate=rotate,
+        if _pre is not None:
+            # --reuse-sidecars dict payload (round 14, VERDICT r13
+            # #4): per-cell books are LAYOUT-BOUND, so injection is
+            # valid ONLY when the payload comes from an identical
+            # build on an identical layout (the bench's seeded
+            # corpora) — coverage of every populated cell is the
+            # cheap invariant that catches a layout mismatch
+            books_by_pid = {int(p): np.asarray(b, dtype=np.float64)
+                            for p, b in _pre["local_books"].items()}
+            rots_by_pid = ({int(p): r
+                            for p, r in _pre["local_rots"].items()}
+                           if rotate else None)
+            _needed = {int(p) for p, s in zip(index.part_ids,
+                                              index.sizes)
+                       if int(s) > 0}
+            _miss = sorted(_needed - set(books_by_pid))
+            if _miss:
+                raise ValueError(
+                    f"pretrained local books miss populated cells "
+                    f"{_miss[:8]} — per-cell books are layout-bound; "
+                    "the payload must come from an identical build "
+                    "on an identical partition layout")
+        else:
             # aniso semantics (round 13): opq_iters N ≥ 1 = run the
             # score-aware alternation with N outer iterations, 0 =
             # the flavor-native init (per-cell eigalloc) — same
@@ -1838,9 +1924,14 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
             # explicit 1 is never silently ignored. The non-aniso
             # full-LOPQ path keeps its historical ≥1 coercion
             # (opq_refine_local's 1 = eigalloc-init-only contract).
-            opq_iters=(int(opq_iters) if anisotropic is not None
-                       else max(1, opq_iters)),
-            anisotropic=anisotropic, cents=enc_cents)
+            books_by_pid, rots_by_pid = train_local_books(
+                res_src, m=m, ksub=ksub, seed=seed,
+                cell_sample_n=cell_sample_n,
+                id_col=index.id_col, vec_col=index.vec_col,
+                rotate=rotate,
+                opq_iters=(int(opq_iters) if anisotropic is not None
+                           else max(1, opq_iters)),
+                anisotropic=anisotropic, cents=enc_cents)
         enc = _encode_local_sidecar(res_src, books_by_pid,
                                     index.id_col, index.vec_col,
                                     rots_by_pid=rots_by_pid,
@@ -1895,7 +1986,11 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
         enc_cents = {int(p): index.centroids[i].copy()
                      for i, p in enumerate(index.part_ids)}
         res_src = _residual_corpus(index, corpus, enc_cents)
-        if opq_iters > 0:
+        if _pre is not None:
+            # dict-payload injection (round 14): the fitted/refined
+            # rotation rides in with the books — skip the fit
+            model = _pre["rotation"]
+        elif opq_iters > 0:
             from quake_vector_search_spark.operators.kmeans import (
                 _seeded_sample,
             )
@@ -1910,7 +2005,9 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
         rot = {"mean": model["mean"], "components": model["components"]}
         enc_src = _rotate_corpus(index, res_src, rot)
     elif rotate:
-        if opq_iters > 0:
+        if _pre is not None:
+            model = _pre["rotation"]
+        elif opq_iters > 0:
             # iterative OPQ (round 7): alternate codebook training and
             # Procrustes rotation updates on a bounded seeded sample —
             # same persisted-rotation contract, strictly better (or

@@ -1228,6 +1228,158 @@ def test_aniso_opq_refine_beats_eigalloc_init():
     np.testing.assert_array_equal(again["books"], out["books"])
 
 
+def _collect_codes(spark, version_dir):
+    import numpy as np
+
+    rows = (spark.read.parquet(f"{version_dir}/pq")
+            .orderBy("vec_id").collect())
+    return (np.array([r["vec_id"] for r in rows]),
+            np.vstack([r["pq_codes"] for r in rows]),
+            np.array([r["partition_id"] for r in rows]))
+
+
+def test_pretrained_payload_roundtrip_aniso_opq_rotated(spark,
+                                                        tmp_path,
+                                                        monkeypatch):
+    """Round 14 (VERDICT r13 #4): the dict pretrained payload lets a
+    rebuild of the aniso × iterative-OPQ sidecar skip the
+    MM-Procrustes alternation AND the score-aware trainer entirely —
+    both are monkeypatched to explode — while producing bit-identical
+    codes, rotation, books and meta. This is what makes the bench's
+    --reuse-sidecars iteration mode cover the rotated rungs."""
+    import json
+    import os
+
+    import numpy as np
+
+    import quake_vector_search_spark.operators.quantization as qz
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.workload import make_dataset
+
+    corpus = make_dataset(spark, 300, d=16, n_clusters=4, seed=33)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_pre_aniso"),
+                         coarse_k=3, base_k=2, metric="cosine")
+    books0 = qz.build_pq_sidecar(idx, m=4, ksub=16, seed=7,
+                                 anisotropic=3.0, residual=True,
+                                 rotate=True, opq_iters=2)
+    ids0, codes0, pids0 = _collect_codes(spark, idx.version_dir)
+    rz = np.load(os.path.join(idx.version_dir, "pq_rotation.npz"))
+    with open(os.path.join(idx.version_dir, "pq_meta.json")) as fh:
+        meta0 = json.load(fh)
+    payload = {"books": books0.copy(),
+               "rotation": {"mean": rz["mean"].copy(),
+                            "components": rz["components"].copy()}}
+
+    def boom(*a, **kw):
+        raise AssertionError("training ran on the pretrained path")
+
+    monkeypatch.setattr(qz, "aniso_opq_refine_local", boom)
+    monkeypatch.setattr(qz, "aniso_pq_train", boom)
+    monkeypatch.setattr(qz, "aniso_pq_train_distributed", boom)
+    books1 = qz.build_pq_sidecar(idx, m=4, ksub=16, seed=7,
+                                 anisotropic=3.0, residual=True,
+                                 rotate=True, opq_iters=2,
+                                 pretrained_books=payload)
+    ids1, codes1, pids1 = _collect_codes(spark, idx.version_dir)
+    np.testing.assert_array_equal(books1, books0)
+    np.testing.assert_array_equal(ids1, ids0)
+    np.testing.assert_array_equal(codes1, codes0)
+    np.testing.assert_array_equal(pids1, pids0)
+    rz1 = np.load(os.path.join(idx.version_dir, "pq_rotation.npz"))
+    np.testing.assert_array_equal(rz1["mean"], rz["mean"])
+    np.testing.assert_array_equal(rz1["components"], rz["components"])
+    with open(os.path.join(idx.version_dir, "pq_meta.json")) as fh:
+        assert json.load(fh) == meta0
+
+
+def test_pretrained_payload_roundtrip_local_rotated(spark, tmp_path,
+                                                    monkeypatch):
+    """Same round-14 contract for the LAYOUT-BOUND flavor: a full-LOPQ
+    (per-cell books + per-cell rotations) rebuild from the dict
+    payload skips train_local_books and is bit-identical; a payload
+    missing a populated cell is refused (the cheap invariant that
+    catches reusing books across different layouts)."""
+    import os
+
+    import numpy as np
+
+    import quake_vector_search_spark.operators.quantization as qz
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.workload import make_dataset
+
+    corpus = make_dataset(spark, 300, d=16, n_clusters=4, seed=35)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_pre_lopq"),
+                         coarse_k=3, base_k=2)
+    books0 = qz.build_pq_sidecar(idx, m=4, ksub=16, seed=7,
+                                 residual=True, local=True,
+                                 rotate=True)
+    ids0, codes0, _ = _collect_codes(spark, idx.version_dir)
+    payload = {"local_books": qz.load_local_books(idx.version_dir),
+               "local_rots": qz.load_local_rots(idx.version_dir)}
+
+    def boom(*a, **kw):
+        raise AssertionError("train_local_books ran on the "
+                             "pretrained path")
+
+    monkeypatch.setattr(qz, "train_local_books", boom)
+    books1 = qz.build_pq_sidecar(idx, m=4, ksub=16, seed=7,
+                                 residual=True, local=True,
+                                 rotate=True,
+                                 pretrained_books=payload)
+    ids1, codes1, _ = _collect_codes(spark, idx.version_dir)
+    np.testing.assert_array_equal(ids1, ids0)
+    np.testing.assert_array_equal(codes1, codes0)
+    assert set(books1) == set(books0)
+    for p in books0:
+        np.testing.assert_array_equal(books1[p], books0[p])
+    saved = qz.load_local_books(idx.version_dir)
+    for p in books0:
+        np.testing.assert_array_equal(saved[p], books0[p])
+
+    # layout guard: drop one populated cell from the payload
+    short = dict(payload)
+    short["local_books"] = dict(payload["local_books"])
+    victim = next(iter(short["local_books"]))
+    del short["local_books"][victim]
+    with pytest.raises(ValueError, match="layout-bound"):
+        qz.build_pq_sidecar(idx, m=4, ksub=16, seed=7,
+                            residual=True, local=True, rotate=True,
+                            pretrained_books=short)
+
+
+def test_pretrained_payload_gates():
+    """The injection fails loudly on flavor/payload mispairs: a bare
+    array still refuses rotated/local/sq8 (round-11 contract), a dict
+    missing the flavor's artifacts names what's absent, and a books
+    m-mismatch is caught before encoding garbage."""
+    import numpy as np
+
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+    )
+
+    class _FakeIdx:
+        metric = "l2"
+
+        def read_corpus(self):
+            return None
+
+    arr = np.zeros((4, 16, 4))
+    with pytest.raises(ValueError, match="bare pretrained_books"):
+        build_pq_sidecar(_FakeIdx(), m=4, rotate=True,
+                         pretrained_books=arr)
+    with pytest.raises(ValueError, match="missing.*rotation"):
+        build_pq_sidecar(_FakeIdx(), m=4, rotate=True,
+                         pretrained_books={"books": arr})
+    with pytest.raises(ValueError, match="missing.*local_books"):
+        build_pq_sidecar(_FakeIdx(), m=4, local=True,
+                         pretrained_books={"books": arr})
+    with pytest.raises(ValueError, match="m=8"):
+        build_pq_sidecar(_FakeIdx(), m=4,
+                         pretrained_books={
+                             "books": np.zeros((8, 16, 2))})
+
+
 def test_aniso_opq_refine_rejects_eta_below_one():
     """ADVICE r13 #2: the MM-Procrustes surrogate is an upper bound
     only because ηI − Wᵢ = (η−1)(I − x̂x̂ᵀ) ⪰ 0 — with η < 1 the
