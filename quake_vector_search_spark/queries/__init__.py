@@ -72,6 +72,47 @@ RENAME_MAP: dict[str, str] = {
     "dedup_embedding_cosine": "dedup_embedding_cosine_oracle",  # r6
 }
 
+WINDOW_R14: tuple[str, ...] = (
+    # never driver-checked: the new round-14 row — decoupled
+    # (async) streaming self-maintenance with journaled window
+    # batches and exactly-once reconciliation at the version swap
+    # (VERDICT r13 #3); new features get driver-grade verification
+    # in the round that introduces them (ADVICE r9) (1)
+    "stream_async_maintenance",
+    # stalest stratum, part 1: WINDOW_R7's 6-row ordered remainder —
+    # the only rows whose latest driver check is round 7 (6)
+    "q_approx_percentile", "q_zorder_values", "ts_m4_downsample",
+    "q_training_corpus_pipeline", "ivf_index_stats", "q_salted_join",
+    # stalest stratum, part 2: 43 of the 50 rows whose latest driver
+    # check is round 8, in WINDOW_R8's pinned order (the last 7 —
+    # q_profile_orders through q_weighted_sample — stay as
+    # WINDOW_R8's ordered remainder, the next-stalest stratum for
+    # round 15) (43)
+    "dedup_lsh_index_incremental", "dedup_lsh_index_remove_readd",
+    "stream_dedup_index_equals_batch", "sparse_bm25_index_topk",
+    "sparse_bm25_index_remove", "stream_bm25_index_equals_batch",
+    "stream_serving_calibrated_equals_batch",
+    "stream_serving_compressed_equals_batch",
+    "ivf_sq8_fullprobe", "ivf_lopq_fullprobe",
+    "ivf_lopq_rotated_fullprobe", "ivf_opq_iterative_fullprobe",
+    "ivf_opq_residual_fullprobe", "ivf_pq_filtered_fullprobe",
+    "ivf_search_calibrated_routed",
+    "mm_extract_features_wav", "mm_audio_windows_wav",
+    "mm_extract_features_bmp",
+    "dedup_lsh_recall_eval", "dedup_minhash_recall_eval",
+    "dedup_embedding_lsh",
+    "zipf_workload_pinned",
+    "text_bigram_lm", "text_repetition", "text_pii_redact",
+    "text_dup_spans", "text_quality_classifier", "text_prf_search",
+    "text_mmr_rerank", "text_hash_embedding", "text_chunk_dedup",
+    "text_zipf_fit",
+    "q_kmv_distinct", "q_bloom_membership", "q_histogram",
+    "q_histogram_equidepth", "q_histogram_equidepth_oracle",
+    "q_drift_psi", "q_fuzzy_name_join", "q_grouped_ols",
+    "q_incremental_rollup", "q_json_corrupt_quarantine",
+    "q_mixture_sample",
+)
+
 WINDOW_R13: tuple[str, ...] = (
     # never driver-checked: the new round-13 rows — the streaming
     # auto-maintenance cadence (VERDICT r12 missing #2), the
@@ -333,29 +374,26 @@ WINDOW_R6: tuple[str, ...] = (
 
 
 def ordered_registry() -> dict[str, Query]:
-    """REGISTRY re-ordered so the round-13 driver window comes first;
+    """REGISTRY re-ordered so the round-14 driver window comes first;
     earlier windows follow with duplicates collapsed to first
     occurrence (a row recurring in a later window was re-scheduled —
     re-verification is the point of the rotation).
 
-    Round 13 rotates a NINTH window in front (VERDICT r12 #3 — the
-    r12 round shipped without rotating): the FOUR new round-13 rows
-    (streaming auto-maintenance cadence, persisted-cadence restart,
-    and the global + per-cell aniso×OPQ fullprobes — the last three
-    swapped in mid-round as their features landed), the REBUILT
-    ivf_dml_distributed_lopq_roundtrip (red in CORRECTNESS_r12; its
-    body was rewritten on the born-cell fixture this round), the one
-    round-6-stale row (stream_tokenize_equals_batch), and 44 of the
-    50 rows whose latest driver check is round 7 — the stalest
-    stratum. WINDOW_R7's last 6 rows remain as its ordered remainder.
+    Round 14 rotates a TENTH window in front (VERDICT r13 #2): the
+    new round-14 row (decoupled async streaming maintenance), then
+    the stalest strata — WINDOW_R7's 6-row ordered remainder (last
+    checked round 7) and 43 of the 50 round-8-stale rows in
+    WINDOW_R8's pinned order. WINDOW_R8's last 7 rows remain as its
+    ordered remainder, the next-stalest stratum for round 15. All 50
+    members verified vs DuckDB at sf0.01 BEFORE the switch.
 
     Raw REGISTRY insertion order (module load order) is unchanged —
     rounds 1-5's window remains its prefix, pinned by
     tests/test_registry_window.py alongside the others.
     """
     load_all_query_modules()
-    windows = (*WINDOW_R13, *WINDOW_R11, *WINDOW_R10, *WINDOW_R9,
-               *WINDOW_R8, *WINDOW_R7, *WINDOW_R6)
+    windows = (*WINDOW_R14, *WINDOW_R13, *WINDOW_R11, *WINDOW_R10,
+               *WINDOW_R9, *WINDOW_R8, *WINDOW_R7, *WINDOW_R6)
     missing = [n for n in windows if n not in REGISTRY]
     if missing:
         raise ValueError(f"window names not in registry: {missing}")

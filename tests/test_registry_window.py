@@ -46,6 +46,7 @@ from quake_vector_search_spark.queries import (
     WINDOW_R10,
     WINDOW_R11,
     WINDOW_R13,
+    WINDOW_R14,
     load_all_query_modules,
     ordered_registry,
 )
@@ -124,9 +125,34 @@ R10_FIRST_TIMERS = (
 )
 
 
-def test_r13_window_is_the_rotated_surface():
-    """First 50 of the driver-facing ordering = WINDOW_R13;
-    composition per VERDICT r12 #3, checked against the reports AS OF
+def test_r14_window_is_the_rotated_surface():
+    """First 50 of the driver-facing ordering = WINDOW_R14;
+    composition per VERDICT r13 #2, checked against the reports AS OF
+    END OF ROUND 13: the 1 never-driver-verified round-14 row (the
+    decoupled async streaming maintenance), WINDOW_R7's whole 6-row
+    remainder (the only rows whose latest driver check is round 7),
+    and 43 of the 50 round-8-stale rows in WINDOW_R8's pinned order.
+    No slot wasted on anything fresher."""
+    names = list(ordered_registry())
+    assert len(WINDOW_R14) == 50
+    assert names[:50] == list(WINDOW_R14)
+    latest = _latest_driver_round(max_round=13)
+    assert latest, "correctness reports missing from repo root"
+    never = [n for n in WINDOW_R14 if n not in latest]
+    r7 = [n for n in WINDOW_R14 if latest.get(n, 99) == 7]
+    r8 = [n for n in WINDOW_R14 if latest.get(n, 99) == 8]
+    fresh = [n for n in WINDOW_R14 if latest.get(n, 0) >= 9]
+    assert never == ["stream_async_maintenance"], never
+    assert len(r7) == 6, f"expected 6 r7-stale, got {len(r7)}"
+    assert len(r8) == 43, f"expected 43 r8-stale, got {len(r8)}"
+    assert not fresh, f"WINDOW_R14 wastes slots on fresh rows: {fresh}"
+
+
+def test_r13_window_composition_still_pinned():
+    """WINDOW_R13 keeps its full 50 right behind the round-14 front
+    window (it is disjoint from WINDOW_R14 — round 14 rotates onto
+    the r7/r8-stale strata); composition per VERDICT r12 #3, checked
+    against the reports AS OF
     END OF ROUND 12 (later reports excluded so the invariant doesn't
     dissolve once CORRECTNESS_r13 lands): the 1 never-driver-verified
     round-13 row (streaming auto-maintenance cadence), the REBUILT
@@ -141,7 +167,8 @@ def test_r13_window_is_the_rotated_surface():
     anything fresher."""
     names = list(ordered_registry())
     assert len(WINDOW_R13) == 50
-    assert names[:50] == list(WINDOW_R13)
+    assert not set(WINDOW_R13) & set(WINDOW_R14)
+    assert names[50:100] == list(WINDOW_R13)
     latest = _latest_driver_round(max_round=12)
     assert latest, "correctness reports missing from repo root"
     never = [n for n in WINDOW_R13 if n not in latest]
@@ -170,7 +197,8 @@ def test_r11_window_composition_still_pinned():
     assert len(WINDOW_R11) == 50
     rest = [n for n in WINDOW_R11 if n not in set(WINDOW_R13)]
     assert len(rest) == 49
-    assert names[50:99] == rest
+    assert not set(WINDOW_R11) & set(WINDOW_R14)
+    assert names[100:149] == rest
     latest = _latest_driver_round(max_round=10)
     assert latest, "correctness reports missing from repo root"
     never = [n for n in WINDOW_R11 if n not in latest]
@@ -244,14 +272,14 @@ def test_cumulative_accounting_is_exact():
     load_all_query_modules()
     latest = _latest_driver_round()
     verified = set(latest) & set(REGISTRY)
-    assert len(verified) >= 241, len(verified)
-    assert len(REGISTRY) >= 243
+    assert len(verified) >= 249, len(verified)
+    assert len(REGISTRY) >= 250
     unverified = set(REGISTRY) - verified
-    stranded = unverified - set(WINDOW_R13)
+    stranded = unverified - set(WINDOW_R14)
     assert not stranded, f"never-verified rows outside the window: {stranded}"
 
 
-def test_r10_window_remainder_pinned_at_100_143():
+def test_r10_window_remainder_pinned_at_149_192():
     """WINDOW_R11 re-schedules WINDOW_R10's 6 first-timers; the other
     44 keep their relative order behind the R11 remainder."""
     names = list(ordered_registry())
@@ -259,41 +287,48 @@ def test_r10_window_remainder_pinned_at_100_143():
     rest = [n for n in WINDOW_R10
             if n not in set(WINDOW_R11) | set(WINDOW_R13)]
     assert len(rest) == 44
-    assert names[99:143] == rest
+    assert not set(WINDOW_R10) & set(WINDOW_R14)
+    assert names[149:193] == rest
 
 
-def test_r9_window_still_pinned_at_144_193():
+def test_r9_window_still_pinned_at_193_242():
     names = list(ordered_registry())
     assert len(WINDOW_R9) == 50
-    assert names[143:193] == list(WINDOW_R9)
+    assert names[193:243] == list(WINDOW_R9)
     assert not set(WINDOW_R9) & set(WINDOW_R10)
     assert not set(WINDOW_R9) & set(WINDOW_R11)
     assert not set(WINDOW_R9) & set(WINDOW_R13)
+    assert not set(WINDOW_R9) & set(WINDOW_R14)
 
 
-def test_r8_window_still_pinned_at_194_243():
+def test_r8_window_remainder_is_seven_rows():
+    """WINDOW_R14 re-schedules 43 of WINDOW_R8's rows (the stalest
+    stratum after the r7 tail); the 7 left out keep their relative
+    order at the ordered tail — the next-stalest stratum for the
+    round-15 rotation."""
     names = list(ordered_registry())
     assert len(WINDOW_R8) == 50
-    assert names[193:243] == list(WINDOW_R8)
+    rest = [n for n in WINDOW_R8 if n not in set(WINDOW_R14)]
+    assert rest == ["q_profile_orders", "q_redact_ids",
+                    "q_schema_evolution", "q_shard_export",
+                    "q_shared_sql_text", "q_stratified_sample",
+                    "q_weighted_sample"]
+    assert names[243:250] == rest
     assert not set(WINDOW_R8) & set(WINDOW_R9)
     assert not set(WINDOW_R8) & set(WINDOW_R10)
     assert not set(WINDOW_R8) & set(WINDOW_R11)
     assert not set(WINDOW_R8) & set(WINDOW_R13)
 
 
-def test_r7_window_remainder_is_six_rows():
-    """WINDOW_R13 re-schedules 44 of WINDOW_R7's rows; the 6 left out
-    (ts_m4_downsample, q_zorder_values and q_approx_percentile were
-    displaced mid-round to make room for the 2nd-4th new r13 rows)
-    keep their relative order at the ordered tail — the next-stalest
-    stratum for the round-14 rotation."""
-    names = list(ordered_registry())
+def test_r7_window_fully_rescheduled():
+    """Every WINDOW_R7 row is re-scheduled in a fresher window — 44
+    in WINDOW_R13, the 6-row remainder in WINDOW_R14 — so WINDOW_R7
+    contributes no ordered remainder and the r7 staleness stratum is
+    closed out."""
     assert len(WINDOW_R7) == 50
-    rest = [n for n in WINDOW_R7 if n not in set(WINDOW_R13)]
-    assert rest == ["q_approx_percentile", "q_zorder_values",
-                    "ts_m4_downsample", "q_training_corpus_pipeline",
-                    "ivf_index_stats", "q_salted_join"]
-    assert names[243:249] == rest
+    rest = [n for n in WINDOW_R7
+            if n not in set(WINDOW_R13) | set(WINDOW_R14)]
+    assert rest == []
     assert not set(WINDOW_R7) & set(WINDOW_R11)
     assert not set(WINDOW_R7) & set(WINDOW_R10)
     assert not set(WINDOW_R7) & set(WINDOW_R9)
