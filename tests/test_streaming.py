@@ -2259,6 +2259,168 @@ def test_async_maintenance_does_not_stall_ingest(spark, tmp_path,
                                    atol=1e-3)
 
 
+def test_async_maintenance_failure_surfaces_and_journal_clears(
+        spark, tmp_path, monkeypatch):
+    """A background maintain() failure must not vanish: it re-raises
+    at the next batch boundary (the same failure surface the
+    synchronous cadence has — the stream errors), the pending-cycle
+    state clears, and the journal is dropped — its rows are safe in
+    the still-current version, which never swapped."""
+    import os
+
+    import numpy as np
+
+    import quake_vector_search_spark.operators.maintenance as maint_mod
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.workload import make_dataset
+    from quake_vector_search_spark.streaming.ingest import (
+        _journal_dir,
+        finish_async_maintenance,
+        ingest_stream,
+    )
+
+    corpus = make_dataset(spark, 200, d=8, n_clusters=4, seed=45)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_async_err"),
+                         coarse_k=2, base_k=2)
+    v0 = idx.version
+
+    def broken_maintain(index_, **kw):
+        raise RuntimeError("maintenance exploded")
+
+    monkeypatch.setattr(maint_mod, "maintain", broken_maintain)
+
+    rng = np.random.default_rng(49)
+    vdir, ckpt = str(tmp_path / "vecs"), str(tmp_path / "ckpt")
+    os.makedirs(vdir, exist_ok=True)
+    for k in range(3):
+        rows = [(int(96_000 + k), rng.normal(size=8).astype(
+            float).tolist())]
+        (spark.createDataFrame(rows, "vec_id long, "
+                                     "embedding array<float>")
+         .coalesce(1).write.mode("append").parquet(vdir))
+    vstream = (spark.readStream
+               .schema("vec_id long, embedding array<float>")
+               .option("maxFilesPerTrigger", 1).parquet(vdir))
+    q = ingest_stream(idx, vstream, ckpt, encode_pq=False,
+                      maintain_every_n_batches=2,
+                      maintain_async=True)
+    # batch 2 triggers the doomed cycle; batch 3's boundary re-raises
+    # inside foreachBatch → the streaming query itself errors out
+    failed = False
+    try:
+        q.processAllAvailable()
+    except Exception:
+        failed = True
+    finally:
+        try:
+            q.stop()
+        except Exception:
+            pass
+    if not failed:
+        # all three batches may have drained before the thread died;
+        # the pending error must then surface on the direct finish
+        with pytest.raises(RuntimeError, match="maintenance exploded"):
+            finish_async_maintenance(idx)
+    assert idx._async_maint is None
+    assert not os.path.isdir(_journal_dir(idx))
+    assert idx.version == v0
+    # rows are safe in the never-swapped version
+    n = idx.read_corpus().where("vec_id >= 96000").count()
+    assert n >= 2   # batches 1-2 certainly landed before the error
+
+
+def test_async_window_journals_distributed_batches(spark, tmp_path,
+                                                   monkeypatch):
+    """The distributed journal arm (round 14): a batch at/above the
+    ingest boundary arriving DURING an async window journals its
+    (id, pid) pairs via one Spark append — no collect — and the swap
+    reconciles a journal mixed from driver and distributed batches.
+    Exactly-once across the swap for all window rows."""
+    import os
+    import threading
+
+    import numpy as np
+
+    import quake_vector_search_spark.operators.maintenance as maint_mod
+    import quake_vector_search_spark.streaming.ingest as ingest_mod
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+    )
+    from quake_vector_search_spark.operators.workload import make_dataset
+    from quake_vector_search_spark.streaming.ingest import (
+        _journal_dir,
+        ingest_stream,
+    )
+
+    corpus = make_dataset(spark, 300, d=8, n_clusters=4, seed=51)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_async_dist"),
+                         coarse_k=2, base_k=2)
+    build_pq_sidecar(idx, m=4, ksub=16, seed=7)
+    v0 = idx.version
+    monkeypatch.setattr(ingest_mod, "AUTO_INGEST_DISTRIBUTED_ROWS", 6)
+
+    release = threading.Event()
+    real_maintain = maint_mod.maintain
+
+    def gated_maintain(index_, **kw):
+        assert release.wait(timeout=120)
+        return real_maintain(index_, **kw)
+
+    monkeypatch.setattr(maint_mod, "maintain", gated_maintain)
+
+    rng = np.random.default_rng(57)
+    vdir, ckpt = str(tmp_path / "vecs"), str(tmp_path / "ckpt")
+    os.makedirs(vdir, exist_ok=True)
+    all_ids: list = []
+
+    def write_batch(ids):
+        rows = [(int(i), rng.normal(size=8).astype(float).tolist())
+                for i in ids]
+        all_ids.extend(int(i) for i in ids)
+        (spark.createDataFrame(rows, "vec_id long, "
+                                     "embedding array<float>")
+         .coalesce(1).write.mode("append").parquet(vdir))
+
+    write_batch(range(98_000, 98_002))   # driver batch 1
+    write_batch(range(98_002, 98_004))   # driver batch 2 → trigger
+    write_batch(range(98_010, 98_020))   # 10 rows ≥ 6 → distributed,
+    write_batch(range(98_004, 98_006))   # driver batch 4 (window)
+    vstream = (spark.readStream
+               .schema("vec_id long, embedding array<float>")
+               .option("maxFilesPerTrigger", 1).parquet(vdir))
+    q = ingest_stream(idx, vstream, ckpt,
+                      maintain_every_n_batches=2,
+                      maintain_async=True)
+    try:
+        q.processAllAvailable()
+        st = idx._async_maint
+        assert st is not None and st["thread"].is_alive()
+        # the distributed batch journaled without collecting: journal
+        # holds both arms' rows
+        jdf = spark.read.parquet(_journal_dir(idx))
+        jids = {int(r[0]) for r in jdf.select("vec_id").collect()}
+        assert set(range(98_010, 98_020)) <= jids
+        release.set()
+        st["thread"].join(timeout=120)
+        write_batch(range(98_006, 98_008))   # boundary → swap+replay
+        q.processAllAvailable()
+    finally:
+        release.set()
+        q.stop()
+    assert idx.version == v0 + 1
+    assert not os.path.isdir(_journal_dir(idx))
+    got = (idx.read_corpus().where("vec_id >= 98000")
+           .groupBy("vec_id").count().collect())
+    assert {int(r["vec_id"]) for r in got} == set(all_ids)
+    assert all(r["count"] == 1 for r in got)
+    codes = (spark.read.parquet(f"{idx.version_dir}/pq")
+             .where("vec_id >= 98000").groupBy("vec_id").count()
+             .collect())
+    assert {int(r["vec_id"]) for r in codes} == set(all_ids)
+    assert all(r["count"] == 1 for r in codes)
+
+
 def test_replay_recovers_rows_missed_by_the_publish(spark, tmp_path):
     """The journal reconciliation's MISSING arm (round 14): rows
     appended to the source version AFTER maintain's link/rewrite
