@@ -71,7 +71,8 @@ class IVFIndex:
                  metric: str = "l2",
                  calibration: dict | None = None,
                  maintain_every_n_batches: int | None = None,
-                 maintain_kwargs: dict | None = None):
+                 maintain_kwargs: dict | None = None,
+                 maintain_async: bool = False):
         self.spark = spark
         self.metric = metric          # "l2" | "cosine" (unit-normalized)
         self.workdir = workdir
@@ -109,6 +110,12 @@ class IVFIndex:
         # only — ingest_stream warns and skips persisting otherwise.
         self.maintain_kwargs: dict | None = (
             dict(maintain_kwargs) if maintain_kwargs else None)
+        # whether the scheduled maintain() runs OFF the batch thread
+        # (round 14): rides with the cadence for the same reason the
+        # kwargs do — a restarted stream that resumed the cadence but
+        # silently reverted to the synchronous path would re-acquire
+        # the ingest stall the deployment opted out of
+        self.maintain_async: bool = bool(maintain_async)
         # lazily-built base corpus DataFrame for the CURRENT file set:
         # spark.read.parquet re-lists files + re-infers schema on every
         # call (hundreds of ms locally, worse with many files) — reuse
@@ -489,6 +496,7 @@ class IVFIndex:
                 # restarted stream keeps them (see __init__)
                 "maintain_every_n_batches": self.maintain_every_n_batches,
                 "maintain_kwargs": self.maintain_kwargs,
+                "maintain_async": self.maintain_async,
             }, f)
 
     @classmethod
@@ -524,7 +532,8 @@ class IVFIndex:
                    calibration=stats.get("calibration"),
                    maintain_every_n_batches=stats.get(
                        "maintain_every_n_batches"),
-                   maintain_kwargs=stats.get("maintain_kwargs"))
+                   maintain_kwargs=stats.get("maintain_kwargs"),
+                   maintain_async=stats.get("maintain_async", False))
 
     # ------------------------------------------------------------- read
     def invalidate_corpus(self) -> None:

@@ -1135,16 +1135,19 @@ AUTO_INGEST_DISTRIBUTED_ROWS = 50_000
 
 
 def set_maintenance_cadence(index: IVFIndex, n: int | None,
-                            maintain_kwargs: dict | None = None
-                            ) -> None:
+                            maintain_kwargs: dict | None = None,
+                            maintain_async: bool = False) -> None:
     """Record (``n`` ≥ 1) or clear (``n=None``) the persisted
     streaming self-maintenance cadence on the index. ``ingest_stream``
     records an explicit cadence itself; this is the explicit-off / out
     -of-band knob editor (the stats.json twin of setting
     ``ood_rebuild_rate`` at sidecar build). Clearing the cadence also
-    clears the recorded ``maintain_kwargs`` (they only apply to
-    scheduled maintenance); with ``n`` set, ``maintain_kwargs``
-    replaces the recorded kwargs (None here = clear them)."""
+    clears the recorded ``maintain_kwargs`` and ``maintain_async``
+    (they only apply to scheduled maintenance); with ``n`` set,
+    ``maintain_kwargs`` replaces the recorded kwargs (None here =
+    clear them) and ``maintain_async`` records the execution mode
+    (round 14 — it rides with the cadence for the same reason the
+    kwargs do)."""
     if n is not None and int(n) < 1:
         raise ValueError(
             f"maintenance cadence must be a positive int or None, "
@@ -1157,6 +1160,8 @@ def set_maintenance_cadence(index: IVFIndex, n: int | None,
     index.maintain_kwargs = (dict(maintain_kwargs)
                              if n is not None and maintain_kwargs
                              else None)
+    index.maintain_async = bool(maintain_async) if n is not None \
+        else False
     index.save_meta()
 
 
@@ -1165,7 +1170,7 @@ def ingest_stream(index: IVFIndex, vectors_stream: DataFrame,
                   distributed_threshold: int | None = None,
                   maintain_every_n_batches: int | None = None,
                   maintain_kwargs: dict | None = None,
-                  maintain_async: bool = False):
+                  maintain_async: bool | None = None):
     """Attach a vector stream to the index. Returns the StreamingQuery;
     caller owns lifecycle (processAllAvailable/stop). With
     ``encode_pq`` (default), micro-batches also keep the version's PQ
@@ -1220,8 +1225,13 @@ def ingest_stream(index: IVFIndex, vectors_stream: DataFrame,
     cadence (and its kwargs).
 
     ``maintain_async`` (round 14, VERDICT r13 #3): run the scheduled
-    ``maintain()`` OFF the batch thread. The default (False) keeps
-    the synchronous contract — a cadence-triggered retrain blocks the
+    ``maintain()`` OFF the batch thread. It PERSISTS with the cadence
+    (``None`` reads the recorded mode, an explicit value records —
+    the same resume rule as the cadence and its kwargs, and for the
+    same reason: a restarted stream that resumed the cadence but
+    silently reverted to synchronous would re-acquire the ingest
+    stall the deployment opted out of). The resolved default (False)
+    keeps the synchronous contract — a cadence-triggered retrain blocks the
     stream for the rebuild duration (measured 20-35 s at n=40k on the
     ``streamed_ood.rebuild_s`` bench point; minutes at real scale).
     With it on, the cycle is: persist live bookkeeping → load a CLONE
@@ -1299,6 +1309,17 @@ def ingest_stream(index: IVFIndex, vectors_stream: DataFrame,
         else:
             index.maintain_kwargs = dict(maintain_kwargs)
             _dirty = True
+    if maintain_async is None:
+        # resume the recorded execution mode with the cadence
+        maintain_async = bool(index.maintain_async)
+    elif maintain_every_n_batches is None:
+        # async without an effective cadence is inert (maybe_maintain
+        # never fires) and must not persist — same gating rule as the
+        # kwargs above
+        maintain_async = bool(maintain_async)
+    elif bool(maintain_async) != index.maintain_async:
+        index.maintain_async = bool(maintain_async)
+        _dirty = True
     if _dirty:
         index.save_meta()
     auto_threshold = distributed_threshold is None

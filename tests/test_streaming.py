@@ -2421,6 +2421,97 @@ def test_async_window_journals_distributed_batches(spark, tmp_path,
     assert all(r["count"] == 1 for r in codes)
 
 
+def test_maintain_async_persists_with_cadence(spark, tmp_path,
+                                              monkeypatch):
+    """``maintain_async`` rides stats.json with the cadence (round
+    14): a restarted stream that resumes the cadence must also resume
+    the execution mode — silently reverting to synchronous would
+    re-acquire the ingest stall the deployment opted out of. Explicit
+    off (``set_maintenance_cadence(idx, None)``) clears it with the
+    other knobs, and async without an effective cadence does not
+    persist (the kwargs gating rule)."""
+    import os
+    import threading
+
+    import numpy as np
+
+    import quake_vector_search_spark.operators.maintenance as maint_mod
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.workload import make_dataset
+    from quake_vector_search_spark.streaming.ingest import (
+        ingest_stream,
+        set_maintenance_cadence,
+    )
+
+    corpus = make_dataset(spark, 200, d=8, n_clusters=4, seed=63)
+    workdir = str(tmp_path / "ivf_async_persist")
+    idx = IVFIndex.build(corpus, workdir, coarse_k=2, base_k=2)
+    set_maintenance_cadence(idx, 2, {"ood_rebuild_min_n": 5},
+                            maintain_async=True)
+    re1 = IVFIndex.load(spark, workdir)
+    assert re1.maintain_every_n_batches == 2
+    assert re1.maintain_async is True
+
+    # a re-attached stream with ALL maintenance args left None runs
+    # the resumed cadence in ASYNC mode: the gated maintain leaves a
+    # pending background cycle instead of blocking the drain
+    release = threading.Event()
+    real_maintain = maint_mod.maintain
+
+    def gated_maintain(index_, **kw):
+        assert release.wait(timeout=120)
+        return real_maintain(index_, **kw)
+
+    monkeypatch.setattr(maint_mod, "maintain", gated_maintain)
+    rng = np.random.default_rng(67)
+    vdir = str(tmp_path / "vecs")
+    os.makedirs(vdir, exist_ok=True)
+    for k in range(2):
+        (spark.createDataFrame(
+            [(int(99_000 + k),
+              rng.normal(size=8).astype(float).tolist())],
+            "vec_id long, embedding array<float>")
+         .coalesce(1).write.mode("append").parquet(vdir))
+    vstream = (spark.readStream
+               .schema("vec_id long, embedding array<float>")
+               .option("maxFilesPerTrigger", 1).parquet(vdir))
+    v0 = re1.version
+    q = ingest_stream(re1, vstream, str(tmp_path / "ckpt"),
+                      encode_pq=False)
+    try:
+        q.processAllAvailable()
+        st = re1._async_maint
+        assert st is not None and st["thread"].is_alive()
+        release.set()
+        st["thread"].join(timeout=120)
+    finally:
+        release.set()
+        q.stop()
+    from quake_vector_search_spark.streaming.ingest import (
+        finish_async_maintenance,
+    )
+    finish_async_maintenance(re1)
+    assert re1.version == v0 + 1
+
+    # explicit off clears the mode with the cadence
+    set_maintenance_cadence(re1, None)
+    re2 = IVFIndex.load(spark, workdir)
+    assert re2.maintain_async is False
+    assert re2.maintain_every_n_batches is None
+
+    # async without an effective cadence never persists
+    vstream2 = (spark.readStream
+                .schema("vec_id long, embedding array<float>")
+                .parquet(vdir))
+    q2 = ingest_stream(re2, vstream2, str(tmp_path / "ckpt2"),
+                       encode_pq=False, maintain_async=True)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert IVFIndex.load(spark, workdir).maintain_async is False
+
+
 def test_replay_recovers_rows_missed_by_the_publish(spark, tmp_path):
     """The journal reconciliation's MISSING arm (round 14): rows
     appended to the source version AFTER maintain's link/rewrite
