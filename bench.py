@@ -163,9 +163,16 @@ def _build_sidecar_cached(idx, tag: str, **kwargs):
     )
     if not REUSE_SIDECARS:
         return build_pq_sidecar(idx, **kwargs)
+    import hashlib
+    import json as _json
     import pickle
 
-    path = os.path.join(BOOKCACHE_DIR, f"{tag}.params.pkl")
+    # the params ride the cache key: a rung whose kwargs change
+    # without a tag rename must MISS, not serve the old flavor's
+    # books (round 14)
+    sig = hashlib.md5(_json.dumps(kwargs, sort_keys=True,
+                                  default=str).encode()).hexdigest()[:10]
+    path = os.path.join(BOOKCACHE_DIR, f"{tag}.{sig}.params.pkl")
     if os.path.exists(path):
         with open(path, "rb") as fh:
             payload = pickle.load(fh)
