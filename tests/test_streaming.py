@@ -2421,6 +2421,83 @@ def test_async_window_journals_distributed_batches(spark, tmp_path,
     assert all(r["count"] == 1 for r in codes)
 
 
+def test_attach_replays_leftover_journal(spark, tmp_path):
+    """Crash-recovery at the ATTACH seam (round 14): a journal left
+    behind by a window that never swapped (process died between the
+    publish and the next batch boundary) must be reconciled by the
+    next ``ingest_stream`` attach BEFORE any new batch lands — the
+    journaled rows that missed the published version are restored,
+    codes included, and the journal is cleared. Driven through the
+    real attach path: the crash state is constructed exactly (clone
+    publish + stale-handle inserts + journal), then a fresh handle is
+    loaded from disk — which picks up the published version — and
+    ingest_stream is attached with the default signature."""
+    import os
+
+    import numpy as np
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.maintenance import maintain
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+    )
+    from quake_vector_search_spark.operators.workload import make_dataset
+    from quake_vector_search_spark.streaming.ingest import (
+        _journal_batch,
+        _journal_dir,
+        ingest_stream,
+    )
+
+    corpus = make_dataset(spark, 300, d=8, n_clusters=4, seed=69)
+    workdir = str(tmp_path / "ivf_attach_replay")
+    idx = IVFIndex.build(corpus, workdir, coarse_k=2, base_k=2)
+    build_pq_sidecar(idx, m=4, ksub=16, seed=7)
+    v0 = idx.version
+
+    # crash window: a clone published v0+1 while rows kept landing in
+    # v0 (journaled); the process died before the swap
+    idx.save_meta()
+    clone = IVFIndex.load(spark, workdir, version=v0)
+    maintain(clone)
+    rng = np.random.default_rng(71)
+    ids = np.arange(94_000, 94_004)
+    pids = idx.insert(ids, rng.normal(size=(len(ids), 8)))
+    _journal_batch(idx, ids, pids, v0)
+
+    # restart: a fresh handle loads the PUBLISHED version (the
+    # journaled rows are invisible there), then re-attaches the
+    # stream — the attach must replay before the new batch
+    fresh = IVFIndex.load(spark, workdir)
+    assert fresh.version == v0 + 1
+    assert (fresh.read_corpus().where("vec_id >= 94000").count()
+            == 0)
+    vdir = str(tmp_path / "vecs")
+    (spark.createDataFrame(
+        [(94_100, rng.normal(size=8).astype(float).tolist())],
+        "vec_id long, embedding array<float>")
+     .coalesce(1).write.mode("overwrite").parquet(vdir))
+    vstream = (spark.readStream
+               .schema("vec_id long, embedding array<float>")
+               .parquet(vdir))
+    q = ingest_stream(fresh, vstream, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert not os.path.isdir(_journal_dir(fresh))
+    got = (fresh.read_corpus().where("vec_id >= 94000")
+           .groupBy("vec_id").count().collect())
+    assert ({int(r["vec_id"]) for r in got}
+            == set(int(i) for i in ids) | {94_100})
+    assert all(r["count"] == 1 for r in got)
+    codes = (spark.read.parquet(f"{fresh.version_dir}/pq")
+             .where("vec_id >= 94000").groupBy("vec_id").count()
+             .collect())
+    assert ({int(r["vec_id"]) for r in codes}
+            == set(int(i) for i in ids) | {94_100})
+    assert all(r["count"] == 1 for r in codes)
+
+
 def test_maintain_async_persists_with_cadence(spark, tmp_path,
                                               monkeypatch):
     """``maintain_async`` rides stats.json with the cadence (round

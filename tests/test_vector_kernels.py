@@ -1347,6 +1347,40 @@ def test_pretrained_payload_roundtrip_local_rotated(spark, tmp_path,
                             pretrained_books=short)
 
 
+def test_pretrained_payload_roundtrip_sq8(spark, tmp_path,
+                                          monkeypatch):
+    """The sq8 arm of the round-14 payload contract: a rebuild from
+    {"sq8_params"} skips the bounds fit and is bit-identical."""
+    import numpy as np
+
+    import quake_vector_search_spark.operators.quantization as qz
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.workload import make_dataset
+
+    corpus = make_dataset(spark, 300, d=16, n_clusters=4, seed=37)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_pre_sq8"),
+                         coarse_k=3, base_k=2)
+    qz.build_pq_sidecar(idx, sq8=True, seed=7)
+    ids0, codes0, pids0 = _collect_codes(spark, idx.version_dir)
+    payload = {"sq8_params": qz.load_sq8_params(idx.version_dir)}
+
+    def boom(*a, **kw):
+        raise AssertionError("fit_sq8_params ran on the pretrained "
+                             "path")
+
+    monkeypatch.setattr(qz, "fit_sq8_params", boom)
+    qz.build_pq_sidecar(idx, sq8=True, seed=7,
+                        pretrained_books=payload)
+    ids1, codes1, pids1 = _collect_codes(spark, idx.version_dir)
+    np.testing.assert_array_equal(ids1, ids0)
+    np.testing.assert_array_equal(codes1, codes0)
+    np.testing.assert_array_equal(pids1, pids0)
+    p0, p1 = payload["sq8_params"], qz.load_sq8_params(
+        idx.version_dir)
+    np.testing.assert_array_equal(p1["vmin"], p0["vmin"])
+    np.testing.assert_array_equal(p1["scale"], p0["scale"])
+
+
 def test_pretrained_payload_gates():
     """The injection fails loudly on flavor/payload mispairs: a bare
     array still refuses rotated/local/sq8 (round-11 contract), a dict
