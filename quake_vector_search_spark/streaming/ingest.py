@@ -899,11 +899,16 @@ def _replay_ingest_journal(index: IVFIndex, books_cache: dict,
     spark = index.spark
     id_col, vec_col = index.id_col, index.vec_col
     jdf = spark.read.parquet(jdir)
-    j_pids = sorted(int(r[0]) for r in
-                    jdf.select("partition_id").distinct().collect())
-    src_versions = sorted(int(r[0]) for r in
-                          jdf.select("src_version").distinct()
-                          .collect())
+    # one metadata job for everything the reconciliation plans with:
+    # the journaled pid set, the source versions, and the distinct-id
+    # total (the all-present fast path below compares against it)
+    jmeta = jdf.agg(
+        F.collect_set("partition_id"),
+        F.collect_set("src_version"),
+        F.countDistinct(id_col)).first()
+    j_pids = sorted(int(p) for p in jmeta[0])
+    src_versions = sorted(int(v) for v in jmeta[1])
+    n_journal = int(jmeta[2])
     # candidate partitions in the NEW layout per journaled source pid
     if summary is not None:
         child_of = {int(p): int(c) for p, c in summary.get("splits",
@@ -934,14 +939,11 @@ def _replay_ingest_journal(index: IVFIndex, books_cache: dict,
     j_ids = jdf.select(id_col).distinct()
     present = (new_read.select(id_col, vec_col, "partition_id")
                .join(F.broadcast(j_ids), id_col, "leftsemi"))
-    n_present = 0
     if summary is not None:
-        count_src = present
-        if split_affected:
-            sa_sql = ",".join(str(p) for p in sorted(split_affected))
-            count_src = present.where(
-                F.expr(f"partition_id NOT IN ({sa_sql})"))
-
+        # ONE pass over the present rows yields both the total (the
+        # all-present fast path below) and the per-pid (count, Σvec)
+        # partials; split-recounted partitions are skipped at APPLY
+        # time, driver-side — no second count job
         def partials(batches):
             for pdf in batches:
                 if not len(pdf):
@@ -955,7 +957,7 @@ def _replay_ingest_journal(index: IVFIndex, books_cache: dict,
                                         "n": [int(msk.sum())],
                                         "vsum": [V[msk].sum(axis=0)]})
 
-        agg = (count_src.mapInPandas(
+        agg = (present.mapInPandas(
             partials, "partition_id long, n long, vsum array<double>")
             .collect())
         pos_of = {int(p): i for i, p in enumerate(index.part_ids)}
@@ -968,7 +970,10 @@ def _replay_ingest_journal(index: IVFIndex, books_cache: dict,
             sums[pid] = (sums.get(pid, 0.0)
                          + np.asarray(r["vsum"], dtype=np.float64))
             cnts[pid] = cnts.get(pid, 0) + int(r["n"])
+        n_present = sum(cnts.values())
         for pid, cnt in cnts.items():
+            if split_affected and pid in split_affected:
+                continue   # exactly recounted by _refresh_partitions
             pos = pos_of.get(pid)
             if pos is None:
                 continue
@@ -977,12 +982,15 @@ def _replay_ingest_journal(index: IVFIndex, books_cache: dict,
                 index.centroids[pos] * n_old + sums[pid]
             ) / (n_old + cnt)
             index.sizes[pos] += cnt
-            n_present += cnt
-        n_split_present = (present.count() - n_present
-                           if split_affected else 0)
-        n_present += n_split_present
     else:
         n_present = present.count()
+    if n_present >= n_journal:
+        # every journaled row made the published version (the common
+        # swap: all window appends landed before the link pass) —
+        # skip the missing probe and the source-corpus scan entirely
+        index.save_meta()
+        shutil.rmtree(jdir, ignore_errors=True)
+        return {"present": int(n_present), "replayed": 0}
     missing_ids = j_ids.join(present.select(id_col), id_col,
                              "left_anti")
     pid_sql = ",".join(str(p) for p in j_pids)
