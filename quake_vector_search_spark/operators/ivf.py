@@ -1007,6 +1007,19 @@ class IVFIndex:
             # size 0 → centroid kept stale, like the reference (c1:121-122)
             self.sizes[pos] = n_new
         self.tombstones |= found
+        if getattr(self, "_async_maint", None) and found:
+            # async maintenance window open (round 14): the
+            # background clone was loaded before this delete, so the
+            # version it publishes still holds these rows — journal
+            # the ids and the swap re-applies the delete on the
+            # adopted state (idempotent through the tombstone
+            # filter). Same-handle out-of-band deletes thus survive
+            # the window; see ingest_stream's maintain_async notes.
+            from quake_vector_search_spark.streaming.ingest import (
+                _journal_deletes,
+            )
+
+            _journal_deletes(self, found)
 
     # -------------------------------------------------------------- APS
     def partition_scores(self, qmat: np.ndarray,

@@ -844,6 +844,62 @@ def _journal_batch(index: IVFIndex, ids, pids,
     pq.write_table(tbl, path)
 
 
+def _delete_journal_dir(index: IVFIndex) -> str:
+    return os.path.join(index.workdir, "delete_journal")
+
+
+def _journal_deletes(index: IVFIndex, ids) -> None:
+    """Record ids deleted on the LIVE handle while an async
+    maintenance window is open (round 14 follow-through — removes
+    the deletes half of the single-writer caveat): the background
+    clone was loaded before the delete, so the published version
+    still holds the rows; the swap re-applies these deletes on the
+    adopted state (idempotent — ``delete`` reads through the
+    tombstone filter, so an id the adopted state never saw gets its
+    exact downdate, and a replayed-then-deleted window insert nets
+    out deleted). ``IVFIndex.delete`` calls this itself whenever the
+    handle has a window open — out-of-band deletes through the SAME
+    handle need no caller cooperation; deletes through a different
+    handle remain outside the contract."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = _delete_journal_dir(index)
+    os.makedirs(d, exist_ok=True)
+    n = len(os.listdir(d))
+    path = os.path.join(d, f"d{n:06d}.parquet")
+    while os.path.exists(path):
+        n += 1
+        path = os.path.join(d, f"d{n:06d}.parquet")
+    pq.write_table(pa.table({
+        index.id_col: pa.array(np.asarray(sorted(ids),
+                                          dtype=np.int64),
+                               type=pa.int64())}), path)
+
+
+def _replay_delete_journal(index: IVFIndex) -> int:
+    """Re-apply window deletes on the adopted (or crash-recovered)
+    state — AFTER the insert journal replay, so a window row that
+    was inserted and then deleted nets out deleted. Returns the
+    number of journaled ids; the journal dir is removed."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    d = _delete_journal_dir(index)
+    if not os.path.isdir(d) or not os.listdir(d):
+        return 0
+    ids = sorted({int(i) for f in sorted(os.listdir(d))
+                  if f.endswith(".parquet")
+                  for i in pq.read_table(
+                      os.path.join(d, f)).column(0).to_pylist()})
+    if ids:
+        index.delete(ids)
+        index.save_meta()
+    shutil.rmtree(d, ignore_errors=True)
+    return len(ids)
+
+
 def _journal_batch_distributed(index: IVFIndex, routed,
                                src_version: int) -> None:
     """Distributed twin of ``_journal_batch``: journal a
@@ -1110,17 +1166,22 @@ def finish_async_maintenance(index: IVFIndex,
         th.join()
     index._async_maint = None
     if st.get("error") is not None:
-        # rows ingested during the failed window are safe in the
-        # still-current version; the journal is stale bookkeeping
+        # rows ingested (and deletes applied) during the failed
+        # window are safe in the still-current, never-swapped
+        # version; both journals are stale bookkeeping
         import shutil
 
         shutil.rmtree(_journal_dir(index), ignore_errors=True)
+        shutil.rmtree(_delete_journal_dir(index), ignore_errors=True)
         raise st["error"]
     _adopt_index_state(index, st["clone"])
     out = _replay_ingest_journal(
         index, books_cache if books_cache is not None else {},
         encode_pq, summary=st.get("summary"),
         distributed_threshold=st.get("distributed_threshold"))
+    # deletes re-apply AFTER the inserts so an insert-then-delete
+    # window row nets out deleted
+    out["deletes_replayed"] = _replay_delete_journal(index)
     out["version"] = index.version
     return out
 
@@ -1254,9 +1315,11 @@ def ingest_stream(index: IVFIndex, vectors_stream: DataFrame,
     the source version's corpus (partition-pruned) and re-inserted
     through the normal paths, so every window row lands in the
     pre- or post-maintenance version exactly once, codes included.
-    Contract: the stream is the index's only writer during a window
-    (out-of-band deletes would be lost at the swap — same
-    single-writer assumption the synchronous path makes, now named);
+    Contract: writes during a window go through THIS handle —
+    same-handle out-of-band deletes are journaled by ``delete``
+    itself and re-applied after the swap (insert-then-delete nets
+    out deleted), so only writers holding a DIFFERENT handle remain
+    outside the contract;
     a background failure re-raises at the next batch boundary; a
     crash mid-window leaves the journal on disk and the next
     ``ingest_stream`` attach replays it against whatever version is
@@ -1341,16 +1404,18 @@ def ingest_stream(index: IVFIndex, vectors_stream: DataFrame,
     books_cache: dict = {}
     batch_counter = {"n": 0}
     auto_advised = {"done": False}
-    if (not getattr(index, "_async_maint", None)
-            and os.path.isdir(_journal_dir(index))
-            and os.listdir(_journal_dir(index))):
+    if not getattr(index, "_async_maint", None):
         # crash-recovery re-attach (round 14): a previous async
-        # window never swapped — reconcile its journal against the
-        # current version before any new batch lands
-        _replay_ingest_journal(index, books_cache, encode_pq,
-                               summary=None,
-                               distributed_threshold=(
-                                   distributed_threshold))
+        # window never swapped — reconcile its journals against the
+        # current version before any new batch lands (inserts first,
+        # then deletes, so insert-then-delete nets out deleted)
+        if (os.path.isdir(_journal_dir(index))
+                and os.listdir(_journal_dir(index))):
+            _replay_ingest_journal(index, books_cache, encode_pq,
+                                   summary=None,
+                                   distributed_threshold=(
+                                       distributed_threshold))
+        _replay_delete_journal(index)
 
     def maybe_maintain() -> None:
         if maintain_every_n_batches is None:

@@ -2421,6 +2421,132 @@ def test_async_window_journals_distributed_batches(spark, tmp_path,
     assert all(r["count"] == 1 for r in codes)
 
 
+def test_delete_during_async_window_survives_swap(spark, tmp_path,
+                                                  monkeypatch):
+    """Round 14 follow-through: a same-handle ``delete`` during an
+    async maintenance window is journaled by delete() itself and
+    re-applied after the swap — both a PRE-EXISTING row (the clone's
+    publish still carries it) and a WINDOW-INSERTED row (replayed,
+    then deleted) end up gone, every other window row lands
+    exactly-once, and the size bookkeeping matches the physical
+    live counts."""
+    import os
+    import threading
+
+    import numpy as np
+
+    import quake_vector_search_spark.operators.maintenance as maint_mod
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.workload import make_dataset
+    from quake_vector_search_spark.streaming.ingest import (
+        _delete_journal_dir,
+        ingest_stream,
+    )
+
+    corpus = make_dataset(spark, 300, d=8, n_clusters=4, seed=73)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_async_del"),
+                         coarse_k=2, base_k=2)
+    v0 = idx.version
+    victim_old = int(idx.read_corpus().select("vec_id")
+                     .orderBy("vec_id").first()[0])
+
+    release = threading.Event()
+    real_maintain = maint_mod.maintain
+
+    def gated_maintain(index_, **kw):
+        assert release.wait(timeout=120)
+        return real_maintain(index_, **kw)
+
+    monkeypatch.setattr(maint_mod, "maintain", gated_maintain)
+
+    rng = np.random.default_rng(79)
+    vdir, ckpt = str(tmp_path / "vecs"), str(tmp_path / "ckpt")
+    os.makedirs(vdir, exist_ok=True)
+
+    def write_batch(ids):
+        rows = [(int(i), rng.normal(size=8).astype(float).tolist())
+                for i in ids]
+        (spark.createDataFrame(rows, "vec_id long, "
+                                     "embedding array<float>")
+         .coalesce(1).write.mode("append").parquet(vdir))
+
+    for k in range(4):
+        write_batch(range(92_000 + 2 * k, 92_000 + 2 * k + 2))
+    vstream = (spark.readStream
+               .schema("vec_id long, embedding array<float>")
+               .option("maxFilesPerTrigger", 1).parquet(vdir))
+    q = ingest_stream(idx, vstream, ckpt, encode_pq=False,
+                      maintain_every_n_batches=2,
+                      maintain_async=True)
+    try:
+        q.processAllAvailable()
+        st = idx._async_maint
+        assert st is not None and st["thread"].is_alive()
+        # out-of-band deletes THROUGH THE SAME HANDLE mid-window:
+        # one pre-existing row, one row this window inserted
+        idx.delete([victim_old, 92_001])
+        assert os.path.isdir(_delete_journal_dir(idx))
+        release.set()
+        st["thread"].join(timeout=120)
+        write_batch(range(92_008, 92_010))   # boundary → swap+replay
+        q.processAllAvailable()
+    finally:
+        release.set()
+        q.stop()
+    assert idx.version == v0 + 1
+    assert not os.path.isdir(_delete_journal_dir(idx))
+    live = idx.read_corpus()
+    assert live.where(f"vec_id = {victim_old}").count() == 0
+    assert live.where("vec_id = 92001").count() == 0
+    survivors = (set(range(92_000, 92_010)) - {92_001})
+    got = (live.where("vec_id >= 92000")
+           .groupBy("vec_id").count().collect())
+    assert {int(r["vec_id"]) for r in got} == survivors
+    assert all(r["count"] == 1 for r in got)
+    phys = {int(r["partition_id"]): r["count"] for r in
+            live.groupBy("partition_id").count().collect()}
+    for pos, pid in enumerate(idx.part_ids):
+        assert int(idx.sizes[pos]) == phys.get(int(pid), 0), pid
+
+    # crash arm: a delete journaled mid-window, applied in MEMORY
+    # only (never persisted — the true crash state), process dies;
+    # a fresh handle loads the pre-delete meta and the next attach
+    # applies the journal before any batch, with the downdate
+    # happening exactly once. (save_meta first: plain inserts never
+    # persist bookkeeping — the base engine's documented crash
+    # contract — and this arm pins the DELETE journal's exactness,
+    # not insert durability)
+    idx.save_meta()
+    idx._async_maint = {"thread": None}
+    idx.delete([92_003])
+    idx._async_maint = None
+    fresh = IVFIndex.load(spark, idx.workdir)
+    assert 92_003 not in fresh.tombstones
+    assert fresh.read_corpus().where("vec_id = 92003").count() == 1
+    vdir2 = str(tmp_path / "vecs2")
+    (spark.createDataFrame(
+        [(92_100, rng.normal(size=8).astype(float).tolist())],
+        "vec_id long, embedding array<float>")
+     .coalesce(1).write.mode("overwrite").parquet(vdir2))
+    vstream2 = (spark.readStream
+                .schema("vec_id long, embedding array<float>")
+                .parquet(vdir2))
+    q2 = ingest_stream(fresh, vstream2, str(tmp_path / "ckpt2"),
+                       encode_pq=False)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert not os.path.isdir(_delete_journal_dir(fresh))
+    assert fresh.read_corpus().where("vec_id = 92003").count() == 0
+    assert fresh.read_corpus().where("vec_id = 92100").count() == 1
+    phys2 = {int(r["partition_id"]): r["count"] for r in
+             fresh.read_corpus().groupBy("partition_id").count()
+             .collect()}
+    for pos, pid in enumerate(fresh.part_ids):
+        assert int(fresh.sizes[pos]) == phys2.get(int(pid), 0), pid
+
+
 def test_attach_replays_leftover_journal(spark, tmp_path):
     """Crash-recovery at the ATTACH seam (round 14): a journal left
     behind by a window that never swapped (process died between the
