@@ -995,6 +995,39 @@ def _replay(spark, emb, workdir: str, n_queries: int, batch: int,
     }
 
 
+def _box_probe() -> dict:
+    """Whole-box state snapshot (round 15, VERDICT r14 #8): 1-min
+    loadavg plus the aggregate /proc/stat cpu jiffies. Deltas between
+    two probes give the box's user/sys/idle split over a bench block
+    — the adjudication evidence for run-to-run inflation at
+    bit-identical decision metrics (the r12 and r14 inflations both
+    needed paired reruns to attribute to box state; now every run
+    carries its own telemetry)."""
+    out: dict = {"loadavg1m": round(os.getloadavg()[0], 2)}
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        # cpu  user nice system idle iowait irq softirq steal ...
+        vals = [int(x) for x in parts[1:8]]
+        out["cpu_jiffies"] = {
+            "user": vals[0] + vals[1], "sys": vals[2] + vals[5]
+            + vals[6], "idle": vals[3] + vals[4]}
+    except (OSError, ValueError, IndexError):   # non-Linux fallback
+        pass
+    return out
+
+
+def _box_delta(before: dict, after: dict) -> dict:
+    d = {"loadavg1m_start": before["loadavg1m"],
+         "loadavg1m_end": after["loadavg1m"]}
+    b, a = before.get("cpu_jiffies"), after.get("cpu_jiffies")
+    if b and a:
+        tot = max(1, sum(a[k] - b[k] for k in a))
+        d["box_cpu_pct"] = {k: round(100.0 * (a[k] - b[k]) / tot, 1)
+                            for k in a}
+    return d
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
@@ -1010,10 +1043,16 @@ def main() -> None:
     spark.range(1).count()    # JVM warm-up outside the timings
 
     times: dict[str, float] = {}
+    telemetry: dict[str, dict] = {}
+    probe = _box_probe()
+    run_start = probe
     for name in HEADLINE:
         t0 = time.time()
         run_df(REGISTRY[name].fn(spark, sf_dir))
         times[name] = round(time.time() - t0, 3)
+    probe2 = _box_probe()
+    telemetry["headline_queries"] = _box_delta(probe, probe2)
+    probe = probe2
 
     t0 = time.time()
     ivf = ivf_workload(spark, sf_dir)
@@ -1022,6 +1061,9 @@ def main() -> None:
     t0 = time.time()
     ivf40k = ivf_workload_n40k(spark)
     times["ivf_workload_n40k"] = round(time.time() - t0, 3)
+    probe2 = _box_probe()
+    telemetry["ivf_blocks_sf_and_n40k"] = _box_delta(probe, probe2)
+    probe = probe2
 
     t0 = time.time()
     cal40k = ivf_calibrated_n40k(spark)
@@ -1030,10 +1072,16 @@ def main() -> None:
     t0 = time.time()
     aniso40k = aniso_mips_n40k(spark)
     times["aniso_mips_n40k"] = round(time.time() - t0, 3)
+    probe2 = _box_probe()
+    telemetry["calibrated_and_aniso_n40k"] = _box_delta(probe, probe2)
+    probe = probe2
 
     t0 = time.time()
     scale400k = ivf_scale_n400k(spark)
     times["ivf_scale_n400k"] = round(time.time() - t0, 3)
+    probe2 = _box_probe()
+    telemetry["ivf_scale_n400k"] = _box_delta(probe, probe2)
+    telemetry["whole_run"] = _box_delta(run_start, probe2)
     # per-phase keys for bench_compare (evaluation-block growth shows
     # up in its own phase, not as a spurious block-total regression)
     for ph, sec in scale400k.get("phases", {}).items():
@@ -1057,6 +1105,11 @@ def main() -> None:
         "ivf_calibrated_n40k": cal40k,
         "aniso_mips_n40k": aniso40k,
         "ivf_scale_n400k": scale400k,
+        # box-state evidence per block (round 15, VERDICT r14 #8):
+        # adjudicate run-to-run inflation without paired reruns —
+        # high box_cpu_pct.sys or a hot loadavg with bit-identical
+        # decision metrics reads as box noise, not a code regression
+        "telemetry": telemetry,
     }
     print(json.dumps(payload))
     # committed machine-readable copy (VERDICT r6 #4): the driver's

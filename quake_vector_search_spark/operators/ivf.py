@@ -606,6 +606,24 @@ class IVFIndex:
         vecs = np.asarray(vecs, dtype=np.float64)
         if len(ids) == 0:
             return np.empty(0, dtype=np.int64)
+        if (getattr(self, "_async_maint", None) and self.tombstones
+                and (self.tombstones & set(int(i) for i in ids))):
+            # a tombstoned-id re-insert stages _purge_rows into
+            # v{N+1} — the SAME version directory the background
+            # maintain(clone) is concurrently building (ADVICE r14
+            # high): two writers interleave hardlinks/rewrites and
+            # both write that version's stats.json. Close the window
+            # first (adopt + journal replay), then purge against the
+            # post-swap version with no concurrent writer. Checked
+            # BEFORE any bookkeeping mutation so the wholesale state
+            # adopt cannot discard this insert's centroid updates.
+            from quake_vector_search_spark.streaming.ingest import (
+                finish_async_maintenance,
+            )
+
+            _st = getattr(self, "_async_maint", None) or {}
+            finish_async_maintenance(
+                self, encode_pq=bool(_st.get("encode_pq", True)))
         # drop the calibration fit BEFORE any save_meta below — the
         # staged-publish path persists meta, and a fit estimated
         # against the pre-insert corpus must not ride along
@@ -796,9 +814,27 @@ class IVFIndex:
         cache themselves via the returned frame's ``routing_cache``
         attribute.
         """
+        id_col, vec_col = self.id_col, self.vec_col
+        if getattr(self, "_async_maint", None) and self.tombstones:
+            # same staged-purge/background-publish race gate as
+            # insert() (ADVICE r14 high), probed with one bounded
+            # metadata job BEFORE routing — post-gate routing must
+            # run against the post-swap centroids, not a layout the
+            # adopt is about to replace
+            tomb = self.spark.createDataFrame(
+                [(int(t),) for t in self.tombstones], [id_col])
+            if (df.select(id_col)
+                    .join(F.broadcast(tomb), id_col, "inner")
+                    .limit(1).count()):
+                from quake_vector_search_spark.streaming.ingest import (  # noqa: E501
+                    finish_async_maintenance,
+                )
+
+                _st = getattr(self, "_async_maint", None) or {}
+                finish_async_maintenance(
+                    self, encode_pq=bool(_st.get("encode_pq", True)))
         self._calibration = None
         routed = self.route_distributed(df).persist()
-        id_col, vec_col = self.id_col, self.vec_col
 
         def partials(batches):
             for pdf in batches:
@@ -982,6 +1018,29 @@ class IVFIndex:
         ids = [int(i) for i in ids]
         if not ids:
             return
+        if not getattr(self, "_async_maint", None):
+            # cross-handle single-writer guard (round 15, VERDICT r14
+            # #4): another handle's open async-maintenance window is
+            # visible through the on-disk marker. A delete through
+            # THIS handle would neither be journaled with that
+            # window's sequence stamps nor survive the wholesale
+            # state adopt at its swap — the published version still
+            # holds the rows (silent resurrection). Refuse loudly;
+            # the marker is cleared at the swap, at a background
+            # failure, and by the crash-recovery re-attach.
+            from quake_vector_search_spark.streaming.ingest import (
+                _window_marker_path,
+            )
+
+            if os.path.exists(_window_marker_path(self.workdir)):
+                raise RuntimeError(
+                    "another handle has an async maintenance window "
+                    f"open on {self.workdir!r} (marker: "
+                    f"{_window_marker_path(self.workdir)!r}) — "
+                    "single-writer contract: delete through the "
+                    "ingesting handle, or wait for its swap / run "
+                    "the crash-recovery re-attach (ingest_stream) "
+                    "if the writer died mid-window")
         # tombstones change the live corpus without touching files —
         # the calibration fit still goes stale
         self._calibration = None

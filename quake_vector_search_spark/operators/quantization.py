@@ -1814,6 +1814,21 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
                 "silently ignored (global: one rotation; local: one "
                 "per cell, opq_iters ≥ 1 runs the alternation inside "
                 "each cell's grouped-map fit)")
+        if opq_iters and rotate and float(anisotropic) < 1.0:
+            # driver-side twin of aniso_opq_refine_local's eta >= 1
+            # refusal (ADVICE r14 low): with local=True that check
+            # fires inside per-cell grouped-map EXECUTOR tasks, so
+            # the refusal surfaced as a mid-job worker
+            # PythonException instead of a call-site ValueError —
+            # mirror the other flavor-compatibility gates here
+            raise ValueError(
+                "anisotropic × rotate × opq_iters requires "
+                f"anisotropic (eta) >= 1, got {anisotropic!r}: the "
+                "MM-Procrustes surrogate bound needs etaI - W_i PSD "
+                "(eta - 1 >= 0); with eta < 1 the rotation update "
+                "is not a descent step — use the non-iterative "
+                "rotate flavor (opq_iters=0, eigenvalue-allocation "
+                "init) instead")
         if index.metric != "cosine":
             raise ValueError(
                 "anisotropic sidecars require a cosine index: on "
@@ -1916,6 +1931,22 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
                     f"{_miss[:8]} — per-cell books are layout-bound; "
                     "the payload must come from an identical build "
                     "on an identical partition layout")
+            if rotate:
+                # same populated-cell coverage gate for the per-cell
+                # ROTATIONS (ADVICE r14 low): a payload missing one
+                # cell's rotation previously passed the books check
+                # and failed (or silently mispaired) inside the
+                # encode executor task
+                _rmiss = sorted(_needed
+                                - {int(p) for p in rots_by_pid})
+                if _rmiss:
+                    raise ValueError(
+                        f"pretrained local rotations miss populated "
+                        f"cells {_rmiss[:8]} — per-cell rotations "
+                        "are layout-bound like the books; the "
+                        "payload must come from an identical "
+                        "rotate=True build on an identical "
+                        "partition layout")
         else:
             # aniso semantics (round 13): opq_iters N ≥ 1 = run the
             # score-aware alternation with N outer iterations, 0 =

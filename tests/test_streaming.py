@@ -2054,11 +2054,25 @@ def test_default_ingest_auto_routes_large_batches(spark, tmp_path,
     driver path (``IVFIndex.insert`` runs), so bit-pinned streamed
     artifacts stay valid. The boundary is monkeypatched — the test
     pins the RESOLUTION rule, not the production constant — and the
-    one-line advisory fires exactly once."""
+    one-line advisory fires exactly once.
+
+    Round 15 (VERDICT r14 #6): routing now runs on ONE bounded
+    materialization — ``limit(threshold).collect()`` — that doubles
+    as the small path's data read, so the contract this spy pins
+    changed from "no embedding-bearing collect at all" to "exactly
+    one embedding-bearing collect per batch, never exceeding the
+    boundary" (a sub-threshold batch was always allowed to collect
+    up to threshold-1 rows; the probe moves no more). The spy also
+    moved to ``pyspark.sql.classic.dataframe.DataFrame`` — the
+    runtime class that OWNS ``collect`` under pyspark 4; the round-14
+    spy patched the abstract facade and never fired, making its
+    no-leak assertion vacuous."""
     import warnings as warnings_mod
 
     import numpy as np
-    from pyspark.sql import DataFrame as SparkDataFrame
+    from pyspark.sql.classic.dataframe import (
+        DataFrame as SparkDataFrame,
+    )
 
     import quake_vector_search_spark.streaming.ingest as ingest_mod
     from quake_vector_search_spark.operators.ivf import IVFIndex
@@ -2085,12 +2099,13 @@ def test_default_ingest_auto_routes_large_batches(spark, tmp_path,
         return real_insert(self, ids, vecs, **kw)
 
     monkeypatch.setattr(IVFIndex, "insert", spy_insert)
-    collected_cols: list[tuple[str, ...]] = []
+    collected: list[tuple[tuple[str, ...], int]] = []
     real_collect = SparkDataFrame.collect
 
     def spy_collect(self):
-        collected_cols.append(tuple(self.columns))
-        return real_collect(self)
+        rows_ = real_collect(self)
+        collected.append((tuple(self.columns), len(rows_)))
+        return rows_
 
     advisories = []
     real_warn = warnings_mod.warn
@@ -2121,17 +2136,23 @@ def test_default_ingest_auto_routes_large_batches(spark, tmp_path,
     q = ingest_stream(idx, vstream, ckpt)    # DEFAULT signature
     try:
         q.processAllAvailable()
-        # big batch: distributed route — driver insert never ran and
-        # nothing holding the embedding column was collected
+        # big batch: distributed route — driver insert never ran,
+        # and the ONLY embedding-bearing collect is the bounded
+        # routing probe (exactly boundary rows); insert_distributed,
+        # the journal and the sidecar appender never collect vectors
         assert inserted_batches == []
-        leaked = [c for c in collected_cols if "embedding" in c]
-        assert leaked == [], leaked
+        emb = [(c, n) for c, n in collected if "embedding" in c]
+        assert emb == [(("vec_id", "embedding"), 4)], emb
         assert len(advisories) == 1, advisories
         # sub-threshold batch on the SAME stream: historical driver
-        # path, and the advisory does not re-fire
-        monkeypatch.setattr(SparkDataFrame, "collect", real_collect)
+        # path fed by the SAME single bounded read (round 15 — no
+        # second collect per small micro-batch), and the advisory
+        # does not re-fire
+        collected.clear()
         write_file(range(91_008, 91_010))    # 2 rows < boundary
         q.processAllAvailable()
+        emb = [(c, n) for c, n in collected if "embedding" in c]
+        assert emb == [(("vec_id", "embedding"), 2)], emb
     finally:
         q.stop()
     assert inserted_batches == [2]
@@ -3286,3 +3307,519 @@ def test_append_refuses_coded_cell_without_books(spark, tmp_path):
     with pytest.raises(ValueError, match="persisted PQ codes but no "
                                          "books"):
         _append_pq_codes(idx, ids, vecs, pids, {})
+
+
+def test_delete_then_reinsert_in_window_survives_swap(spark, tmp_path,
+                                                      monkeypatch):
+    """Round 15, VERDICT r14 #1 + ADVICE r14 high: ``delete(x)``
+    followed by a window batch RE-INSERTING x must converge to the
+    live pre-swap state — x present, exactly once, with the NEW
+    vector. Two mechanisms cooperate: the tombstoned-id re-insert
+    gate closes the window BEFORE staging its purge (otherwise the
+    staged v{N+1} races the background maintain building the same
+    version dir), and the sequence-stamped journals resolve the
+    delete as outranked by the later insert. Driven through the real
+    stream: the reused id arrives as an ordinary micro-batch row."""
+    import os
+    import threading
+
+    import numpy as np
+
+    import quake_vector_search_spark.operators.maintenance as maint_mod
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.workload import make_dataset
+    from quake_vector_search_spark.streaming.ingest import (
+        _delete_journal_dir,
+        _journal_dir,
+        _window_marker_path,
+        ingest_stream,
+    )
+
+    corpus = make_dataset(spark, 300, d=8, n_clusters=4, seed=51)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_del_reins"),
+                         coarse_k=2, base_k=2)
+    v0 = idx.version
+    victim = int(idx.read_corpus().select("vec_id")
+                 .orderBy("vec_id").first()[0])
+
+    release = threading.Event()
+    real_maintain = maint_mod.maintain
+
+    def gated_maintain(index_, **kw):
+        assert release.wait(timeout=120)
+        return real_maintain(index_, **kw)
+
+    monkeypatch.setattr(maint_mod, "maintain", gated_maintain)
+
+    rng = np.random.default_rng(53)
+    vdir, ckpt = str(tmp_path / "vecs"), str(tmp_path / "ckpt")
+    os.makedirs(vdir, exist_ok=True)
+    new_vec = rng.normal(size=8).astype(float)
+
+    def write_batch(rows):
+        (spark.createDataFrame(rows, "vec_id long, "
+                                     "embedding array<float>")
+         .coalesce(1).write.mode("append").parquet(vdir))
+
+    for k in range(4):
+        write_batch([(int(93_000 + 2 * k + j),
+                      rng.normal(size=8).astype(float).tolist())
+                     for j in range(2)])
+    vstream = (spark.readStream
+               .schema("vec_id long, embedding array<float>")
+               .option("maxFilesPerTrigger", 1).parquet(vdir))
+    q = ingest_stream(idx, vstream, ckpt, encode_pq=False,
+                      maintain_every_n_batches=2,
+                      maintain_async=True)
+    try:
+        q.processAllAvailable()
+        st = idx._async_maint
+        assert st is not None and st["thread"].is_alive()
+        assert os.path.exists(_window_marker_path(idx.workdir))
+        # delete(x) FIRST (journaled with its sequence stamp) ...
+        idx.delete([victim])
+        assert victim in idx.tombstones
+        # ... release the gated maintain so the re-insert's window
+        # close can join it, then RE-INSERT x through the stream
+        release.set()
+        write_batch([(victim, new_vec.tolist()),
+                     (93_100, rng.normal(size=8).astype(float)
+                      .tolist())])
+        q.processAllAvailable()
+    finally:
+        release.set()
+        q.stop()
+        from quake_vector_search_spark.streaming.ingest import (
+            finish_async_maintenance,
+        )
+
+        finish_async_maintenance(idx)
+    # the re-insert closed the window (gate) and then staged its
+    # purge against the post-swap version — no concurrent writer
+    assert idx._async_maint is None
+    assert not os.path.exists(_window_marker_path(idx.workdir))
+    assert not os.path.isdir(_journal_dir(idx))
+    assert not os.path.isdir(_delete_journal_dir(idx))
+    assert idx.version >= v0 + 2   # maintain publish + staged purge
+    live = idx.read_corpus()
+    got = live.where(f"vec_id = {victim}").collect()
+    assert len(got) == 1, got                 # x SURVIVES, exactly once
+    assert np.allclose(np.asarray(got[0]["embedding"],
+                                  dtype=np.float64),
+                       new_vec, atol=1e-6)    # ... with the NEW vector
+    assert victim not in idx.tombstones
+    # every other window row landed exactly once; bookkeeping exact
+    counts = {int(r["vec_id"]): r["count"] for r in
+              live.where("vec_id >= 93000").groupBy("vec_id")
+              .count().collect()}
+    assert counts == {i: 1 for i in list(range(93_000, 93_008))
+                      + [93_100]}
+    phys = {int(r["partition_id"]): r["count"] for r in
+            live.groupBy("partition_id").count().collect()}
+    for pos, pid in enumerate(idx.part_ids):
+        assert int(idx.sizes[pos]) == phys.get(int(pid), 0), pid
+
+
+def test_cross_handle_delete_refused_during_window(spark, tmp_path,
+                                                   monkeypatch):
+    """Round 15, VERDICT r14 #4: a delete through a handle that did
+    NOT open the async window is refused at the on-disk marker — it
+    would neither be journaled with the window's sequence stamps nor
+    survive the wholesale state adopt (silent resurrection). After
+    the swap the marker is gone and the second handle deletes
+    normally."""
+    import os
+    import threading
+
+    import numpy as np
+
+    import quake_vector_search_spark.operators.maintenance as maint_mod
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.workload import make_dataset
+    from quake_vector_search_spark.streaming.ingest import (
+        _window_marker_path,
+        finish_async_maintenance,
+        ingest_stream,
+    )
+
+    corpus = make_dataset(spark, 300, d=8, n_clusters=4, seed=57)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_two_handles"),
+                         coarse_k=2, base_k=2)
+    victims = [int(r[0]) for r in
+               idx.read_corpus().select("vec_id").orderBy("vec_id")
+               .limit(2).collect()]
+
+    release = threading.Event()
+    real_maintain = maint_mod.maintain
+
+    def gated_maintain(index_, **kw):
+        assert release.wait(timeout=120)
+        return real_maintain(index_, **kw)
+
+    monkeypatch.setattr(maint_mod, "maintain", gated_maintain)
+
+    rng = np.random.default_rng(59)
+    vdir, ckpt = str(tmp_path / "vecs"), str(tmp_path / "ckpt")
+    os.makedirs(vdir, exist_ok=True)
+    for k in range(2):
+        rows = [(int(94_000 + k), rng.normal(size=8).astype(float)
+                 .tolist())]
+        (spark.createDataFrame(rows, "vec_id long, "
+                                     "embedding array<float>")
+         .coalesce(1).write.mode("append").parquet(vdir))
+    vstream = (spark.readStream
+               .schema("vec_id long, embedding array<float>")
+               .option("maxFilesPerTrigger", 1).parquet(vdir))
+    q = ingest_stream(idx, vstream, ckpt, encode_pq=False,
+                      maintain_every_n_batches=2,
+                      maintain_async=True)
+    second = None
+    try:
+        q.processAllAvailable()
+        assert idx._async_maint is not None
+        assert os.path.exists(_window_marker_path(idx.workdir))
+        second = IVFIndex.load(spark, idx.workdir)
+        with pytest.raises(RuntimeError,
+                           match="async maintenance window"):
+            second.delete([victims[0]])
+        # the refusal left no trace: not tombstoned on either handle
+        assert victims[0] not in second.tombstones
+        assert victims[0] not in idx.tombstones
+        # the WINDOW handle's delete still journals fine
+        idx.delete([victims[1]])
+        release.set()
+    finally:
+        release.set()
+        q.stop()
+        finish_async_maintenance(idx)
+    assert not os.path.exists(_window_marker_path(idx.workdir))
+    assert idx.read_corpus().where(
+        f"vec_id = {victims[1]}").count() == 0
+    # marker gone → the second handle (reloaded post-swap) deletes
+    second = IVFIndex.load(spark, idx.workdir)
+    second.delete([victims[0]])
+    assert second.read_corpus().where(
+        f"vec_id = {victims[0]}").count() == 0
+
+
+def test_final_delete_ids_resolves_by_sequence(spark, tmp_path):
+    """Unit pin for the sequence resolver (round 15, VERDICT r14
+    #1): an id whose latest DELETE stamp outranks its inserts is
+    re-deleted at replay; an id re-inserted AFTER its delete is not.
+    Journals are written through the real writers with a
+    handle-level counter (the crash-simulation arm of
+    ``_next_journal_seq``)."""
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.workload import make_dataset
+    from quake_vector_search_spark.streaming.ingest import (
+        _final_delete_ids,
+        _journal_batch,
+        _journal_deletes,
+    )
+
+    corpus = make_dataset(spark, 120, d=8, n_clusters=2, seed=61)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_seq_unit"),
+                         coarse_k=2, base_k=1)
+    # x: insert (seq 0) then delete (seq 1) → delete stands
+    # y: delete (seq 2) then re-insert (seq 3) → delete outranked
+    # z: delete only (seq 4) → delete stands
+    _journal_batch(idx, [11], [0], idx.version)
+    _journal_deletes(idx, [11])
+    _journal_deletes(idx, [22])
+    _journal_batch(idx, [22], [0], idx.version)
+    _journal_deletes(idx, [33])
+    assert _final_delete_ids(idx) == [11, 33]
+
+
+def test_adopt_carries_window_search_stats(spark, tmp_path):
+    """Round 15, ADVICE r14 low: searches served through the live
+    handle DURING an async window accrue hits/query_counter the
+    clone never saw; the swap must carry those deltas onto the
+    adopted state instead of silently resetting split-hotness.
+    Split-reset partitions stay reset (the fresh-BasePartition
+    contract), merged-away partitions' window hits transfer to
+    their keeper."""
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.workload import make_dataset
+    from quake_vector_search_spark.streaming.ingest import (
+        _adopt_index_state,
+    )
+
+    corpus = make_dataset(spark, 200, d=8, n_clusters=3, seed=63)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_adopt_hits"),
+                         coarse_k=2, base_k=2)
+    idx.save_meta()
+    clone = IVFIndex.load(spark, idx.workdir, version=idx.version)
+    pids = [int(p) for p in idx.part_ids]
+    assert len(pids) >= 3
+    p_keep, p_split, p_gone = pids[0], pids[1], pids[2]
+    hits_base = dict(idx.hits)
+    qc_base = int(idx.query_counter)
+    # window searches on the LIVE handle
+    idx.hits[p_keep] = idx.hits.get(p_keep, 0) + 7
+    idx.hits[p_split] = idx.hits.get(p_split, 0) + 5
+    idx.hits[p_gone] = idx.hits.get(p_gone, 0) + 3
+    idx.query_counter += 4
+    # pretend the clone's maintain split p_split and merged p_gone
+    # into p_keep
+    summary = {"splits": [(p_split, 9999)],
+               "merges": [(p_keep, p_gone)]}
+    clone.hits[p_split] = 0
+    clone.hits[9999] = 0
+    clone.hits.pop(p_gone, None)
+    base_keep = int(clone.hits.get(p_keep, 0))
+    base_qc_clone = int(clone.query_counter)
+    _adopt_index_state(idx, clone, hits_base=hits_base,
+                       qc_base=qc_base, summary=summary)
+    # keeper: its own 7 window hits + the merged-away pid's 3
+    assert idx.hits[p_keep] == base_keep + 7 + 3
+    # split parent and child: reset stays reset
+    assert idx.hits[p_split] == 0
+    assert idx.hits[9999] == 0
+    assert p_gone not in idx.hits
+    assert idx.query_counter == base_qc_clone + 4
+
+
+def test_replay_chain_split_then_merge_exactly_once(spark, tmp_path):
+    """Round 15, ADVICE r14 medium: ``maintain()`` can merge a
+    freshly-SPLIT child away in the same pass — a journaled window
+    row rewritten into that child lands in a keeper OUTSIDE the old
+    one-hop candidate set (source pid, its split child, its merge
+    keeper), was misclassified as missing, and got re-inserted as a
+    duplicate. The candidate walk is now a transitive closure over
+    split→child and gone→keeper. The same scenario also pins the
+    round-15 provenance rule: those keeper rows were already
+    EXACTLY recounted as part of the child (``_refresh_partitions``)
+    and folded into the keeper's merge arithmetic, so the
+    bookkeeping add must skip them — the ``m{gone}-`` merge-move
+    file prefix identifies them; without it the keeper's size
+    double-counts.
+
+    Geometry (asserted below so a drift fails loudly): tiny
+    partition T (6 rows), partition P grown to 38 rows in two
+    lobes, ballast C. maintain splits P→child and the greedy merge
+    pass — T iterates first (earliest position) and the child is
+    its nearest tiny — pairs (T, child), so the child's rows (five
+    journaled window rows among them) move into T."""
+    import numpy as np
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.maintenance import maintain
+    from quake_vector_search_spark.streaming.ingest import (
+        _adopt_index_state,
+        _journal_batch,
+        _replay_ingest_journal,
+    )
+
+    d = 8
+    rng = np.random.default_rng(67)
+
+    def blob(center, n, spread=0.05):
+        return np.asarray(center) + spread * rng.normal(size=(n, d))
+
+    cT = np.zeros(d)
+    cT[0] = 1.3                       # tiny keeper-to-be
+    cPp = np.zeros(d)
+    cPp[0] = 0.5                      # P's + lobe (build-time)
+    cPm = np.zeros(d)
+    cPm[0] = -0.5                     # P's - lobe (inserted later)
+    cC = np.full(d, 10.0)             # ballast, stays out of the way
+    X = np.vstack([blob(cT, 6), blob(cPp, 26), blob(cC, 30)])
+    rows = [(int(i), x.astype(float).tolist())
+            for i, x in enumerate(X)]
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<float>")
+    idx = IVFIndex.build(df, str(tmp_path / "ivf_chain"),
+                         coarse_k=3, base_k=1)
+    # grow the second lobe into P so the SPLIT happens at maintain
+    # time (built-in k-means would separate pre-made lobes at build)
+    idx.insert(np.arange(500, 512), blob(cPm, 12))
+    idx.save_meta()
+    clone = IVFIndex.load(spark, idx.workdir, version=idx.version)
+    # window rows into both lobes of P, journaled like a real window
+    win_ids = np.arange(900, 910)
+    win_vecs = np.vstack([blob(cPm, 5), blob(cPp, 5)])
+    pids = idx.insert(win_ids, win_vecs)
+    assert set(int(p) for p in pids) == {1}, pids   # all routed to P
+    _journal_batch(idx, win_ids, pids, idx.version)
+    summary = maintain(clone, split_size=36, merge_size=20)
+    # the scenario this test exists for — fail loudly if the
+    # geometry ever stops producing it
+    assert summary["splits"] == [(1, 3)], summary
+    assert summary["merges"] == [(0, 3)], summary
+    _adopt_index_state(idx, clone)
+    out = _replay_ingest_journal(idx, {}, False, summary=summary)
+    # every window row was carried into the published version (the
+    # minus-lobe ones now live in keeper 0 via the m3- file move) —
+    # nothing re-inserted, nothing duplicated
+    assert out == {"present": 10, "replayed": 0}, out
+    live = idx.read_corpus()
+    cnt = {int(r["vec_id"]): r["count"] for r in
+           live.where("vec_id >= 900").groupBy("vec_id")
+           .count().collect()}
+    assert cnt == {i: 1 for i in range(900, 910)}
+    phys = {int(r["partition_id"]): r["count"] for r in
+            live.groupBy("partition_id").count().collect()}
+    for pos, pid in enumerate(idx.part_ids):
+        assert int(idx.sizes[pos]) == phys.get(int(pid), 0), (
+            pid, int(idx.sizes[pos]), phys.get(int(pid), 0))
+
+
+def test_async_maintain_runs_in_isolated_scheduler_pool(spark,
+                                                        tmp_path,
+                                                        monkeypatch):
+    """Round 15, VERDICT r14 #3: the background maintain thread pins
+    its Spark jobs to the ``qvss-maintenance`` scheduler pool and the
+    batch handler pins its own to ``qvss-ingest`` — under
+    ``spark.scheduler.mode=FAIR`` (SCALING.md recipe) a long retrain
+    stage then time-shares the executors with ingest micro-batches
+    instead of queuing them behind it (inert under FIFO). The pin is
+    observed INSIDE the maintain thread / the batch handler via the
+    JVM-side local property — the thing the DAGScheduler actually
+    reads."""
+    import os
+
+    import numpy as np
+
+    import quake_vector_search_spark.operators.maintenance as maint_mod
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.workload import make_dataset
+    from quake_vector_search_spark.streaming.ingest import (
+        finish_async_maintenance,
+        ingest_stream,
+    )
+
+    corpus = make_dataset(spark, 200, d=8, n_clusters=3, seed=71)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_pool"),
+                         coarse_k=2, base_k=2)
+
+    seen_pools = {}
+    real_maintain = maint_mod.maintain
+
+    def spy_maintain(index_, **kw):
+        seen_pools["maintain"] = (index_.spark.sparkContext
+                                  .getLocalProperty(
+                                      "spark.scheduler.pool"))
+        return real_maintain(index_, **kw)
+
+    monkeypatch.setattr(maint_mod, "maintain", spy_maintain)
+
+    real_insert = IVFIndex.insert
+
+    def spy_insert(self, ids, vecs, **kw):
+        seen_pools.setdefault(
+            "batch", self.spark.sparkContext.getLocalProperty(
+                "spark.scheduler.pool"))
+        return real_insert(self, ids, vecs, **kw)
+
+    monkeypatch.setattr(IVFIndex, "insert", spy_insert)
+
+    rng = np.random.default_rng(73)
+    vdir, ckpt = str(tmp_path / "vecs"), str(tmp_path / "ckpt")
+    os.makedirs(vdir, exist_ok=True)
+    for k in range(2):
+        rows = [(int(95_000 + k), rng.normal(size=8).astype(float)
+                 .tolist())]
+        (spark.createDataFrame(rows, "vec_id long, "
+                                     "embedding array<float>")
+         .coalesce(1).write.mode("append").parquet(vdir))
+    vstream = (spark.readStream
+               .schema("vec_id long, embedding array<float>")
+               .option("maxFilesPerTrigger", 1).parquet(vdir))
+    q = ingest_stream(idx, vstream, ckpt, encode_pq=False,
+                      maintain_every_n_batches=2,
+                      maintain_async=True)
+    try:
+        q.processAllAvailable()
+        finish_async_maintenance(idx)
+    finally:
+        q.stop()
+    assert seen_pools.get("maintain") == "qvss-maintenance", seen_pools
+    assert seen_pools.get("batch") == "qvss-ingest", seen_pools
+
+
+@pytest.mark.slow
+def test_crash_recovery_through_real_process_restart(spark, tmp_path):
+    """Round 15, VERDICT r14 #5: the attach-time crash recovery,
+    driven through a REAL process death — no in-process
+    state-surgery. A child process (tests/crash_child_helper.py)
+    builds the index, opens an async window, journals a window batch
+    and two deletes (one pre-existing row, one window row), lets the
+    background maintain PUBLISH, and SIGKILLs itself before the
+    boundary that would have swapped — the exact
+    published-but-not-swapped crash the journals exist for. This
+    parent process then loads a fresh handle (which picks up the
+    published version) and re-attaches ``ingest_stream``: the
+    leftover journals replay (inserts first, then the
+    sequence-final deletes), the marker clears, and every row lands
+    exactly once."""
+    import os
+    import signal
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.streaming.ingest import (
+        _delete_journal_dir,
+        _journal_dir,
+        _window_marker_path,
+        ingest_stream,
+    )
+
+    helper = os.path.join(os.path.dirname(__file__),
+                          "crash_child_helper.py")
+    workdir = str(tmp_path / "ivf_crash")
+    vdir = str(tmp_path / "vecs")
+    ckpt = str(tmp_path / "ckpt")
+    proc = subprocess.run(
+        [sys.executable, helper, workdir, vdir, ckpt],
+        capture_output=True, text=True, timeout=420)
+    assert proc.returncode == -signal.SIGKILL, (
+        proc.returncode, proc.stdout[-2000:], proc.stderr[-2000:])
+    ready = [ln for ln in proc.stdout.splitlines()
+             if ln.startswith("READY ")]
+    assert ready, (proc.stdout[-2000:], proc.stderr[-2000:])
+    victim = int(ready[0].split()[1])
+
+    # the true crash state: journals + marker on disk, version
+    # published but never swapped into any live handle
+    fresh = IVFIndex.load(spark, workdir)
+    assert os.path.isdir(_journal_dir(fresh))
+    assert os.path.isdir(_delete_journal_dir(fresh))
+    assert os.path.exists(_window_marker_path(fresh.workdir))
+    assert fresh.version >= 1          # the background publish landed
+    # pre-replay: the window deletes are nowhere in the fresh meta
+    assert victim not in fresh.tombstones
+
+    # re-attach with one more batch — the documented recovery path
+    rng = np.random.default_rng(89)
+    vdir2 = str(tmp_path / "vecs2")
+    (spark.createDataFrame(
+        [(96_100, rng.normal(size=8).astype(float).tolist())],
+        "vec_id long, embedding array<float>")
+     .coalesce(1).write.mode("overwrite").parquet(vdir2))
+    vstream = (spark.readStream
+               .schema("vec_id long, embedding array<float>")
+               .parquet(vdir2))
+    q = ingest_stream(fresh, vstream, str(tmp_path / "ckpt2"),
+                      encode_pq=False)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert not os.path.isdir(_journal_dir(fresh))
+    assert not os.path.isdir(_delete_journal_dir(fresh))
+    assert not os.path.exists(_window_marker_path(fresh.workdir))
+    live = fresh.read_corpus()
+    # deletes replayed: the pre-existing victim and window row 96005
+    assert live.where(f"vec_id = {victim}").count() == 0
+    assert live.where("vec_id = 96005").count() == 0
+    # every surviving streamed row landed exactly once, plus the
+    # post-recovery batch
+    got = {int(r["vec_id"]): r["count"] for r in
+           live.where("vec_id >= 96000").groupBy("vec_id")
+           .count().collect()}
+    assert got == {i: 1 for i in
+                   list(range(96_000, 96_005)) + [96_100]}, got

@@ -1512,3 +1512,72 @@ def test_aniso_mm_procrustes_descends_property(seed, eta, d):
         assert cur <= prev + 1e-8 * max(1.0, prev), (cur, prev)
         prev = cur
     np.testing.assert_allclose(R @ R.T, np.eye(d), atol=1e-8)
+
+
+def test_aniso_opq_eta_refused_at_build_call_site(spark, tmp_path):
+    """ADVICE r14 low: the eta >= 1 refusal for the anisotropic ×
+    rotate × opq_iters composition fires on the DRIVER in
+    build_pq_sidecar — with local=True the trainer-level guard sits
+    inside per-cell grouped-map executor tasks, so without the
+    driver twin the refusal surfaced as a mid-job worker
+    PythonException instead of a call-site ValueError."""
+    import pytest as _pytest
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+    )
+    from quake_vector_search_spark.operators.workload import make_dataset
+
+    corpus = make_dataset(spark, 300, d=16, n_clusters=4, seed=41)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_eta_gate"),
+                         coarse_k=2, base_k=2, metric="cosine")
+    for local in (True, False):
+        with _pytest.raises(ValueError, match="eta.*>= 1"):
+            build_pq_sidecar(idx, m=4, ksub=16, seed=7,
+                             local=local, rotate=True, opq_iters=1,
+                             anisotropic=0.5)
+    # eta = 1 (the boundary) stays accepted end-to-end
+    build_pq_sidecar(idx, m=4, ksub=16, seed=7, local=True,
+                     rotate=True, opq_iters=1, anisotropic=1.0)
+
+
+def test_pretrained_local_rots_coverage_gate(spark, tmp_path):
+    """ADVICE r14 low: a dict payload for a rotate=True local build
+    must cover every populated cell's ROTATION, not just its books —
+    a payload missing one cell's rotation previously passed the
+    books gate and failed (or silently mispaired) inside the encode
+    executor task. The refusal is the same layout-bound ValueError
+    the books gate raises, at the call site."""
+    import pytest as _pytest
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+        load_local_books,
+        load_local_rots,
+    )
+    from quake_vector_search_spark.operators.workload import make_dataset
+
+    corpus = make_dataset(spark, 300, d=16, n_clusters=4, seed=43)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_rots_gate"),
+                         coarse_k=2, base_k=2, metric="cosine")
+    build_pq_sidecar(idx, m=4, ksub=16, seed=7, local=True,
+                     rotate=True)
+    books = load_local_books(idx.version_dir)
+    rots = load_local_rots(idx.version_dir)
+    assert books and rots
+    victim = sorted(rots)[0]
+    broken = dict(rots)
+    del broken[victim]
+    with _pytest.raises(ValueError,
+                        match="local rotations miss populated"):
+        build_pq_sidecar(idx, m=4, ksub=16, seed=7, local=True,
+                         rotate=True,
+                         pretrained_books={"local_books": books,
+                                           "local_rots": broken})
+    # the full payload reinjects cleanly
+    build_pq_sidecar(idx, m=4, ksub=16, seed=7, local=True,
+                     rotate=True,
+                     pretrained_books={"local_books": books,
+                                       "local_rots": rots})
