@@ -653,6 +653,34 @@ def ivf_scale_n400k(spark) -> dict:
     fres.count()
     res_search_s = time.time() - t1
     res_recall = round(avg_recall(fres, exact, K), 4)
+    # Scalar rungs (round 15, VERDICT r14 #7): SQ8 (d=64
+    # bytes/vector) and the new 4-bit SQ4 (32 bytes) — the
+    # recall@bytes points that answer whether the narrower grid's
+    # fidelity loss is worth halving the scan bytes. Placed BEFORE
+    # the LOPQ rung so the serving stack below still reads the LOPQ
+    # codes the ladder leaves current on disk (each rung overwrites
+    # the version's codes files).
+    sq_rungs = {}
+    for tag, bits in (("scale400k_sq8", 8), ("scale400k_sq4", 4)):
+        t1 = time.time()
+        _build_sidecar_cached(idx, tag, sq8=True, sq_bits=bits)
+        sq_build_s = time.time() - t1
+        t1 = time.time()
+        fsq, _ = knn_ivf_pq(idx, (qids, qmat), k=K,
+                            target_recall=0.9, oversample=32)
+        fsq = fsq.cache()
+        fsq.count()
+        sq_search_s = time.time() - t1
+        sq_rungs[f"sq{bits}_variant"] = {
+            "sidecar_build_s": round(sq_build_s, 3),
+            "batch50_ms": round(1000 * sq_search_s, 1),
+            "recall_at_10": round(avg_recall(fsq, exact, K), 4),
+            "bytes_per_vector_scanned": 64 if bits == 8 else 32,
+        }
+        fsq.unpersist()
+    sq_ladder_s = sum(v["sidecar_build_s"]
+                      + v["batch50_ms"] / 1000.0
+                      for v in sq_rungs.values())
     # Full LOPQ (per-cell rotations + books) as the ladder's top rung.
     # Measured r7: recall 0.972 vs the global residual book's 0.900 at
     # the same 8 bytes — even on these ISOTROPIC blobs, because each
@@ -729,7 +757,7 @@ def ivf_scale_n400k(spark) -> dict:
             "routed_eval": round(routed_eval_s, 3),
             "pq_ladder": round(pq_build_s + pq_search_s + res_build_s
                                + res_search_s + lopq_build_s
-                               + lopq_search_s, 3),
+                               + lopq_search_s + sq_ladder_s, 3),
             "serving_stack": round(serving_stack_s, 3),
         },
         "temperature": cal["temperature"],
@@ -751,6 +779,7 @@ def ivf_scale_n400k(spark) -> dict:
                 "batch50_ms": round(1000 * lopq_search_s, 1),
                 "recall_at_10": lopq_recall,
             },
+            **sq_rungs,
             "bytes_per_vector_scanned": 8,
         },
     }

@@ -499,7 +499,11 @@ def compress_index(index: IVFIndex, method: str = "pq", **kwargs):
     (FULL LOPQ: per-cell OPQ rotations AND per-cell codebooks —
     ``opq_iters=N`` refines each cell's rotation), ``"ivf_sq8"``
     (scalar quantizer: one uint8 per dimension — d bytes/vector,
-    higher fidelity than PQ at more scan bytes), ``"aniso"`` /
+    higher fidelity than PQ at more scan bytes), ``"ivf_sq4"``
+    (round 15: the same residual scalar quantizer on a 16-level
+    grid — d/2 logical bytes, between PQ's code bytes and SQ8's d;
+    same decode/search path — the per-dim scale carries the grid),
+    ``"aniso"`` /
     ``"aniso_ivfadc"`` (round 8, COSINE indexes only: score-aware
     ScaNN-loss books + coordinate-descent codes, plain or
     residual-composed — the strongest 8-byte rungs for cosine
@@ -527,6 +531,9 @@ def compress_index(index: IVFIndex, method: str = "pq", **kwargs):
         "lopq_rotated": {"residual": True, "local": True,
                          "rotate": True},
         "ivf_sq8": {"sq8": True},
+        # 4-bit scalar grid (round 15, VERDICT r14 #7): 16 levels,
+        # d/2 logical bytes — between PQ's 8 bytes and SQ8's d bytes
+        "ivf_sq4": {"sq8": True, "sq_bits": 4},
         "aniso": {"anisotropic": 3.0},
         "aniso_ivfadc": {"anisotropic": 3.0, "residual": True},
         "aniso_opq_ivfadc": {"anisotropic": 3.0, "residual": True,

@@ -960,14 +960,20 @@ def load_local_rots(version_dir: str, pids=None) -> dict | None:
     return out or None
 
 
-def fit_sq8_params(res_src: DataFrame, vec_col: str) -> dict:
+def fit_sq8_params(res_src: DataFrame, vec_col: str,
+                   levels: int = 256) -> dict:
     """Per-dimension scalar-quantizer bounds over the (residual)
     corpus: one narrow map-partitions pass of elementwise min/max
     partials (two d-vectors per task back to the driver — the same
     boundedness class as the PCA moment partials), combined exactly.
-    Returns {"vmin": (d,), "scale": (d,)} with scale = (vmax−vmin)/255
-    and constant dimensions pinned to scale 1 (their codes are all 0
-    and decode exactly to vmin)."""
+    Returns {"vmin": (d,), "scale": (d,), "levels": n} with
+    scale = (vmax−vmin)/(levels−1) and constant dimensions pinned to
+    scale 1 (their codes are all 0 and decode exactly to vmin).
+    ``levels`` (round 15, VERDICT r14 #7) generalizes the quantizer
+    to narrower grids — 16 for the 4-bit SQ4 flavor — without
+    touching the decode side: the per-dim scale already carries the
+    grid, so ``vmin + code·scale`` stays the exact decode for every
+    width."""
     def partials(batches):
         lo, hi = None, None
         for pdf in batches:
@@ -993,35 +999,44 @@ def fit_sq8_params(res_src: DataFrame, vec_col: str) -> dict:
         raise ValueError("fit_sq8_params: empty input")
     lo = np.min([np.asarray(r["lo"]) for r in rows], axis=0)
     hi = np.max([np.asarray(r["hi"]) for r in rows], axis=0)
-    scale = (hi - lo) / 255.0
+    levels = int(levels)
+    if levels < 2:
+        raise ValueError(f"fit_sq8_params: levels must be >= 2, "
+                         f"got {levels}")
+    scale = (hi - lo) / float(levels - 1)
     scale[scale <= 0] = 1.0
-    return {"vmin": lo, "scale": scale}
+    return {"vmin": lo, "scale": scale, "levels": levels}
 
 
 def sq8_encode_local(vecs: np.ndarray, vmin: np.ndarray,
-                     scale: np.ndarray) -> np.ndarray:
-    """Quantize rows to uint8 codes: round((x − vmin)/scale), clipped
-    to [0, 255]. Pure NumPy twin of the distributed encoder."""
+                     scale: np.ndarray,
+                     levels: int = 256) -> np.ndarray:
+    """Quantize rows to integer codes: round((x − vmin)/scale),
+    clipped to [0, levels−1]. Pure NumPy twin of the distributed
+    encoder."""
     codes = np.rint((np.asarray(vecs, dtype=np.float64) - vmin)
                     / scale)
-    return np.clip(codes, 0, 255).astype(np.int64)
+    return np.clip(codes, 0, int(levels) - 1).astype(np.int64)
 
 
 def _encode_sq8_sidecar(res_src: DataFrame, params: dict,
                         id_col: str, vec_col: str) -> DataFrame:
     spark = res_src.sparkSession
     bc = spark.sparkContext.broadcast((params["vmin"],
-                                       params["scale"]))
+                                       params["scale"],
+                                       int(params.get("levels",
+                                                      256))))
 
     def encode(batches):
-        vmin, scale = bc.value
+        vmin, scale, levels = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
             X = np.vstack(pdf[vec_col].to_numpy())
             yield pd.DataFrame({
                 id_col: pdf[id_col].to_numpy(dtype=np.int64),
-                "pq_codes": list(sq8_encode_local(X, vmin, scale)),
+                "pq_codes": list(sq8_encode_local(X, vmin, scale,
+                                                  levels)),
                 "partition_id": pdf["partition_id"]
                 .to_numpy(dtype=np.int64),
             })
@@ -1036,7 +1051,8 @@ def save_sq8_params(version_dir: str, params: dict) -> None:
     import os
 
     np.savez(os.path.join(version_dir, "sq8_params.npz"),
-             vmin=params["vmin"], scale=params["scale"])
+             vmin=params["vmin"], scale=params["scale"],
+             levels=np.int64(params.get("levels", 256)))
 
 
 def load_sq8_params(version_dir: str) -> dict | None:
@@ -1046,7 +1062,9 @@ def load_sq8_params(version_dir: str) -> dict | None:
     if not os.path.exists(path):
         return None
     z = np.load(path)
-    return {"vmin": z["vmin"], "scale": z["scale"]}
+    # pre-round-15 files carry no grid width — they are all 8-bit
+    levels = int(z["levels"]) if "levels" in z.files else 256
+    return {"vmin": z["vmin"], "scale": z["scale"], "levels": levels}
 
 
 _LOCAL_SIDECAR_CACHE: dict = {}
@@ -1602,6 +1620,7 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
                      local: bool = False,
                      cell_sample_n: int = 20_000,
                      sq8: bool = False,
+                     sq_bits: int = 8,
                      anisotropic: float | None = None,
                      ood_min_explained: float = 0.05,
                      ood_rebuild_rate: float | None = None,
@@ -1873,11 +1892,29 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
             raise ValueError(
                 "sq8 composes with none of rotate/local/opq_iters — "
                 "it has no subspaces to rotate and no codebooks")
+        if int(sq_bits) not in (4, 8):
+            # 4 bits (16 levels, d/2 logical bytes — the SQ4 flavor,
+            # round 15 / VERDICT r14 #7) or the classic 8; other
+            # widths have no byte-accounting story worth a flavor
+            raise ValueError(
+                f"sq_bits must be 4 or 8, got {sq_bits!r}")
+        levels = 1 << int(sq_bits)
         enc_cents = {int(p): index.centroids[i].copy()
                      for i, p in enumerate(index.part_ids)}
         res_src = _residual_corpus(index, corpus, enc_cents)
-        params = (_pre["sq8_params"] if _pre is not None
-                  else fit_sq8_params(res_src, index.vec_col))
+        if _pre is not None:
+            params = _pre["sq8_params"]
+            if int(params.get("levels", 256)) != levels:
+                raise ValueError(
+                    f"pretrained sq8_params carry a "
+                    f"{int(params.get('levels', 256))}-level grid "
+                    f"but the build asked sq_bits={int(sq_bits)} "
+                    f"({levels} levels) — scalar bounds are "
+                    "grid-bound; harvest the payload from a build "
+                    "with the same sq_bits")
+        else:
+            params = fit_sq8_params(res_src, index.vec_col,
+                                    levels=levels)
         enc = _encode_sq8_sidecar(res_src, params,
                                   index.id_col, index.vec_col)
         path = os.path.join(index.version_dir, "pq")
@@ -1897,8 +1934,9 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
         with open(os.path.join(index.version_dir, "pq_meta.json"),
                   "w") as fh:
             json.dump({"residual": True, "sq8": True,
+                       "sq_bits": int(sq_bits),
                        "m": int(len(params["vmin"])),
-                       "ksub": 256}, fh)
+                       "ksub": int(params.get("levels", 256))}, fh)
         return params
     if local:
         if opq_iters and not rotate:

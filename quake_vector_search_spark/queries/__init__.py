@@ -72,6 +72,41 @@ RENAME_MAP: dict[str, str] = {
     "dedup_embedding_cosine": "dedup_embedding_cosine_oracle",  # r6
 }
 
+WINDOW_R15: tuple[str, ...] = (
+    # never driver-checked: the new round-15 row — the 4-bit scalar
+    # quantization flavor (VERDICT r14 #7): 16-level grid, d/2
+    # logical bytes, same decode/search path as SQ8 (the per-dim
+    # scale carries the grid); new features get driver-grade
+    # verification in the round that introduces them (ADVICE r9) (1)
+    "ivf_sq4_fullprobe",
+    # stalest stratum, part 1: WINDOW_R8's whole 7-row ordered
+    # remainder — the only rows whose latest driver check is round 8
+    # (closes out the r8 stratum) (7)
+    "q_profile_orders", "q_redact_ids", "q_schema_evolution",
+    "q_shard_export", "q_shared_sql_text", "q_stratified_sample",
+    "q_weighted_sample",
+    # stalest stratum, part 2: 42 of the 50 rows whose latest driver
+    # check is round 9, in WINDOW_R9's pinned order (the last 8 —
+    # aps_partition_scores through gen_dataset_pinned — stay as
+    # WINDOW_R9's ordered remainder, the next-stalest stratum for
+    # round 16) (42)
+    "q_regex_funcs", "q_date_funcs2", "q_min_by_max_by",
+    "mm_extract_features_png", "dedup_lsh_index_capped",
+    "knn_aniso_mips_rerank", "sparse_bm25_index_capped",
+    "ivf_aniso_cosine_fullprobe", "ivf_aniso_residual_fullprobe",
+    "q_dsir_select", "q_dsir_sample",
+    "stream_routed_serving_after_ingest_equals_batch",
+    "q_filter_project", "q_null_safe_eq", "q_anti_join",
+    "q_approx_distinct", "q_date_funcs", "q_distinct_agg",
+    "q_from_json", "q_full_outer", "q_having", "q_left_join_counts",
+    "q_math_case", "q_order_gaps", "q_rank_dense_rank", "q_right_join",
+    "q_semi_join", "q_skew_salted_agg", "q_star_join_revenue",
+    "q_stats", "q_string_funcs", "q_string_funcs2",
+    "q_top20_lineitems", "q_window_moving_avg", "q_window_running",
+    "knn_brute_l2", "knn_cosine", "knn_dot", "knn_filtered",
+    "knn_sq8_rerank", "knn_pq_rerank", "kmeans_clusters",
+)
+
 WINDOW_R14: tuple[str, ...] = (
     # never driver-checked: the new round-14 row — decoupled
     # (async) streaming self-maintenance with journaled window
@@ -374,26 +409,28 @@ WINDOW_R6: tuple[str, ...] = (
 
 
 def ordered_registry() -> dict[str, Query]:
-    """REGISTRY re-ordered so the round-14 driver window comes first;
+    """REGISTRY re-ordered so the round-15 driver window comes first;
     earlier windows follow with duplicates collapsed to first
     occurrence (a row recurring in a later window was re-scheduled —
     re-verification is the point of the rotation).
 
-    Round 14 rotates a TENTH window in front (VERDICT r13 #2): the
-    new round-14 row (decoupled async streaming maintenance), then
-    the stalest strata — WINDOW_R7's 6-row ordered remainder (last
-    checked round 7) and 43 of the 50 round-8-stale rows in
-    WINDOW_R8's pinned order. WINDOW_R8's last 7 rows remain as its
-    ordered remainder, the next-stalest stratum for round 15. All 50
-    members verified vs DuckDB at sf0.01 BEFORE the switch.
+    Round 15 rotates an ELEVENTH window in front (VERDICT r14 #2):
+    the new round-15 row (the 4-bit SQ4 scalar-quantization rung),
+    then the stalest strata — WINDOW_R8's whole 7-row ordered
+    remainder (last checked round 8; closes the r8 stratum) and 42
+    of the 50 round-9-stale rows in WINDOW_R9's pinned order.
+    WINDOW_R9's last 8 rows remain as its ordered remainder, the
+    next-stalest stratum for round 16. All 50 members verified vs
+    DuckDB at sf0.01 BEFORE the switch.
 
     Raw REGISTRY insertion order (module load order) is unchanged —
     rounds 1-5's window remains its prefix, pinned by
     tests/test_registry_window.py alongside the others.
     """
     load_all_query_modules()
-    windows = (*WINDOW_R14, *WINDOW_R13, *WINDOW_R11, *WINDOW_R10,
-               *WINDOW_R9, *WINDOW_R8, *WINDOW_R7, *WINDOW_R6)
+    windows = (*WINDOW_R15, *WINDOW_R14, *WINDOW_R13, *WINDOW_R11,
+               *WINDOW_R10, *WINDOW_R9, *WINDOW_R8, *WINDOW_R7,
+               *WINDOW_R6)
     missing = [n for n in windows if n not in REGISTRY]
     if missing:
         raise ValueError(f"window names not in registry: {missing}")

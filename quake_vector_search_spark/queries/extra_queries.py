@@ -4227,6 +4227,74 @@ FROM r WHERE rank <= {K}
 _register_ivf_sq8()
 
 
+def _register_ivf_sq4():
+    from quake_vector_search_spark.queries.vector_queries import (
+        K, N_QUERIES)
+
+    @register("ivf_sq4_fullprobe", sql=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), d AS (
+  SELECT q.query_id, e.vec_id,
+         list_distance(CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.qvec AS DOUBLE[])) AS dist
+  FROM embeddings e CROSS JOIN q
+), r AS (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist ASC, vec_id ASC) AS rank
+  FROM d
+)
+SELECT query_id, vec_id, ROUND(dist, 6) AS dist, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {K}
+""")
+    def ivf_sq4_fullprobe(spark, sf_dir):
+        """IVF+SQ4 (round 15, VERDICT r14 #7) — the 4-bit rung of the
+        scalar-quantizer ladder: 16 levels per dimension over the
+        residual ``x − c_p``, d/2 logical bytes/vector — between
+        PQ-8's 8 B and SQ8's d B. The per-dim scale already carries
+        the grid ((vmax−vmin)/15 instead of /255), so the ADC decode
+        (``vmin + code·scale``) and the whole search path are
+        byte-identical to SQ8's — what changes is fidelity, which
+        bench's recall@bytes comparison measures (BENCH_NOTES round
+        15). Full probe + exact rerank must equal brute force (the
+        oracle); the row pins the 16-level bounds/codes/decode
+        consistency end-to-end, including the clip ceiling — an
+        encoder still clipping at 255 would decode residuals 17×
+        out of range. Own scratch index like the other sidecar
+        rows."""
+        import os
+        import shutil
+
+        from quake_vector_search_spark.operators.ivf import IVFIndex
+        from quake_vector_search_spark.operators.quantization import (
+            build_pq_sidecar,
+            knn_ivf_pq,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        wd = os.path.join(f"/tmp/qvss_ivf_{os.getpid()}",
+                          "sq4_" + sf_dir.strip("/").replace("/", "_"))
+        if wd not in _IVF_RES_CACHE:
+            shutil.rmtree(wd, ignore_errors=True)
+            idx = IVFIndex.build(emb, wd, coarse_k=8, base_k=4)
+            params = build_pq_sidecar(idx, sq8=True, sq_bits=4)
+            assert int(params["levels"]) == 16
+            _IVF_RES_CACHE[wd] = (idx, None)
+        idx, _ = _IVF_RES_CACHE[wd]
+        queries = emb.where(F.col("vec_id") < N_QUERIES) \
+                     .withColumnRenamed("vec_id", "query_id")
+        n = emb.count()
+        out, _meta = knn_ivf_pq(idx, queries, k=K, target_recall=1.0,
+                                max_probe=1_000_000_000,
+                                oversample=max(16, -(-n // (2 * K))))
+        return out.withColumn("dist", F.round("dist", 6))
+
+
+_register_ivf_sq4()
+
+
 @register("mm_extract_features_png", sql="""
 WITH dims AS (
   SELECT doc_id,

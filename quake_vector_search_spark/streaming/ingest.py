@@ -218,7 +218,8 @@ def _encode_with_books(vecs: np.ndarray, pids: np.ndarray,
         )
 
         p = books_cache["sq8_params"]
-        return sq8_encode_local(enc_vecs, p["vmin"], p["scale"])
+        return sq8_encode_local(enc_vecs, p["vmin"], p["scale"],
+                                int(p.get("levels", 256)))
     if books_cache["meta"].get("anisotropic") is not None:
         from quake_vector_search_spark.operators.quantization import (
             aniso_encode_streamed,

@@ -47,6 +47,7 @@ from quake_vector_search_spark.queries import (
     WINDOW_R11,
     WINDOW_R13,
     WINDOW_R14,
+    WINDOW_R15,
     load_all_query_modules,
     ordered_registry,
 )
@@ -125,17 +126,39 @@ R10_FIRST_TIMERS = (
 )
 
 
-def test_r14_window_is_the_rotated_surface():
-    """First 50 of the driver-facing ordering = WINDOW_R14;
-    composition per VERDICT r13 #2, checked against the reports AS OF
-    END OF ROUND 13: the 1 never-driver-verified round-14 row (the
-    decoupled async streaming maintenance), WINDOW_R7's whole 6-row
-    remainder (the only rows whose latest driver check is round 7),
-    and 43 of the 50 round-8-stale rows in WINDOW_R8's pinned order.
+def test_r15_window_is_the_rotated_surface():
+    """First 50 of the driver-facing ordering = WINDOW_R15;
+    composition per VERDICT r14 #2, checked against the reports AS OF
+    END OF ROUND 14: the 1 never-driver-verified round-15 row (the
+    4-bit SQ4 scalar-quantization rung), WINDOW_R8's whole 7-row
+    remainder (the only rows whose latest driver check is round 8),
+    and 42 of the 50 round-9-stale rows in WINDOW_R9's pinned order.
     No slot wasted on anything fresher."""
     names = list(ordered_registry())
+    assert len(WINDOW_R15) == 50
+    assert names[:50] == list(WINDOW_R15)
+    latest = _latest_driver_round(max_round=14)
+    assert latest, "correctness reports missing from repo root"
+    never = [n for n in WINDOW_R15 if n not in latest]
+    r8 = [n for n in WINDOW_R15 if latest.get(n, 99) == 8]
+    r9 = [n for n in WINDOW_R15 if latest.get(n, 99) == 9]
+    fresh = [n for n in WINDOW_R15 if latest.get(n, 0) >= 10]
+    assert never == ["ivf_sq4_fullprobe"], never
+    assert len(r8) == 7, f"expected 7 r8-stale, got {len(r8)}"
+    assert len(r9) == 42, f"expected 42 r9-stale, got {len(r9)}"
+    assert not fresh, f"WINDOW_R15 wastes slots on fresh rows: {fresh}"
+
+
+def test_r14_window_composition_still_pinned():
+    """WINDOW_R14 keeps its full 50 right behind the round-15 front
+    window (disjoint — round 15 rotates onto the r8/r9-stale
+    strata); composition per VERDICT r13 #2, checked against the
+    reports AS OF END OF ROUND 13, exactly the pin that held when
+    the driver ran it."""
+    names = list(ordered_registry())
     assert len(WINDOW_R14) == 50
-    assert names[:50] == list(WINDOW_R14)
+    assert not set(WINDOW_R14) & set(WINDOW_R15)
+    assert names[50:100] == list(WINDOW_R14)
     latest = _latest_driver_round(max_round=13)
     assert latest, "correctness reports missing from repo root"
     never = [n for n in WINDOW_R14 if n not in latest]
@@ -168,7 +191,8 @@ def test_r13_window_composition_still_pinned():
     names = list(ordered_registry())
     assert len(WINDOW_R13) == 50
     assert not set(WINDOW_R13) & set(WINDOW_R14)
-    assert names[50:100] == list(WINDOW_R13)
+    assert not set(WINDOW_R13) & set(WINDOW_R15)
+    assert names[100:150] == list(WINDOW_R13)
     latest = _latest_driver_round(max_round=12)
     assert latest, "correctness reports missing from repo root"
     never = [n for n in WINDOW_R13 if n not in latest]
@@ -198,7 +222,8 @@ def test_r11_window_composition_still_pinned():
     rest = [n for n in WINDOW_R11 if n not in set(WINDOW_R13)]
     assert len(rest) == 49
     assert not set(WINDOW_R11) & set(WINDOW_R14)
-    assert names[100:149] == rest
+    assert not set(WINDOW_R11) & set(WINDOW_R15)
+    assert names[150:199] == rest
     latest = _latest_driver_round(max_round=10)
     assert latest, "correctness reports missing from repo root"
     never = [n for n in WINDOW_R11 if n not in latest]
@@ -272,14 +297,14 @@ def test_cumulative_accounting_is_exact():
     load_all_query_modules()
     latest = _latest_driver_round()
     verified = set(latest) & set(REGISTRY)
-    assert len(verified) >= 249, len(verified)
-    assert len(REGISTRY) >= 250
+    assert len(verified) >= 250, len(verified)
+    assert len(REGISTRY) >= 251
     unverified = set(REGISTRY) - verified
-    stranded = unverified - set(WINDOW_R14)
+    stranded = unverified - set(WINDOW_R15)
     assert not stranded, f"never-verified rows outside the window: {stranded}"
 
 
-def test_r10_window_remainder_pinned_at_149_192():
+def test_r10_window_remainder_pinned_at_199_242():
     """WINDOW_R11 re-schedules WINDOW_R10's 6 first-timers; the other
     44 keep their relative order behind the R11 remainder."""
     names = list(ordered_registry())
@@ -288,32 +313,38 @@ def test_r10_window_remainder_pinned_at_149_192():
             if n not in set(WINDOW_R11) | set(WINDOW_R13)]
     assert len(rest) == 44
     assert not set(WINDOW_R10) & set(WINDOW_R14)
-    assert names[149:193] == rest
+    assert not set(WINDOW_R10) & set(WINDOW_R15)
+    assert names[199:243] == rest
 
 
-def test_r9_window_still_pinned_at_193_242():
+def test_r9_window_remainder_is_eight_rows():
+    """WINDOW_R15 re-schedules 42 of WINDOW_R9's rows (the stalest
+    stratum after the r8 tail); the 8 left out keep their relative
+    order at the ordered tail — the next-stalest stratum for the
+    round-16 rotation."""
     names = list(ordered_registry())
     assert len(WINDOW_R9) == 50
-    assert names[193:243] == list(WINDOW_R9)
+    rest = [n for n in WINDOW_R9 if n not in set(WINDOW_R15)]
+    assert rest == ["aps_partition_scores", "aps_scores_distributed",
+                    "ivf_search_fullprobe", "ivf_search_adaptive",
+                    "ivf_pq_search_fullprobe", "ivf_recall_eval",
+                    "ivf_dml_roundtrip", "gen_dataset_pinned"]
+    assert names[243:251] == rest
     assert not set(WINDOW_R9) & set(WINDOW_R10)
     assert not set(WINDOW_R9) & set(WINDOW_R11)
     assert not set(WINDOW_R9) & set(WINDOW_R13)
     assert not set(WINDOW_R9) & set(WINDOW_R14)
 
 
-def test_r8_window_remainder_is_seven_rows():
-    """WINDOW_R14 re-schedules 43 of WINDOW_R8's rows (the stalest
-    stratum after the r7 tail); the 7 left out keep their relative
-    order at the ordered tail — the next-stalest stratum for the
-    round-15 rotation."""
-    names = list(ordered_registry())
+def test_r8_window_fully_rescheduled():
+    """Every WINDOW_R8 row is re-scheduled in a fresher window — 43
+    in WINDOW_R14, the 7-row remainder in WINDOW_R15 — so WINDOW_R8
+    contributes no ordered remainder and the r8 staleness stratum is
+    closed out."""
     assert len(WINDOW_R8) == 50
-    rest = [n for n in WINDOW_R8 if n not in set(WINDOW_R14)]
-    assert rest == ["q_profile_orders", "q_redact_ids",
-                    "q_schema_evolution", "q_shard_export",
-                    "q_shared_sql_text", "q_stratified_sample",
-                    "q_weighted_sample"]
-    assert names[243:250] == rest
+    rest = [n for n in WINDOW_R8
+            if n not in set(WINDOW_R14) | set(WINDOW_R15)]
+    assert rest == []
     assert not set(WINDOW_R8) & set(WINDOW_R9)
     assert not set(WINDOW_R8) & set(WINDOW_R10)
     assert not set(WINDOW_R8) & set(WINDOW_R11)

@@ -1581,3 +1581,65 @@ def test_pretrained_local_rots_coverage_gate(spark, tmp_path):
                      rotate=True,
                      pretrained_books={"local_books": books,
                                        "local_rots": rots})
+
+
+def test_sq4_sidecar_grid_and_payload_guard(spark, tmp_path):
+    """SQ4 (round 15, VERDICT r14 #7): the scalar quantizer
+    generalizes to a 16-level grid through the per-dim scale alone —
+    codes clip at 15, the params persist their grid width (old
+    8-bit files read back as 256), streamed appends encode on the
+    same grid, and a payload harvested at one width is refused by a
+    build asking another (grid-bound bounds would silently decode
+    17x out of range). The ivf_sq4 facade flavor maps to
+    sq8=True + sq_bits=4."""
+    import numpy as np
+    import pytest as _pytest
+
+    from quake_vector_search_spark import api
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+        load_sq8_params,
+    )
+    from quake_vector_search_spark.operators.workload import make_dataset
+    from quake_vector_search_spark.streaming.ingest import (
+        _append_pq_codes,
+    )
+
+    corpus = make_dataset(spark, 400, d=16, n_clusters=4, seed=47)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_sq4"),
+                         coarse_k=3, base_k=2)
+    params = api.compress_index(idx, method="ivf_sq4")
+    assert int(params["levels"]) == 16
+    roundtrip = load_sq8_params(idx.version_dir)
+    assert int(roundtrip["levels"]) == 16
+    codes = spark.read.parquet(f"{idx.version_dir}/pq")
+    import pyspark.sql.functions as F
+    mx = codes.select(F.max(F.array_max("pq_codes"))).first()[0]
+    mn = codes.select(F.min(F.array_min("pq_codes"))).first()[0]
+    assert 0 <= mn and mx <= 15, (mn, mx)
+    # streamed append encodes on the SAME 16-level grid
+    rng = np.random.default_rng(49)
+    new_ids = np.array([77_000, 77_001], dtype=np.int64)
+    new_vecs = rng.normal(size=(2, 16))
+    pids = idx.insert(new_ids, new_vecs)
+    _append_pq_codes(idx, new_ids, new_vecs, pids, {})
+    appended = (spark.read.parquet(f"{idx.version_dir}/pq")
+                .where("vec_id >= 77000"))
+    assert appended.count() == 2
+    amx = appended.select(F.max(F.array_max("pq_codes"))).first()[0]
+    assert amx <= 15, amx
+    # grid-bound payload: an sq4 harvest refused by an sq8 build
+    with _pytest.raises(ValueError, match="grid"):
+        build_pq_sidecar(idx, sq8=True, sq_bits=8,
+                         pretrained_books={"sq8_params": roundtrip})
+    # matching grid reinjects cleanly
+    build_pq_sidecar(idx, sq8=True, sq_bits=4,
+                     pretrained_books={"sq8_params": roundtrip})
+    # pre-round-15 files carry no width and read back as 8-bit
+    np.savez(f"{idx.version_dir}/sq8_params.npz",
+             vmin=roundtrip["vmin"], scale=roundtrip["scale"])
+    assert int(load_sq8_params(idx.version_dir)["levels"]) == 256
+    # sq_bits outside {4, 8} refused at the call site
+    with _pytest.raises(ValueError, match="sq_bits"):
+        build_pq_sidecar(idx, sq8=True, sq_bits=6)
