@@ -1658,6 +1658,37 @@ def ingest_stream(index: IVFIndex, vectors_stream: DataFrame,
         # window's on-disk marker is cleared FIRST — this re-attach
         # IS the documented recovery, and the replay below calls
         # IVFIndex.delete, which refuses while a marker stands.
+        # Round 15: if the marker's writer is STILL ALIVE in this
+        # process tree, this attach is a second live writer, not a
+        # recovery — replaying a live window's journals would corrupt
+        # its exactly-once reconciliation, so refuse loudly (the
+        # single-writer contract, enforced instead of documented).
+        mpath = _window_marker_path(index.workdir)
+        if os.path.exists(mpath):
+            import json as _json
+
+            try:
+                with open(mpath) as fh:
+                    holder = int(_json.load(fh).get("pid", -1))
+            except (OSError, ValueError):
+                holder = -1
+            if holder > 0 and holder != os.getpid():
+                try:
+                    os.kill(holder, 0)   # signal 0: existence probe
+                    alive = True
+                except ProcessLookupError:
+                    alive = False
+                except PermissionError:
+                    alive = True
+                if alive:
+                    raise RuntimeError(
+                        f"process {holder} holds an open async "
+                        f"maintenance window on {index.workdir!r} "
+                        f"(marker: {mpath!r}) — attaching a second "
+                        "writer would replay its live journals "
+                        "mid-window; stop that stream (or let its "
+                        "swap finish) first. If the pid is a stale "
+                        "reuse, remove the marker by hand.")
         _clear_window_marker(index.workdir)
         final_deletes = _final_delete_ids(index)
         if (os.path.isdir(_journal_dir(index))

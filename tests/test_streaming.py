@@ -3823,3 +3823,65 @@ def test_crash_recovery_through_real_process_restart(spark, tmp_path):
            .count().collect()}
     assert got == {i: 1 for i in
                    list(range(96_000, 96_005)) + [96_100]}, got
+
+
+def test_attach_refuses_second_live_writer(spark, tmp_path):
+    """Round 15 follow-through on the window marker: an
+    ``ingest_stream`` attach that finds a marker whose writer pid is
+    STILL ALIVE is a second live writer, not a crash recovery —
+    replaying a live window's journals mid-window would corrupt its
+    exactly-once reconciliation, so the attach refuses loudly. Once
+    the holder dies, the same attach performs the normal crash
+    recovery (marker cleared, stream runs)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.workload import make_dataset
+    from quake_vector_search_spark.streaming.ingest import (
+        _window_marker_path,
+        ingest_stream,
+    )
+
+    corpus = make_dataset(spark, 150, d=8, n_clusters=2, seed=91)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_two_writers"),
+                         coarse_k=2, base_k=1)
+    holder = subprocess.Popen([sys.executable, "-c",
+                               "import time; time.sleep(120)"])
+    try:
+        with open(_window_marker_path(idx.workdir), "w") as fh:
+            json.dump({"pid": holder.pid,
+                       "src_version": idx.version}, fh)
+        rng = np.random.default_rng(93)
+        vdir = str(tmp_path / "vecs")
+        (spark.createDataFrame(
+            [(97_000, rng.normal(size=8).astype(float).tolist())],
+            "vec_id long, embedding array<float>")
+         .coalesce(1).write.mode("overwrite").parquet(vdir))
+        vstream = (spark.readStream
+                   .schema("vec_id long, embedding array<float>")
+                   .parquet(vdir))
+        with pytest.raises(RuntimeError, match="second\\s+writer|"
+                                               "holds an open"):
+            ingest_stream(idx, vstream, str(tmp_path / "ckpt"),
+                          encode_pq=False)
+        assert os.path.exists(_window_marker_path(idx.workdir))
+    finally:
+        holder.kill()
+        holder.wait()
+    # holder dead -> the same attach is now the documented recovery
+    vstream = (spark.readStream
+               .schema("vec_id long, embedding array<float>")
+               .parquet(str(tmp_path / "vecs")))
+    q = ingest_stream(idx, vstream, str(tmp_path / "ckpt2"),
+                      encode_pq=False)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert not os.path.exists(_window_marker_path(idx.workdir))
+    assert idx.read_corpus().where("vec_id = 97000").count() == 1
