@@ -3885,3 +3885,69 @@ def test_attach_refuses_second_live_writer(spark, tmp_path):
         q.stop()
     assert not os.path.exists(_window_marker_path(idx.workdir))
     assert idx.read_corpus().where("vec_id = 97000").count() == 1
+
+
+def test_attach_applies_orphan_delete_journal(spark, tmp_path):
+    """Crash in the middle of a swap — AFTER the insert-journal
+    replay removed its directory but BEFORE the delete replay ran —
+    leaves an orphan delete journal. The next attach must still
+    apply it: with no insert journal to compare stamps against,
+    ``_final_delete_ids`` falls back to delete-wins, which is
+    correct here (any delete-then-reinsert would have closed the
+    window synchronously at the re-insert, so an orphan delete
+    journal can only hold deletes that stand)."""
+    import os
+
+    import numpy as np
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.workload import make_dataset
+    from quake_vector_search_spark.streaming.ingest import (
+        _delete_journal_dir,
+        _journal_deletes,
+        _window_marker_path,
+        ingest_stream,
+    )
+
+    corpus = make_dataset(spark, 150, d=8, n_clusters=2, seed=95)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_orphan_del"),
+                         coarse_k=2, base_k=1)
+    victim = int(idx.read_corpus().select("vec_id")
+                 .orderBy("vec_id").first()[0])
+    idx.save_meta()
+    # construct the exact crash state: delete journal + marker on
+    # disk, nothing else (insert journal already consumed)
+    idx._async_maint = {"thread": None}
+    _journal_deletes(idx, [victim])
+    idx._async_maint = None
+    with open(_window_marker_path(idx.workdir), "w") as fh:
+        fh.write('{"pid": 99999999, "src_version": 0}')
+    assert os.path.isdir(_delete_journal_dir(idx))
+
+    fresh = IVFIndex.load(spark, idx.workdir)
+    assert victim not in fresh.tombstones
+    rng = np.random.default_rng(97)
+    vdir = str(tmp_path / "vecs")
+    (spark.createDataFrame(
+        [(98_000, rng.normal(size=8).astype(float).tolist())],
+        "vec_id long, embedding array<float>")
+     .coalesce(1).write.mode("overwrite").parquet(vdir))
+    vstream = (spark.readStream
+               .schema("vec_id long, embedding array<float>")
+               .parquet(vdir))
+    q = ingest_stream(fresh, vstream, str(tmp_path / "ckpt"),
+                      encode_pq=False)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert not os.path.isdir(_delete_journal_dir(fresh))
+    assert not os.path.exists(_window_marker_path(fresh.workdir))
+    assert fresh.read_corpus().where(
+        f"vec_id = {victim}").count() == 0
+    assert fresh.read_corpus().where("vec_id = 98000").count() == 1
+    phys = {int(r["partition_id"]): r["count"] for r in
+            fresh.read_corpus().groupBy("partition_id").count()
+            .collect()}
+    for pos, pid in enumerate(fresh.part_ids):
+        assert int(fresh.sizes[pos]) == phys.get(int(pid), 0), pid
