@@ -606,6 +606,35 @@ class IVFIndex:
         vecs = np.asarray(vecs, dtype=np.float64)
         if len(ids) == 0:
             return np.empty(0, dtype=np.int64)
+        from quake_vector_search_spark.streaming.ingest import (
+            _window_lock,
+        )
+
+        with _window_lock(self):
+            return self._insert_locked(ids, vecs, refresh)
+
+    def _insert_locked(self, ids, vecs, refresh: bool) -> np.ndarray:
+        if not getattr(self, "_async_maint", None):
+            # cross-handle single-writer guard, the INSERT half
+            # (round 15 review finding — delete alone was one special
+            # case shy of the contract): rows written through a
+            # second handle during another handle's open window are
+            # never journaled, so the swap's wholesale state adopt
+            # silently drops them from bookkeeping (or the version
+            # link race drops the rows themselves)
+            from quake_vector_search_spark.streaming.ingest import (
+                _window_marker_path,
+            )
+
+            if os.path.exists(_window_marker_path(self.workdir)):
+                raise RuntimeError(
+                    "another handle has an async maintenance window "
+                    f"open on {self.workdir!r} (marker: "
+                    f"{_window_marker_path(self.workdir)!r}) — "
+                    "single-writer contract: insert through the "
+                    "ingesting handle, or wait for its swap / run "
+                    "the crash-recovery re-attach (ingest_stream) "
+                    "if the writer died mid-window")
         if (getattr(self, "_async_maint", None) and self.tombstones
                 and (self.tombstones & set(int(i) for i in ids))):
             # a tombstoned-id re-insert stages _purge_rows into
@@ -710,6 +739,18 @@ class IVFIndex:
             self.version = staged_version
             self.save_meta()
         self.invalidate_corpus()
+        if getattr(self, "_async_maint", None):
+            # window open on THIS handle: journal the batch here, at
+            # the write itself (round 15 review finding) — so
+            # out-of-band same-handle inserts survive the swap with
+            # no caller cooperation, exactly like delete()'s
+            # self-journaling; ingest_stream's handler no longer
+            # journals separately
+            from quake_vector_search_spark.streaming.ingest import (
+                _journal_batch,
+            )
+
+            _journal_batch(self, ids, pid, self.version)
         if refresh:
             # eager metadata refresh: pay the file re-listing here,
             # inside the write path, not inside the next query's latency
@@ -814,7 +855,32 @@ class IVFIndex:
         cache themselves via the returned frame's ``routing_cache``
         attribute.
         """
+        from quake_vector_search_spark.streaming.ingest import (
+            _window_lock,
+        )
+
+        with _window_lock(self):
+            return self._insert_distributed_locked(df, refresh,
+                                                   unpersist)
+
+    def _insert_distributed_locked(self, df: DataFrame, refresh: bool,
+                                   unpersist: bool) -> DataFrame:
         id_col, vec_col = self.id_col, self.vec_col
+        if not getattr(self, "_async_maint", None):
+            # cross-handle single-writer guard — see _insert_locked
+            from quake_vector_search_spark.streaming.ingest import (
+                _window_marker_path,
+            )
+
+            if os.path.exists(_window_marker_path(self.workdir)):
+                raise RuntimeError(
+                    "another handle has an async maintenance window "
+                    f"open on {self.workdir!r} (marker: "
+                    f"{_window_marker_path(self.workdir)!r}) — "
+                    "single-writer contract: insert through the "
+                    "ingesting handle, or wait for its swap / run "
+                    "the crash-recovery re-attach (ingest_stream) "
+                    "if the writer died mid-window")
         if getattr(self, "_async_maint", None) and self.tombstones:
             # same staged-purge/background-publish race gate as
             # insert() (ADVICE r14 high), probed with one bounded
@@ -941,6 +1007,16 @@ class IVFIndex:
         if staged_version is not None:
             self.version = staged_version
             self.save_meta()
+        if getattr(self, "_async_maint", None):
+            # window open on THIS handle: journal at the write itself
+            # (round 15 — same self-journaling contract as insert();
+            # the routing cache is still live here, so the journal
+            # append reuses it instead of recomputing the routing)
+            from quake_vector_search_spark.streaming.ingest import (
+                _journal_batch_distributed,
+            )
+
+            _journal_batch_distributed(self, out, self.version)
         if unpersist:
             # drop the routing cache now that the write ran — the
             # returned frame stays usable (routing is deterministic,
@@ -1014,10 +1090,24 @@ class IVFIndex:
         filtered out of every read until maintenance compacts it away.
         Centroids stay exact: one pruned lookup fetches the dying rows'
         vectors and partition ids, and the means are downdated.
+
+        Runs under the handle's window-transition lock (round 15): an
+        out-of-band delete must land either wholly BEFORE an async
+        swap's snapshot (so the swap journals/replays it) or wholly
+        AFTER the adopt (so it applies to the adopted state) — never
+        interleaved with it.
         """
         ids = [int(i) for i in ids]
         if not ids:
             return
+        from quake_vector_search_spark.streaming.ingest import (
+            _window_lock,
+        )
+
+        with _window_lock(self):
+            self._delete_locked(ids)
+
+    def _delete_locked(self, ids: list[int]) -> None:
         if not getattr(self, "_async_maint", None):
             # cross-handle single-writer guard (round 15, VERDICT r14
             # #4): another handle's open async-maintenance window is

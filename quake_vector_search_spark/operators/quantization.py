@@ -2477,6 +2477,10 @@ def refresh_pq_sidecar(index, books: np.ndarray | None = None,
             local=bool(pm.get("local", False)),
             cell_sample_n=int(pm.get("cell_sample_n", 20_000)),
             sq8=bool(pm.get("sq8", False)),
+            # scalar grid width persists in the meta (round 15): a
+            # drift-retrained SQ4 sidecar must refit on ITS grid, not
+            # silently widen to the sq_bits=8 default
+            sq_bits=int(pm.get("sq_bits", 8)),
             anisotropic=pm.get("anisotropic"),
             ood_min_explained=float(pm.get("ood_min_explained",
                                            0.05)),

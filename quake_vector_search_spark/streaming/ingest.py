@@ -814,6 +814,55 @@ def _journal_dir(index: IVFIndex) -> str:
     return os.path.join(index.workdir, "ingest_journal")
 
 
+_OPEN_WINDOWS: dict = {}
+"""In-process registry of open async windows, {abspath(workdir):
+weakref(index)} (round 15 follow-through): the on-disk marker tells
+OTHER processes a window is open (pid liveness probe), but a second
+handle in the SAME process shares the pid — the attach-time recovery
+would mistake a live window for its own crash leftovers, clear the
+marker and replay the live journals mid-window. Weakrefs so an
+abandoned handle never pins the registry."""
+
+
+def _register_open_window(index: IVFIndex) -> None:
+    import weakref
+
+    _OPEN_WINDOWS[os.path.abspath(index.workdir)] = weakref.ref(index)
+
+
+def _unregister_open_window(index: IVFIndex) -> None:
+    _OPEN_WINDOWS.pop(os.path.abspath(index.workdir), None)
+
+
+def _other_handle_window_in_process(index: IVFIndex):
+    """The OTHER live handle in this process holding an open window
+    on this workdir, or None."""
+    ref = _OPEN_WINDOWS.get(os.path.abspath(index.workdir))
+    holder = ref() if ref is not None else None
+    if (holder is None or holder is index
+            or not getattr(holder, "_async_maint", None)):
+        return None
+    return holder
+
+
+def _window_lock(index: IVFIndex):
+    """Per-handle reentrant lock serializing window TRANSITIONS
+    (open/swap) against out-of-band same-handle deletes (round 15,
+    review finding): without it a delete racing the batch-boundary
+    swap could mutate state after the adopt snapshot or journal into
+    a directory the swap is about to remove — silently resurrecting
+    the id. Reentrant because the swap's journal replay itself calls
+    ``delete``. Created lazily on the handle; ``_adopt_index_state``
+    excludes it from the wholesale state copy."""
+    import threading
+
+    lock = index.__dict__.get("_window_txn_lock")
+    if lock is None:
+        lock = index.__dict__.setdefault("_window_txn_lock",
+                                         threading.RLock())
+    return lock
+
+
 def _window_marker_path(workdir: str) -> str:
     """On-disk async-window marker (round 15, VERDICT r14 #4): written
     when ``_start_async_maintenance`` opens a window, removed when the
@@ -1281,7 +1330,7 @@ def _adopt_index_state(index: IVFIndex, published: IVFIndex,
     live_hits = dict(index.hits)
     live_qc = int(index.query_counter)
     for k, v in published.__dict__.items():
-        if k == "spark":
+        if k in ("spark", "_window_txn_lock"):
             continue
         setattr(index, k, v)
     if qc_base is not None:
@@ -1338,15 +1387,25 @@ def _start_async_maintenance(index: IVFIndex,
         IVFIndex as _IVF,
     )
 
-    index.save_meta()
-    clone = _IVF.load(index.spark, index.workdir,
-                      version=index.version)
-    st: dict = {"clone": clone, "summary": None, "error": None,
-                "src_version": index.version,
-                "hits_base": dict(index.hits),
-                "qc_base": int(index.query_counter),
-                "encode_pq": bool(encode_pq),
-                "distributed_threshold": distributed_threshold}
+    # ONE critical section from the bookkeeping snapshot to the
+    # window registration: a delete slipping between the clone load
+    # and the _async_maint flip would apply to the live handle
+    # without being journaled — the swap would resurrect it
+    lock = _window_lock(index)
+    lock.acquire()
+    try:
+        index.save_meta()
+        clone = _IVF.load(index.spark, index.workdir,
+                          version=index.version)
+        st: dict = {"clone": clone, "summary": None, "error": None,
+                    "src_version": index.version,
+                    "hits_base": dict(index.hits),
+                    "qc_base": int(index.query_counter),
+                    "encode_pq": bool(encode_pq),
+                    "distributed_threshold": distributed_threshold}
+    except BaseException:
+        lock.release()
+        raise
 
     def run() -> None:
         try:
@@ -1372,8 +1431,12 @@ def _start_async_maintenance(index: IVFIndex,
     # maintain jobs alone.
     th = threading.Thread(target=run, name="qvss-async-maintain")
     st["thread"] = th
-    index._async_maint = st
-    _write_window_marker(index)
+    try:
+        index._async_maint = st
+        _register_open_window(index)
+        _write_window_marker(index)
+    finally:
+        lock.release()
     th.start()
 
 
@@ -1397,36 +1460,50 @@ def finish_async_maintenance(index: IVFIndex,
         if not wait:
             return None
         th.join()
-    index._async_maint = None
-    _clear_window_marker(index.workdir)
-    if st.get("error") is not None:
-        # rows ingested (and deletes applied) during the failed
-        # window are safe in the still-current, never-swapped
-        # version; both journals are stale bookkeeping
-        import shutil
+    # the SWAP is one critical section against out-of-band deletes
+    # (round 15 review finding): without it a delete racing the
+    # boundary could mutate state after the adopt snapshot, or write
+    # its journal entry after _final_delete_ids resolved and have it
+    # rmtree'd unapplied — silent resurrection either way. The join
+    # above stays OUTSIDE the lock so deletes keep journaling freely
+    # for the whole (potentially minutes-long) background maintain.
+    with _window_lock(index):
+        st = getattr(index, "_async_maint", None)
+        if not st:
+            return None    # a concurrent finisher completed the swap
+        index._async_maint = None
+        _unregister_open_window(index)
+        _clear_window_marker(index.workdir)
+        if st.get("error") is not None:
+            # rows ingested (and deletes applied) during the failed
+            # window are safe in the still-current, never-swapped
+            # version; both journals are stale bookkeeping
+            import shutil
 
-        shutil.rmtree(_journal_dir(index), ignore_errors=True)
-        shutil.rmtree(_delete_journal_dir(index), ignore_errors=True)
-        raise st["error"]
-    # resolve the sequence-final delete set BEFORE the insert replay
-    # consumes (and removes) the insert journal it compares against
-    final_deletes = _final_delete_ids(index)
-    _adopt_index_state(index, st["clone"],
-                       hits_base=st.get("hits_base"),
-                       qc_base=st.get("qc_base"),
-                       summary=st.get("summary"))
-    out = _replay_ingest_journal(
-        index, books_cache if books_cache is not None else {},
-        encode_pq, summary=st.get("summary"),
-        distributed_threshold=st.get("distributed_threshold"))
-    # deletes whose stamp outranks every later insert of the same id
-    # re-apply AFTER the inserts: insert-then-delete nets out
-    # deleted, delete-then-reinsert keeps the re-inserted row
-    # (round 15, VERDICT r14 #1)
-    out["deletes_replayed"] = _replay_delete_journal(index,
-                                                     final_deletes)
-    out["version"] = index.version
-    return out
+            shutil.rmtree(_journal_dir(index), ignore_errors=True)
+            shutil.rmtree(_delete_journal_dir(index),
+                          ignore_errors=True)
+            raise st["error"]
+        # resolve the sequence-final delete set BEFORE the insert
+        # replay consumes (and removes) the insert journal it
+        # compares against
+        final_deletes = _final_delete_ids(index)
+        _adopt_index_state(index, st["clone"],
+                           hits_base=st.get("hits_base"),
+                           qc_base=st.get("qc_base"),
+                           summary=st.get("summary"))
+        out = _replay_ingest_journal(
+            index, books_cache if books_cache is not None else {},
+            encode_pq, summary=st.get("summary"),
+            distributed_threshold=st.get("distributed_threshold"))
+        # deletes whose stamp outranks every later insert of the same
+        # id re-apply AFTER the inserts: insert-then-delete nets out
+        # deleted, delete-then-reinsert keeps the re-inserted row
+        # (round 15, VERDICT r14 #1)
+        out["deletes_replayed"] = _replay_delete_journal(
+            index, final_deletes)
+        out["version"] = index.version
+        return out
 
 
 # Scale-default boundary for streamed ingest routing (round 14,
@@ -1444,6 +1521,14 @@ def finish_async_maintenance(index: IVFIndex,
 # behavior is exactly the pre-round-14 default, so bit-pinned
 # streamed artifacts stay valid.
 AUTO_INGEST_DISTRIBUTED_ROWS = 50_000
+
+# Vector-bytes cap on the routing probe (round 15): the tiered probe
+# in handle_batch collects at most this many (id, vector) rows to
+# decide small-vs-big — enough that every ordinary micro-batch is
+# fully in hand in one job, small enough that a backfill stream of
+# always-big batches ships ≤ 8192·d·8 B to the driver per batch
+# (4 MB at d=64, 64 MB at d=1024) instead of threshold-sized payloads.
+AUTO_PROBE_ROWS = 8_192
 
 
 def set_maintenance_cadence(index: IVFIndex, n: int | None,
@@ -1663,6 +1748,18 @@ def ingest_stream(index: IVFIndex, vectors_stream: DataFrame,
         # recovery — replaying a live window's journals would corrupt
         # its exactly-once reconciliation, so refuse loudly (the
         # single-writer contract, enforced instead of documented).
+        # A second handle in the SAME process shares the pid, so the
+        # in-process registry is checked first (review follow-up:
+        # the pid probe alone waved same-process second writers
+        # through).
+        holder_here = _other_handle_window_in_process(index)
+        if holder_here is not None:
+            raise RuntimeError(
+                f"another handle in this process has an async "
+                f"maintenance window open on {index.workdir!r} — "
+                "single-writer contract: attach the stream to that "
+                "handle, or finish_async_maintenance(...) on it "
+                "first")
         mpath = _window_marker_path(index.workdir)
         if os.path.exists(mpath):
             import json as _json
@@ -1727,22 +1824,35 @@ def ingest_stream(index: IVFIndex, vectors_stream: DataFrame,
             "spark.scheduler.pool", "qvss-ingest")
         # adopt a finished async cycle BEFORE routing this batch (so
         # it routes on the fresh layout); a still-running cycle keeps
-        # the window open and this batch is journaled below
+        # the window open, in which case the insert paths journal the
+        # batch themselves (round 15 — self-journaling moved into
+        # insert/insert_distributed so out-of-band same-handle writes
+        # need no caller cooperation)
         finish_async_maintenance(index, books_cache, encode_pq,
                                  wait=False)
-        window_open = bool(getattr(index, "_async_maint", None))
-        # ONE bounded materialization decides the route AND feeds the
-        # driver path (round 15, VERDICT r14 #6): collect at most
-        # `threshold` rows — a sub-threshold batch is now fully in
-        # hand (no second job per micro-batch), an at-threshold
-        # result means "big" and the distributed path re-reads the
-        # replayable source. The probe stays inside the documented
-        # driver envelope: the sub-threshold path always collected up
-        # to threshold-1 rows, so bounding the probe at threshold
-        # moves no more than the small path's own worst case.
+        # TIERED routing probe (round 15, VERDICT r14 #6 + review
+        # follow-up): one bounded (id, vector) collect capped at
+        # min(threshold, AUTO_PROBE_ROWS) decides the route AND feeds
+        # the driver path. An ordinary micro-batch (the hot path)
+        # lands under the cap → fully in hand in ONE job. A batch at
+        # the cap might still be sub-threshold, so a count-only probe
+        # (moves no vectors) settles it: big batches proceed
+        # distributed having shipped at most AUTO_PROBE_ROWS vectors
+        # to the driver — the first single-read cut shipped up to
+        # `threshold` rows (50k × d floats) per big batch, which a
+        # backfill stream pays on EVERY batch; mid-band batches
+        # (cap..threshold) pay a third job for the full collect the
+        # driver path always needed.
+        probe_cap = min(distributed_threshold, AUTO_PROBE_ROWS)
         head = (batch_df.select(id_col, vec_col)
-                .limit(distributed_threshold).collect())
-        big = len(head) >= distributed_threshold
+                .limit(probe_cap).collect())
+        if len(head) < probe_cap:
+            big = False
+        else:
+            big = (batch_df.limit(distributed_threshold).count()
+                   >= distributed_threshold)
+            if not big:
+                head = batch_df.select(id_col, vec_col).collect()
         if big:
             if auto_threshold and not auto_advised["done"]:
                 import warnings as _warnings
@@ -1760,16 +1870,6 @@ def ingest_stream(index: IVFIndex, vectors_stream: DataFrame,
                 batch_df.select(id_col, vec_col),
                 unpersist=False)
             try:
-                # a tombstoned-id re-insert inside the batch makes
-                # insert_distributed CLOSE the window first (staged
-                # purge vs background publish would race on the same
-                # version dir — ADVICE r14 high); re-check before
-                # journaling so rows that landed post-swap are not
-                # replayed into the NEXT window
-                if window_open and getattr(index, "_async_maint",
-                                           None):
-                    _journal_batch_distributed(index, routed,
-                                               index.version)
                 if encode_pq:
                     _append_pq_codes_distributed(
                         index, routed, books_cache)
@@ -1785,10 +1885,6 @@ def ingest_stream(index: IVFIndex, vectors_stream: DataFrame,
         ids = np.array([r[0] for r in rows], dtype=np.int64)
         vecs = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
         pids = index.insert(ids, vecs)
-        # same re-check as the distributed arm: insert() may have
-        # closed the window to stage a tombstoned-id purge safely
-        if window_open and getattr(index, "_async_maint", None):
-            _journal_batch(index, ids, pids, index.version)
         if encode_pq:
             if index.metric == "cosine":
                 # the corpus (hence every sidecar's books) stores UNIT

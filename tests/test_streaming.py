@@ -3951,3 +3951,176 @@ def test_attach_applies_orphan_delete_journal(spark, tmp_path):
             .collect()}
     for pos, pid in enumerate(fresh.part_ids):
         assert int(fresh.sizes[pos]) == phys.get(int(pid), 0), pid
+
+
+def test_out_of_band_insert_during_window_survives_swap(spark,
+                                                        tmp_path,
+                                                        monkeypatch):
+    """Round 15 review follow-up: INSERTS self-journal at the write,
+    exactly like delete() — an out-of-band same-handle insert during
+    an open async window needs no caller cooperation to survive the
+    wholesale state adopt at the swap. Both the driver path
+    (``insert``) and the distributed path (``insert_distributed``)
+    are exercised mid-window."""
+    import os
+    import threading
+
+    import numpy as np
+
+    import quake_vector_search_spark.operators.maintenance as maint_mod
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.workload import make_dataset
+    from quake_vector_search_spark.streaming.ingest import (
+        finish_async_maintenance,
+        ingest_stream,
+    )
+
+    corpus = make_dataset(spark, 300, d=8, n_clusters=4, seed=101)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_oob_ins"),
+                         coarse_k=2, base_k=2)
+
+    release = threading.Event()
+    real_maintain = maint_mod.maintain
+
+    def gated_maintain(index_, **kw):
+        assert release.wait(timeout=120)
+        return real_maintain(index_, **kw)
+
+    monkeypatch.setattr(maint_mod, "maintain", gated_maintain)
+
+    rng = np.random.default_rng(103)
+    vdir, ckpt = str(tmp_path / "vecs"), str(tmp_path / "ckpt")
+    os.makedirs(vdir, exist_ok=True)
+
+    def write_batch(ids):
+        rows = [(int(i), rng.normal(size=8).astype(float).tolist())
+                for i in ids]
+        (spark.createDataFrame(rows, "vec_id long, "
+                                     "embedding array<float>")
+         .coalesce(1).write.mode("append").parquet(vdir))
+
+    for k in range(3):
+        write_batch(range(99_000 + 2 * k, 99_000 + 2 * k + 2))
+    vstream = (spark.readStream
+               .schema("vec_id long, embedding array<float>")
+               .option("maxFilesPerTrigger", 1).parquet(vdir))
+    q = ingest_stream(idx, vstream, ckpt, encode_pq=False,
+                      maintain_every_n_batches=2,
+                      maintain_async=True)
+    try:
+        q.processAllAvailable()
+        assert idx._async_maint is not None
+        # out-of-band writes through the SAME handle, mid-window:
+        # driver path and distributed path
+        oob_ids = np.array([99_100, 99_101], dtype=np.int64)
+        idx.insert(oob_ids, rng.normal(size=(2, 8)))
+        dist_rows = [(99_102, rng.normal(size=8).astype(float)
+                      .tolist())]
+        dist_df = spark.createDataFrame(
+            dist_rows, "vec_id long, embedding array<float>")
+        idx.insert_distributed(dist_df)
+        release.set()
+        idx._async_maint["thread"].join(timeout=120)
+        write_batch(range(99_006, 99_008))   # boundary → swap
+        q.processAllAvailable()
+    finally:
+        release.set()
+        q.stop()
+        finish_async_maintenance(idx)
+    live = idx.read_corpus()
+    got = {int(r["vec_id"]): r["count"] for r in
+           live.where("vec_id >= 99000").groupBy("vec_id")
+           .count().collect()}
+    expect = (list(range(99_000, 99_008))
+              + [99_100, 99_101, 99_102])
+    assert got == {i: 1 for i in expect}, got
+    phys = {int(r["partition_id"]): r["count"] for r in
+            live.groupBy("partition_id").count().collect()}
+    for pos, pid in enumerate(idx.part_ids):
+        assert int(idx.sizes[pos]) == phys.get(int(pid), 0), pid
+
+
+def test_cross_handle_insert_refused_during_window(spark, tmp_path,
+                                                   monkeypatch):
+    """Round 15 review follow-up: the single-writer marker guards
+    INSERTS too — a second handle's insert (driver or distributed)
+    during another handle's open window would land rows the window's
+    journals never saw, silently dropped from bookkeeping at the
+    swap. Same refusal shape as delete()'s; a same-process second
+    ``ingest_stream`` attach is refused through the in-process
+    window registry."""
+    import threading
+
+    import numpy as np
+
+    import quake_vector_search_spark.operators.maintenance as maint_mod
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.workload import make_dataset
+    from quake_vector_search_spark.streaming.ingest import (
+        finish_async_maintenance,
+        ingest_stream,
+    )
+
+    corpus = make_dataset(spark, 200, d=8, n_clusters=3, seed=105)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_xh_ins"),
+                         coarse_k=2, base_k=2)
+
+    release = threading.Event()
+    real_maintain = maint_mod.maintain
+
+    def gated_maintain(index_, **kw):
+        assert release.wait(timeout=120)
+        return real_maintain(index_, **kw)
+
+    monkeypatch.setattr(maint_mod, "maintain", gated_maintain)
+
+    rng = np.random.default_rng(107)
+    vdir, ckpt = str(tmp_path / "vecs"), str(tmp_path / "ckpt")
+    import os as _os
+    _os.makedirs(vdir, exist_ok=True)
+    for k in range(2):
+        rows = [(int(99_200 + k), rng.normal(size=8).astype(float)
+                 .tolist())]
+        (spark.createDataFrame(rows, "vec_id long, "
+                                     "embedding array<float>")
+         .coalesce(1).write.mode("append").parquet(vdir))
+    vstream = (spark.readStream
+               .schema("vec_id long, embedding array<float>")
+               .option("maxFilesPerTrigger", 1).parquet(vdir))
+    q = ingest_stream(idx, vstream, ckpt, encode_pq=False,
+                      maintain_every_n_batches=2,
+                      maintain_async=True)
+    try:
+        q.processAllAvailable()
+        assert idx._async_maint is not None
+        second = IVFIndex.load(spark, idx.workdir)
+        with pytest.raises(RuntimeError,
+                           match="async maintenance window"):
+            second.insert(np.array([99_300]),
+                          rng.normal(size=(1, 8)))
+        with pytest.raises(RuntimeError,
+                           match="async maintenance window"):
+            second.insert_distributed(spark.createDataFrame(
+                [(99_301, rng.normal(size=8).astype(float)
+                  .tolist())],
+                "vec_id long, embedding array<float>"))
+        # a second ATTACH in the same process is refused through the
+        # in-process registry (the pid probe alone can't see it)
+        with pytest.raises(RuntimeError,
+                           match="in this process"):
+            ingest_stream(second,
+                          spark.readStream
+                          .schema("vec_id long, "
+                                  "embedding array<float>")
+                          .parquet(vdir),
+                          str(tmp_path / "ckpt2"), encode_pq=False)
+        release.set()
+    finally:
+        release.set()
+        q.stop()
+        finish_async_maintenance(idx)
+    # window closed → the reloaded handle writes normally
+    second = IVFIndex.load(spark, idx.workdir)
+    second.insert(np.array([99_300]), rng.normal(size=(1, 8)))
+    assert second.read_corpus().where(
+        "vec_id = 99300").count() == 1

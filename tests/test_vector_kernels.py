@@ -1643,3 +1643,45 @@ def test_sq4_sidecar_grid_and_payload_guard(spark, tmp_path):
     # sq_bits outside {4, 8} refused at the call site
     with _pytest.raises(ValueError, match="sq_bits"):
         build_pq_sidecar(idx, sq8=True, sq_bits=6)
+
+
+def test_sq4_drift_retrain_keeps_its_grid(spark, tmp_path):
+    """Round 15 review finding: refresh_pq_sidecar(force_retrain=
+    True) rebuilds from the previous pq_meta.json — without passing
+    sq_bits through, a drift-retrained SQ4 sidecar silently refit at
+    256 levels (the sq_bits=8 default) and doubled its scan bytes
+    forever after. The retrain must refit on ITS grid."""
+    import json
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.quantization import (
+        build_pq_sidecar,
+        load_sq8_params,
+        refresh_pq_sidecar,
+    )
+    from quake_vector_search_spark.operators.workload import make_dataset
+
+    corpus = make_dataset(spark, 300, d=16, n_clusters=4, seed=109)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_sq4_refresh"),
+                         coarse_k=2, base_k=2)
+    build_pq_sidecar(idx, sq8=True, sq_bits=4)
+    assert int(load_sq8_params(idx.version_dir)["levels"]) == 16
+    # simulate the maintenance republish: bump the version dir the
+    # way maintain() does, then force the drift retrain
+    import os
+    import shutil
+
+    new_dir = os.path.join(idx.workdir, f"v{idx.version + 1:04d}")
+    shutil.copytree(idx.version_dir, new_dir)
+    idx.version += 1
+    idx.invalidate_corpus()
+    assert refresh_pq_sidecar(idx, force_retrain=True)
+    params = load_sq8_params(idx.version_dir)
+    assert int(params["levels"]) == 16, params["levels"]
+    with open(os.path.join(idx.version_dir, "pq_meta.json")) as fh:
+        meta = json.load(fh)
+    assert meta.get("sq_bits") == 4, meta
+    import pyspark.sql.functions as F
+    mx = (spark.read.parquet(f"{idx.version_dir}/pq")
+          .select(F.max(F.array_max("pq_codes"))).first()[0])
+    assert mx <= 15, mx
