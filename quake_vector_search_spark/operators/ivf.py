@@ -614,27 +614,17 @@ class IVFIndex:
             return self._insert_locked(ids, vecs, refresh)
 
     def _insert_locked(self, ids, vecs, refresh: bool) -> np.ndarray:
-        if not getattr(self, "_async_maint", None):
-            # cross-handle single-writer guard, the INSERT half
-            # (round 15 review finding — delete alone was one special
-            # case shy of the contract): rows written through a
-            # second handle during another handle's open window are
-            # never journaled, so the swap's wholesale state adopt
-            # silently drops them from bookkeeping (or the version
-            # link race drops the rows themselves)
-            from quake_vector_search_spark.streaming.ingest import (
-                _window_marker_path,
-            )
+        # cross-handle single-writer guard, the INSERT half (round 15
+        # review finding — delete alone was one special case shy of
+        # the contract): rows written through a second handle during
+        # another handle's open window are never journaled, so the
+        # swap's wholesale state adopt silently drops them from
+        # bookkeeping (or the version link race drops the rows)
+        from quake_vector_search_spark.streaming.ingest import (
+            _refuse_if_foreign_window,
+        )
 
-            if os.path.exists(_window_marker_path(self.workdir)):
-                raise RuntimeError(
-                    "another handle has an async maintenance window "
-                    f"open on {self.workdir!r} (marker: "
-                    f"{_window_marker_path(self.workdir)!r}) — "
-                    "single-writer contract: insert through the "
-                    "ingesting handle, or wait for its swap / run "
-                    "the crash-recovery re-attach (ingest_stream) "
-                    "if the writer died mid-window")
+        _refuse_if_foreign_window(self, "insert")
         if (getattr(self, "_async_maint", None) and self.tombstones
                 and (self.tombstones & set(int(i) for i in ids))):
             # a tombstoned-id re-insert stages _purge_rows into
@@ -866,21 +856,12 @@ class IVFIndex:
     def _insert_distributed_locked(self, df: DataFrame, refresh: bool,
                                    unpersist: bool) -> DataFrame:
         id_col, vec_col = self.id_col, self.vec_col
-        if not getattr(self, "_async_maint", None):
-            # cross-handle single-writer guard — see _insert_locked
-            from quake_vector_search_spark.streaming.ingest import (
-                _window_marker_path,
-            )
+        # cross-handle single-writer guard — see _insert_locked
+        from quake_vector_search_spark.streaming.ingest import (
+            _refuse_if_foreign_window,
+        )
 
-            if os.path.exists(_window_marker_path(self.workdir)):
-                raise RuntimeError(
-                    "another handle has an async maintenance window "
-                    f"open on {self.workdir!r} (marker: "
-                    f"{_window_marker_path(self.workdir)!r}) — "
-                    "single-writer contract: insert through the "
-                    "ingesting handle, or wait for its swap / run "
-                    "the crash-recovery re-attach (ingest_stream) "
-                    "if the writer died mid-window")
+        _refuse_if_foreign_window(self, "insert")
         if getattr(self, "_async_maint", None) and self.tombstones:
             # same staged-purge/background-publish race gate as
             # insert() (ADVICE r14 high), probed with one bounded
@@ -1108,29 +1089,19 @@ class IVFIndex:
             self._delete_locked(ids)
 
     def _delete_locked(self, ids: list[int]) -> None:
-        if not getattr(self, "_async_maint", None):
-            # cross-handle single-writer guard (round 15, VERDICT r14
-            # #4): another handle's open async-maintenance window is
-            # visible through the on-disk marker. A delete through
-            # THIS handle would neither be journaled with that
-            # window's sequence stamps nor survive the wholesale
-            # state adopt at its swap — the published version still
-            # holds the rows (silent resurrection). Refuse loudly;
-            # the marker is cleared at the swap, at a background
-            # failure, and by the crash-recovery re-attach.
-            from quake_vector_search_spark.streaming.ingest import (
-                _window_marker_path,
-            )
+        # cross-handle single-writer guard (round 15, VERDICT r14
+        # #4): another handle's open async-maintenance window is
+        # visible through the on-disk marker — a delete through THIS
+        # handle would neither be journaled with that window's
+        # sequence stamps nor survive the wholesale state adopt at
+        # its swap (silent resurrection). The marker is cleared at
+        # the swap, at a background failure, and by the
+        # crash-recovery re-attach.
+        from quake_vector_search_spark.streaming.ingest import (
+            _refuse_if_foreign_window,
+        )
 
-            if os.path.exists(_window_marker_path(self.workdir)):
-                raise RuntimeError(
-                    "another handle has an async maintenance window "
-                    f"open on {self.workdir!r} (marker: "
-                    f"{_window_marker_path(self.workdir)!r}) — "
-                    "single-writer contract: delete through the "
-                    "ingesting handle, or wait for its swap / run "
-                    "the crash-recovery re-attach (ingest_stream) "
-                    "if the writer died mid-window")
+        _refuse_if_foreign_window(self, "delete")
         # tombstones change the live corpus without touching files —
         # the calibration fit still goes stale
         self._calibration = None

@@ -877,11 +877,40 @@ def _window_marker_path(workdir: str) -> str:
 
 
 def _write_window_marker(index: IVFIndex) -> None:
+    """Atomic write (round 15 second review): a truncate-in-place
+    write let a concurrent cross-process attach read a PARTIAL
+    marker, parse-fail, and 'recover' over a live window. tmp +
+    os.replace means readers see either no marker or a complete
+    one; the attach path additionally treats an unparseable marker
+    as a LIVE writer (refuse), never a dead one."""
     import json
 
-    with open(_window_marker_path(index.workdir), "w") as fh:
+    path = _window_marker_path(index.workdir)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
         json.dump({"pid": os.getpid(),
                    "src_version": int(index.version)}, fh)
+    os.replace(tmp, path)
+
+
+def _refuse_if_foreign_window(index: IVFIndex, verb: str) -> None:
+    """Single-writer guard shared by insert / insert_distributed /
+    delete (round 15): while another handle's window marker stands,
+    a write through THIS handle would neither be journaled with the
+    window's sequence stamps nor survive the wholesale state adopt
+    at its swap — silent loss or resurrection. No-op when this
+    handle itself holds the window (its writes self-journal)."""
+    if getattr(index, "_async_maint", None):
+        return
+    path = _window_marker_path(index.workdir)
+    if os.path.exists(path):
+        raise RuntimeError(
+            f"another handle has an async maintenance window open "
+            f"on {index.workdir!r} (marker: {path!r}) — "
+            f"single-writer contract: {verb} through the ingesting "
+            "handle, or wait for its swap / run the crash-recovery "
+            "re-attach (ingest_stream) if the writer died "
+            "mid-window")
 
 
 def _clear_window_marker(workdir: str) -> None:
@@ -1387,57 +1416,79 @@ def _start_async_maintenance(index: IVFIndex,
         IVFIndex as _IVF,
     )
 
-    # ONE critical section from the bookkeeping snapshot to the
-    # window registration: a delete slipping between the clone load
-    # and the _async_maint flip would apply to the live handle
-    # without being journaled — the swap would resurrect it
+    # ONE critical section from the marker write to the window
+    # registration: a delete slipping between the clone load and the
+    # _async_maint flip would apply to the live handle without being
+    # journaled — the swap would resurrect it. The marker goes down
+    # FIRST (round 15 second review): cross-handle writers hold
+    # DIFFERENT per-handle locks, so only the on-disk marker can
+    # refuse them — written after the (seconds-long) clone load, a
+    # foreign insert racing the open would pass the guard and land
+    # rows the clone snapshot never sees.
     lock = _window_lock(index)
+    th = None
     lock.acquire()
     try:
-        index.save_meta()
-        clone = _IVF.load(index.spark, index.workdir,
-                          version=index.version)
-        st: dict = {"clone": clone, "summary": None, "error": None,
-                    "src_version": index.version,
-                    "hits_base": dict(index.hits),
-                    "qc_base": int(index.query_counter),
-                    "encode_pq": bool(encode_pq),
-                    "distributed_threshold": distributed_threshold}
-    except BaseException:
-        lock.release()
-        raise
-
-    def run() -> None:
-        try:
-            from quake_vector_search_spark.operators.maintenance import (  # noqa: E501
-                maintain,
-            )
-
-            index.spark.sparkContext.setLocalProperty(
-                "spark.scheduler.pool", "qvss-maintenance")
-            st["summary"] = maintain(clone, **(maintain_kwargs or {}))
-        except BaseException as exc:   # surfaced at the next boundary
-            st["error"] = exc
-
-    # a PLAIN thread, deliberately NOT pyspark.InheritableThread:
-    # under pinned-thread mode (the pyspark 3.2+ default) a plain
-    # Python thread maps to a FRESH JVM thread with no inherited
-    # local properties — which is exactly right here. Inheriting
-    # them (round-15 first attempt, caught by the
-    # stream_async_maintenance registry row) carries the streaming
-    # query's JOB GROUP into the maintain thread, so q.stop()
-    # cancels the background maintain's in-flight jobs mid-publish.
-    # The fresh thread also scopes the pool property below to the
-    # maintain jobs alone.
-    th = threading.Thread(target=run, name="qvss-async-maintain")
-    st["thread"] = th
-    try:
-        index._async_maint = st
-        _register_open_window(index)
+        if getattr(index, "_async_maint", None):
+            # atomic re-check (round 15 second review): two threads
+            # driving one handle can both see the pre-check clear;
+            # without this, the second open would orphan the first
+            # window's state and run two maintains on one workdir
+            return
         _write_window_marker(index)
+        try:
+            index.save_meta()
+            clone = _IVF.load(index.spark, index.workdir,
+                              version=index.version)
+            st: dict = {"clone": clone, "summary": None,
+                        "error": None,
+                        "src_version": index.version,
+                        "hits_base": dict(index.hits),
+                        "qc_base": int(index.query_counter),
+                        "encode_pq": bool(encode_pq),
+                        "distributed_threshold": distributed_threshold}
+
+            def run() -> None:
+                try:
+                    from quake_vector_search_spark.operators.maintenance import (  # noqa: E501
+                        maintain,
+                    )
+
+                    index.spark.sparkContext.setLocalProperty(
+                        "spark.scheduler.pool", "qvss-maintenance")
+                    st["summary"] = maintain(
+                        clone, **(maintain_kwargs or {}))
+                except BaseException as exc:
+                    # surfaced at the next boundary
+                    st["error"] = exc
+
+            # a PLAIN thread, deliberately NOT
+            # pyspark.InheritableThread: under pinned-thread mode
+            # (the pyspark 3.2+ default) a plain Python thread maps
+            # to a FRESH JVM thread with no inherited local
+            # properties — which is exactly right here. Inheriting
+            # them (round-15 first attempt, caught by the
+            # stream_async_maintenance registry row) carries the
+            # streaming query's JOB GROUP into the maintain thread,
+            # so q.stop() cancels the background maintain's
+            # in-flight jobs mid-publish. The fresh thread also
+            # scopes the pool property set in run() to the maintain
+            # jobs alone.
+            th = threading.Thread(target=run,
+                                  name="qvss-async-maintain")
+            st["thread"] = th
+            index._async_maint = st
+            _register_open_window(index)
+        except BaseException:
+            # failed open: no window exists — don't leave a marker
+            # that would refuse every future write until a re-attach
+            _clear_window_marker(index.workdir)
+            th = None
+            raise
     finally:
         lock.release()
-    th.start()
+    if th is not None:
+        th.start()
 
 
 def finish_async_maintenance(index: IVFIndex,
@@ -1468,9 +1519,15 @@ def finish_async_maintenance(index: IVFIndex,
     # above stays OUTSIDE the lock so deletes keep journaling freely
     # for the whole (potentially minutes-long) background maintain.
     with _window_lock(index):
-        st = getattr(index, "_async_maint", None)
-        if not st:
-            return None    # a concurrent finisher completed the swap
+        cur = getattr(index, "_async_maint", None)
+        if cur is not st:
+            # the window WE joined was already swapped by a
+            # concurrent finisher — and `cur`, if set, is a NEWER
+            # window whose maintain may still be running (round 15
+            # second review: adopting it here would copy a clone's
+            # state mid-mutation and rmtree journals it still needs).
+            # Our job — converging the joined window — is done.
+            return None
         index._async_maint = None
         _unregister_open_window(index)
         _clear_window_marker(index.workdir)
@@ -1767,8 +1824,17 @@ def ingest_stream(index: IVFIndex, vectors_stream: DataFrame,
             try:
                 with open(mpath) as fh:
                     holder = int(_json.load(fh).get("pid", -1))
-            except (OSError, ValueError):
-                holder = -1
+            except FileNotFoundError:
+                holder = -1    # cleared between the exists and read
+            except (OSError, ValueError, TypeError, AttributeError):
+                # unreadable marker: with atomic writes this should
+                # not happen — treat the writer as ALIVE (refuse)
+                # rather than recover over a possibly-live window
+                raise RuntimeError(
+                    f"unreadable async-window marker {mpath!r} — "
+                    "refusing to attach over a possibly-live "
+                    "window; remove the marker by hand if its "
+                    "writer is known dead")
             if holder > 0 and holder != os.getpid():
                 try:
                     os.kill(holder, 0)   # signal 0: existence probe
@@ -1846,7 +1912,9 @@ def ingest_stream(index: IVFIndex, vectors_stream: DataFrame,
         probe_cap = min(distributed_threshold, AUTO_PROBE_ROWS)
         head = (batch_df.select(id_col, vec_col)
                 .limit(probe_cap).collect())
-        if len(head) < probe_cap:
+        if len(head) >= distributed_threshold:
+            big = True      # cap == threshold: the probe already knows
+        elif len(head) < probe_cap:
             big = False
         else:
             big = (batch_df.limit(distributed_threshold).count()
