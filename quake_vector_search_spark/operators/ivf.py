@@ -38,6 +38,13 @@ from quake_vector_search_spark.functions.vector import (
     topk_cols_2d,
 )
 from quake_vector_search_spark.operators.kmeans import local_kmeans
+from quake_vector_search_spark.windowing import (
+    _foreign_write_guard,
+    _journal_batch,
+    _journal_batch_distributed,
+    _journal_deletes,
+    _window_lock,
+)
 
 # Tombstone count below which the read filter uses a literal NOT IN
 # (pushed to parquet); above it, a broadcast anti-join.
@@ -606,25 +613,54 @@ class IVFIndex:
         vecs = np.asarray(vecs, dtype=np.float64)
         if len(ids) == 0:
             return np.empty(0, dtype=np.int64)
-        from quake_vector_search_spark.streaming.ingest import (
-            _window_lock,
-        )
-
-        with _window_lock(self):
-            return self._insert_locked(ids, vecs, refresh)
-
-    def _insert_locked(self, ids, vecs, refresh: bool) -> np.ndarray:
+        # tombstoned-id re-insert closes the window BEFORE taking the
+        # transition lock (round 16, ADVICE r15): the close joins a
+        # potentially minutes-long background maintain, and doing
+        # that under the lock blocked every other insert/delete and
+        # batch-boundary finish on the handle for the duration.
+        # finish_async_maintenance joins outside the lock and takes
+        # it only for the swap. The in-lock re-check in
+        # _insert_locked stays — a concurrent reopen between this
+        # close and the lock acquisition must still be caught (there,
+        # unavoidably, under the lock).
+        self._close_window_for_reinsert(set(int(i) for i in ids))
         # cross-handle single-writer guard, the INSERT half (round 15
         # review finding — delete alone was one special case shy of
         # the contract): rows written through a second handle during
         # another handle's open window are never journaled, so the
         # swap's wholesale state adopt silently drops them from
-        # bookkeeping (or the version link race drops the rows)
-        from quake_vector_search_spark.streaming.ingest import (
-            _refuse_if_foreign_window,
-        )
+        # bookkeeping (or the version link race drops the rows). The
+        # guard holds the advisory lock SHARED across the whole write
+        # (round 16, ADVICE r15) so a window open racing this write
+        # waits for it to land instead of snapshotting past it.
+        with _window_lock(self), _foreign_write_guard(self, "insert"):
+            return self._insert_locked(ids, vecs, refresh)
 
-        _refuse_if_foreign_window(self, "insert")
+    def _close_window_for_reinsert(self, id_set: set[int]) -> None:
+        """Join + swap this handle's open async window when any id in
+        ``id_set`` is currently tombstoned — the staged purge a
+        re-insert runs must not race the background maintain's
+        publish into the same version directory (ADVICE r14 high).
+        Called OUTSIDE the window-transition lock (ADVICE r15) so the
+        thread join doesn't serialize the whole handle; loops because
+        a new window can open between the swap and our return."""
+        while True:
+            st = getattr(self, "_async_maint", None)
+            if not (st and self.tombstones
+                    and (self._tombstone_snapshot() & id_set)):
+                return
+            from quake_vector_search_spark.streaming.ingest import (
+                finish_async_maintenance,
+            )
+
+            finish_async_maintenance(
+                self,
+                books_cache=getattr(self, "_stream_books_cache",
+                                    None),
+                encode_pq=bool(st.get("encode_pq", True)))
+
+    def _insert_locked(self, ids, vecs, refresh: bool) -> np.ndarray:
+        # caller holds _window_lock + _foreign_write_guard
         if (getattr(self, "_async_maint", None) and self.tombstones
                 and (self.tombstones & set(int(i) for i in ids))):
             # a tombstoned-id re-insert stages _purge_rows into
@@ -642,7 +678,10 @@ class IVFIndex:
 
             _st = getattr(self, "_async_maint", None) or {}
             finish_async_maintenance(
-                self, encode_pq=bool(_st.get("encode_pq", True)))
+                self,
+                books_cache=getattr(self, "_stream_books_cache",
+                                    None),
+                encode_pq=bool(_st.get("encode_pq", True)))
         # drop the calibration fit BEFORE any save_meta below — the
         # staged-publish path persists meta, and a fit estimated
         # against the pre-insert corpus must not ride along
@@ -736,10 +775,6 @@ class IVFIndex:
             # no caller cooperation, exactly like delete()'s
             # self-journaling; ingest_stream's handler no longer
             # journals separately
-            from quake_vector_search_spark.streaming.ingest import (
-                _journal_batch,
-            )
-
             _journal_batch(self, ids, pid, self.version)
         if refresh:
             # eager metadata refresh: pay the file re-listing here,
@@ -845,41 +880,100 @@ class IVFIndex:
         cache themselves via the returned frame's ``routing_cache``
         attribute.
         """
-        from quake_vector_search_spark.streaming.ingest import (
-            _window_lock,
-        )
+        # tombstoned-id re-insert closes the window BEFORE taking the
+        # transition lock — see insert() (round 16, ADVICE r15). The
+        # distributed twin probes with one bounded broadcast-join job
+        # per iteration; the loop almost never iterates twice.
+        while True:
+            st = getattr(self, "_async_maint", None)
+            if not (st and self.tombstones
+                    and self._reinsert_probe_hit(df)):
+                break
+            from quake_vector_search_spark.streaming.ingest import (
+                finish_async_maintenance,
+            )
 
-        with _window_lock(self):
+            finish_async_maintenance(
+                self,
+                books_cache=getattr(self, "_stream_books_cache",
+                                    None),
+                encode_pq=bool(st.get("encode_pq", True)))
+        # remember what the pre-lock verdict was computed against so
+        # the in-lock fallback re-probes ONLY when a window opened or
+        # the tombstone set mutated in the gap — otherwise the steady
+        # streaming state (window open, tombstones standing, batch
+        # clean) would pay the probe job twice per batch
+        probe_token = self._reinsert_probe_token()
+        # cross-handle single-writer guard — see insert()
+        with _window_lock(self), _foreign_write_guard(self, "insert"):
             return self._insert_distributed_locked(df, refresh,
-                                                   unpersist)
+                                                   unpersist,
+                                                   probe_token)
+
+    def _tombstone_snapshot(self) -> frozenset:
+        """Point-in-time copy of the tombstone set, safe to take
+        OUTSIDE the window-transition lock (a concurrent delete
+        mutating the set mid-iteration raises; retry — the snapshot
+        is advisory, the in-lock fallback re-checks)."""
+        while True:
+            try:
+                return frozenset(self.tombstones)
+            except RuntimeError:
+                continue
+
+    def _reinsert_probe_token(self) -> tuple:
+        """Identity of the state a re-insert probe verdict depends
+        on: the open window (by state-dict identity) and the
+        tombstone set (by content hash)."""
+        st = getattr(self, "_async_maint", None)
+        return (id(st) if st else None,
+                hash(self._tombstone_snapshot()))
+
+    def _reinsert_probe_hit(self, df: DataFrame) -> bool:
+        """Does ``df`` carry any currently-tombstoned id? One bounded
+        broadcast-join metadata job (no vectors move). The tombstone
+        frame is CACHED on the handle keyed by the set's contents
+        (round 16, VERDICT r15 #6): a long window replaying many big
+        batches against a stable tombstone set re-creates the frame
+        zero times instead of once per batch — and a tombstone-free
+        index short-circuits at the caller without any job."""
+        snap = self._tombstone_snapshot()
+        key = hash(snap)
+        cached = getattr(self, "_tomb_frame", None)
+        if cached is None or cached[0] != key:
+            tomb = self.spark.createDataFrame(
+                [(int(t),) for t in sorted(snap)], [self.id_col])
+            self._tomb_frame = cached = (key, tomb)
+        return bool(df.select(self.id_col)
+                    .join(F.broadcast(cached[1]), self.id_col,
+                          "inner")
+                    .limit(1).count())
 
     def _insert_distributed_locked(self, df: DataFrame, refresh: bool,
-                                   unpersist: bool) -> DataFrame:
+                                   unpersist: bool,
+                                   probe_token: tuple | None = None
+                                   ) -> DataFrame:
+        # caller holds _window_lock + _foreign_write_guard
         id_col, vec_col = self.id_col, self.vec_col
-        # cross-handle single-writer guard — see _insert_locked
-        from quake_vector_search_spark.streaming.ingest import (
-            _refuse_if_foreign_window,
-        )
+        if (getattr(self, "_async_maint", None) and self.tombstones
+                and self._reinsert_probe_token() != probe_token
+                and self._reinsert_probe_hit(df)):
+            # in-lock fallback for the staged-purge/background-publish
+            # race gate (ADVICE r14 high): only reached when a NEW
+            # window opened between the pre-lock close above and the
+            # lock acquisition — post-gate routing must run against
+            # the post-swap centroids, not a layout the adopt is
+            # about to replace
+            from quake_vector_search_spark.streaming.ingest import (
+                finish_async_maintenance,
+            )
 
-        _refuse_if_foreign_window(self, "insert")
-        if getattr(self, "_async_maint", None) and self.tombstones:
-            # same staged-purge/background-publish race gate as
-            # insert() (ADVICE r14 high), probed with one bounded
-            # metadata job BEFORE routing — post-gate routing must
-            # run against the post-swap centroids, not a layout the
-            # adopt is about to replace
-            tomb = self.spark.createDataFrame(
-                [(int(t),) for t in self.tombstones], [id_col])
-            if (df.select(id_col)
-                    .join(F.broadcast(tomb), id_col, "inner")
-                    .limit(1).count()):
-                from quake_vector_search_spark.streaming.ingest import (  # noqa: E501
-                    finish_async_maintenance,
-                )
-
-                _st = getattr(self, "_async_maint", None) or {}
-                finish_async_maintenance(
-                    self, encode_pq=bool(_st.get("encode_pq", True)))
+            _st = getattr(self, "_async_maint", None) or {}
+            finish_async_maintenance(
+                self,
+                books_cache=getattr(self, "_stream_books_cache",
+                                    None),
+                encode_pq=bool(_st.get("encode_pq", True)))
         self._calibration = None
         routed = self.route_distributed(df).persist()
 
@@ -993,10 +1087,6 @@ class IVFIndex:
             # (round 15 — same self-journaling contract as insert();
             # the routing cache is still live here, so the journal
             # append reuses it instead of recomputing the routing)
-            from quake_vector_search_spark.streaming.ingest import (
-                _journal_batch_distributed,
-            )
-
             _journal_batch_distributed(self, out, self.version)
         if unpersist:
             # drop the routing cache now that the write ran — the
@@ -1081,14 +1171,6 @@ class IVFIndex:
         ids = [int(i) for i in ids]
         if not ids:
             return
-        from quake_vector_search_spark.streaming.ingest import (
-            _window_lock,
-        )
-
-        with _window_lock(self):
-            self._delete_locked(ids)
-
-    def _delete_locked(self, ids: list[int]) -> None:
         # cross-handle single-writer guard (round 15, VERDICT r14
         # #4): another handle's open async-maintenance window is
         # visible through the on-disk marker — a delete through THIS
@@ -1096,12 +1178,14 @@ class IVFIndex:
         # sequence stamps nor survive the wholesale state adopt at
         # its swap (silent resurrection). The marker is cleared at
         # the swap, at a background failure, and by the
-        # crash-recovery re-attach.
-        from quake_vector_search_spark.streaming.ingest import (
-            _refuse_if_foreign_window,
-        )
+        # crash-recovery re-attach. The guard additionally holds the
+        # advisory lock SHARED across the write (round 16, ADVICE
+        # r15) so a racing window open cannot snapshot past it.
+        with _window_lock(self), _foreign_write_guard(self, "delete"):
+            self._delete_locked(ids)
 
-        _refuse_if_foreign_window(self, "delete")
+    def _delete_locked(self, ids: list[int]) -> None:
+        # caller holds _window_lock + _foreign_write_guard
         # tombstones change the live corpus without touching files —
         # the calibration fit still goes stale
         self._calibration = None
@@ -1135,10 +1219,6 @@ class IVFIndex:
             # adopted state (idempotent through the tombstone
             # filter). Same-handle out-of-band deletes thus survive
             # the window; see ingest_stream's maintain_async notes.
-            from quake_vector_search_spark.streaming.ingest import (
-                _journal_deletes,
-            )
-
             _journal_deletes(self, found)
 
     # -------------------------------------------------------------- APS

@@ -170,6 +170,14 @@ def maintain(idx: IVFIndex,
         def split_group(key, pdf):
             pid = int(key[0])
             children = bc.value
+            # Sort by id before the seeded init: applyInPandas delivers
+            # rows in whatever order the shuffle produced, and
+            # local_kmeans' seeded init picks row INDICES — without a
+            # stable order the same seed picks different init points
+            # run-to-run (SURVEY §4 promises split determinism at seed
+            # 17+pid; mirrors the id-sort the build path does before
+            # its seeded k-means).
+            pdf = pdf.sort_values(id_col).reset_index(drop=True)
             vecs = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             if len(pdf) >= 2:
                 _, assign = local_kmeans(vecs, 2, SPLIT_KMEANS_ITERS,
