@@ -72,6 +72,43 @@ RENAME_MAP: dict[str, str] = {
     "dedup_embedding_cosine": "dedup_embedding_cosine_oracle",  # r6
 }
 
+WINDOW_R16: tuple[str, ...] = (
+    # never driver-checked: the new round-16 row — the
+    # tombstoned-id re-insert lifecycle against an open async
+    # window (close-before-purge, pre-lock join, exactly-once
+    # convergence; ADVICE r14 high + ADVICE r15); new features get
+    # driver-grade verification in the round that introduces them
+    # (ADVICE r9) (1)
+    "stream_reinsert_window_close",
+    # stalest stratum, part 1: WINDOW_R9's whole 8-row ordered
+    # remainder — the only rows whose latest driver check is round 9
+    # (closes the r9 stratum) (8)
+    "aps_partition_scores", "aps_scores_distributed",
+    "ivf_search_fullprobe", "ivf_search_adaptive",
+    "ivf_pq_search_fullprobe", "ivf_recall_eval", "ivf_dml_roundtrip",
+    "gen_dataset_pinned",
+    # stalest stratum, part 2: 41 of the 44 rows whose latest driver
+    # check is round 10, in WINDOW_R10's pinned order (the last 3 —
+    # q14_promo_revenue, q15_top_supplier, q16_supplier_part_count —
+    # stay as WINDOW_R10's ordered remainder, the next-stalest
+    # stratum for round 17) (41)
+    "knn_with_payload", "q_balanced_sample", "emb_label_centroids",
+    "emb_nearest_centroid", "mm_extract_features", "mm_frame_sample",
+    "mm_resize", "mm_dedup_by_features", "mm_training_pairs",
+    "ts_tumbling_hourly", "ts_sliding_1h_30m", "ts_sessionization",
+    "ts_trailing_1h_range", "ts_asof_join", "ts_gapfill_ffill",
+    "ts_interval_join", "ts_session_window_native", "ts_multi_rollup",
+    "ts_funnel", "ts_cohort_retention", "ts_anomaly_hours",
+    "ts_scd2_intervals", "ts_top_paths", "ts_scd2_merge",
+    "text_token_stats", "text_quality_score", "text_language_id",
+    "text_fingerprint", "text_tfidf", "q_train_test_split",
+    "text_chunking", "text_bigram_freq", "text_cms_wordcount",
+    "text_pack_sequences", "text_kgram_fingerprints",
+    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+    "q9_product_type_profit", "q12_late_shipment_priority",
+    "q13_customer_order_distribution",
+)
+
 WINDOW_R15: tuple[str, ...] = (
     # never driver-checked: the new round-15 row — the 4-bit scalar
     # quantization flavor (VERDICT r14 #7): 16-level grid, d/2
@@ -409,18 +446,18 @@ WINDOW_R6: tuple[str, ...] = (
 
 
 def ordered_registry() -> dict[str, Query]:
-    """REGISTRY re-ordered so the round-15 driver window comes first;
+    """REGISTRY re-ordered so the round-16 driver window comes first;
     earlier windows follow with duplicates collapsed to first
     occurrence (a row recurring in a later window was re-scheduled —
     re-verification is the point of the rotation).
 
-    Round 15 rotates an ELEVENTH window in front (VERDICT r14 #2):
-    the new round-15 row (the 4-bit SQ4 scalar-quantization rung),
-    then the stalest strata — WINDOW_R8's whole 7-row ordered
-    remainder (last checked round 8; closes the r8 stratum) and 42
-    of the 50 round-9-stale rows in WINDOW_R9's pinned order.
-    WINDOW_R9's last 8 rows remain as its ordered remainder, the
-    next-stalest stratum for round 16. All 50 members verified vs
+    Round 16 rotates a TWELFTH window in front (VERDICT r15 #2):
+    the new round-16 row (the re-insert-closes-window lifecycle),
+    then the stalest strata — WINDOW_R9's whole 8-row ordered
+    remainder (last checked round 9; closes the r9 stratum) and 41
+    of the 44 round-10-stale rows in WINDOW_R10's pinned order.
+    WINDOW_R10's last 3 rows remain as its ordered remainder, the
+    next-stalest stratum for round 17. All 50 members verified vs
     DuckDB at sf0.01 BEFORE the switch.
 
     Raw REGISTRY insertion order (module load order) is unchanged —
@@ -428,9 +465,9 @@ def ordered_registry() -> dict[str, Query]:
     tests/test_registry_window.py alongside the others.
     """
     load_all_query_modules()
-    windows = (*WINDOW_R15, *WINDOW_R14, *WINDOW_R13, *WINDOW_R11,
-               *WINDOW_R10, *WINDOW_R9, *WINDOW_R8, *WINDOW_R7,
-               *WINDOW_R6)
+    windows = (*WINDOW_R16, *WINDOW_R15, *WINDOW_R14, *WINDOW_R13,
+               *WINDOW_R11, *WINDOW_R10, *WINDOW_R9, *WINDOW_R8,
+               *WINDOW_R7, *WINDOW_R6)
     missing = [n for n in windows if n not in REGISTRY]
     if missing:
         raise ValueError(f"window names not in registry: {missing}")

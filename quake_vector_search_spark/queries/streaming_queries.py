@@ -1489,3 +1489,85 @@ def stream_async_maintenance(spark, sf_dir):
     shutil.rmtree(ckpt, ignore_errors=True)
     shutil.rmtree(vdir, ignore_errors=True)
     return spark.createDataFrame(checks, ["invariant", "value"])
+
+
+@register("stream_reinsert_window_close", sql="""
+SELECT 'window_open_before_reinsert' AS invariant,
+       CAST(1 AS BIGINT) AS value
+UNION ALL SELECT 'window_closed_by_reinsert', 1
+UNION ALL SELECT 'marker_cleared', 1
+UNION ALL SELECT 'journals_cleared', 1
+UNION ALL SELECT 'tombstone_cleared', 1
+UNION ALL SELECT 'reinserted_exactly_once_with_new_vector', 1
+UNION ALL SELECT 'sizes_match_physical_counts', 1
+""")
+def stream_reinsert_window_close(spark, sf_dir):
+    """Tombstoned-id re-insert during an open async-maintenance
+    window (round 16): the staged purge a re-insert runs must not
+    race the background maintain's publish into the same version
+    directory (ADVICE r14 high), so the write path closes the window
+    FIRST — joining the maintain thread BEFORE taking the handle's
+    window-transition lock (ADVICE r15: the join is potentially
+    minutes long; under the lock it serialized every other
+    insert/delete on the handle) — then purges the old rows and
+    lands the new ones against the post-swap version. This row pins
+    the full lifecycle end-state: the window the insert found open
+    is closed and its marker/journals cleared, the tombstone is
+    gone, exactly ONE physical row holds the id (carrying the NEW
+    vector — a resurrection bug would surface as two rows or the
+    old vector winning), and size bookkeeping matches the physical
+    partitions. Reference parity: delete-then-reinsert of an id is
+    an ordinary sequence for the reference's mutable index
+    (ipynb c1:92-125); the window interaction is Spark-scale-only
+    surface (the reference has no background maintenance)."""
+    import uuid
+
+    import numpy as np
+
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.streaming.ingest import (
+        _delete_journal_dir,
+        _journal_dir,
+        _start_async_maintenance,
+        _window_marker_path,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    run = uuid.uuid4().hex[:8]
+    workdir = f"/tmp/qvss_reins_idx_{os.getpid()}_{run}"
+    idx = IVFIndex.build(emb, workdir, coarse_k=4, base_k=4)
+    victim = 17
+    idx.delete([victim])
+    _start_async_maintenance(idx, None, None, encode_pq=False)
+    opened = bool(getattr(idx, "_async_maint", None))
+    d = len(idx.centroids[0])
+    new_vec = np.full((1, d), 0.25, dtype=np.float64)
+    idx.insert(np.array([victim], dtype=np.int64), new_vec)
+    closed = getattr(idx, "_async_maint", None) is None
+    marker_clear = not os.path.exists(
+        _window_marker_path(idx.workdir))
+    journals_clear = (not os.path.isdir(_journal_dir(idx))
+                      and not os.path.isdir(_delete_journal_dir(idx)))
+    tomb_clear = victim not in idx.tombstones
+    got = (idx.read_corpus()
+           .where(F.col("vec_id") == victim).collect())
+    once_new = (len(got) == 1 and np.allclose(
+        np.asarray(got[0]["embedding"], dtype=np.float64),
+        0.25, atol=1e-6))
+    phys = {int(r["partition_id"]): r["count"] for r in
+            idx.read_corpus().groupBy("partition_id").count()
+            .collect()}
+    sizes_ok = all(int(idx.sizes[pos]) == phys.get(int(pid), 0)
+                   for pos, pid in enumerate(idx.part_ids))
+
+    checks = [
+        ("window_open_before_reinsert", int(opened)),
+        ("window_closed_by_reinsert", int(closed)),
+        ("marker_cleared", int(marker_clear)),
+        ("journals_cleared", int(journals_clear)),
+        ("tombstone_cleared", int(tomb_clear)),
+        ("reinserted_exactly_once_with_new_vector", int(once_new)),
+        ("sizes_match_physical_counts", int(sizes_ok)),
+    ]
+    shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(checks, ["invariant", "value"])

@@ -48,6 +48,7 @@ from quake_vector_search_spark.queries import (
     WINDOW_R13,
     WINDOW_R14,
     WINDOW_R15,
+    WINDOW_R16,
     load_all_query_modules,
     ordered_registry,
 )
@@ -126,17 +127,39 @@ R10_FIRST_TIMERS = (
 )
 
 
-def test_r15_window_is_the_rotated_surface():
-    """First 50 of the driver-facing ordering = WINDOW_R15;
-    composition per VERDICT r14 #2, checked against the reports AS OF
-    END OF ROUND 14: the 1 never-driver-verified round-15 row (the
-    4-bit SQ4 scalar-quantization rung), WINDOW_R8's whole 7-row
-    remainder (the only rows whose latest driver check is round 8),
-    and 42 of the 50 round-9-stale rows in WINDOW_R9's pinned order.
-    No slot wasted on anything fresher."""
+def test_r16_window_is_the_rotated_surface():
+    """First 50 of the driver-facing ordering = WINDOW_R16;
+    composition per VERDICT r15 #2, checked against the reports AS OF
+    END OF ROUND 15: the 1 never-driver-verified round-16 row (the
+    re-insert-closes-window lifecycle), WINDOW_R9's whole 8-row
+    remainder (the only rows whose latest driver check is round 9;
+    closes the r9 stratum), and 41 of the 44 round-10-stale rows in
+    WINDOW_R10's pinned order. No slot wasted on anything fresher."""
+    names = list(ordered_registry())
+    assert len(WINDOW_R16) == 50
+    assert names[:50] == list(WINDOW_R16)
+    latest = _latest_driver_round(max_round=15)
+    assert latest, "correctness reports missing from repo root"
+    never = [n for n in WINDOW_R16 if n not in latest]
+    r9 = [n for n in WINDOW_R16 if latest.get(n, 99) == 9]
+    r10 = [n for n in WINDOW_R16 if latest.get(n, 99) == 10]
+    fresh = [n for n in WINDOW_R16 if latest.get(n, 0) >= 11]
+    assert never == ["stream_reinsert_window_close"], never
+    assert len(r9) == 8, f"expected 8 r9-stale, got {len(r9)}"
+    assert len(r10) == 41, f"expected 41 r10-stale, got {len(r10)}"
+    assert not fresh, f"WINDOW_R16 wastes slots on fresh rows: {fresh}"
+
+
+def test_r15_window_composition_still_pinned():
+    """WINDOW_R15 keeps its full 50 right behind the round-16 front
+    window (disjoint — round 16 rotates onto the r9/r10-stale
+    strata); composition per VERDICT r14 #2, checked against the
+    reports AS OF END OF ROUND 14, exactly the pin that held when
+    the driver ran it."""
     names = list(ordered_registry())
     assert len(WINDOW_R15) == 50
-    assert names[:50] == list(WINDOW_R15)
+    assert not set(WINDOW_R15) & set(WINDOW_R16)
+    assert names[50:100] == list(WINDOW_R15)
     latest = _latest_driver_round(max_round=14)
     assert latest, "correctness reports missing from repo root"
     never = [n for n in WINDOW_R15 if n not in latest]
@@ -158,7 +181,8 @@ def test_r14_window_composition_still_pinned():
     names = list(ordered_registry())
     assert len(WINDOW_R14) == 50
     assert not set(WINDOW_R14) & set(WINDOW_R15)
-    assert names[50:100] == list(WINDOW_R14)
+    assert not set(WINDOW_R14) & set(WINDOW_R16)
+    assert names[100:150] == list(WINDOW_R14)
     latest = _latest_driver_round(max_round=13)
     assert latest, "correctness reports missing from repo root"
     never = [n for n in WINDOW_R14 if n not in latest]
@@ -192,7 +216,8 @@ def test_r13_window_composition_still_pinned():
     assert len(WINDOW_R13) == 50
     assert not set(WINDOW_R13) & set(WINDOW_R14)
     assert not set(WINDOW_R13) & set(WINDOW_R15)
-    assert names[100:150] == list(WINDOW_R13)
+    assert not set(WINDOW_R13) & set(WINDOW_R16)
+    assert names[150:200] == list(WINDOW_R13)
     latest = _latest_driver_round(max_round=12)
     assert latest, "correctness reports missing from repo root"
     never = [n for n in WINDOW_R13 if n not in latest]
@@ -223,7 +248,8 @@ def test_r11_window_composition_still_pinned():
     assert len(rest) == 49
     assert not set(WINDOW_R11) & set(WINDOW_R14)
     assert not set(WINDOW_R11) & set(WINDOW_R15)
-    assert names[150:199] == rest
+    assert not set(WINDOW_R11) & set(WINDOW_R16)
+    assert names[200:249] == rest
     latest = _latest_driver_round(max_round=10)
     assert latest, "correctness reports missing from repo root"
     never = [n for n in WINDOW_R11 if n not in latest]
@@ -297,39 +323,39 @@ def test_cumulative_accounting_is_exact():
     load_all_query_modules()
     latest = _latest_driver_round()
     verified = set(latest) & set(REGISTRY)
-    assert len(verified) >= 250, len(verified)
-    assert len(REGISTRY) >= 251
+    assert len(verified) >= 251, len(verified)
+    assert len(REGISTRY) >= 252
     unverified = set(REGISTRY) - verified
-    stranded = unverified - set(WINDOW_R15)
+    stranded = unverified - set(WINDOW_R16)
     assert not stranded, f"never-verified rows outside the window: {stranded}"
 
 
-def test_r10_window_remainder_pinned_at_199_242():
-    """WINDOW_R11 re-schedules WINDOW_R10's 6 first-timers; the other
-    44 keep their relative order behind the R11 remainder."""
+def test_r10_window_remainder_is_three_rows():
+    """WINDOW_R16 re-schedules 41 of WINDOW_R10's 44-row r10-stale
+    remainder (WINDOW_R11/R13 already took its 6 first-timers); the
+    3 left out keep their relative order at the ordered tail — the
+    next-stalest stratum for the round-17 rotation."""
     names = list(ordered_registry())
     assert len(WINDOW_R10) == 50
     rest = [n for n in WINDOW_R10
-            if n not in set(WINDOW_R11) | set(WINDOW_R13)]
-    assert len(rest) == 44
+            if n not in set(WINDOW_R11) | set(WINDOW_R13)
+            | set(WINDOW_R16)]
+    assert rest == ["q14_promo_revenue", "q15_top_supplier",
+                    "q16_supplier_part_count"]
     assert not set(WINDOW_R10) & set(WINDOW_R14)
     assert not set(WINDOW_R10) & set(WINDOW_R15)
-    assert names[199:243] == rest
+    assert names[249:252] == rest
 
 
-def test_r9_window_remainder_is_eight_rows():
-    """WINDOW_R15 re-schedules 42 of WINDOW_R9's rows (the stalest
-    stratum after the r8 tail); the 8 left out keep their relative
-    order at the ordered tail — the next-stalest stratum for the
-    round-16 rotation."""
-    names = list(ordered_registry())
+def test_r9_window_fully_rescheduled():
+    """Every WINDOW_R9 row is re-scheduled in a fresher window — 42
+    in WINDOW_R15, the 8-row remainder in WINDOW_R16 — so WINDOW_R9
+    contributes no ordered remainder and the r9 staleness stratum is
+    closed out."""
     assert len(WINDOW_R9) == 50
-    rest = [n for n in WINDOW_R9 if n not in set(WINDOW_R15)]
-    assert rest == ["aps_partition_scores", "aps_scores_distributed",
-                    "ivf_search_fullprobe", "ivf_search_adaptive",
-                    "ivf_pq_search_fullprobe", "ivf_recall_eval",
-                    "ivf_dml_roundtrip", "gen_dataset_pinned"]
-    assert names[243:251] == rest
+    rest = [n for n in WINDOW_R9
+            if n not in set(WINDOW_R15) | set(WINDOW_R16)]
+    assert rest == []
     assert not set(WINDOW_R9) & set(WINDOW_R10)
     assert not set(WINDOW_R9) & set(WINDOW_R11)
     assert not set(WINDOW_R9) & set(WINDOW_R13)

@@ -5,7 +5,16 @@ cluster-saturating stage (32 tasks x ~2.5s on 8 slots — executor
 sleep, not driver sleep); batch latency is read from the streaming
 query's recentProgress triggerExecution durations.
 
-Usage: python fair_stall.py FIFO|FAIR
+Round 16 (VERDICT r15 #3): optional TASKS and TASK_S args vary the
+saturating stage's GRANULARITY at constant total work (default
+32 x 2.5 s = 80 task-seconds). FAIR has no preemption — an ingest
+batch's p50 is floored by the remaining time of the shortest
+in-flight maintain task — so finer maintain tasks are the only lever
+that can recover the idle-window p50 the round-15 measurement gave
+up (0.85 -> 2.61 s). ``python fair_stall.py FAIR 128 0.625`` measures
+that arm.
+
+Usage: python fair_stall.py FIFO|FAIR [TASKS TASK_S]
 """
 import json
 import os
@@ -20,6 +29,8 @@ from pyspark.sql import SparkSession
 
 mode = sys.argv[1]
 assert mode in ("FIFO", "FAIR")
+BURN_TASKS = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+BURN_TASK_S = float(sys.argv[3]) if len(sys.argv) > 3 else 2.5
 spark = (SparkSession.builder.master("local[8]")
          .config("spark.sql.shuffle.partitions", "8")
          .config("spark.scheduler.mode", mode)
@@ -44,13 +55,16 @@ real_maintain = maint_mod.maintain
 
 
 def heavy_maintain(index_, **kw):
-    # saturate the executors from INSIDE the maintain thread: 32
-    # tasks x 2.5 s on 8 slots = ~10 s of full occupancy
+    # saturate the executors from INSIDE the maintain thread:
+    # BURN_TASKS x BURN_TASK_S on 8 slots (default 32 x 2.5 s =
+    # ~10 s of full occupancy; granularity arms hold the product
+    # constant)
     def burn(it):
-        time.sleep(2.5)
+        time.sleep(BURN_TASK_S)
         yield from it
 
-    (index_.spark.sparkContext.range(0, 32, numSlices=32)
+    (index_.spark.sparkContext.range(0, BURN_TASKS,
+                                     numSlices=BURN_TASKS)
      .mapPartitions(burn).count())
     return real_maintain(index_, **kw)
 
@@ -83,7 +97,8 @@ durs = sorted(p["durationMs"]["triggerExecution"] / 1000.0
 p50 = durs[len(durs) // 2]
 p95 = durs[min(len(durs) - 1, int(0.95 * len(durs)))]
 live = idx.read_corpus().where("vec_id >= 50000").count()
-print(json.dumps({"mode": mode, "batches": len(durs),
+print(json.dumps({"mode": mode, "burn_tasks": BURN_TASKS,
+                  "burn_task_s": BURN_TASK_S, "batches": len(durs),
                   "batch_p50_s": round(p50, 2),
                   "batch_p95_s": round(p95, 2),
                   "batch_max_s": round(durs[-1], 2),
