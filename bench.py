@@ -518,6 +518,71 @@ def ivf_calibrated_n40k(spark) -> dict:
     }
 
 
+def sq_d256_probe(spark) -> dict:
+    """SQ4-vs-SQ8 recall@bytes at d=256 (round 16, VERDICT r15 #7):
+    the round-15 measurement found SQ4 matching SQ8's recall@10
+    (0.992) at HALF the scan bytes on the 400k d=64 corpus — but the
+    promotion question (make SQ4 the serving default) only matters
+    where scan bytes dominate, i.e. wide vectors. This block asks the
+    same question at d=256 (the common embedding width for retrieval
+    models): 100k×256 clustered corpus, ~128-partition index, both
+    scalar rungs searched at target 0.9 with exact rerank — recording
+    recall@10, bytes/vector scanned (SQ8 256 B, SQ4 128 B) and batch
+    latency. n is 100k (not 400k) to bound the block's wall-clock:
+    the bytes-per-vector ratio is n-independent and the recall
+    question is about GRID fidelity at width, not corpus size."""
+    import shutil
+
+    from quake_vector_search_spark.operators.evaluation import avg_recall
+    from quake_vector_search_spark.operators.ivf import IVFIndex
+    from quake_vector_search_spark.operators.knn import knn_bruteforce
+    from quake_vector_search_spark.operators.quantization import knn_ivf_pq
+    from quake_vector_search_spark.operators.workload import make_dataset
+
+    n, d = 100_000, 256
+    emb = make_dataset(spark, n, d=d, n_clusters=60, seed=7).cache()
+    emb.count()
+    wd = "/tmp/qvss_bench_sqd256"
+    shutil.rmtree(wd, ignore_errors=True)
+    t0 = time.time()
+    idx = IVFIndex.build(emb, wd, coarse_k=16, base_k=8)
+    build_s = time.time() - t0
+
+    rng = np.random.default_rng(3)
+    rows = emb.where("vec_id < 2000").collect()
+    vecs = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    pick = rng.integers(0, len(vecs), 50)
+    qmat = vecs[pick] + rng.normal(0.0, 0.1, size=(50, d))
+    qids = np.arange(50)
+    t0 = time.time()
+    exact = knn_bruteforce(idx.read_corpus(), (qids, qmat),
+                           k=K).localCheckpoint()
+    truth_s = time.time() - t0
+
+    out = {"n": n, "d": d, "build_s": round(build_s, 2),
+           "truth_s": round(truth_s, 2)}
+    for tag, bits in (("sqd256_sq8", 8), ("sqd256_sq4", 4)):
+        t1 = time.time()
+        _build_sidecar_cached(idx, tag, sq8=True, sq_bits=bits)
+        sq_build_s = time.time() - t1
+        t1 = time.time()
+        fsq, _ = knn_ivf_pq(idx, (qids, qmat), k=K,
+                            target_recall=0.9, oversample=32)
+        fsq = fsq.cache()
+        fsq.count()
+        sq_search_s = time.time() - t1
+        out[f"sq{bits}"] = {
+            "sidecar_build_s": round(sq_build_s, 3),
+            "batch50_ms": round(1000 * sq_search_s, 1),
+            "recall_at_10": round(avg_recall(fsq, exact, K), 4),
+            "bytes_per_vector_scanned": d if bits == 8 else d // 2,
+        }
+        fsq.unpersist()
+    emb.unpersist()
+    shutil.rmtree(wd, ignore_errors=True)
+    return out
+
+
 def ivf_scale_n400k(spark) -> dict:
     """Calibrated pruning + ADC ladder at 10× the reference's corpus
     (round 7, VERDICT r6 #3): the sf0.1 testdata embeddings are
@@ -1110,6 +1175,13 @@ def main() -> None:
     times["ivf_scale_n400k"] = round(time.time() - t0, 3)
     probe2 = _box_probe()
     telemetry["ivf_scale_n400k"] = _box_delta(probe, probe2)
+    probe = probe2
+
+    t0 = time.time()
+    sqd256 = sq_d256_probe(spark)
+    times["sq_d256_probe"] = round(time.time() - t0, 3)
+    probe2 = _box_probe()
+    telemetry["sq_d256_probe"] = _box_delta(probe, probe2)
     telemetry["whole_run"] = _box_delta(run_start, probe2)
     # per-phase keys for bench_compare (evaluation-block growth shows
     # up in its own phase, not as a spurious block-total regression)
@@ -1134,6 +1206,7 @@ def main() -> None:
         "ivf_calibrated_n40k": cal40k,
         "aniso_mips_n40k": aniso40k,
         "ivf_scale_n400k": scale400k,
+        "sq_d256": sqd256,
         # box-state evidence per block (round 15, VERDICT r14 #8):
         # adjudicate run-to-run inflation without paired reruns —
         # high box_cpu_pct.sys or a hot loadavg with bit-identical
