@@ -924,10 +924,9 @@ class IVFIndex:
     def _reinsert_probe_token(self) -> tuple:
         """Identity of the state a re-insert probe verdict depends
         on: the open window (by state-dict identity) and the
-        tombstone set (by content hash)."""
+        tombstone set (by contents)."""
         st = getattr(self, "_async_maint", None)
-        return (id(st) if st else None,
-                hash(self._tombstone_snapshot()))
+        return (id(st) if st else None, self._tombstone_snapshot())
 
     def _reinsert_probe_hit(self, df: DataFrame) -> bool:
         """Does ``df`` carry any currently-tombstoned id? One bounded
@@ -938,12 +937,13 @@ class IVFIndex:
         zero times instead of once per batch — and a tombstone-free
         index short-circuits at the caller without any job."""
         snap = self._tombstone_snapshot()
-        key = hash(snap)
         cached = getattr(self, "_tomb_frame", None)
-        if cached is None or cached[0] != key:
+        # key on the SNAPSHOT itself, not its hash — a hash collision
+        # would reuse a stale frame and skip the window-close gate
+        if cached is None or cached[0] != snap:
             tomb = self.spark.createDataFrame(
                 [(int(t),) for t in sorted(snap)], [self.id_col])
-            self._tomb_frame = cached = (key, tomb)
+            self._tomb_frame = cached = (snap, tomb)
         return bool(df.select(self.id_col)
                     .join(F.broadcast(cached[1]), self.id_col,
                           "inner")
