@@ -1173,6 +1173,15 @@ def _start_async_maintenance(index: IVFIndex,
         # disk before the clone load below, so the clone sees them;
         # writes starting after this block see the marker and refuse
         with _window_open_fence(index.workdir):
+            # a FOREIGN marker standing here means another handle's
+            # window is (or may be) open — overwriting it would run
+            # two windows on one workdir, each journal-replaying the
+            # other's writes (round 16 self-review; the stream attach
+            # path clears crash leftovers BEFORE any window opens, so
+            # a marker at this point is a live writer or an
+            # unrecovered crash — both refuse; re-attach via
+            # ingest_stream to recover)
+            _refuse_if_foreign_window(index, "open a window on")
             _write_window_marker(index)
         try:
             index.save_meta()

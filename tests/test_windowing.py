@@ -252,3 +252,40 @@ def test_reinsert_closes_window_and_reuses_outside_lock(spark,
                          (np.array([0]), vec),
                          k=1, id_col=idx.id_col, vec_col=idx.vec_col)
     assert [int(r[idx.id_col]) for r in res.collect()] == [victim]
+
+
+def test_window_open_refuses_over_foreign_marker(spark, tmp_path):
+    """Round-16 self-review: ``_start_async_maintenance`` must not
+    write its marker over a FOREIGN one — that would run two windows
+    on one workdir, each journal-replaying the other's writes. A
+    marker at open time is a live writer or an unrecovered crash;
+    both refuse (the stream attach path clears crash leftovers
+    BEFORE any window opens)."""
+    import json
+
+    import pytest
+
+    from quake_vector_search_spark.streaming.ingest import (
+        _start_async_maintenance,
+        _window_marker_path,
+    )
+
+    corpus = make_dataset(spark, 80, d=8, n_clusters=2, seed=166)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_open_guard"),
+                         coarse_k=2, base_k=1)
+    with open(_window_marker_path(idx.workdir), "w") as fh:
+        json.dump({"pid": 999_999_999, "src_version": 0}, fh)
+    with pytest.raises(RuntimeError, match="single-writer"):
+        _start_async_maintenance(idx, None, None, encode_pq=False)
+    assert getattr(idx, "_async_maint", None) is None
+    os.remove(_window_marker_path(idx.workdir))
+    # with the marker gone the open proceeds normally
+    _start_async_maintenance(idx, None, None, encode_pq=False)
+    assert getattr(idx, "_async_maint", None)
+    from quake_vector_search_spark.streaming.ingest import (
+        finish_async_maintenance,
+    )
+
+    finish_async_maintenance(idx)
+    assert getattr(idx, "_async_maint", None) is None
+    assert not os.path.exists(_window_marker_path(idx.workdir))
