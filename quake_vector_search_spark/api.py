@@ -504,8 +504,8 @@ def compress_index(index: IVFIndex, method: str = "pq", **kwargs):
     grid — d/2 logical bytes, between PQ's code bytes and SQ8's d;
     same decode/search path — the per-dim scale carries the grid.
     For residual-encoded corpora at d ≥ 256, prefer ivf_sq4 over
-    ivf_sq8: measured equal recall@10 at half the scan bytes and
-    ~1.5× faster batch search — bench ``sq_d256_probe``, round 16),
+    ivf_sq8: measured equal recall@10 at half the scan bytes —
+    bench ``sq_d256_probe``, round 16),
     ``"aniso"`` /
     ``"aniso_ivfadc"`` (round 8, COSINE indexes only: score-aware
     ScaNN-loss books + coordinate-descent codes, plain or

@@ -1181,7 +1181,7 @@ def _start_async_maintenance(index: IVFIndex,
             # a marker at this point is a live writer or an
             # unrecovered crash — both refuse; re-attach via
             # ingest_stream to recover)
-            _refuse_if_foreign_window(index, "open a window on")
+            _refuse_if_foreign_window(index, "open a window")
             _write_window_marker(index)
         try:
             index.save_meta()

@@ -289,3 +289,41 @@ def test_window_open_refuses_over_foreign_marker(spark, tmp_path):
     finish_async_maintenance(idx)
     assert getattr(idx, "_async_maint", None) is None
     assert not os.path.exists(_window_marker_path(idx.workdir))
+
+
+def test_distributed_reinsert_probe_runs_once_per_batch(spark,
+                                                        tmp_path):
+    """The pre-lock window-close check and the in-lock fallback share
+    one probe verdict via the probe token: in the steady streaming
+    state (window open, tombstones standing, batch clean) the
+    tombstone probe job runs ONCE per insert_distributed call, not
+    twice."""
+    from quake_vector_search_spark.streaming.ingest import (
+        finish_async_maintenance,
+        _start_async_maintenance,
+    )
+
+    corpus = make_dataset(spark, 200, d=8, n_clusters=3, seed=167)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_probe_once"),
+                         coarse_k=2, base_k=2)
+    idx.delete([3, 4])
+    _start_async_maintenance(idx, None, None, encode_pq=False)
+    try:
+        calls = {"n": 0}
+        real = idx._reinsert_probe_hit
+
+        def counting(df):
+            calls["n"] += 1
+            return real(df)
+
+        idx._reinsert_probe_hit = counting
+        clean = spark.createDataFrame(
+            [(int(7000 + i),
+              [float(i % 5)] * 8) for i in range(6)],
+            "vec_id long, embedding array<float>")
+        idx.insert_distributed(clean)
+        assert calls["n"] == 1, calls
+    finally:
+        del idx._reinsert_probe_hit
+        while getattr(idx, "_async_maint", None):
+            finish_async_maintenance(idx)
