@@ -619,11 +619,12 @@ class IVFIndex:
         # that under the lock blocked every other insert/delete and
         # batch-boundary finish on the handle for the duration.
         # finish_async_maintenance joins outside the lock and takes
-        # it only for the swap. The in-lock re-check in
-        # _insert_locked stays — a concurrent reopen between this
-        # close and the lock acquisition must still be caught (there,
-        # unavoidably, under the lock).
-        self._close_window_for_reinsert(set(int(i) for i in ids))
+        # it only for the swap. The in-lock re-check below stays — a
+        # concurrent reopen between this close and the lock
+        # acquisition must still be caught (there, unavoidably,
+        # under the lock).
+        id_set = set(int(i) for i in ids)
+        self._close_window_for_reinsert(id_set)
         # cross-handle single-writer guard, the INSERT half (round 15
         # review finding — delete alone was one special case shy of
         # the contract): rows written through a second handle during
@@ -633,8 +634,40 @@ class IVFIndex:
         # guard holds the advisory lock SHARED across the whole write
         # (round 16, ADVICE r15) so a window open racing this write
         # waits for it to land instead of snapshotting past it.
-        with _window_lock(self), _foreign_write_guard(self, "insert"):
-            return self._insert_locked(ids, vecs, refresh)
+        with _window_lock(self):
+            # in-lock fallback for the close-before-purge contract
+            # (ADVICE r14 high): a NEW window can open between the
+            # pre-lock close above and the lock acquisition. Runs
+            # BEFORE the guard is entered (round 16 review #2): a
+            # close here clears the marker, and a guard entered
+            # earlier — while the window was still open — would have
+            # skipped the shared flock, leaving the rest of the write
+            # unprotected against a foreign open.
+            if (getattr(self, "_async_maint", None) and self.tombstones
+                    and (self.tombstones & id_set)):
+                self._finish_own_window()
+            with _foreign_write_guard(self, "insert"):
+                return self._insert_locked(ids, vecs, refresh)
+
+    def _finish_own_window(self) -> bool:
+        """Join + swap THIS handle's open async window, reusing the
+        stream's sidecar books cache (ADVICE r15). Returns False when
+        no window is open. The single shared finish call for every
+        write-path close (round 16 review #4 — the previous five
+        copies were exactly how round 15's missed-guard bug
+        happened)."""
+        st = getattr(self, "_async_maint", None)
+        if not st:
+            return False
+        from quake_vector_search_spark.streaming.ingest import (
+            finish_async_maintenance,
+        )
+
+        finish_async_maintenance(
+            self,
+            books_cache=getattr(self, "_stream_books_cache", None),
+            encode_pq=bool(st.get("encode_pq", True)))
+        return True
 
     def _close_window_for_reinsert(self, id_set: set[int]) -> None:
         """Join + swap this handle's open async window when any id in
@@ -649,39 +682,11 @@ class IVFIndex:
             if not (st and self.tombstones
                     and (self._tombstone_snapshot() & id_set)):
                 return
-            from quake_vector_search_spark.streaming.ingest import (
-                finish_async_maintenance,
-            )
-
-            finish_async_maintenance(
-                self,
-                books_cache=getattr(self, "_stream_books_cache",
-                                    None),
-                encode_pq=bool(st.get("encode_pq", True)))
+            self._finish_own_window()
 
     def _insert_locked(self, ids, vecs, refresh: bool) -> np.ndarray:
-        # caller holds _window_lock + _foreign_write_guard
-        if (getattr(self, "_async_maint", None) and self.tombstones
-                and (self.tombstones & set(int(i) for i in ids))):
-            # a tombstoned-id re-insert stages _purge_rows into
-            # v{N+1} — the SAME version directory the background
-            # maintain(clone) is concurrently building (ADVICE r14
-            # high): two writers interleave hardlinks/rewrites and
-            # both write that version's stats.json. Close the window
-            # first (adopt + journal replay), then purge against the
-            # post-swap version with no concurrent writer. Checked
-            # BEFORE any bookkeeping mutation so the wholesale state
-            # adopt cannot discard this insert's centroid updates.
-            from quake_vector_search_spark.streaming.ingest import (
-                finish_async_maintenance,
-            )
-
-            _st = getattr(self, "_async_maint", None) or {}
-            finish_async_maintenance(
-                self,
-                books_cache=getattr(self, "_stream_books_cache",
-                                    None),
-                encode_pq=bool(_st.get("encode_pq", True)))
+        # caller holds _window_lock + _foreign_write_guard, and has
+        # already run the close-before-purge re-insert gate
         # drop the calibration fit BEFORE any save_meta below — the
         # staged-publish path persists meta, and a fit estimated
         # against the pre-insert corpus must not ride along
@@ -889,15 +894,7 @@ class IVFIndex:
             if not (st and self.tombstones
                     and self._reinsert_probe_hit(df)):
                 break
-            from quake_vector_search_spark.streaming.ingest import (
-                finish_async_maintenance,
-            )
-
-            finish_async_maintenance(
-                self,
-                books_cache=getattr(self, "_stream_books_cache",
-                                    None),
-                encode_pq=bool(st.get("encode_pq", True)))
+            self._finish_own_window()
         # remember what the pre-lock verdict was computed against so
         # the in-lock fallback re-probes ONLY when a window opened or
         # the tombstone set mutated in the gap — otherwise the steady
@@ -905,10 +902,18 @@ class IVFIndex:
         # clean) would pay the probe job twice per batch
         probe_token = self._reinsert_probe_token()
         # cross-handle single-writer guard — see insert()
-        with _window_lock(self), _foreign_write_guard(self, "insert"):
-            return self._insert_distributed_locked(df, refresh,
-                                                   unpersist,
-                                                   probe_token)
+        with _window_lock(self):
+            # in-lock fallback, BEFORE the guard is entered (round 16
+            # review #2 — see insert()): only probes when a window
+            # opened or the tombstone set mutated since the pre-lock
+            # verdict
+            if (getattr(self, "_async_maint", None) and self.tombstones
+                    and self._reinsert_probe_token() != probe_token
+                    and self._reinsert_probe_hit(df)):
+                self._finish_own_window()
+            with _foreign_write_guard(self, "insert"):
+                return self._insert_distributed_locked(df, refresh,
+                                                       unpersist)
 
     def _tombstone_snapshot(self) -> frozenset:
         """Point-in-time copy of the tombstone set, safe to take
@@ -937,6 +942,13 @@ class IVFIndex:
         zero times instead of once per batch — and a tombstone-free
         index short-circuits at the caller without any job."""
         snap = self._tombstone_snapshot()
+        if not snap:
+            # the set can empty between the caller's truthiness check
+            # (outside the lock) and this snapshot — e.g. a
+            # batch-boundary swap adopting the clone's compacted
+            # state; an empty list would also crash createDataFrame's
+            # schema inference (round 16 review #3)
+            return False
         cached = getattr(self, "_tomb_frame", None)
         # key on the SNAPSHOT itself, not its hash — a hash collision
         # would reuse a stale frame and skip the window-close gate
@@ -950,30 +962,10 @@ class IVFIndex:
                     .limit(1).count())
 
     def _insert_distributed_locked(self, df: DataFrame, refresh: bool,
-                                   unpersist: bool,
-                                   probe_token: tuple | None = None
-                                   ) -> DataFrame:
-        # caller holds _window_lock + _foreign_write_guard
+                                   unpersist: bool) -> DataFrame:
+        # caller holds _window_lock + _foreign_write_guard, and has
+        # already run the close-before-purge re-insert gate
         id_col, vec_col = self.id_col, self.vec_col
-        if (getattr(self, "_async_maint", None) and self.tombstones
-                and self._reinsert_probe_token() != probe_token
-                and self._reinsert_probe_hit(df)):
-            # in-lock fallback for the staged-purge/background-publish
-            # race gate (ADVICE r14 high): only reached when a NEW
-            # window opened between the pre-lock close above and the
-            # lock acquisition — post-gate routing must run against
-            # the post-swap centroids, not a layout the adopt is
-            # about to replace
-            from quake_vector_search_spark.streaming.ingest import (
-                finish_async_maintenance,
-            )
-
-            _st = getattr(self, "_async_maint", None) or {}
-            finish_async_maintenance(
-                self,
-                books_cache=getattr(self, "_stream_books_cache",
-                                    None),
-                encode_pq=bool(_st.get("encode_pq", True)))
         self._calibration = None
         routed = self.route_distributed(df).persist()
 

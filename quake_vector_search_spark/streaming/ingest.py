@@ -1277,35 +1277,52 @@ def finish_async_maintenance(index: IVFIndex,
             return None
         index._async_maint = None
         _unregister_open_window(index)
-        _clear_window_marker(index.workdir)
         if st.get("error") is not None:
             # rows ingested (and deletes applied) during the failed
             # window are safe in the still-current, never-swapped
             # version; both journals are stale bookkeeping
             import shutil
 
+            _clear_window_marker(index.workdir)
             shutil.rmtree(_journal_dir(index), ignore_errors=True)
             shutil.rmtree(_delete_journal_dir(index),
                           ignore_errors=True)
             raise st["error"]
-        # resolve the sequence-final delete set BEFORE the insert
-        # replay consumes (and removes) the insert journal it
-        # compares against
-        final_deletes = _final_delete_ids(index)
-        _adopt_index_state(index, st["clone"],
-                           hits_base=st.get("hits_base"),
-                           qc_base=st.get("qc_base"),
-                           summary=st.get("summary"))
-        out = _replay_ingest_journal(
-            index, books_cache if books_cache is not None else {},
-            encode_pq, summary=st.get("summary"),
-            distributed_threshold=st.get("distributed_threshold"))
-        # deletes whose stamp outranks every later insert of the same
-        # id re-apply AFTER the inserts: insert-then-delete nets out
-        # deleted, delete-then-reinsert keeps the re-inserted row
-        # (round 15, VERDICT r14 #1)
-        out["deletes_replayed"] = _replay_delete_journal(
-            index, final_deletes)
+        # the marker STAYS UP through the journal replays (round 16
+        # review #1): the replays run Spark jobs for seconds-minutes,
+        # and with the marker already cleared a foreign handle could
+        # open a fresh window mid-replay — its clone would snapshot a
+        # state missing the journaled deletes, and our own replay's
+        # delete() would refuse at ITS marker, aborting the swap with
+        # the deletes unapplied. ``_window_closing`` lets THIS
+        # handle's replay writes pass the foreign-window guard (they
+        # must not journal — _async_maint is already None — but they
+        # are not foreign). A crash mid-replay leaves marker +
+        # remaining journals for the attach-time recovery, same as a
+        # mid-window crash.
+        index._window_closing = True
+        try:
+            # resolve the sequence-final delete set BEFORE the insert
+            # replay consumes (and removes) the insert journal it
+            # compares against
+            final_deletes = _final_delete_ids(index)
+            _adopt_index_state(index, st["clone"],
+                               hits_base=st.get("hits_base"),
+                               qc_base=st.get("qc_base"),
+                               summary=st.get("summary"))
+            out = _replay_ingest_journal(
+                index, books_cache if books_cache is not None else {},
+                encode_pq, summary=st.get("summary"),
+                distributed_threshold=st.get("distributed_threshold"))
+            # deletes whose stamp outranks every later insert of the
+            # same id re-apply AFTER the inserts: insert-then-delete
+            # nets out deleted, delete-then-reinsert keeps the
+            # re-inserted row (round 15, VERDICT r14 #1)
+            out["deletes_replayed"] = _replay_delete_journal(
+                index, final_deletes)
+        finally:
+            index._window_closing = False
+            _clear_window_marker(index.workdir)
         out["version"] = index.version
         return out
 
@@ -1539,7 +1556,9 @@ def ingest_stream(index: IVFIndex, vectors_stream: DataFrame,
     # path forces a synchronous window close, the journal replay can
     # reuse this cache instead of re-deriving sidecar state. The
     # cache self-invalidates on version bumps (keys on the version
-    # dir's sidecar paths), so a stale stash is merely a re-key.
+    # dir's sidecar paths) and REPLACES its contents on re-key — it
+    # holds at most ONE version's books, so the handle pins a bounded
+    # payload after the stream ends, not an accumulating history.
     index._stream_books_cache = books_cache
     batch_counter = {"n": 0}
     auto_advised = {"done": False}

@@ -34,8 +34,12 @@ Contract summary (built up rounds 13-15, see SCALING.md):
 from __future__ import annotations
 
 import os
+from typing import TYPE_CHECKING
 
 import numpy as np
+
+if TYPE_CHECKING:  # annotation-only — no runtime import (no cycle)
+    from quake_vector_search_spark.operators.ivf import IVFIndex
 
 def _journal_dir(index: IVFIndex) -> str:
     return os.path.join(index.workdir, "ingest_journal")
@@ -126,8 +130,12 @@ def _refuse_if_foreign_window(index: IVFIndex, verb: str) -> None:
     a write through THIS handle would neither be journaled with the
     window's sequence stamps nor survive the wholesale state adopt
     at its swap — silent loss or resurrection. No-op when this
-    handle itself holds the window (its writes self-journal)."""
-    if getattr(index, "_async_maint", None):
+    handle itself holds the window (its writes self-journal), or is
+    mid-swap replaying that window's journals (round 16 review #1:
+    the marker stays up through the replays, and the replay's own
+    delete()/insert() calls must pass — they are not foreign)."""
+    if (getattr(index, "_async_maint", None)
+            or getattr(index, "_window_closing", False)):
         return
     path = _window_marker_path(index.workdir)
     if os.path.exists(path):

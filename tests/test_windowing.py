@@ -327,3 +327,59 @@ def test_distributed_reinsert_probe_runs_once_per_batch(spark,
         del idx._reinsert_probe_hit
         while getattr(idx, "_async_maint", None):
             finish_async_maintenance(idx)
+
+
+def test_marker_stands_through_swap_replays(spark, tmp_path):
+    """Round-16 review #1: the window marker must stay on disk while
+    the swap replays the journals — with it already cleared, a
+    foreign handle could open a fresh window mid-replay (its clone
+    missing the journaled deletes) and the replay's own delete()
+    would refuse at that marker, aborting the swap. During the
+    replay the handle is flagged ``_window_closing`` so its own
+    writes pass the foreign-window guard."""
+    import quake_vector_search_spark.streaming.ingest as ing
+    from quake_vector_search_spark.streaming.ingest import (
+        _start_async_maintenance,
+        _window_marker_path,
+        finish_async_maintenance,
+    )
+
+    corpus = make_dataset(spark, 200, d=8, n_clusters=3, seed=168)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_marker_replay"),
+                         coarse_k=2, base_k=2)
+    _start_async_maintenance(idx, None, None, encode_pq=False)
+    # journal an out-of-band delete so the swap has a replay to run
+    idx.delete([5])
+    seen = {}
+    real_replay = ing._replay_ingest_journal
+
+    def spy(index, *a, **kw):
+        seen["marker_up"] = os.path.exists(
+            _window_marker_path(index.workdir))
+        seen["closing"] = bool(getattr(index, "_window_closing",
+                                       False))
+        return real_replay(index, *a, **kw)
+
+    ing._replay_ingest_journal = spy
+    try:
+        finish_async_maintenance(idx)
+    finally:
+        ing._replay_ingest_journal = real_replay
+    assert seen == {"marker_up": True, "closing": True}
+    # after the swap: marker cleared, flag down, delete applied
+    assert not os.path.exists(_window_marker_path(idx.workdir))
+    assert not getattr(idx, "_window_closing", False)
+    assert idx.read_corpus().where("vec_id = 5").count() == 0
+
+
+def test_probe_hit_handles_emptied_tombstone_set(spark, tmp_path):
+    """Round-16 review #3: the tombstone set can empty between the
+    caller's truthiness check (outside the lock) and the probe's
+    snapshot — the probe must return False, not crash
+    createDataFrame's schema inference on an empty list."""
+    corpus = make_dataset(spark, 80, d=8, n_clusters=2, seed=169)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_empty_probe"),
+                         coarse_k=2, base_k=1)
+    assert idx.tombstones == set()
+    df = spark.createDataFrame([(1,)], [idx.id_col])
+    assert idx._reinsert_probe_hit(df) is False
