@@ -736,8 +736,9 @@ class IVFIndex:
         # c1:111-125), so physically purge the old rows first. Only the
         # affected partition directories are rewritten; plain inserts
         # (no re-used id) never pay this.
-        reinserted = self.tombstones & set(int(i) for i in ids)
-        self.tombstones -= set(int(i) for i in ids)
+        id_set = set(int(i) for i in ids)
+        reinserted = self.tombstones & id_set
+        self.tombstones -= id_set
         # STAGE (don't publish) the purge of re-used ids' old rows: the
         # new rows must land in the staged corpus BEFORE the version
         # flip + save_meta, or a crash in between leaves the latest
@@ -889,18 +890,23 @@ class IVFIndex:
         # transition lock — see insert() (round 16, ADVICE r15). The
         # distributed twin probes with one bounded broadcast-join job
         # per iteration; the loop almost never iterates twice.
+        # the token is captured BEFORE each verdict it validates
+        # (round 16 second review #2): captured after, a window open
+        # or tombstone mutation in the gap between verdict and
+        # capture would be hidden — the in-lock comparison would see
+        # matching tokens and wrongly skip the re-probe. Captured
+        # before, any such mutation makes the tokens differ and the
+        # in-lock fallback re-probes (conservative). The token lets
+        # the steady streaming state (window open, tombstones
+        # standing, batch clean) pay the probe job ONCE per batch,
+        # not twice.
         while True:
+            probe_token = self._reinsert_probe_token()
             st = getattr(self, "_async_maint", None)
             if not (st and self.tombstones
                     and self._reinsert_probe_hit(df)):
                 break
             self._finish_own_window()
-        # remember what the pre-lock verdict was computed against so
-        # the in-lock fallback re-probes ONLY when a window opened or
-        # the tombstone set mutated in the gap — otherwise the steady
-        # streaming state (window open, tombstones standing, batch
-        # clean) would pay the probe job twice per batch
-        probe_token = self._reinsert_probe_token()
         # cross-handle single-writer guard — see insert()
         with _window_lock(self):
             # in-lock fallback, BEFORE the guard is entered (round 16

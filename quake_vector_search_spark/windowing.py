@@ -67,11 +67,16 @@ def _unregister_open_window(index: IVFIndex) -> None:
 
 def _other_handle_window_in_process(index: IVFIndex):
     """The OTHER live handle in this process holding an open window
-    on this workdir, or None."""
+    on this workdir — or mid-swap replaying one (round 16 second
+    review: the registry row survives until the replays finish, and
+    a handle with ``_window_closing`` set is still consuming the
+    journals, so a same-process attach must not clear its marker and
+    double-replay them) — or None."""
     ref = _OPEN_WINDOWS.get(os.path.abspath(index.workdir))
     holder = ref() if ref is not None else None
     if (holder is None or holder is index
-            or not getattr(holder, "_async_maint", None)):
+            or not (getattr(holder, "_async_maint", None)
+                    or getattr(holder, "_window_closing", False))):
         return None
     return holder
 

@@ -329,6 +329,14 @@ def test_distributed_reinsert_probe_runs_once_per_batch(spark,
             finish_async_maintenance(idx)
 
 
+class _FakeHandle:
+    """Minimal stand-in for a second IVFIndex handle on the same
+    workdir (only what _other_handle_window_in_process reads)."""
+
+    def __init__(self, workdir):
+        self.workdir = workdir
+
+
 def test_marker_stands_through_swap_replays(spark, tmp_path):
     """Round-16 review #1: the window marker must stay on disk while
     the swap replays the journals — with it already cleared, a
@@ -358,6 +366,12 @@ def test_marker_stands_through_swap_replays(spark, tmp_path):
             _window_marker_path(index.workdir))
         seen["closing"] = bool(getattr(index, "_window_closing",
                                        False))
+        # the in-process registry row must also survive the replay
+        # (round 16 second review: a same-process attach consults it
+        # before trusting the pid probe)
+        seen["other_handle_sees_holder"] = (
+            ing._other_handle_window_in_process(
+                _FakeHandle(index.workdir)) is index)
         return real_replay(index, *a, **kw)
 
     ing._replay_ingest_journal = spy
@@ -365,7 +379,8 @@ def test_marker_stands_through_swap_replays(spark, tmp_path):
         finish_async_maintenance(idx)
     finally:
         ing._replay_ingest_journal = real_replay
-    assert seen == {"marker_up": True, "closing": True}
+    assert seen == {"marker_up": True, "closing": True,
+                    "other_handle_sees_holder": True}
     # after the swap: marker cleared, flag down, delete applied
     assert not os.path.exists(_window_marker_path(idx.workdir))
     assert not getattr(idx, "_window_closing", False)
@@ -383,3 +398,45 @@ def test_probe_hit_handles_emptied_tombstone_set(spark, tmp_path):
     assert idx.tombstones == set()
     df = spark.createDataFrame([(1,)], [idx.id_col])
     assert idx._reinsert_probe_hit(df) is False
+
+
+def test_replay_exception_leaves_marker_for_recovery(spark,
+                                                     tmp_path):
+    """Round-16 second review #3: a mid-replay EXCEPTION must leave
+    the marker STANDING — the insert journal may already be
+    consumed, so the state converges only through the attach-time
+    recovery; clearing the marker would let a later window restart
+    the seq counter against the stale delete journal and wrongly
+    re-delete a re-inserted id. Writes refuse loudly until the
+    recovery runs, exactly like a crash."""
+    import pytest
+
+    import quake_vector_search_spark.streaming.ingest as ing
+    from quake_vector_search_spark.streaming.ingest import (
+        _clear_window_marker,
+        _start_async_maintenance,
+        _window_marker_path,
+        finish_async_maintenance,
+    )
+
+    corpus = make_dataset(spark, 200, d=8, n_clusters=3, seed=170)
+    idx = IVFIndex.build(corpus, str(tmp_path / "ivf_replay_exc"),
+                         coarse_k=2, base_k=2)
+    _start_async_maintenance(idx, None, None, encode_pq=False)
+    real_replay = ing._replay_ingest_journal
+
+    def boom(index, *a, **kw):
+        raise RuntimeError("synthetic replay failure")
+
+    ing._replay_ingest_journal = boom
+    try:
+        with pytest.raises(RuntimeError, match="synthetic replay"):
+            finish_async_maintenance(idx)
+    finally:
+        ing._replay_ingest_journal = real_replay
+    # marker stands; the closing flag is down; writes refuse
+    assert os.path.exists(_window_marker_path(idx.workdir))
+    assert not getattr(idx, "_window_closing", False)
+    with pytest.raises(RuntimeError, match="single-writer"):
+        idx.delete([3])
+    _clear_window_marker(idx.workdir)
