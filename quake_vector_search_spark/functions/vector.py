@@ -99,7 +99,13 @@ def l2_batch(x: np.ndarray, y: np.ndarray) -> np.ndarray:
     y = np.asarray(y, dtype=np.float64)
     x2 = (x * x).sum(axis=1)[:, None]
     y2 = (y * y).sum(axis=1)[None, :]
-    d2 = x2 + y2 - 2.0 * (x @ y.T)
+    # per-element expression unchanged — (x2+y2) − (2·xy) in the same
+    # order — but built on two [n, m] buffers instead of four: the
+    # kernel is memory-bandwidth-bound at these shapes, not FLOP-bound
+    d2 = x2 + y2
+    xy = x @ y.T
+    xy *= 2.0
+    d2 -= xy
     np.maximum(d2, 0.0, out=d2)
     return d2
 

@@ -1540,6 +1540,19 @@ class IVFIndex:
         self.save_meta()
         return self._calibration
 
+    def restore_calibration(self, cal: dict) -> None:
+        """Reinstall a calibration dict previously RETURNED by
+        ``calibrate()`` on this same index version. ``calibrate`` is
+        deterministic given (index state, args) — seeded query sample,
+        exact brute-force truth, seeded cross-fit permutation — so when
+        no DML/maintenance has intervened, re-running an identical fit
+        recomputes the identical dict; callers that alternate between
+        two fits (e.g. full vs routed) can snapshot and restore instead
+        of paying the brute-force pass again. DML and maintenance clear
+        ``_calibration`` exactly as they would after a real fit."""
+        self._calibration = dict(cal)
+        self.save_meta()
+
     def _decide_nprobe(self, probs: np.ndarray, target_recall: float,
                        max_probe: int, policy: str) -> np.ndarray:
         """The probe-count rule shared by search() and the IVF+PQ

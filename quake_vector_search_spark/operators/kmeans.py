@@ -29,18 +29,37 @@ from pyspark.sql import functions as F
 from quake_vector_search_spark.functions.vector import l2_batch
 
 
+def _group_slices(labels: np.ndarray):
+    """Stable-argsort grouping of integer labels: returns (idx, starts,
+    ends, uniq) where ``idx[starts[i]:ends[i]]`` are the row indices
+    with label ``uniq[i]``, in ASCENDING original-row order — exactly
+    the rows (and row order) a ``rows[labels == c]`` boolean mask
+    yields, so any per-group reduction over the slice is bit-identical
+    to the masked form, at one O(n log n) sort instead of k O(n) scans.
+    ``uniq`` ascends."""
+    idx = np.argsort(labels, kind="stable")
+    sl = labels[idx]
+    bounds = np.flatnonzero(np.r_[True, sl[1:] != sl[:-1], True])
+    return idx, bounds[:-1], bounds[1:], sl[bounds[:-1]]
+
+
 def _seeded_sample(df: DataFrame, vec_col: str, id_col: str, n: int,
                    seed: int) -> tuple[np.ndarray, np.ndarray]:
     """The n rows with smallest xxhash64(id, seed) — a deterministic
     seeded sample computed as a distributed top-n (TakeOrdered), no full
     sort, no collect of the corpus. Returns (ids, vectors)."""
-    rows = (df.select(id_col, vec_col,
-                      F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"))
-            .orderBy("_h", id_col)
-            .limit(n)
-            .collect())
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    vecs = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
+    # Arrow-path collect (toPandas): the TakeOrderedAndProject result
+    # order is preserved and float64 values transport exactly; the row
+    # path pays per-row pickle + Row construction for the same bytes
+    pdf = (df.select(id_col, vec_col,
+                     F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"))
+           .orderBy("_h", id_col)
+           .limit(n)
+           .select(id_col, vec_col)
+           .toPandas())
+    ids = pdf[id_col].to_numpy().astype(np.int64)
+    vecs = np.array([np.asarray(v, dtype=np.float64)
+                     for v in pdf[vec_col].to_numpy()])
     return ids, vecs
 
 
@@ -173,13 +192,18 @@ def _lloyds_local(train: np.ndarray, reservoir: np.ndarray, k: int,
     reseed_cursor = k_eff
     for _ in range(iters):
         assign = np.argmin(l2_batch(train, cents), axis=1)
-        for c in range(k_eff):
-            members = train[assign == c]
-            if len(members) > 0:
-                cents[c] = members.mean(axis=0)
-            else:
-                cents[c] = reservoir[reseed_cursor % reservoir.shape[0]]
-                reseed_cursor += 1
+        # grouped means via one stable argsort — bit-identical to the
+        # per-cluster boolean-mask form (same rows, same order, same
+        # .mean reduction); empty clusters reseed in ascending-c order,
+        # matching the original c-loop's reservoir-cursor consumption
+        idx, starts, ends, uniq = _group_slices(assign)
+        present = np.zeros(k_eff, dtype=bool)
+        present[uniq] = True
+        for s, e, c in zip(starts, ends, uniq):
+            cents[c] = train[idx[s:e]].mean(axis=0)
+        for c in np.flatnonzero(~present):
+            cents[c] = reservoir[reseed_cursor % reservoir.shape[0]]
+            reseed_cursor += 1
     return cents
 
 
@@ -201,14 +225,56 @@ def local_kmeans(vecs: np.ndarray, k: int, iters: int,
     assign = np.zeros(n, dtype=np.int64)
     for _ in range(iters):
         assign = np.argmin(l2_batch(vecs, cents), axis=1)
-        for c in range(k):
-            members = vecs[assign == c]
-            if len(members) > 0:
-                cents[c] = members.mean(axis=0)
-            else:
-                cents[c] = vecs[rng.integers(0, n)]
+        # grouped means (see _group_slices): bit-identical to the
+        # boolean-mask-per-cluster form; empty-cluster rng draws happen
+        # in ascending-c order exactly as the original c-loop drew them
+        idx, starts, ends, uniq = _group_slices(assign)
+        present = np.zeros(k, dtype=bool)
+        present[uniq] = True
+        for s, e, c in zip(starts, ends, uniq):
+            cents[c] = vecs[idx[s:e]].mean(axis=0)
+        for c in np.flatnonzero(~present):
+            cents[c] = vecs[rng.integers(0, n)]
     assign = np.argmin(l2_batch(vecs, cents), axis=1)
     return cents, assign
+
+
+def train_subspace_books(X: np.ndarray, m: int, ksub: int, iters: int,
+                         seed: int, parallel: bool = False
+                         ) -> np.ndarray:
+    """Per-chunk seeded Lloyd's: ``books[j] = local_kmeans(X[:, j·dsub:
+    (j+1)·dsub], ksub, iters, seed + 1 + j)`` — the init every PQ
+    trainer in quantization.py shares. The m fits are INDEPENDENT
+    (disjoint columns, disjoint seeds), so with ``parallel=True`` they
+    run on a thread pool: each fit executes byte-identical code on its
+    own data — the threads merely overlap the BLAS/ufunc sections that
+    release the GIL — so the result is bit-equal to the serial loop in
+    any interleaving. Enable ONLY on the driver: inside an executor
+    task the cores are already owned by sibling tasks and the extra
+    threads just thrash."""
+    n, d = X.shape
+    if d % m != 0:
+        raise ValueError(f"d={d} not divisible by m={m}")
+    dsub = d // m
+    ksub_eff = min(ksub, n)
+    books = np.empty((m, ksub_eff, dsub), dtype=np.float64)
+    if parallel and m > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def fit(j):
+            return local_kmeans(X[:, j * dsub:(j + 1) * dsub],
+                                ksub_eff, iters, seed + 1 + j)[0]
+
+        import os
+        workers = min(m, os.cpu_count() or 1)
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            for j, bj in enumerate(ex.map(fit, range(m))):
+                books[j] = bj
+    else:
+        for j in range(m):
+            books[j], _ = local_kmeans(X[:, j * dsub:(j + 1) * dsub],
+                                       ksub_eff, iters, seed + 1 + j)
+    return books
 
 
 def assign_clusters(df: DataFrame, centroids: np.ndarray,

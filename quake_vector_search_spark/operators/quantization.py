@@ -155,20 +155,14 @@ def pq_train(corpus_df: DataFrame, m: int = 8, ksub: int = 256,
     scale regardless of corpus size.
     """
     from quake_vector_search_spark.operators.kmeans import (
-        _seeded_sample, local_kmeans)
+        _seeded_sample, train_subspace_books)
 
     id_col = _infer_id_col(corpus_df)
     _, samp = _seeded_sample(corpus_df, vec_col, id_col, sample_n, seed)
-    d = samp.shape[1]
-    if d % m != 0:
-        raise ValueError(f"d={d} not divisible by m={m}")
-    dsub = d // m
-    ksub_eff = min(ksub, samp.shape[0])
-    books = np.empty((m, ksub_eff, dsub), dtype=np.float64)
-    for j in range(m):
-        sub = samp[:, j * dsub:(j + 1) * dsub]
-        books[j], _ = local_kmeans(sub, ksub_eff, iters, seed + 1 + j)
-    return books
+    # driver-side entry point → the m independent per-chunk fits run on
+    # a thread pool (bit-identical per fit; see train_subspace_books)
+    return train_subspace_books(samp, m, ksub, iters, seed,
+                                parallel=True)
 
 
 def _infer_id_col(df: DataFrame, default: str = "vec_id") -> str:
@@ -212,7 +206,8 @@ def _eigalloc_rotation(X: np.ndarray, m: int
 
 def opq_refine_local(samp: np.ndarray, m: int, ksub: int = 256,
                      opq_iters: int = 4, kmeans_iters: int = 4,
-                     seed: int = 99) -> dict:
+                     seed: int = 99,
+                     parallel_init: bool = False) -> dict:
     """Iterative OPQ (round 7): refine a PCA-initialized rotation by
     alternating codebook training and an orthogonal-Procrustes update
     (the non-parametric OPQ of Ge et al., CVPR'13). One-shot PCA
@@ -235,7 +230,9 @@ def opq_refine_local(samp: np.ndarray, m: int, ksub: int = 256,
     The rotation plugs into the persisted pq_rotation.npz format
     unchanged, so queries, streaming appends, and maintenance refresh
     all pick it up with zero further changes."""
-    from quake_vector_search_spark.operators.kmeans import local_kmeans
+    from quake_vector_search_spark.operators.kmeans import (
+        train_subspace_books,
+    )
 
     X = np.asarray(samp, dtype=np.float64)
     n, d = X.shape
@@ -247,12 +244,10 @@ def opq_refine_local(samp: np.ndarray, m: int, ksub: int = 256,
     Z = X - mean
 
     def _books_for(Y):
-        books = np.empty((m, ksub_eff, dsub), dtype=np.float64)
-        for j in range(m):
-            books[j], _ = local_kmeans(Y[:, j * dsub:(j + 1) * dsub],
-                                       ksub_eff, kmeans_iters,
-                                       seed + 1 + j)
-        return books
+        # per-chunk fits are independent; parallel_init threads them
+        # on driver-side calls (bit-identical — train_subspace_books)
+        return train_subspace_books(Y, m, ksub_eff, kmeans_iters,
+                                    seed, parallel=parallel_init)
 
     def _decode(Y, books):
         codes = pq_encode_local(Y, books)
@@ -450,7 +445,8 @@ def knn_opq(corpus_df: DataFrame, queries, k: int = 10,
         _, samp = _seeded_sample(corpus_df, vec_col,
                                  _infer_id_col(corpus_df), 25_000, seed)
         ref = opq_refine_local(samp, m=m, ksub=ksub,
-                               opq_iters=opq_iters, seed=seed)
+                               opq_iters=opq_iters, seed=seed,
+                               parallel_init=True)
         model = {"dim": ref["components"].shape[1], "mean": ref["mean"],
                  "eigvals": np.ones(ref["components"].shape[0]),
                  "components": ref["components"]}
@@ -1469,7 +1465,7 @@ def _build_aniso_global(index, corpus, m, ksub, seed,
         model = aniso_opq_refine_local(Xs, Xhs, m=m, ksub=ksub,
                                        eta=float(anisotropic),
                                        opq_iters=int(opq_iters),
-                                       seed=seed)
+                                       seed=seed, parallel_init=True)
         rot = {"mean": model["mean"],
                "components": model["components"]}
         joint_books = model["books"]
@@ -2068,7 +2064,8 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
                                      index.id_col,
                                      min(sample_n, 25_000), seed)
             model = opq_refine_local(samp, m=m, ksub=ksub,
-                                     opq_iters=opq_iters, seed=seed)
+                                     opq_iters=opq_iters, seed=seed,
+                                     parallel_init=True)
         else:
             model = fit_pca(res_src, vec_col=index.vec_col)
         rot = {"mean": model["mean"], "components": model["components"]}
@@ -2091,7 +2088,8 @@ def build_pq_sidecar(index, m: int = 8, ksub: int = 256,
                                      index.id_col,
                                      min(sample_n, 25_000), seed)
             model = opq_refine_local(samp, m=m, ksub=ksub,
-                                     opq_iters=opq_iters, seed=seed)
+                                     opq_iters=opq_iters, seed=seed,
+                                     parallel_init=True)
         else:
             model = fit_pca(corpus, vec_col=index.vec_col)
         rot = {"mean": model["mean"], "components": model["components"]}
@@ -2858,11 +2856,20 @@ def _aniso_encode_local(X: np.ndarray, books: np.ndarray, eta: float,
             e2_other = e2 - (ej ** 2).sum(axis=1)
             t_other = t - (ej * Xhj).sum(axis=1)
             Dj = l2_batch(Xj, C)                       # [n, ksub]
-            Sj = (Xj * Xhj).sum(axis=1)[:, None] - Xhj @ C.T
-            loss = (e2_other[:, None] + Dj
-                    + (eta - 1.0) * (t_other[:, None] + Sj) ** 2)
+            # loss built in place on two [n, ksub] buffers; per-element
+            # value identical to
+            #   e2_other + Dj + (eta-1)·(t_other + Sj)²
+            # with Sj = (Xj·Xhj) − Xhj Cᵀ (same ops, same order —
+            # the two += are the commuted adds, exact in IEEE)
+            S = Xhj @ C.T
+            np.subtract((Xj * Xhj).sum(axis=1)[:, None], S, out=S)
+            S += t_other[:, None]
+            np.multiply(S, S, out=S)
+            S *= (eta - 1.0)
+            Dj += e2_other[:, None]
+            Dj += S
             # deterministic tie-break: smallest codeword index wins
-            new = loss.argmin(axis=1)
+            new = Dj.argmin(axis=1)
             ej_new = Xj - C[new]
             e2 = e2_other + (ej_new ** 2).sum(axis=1)
             t = t_other + (ej_new * Xhj).sum(axis=1)
@@ -2929,8 +2936,8 @@ def aniso_encode_streamed(X: np.ndarray, books: np.ndarray,
 def _aniso_train_local(X: np.ndarray, Xh: np.ndarray | None,
                        m: int, ksub: int, eta: float,
                        alts: int = 3, kmeans_iters: int = 8,
-                       cd_passes: int = 2, seed: int = 99
-                       ) -> np.ndarray:
+                       cd_passes: int = 2, seed: int = 99,
+                       parallel_init: bool = False) -> np.ndarray:
     """The anisotropic-training core on an in-memory sample — plain
     per-chunk Lloyd's init, then ``alts`` alternations of score-aware
     assignment (``_aniso_encode_local``) with the closed-form weighted
@@ -2938,18 +2945,23 @@ def _aniso_train_local(X: np.ndarray, Xh: np.ndarray | None,
     the PER-CELL trainer (aniso × LOPQ) can run the identical
     procedure inside a grouped-map task: one cell's residual sample +
     that cell's directions in, that cell's score-aware books out —
-    driver-free, deterministic for a given (X, Xh, seed)."""
-    from quake_vector_search_spark.operators.kmeans import local_kmeans
+    driver-free, deterministic for a given (X, Xh, seed).
+
+    ``parallel_init`` threads the m independent per-chunk Lloyd's fits
+    (bit-identical per fit — ``train_subspace_books``); driver-side
+    callers enable it, the per-cell grouped-map path must not (the
+    executor's cores already belong to sibling tasks)."""
+    from quake_vector_search_spark.operators.kmeans import (
+        train_subspace_books,
+    )
 
     d = X.shape[1]
     if d % m != 0:
         raise ValueError(f"d={d} not divisible by m={m}")
     dsub = d // m
     ksub_eff = min(ksub, X.shape[0])
-    books = np.empty((m, ksub_eff, dsub), dtype=np.float64)
-    for j in range(m):
-        books[j], _ = local_kmeans(X[:, j * dsub:(j + 1) * dsub],
-                                   ksub_eff, kmeans_iters, seed + 1 + j)
+    books = train_subspace_books(X, m, ksub, kmeans_iters, seed,
+                                 parallel=parallel_init)
     if eta == 1.0:
         return books
     if Xh is None:
@@ -2969,12 +2981,19 @@ def _aniso_train_local(X: np.ndarray, Xh: np.ndarray | None,
             t_other = t - (ej * Xhj).sum(axis=1)
             proj_x = (Xj * Xhj).sum(axis=1)
             newb = books[j].copy()
-            for c in range(ksub_eff):
-                idx = np.where(codes[:, j] == c)[0]
-                if not len(idx):
-                    continue                     # keep the old codeword
+            # group rows per codeword with ONE stable argsort instead
+            # of ksub O(n) np.where scans; each group's indices ascend
+            # exactly like np.where's, so every solve sees identical
+            # inputs (absent codewords keep the old codeword as before)
+            from quake_vector_search_spark.operators.kmeans import (
+                _group_slices,
+            )
+            gidx, starts, ends, uniq = _group_slices(codes[:, j])
+            eye = np.eye(dsub)
+            for s, e, c in zip(starts, ends, uniq):
+                idx = gidx[s:e]
                 Mh = Xhj[idx]
-                A = (len(idx) * np.eye(dsub)
+                A = (len(idx) * eye
                      + (eta - 1.0) * (Mh.T @ Mh))
                 rhs = (Xj[idx].sum(axis=0)
                        + (eta - 1.0) * ((t_other[idx] + proj_x[idx])
@@ -3002,12 +3021,16 @@ def _aniso_sample(corpus_df: DataFrame, vec_col: str, seed: int,
 
     id_col = _infer_id_col(corpus_df)
     if cents is not None:
-        rows = (corpus_df.select(id_col, vec_col, "partition_id")
-                .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
-                .limit(sample_n).collect())
-        X = np.array([r_[vec_col] for r_ in rows], dtype=np.float64)
-        pid_s = np.array([r_["partition_id"] for r_ in rows],
-                         dtype=np.int64)
+        # Arrow-path collect: same sorted-limit plan, same float64
+        # values, minus the per-row pickle cost of .collect()
+        pdf = (corpus_df.select(id_col, vec_col, "partition_id")
+               .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+               .limit(sample_n)
+               .select(vec_col, "partition_id")
+               .toPandas())
+        X = np.array([np.asarray(v, dtype=np.float64)
+                      for v in pdf[vec_col].to_numpy()])
+        pid_s = pdf["partition_id"].to_numpy().astype(np.int64)
         orig = X + np.stack([cents[int(p)] for p in pid_s])
         Xh = orig / np.maximum(
             np.linalg.norm(orig, axis=1, keepdims=True), 1e-12)
@@ -3020,7 +3043,8 @@ def aniso_opq_refine_local(X: np.ndarray, Xh: np.ndarray | None,
                            m: int, ksub: int, eta: float,
                            opq_iters: int = 3, alts: int = 2,
                            kmeans_iters: int = 8, cd_passes: int = 2,
-                           mm_steps: int = 2, seed: int = 99) -> dict:
+                           mm_steps: int = 2, seed: int = 99,
+                           parallel_init: bool = False) -> dict:
     """Score-aware OPQ (round 13 — closes the aniso × opq_iters
     refusal): jointly refine an orthogonal rotation AND anisotropic
     codebooks against the anisotropic loss itself, alternating
@@ -3091,7 +3115,8 @@ def aniso_opq_refine_local(X: np.ndarray, Xh: np.ndarray | None,
         books = _aniso_train_local(Y, XhR, m=m, ksub=ksub, eta=eta,
                                    alts=alts,
                                    kmeans_iters=kmeans_iters,
-                                   cd_passes=cd_passes, seed=seed)
+                                   cd_passes=cd_passes, seed=seed,
+                                   parallel_init=parallel_init)
         codes = _aniso_encode_local(Y, books, eta, passes=cd_passes,
                                     dirs=XhR)
         mm = books.shape[0]
@@ -3162,7 +3187,8 @@ def aniso_pq_train(corpus_df: DataFrame, m: int = 8, ksub: int = 256,
         Xh = Xh @ rot["components"].T   # unit-norm preserved (R orth.)
     return _aniso_train_local(X, Xh, m=m, ksub=ksub, eta=eta,
                               alts=alts, kmeans_iters=kmeans_iters,
-                              cd_passes=cd_passes, seed=seed)
+                              cd_passes=cd_passes, seed=seed,
+                              parallel_init=True)
 
 
 def pq_train_distributed(corpus_df: DataFrame, m: int = 8,
@@ -3224,14 +3250,19 @@ def pq_train_distributed(corpus_df: DataFrame, m: int = 8,
                 X = np.vstack(pdf[vec_col].to_numpy()).astype(
                     np.float64)
                 out_j, out_c, out_n, out_s = [], [], [], []
+                from quake_vector_search_spark.operators.kmeans \
+                    import _group_slices
                 for j in range(mm):
                     Xj = X[:, j * ds:(j + 1) * ds]
                     a = np.argmin(l2_batch(Xj, bks[j]), axis=1)
-                    for c in np.unique(a):
-                        sel = a == c
+                    # grouped slices: same ascending row sets as the
+                    # per-codeword boolean masks, bit-equal sums
+                    gidx, starts, ends, uniq = _group_slices(a)
+                    for s0, e0, c in zip(starts, ends, uniq):
+                        sel = gidx[s0:e0]
                         out_j.append(j)
                         out_c.append(int(c))
-                        out_n.append(int(sel.sum()))
+                        out_n.append(len(sel))
                         out_s.append(Xj[sel].sum(axis=0))
                 yield pd.DataFrame({"chunk": out_j, "code": out_c,
                                     "n": out_n, "stat": out_s})
@@ -3334,11 +3365,12 @@ def aniso_pq_train_distributed(corpus_df: DataFrame, m: int = 8,
         raise ValueError(f"d={d} not divisible by m={m}")
     dsub = d // m
     ksub_eff = min(ksub, Xi.shape[0])
-    books = np.empty((m, ksub_eff, dsub), dtype=np.float64)
-    for j in range(m):
-        books[j], _ = local_kmeans(Xi[:, j * dsub:(j + 1) * dsub],
-                                   ksub_eff, kmeans_iters,
-                                   seed + 1 + j)
+    from quake_vector_search_spark.operators.kmeans import (
+        train_subspace_books,
+    )
+    # driver-side init → threaded independent per-chunk fits
+    books = train_subspace_books(Xi, m, ksub, kmeans_iters, seed,
+                                 parallel=True)
     if eta == 1.0:
         return books
 
@@ -3383,8 +3415,15 @@ def aniso_pq_train_distributed(corpus_df: DataFrame, m: int = 8,
                     ej = Xj - cur
                     t_other = t - (ej * Xhj).sum(axis=1)
                     w = t_other + (Xj * Xhj).sum(axis=1)
-                    for c in np.unique(codes[:, j]):
-                        sel = codes[:, j] == c
+                    # grouped slices (one stable argsort) instead of a
+                    # boolean mask per codeword — identical ascending
+                    # row sets per group, so every stat is bit-equal
+                    from quake_vector_search_spark.operators.kmeans \
+                        import _group_slices
+                    gidx, starts, ends, uniq = _group_slices(
+                        codes[:, j])
+                    for s0, e0, c in zip(starts, ends, uniq):
+                        sel = gidx[s0:e0]
                         Mh = Xhj[sel]
                         stat = np.concatenate([
                             (Mh.T @ Mh).ravel(),
@@ -3392,7 +3431,7 @@ def aniso_pq_train_distributed(corpus_df: DataFrame, m: int = 8,
                             (w[sel, None] * Mh).sum(axis=0)])
                         out_j.append(j)
                         out_c.append(int(c))
-                        out_n.append(int(sel.sum()))
+                        out_n.append(len(sel))
                         out_s.append(stat)
                 yield pd.DataFrame({"chunk": out_j, "code": out_c,
                                     "n": out_n, "stat": out_s})

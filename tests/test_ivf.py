@@ -270,6 +270,22 @@ def test_calibrate_fit_shape_and_determinism(blob_index):
     assert again == cal  # seeded → bit-identical refit
 
 
+def test_restore_calibration_equals_refit(blob_index):
+    # round-16 optimization pin: bench alternates between a full and a
+    # routed fit; restore_calibration must reinstall EXACTLY what an
+    # identical-args refit would compute (calibrate is deterministic
+    # given the index state), including after other fits overwrote it.
+    cal_full = blob_index.calibrate(n_queries=32)
+    cal_routed = blob_index.calibrate(n_queries=32, route_cells=4)
+    assert cal_routed != cal_full
+    blob_index.restore_calibration(cal_full)
+    assert blob_index._calibration == cal_full
+    assert blob_index.calibrate(n_queries=32) == cal_full
+    blob_index.restore_calibration(cal_routed)
+    assert (blob_index.calibrate(n_queries=32, route_cells=4)
+            == cal_routed)
+
+
 def test_calibrated_policy_prunes_and_keeps_recall(spark, blob_index):
     blob_index.calibrate(n_queries=64)
     rng = np.random.default_rng(5)

@@ -1685,3 +1685,118 @@ def test_sq4_drift_retrain_keeps_its_grid(spark, tmp_path):
     mx = (spark.read.parquet(f"{idx.version_dir}/pq")
           .select(F.max(F.array_max("pq_codes"))).first()[0])
     assert mx <= 15, mx
+
+
+# ------------------- round-16 optimization exactness pins
+# The r16 optimization round rewrote the hot driver-side kernels for
+# speed under a STRICT bit-identity contract (declared query results
+# must not move). These tests pin each rewrite against a
+# straightforward reference implementation of the ORIGINAL expression.
+
+
+def test_l2_batch_inplace_matches_reference_expression():
+    # l2_batch now builds (x2+y2) − (2·xy) on two buffers in place; the
+    # per-element IEEE expression must equal the original
+    # x2 + y2 - 2.0*(x@y.T) clamped at 0, bitwise.
+    rng = np.random.default_rng(7)
+    for n, d, k in ((1000, 8, 256), (37, 64, 5), (3, 4, 2)):
+        x = rng.normal(size=(n, d))
+        y = rng.normal(size=(k, d))
+        x2 = (x * x).sum(axis=1)[:, None]
+        y2 = (y * y).sum(axis=1)[None, :]
+        ref = x2 + y2 - 2.0 * (x @ y.T)
+        np.maximum(ref, 0.0, out=ref)
+        assert np.array_equal(l2_batch(x, y), ref)
+
+
+def test_local_kmeans_grouped_means_match_masked_reference():
+    # local_kmeans now computes per-cluster means via one stable
+    # argsort (grouped slices) instead of k boolean masks; centroids,
+    # assignment, AND the rng consumption order for empty-cluster
+    # reseeds must be bit-identical to the original loop.
+    from quake_vector_search_spark.operators.kmeans import local_kmeans
+
+    def reference(vecs, k, iters, seed):
+        vecs = np.asarray(vecs, dtype=np.float64)
+        n = vecs.shape[0]
+        rng = np.random.default_rng(seed)
+        k = min(k, n)
+        cents = vecs[rng.choice(n, size=k, replace=False)].copy()
+        for _ in range(iters):
+            assign = np.argmin(l2_batch(vecs, cents), axis=1)
+            for c in range(k):
+                members = vecs[assign == c]
+                if len(members) > 0:
+                    cents[c] = members.mean(axis=0)
+                else:
+                    cents[c] = vecs[rng.integers(0, n)]
+        assign = np.argmin(l2_batch(vecs, cents), axis=1)
+        return cents, assign
+
+    rng = np.random.default_rng(11)
+    # k > observed clusters forces the empty-cluster reseed path
+    for n, d, k, iters, seed in ((2000, 8, 256, 6, 17),
+                                 (400, 4, 64, 5, 123),
+                                 (50, 2, 8, 4, 3)):
+        vecs = np.round(rng.normal(size=(n, d)), 1)
+        c0, a0 = reference(vecs, k, iters, seed)
+        c1, a1 = local_kmeans(vecs, k, iters, seed)
+        assert np.array_equal(c0, c1)
+        assert np.array_equal(a0, a1)
+
+
+def test_aniso_encode_inplace_loss_matches_reference():
+    # _aniso_encode_local now assembles the coordinate-descent loss in
+    # place on two [n, ksub] buffers; codes must match the original
+    # temporaries-per-term form bitwise.
+    from quake_vector_search_spark.operators.quantization import (
+        _aniso_encode_local,
+    )
+
+    def reference(X, books, eta, passes=2, dirs=None):
+        m, ksub, dsub = books.shape
+        Xh = dirs if dirs is not None else (
+            X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True),
+                           1e-12))
+        codes = np.empty((X.shape[0], m), dtype=np.int64)
+        for j in range(m):
+            Xj = X[:, j * dsub:(j + 1) * dsub]
+            codes[:, j] = np.argmin(l2_batch(Xj, books[j]), axis=1)
+        if eta == 1.0:
+            return codes
+        dec = np.concatenate([books[j][codes[:, j]] for j in range(m)],
+                             axis=1)
+        E = X - dec
+        t = (E * Xh).sum(axis=1)
+        e2 = (E ** 2).sum(axis=1)
+        for _ in range(passes):
+            for j in range(m):
+                Xj = X[:, j * dsub:(j + 1) * dsub]
+                Xhj = Xh[:, j * dsub:(j + 1) * dsub]
+                C = books[j]
+                cur = C[codes[:, j]]
+                ej = Xj - cur
+                e2_other = e2 - (ej ** 2).sum(axis=1)
+                t_other = t - (ej * Xhj).sum(axis=1)
+                Dj = l2_batch(Xj, C)
+                Sj = (Xj * Xhj).sum(axis=1)[:, None] - Xhj @ C.T
+                loss = (e2_other[:, None] + Dj
+                        + (eta - 1.0) * (t_other[:, None] + Sj) ** 2)
+                new = loss.argmin(axis=1)
+                ej_new = Xj - C[new]
+                e2 = e2_other + (ej_new ** 2).sum(axis=1)
+                t = t_other + (ej_new * Xhj).sum(axis=1)
+                codes[:, j] = new
+        return codes
+
+    rng = np.random.default_rng(23)
+    X = rng.normal(size=(500, 32))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    books = rng.normal(size=(4, 64, 8))
+    for eta in (1.0, 3.0):
+        assert np.array_equal(reference(X, books, eta),
+                              _aniso_encode_local(X, books, eta))
+    dirs = rng.normal(size=(500, 32))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    assert np.array_equal(reference(X, books, 3.0, dirs=dirs),
+                          _aniso_encode_local(X, books, 3.0, dirs=dirs))
