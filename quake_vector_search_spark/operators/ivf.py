@@ -234,8 +234,7 @@ class IVFIndex:
             # from the in-memory block, zero extra Spark jobs
             cell_sizes = {int(c): int(n) for c, n in
                           zip(*np.unique(samp_cid, return_counts=True))}
-            base_rows = []
-            for c in sorted(cell_sizes):
+            def _fit_cell(c):
                 n_cell = cell_sizes[c]
                 kb = min(base_k, max(1, n_cell // rows_per_centroid))
                 # 256 training rows per centroid saturates Lloyd's for
@@ -244,9 +243,22 @@ class IVFIndex:
                 cell_vecs = train_x[samp_cid == c][:cap]
                 cents, _ = local_kmeans(cell_vecs, kb, base_iters,
                                         seed=base_seed + c)
-                base_rows.extend(
-                    {"coarse_id": c, "local_idx": i, "centroid": cent}
-                    for i, cent in enumerate(cents))
+                return cents
+
+            # cells are independent (own seed, own rows) → thread the
+            # driver-side fits; each fit's computation is unchanged, so
+            # results are bit-identical to the serial c-loop, and
+            # base_rows keeps the sorted-c order
+            from concurrent.futures import ThreadPoolExecutor
+            cells = sorted(cell_sizes)
+            workers = min(len(cells), os.cpu_count() or 1, 16)
+            base_rows = []
+            with ThreadPoolExecutor(max_workers=max(workers, 1)) as ex:
+                for c, cents in zip(cells, ex.map(_fit_cell, cells)):
+                    base_rows.extend(
+                        {"coarse_id": c, "local_idx": i,
+                         "centroid": cent}
+                        for i, cent in enumerate(cents))
         else:
             # distributed: tag the corpus with its coarse cell, count
             # cells, train each cell on a capped hash-ordered sample
