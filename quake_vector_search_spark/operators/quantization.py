@@ -2801,8 +2801,7 @@ def knn_bq(corpus_df: DataFrame, queries, k: int = 10,
 def _aniso_encode_local(X: np.ndarray, books: np.ndarray, eta: float,
                         passes: int = 2,
                         init_codes: np.ndarray | None = None,
-                        dirs: np.ndarray | None = None,
-                        cache_luts: bool = False) -> np.ndarray:
+                        dirs: np.ndarray | None = None) -> np.ndarray:
     """Score-aware PQ assignment (Guo et al., ICML'20 — ScaNN's
     anisotropic loss): codes minimize
 
@@ -2847,19 +2846,7 @@ def _aniso_encode_local(X: np.ndarray, books: np.ndarray, eta: float,
     E = X - dec
     t = (E * Xh).sum(axis=1)
     e2 = (E ** 2).sum(axis=1)
-    # Books are FIXED within one encode call, so the per-chunk distance
-    # matrix Dj = l2_batch(Xj, C) and signed projection
-    # Sj = (Xj·Xhj) − Xhj Cᵀ never change across passes — only the
-    # running e2/t do. ``cache_luts`` stashes the pristine [n, ksub]
-    # pair per chunk on the FIRST pass and reuses it afterwards (the
-    # reused values are the very arrays the recompute would produce,
-    # so codes are bit-identical). m·n·ksub·2 doubles of memory —
-    # driver-side callers opt in; executor tasks keep the low-memory
-    # recompute (default) because their cores/memory are shared with
-    # sibling tasks.
-    dj_cache: list = [None] * m
-    sj_cache: list = [None] * m
-    for p_i in range(passes):
+    for _ in range(passes):
         for j in range(m):
             Xj = X[:, j * dsub:(j + 1) * dsub]
             Xhj = Xh[:, j * dsub:(j + 1) * dsub]
@@ -2868,21 +2855,14 @@ def _aniso_encode_local(X: np.ndarray, books: np.ndarray, eta: float,
             ej = Xj - cur
             e2_other = e2 - (ej ** 2).sum(axis=1)
             t_other = t - (ej * Xhj).sum(axis=1)
-            if dj_cache[j] is None:
-                Dj = l2_batch(Xj, C)                   # [n, ksub]
-                S = Xhj @ C.T
-                np.subtract((Xj * Xhj).sum(axis=1)[:, None], S,
-                            out=S)                     # S = Sj pristine
-                if cache_luts and passes > 1:
-                    dj_cache[j] = Dj.copy()
-                    sj_cache[j] = S.copy()
-            else:
-                Dj = dj_cache[j].copy()
-                S = sj_cache[j].copy()
-            # loss built in place on the two [n, ksub] buffers;
-            # per-element value identical to
+            Dj = l2_batch(Xj, C)                       # [n, ksub]
+            # loss built in place on two [n, ksub] buffers; per-element
+            # value identical to
             #   e2_other + Dj + (eta-1)·(t_other + Sj)²
-            # (the += are the commuted adds, exact in IEEE)
+            # with Sj = (Xj·Xhj) − Xhj Cᵀ (same ops, same order —
+            # the two += are the commuted adds, exact in IEEE)
+            S = Xhj @ C.T
+            np.subtract((Xj * Xhj).sum(axis=1)[:, None], S, out=S)
             S += t_other[:, None]
             np.multiply(S, S, out=S)
             S *= (eta - 1.0)
@@ -2989,8 +2969,7 @@ def _aniso_train_local(X: np.ndarray, Xh: np.ndarray | None,
         Xh = X / np.maximum(r, 1e-12)
     for _ in range(alts):
         codes = _aniso_encode_local(X, books, eta, passes=cd_passes,
-                                    dirs=Xh,
-                                    cache_luts=parallel_init)
+                                    dirs=Xh)
         dec = np.concatenate([books[j][codes[:, j]] for j in range(m)],
                              axis=1)
         t = ((X - dec) * Xh).sum(axis=1)
@@ -3139,8 +3118,7 @@ def aniso_opq_refine_local(X: np.ndarray, Xh: np.ndarray | None,
                                    cd_passes=cd_passes, seed=seed,
                                    parallel_init=parallel_init)
         codes = _aniso_encode_local(Y, books, eta, passes=cd_passes,
-                                    dirs=XhR,
-                                    cache_luts=parallel_init)
+                                    dirs=XhR)
         mm = books.shape[0]
         Yhat = np.concatenate([books[j][codes[:, j]]
                                for j in range(mm)], axis=1)

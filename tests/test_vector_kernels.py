@@ -1800,24 +1800,3 @@ def test_aniso_encode_inplace_loss_matches_reference():
     dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
     assert np.array_equal(reference(X, books, 3.0, dirs=dirs),
                           _aniso_encode_local(X, books, 3.0, dirs=dirs))
-
-
-def test_aniso_encode_cache_luts_matches_recompute():
-    # cache_luts reuses the pristine pass-invariant Dj/Sj arrays; codes
-    # must be bit-identical to the per-pass recompute.
-    from quake_vector_search_spark.operators.quantization import (
-        _aniso_encode_local,
-    )
-
-    rng = np.random.default_rng(31)
-    X = rng.normal(size=(800, 32))
-    X /= np.linalg.norm(X, axis=1, keepdims=True)
-    books = rng.normal(size=(4, 64, 8))
-    dirs = rng.normal(size=(800, 32))
-    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
-    for passes in (1, 2, 3):
-        a = _aniso_encode_local(X, books, 3.0, passes=passes,
-                                dirs=dirs, cache_luts=False)
-        b = _aniso_encode_local(X, books, 3.0, passes=passes,
-                                dirs=dirs, cache_luts=True)
-        assert np.array_equal(a, b)
