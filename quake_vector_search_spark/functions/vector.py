@@ -110,6 +110,83 @@ def l2_batch(x: np.ndarray, y: np.ndarray) -> np.ndarray:
     return d2
 
 
+import threading as _threading
+
+_kernel_scratch = _threading.local()
+
+
+def _scratch_buf(key: str, shape: tuple) -> np.ndarray:
+    """Per-thread reusable float64 scratch (round 17): the training
+    kernels call the same shapes dozens of times per fit, and a fresh
+    ``np.empty`` of 50-200 MB per call costs a page-zeroing pass that
+    SERIALIZES across the trainer thread pool on mm locks (measured as
+    sys-time). Dirty reuse is safe everywhere these buffers are used:
+    every element is written (matmul out= / full-array ufunc out=)
+    before it is read. Buffers are keyed per (name, shape) and die
+    with their thread (trainer pools are per-call), bounding memory."""
+    d = getattr(_kernel_scratch, "bufs", None)
+    if d is None:
+        d = _kernel_scratch.bufs = {}
+    b = d.get(key)
+    if b is None or b.shape != shape:
+        b = d[key] = np.empty(shape, dtype=np.float64)
+    return b
+
+
+def l2_argmin(x: np.ndarray, y: np.ndarray, tile: int = 2048,
+              threads: int = 1) -> np.ndarray:
+    """``np.argmin(l2_batch(x, y), axis=1)`` without streaming three
+    full [n, m] float64 buffers through DRAM (round 17).
+
+    The ``x @ yᵀ`` dgemm stays MONOLITHIC — row-chunked dgemm is NOT
+    bit-exact on this OpenBLAS (measured r16/r17: kernel selection
+    depends on the row count, even at inner dim 8) — but the
+    ``x²+y²−2xy`` assembly and the argmin are per-element/per-row, so
+    they run over row TILES on two reused scratch buffers that stay
+    cache-resident. Per-element operations and their order are
+    IDENTICAL to ``l2_batch`` (same adds, the same ``*2.0``, the same
+    0-clamp), so the result is bit-equal to the unfused form; the only
+    DRAM traffic is the dgemm's one write + one read of ``xy`` instead
+    of ~8 full passes. ``threads > 1`` fans the (disjoint, bit-exact)
+    tiles over a thread pool — enable on the driver only, never inside
+    an executor task whose cores belong to sibling tasks.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n = x.shape[0]
+    m = y.shape[0]
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    xy = _scratch_buf("l2_argmin_xy", (n, m))
+    np.matmul(x, y.T, out=xy)
+    x2 = (x * x).sum(axis=1)
+    y2 = (y * y).sum(axis=1)[None, :]
+    out = np.empty(n, dtype=np.int64)
+
+    def run_span(lo: int, hi: int) -> None:
+        width = min(tile, n)
+        buf = _scratch_buf("l2_argmin_t0", (width, m))
+        tmp = _scratch_buf("l2_argmin_t1", (width, m))
+        for s in range(lo, hi, tile):
+            e = min(s + tile, hi)
+            t = e - s
+            d2 = buf[:t]
+            np.add(x2[s:e, None], y2, out=d2)       # x2 + y2
+            np.multiply(xy[s:e], 2.0, out=tmp[:t])  # xy * 2.0
+            np.subtract(d2, tmp[:t], out=d2)        # d2 -= xy
+            np.maximum(d2, 0.0, out=d2)
+            out[s:e] = d2.argmin(axis=1)
+
+    if threads > 1 and n > tile:
+        from concurrent.futures import ThreadPoolExecutor
+        spans = [(lo, min(lo + tile, n)) for lo in range(0, n, tile)]
+        with ThreadPoolExecutor(max_workers=threads) as ex:
+            list(ex.map(lambda se: run_span(*se), spans))
+    else:
+        run_span(0, n)
+    return out
+
+
 def topk_indices(arr: np.ndarray, k: int) -> np.ndarray:
     """Indices of the k smallest values, ascending (ties by index asc).
 

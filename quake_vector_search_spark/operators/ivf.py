@@ -1544,7 +1544,13 @@ class IVFIndex:
                              "k": k, "n_queries": int(nq),
                              "seed": int(seed),
                              "route_cells": (None if route_cells is None
-                                             else int(route_cells))}
+                                             else int(route_cells)),
+                             # ADVICE r16 #3: stamp the index state the
+                             # fit saw so restore_calibration can
+                             # reject a reinstall over intervening
+                             # DML/maintenance instead of silently
+                             # serving a stale fit
+                             "state_token": self._calibration_state_token()}
         # persist immediately: the fit is valid for the corpus just
         # read, and every DML path clears _calibration BEFORE its own
         # save_meta — so without this call the stats.json calibration
@@ -1561,9 +1567,37 @@ class IVFIndex:
         recomputes the identical dict; callers that alternate between
         two fits (e.g. full vs routed) can snapshot and restore instead
         of paying the brute-force pass again. DML and maintenance clear
-        ``_calibration`` exactly as they would after a real fit."""
-        self._calibration = dict(cal)
+        ``_calibration`` exactly as they would after a real fit.
+
+        Round 17 (ADVICE r16 #2/#3): the dict is deep-copied so the
+        caller's snapshot and the installed fit can't alias nested
+        lists, and a ``state_token`` stamped at fit time (version dir +
+        partition ids/sizes digest) is validated — reinstalling a fit
+        over intervening DML/maintenance raises instead of silently
+        serving stale cutoffs (token-less dicts, e.g. hand-built in
+        tests, skip the check)."""
+        import copy
+
+        tok = cal.get("state_token")
+        if tok is not None and tok != self._calibration_state_token():
+            raise ValueError(
+                "restore_calibration: index state changed since this "
+                "fit was computed (state token mismatch) — re-run "
+                "calibrate() instead of reinstalling a stale fit")
+        self._calibration = copy.deepcopy(cal)
         self.save_meta()
+
+    def _calibration_state_token(self) -> str:
+        """Digest of the index state a calibration fit depends on:
+        the published version dir plus the partition ids/sizes. Any
+        DML or maintenance changes at least one of these."""
+        import hashlib
+
+        h = hashlib.sha256()
+        h.update(str(self.version_dir).encode())
+        h.update(np.ascontiguousarray(self.part_ids).tobytes())
+        h.update(np.ascontiguousarray(self.sizes).tobytes())
+        return h.hexdigest()[:16]
 
     def _decide_nprobe(self, probs: np.ndarray, target_recall: float,
                        max_probe: int, policy: str) -> np.ndarray:

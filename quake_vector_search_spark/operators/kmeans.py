@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from quake_vector_search_spark.functions.vector import l2_batch
+from quake_vector_search_spark.functions.vector import l2_argmin
 
 
 def _group_slices(labels: np.ndarray):
@@ -37,6 +37,11 @@ def _group_slices(labels: np.ndarray):
     yields, so any per-group reduction over the slice is bit-identical
     to the masked form, at one O(n log n) sort instead of k O(n) scans.
     ``uniq`` ascends."""
+    if labels.size == 0:
+        # the per-cluster loops this replaced were no-ops on empty
+        # input (ADVICE r16 #1: sl[bounds[:-1]] would IndexError)
+        empty = np.empty(0, dtype=np.int64)
+        return empty, empty, empty, labels[:0]
     idx = np.argsort(labels, kind="stable")
     sl = labels[idx]
     bounds = np.flatnonzero(np.r_[True, sl[1:] != sl[:-1], True])
@@ -79,8 +84,8 @@ def _assign_partials(df: DataFrame, vec_col: str,
             if len(pdf) == 0:
                 continue
             vecs = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            d2 = l2_batch(vecs, cents)
-            assign = np.argmin(d2, axis=1)
+            # fused tiled assign — bit-equal to argmin(l2_batch(...))
+            assign = l2_argmin(vecs, cents)
             clusters, inv = np.unique(assign, return_inverse=True)
             cnt = np.bincount(inv)
             sums = np.zeros((len(clusters), vecs.shape[1]))
@@ -191,7 +196,7 @@ def _lloyds_local(train: np.ndarray, reservoir: np.ndarray, k: int,
     cents = reservoir[:k_eff].copy()
     reseed_cursor = k_eff
     for _ in range(iters):
-        assign = np.argmin(l2_batch(train, cents), axis=1)
+        assign = l2_argmin(train, cents)
         # grouped means via one stable argsort — bit-identical to the
         # per-cluster boolean-mask form (same rows, same order, same
         # .mean reduction); empty clusters reseed in ascending-c order,
@@ -224,7 +229,7 @@ def local_kmeans(vecs: np.ndarray, k: int, iters: int,
     cents = vecs[rng.choice(n, size=k, replace=False)].copy()
     assign = np.zeros(n, dtype=np.int64)
     for _ in range(iters):
-        assign = np.argmin(l2_batch(vecs, cents), axis=1)
+        assign = l2_argmin(vecs, cents)
         # grouped means (see _group_slices): bit-identical to the
         # boolean-mask-per-cluster form; empty-cluster rng draws happen
         # in ascending-c order exactly as the original c-loop drew them
@@ -235,7 +240,7 @@ def local_kmeans(vecs: np.ndarray, k: int, iters: int,
             cents[c] = vecs[idx[s:e]].mean(axis=0)
         for c in np.flatnonzero(~present):
             cents[c] = vecs[rng.integers(0, n)]
-    assign = np.argmin(l2_batch(vecs, cents), axis=1)
+    assign = l2_argmin(vecs, cents)
     return cents, assign
 
 
@@ -294,7 +299,7 @@ def assign_clusters(df: DataFrame, centroids: np.ndarray,
                 continue
             vecs = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             pdf = pdf.copy()
-            pdf[out_col] = np.argmin(l2_batch(vecs, cents), axis=1).astype(np.int64)
+            pdf[out_col] = l2_argmin(vecs, cents).astype(np.int64)
             yield pdf
 
     # build a FRESH StructType — StructType.add mutates in place, and

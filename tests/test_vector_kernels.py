@@ -1800,3 +1800,72 @@ def test_aniso_encode_inplace_loss_matches_reference():
     dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
     assert np.array_equal(reference(X, books, 3.0, dirs=dirs),
                           _aniso_encode_local(X, books, 3.0, dirs=dirs))
+
+
+def test_l2_argmin_matches_unfused_form():
+    # l2_argmin fuses the x²+y²−2xy assembly + argmin over row tiles
+    # (the dgemm stays monolithic); the result must be bit-equal to
+    # np.argmin(l2_batch(x, y), axis=1) — including tie resolution
+    # (smallest index wins) and the odd-size final tile — serial AND
+    # threaded (tiles are disjoint, ops per-element).
+    from quake_vector_search_spark.functions.vector import l2_argmin
+
+    rng = np.random.default_rng(31)
+    for n, d, k in ((10000, 8, 256), (2049, 16, 300), (123, 8, 7),
+                    (1, 4, 5)):
+        x = rng.normal(size=(n, d))
+        y = rng.normal(size=(k, d))
+        ref = np.argmin(l2_batch(x, y), axis=1)
+        assert np.array_equal(ref, l2_argmin(x, y))
+        assert np.array_equal(ref, l2_argmin(x, y, tile=1000))
+        assert np.array_equal(ref, l2_argmin(x, y, tile=1000,
+                                             threads=4))
+    # ties: coarsely quantized values collide exactly
+    x = np.round(rng.normal(size=(5000, 4)) * 2) / 2
+    y = np.round(rng.normal(size=(64, 4)) * 2) / 2
+    assert np.array_equal(np.argmin(l2_batch(x, y), axis=1),
+                          l2_argmin(x, y))
+    # empty input
+    assert l2_argmin(np.empty((0, 4)), y[:4]).shape == (0,)
+
+
+def test_aniso_encode_threads_bit_identical():
+    # the threaded tile fan-out of the coordinate-descent loss
+    # assembly must be bit-identical to the serial form in any
+    # interleaving (disjoint rows, per-element ops; dgemms monolithic)
+    from quake_vector_search_spark.operators.quantization import (
+        _aniso_encode_local,
+    )
+
+    rng = np.random.default_rng(37)
+    X = rng.normal(size=(9000, 32))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    books = rng.normal(size=(4, 64, 8))
+    for eta in (3.0, 5.0):
+        ref = _aniso_encode_local(X, books, eta, threads=1)
+        assert np.array_equal(ref, _aniso_encode_local(X, books, eta,
+                                                       threads=8))
+
+
+def test_train_subspace_books_parallel_equals_serial():
+    # ADVICE r16 #4: the parallel==serial bit-identity claim of the
+    # threaded per-chunk fits, pinned (each fit runs byte-identical
+    # code on disjoint columns with disjoint seeds)
+    from quake_vector_search_spark.operators.kmeans import (
+        train_subspace_books,
+    )
+
+    rng = np.random.default_rng(41)
+    X = rng.normal(size=(3000, 32))
+    par = train_subspace_books(X, 4, 64, 5, 99, parallel=True)
+    ser = train_subspace_books(X, 4, 64, 5, 99, parallel=False)
+    assert np.array_equal(par, ser)
+
+
+def test_group_slices_empty_labels():
+    # ADVICE r16 #1: empty labels must behave like the no-op loops the
+    # grouping replaced, not IndexError
+    from quake_vector_search_spark.operators.kmeans import _group_slices
+
+    idx, starts, ends, uniq = _group_slices(np.empty(0, dtype=np.int64))
+    assert idx.size == starts.size == ends.size == uniq.size == 0
