@@ -811,8 +811,12 @@ def ivf_scale_n400k(spark) -> dict:
         "scanned_frac": round(m_stk["avg_scanned"] / n, 4),
         "recall_at_10": round(avg_recall(fstk, exact_xl, K), 4),
         # fit and batch timed separately like every other point —
-        # batch200_ms is the 200-query SERVING cost only
-        "calibrate_fit_s": round(stack_fit_s, 3),
+        # batch200_ms is the 200-query SERVING cost only. Renamed from
+        # calibrate_fit_s (round 17, VERDICT r16 #7): since r16 this
+        # records the near-zero snapshot REINSTALL, not a fit — the
+        # routed fit's real cost is measured once inside routed_eval_s
+        # — so the old name misread as a 233× fit win longitudinally.
+        "calibrate_reinstall_s": round(stack_fit_s, 3),
         "batch200_ms": round(1000 * stack_batch_s, 1),
     }
     serving_stack_s = time.time() - t0
@@ -1225,7 +1229,17 @@ def main() -> None:
         # decision metrics reads as box noise, not a code regression
         "telemetry": telemetry,
     }
-    print(json.dumps(payload))
+    # The CONTRACT line stays SLIM (round 17, VERDICT r16 #3): the
+    # driver failed to parse r15's ~12 KB line with every nested
+    # ladder/telemetry blob inlined, blinding round-over-round PERF.
+    # The line carries exactly the driver contract — metric, value,
+    # unit, the FLAT per-query seconds, sf (+ the iteration-mode
+    # marker) — ~2 KB; every nested block still lands, unchanged, in
+    # the committed bench_results_*.json record below.
+    contract_keys = ("metric", "value", "unit", "queries", "sf",
+                     "reuse_sidecars")
+    print(json.dumps({k: payload[k] for k in contract_keys
+                      if k in payload}))
     # committed machine-readable copy (VERDICT r6 #4): the driver's
     # BENCH_r{N}.json keeps only a truncated output tail, so the
     # per-query longitudinal record must survive somewhere

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from quake_vector_search_spark.functions.vector import (
+    l2_argmin,
     l2_batch,
     topk_cols_2d,
 )
@@ -225,8 +226,9 @@ class IVFIndex:
         # standard ~256-samples-per-centroid rule); assignment below is
         # always over the full sample/corpus.
         coarse_cents, _ = local_kmeans(train_x[:coarse_train_cap],
-                                       coarse_k, coarse_iters, seed=seed)
-        samp_cid = np.argmin(l2_batch(train_x, coarse_cents), axis=1)
+                                       coarse_k, coarse_iters, seed=seed,
+                                       final_assign=False)
+        samp_cid = l2_argmin(train_x, coarse_cents)
 
         # 3. per-cell base training
         if whole_corpus:
@@ -272,8 +274,7 @@ class IVFIndex:
                     vecs = np.vstack(pdf[vec_col].to_numpy()) \
                         .astype(np.float64)
                     pdf = pdf.copy()
-                    pdf["coarse_id"] = np.argmin(l2_batch(vecs, cents),
-                                                 axis=1)
+                    pdf["coarse_id"] = l2_argmin(vecs, cents)
                     yield pdf[[id_col, vec_col, "coarse_id"]]
 
             tagged = proj.mapInPandas(
@@ -335,8 +336,7 @@ class IVFIndex:
             for c in np.unique(samp_cid):
                 mask = samp_cid == c
                 members = np.where(part_coarse == c)[0]
-                local = np.argmin(
-                    l2_batch(train_x[mask], train_cents[members]), axis=1)
+                local = l2_argmin(train_x[mask], train_cents[members])
                 pid_local[mask] = part_ids[members[local]]
             # pyarrow Table straight from the flat buffer — avoids the
             # slow pandas object-array conversion path
@@ -364,13 +364,12 @@ class IVFIndex:
                         continue
                     vecs = np.vstack(pdf[vec_col].to_numpy()) \
                         .astype(np.float64)
-                    cid = np.argmin(l2_batch(vecs, ccents), axis=1)
+                    cid = l2_argmin(vecs, ccents)
                     pid = np.empty(len(pdf), dtype=np.int64)
                     for c in np.unique(cid):
                         mask = cid == c
                         members = np.where(pcoarse == c)[0]
-                        local = np.argmin(
-                            l2_batch(vecs[mask], bcents[members]), axis=1)
+                        local = l2_argmin(vecs[mask], bcents[members])
                         pid[mask] = pids[members[local]]
                     pdf = pdf.copy()
                     pdf["partition_id"] = pid
@@ -706,7 +705,7 @@ class IVFIndex:
         if self.metric == "cosine":
             vecs = vecs / (np.linalg.norm(vecs, axis=1, keepdims=True)
                            + 1e-12)
-        cid = np.argmin(l2_batch(vecs, self.coarse_centroids), axis=1)
+        cid = l2_argmin(vecs, self.coarse_centroids)
         pid = np.empty(len(ids), dtype=np.int64)
         for c in np.unique(cid):
             mask = cid == c
@@ -726,8 +725,7 @@ class IVFIndex:
                 self.last_split_at[new_pid] = 0
                 pid[mask] = new_pid
                 continue
-            local = np.argmin(l2_batch(vecs[mask],
-                                       self.centroids[members]), axis=1)
+            local = l2_argmin(vecs[mask], self.centroids[members])
             chosen = members[local]
             pid[mask] = self.part_ids[chosen]
             # exact incremental centroid update per touched partition
@@ -829,7 +827,7 @@ class IVFIndex:
 
         def route(batches):
             from quake_vector_search_spark.functions.vector import (
-                l2_batch,
+                l2_argmin,
             )
             st = bc.value
             members_by_cell = {
@@ -843,7 +841,7 @@ class IVFIndex:
                 if st["metric"] == "cosine":
                     V = V / (np.linalg.norm(V, axis=1, keepdims=True)
                              + 1e-12)
-                cid = np.argmin(l2_batch(V, st["coarse"]), axis=1)
+                cid = l2_argmin(V, st["coarse"])
                 pid = np.empty(len(V), dtype=np.int64)
                 for c in np.unique(cid):
                     mask = cid == c
@@ -851,9 +849,7 @@ class IVFIndex:
                     if len(members) == 0:
                         pid[mask] = -(int(c) + 1)
                         continue
-                    local = np.argmin(
-                        l2_batch(V[mask], st["cents"][members]),
-                        axis=1)
+                    local = l2_argmin(V[mask], st["cents"][members])
                     pid[mask] = st["part_ids"][members[local]]
                 yield pd.DataFrame({
                     id_col: pdf[id_col].astype("int64"),

@@ -1287,7 +1287,7 @@ def train_local_books(res_src: DataFrame, m: int, ksub: int,
             for j in range(m):
                 books[j], _ = local_kmeans(
                     X[:, j * dsub:(j + 1) * dsub], ksub_p, iters,
-                    base + j)
+                    base + j, final_assign=False)
             rot_mean = np.zeros(0)
             rot_comps = np.zeros(0)
         return pd.DataFrame({"partition_id": [pid],
@@ -3305,7 +3305,8 @@ def pq_train_distributed(corpus_df: DataFrame, m: int = 8,
         # 0 refinement iters: seeded init only — the distributed
         # passes below ARE the Lloyd iterations
         books[j], _ = local_kmeans(Xi[:, j * dsub:(j + 1) * dsub],
-                                   ksub_eff, 0, seed + 1 + j)
+                                   ksub_eff, 0, seed + 1 + j,
+                                   final_assign=False)
 
     spark = corpus_df.sparkSession
     for _ in range(iters):
@@ -3313,7 +3314,7 @@ def pq_train_distributed(corpus_df: DataFrame, m: int = 8,
 
         def partials(batches):
             from quake_vector_search_spark.functions.vector import (
-                l2_batch,
+                l2_argmin,
             )
             bks = bc.value
             mm, kk, ds = bks.shape
@@ -3327,7 +3328,7 @@ def pq_train_distributed(corpus_df: DataFrame, m: int = 8,
                     import _group_slices
                 for j in range(mm):
                     Xj = X[:, j * ds:(j + 1) * ds]
-                    a = np.argmin(l2_batch(Xj, bks[j]), axis=1)
+                    a = l2_argmin(Xj, bks[j])
                     # grouped slices: same ascending row sets as the
                     # per-codeword boolean masks, bit-equal sums
                     gidx, starts, ends, uniq = _group_slices(a)

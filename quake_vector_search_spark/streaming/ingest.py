@@ -400,7 +400,8 @@ def _train_local_cell(ids: np.ndarray, Xres: np.ndarray,
         books_p = np.empty((m, ksub_p, dsub), dtype=np.float64)
         for j in range(m):
             books_p[j], _ = local_kmeans(
-                Xp[:, j * dsub:(j + 1) * dsub], ksub_p, 8, base + j)
+                Xp[:, j * dsub:(j + 1) * dsub], ksub_p, 8, base + j,
+                final_assign=False)
     return books_p, rot_p
 
 
