@@ -3191,7 +3191,8 @@ def aniso_opq_refine_local(X: np.ndarray, Xh: np.ndarray | None,
                                    cd_passes=cd_passes, seed=seed,
                                    parallel_init=parallel_init)
         codes = _aniso_encode_local(Y, books, eta, passes=cd_passes,
-                                    dirs=XhR)
+                                    dirs=XhR,
+                                    threads=8 if parallel_init else 1)
         mm = books.shape[0]
         Yhat = np.concatenate([books[j][codes[:, j]]
                                for j in range(mm)], axis=1)
