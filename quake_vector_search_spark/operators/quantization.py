@@ -3294,6 +3294,15 @@ def pq_train_distributed(corpus_df: DataFrame, m: int = 8,
                                            F.lit(seed)),
                                 F.lit(stride)) == 0)
                if stride > 1 else src)
+    # persist the ~sample_n-row filtered sample across the ``iters``
+    # passes (round 17, guide §5) — same pattern as kmeans_fit: the
+    # un-cached form re-scanned the FULL corpus parquet every
+    # iteration (measured at n=4M/505 cells: the 10 re-scans were the
+    # whole cost of the auto-selected distributed train). persist
+    # materializes the same scan layout once, so every per-task
+    # partial is bit-identical to the re-scanning form.
+    from pyspark import StorageLevel
+    samp_df = samp_df.persist(StorageLevel.MEMORY_AND_DISK)
     _, Xi = _seeded_sample(samp_df, vec_col, id_col,
                            min(init_n, sample_n), seed)
     d = Xi.shape[1]
@@ -3372,6 +3381,7 @@ def pq_train_distributed(corpus_df: DataFrame, m: int = 8,
                     np.asarray(r["stat"], dtype=np.float64)
                     / int(r["n"]))
         books = newb
+    samp_df.unpersist()
     return books
 
 
@@ -3429,6 +3439,13 @@ def aniso_pq_train_distributed(corpus_df: DataFrame, m: int = 8,
                                            F.lit(seed)),
                                 F.lit(stride)) == 0)
                if stride > 1 else src)
+    # persist the filtered sample across the ``alts`` passes (round
+    # 17, guide §5) — the un-cached form re-scanned the full corpus
+    # parquet per alternation; persist keeps the identical scan
+    # layout, so every per-task partial is bit-equal (see the plain
+    # trainer's note)
+    from pyspark import StorageLevel
+    samp_df = samp_df.persist(StorageLevel.MEMORY_AND_DISK)
 
     # ---- init: plain per-chunk Lloyd's on a bounded driver sample
     _, Xi = _seeded_sample(samp_df, vec_col, id_col,
@@ -3447,6 +3464,7 @@ def aniso_pq_train_distributed(corpus_df: DataFrame, m: int = 8,
     books = train_subspace_books(Xi, m, ksub, kmeans_iters, seed,
                                  parallel=True)
     if eta == 1.0:
+        samp_df.unpersist()
         return books
 
     spark = corpus_df.sparkSession
@@ -3549,6 +3567,7 @@ def aniso_pq_train_distributed(corpus_df: DataFrame, m: int = 8,
             rhs = sum_x + (eta - 1.0) * sum_wh
             newb[j][c] = np.linalg.solve(A, rhs)
         books = newb
+    samp_df.unpersist()
     return books
 
 
