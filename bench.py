@@ -1,11 +1,14 @@
 """Benchmark harness: headline queries + the reference's IVF workload
 replay at $SPARK_GRAFT_SF_DIR (default sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints ONE SLIM JSON line (~2 KB — round 17, VERDICT r16 #3: a fat
+line blinded the driver's round-over-round parse):
   {"metric": "headline_total", "value": <sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <float>, "ivf": {...}}
+   "queries": {name: sec, ...}, "sf": <float>}
 
-The "ivf" block mirrors BASELINE.md's metric set (build time, partition
+Every nested block ("ivf", "aniso_mips_n40k", ladders, telemetry…)
+lands ONLY in the committed bench_results_*.json record. The "ivf"
+block there mirrors BASELINE.md's metric set (build time, partition
 count, per-query latency percentiles, avg nprobe, avg vectors scanned,
 avg recall@10) so rounds are directly comparable to the reference's
 captured run. Queries are executed with a no-op sink so the full plan

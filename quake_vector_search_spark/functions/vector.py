@@ -122,8 +122,13 @@ def _scratch_buf(key: str, shape: tuple) -> np.ndarray:
     SERIALIZES across the trainer thread pool on mm locks (measured as
     sys-time). Dirty reuse is safe everywhere these buffers are used:
     every element is written (matmul out= / full-array ufunc out=)
-    before it is read. Buffers are keyed per (name, shape) and die
-    with their thread (trainer pools are per-call), bounding memory."""
+    before it is read. Keyed per NAME; a call with a different shape
+    replaces (frees) the previous buffer, so each thread retains at
+    most one last-shape buffer per name — bounded at the engine's
+    largest assign shapes (~100 MB on the driver main thread for the
+    coarse-train assign, ~20 MB per reused executor python worker for
+    batch encodes; trainer-pool threads die with their per-call
+    pool). Never return views into these buffers to callers."""
     d = getattr(_kernel_scratch, "bufs", None)
     if d is None:
         d = _kernel_scratch.bufs = {}

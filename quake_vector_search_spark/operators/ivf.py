@@ -244,7 +244,8 @@ class IVFIndex:
                 cap = min(cell_train_cap, max(256 * kb, 1024))
                 cell_vecs = train_x[samp_cid == c][:cap]
                 cents, _ = local_kmeans(cell_vecs, kb, base_iters,
-                                        seed=base_seed + c)
+                                        seed=base_seed + c,
+                                        final_assign=False)
                 return cents
 
             # cells are independent (own seed, own rows) → thread the
@@ -300,7 +301,8 @@ class IVFIndex:
                 vecs = np.vstack(pdf[vec_col].to_numpy()) \
                     .astype(np.float64)
                 cents, _ = local_kmeans(vecs, kb, base_iters,
-                                        seed=base_seed + c)
+                                        seed=base_seed + c,
+                                        final_assign=False)
                 return pd.DataFrame({
                     "coarse_id": c,
                     "local_idx": np.arange(len(cents), dtype=np.int64),
@@ -1585,14 +1587,19 @@ class IVFIndex:
 
     def _calibration_state_token(self) -> str:
         """Digest of the index state a calibration fit depends on:
-        the published version dir plus the partition ids/sizes. Any
-        DML or maintenance changes at least one of these."""
+        the published version dir, the partition ids/sizes, AND the
+        centroid geometry (fine + coarse) — ``partition_scores`` and
+        the fitted cutoffs are functions of the centroids, and
+        ``recompute_centroids`` (or a net-zero DML round trip) can
+        change them while leaving ids/sizes/version intact."""
         import hashlib
 
         h = hashlib.sha256()
         h.update(str(self.version_dir).encode())
         h.update(np.ascontiguousarray(self.part_ids).tobytes())
         h.update(np.ascontiguousarray(self.sizes).tobytes())
+        h.update(np.ascontiguousarray(self.centroids).tobytes())
+        h.update(np.ascontiguousarray(self.coarse_centroids).tobytes())
         return h.hexdigest()[:16]
 
     def _decide_nprobe(self, probs: np.ndarray, target_recall: float,

@@ -3039,7 +3039,12 @@ def _aniso_train_local(X: np.ndarray, Xh: np.ndarray | None,
     if Xh is None:
         r = np.linalg.norm(X, axis=1, keepdims=True)
         Xh = X / np.maximum(r, 1e-12)
-    enc_threads = 8 if parallel_init else 1
+    # tile-thread budget derived from the box like the trainer pool
+    # (pure elementwise tiles — no BLAS inside — so cpu/4 rather than
+    # the dgemm-bearing pool's cpu/8; 8 at the measured 32-cpu box)
+    import os as _os
+    enc_threads = (min(8, max(2, (_os.cpu_count() or 8) // 4))
+                   if parallel_init else 1)
     for _ in range(alts):
         codes = _aniso_encode_local(X, books, eta, passes=cd_passes,
                                     dirs=Xh, threads=enc_threads)
@@ -3190,9 +3195,11 @@ def aniso_opq_refine_local(X: np.ndarray, Xh: np.ndarray | None,
                                    kmeans_iters=kmeans_iters,
                                    cd_passes=cd_passes, seed=seed,
                                    parallel_init=parallel_init)
+        import os as _os
+        _thr = (min(8, max(2, (_os.cpu_count() or 8) // 4))
+                if parallel_init else 1)
         codes = _aniso_encode_local(Y, books, eta, passes=cd_passes,
-                                    dirs=XhR,
-                                    threads=8 if parallel_init else 1)
+                                    dirs=XhR, threads=_thr)
         mm = books.shape[0]
         Yhat = np.concatenate([books[j][codes[:, j]]
                                for j in range(mm)], axis=1)
@@ -3319,69 +3326,71 @@ def pq_train_distributed(corpus_df: DataFrame, m: int = 8,
                                    final_assign=False)
 
     spark = corpus_df.sparkSession
-    for _ in range(iters):
-        bc = spark.sparkContext.broadcast(books)
+    try:
+        for _ in range(iters):
+            bc = spark.sparkContext.broadcast(books)
 
-        def partials(batches):
-            from quake_vector_search_spark.functions.vector import (
-                l2_argmin,
-            )
-            bks = bc.value
-            mm, kk, ds = bks.shape
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                X = np.vstack(pdf[vec_col].to_numpy()).astype(
-                    np.float64)
-                out_j, out_c, out_n, out_s = [], [], [], []
-                from quake_vector_search_spark.operators.kmeans \
-                    import _group_slices
-                for j in range(mm):
-                    Xj = X[:, j * ds:(j + 1) * ds]
-                    a = l2_argmin(Xj, bks[j])
-                    # grouped slices: same ascending row sets as the
-                    # per-codeword boolean masks, bit-equal sums
-                    gidx, starts, ends, uniq = _group_slices(a)
-                    for s0, e0, c in zip(starts, ends, uniq):
-                        sel = gidx[s0:e0]
-                        out_j.append(j)
-                        out_c.append(int(c))
-                        out_n.append(len(sel))
-                        out_s.append(Xj[sel].sum(axis=0))
-                yield pd.DataFrame({"chunk": out_j, "code": out_c,
-                                    "n": out_n, "stat": out_s})
+            def partials(batches):
+                from quake_vector_search_spark.functions.vector import (
+                    l2_argmin,
+                )
+                bks = bc.value
+                mm, kk, ds = bks.shape
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    X = np.vstack(pdf[vec_col].to_numpy()).astype(
+                        np.float64)
+                    out_j, out_c, out_n, out_s = [], [], [], []
+                    from quake_vector_search_spark.operators.kmeans \
+                        import _group_slices
+                    for j in range(mm):
+                        Xj = X[:, j * ds:(j + 1) * ds]
+                        a = l2_argmin(Xj, bks[j])
+                        # grouped slices: same ascending row sets as the
+                        # per-codeword boolean masks, bit-equal sums
+                        gidx, starts, ends, uniq = _group_slices(a)
+                        for s0, e0, c in zip(starts, ends, uniq):
+                            sel = gidx[s0:e0]
+                            out_j.append(j)
+                            out_c.append(int(c))
+                            out_n.append(len(sel))
+                            out_s.append(Xj[sel].sum(axis=0))
+                    yield pd.DataFrame({"chunk": out_j, "code": out_c,
+                                        "n": out_n, "stat": out_s})
 
-        def combine(key, pdf):
-            order = sorted(range(len(pdf)),
-                           key=lambda i: (int(pdf["n"].iloc[i]),
-                                          tuple(pdf["stat"].iloc[i])))
-            s = np.zeros(dsub)
-            n = 0
-            for i in order:
-                n += int(pdf["n"].iloc[i])
-                s = s + np.asarray(pdf["stat"].iloc[i],
-                                   dtype=np.float64)
-            return pd.DataFrame({"chunk": [int(key[0])],
-                                 "code": [int(key[1])],
-                                 "n": [n], "stat": [s]})
+            def combine(key, pdf):
+                order = sorted(range(len(pdf)),
+                               key=lambda i: (int(pdf["n"].iloc[i]),
+                                              tuple(pdf["stat"].iloc[i])))
+                s = np.zeros(dsub)
+                n = 0
+                for i in order:
+                    n += int(pdf["n"].iloc[i])
+                    s = s + np.asarray(pdf["stat"].iloc[i],
+                                       dtype=np.float64)
+                return pd.DataFrame({"chunk": [int(key[0])],
+                                     "code": [int(key[1])],
+                                     "n": [n], "stat": [s]})
 
-        rows = (samp_df
-                .mapInPandas(partials,
-                             "chunk int, code int, n long, "
-                             "stat array<double>")
-                .groupBy("chunk", "code")
-                .applyInPandas(combine,
-                               "chunk int, code int, n long, "
-                               "stat array<double>")
-                .collect())
-        newb = books.copy()
-        for r in sorted(rows, key=lambda r: (r["chunk"], r["code"])):
-            if int(r["n"]) > 0:
-                newb[int(r["chunk"])][int(r["code"])] = (
-                    np.asarray(r["stat"], dtype=np.float64)
-                    / int(r["n"]))
-        books = newb
-    samp_df.unpersist()
+            rows = (samp_df
+                    .mapInPandas(partials,
+                                 "chunk int, code int, n long, "
+                                 "stat array<double>")
+                    .groupBy("chunk", "code")
+                    .applyInPandas(combine,
+                                   "chunk int, code int, n long, "
+                                   "stat array<double>")
+                    .collect())
+            newb = books.copy()
+            for r in sorted(rows, key=lambda r: (r["chunk"], r["code"])):
+                if int(r["n"]) > 0:
+                    newb[int(r["chunk"])][int(r["code"])] = (
+                        np.asarray(r["stat"], dtype=np.float64)
+                        / int(r["n"]))
+            books = newb
+    finally:
+        samp_df.unpersist()
     return books
 
 
@@ -3469,105 +3478,107 @@ def aniso_pq_train_distributed(corpus_df: DataFrame, m: int = 8,
 
     spark = corpus_df.sparkSession
     stat_width = dsub * dsub + 2 * dsub
-    for _ in range(alts):
-        bc = spark.sparkContext.broadcast((books, cents, rot))
+    try:
+        for _ in range(alts):
+            bc = spark.sparkContext.broadcast((books, cents, rot))
 
-        def partials(batches):
-            bks, cnts, rt = bc.value
-            mm, kk, ds = bks.shape
-            for pdf in batches:
-                if not len(pdf):
+            def partials(batches):
+                bks, cnts, rt = bc.value
+                mm, kk, ds = bks.shape
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    X = np.vstack(pdf[vec_col].to_numpy()).astype(
+                        np.float64)
+                    if cnts is not None:
+                        pids_b = pdf["partition_id"].to_numpy(
+                            dtype=np.int64)
+                        orig = X + np.stack([cnts[int(p)]
+                                             for p in pids_b])
+                        Xh = orig / np.maximum(
+                            np.linalg.norm(orig, axis=1, keepdims=True),
+                            1e-12)
+                    else:
+                        Xh = X / np.maximum(
+                            np.linalg.norm(X, axis=1, keepdims=True),
+                            1e-12)
+                    if rt is not None:
+                        X = (X - rt["mean"]) @ rt["components"].T
+                        Xh = Xh @ rt["components"].T
+                    codes = _aniso_encode_local(X, bks, eta,
+                                                passes=cd_passes, dirs=Xh)
+                    dec = np.concatenate(
+                        [bks[j][codes[:, j]] for j in range(mm)], axis=1)
+                    t = ((X - dec) * Xh).sum(axis=1)
+                    out_j, out_c, out_n, out_s = [], [], [], []
+                    for j in range(mm):
+                        Xj = X[:, j * ds:(j + 1) * ds]
+                        Xhj = Xh[:, j * ds:(j + 1) * ds]
+                        cur = bks[j][codes[:, j]]
+                        ej = Xj - cur
+                        t_other = t - (ej * Xhj).sum(axis=1)
+                        w = t_other + (Xj * Xhj).sum(axis=1)
+                        # grouped slices (one stable argsort) instead of a
+                        # boolean mask per codeword — identical ascending
+                        # row sets per group, so every stat is bit-equal
+                        from quake_vector_search_spark.operators.kmeans \
+                            import _group_slices
+                        gidx, starts, ends, uniq = _group_slices(
+                            codes[:, j])
+                        for s0, e0, c in zip(starts, ends, uniq):
+                            sel = gidx[s0:e0]
+                            Mh = Xhj[sel]
+                            stat = np.concatenate([
+                                (Mh.T @ Mh).ravel(),
+                                Xj[sel].sum(axis=0),
+                                (w[sel, None] * Mh).sum(axis=0)])
+                            out_j.append(j)
+                            out_c.append(int(c))
+                            out_n.append(len(sel))
+                            out_s.append(stat)
+                    yield pd.DataFrame({"chunk": out_j, "code": out_c,
+                                        "n": out_n, "stat": out_s})
+
+            def combine(key, pdf):
+                # content-sorted summation: deterministic given the
+                # multiset of per-task partials
+                order = sorted(range(len(pdf)),
+                               key=lambda i: (int(pdf["n"].iloc[i]),
+                                              tuple(pdf["stat"].iloc[i])))
+                s = np.zeros(stat_width)
+                n = 0
+                for i in order:
+                    n += int(pdf["n"].iloc[i])
+                    s = s + np.asarray(pdf["stat"].iloc[i],
+                                       dtype=np.float64)
+                return pd.DataFrame({"chunk": [int(key[0])],
+                                     "code": [int(key[1])],
+                                     "n": [n], "stat": [s]})
+
+            rows = (samp_df
+                    .mapInPandas(partials,
+                                 "chunk int, code int, n long, "
+                                 "stat array<double>")
+                    .groupBy("chunk", "code")
+                    .applyInPandas(combine,
+                                   "chunk int, code int, n long, "
+                                   "stat array<double>")
+                    .collect())
+            newb = books.copy()
+            for r in sorted(rows, key=lambda r: (r["chunk"], r["code"])):
+                j, c, n = int(r["chunk"]), int(r["code"]), int(r["n"])
+                if n == 0:
                     continue
-                X = np.vstack(pdf[vec_col].to_numpy()).astype(
-                    np.float64)
-                if cnts is not None:
-                    pids_b = pdf["partition_id"].to_numpy(
-                        dtype=np.int64)
-                    orig = X + np.stack([cnts[int(p)]
-                                         for p in pids_b])
-                    Xh = orig / np.maximum(
-                        np.linalg.norm(orig, axis=1, keepdims=True),
-                        1e-12)
-                else:
-                    Xh = X / np.maximum(
-                        np.linalg.norm(X, axis=1, keepdims=True),
-                        1e-12)
-                if rt is not None:
-                    X = (X - rt["mean"]) @ rt["components"].T
-                    Xh = Xh @ rt["components"].T
-                codes = _aniso_encode_local(X, bks, eta,
-                                            passes=cd_passes, dirs=Xh)
-                dec = np.concatenate(
-                    [bks[j][codes[:, j]] for j in range(mm)], axis=1)
-                t = ((X - dec) * Xh).sum(axis=1)
-                out_j, out_c, out_n, out_s = [], [], [], []
-                for j in range(mm):
-                    Xj = X[:, j * ds:(j + 1) * ds]
-                    Xhj = Xh[:, j * ds:(j + 1) * ds]
-                    cur = bks[j][codes[:, j]]
-                    ej = Xj - cur
-                    t_other = t - (ej * Xhj).sum(axis=1)
-                    w = t_other + (Xj * Xhj).sum(axis=1)
-                    # grouped slices (one stable argsort) instead of a
-                    # boolean mask per codeword — identical ascending
-                    # row sets per group, so every stat is bit-equal
-                    from quake_vector_search_spark.operators.kmeans \
-                        import _group_slices
-                    gidx, starts, ends, uniq = _group_slices(
-                        codes[:, j])
-                    for s0, e0, c in zip(starts, ends, uniq):
-                        sel = gidx[s0:e0]
-                        Mh = Xhj[sel]
-                        stat = np.concatenate([
-                            (Mh.T @ Mh).ravel(),
-                            Xj[sel].sum(axis=0),
-                            (w[sel, None] * Mh).sum(axis=0)])
-                        out_j.append(j)
-                        out_c.append(int(c))
-                        out_n.append(len(sel))
-                        out_s.append(stat)
-                yield pd.DataFrame({"chunk": out_j, "code": out_c,
-                                    "n": out_n, "stat": out_s})
-
-        def combine(key, pdf):
-            # content-sorted summation: deterministic given the
-            # multiset of per-task partials
-            order = sorted(range(len(pdf)),
-                           key=lambda i: (int(pdf["n"].iloc[i]),
-                                          tuple(pdf["stat"].iloc[i])))
-            s = np.zeros(stat_width)
-            n = 0
-            for i in order:
-                n += int(pdf["n"].iloc[i])
-                s = s + np.asarray(pdf["stat"].iloc[i],
-                                   dtype=np.float64)
-            return pd.DataFrame({"chunk": [int(key[0])],
-                                 "code": [int(key[1])],
-                                 "n": [n], "stat": [s]})
-
-        rows = (samp_df
-                .mapInPandas(partials,
-                             "chunk int, code int, n long, "
-                             "stat array<double>")
-                .groupBy("chunk", "code")
-                .applyInPandas(combine,
-                               "chunk int, code int, n long, "
-                               "stat array<double>")
-                .collect())
-        newb = books.copy()
-        for r in sorted(rows, key=lambda r: (r["chunk"], r["code"])):
-            j, c, n = int(r["chunk"]), int(r["code"]), int(r["n"])
-            if n == 0:
-                continue
-            stat = np.asarray(r["stat"], dtype=np.float64)
-            HH = stat[:dsub * dsub].reshape(dsub, dsub)
-            sum_x = stat[dsub * dsub:dsub * dsub + dsub]
-            sum_wh = stat[dsub * dsub + dsub:]
-            A = n * np.eye(dsub) + (eta - 1.0) * HH
-            rhs = sum_x + (eta - 1.0) * sum_wh
-            newb[j][c] = np.linalg.solve(A, rhs)
-        books = newb
-    samp_df.unpersist()
+                stat = np.asarray(r["stat"], dtype=np.float64)
+                HH = stat[:dsub * dsub].reshape(dsub, dsub)
+                sum_x = stat[dsub * dsub:dsub * dsub + dsub]
+                sum_wh = stat[dsub * dsub + dsub:]
+                A = n * np.eye(dsub) + (eta - 1.0) * HH
+                rhs = sum_x + (eta - 1.0) * sum_wh
+                newb[j][c] = np.linalg.solve(A, rhs)
+            books = newb
+    finally:
+        samp_df.unpersist()
     return books
 
 
